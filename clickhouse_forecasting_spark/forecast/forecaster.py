@@ -1,0 +1,91 @@
+"""Distributed per-(table, metric) forecasting (SURVEY M1-M4, §7.1-7.2).
+
+The reference runs a sequential driver loop: for each table, for each numeric
+column, fit Prophet and predict (forecast_script.py:229,169-177) — one core,
+one series at a time, with the whole table materialized in driver pandas
+(:158). The Spark-native design inverts this:
+
+    wide table --unpivot--> long (ds, metric, y)      [no Python, one narrow shuffle]
+        --groupBy(metric).applyInPandas(fit+predict)--> long forecasts
+        --pivot(metric)--> wide (date, m, m_min, m_max, ...)
+
+Every (table, metric) series is one Arrow-batched group task, so a cluster
+fits N series concurrently; the driver never sees row data. At 100 TB the
+only per-series constraint is that ONE series fits ONE worker (inherent to
+the model family); the shuffle is narrow because the long frame carries only
+(ds, metric, y).
+
+Fault isolation (M4, forecast_script.py:170,196-198): a failing series
+returns an empty frame; its columns surface as all-NULL after the pivot and
+the pipeline reports it failed — same observable semantics as the reference's
+per-column try/except + NULL fill.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..relational import pivot_forecasts_wide, unpivot_metrics
+from ..schema import DATE_AXIS_COLUMN, metric_columns
+from .model import fit_predict_frame
+
+_LONG_OUT_SCHEMA = "metric string, ds date, yhat double, yhat_lower double, yhat_upper double"
+
+
+@dataclass
+class SeriesForecaster:
+    """Forecast every metric column of a wide daily table.
+
+    Parameters mirror the reference CLI (forecast_script.py:254-257):
+    interval = horizon days; only_future = emit strictly-future rows only.
+    """
+
+    interval: int
+    only_future: bool = False
+    backend: str = "auto"  # "prophet" | "fourier_ridge" | "auto"
+
+    def transform_long(self, long_df: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+        """Forecast a long frame (ds, metric, y [, extra group cols]).
+
+        Returns long (group..., metric, ds, yhat, yhat_lower, yhat_upper).
+        One applyInPandas group per series == full parallelism across the
+        cluster; this is the engine's core scale primitive.
+        """
+        groups = (group_cols or []) + ["metric"]
+        interval, only_fut, backend = self.interval, self.only_future, self.backend
+        out_schema = (
+            ", ".join(f"{c} string" for c in (group_cols or [])) + ", " if group_cols else ""
+        ) + _LONG_OUT_SCHEMA
+
+        def _fit(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            try:
+                res = fit_predict_frame(
+                    pdf[["ds", "y"]], periods=interval, only_future=only_fut, backend=backend
+                )
+            except Exception:
+                # M4 fault isolation: failed series contributes no rows.
+                return pd.DataFrame(columns=[*groups, "ds", "yhat", "yhat_lower", "yhat_upper"])
+            for col, val in zip(groups, key):
+                res[col] = val
+            res["ds"] = pd.to_datetime(res["ds"]).dt.date
+            return res[[*groups, "ds", "yhat", "yhat_lower", "yhat_upper"]]
+
+        return long_df.groupBy(*groups).applyInPandas(_fit, schema=out_schema)
+
+    def transform(self, df: DataFrame, axis: str = DATE_AXIS_COLUMN) -> DataFrame:
+        """Forecast a wide daily table -> wide forecast table
+        (date, m, m_min, m_max per metric), the reference's per-table output
+        (forecast_script.py:134-145 schema, :187-194 pivot)."""
+        metrics = metric_columns(df.schema, axis=axis)
+        if not metrics:
+            raise ValueError("no forecastable metric columns")
+        long_df = unpivot_metrics(
+            df.withColumn(axis, F.to_date(F.col(axis))), metrics, axis=axis
+        ).dropna(subset=["ds"])
+        forecasts = self.transform_long(long_df)
+        return pivot_forecasts_wide(forecasts, metrics)

@@ -1,0 +1,82 @@
+import datetime as dt
+
+from pyspark.sql import Row
+
+from clickhouse_forecasting_spark.catalog import ParquetCatalog
+from clickhouse_forecasting_spark.pipeline import run_forecast_pipeline
+
+
+def _make_db(spark, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path))
+    rows = [
+        Row(
+            date=dt.date(2024, 1, 1) + dt.timedelta(days=i),
+            visits=float(100 + i),
+            bounce_rate=0.3 + 0.01 * (i % 7),
+            note=f"n{i}",
+        )
+        for i in range(60)
+    ]
+    cat.write_table(spark.createDataFrame(rows), "bucket_bounce_rate")
+    cat.write_table(
+        spark.createDataFrame(
+            [Row(date=dt.date(2024, 1, 1) + dt.timedelta(days=i), order_count=float(i)) for i in range(40)]
+        ),
+        "daily_orders",
+    )
+    # empty table (A5 bucket_empty) and a stale forecast output (A5)
+    cat.write_table(
+        spark.createDataFrame([], schema="date date, m double"), "bucket_empty", order_by=None
+    )
+    cat.write_table(
+        spark.createDataFrame([Row(date=dt.date(2020, 1, 1), x=1.0)]), "bucket_forecast_stale"
+    )
+    return cat
+
+
+def test_full_run_semantics(spark, tmp_path):
+    cat = _make_db(spark, tmp_path)
+    counters = run_forecast_pipeline(cat, interval=7, backend="fourier_ridge")
+
+    # outputs created with C6 naming; bucket_ prefix stripped; non-bucket_ works
+    assert cat.table_exists("bucket_forecast_bounce_rate")
+    assert cat.table_exists("bucket_forecast_daily_orders")
+    # derived tables skipped as inputs (R14)
+    assert "bucket_forecast_stale" in counters.skipped
+    # empty input marked failed, no output (R3)
+    assert "bucket_empty" in counters.failed
+    assert not cat.table_exists("bucket_forecast_empty")
+
+    out = cat.table("bucket_forecast_bounce_rate")
+    # schema: date + (m, m_min, m_max) per metric; skip-typed 'note' absent
+    assert set(out.columns) == {
+        "date", "visits", "visits_min", "visits_max",
+        "bounce_rate", "bounce_rate_min", "bounce_rate_max",
+    }
+    assert out.count() == 60 + 7  # history + interval
+    assert counters.successful == ["bucket_bounce_rate", "daily_orders"]
+    assert set(counters.new) == {"bucket_bounce_rate", "daily_orders"}
+
+
+def test_missing_table_and_missing_axis_marked_failed(spark, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write_table(
+        spark.createDataFrame([Row(n_nationkey=1, n_name="x")]), "nation", order_by=None
+    )
+    counters = run_forecast_pipeline(
+        cat, interval=7, specific_tables=["nation", "bogus"], backend="fourier_ridge"
+    )
+    assert set(counters.failed) == {"nation", "bogus"}
+    assert not counters.successful
+
+
+def test_rerun_marks_updated_and_only_future(spark, tmp_path):
+    cat = _make_db(spark, tmp_path)
+    run_forecast_pipeline(cat, interval=7, specific_tables=["daily_orders"], backend="fourier_ridge")
+    counters = run_forecast_pipeline(
+        cat, interval=5, specific_tables=["daily_orders"], only_future=True, backend="fourier_ridge"
+    )
+    assert counters.updated == ["daily_orders"]
+    out = cat.table("bucket_forecast_daily_orders")
+    assert out.count() == 5  # only-future: exactly interval rows
+    assert min(r.date for r in out.collect()) == dt.date(2024, 2, 10)
