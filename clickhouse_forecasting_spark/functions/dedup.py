@@ -1,0 +1,262 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (BASELINE.json extension surface).
+
+Scale design (the whole point of these at 100 TB):
+
+- **exact**: one hash-groupBy on a 32-byte fingerprint — the shuffle carries
+  (fingerprint, doc_id), never the text. Canonical-keeper = min(doc_id).
+- **minhash_lsh**: shingle -> k md5-minima signature -> band keys ->
+  self-join *on band key only*. Candidate pairs are generated per-bucket, so
+  the join is an equi-join Catalyst can shuffle-hash; no O(n²) cross join
+  ever materializes. Band/row parameters trade recall vs candidate volume.
+- **simhash**: per-doc 32-bit signature via per-bit majority vote over token
+  hashes — computed row-local with array expressions (no shuffle), then
+  grouped on the signature (near-dups collide exactly or at small Hamming
+  distance via rotated bands).
+- **ngram_jaccard**: exact verification join — explode distinct shingles,
+  equi-join on shingle, count common / union. Used to verify LSH candidates
+  (or alone at small scale); the explode keys are md5-hashed shingles so
+  shuffle rows stay narrow.
+- **embedding near-dup**: cosine over `array<float>` with JVM-side
+  `aggregate`/`zip_with`; pair generation via LSH-ish bucketing or an
+  id-sampled blocklist at verification time.
+
+Every operator uses only built-in functions (md5, array lambdas), keeping an
+exact ANSI-SQL twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import char_shingles, fingerprint, tokens
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) documents with >1 member.
+
+    Returns (fp, n_docs, keeper_id): keeper = min id, the deterministic
+    canonical representative. Shuffle carries only (fp, id)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per distinct normalized text — the actual
+    drop-duplicates pass a training pipeline runs."""
+    w_fp = df.withColumn("fp", fingerprint(F.col(text_col)))
+    keepers = w_fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return w_fp.join(keepers, ["fp", id_col], "inner").drop("fp")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as an array of md5-minima.
+
+    hash_i(s) = md5(i || s); the signature element i is the minimum over the
+    document's shingles — the classic permutation-free MinHash construction.
+    md5 hex strings compare lexicographically identically in any engine,
+    which keeps the DuckDB twin exact."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(i.cast("string"), s)))
+        ),
+    )
+
+
+def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Split a signature into band keys: array of (band_id || joined rows).
+    Docs sharing any band key become candidate pairs."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat(
+            b.cast("string"),
+            F.lit("|"),
+            F.concat_ws(",", F.slice(sig, b * rows_per_band + 1, rows_per_band)),
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
+
+    The self-join is on `band` — an equi-join over hashed buckets, never a
+    cross join; with b bands of r rows the collision probability of a pair
+    with Jaccard j is 1-(1-j^r)^b (b=4, r=4: ~0.97 at j=0.8, ~0.04 at
+    j=0.3)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(char_shingles(F.col(text_col), shingle_size), num_hashes)
+    banded = df.select(
+        F.col(id_col),
+        F.explode(minhash_bands(sig, bands, rows_per_band)).alias("band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, "band")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact verification)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via shingle equi-join.
+
+    explode(distinct shingles) -> join on shingle -> |A∩B| per pair ->
+    jaccard = common / (|A| + |B| - common). Shuffle rows are (md5(shingle),
+    id): narrow and uniformly distributed, so the join parallelizes cleanly;
+    hot shingles (stop-phrases) are the skew risk — AQE skew-join splits
+    them. Returns (id_a, id_b, jaccard >= threshold)."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(char_shingles(F.col(text_col), shingle_size)).alias("sh"),
+    ).withColumn("sh", F.md5(F.col("sh")))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def _token_hash32(tok: Column) -> Column:
+    """Deterministic 32-bit token hash from md5 (engine-portable)."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def simhash32(text_col: Column) -> Column:
+    """32-bit SimHash over word tokens, fully row-local (no shuffle).
+
+    For each bit position, majority vote of the token hashes' bit values:
+    bit = 1 if sum over tokens of (2*bit_i - 1) > 0. Near-identical docs get
+    identical or near-identical signatures (small Hamming distance)."""
+    toks = tokens(text_col)
+    hashes = F.transform(toks, _token_hash32)
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda i: F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.floor(h / F.pow(F.lit(2.0), i.cast("double")).cast("long")) % 2 == 1, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda v, i: F.when(v > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long")).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing an identical 32-bit SimHash (strong near-dup signal)."""
+    return (
+        df.select(F.col(id_col), simhash32(F.col(text_col)).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """JVM-side cosine over two array<float/double> columns: zip_with dot
+    product + per-array norms via aggregate. No Python in the loop."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_mod: int | None = None,
+) -> DataFrame:
+    """Pairs with cosine >= threshold.
+
+    Brute-force path (block_mod=None) is O(n²) — verification-scale only.
+    With block_mod, ids are restricted to a deterministic 1/block_mod sample
+    (id % block_mod == 0): the pattern for spot-audits at scale. The scale
+    path for full corpora is similarity.hyperplane_lsh_candidates."""
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if block_mod:
+        base = base.filter(F.col(id_col) % block_mod == 0)
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

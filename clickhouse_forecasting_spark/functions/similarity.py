@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (BASELINE.json extension).
+
+Two tiers, same contract:
+
+- **brute_force_topk** — exact cosine top-k: one scan, a JVM-side
+  zip_with/aggregate dot product against a broadcast query vector, then a
+  global top-k (TakeOrdered — no full sort). The O(n·d) baseline and the
+  verifier for the approximate tier.
+- **hyperplane_lsh** — sign-random-projection LSH: h hyperplanes (seeded
+  numpy, broadcast as literals) -> per-row bit signature (row-local, no
+  shuffle) -> candidates share a bucket; queries probe only their bucket.
+  At 100 TB the bucket column is also the natural parquet partition key so
+  probes prune to a handful of files.
+
+An IVF-style variant (cluster centroids instead of random planes) drops in
+by replacing the plane matrix with learned centroids + argmin assignment;
+kept out of round 1 since MLlib KMeans adds an iterative training pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import cosine_similarity
+
+
+def dot_with_literal(vec_col: Column, query: list[float]) -> Column:
+    """JVM-side dot product with a constant query vector: zip_with against
+    array literal. The literal travels in the plan (tiny), not via Python."""
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    return F.aggregate(
+        F.zip_with(vec_col, qarr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_with_literal(vec_col: Column, query: list[float]) -> Column:
+    qnorm = float(np.sqrt(np.sum(np.asarray(query, dtype=np.float64) ** 2)))
+    vnorm = F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot_with_literal(vec_col, query) / (vnorm * F.lit(qnorm))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector. Deterministic tie-break on
+    id so results are stable across partitionings/engines."""
+    scored = df.select(
+        F.col(id_col), cosine_with_literal(F.col(vec_col), query).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def pairwise_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str = "embedding",
+    q_id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k neighbors for EVERY query row (small query side, broadcast).
+
+    corpus x broadcast(queries) -> cosine -> per-query window top-k. The
+    cross join is size |corpus| x |queries| rows but never materializes:
+    the window top-k folds it streaming per partition."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(q_id_col).alias("query_id"), F.col(q_vec_col).alias("qvec")
+    )
+    scored = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(q))
+        .withColumn("cosine", cosine_similarity(F.col(vec_col), F.col("qvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def hyperplane_signature(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-random-projection bit signature as a compact int64. Row-local —
+    computed inside the scan, no shuffle, no Python."""
+    bits = []
+    for i, plane in enumerate(planes):
+        d = dot_with_literal(vec_col, list(plane))
+        bits.append(F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_bucket_assignments(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its LSH bucket (the ANN index build pass).
+    Writing this out partitioned-by-bucket is the 100 TB index layout:
+    queries read only their bucket's files."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only the query's LSH bucket.
+
+    Recall/latency trades on n_planes (bucket granularity); multi-probe
+    (flipping low-confidence bits) is the standard recall booster — add by
+    unioning probes over neighbor buckets."""
+    planes = random_hyperplanes(len(query), n_planes, seed)
+    qsig = int(np.sum((planes @ np.asarray(query, dtype=np.float64) > 0) * (1 << np.arange(n_planes))))
+    bucketed = lsh_bucket_assignments(df, len(query), n_planes, seed, vec_col, id_col)
+    return (
+        bucketed.filter(F.col("bucket") == qsig)
+        .select(F.col(id_col), cosine_with_literal(F.col(vec_col), query).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,874 @@
+"""Declared query registry — the oracle-checked operator inventory.
+
+Every operator from SURVEY §2 (and every BASELINE.json extension) appears
+here as a named pair:
+
+    SPARK[name]  : (spark, sf_dir) -> DataFrame      (the engine under test)
+    ORACLE[name] : ANSI SQL string for DuckDB        (the reference answer)
+
+Determinism rules that make cross-engine value-hash equality exact:
+
+- **Sums over doubles are order-dependent** -> every aggregated measure is
+  summed as DECIMAL(38,10) (exact, commutative) and cast to DOUBLE at the
+  end; averages are exact-decimal-sum / count divided in double. The same
+  expression shape is used on both sides, so results are bit-identical.
+- **Array folds** (dot products, list sums) run left-to-right in array order
+  in both engines (Spark ``aggregate``, DuckDB ``list_sum`` over
+  ``list_transform``) -> identical IEEE results; cosines additionally
+  rounded to 1e-6 to be safe against library-internal reassociation.
+- **Hashing for dedup** uses md5 hex strings (identical in every engine);
+  min/ordering over them is plain lexicographic.
+- **Every top-k** has a total-order tie-break on an id column.
+- Session timezone is UTC (session.py) so timestamp->date agrees with
+  DuckDB's naive timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import ParquetCatalog, forecast_table_name
+from .forecast import SeriesForecaster
+from .functions import dedup as DD
+from .functions import similarity as SIM
+from .functions import text as TX
+from .functions.text import STOPWORDS
+from . import multimodal as MM
+from .relational import daily_rollup, future_date_axis, only_future
+from .schema import metric_columns
+from .sources import read_table
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _dsum(col: F.Column) -> F.Column:
+    """Order-independent exact sum of a double measure -> double."""
+    return F.sum(col.cast("decimal(38,10)")).cast("double")
+
+
+# --------------------------------------------------------------------------
+# catalog / schema operators (SURVEY §2.1)
+# --------------------------------------------------------------------------
+
+
+def q_c1_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = ParquetCatalog(spark, sf_dir).list_tables()
+    return spark.createDataFrame([(n,) for n in names], "table_name string")
+
+
+_C1_SQL = "SELECT * FROM (VALUES " + ", ".join(f"('{t}')" for t in sorted(TABLES)) + ") AS t(table_name)"
+
+
+def q_c2_describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ParquetCatalog(spark, sf_dir).describe("lineitem")
+    return spark.createDataFrame(pairs, "column_name string, data_type string")
+
+
+_C2_SQL = (
+    "SELECT * FROM (VALUES "
+    "('l_orderkey','bigint'),('l_partkey','bigint'),('l_suppkey','bigint'),"
+    "('l_linenumber','int'),('l_quantity','double'),('l_extendedprice','double'),"
+    "('l_discount','double'),('l_tax','double'),('l_returnflag','string'),"
+    "('l_linestatus','string'),('l_shipdate','timestamp_ntz')"
+    ") AS t(column_name, data_type)"
+)
+
+
+def q_c6_forecast_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = ParquetCatalog(spark, sf_dir).list_tables()
+    return spark.createDataFrame(
+        [(n, forecast_table_name(n)) for n in names], "table_name string, forecast_name string"
+    )
+
+
+_C6_SQL = (
+    "SELECT table_name, 'bucket_forecast_' || regexp_replace(table_name, '^bucket_', '') AS forecast_name "
+    "FROM (" + _C1_SQL + ")"
+)
+
+
+def q_r2_type_skip_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 as data: which events columns survive the type skip-list
+    (event_type/props are string-typed -> skipped)."""
+    schema = _t(spark, sf_dir, "events").schema
+    cols = metric_columns(schema, axis="date")
+    return spark.createDataFrame([(c,) for c in cols], "column_name string")
+
+
+_R2_SQL = "SELECT * FROM (VALUES ('event_id'),('ts'),('user_id'),('value')) AS t(column_name)"
+
+
+# --------------------------------------------------------------------------
+# relational operators (SURVEY §2.2)
+# --------------------------------------------------------------------------
+
+
+def q_r1_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+_R1_SQL = "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem"
+
+
+def q_r4_cast_to_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("date"))
+        .distinct()
+    )
+
+
+_R4_SQL = "SELECT DISTINCT CAST(o_orderdate AS DATE) AS date FROM orders"
+
+
+def q_r5_max_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("date"))
+        .agg(F.max("date").alias("last_known_date"))
+    )
+
+
+_R5_SQL = "SELECT MAX(CAST(o_orderdate AS DATE)) AS last_known_date FROM orders"
+
+
+def _orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_rollup(
+        _t(spark, sf_dir, "orders"),
+        "o_orderdate",
+        [
+            F.count("*").alias("order_count"),
+            _dsum(F.col("o_totalprice")).alias("total_revenue"),
+        ],
+    )
+
+
+_ORDERS_DAILY_SQL = (
+    "SELECT CAST(o_orderdate AS DATE) AS date, COUNT(*) AS order_count, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS total_revenue "
+    "FROM orders GROUP BY 1"
+)
+
+
+def q_daily_sales_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _orders_daily(spark, sf_dir)
+
+
+def q_daily_shipping_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_rollup(
+        _t(spark, sf_dir, "lineitem"),
+        "l_shipdate",
+        [
+            _dsum(F.col("l_quantity")).alias("qty"),
+            _dsum(F.col("l_extendedprice")).alias("extended_price"),
+            (
+                _dsum(F.col("l_discount")) / F.count("*")
+            ).alias("avg_discount"),
+        ],
+    )
+
+
+_SHIPPING_DAILY_SQL = (
+    "SELECT CAST(l_shipdate AS DATE) AS date, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS qty, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS extended_price, "
+    "CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS avg_discount "
+    "FROM lineitem GROUP BY 1"
+)
+
+
+def q_r7_future_date_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _t(spark, sf_dir, "orders").select(F.to_date("o_orderdate").alias("date"))
+    return future_date_axis(daily, periods=7)
+
+
+_R7_SQL = (
+    "WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS ds FROM orders), "
+    "m AS (SELECT MAX(ds) AS mx FROM d) "
+    "SELECT ds FROM d UNION ALL "
+    "SELECT CAST(unnest(generate_series(mx + INTERVAL 1 DAY, mx + INTERVAL 7 DAY, INTERVAL 1 DAY)) AS DATE) AS ds FROM m"
+)
+
+
+def q_r8_only_future(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _t(spark, sf_dir, "orders").select(F.to_date("o_orderdate").alias("date"))
+    axis = future_date_axis(daily, periods=7)
+    last = daily.agg(F.max("date")).collect()[0][0]
+    return only_future(axis, last)
+
+
+_R8_SQL = (
+    "WITH m AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx FROM orders) "
+    "SELECT CAST(unnest(generate_series(mx + INTERVAL 1 DAY, mx + INTERVAL 7 DAY, INTERVAL 1 DAY)) AS DATE) AS ds FROM m"
+)
+
+
+def q_r11_outer_join_null_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _orders_daily(spark, sf_dir).select("date", "order_count")
+    b = q_daily_shipping_series(spark, sf_dir).select("date", "qty")
+    return a.join(b, "date", "full_outer")
+
+
+_R11_SQL = (
+    "WITH a AS (SELECT CAST(o_orderdate AS DATE) AS date, COUNT(*) AS order_count FROM orders GROUP BY 1), "
+    "b AS (SELECT CAST(l_shipdate AS DATE) AS date, CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS qty FROM lineitem GROUP BY 1) "
+    "SELECT COALESCE(a.date, b.date) AS date, a.order_count, b.qty FROM a FULL OUTER JOIN b ON a.date = b.date"
+)
+
+
+def q_r10_r13_bounds_sink_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10 derived bounds + R13 sink column order (date, cols, mins, maxs)."""
+    daily = _orders_daily(spark, sf_dir)
+    return daily.select(
+        "date",
+        F.col("total_revenue"),
+        (F.col("total_revenue") * 0.9).alias("total_revenue_min"),
+        (F.col("total_revenue") * 1.1).alias("total_revenue_max"),
+    )
+
+
+_R10_SQL = (
+    "WITH d AS (" + _ORDERS_DAILY_SQL + ") "
+    "SELECT date, total_revenue, total_revenue * 0.9 AS total_revenue_min, "
+    "total_revenue * 1.1 AS total_revenue_max FROM d"
+)
+
+
+# --------------------------------------------------------------------------
+# SQL breadth: aggregation / join / window / sessionization / as-of
+# (capabilities the engine gets from Spark SQL, SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.to_date("l_shipdate") <= F.lit("1998-09-02"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (_dsum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k. The customer dim is broadcast
+    (small side), lineitem↔orders is the real shuffle join."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("o_orderdate"))
+        .agg(_dsum(disc).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join: dims broadcast, facts shuffle on their keys."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(sup.hint("broadcast"), (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(disc).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name ORDER BY revenue DESC, n_name
+"""
+
+
+def q_tpch_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue_delta"))
+    )
+
+
+_Q6_SQL = (
+    "SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))) AS DOUBLE) AS revenue_delta "
+    "FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+)
+
+
+def q_window_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "rank", "c_custkey", "c_acctbal")
+    )
+
+
+_WINDOW_SQL = """
+SELECT c_mktsegment, rank, c_custkey, c_acctbal FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rank
+  FROM customer) WHERE rank <= 3
+"""
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag + cumulative sum of
+    session-start flags — one shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800, 1
+        ).otherwise(0)
+        + F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+    (CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+     + CASE WHEN LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END) AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): for each order, the latest
+    event with ts <= o_orderdate. Implemented as union -> single time-sorted
+    window -> last(event_id) ignoring NULLs: ONE range-shuffle instead of an
+    O(n*m) inequality join; this is the 100 TB-safe formulation (partition
+    the window by a coarse time bucket when one timeline exceeds a task)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").alias("t"), F.col("event_id"), F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(0).alias("kind"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("t"), F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey"), F.lit(1).alias("kind"),
+    )
+    unioned = ev.unionByName(orders)
+    w = (
+        Window.orderBy("t", "kind", F.coalesce("event_id", "o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        unioned.withColumn("last_event_id", F.last("event_id", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select("o_orderkey", "last_event_id")
+    )
+
+
+_ASOF_SQL = """
+WITH u AS (
+  SELECT ts AS t, event_id, NULL::BIGINT AS o_orderkey, 0 AS kind FROM events
+  UNION ALL
+  SELECT o_orderdate AS t, NULL::BIGINT AS event_id, o_orderkey, 1 AS kind FROM orders),
+w AS (
+  SELECT *, LAST_VALUE(event_id IGNORE NULLS) OVER (
+      ORDER BY t, kind, COALESCE(event_id, o_orderkey)
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_event_id
+  FROM u)
+SELECT o_orderkey, last_event_id FROM w WHERE kind = 1
+"""
+
+
+def q_streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming rollup's batch twin: same window() expression the
+    Structured Streaming path uses (streaming/rollup.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("event_count"), _dsum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").cast("date").alias("date"), "event_count", "total_value")
+    )
+
+
+_STREAM_SQL = (
+    "SELECT CAST(ts AS DATE) AS date, COUNT(*) AS event_count, "
+    "CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total_value "
+    "FROM events GROUP BY 1"
+)
+
+
+# --------------------------------------------------------------------------
+# text analysis (extension)
+# --------------------------------------------------------------------------
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.char_count(t).alias("n_chars"),
+        TX.punct_ratio(t).alias("punct_ratio"),
+        TX.mean_word_length(t).alias("mean_word_len"),
+        TX.stopword_ratio(t, "en").alias("stopword_ratio_en"),
+    )
+
+
+_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+  len({_TOKS_SQL}) AS n_tokens,
+  length(text) AS n_chars,
+  (length(text) - length(regexp_replace(text, '[.,;:!?()\\[\\]{{}}"'']', '', 'g'))) / greatest(length(text), 1) AS punct_ratio,
+  list_sum(list_transform({_TOKS_SQL}, t -> length(t))) / greatest(len({_TOKS_SQL}), 1) AS mean_word_len,
+  len(list_filter({_TOKS_SQL}, t -> t IN ({",".join(repr(w) for w in STOPWORDS["en"])}))) / greatest(len({_TOKS_SQL}), 1) AS stopword_ratio_en
+FROM documents
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _lang_sql() -> str:
+    scores = {
+        lang: f"len(list_filter({_TOKS_SQL}, t -> t IN ({','.join(repr(w) for w in words)})))"
+        for lang, words in STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN {scores[lang]} > 0 AND {scores[lang]} = {best} THEN '{lang}'" for lang in STOPWORDS
+    )
+    return f"SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_pred FROM documents"
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+_QUALITY_SQL = f"""
+SELECT doc_id,
+  ((CASE WHEN len({_TOKS_SQL}) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+ + (CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?()\\[\\]{{}}"'']', '', 'g'))) / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.0 END)
+ + (CASE WHEN len(list_filter({_TOKS_SQL}, t -> t IN ({",".join(repr(w) for w in STOPWORDS["en"])}))) / greatest(len({_TOKS_SQL}), 1) > 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+_FP_SQL = f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents"
+
+
+# --------------------------------------------------------------------------
+# dedup (extension)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fp = TX.fingerprint(F.col("text"))
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count("*") - F.countDistinct(fp)).alias("n_dupes"),
+    )
+
+
+_DEDUP_EXACT_SQL = (
+    f"SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5({_NORM_SQL})) AS n_unique, "
+    f"COUNT(*) - COUNT(DISTINCT md5({_NORM_SQL})) AS n_dupes FROM documents"
+)
+
+_SHINGLES_SQL = (
+    f"list_distinct(list_transform(generate_series(1, greatest(length({_NORM_SQL}) - 4, 1)), "
+    f"i -> substr({_NORM_SQL}, i, 5)))"
+)
+
+
+def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sig = DD.minhash_signature(TX.char_shingles(F.col("text"), 5), num_hashes=4)
+    return docs.select(
+        "doc_id",
+        sig[0].alias("sig_0"),
+        sig[1].alias("sig_1"),
+        sig[2].alias("sig_2"),
+        sig[3].alias("sig_3"),
+    )
+
+
+_MINHASH_SIG_SQL = f"""
+WITH s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
+SELECT doc_id,
+  list_min(list_transform(sh, x -> md5('0' || x))) AS sig_0,
+  list_min(list_transform(sh, x -> md5('1' || x))) AS sig_1,
+  list_min(list_transform(sh, x -> md5('2' || x))) AS sig_2,
+  list_min(list_transform(sh, x -> md5('3' || x))) AS sig_3
+FROM s
+"""
+
+
+def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+
+
+_MINHASH_LSH_SQL = f"""
+WITH s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+sig AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 15),
+                   i -> list_min(list_transform(sh, x -> md5(i::VARCHAR || x)))) AS sig
+  FROM s),
+banded AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(0, 3),
+           b -> b::VARCHAR || '|' || array_to_string(sig[b*4+1:b*4+4], ','))) AS band
+  FROM sig)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", DD.simhash32(F.col("text")).alias("simhash"))
+
+
+_SIMHASH_SQL = f"""
+WITH t AS (SELECT doc_id, list_transform({_TOKS_SQL},
+             tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT) AS hashes
+           FROM documents)
+SELECT doc_id,
+  list_sum(list_transform(generate_series(0, 31), i ->
+    CASE WHEN list_sum(list_transform(hashes, h ->
+      CASE WHEN CAST(floor(h / pow(2, i)) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+    THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END))::BIGINT AS simhash
+FROM t
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact jaccard pairs over a deterministic 1/50 doc sample (the
+    verification-scale path; candidates at scale come from the LSH query)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return DD.ngram_jaccard_pairs(docs, threshold=0.3)
+
+
+_JACCARD_SQL = f"""
+WITH docs_s AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+sh AS (SELECT doc_id, md5(unnest({_SHINGLES_SQL})) AS sh FROM docs_s),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, common / (sa.n_sh + sb.n_sh - common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.3
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled brute-force cosine pairs (spot-audit pattern); rounded to
+    1e-6 for cross-engine float safety."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = DD.embedding_near_dup_pairs(emb, threshold=0.5, block_mod=10)
+    return pairs.withColumn("cosine", F.round("cosine", 6))
+
+
+_EMB_DUP_SQL = """
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+  FROM s a JOIN s b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search (extension)
+# --------------------------------------------------------------------------
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 against the vec_id=0 vector, fully in-plan (the
+    query row is broadcast; no driver collect)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", F.round(DD.cosine_similarity(F.col("embedding"), F.col("qvec")), 6).alias("cosine")
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+    round(list_sum(list_transform(generate_series(1, len(embedding)),
+          i -> embedding[i]::DOUBLE * qvec[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(qvec, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cosine
+  FROM embeddings, q)
+SELECT vec_id, cosine, rank FROM (
+  SELECT vec_id, cosine, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+WHERE rank <= 10
+"""
+
+
+def q_similarity_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors for each of the first 3 vectors (excluding self)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = SIM.pairwise_topk(emb.filter(F.col("vec_id") >= 3), queries, k=3)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+_PAIRWISE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    list_sum(list_transform(generate_series(1, len(c.embedding)),
+          i -> c.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(q.qvec, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+  FROM c, q)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: LSH-bucketed top-k (rows-only check; the random
+    hyperplanes are engine-side state, not SQL-expressible)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    return SIM.lsh_topk(emb, [float(x) for x in query], k=10, n_planes=6)
+
+
+# --------------------------------------------------------------------------
+# multimodal (extension)
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    mm = MM.attach_payload(docs)
+    return mm.select(
+        "doc_id",
+        F.col("media.byte_len").alias("byte_len"),
+        F.col("media.checksum").alias("checksum"),
+    )
+
+
+_MM_META_SQL = "SELECT doc_id, strlen(text)::BIGINT AS byte_len, md5(text) AS checksum FROM documents"
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas-UDF decode path (rows-only: the decode stub is engine-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    return MM.extract_features(MM.attach_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# forecasting (core capability; structurally checked, not SQL-expressible)
+# --------------------------------------------------------------------------
+
+
+def q_forecast_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _orders_daily(spark, sf_dir)
+    return SeriesForecaster(interval=7, backend="fourier_ridge").transform(daily)
+
+
+def q_forecast_only_future(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = daily_rollup(
+        ev, "ts", [F.count("*").cast("double").alias("event_count"), _dsum(F.col("value")).alias("total_value")]
+    )
+    return SeriesForecaster(interval=7, only_future=True, backend="fourier_ridge").transform(daily)
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "c1_list_tables": q_c1_list_tables,
+    "c2_describe_lineitem": q_c2_describe_lineitem,
+    "c6_forecast_names": q_c6_forecast_names,
+    "r1_scan_project": q_r1_scan_project,
+    "r2_type_skip_projection": q_r2_type_skip_projection,
+    "r4_cast_to_date": q_r4_cast_to_date,
+    "r5_max_date": q_r5_max_date,
+    "r7_future_date_axis": q_r7_future_date_axis,
+    "r8_only_future": q_r8_only_future,
+    "r11_outer_join_null_fill": q_r11_outer_join_null_fill,
+    "r10_r13_bounds_sink_order": q_r10_r13_bounds_sink_order,
+    "daily_sales_series": q_daily_sales_series,
+    "daily_shipping_series": q_daily_shipping_series,
+    "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+    "tpch_q3_top_orders": q_tpch_q3_top_orders,
+    "tpch_q5_nation_volume": q_tpch_q5_nation_volume,
+    "tpch_q6_revenue_delta": q_tpch_q6_revenue_delta,
+    "window_top_customers": q_window_top_customers,
+    "sessionization": q_sessionization,
+    "asof_join": q_asof_join,
+    "streaming_daily_rollup": q_streaming_daily_rollup,
+    "text_stats": q_text_stats,
+    "text_lang_id": q_text_lang_id,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact_stats": q_dedup_exact_stats,
+    "dedup_minhash_signature": q_dedup_minhash_signature,
+    "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "embedding_near_dup": q_embedding_near_dup,
+    "similarity_topk": q_similarity_topk,
+    "similarity_pairwise_topk": q_similarity_pairwise_topk,
+    "similarity_lsh_topk": q_similarity_lsh_topk,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_features": q_multimodal_features,
+    "forecast_daily_sales": q_forecast_daily_sales,
+    "forecast_only_future": q_forecast_only_future,
+}
+
+ORACLE_QUERIES: dict[str, str] = {
+    "c1_list_tables": _C1_SQL,
+    "c2_describe_lineitem": _C2_SQL,
+    "c6_forecast_names": _C6_SQL,
+    "r1_scan_project": _R1_SQL,
+    "r2_type_skip_projection": _R2_SQL,
+    "r4_cast_to_date": _R4_SQL,
+    "r5_max_date": _R5_SQL,
+    "r7_future_date_axis": _R7_SQL,
+    "r8_only_future": _R8_SQL,
+    "r11_outer_join_null_fill": _R11_SQL,
+    "r10_r13_bounds_sink_order": _R10_SQL,
+    "daily_sales_series": _ORDERS_DAILY_SQL,
+    "daily_shipping_series": _SHIPPING_DAILY_SQL,
+    "tpch_q1_pricing_summary": _Q1_SQL,
+    "tpch_q3_top_orders": _Q3_SQL,
+    "tpch_q5_nation_volume": _Q5_SQL,
+    "tpch_q6_revenue_delta": _Q6_SQL,
+    "window_top_customers": _WINDOW_SQL,
+    "sessionization": _SESSION_SQL,
+    "asof_join": _ASOF_SQL,
+    "streaming_daily_rollup": _STREAM_SQL,
+    "text_stats": _TEXT_STATS_SQL,
+    "text_lang_id": _lang_sql(),
+    "text_quality": _QUALITY_SQL,
+    "text_fingerprint": _FP_SQL,
+    "dedup_exact_stats": _DEDUP_EXACT_SQL,
+    "dedup_minhash_signature": _MINHASH_SIG_SQL,
+    "dedup_minhash_lsh_pairs": _MINHASH_LSH_SQL,
+    "dedup_simhash": _SIMHASH_SQL,
+    "dedup_ngram_jaccard": _JACCARD_SQL,
+    "embedding_near_dup": _EMB_DUP_SQL,
+    "similarity_topk": _TOPK_SQL,
+    "similarity_pairwise_topk": _PAIRWISE_SQL,
+    # rows-only (engine-side state / model output, not SQL-expressible):
+    #   similarity_lsh_topk, multimodal_features,
+    #   forecast_daily_sales, forecast_only_future
+    "multimodal_meta": _MM_META_SQL,
+}
