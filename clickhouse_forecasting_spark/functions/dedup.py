@@ -30,7 +30,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import char_shingles, fingerprint, tokens
+from .text import char_shingles, char_shingles_of_norm, fingerprint, normalize_text, tokens
+
+
+def _exploded_shingles(
+    df: DataFrame, text_col: str, id_col: str, shingle_size: int
+) -> DataFrame:
+    """(id, shingle) rows with the normalization materialized once per doc
+    (a separate projection under the Generate node), not once per element."""
+    base = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+    )
+    return base.select(
+        F.col(id_col),
+        F.explode(char_shingles_of_norm(F.col("_norm"), shingle_size)).alias("sh"),
+    )
 
 # --------------------------------------------------------------------------
 # exact dedup
@@ -64,18 +78,44 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as an array of md5-minima.
+    """MinHash signature as an array of md5-minima (array-column form).
 
     hash_i(s) = md5(i || s); the signature element i is the minimum over the
     document's shingles — the classic permutation-free MinHash construction.
     md5 hex strings compare lexicographically identically in any engine,
-    which keeps the DuckDB twin exact."""
+    which keeps the DuckDB twin exact.
+
+    NOTE: nested higher-order functions are interpreted (not codegen'd) and
+    re-evaluate the shingle subtree once per hash index — fine for small k,
+    but the scale path is :func:`minhash_signatures` (explode + groupBy),
+    which hashes each shingle exactly once inside whole-stage codegen."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
             F.transform(shingles, lambda s: F.md5(F.concat(i.cast("string"), s)))
         ),
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 5,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Per-doc MinHash signature as columns sig_0..sig_{k-1} — the scale path.
+
+    explode(shingles) -> one md5 per (doc, shingle, hash-index) -> groupBy-min.
+    Everything is built-in + codegen'd; the shuffle carries (id, k mins) after
+    partial aggregation, so network volume is O(docs * k), never O(shingles).
+    Values are identical to :func:`minhash_signature` (min over md5(i||s))."""
+    sh = _exploded_shingles(df, text_col, id_col, shingle_size)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -91,6 +131,28 @@ def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+# Hash family for the numeric MinHash: h_i(x) = (a_i*x + b_i) mod P, with
+# x = the low 60 bits of md5(shingle) reduced mod P. P = 2^31 - 1 (Mersenne
+# prime); (P-1)^2 < 2^62 so products never overflow int64, and the identical
+# arithmetic runs in any engine (the DuckDB twin transliterates the same
+# literal a_i/b_i). The multipliers must be large & well-mixed: with small
+# a_i, every h_i is minimized by the same low-x shingle and the signature
+# rows collapse (bands lose all selectivity).
+MINHASH_PRIME = 2147483647
+_KNUTH = 2654435761  # Knuth's multiplicative-hash constant
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, a_i ∈ [1, P-1], b_i ∈ [0, P-1]."""
+    p = MINHASH_PRIME
+    out = []
+    for i in range(num_hashes):
+        a = (_KNUTH * (2 * i + 1)) % p
+        b = (_KNUTH * _KNUTH % p * (i + 1) + 12345) % p
+        out.append((a if a else 1, b))
+    return out
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -101,24 +163,85 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
 
-    The self-join is on `band` — an equi-join over hashed buckets, never a
-    cross join; with b bands of r rows the collision probability of a pair
-    with Jaccard j is 1-(1-j^r)^b (b=4, r=4: ~0.97 at j=0.8, ~0.04 at
-    j=0.3)."""
+    Scale shape: explode shingles -> ONE md5 per (doc, shingle), k cheap
+    multiply-mod hashes derived from it -> partial-aggregated groupBy-min
+    (shuffle carries docs*k longs, not shingles) -> explode b band keys ->
+    self-equi-join on the band key (shuffle-hash; never a cross join; both
+    sides are the same plan, so Spark reuses one exchange) -> distinct.
+    With b bands of r rows the collision probability of a pair with Jaccard
+    j is 1-(1-j^r)^b (b=4, r=4: ~0.97 at j=0.8, ~0.04 at j=0.3)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(char_shingles(F.col(text_col), shingle_size), num_hashes)
-    banded = df.select(
+    p = F.lit(MINHASH_PRIME)
+    sh = _exploded_shingles(df, text_col, id_col, shingle_size)
+    x = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long") % p
+    params = minhash_params(num_hashes)
+    hashed = sh.select(
         F.col(id_col),
-        F.explode(minhash_bands(sig, bands, rows_per_band)).alias("band"),
+        *[((F.lit(a) * x + F.lit(b)) % p).alias(f"h{i}") for i, (a, b) in enumerate(params)],
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_keys).alias("band"))
+    a, b2 = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, "band")
+        a.join(b2, "band")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
+    )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidate generation + exact Jaccard verification.
+
+    This is the 100 TB dedup pipeline: an all-pairs shingle join never runs.
+    Verification joins the candidate pairs back to the per-doc shingle SETS
+    (two equi-joins on id) and computes |A∩B| row-locally with
+    array_intersect — cost is O(candidate pairs), independent of corpus
+    size, and immune to hot stop-shingles (which blow up any shingle-keyed
+    self-join: a shingle shared by n docs contributes n² join rows)."""
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, shingle_size, num_hashes, bands
+    )
+    sets = df.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+    ).select(
+        F.col(id_col),
+        char_shingles_of_norm(F.col("_norm"), shingle_size).alias("sh_set"),
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b"))
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            common / (F.size("sh_a") + F.size("sh_b") - common),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -205,6 +328,44 @@ def simhash32(text_col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc 32-bit SimHash — the scale path (explode + codegen'd groupBy).
+
+    Value-identical to :func:`simhash32` (same md5-derived token hashes,
+    same majority vote), but the per-bit votes are 32 SUM aggregates over
+    exploded tokens instead of nested interpreted array lambdas: partial
+    aggregation means the shuffle carries 32 longs per doc. Docs with no
+    tokens get simhash 0 (explode_outer keeps them; NULL tokens vote 0)."""
+    tok = df.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok")
+    ).select(
+        # materialize the md5-derived hash ONCE per token row; referencing
+        # the md5 expression from all 32 vote aggregates would re-hash 32x
+        F.col(id_col),
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").isNull(), 0).otherwise(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            )
+        ).alias(f"v{i}")
+        for i in range(32)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(32):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -109,11 +109,20 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
-def char_shingles(col: Column, n: int = 5) -> Column:
-    """Distinct character n-grams of the normalized text (near-dup unit)."""
-    norm = normalize_text(col)
+def char_shingles_of_norm(norm: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of an ALREADY-normalized string column.
+
+    Pass a materialized column (``.withColumn("norm", normalize_text(...))``
+    in a separate projection) rather than the normalize expression itself:
+    higher-order-function lambdas are interpreted, so an inlined expression
+    tree would re-run the regexp normalization once per shingle element."""
     idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
     return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n)))
+
+
+def char_shingles(col: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of the normalized text (near-dup unit)."""
+    return char_shingles_of_norm(normalize_text(col), n)
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:

@@ -575,14 +575,7 @@ _SHINGLES_SQL = (
 
 def q_dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sig = DD.minhash_signature(TX.char_shingles(F.col("text"), 5), num_hashes=4)
-    return docs.select(
-        "doc_id",
-        sig[0].alias("sig_0"),
-        sig[1].alias("sig_1"),
-        sig[2].alias("sig_2"),
-        sig[3].alias("sig_3"),
-    )
+    return DD.minhash_signatures(docs, num_hashes=4)
 
 
 _MINHASH_SIG_SQL = f"""
@@ -601,17 +594,23 @@ def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
 
 
+_P = DD.MINHASH_PRIME
+_MH = DD.minhash_params(16)
+
+_SIG_MINS_SQL = ", ".join(
+    f"MIN(({a} * x + {b}) % {_P}) AS h{i}" for i, (a, b) in enumerate(_MH)
+)
+_BAND_LIST_SQL = ", ".join(
+    "concat_ws(',', '" + str(b) + "', " + ", ".join(f"h{b * 4 + r}" for r in range(4)) + ")"
+    for b in range(4)
+)
+
 _MINHASH_LSH_SQL = f"""
-WITH s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
-sig AS (
-  SELECT doc_id,
-    list_transform(generate_series(0, 15),
-                   i -> list_min(list_transform(sh, x -> md5(i::VARCHAR || x)))) AS sig
-  FROM s),
+WITH s AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {_P} AS x FROM s),
+sig AS (SELECT doc_id, {_SIG_MINS_SQL} FROM h GROUP BY doc_id),
 banded AS (
-  SELECT doc_id,
-    unnest(list_transform(generate_series(0, 3),
-           b -> b::VARCHAR || '|' || array_to_string(sig[b*4+1:b*4+4], ','))) AS band
+  SELECT doc_id, unnest([{_BAND_LIST_SQL}]) AS band
   FROM sig)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
@@ -620,7 +619,7 @@ FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", DD.simhash32(F.col("text")).alias("simhash"))
+    return DD.simhash_signatures(docs)
 
 
 _SIMHASH_SQL = f"""
@@ -637,25 +636,34 @@ FROM t
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact jaccard pairs over a deterministic 1/50 doc sample (the
-    verification-scale path; candidates at scale come from the LSH query)."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
-    return DD.ngram_jaccard_pairs(docs, threshold=0.3)
+    """Full-corpus near-dup pairs: LSH candidates + exact-Jaccard verify at
+    0.8 — the scale pipeline (all-pairs shingle join never runs; the
+    verification join only sees candidate docs). Jaccard rounded to 1e-6
+    for cross-engine float safety."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.lsh_verified_pairs(docs, threshold=0.8)
+    return pairs.withColumn("jaccard", F.round("jaccard", 6))
 
 
 _JACCARD_SQL = f"""
-WITH docs_s AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
-sh AS (SELECT doc_id, md5(unnest({_SHINGLES_SQL})) AS sh FROM docs_s),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT id_a, id_b, common / (sa.n_sh + sb.n_sh - common) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.3
+WITH s AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shg FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(shg), 1, 15))::BIGINT % {_P} AS x FROM s),
+sig AS (SELECT doc_id, {_SIG_MINS_SQL} FROM h GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST_SQL}]) AS band
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, {_SHINGLES_SQL} AS sh_set FROM documents),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(sa.sh_set, sb.sh_set))
+      / (len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set))) AS jaccard
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM verified WHERE jaccard >= 0.8
 """
 
 
@@ -663,12 +671,12 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled brute-force cosine pairs (spot-audit pattern); rounded to
     1e-6 for cross-engine float safety."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = DD.embedding_near_dup_pairs(emb, threshold=0.5, block_mod=10)
+    pairs = DD.embedding_near_dup_pairs(emb, threshold=0.3, block_mod=5)
     return pairs.withColumn("cosine", F.round("cosine", 6))
 
 
 _EMB_DUP_SQL = """
-WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
 p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     list_sum(list_transform(generate_series(1, len(a.embedding)),
@@ -676,7 +684,7 @@ p AS (
     / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
      * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
   FROM s a JOIN s b ON a.vec_id < b.vec_id)
-SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.5
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.3
 """
 
 
