@@ -477,6 +477,417 @@ _STREAM_SQL = (
 
 
 # --------------------------------------------------------------------------
+# SQL breadth II: more join/agg/window/set/JSON/grouping shapes
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns (join + agg + top-k)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum(disc).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_tpch_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + two-level aggregation: how many customers have k orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate ratio: share of revenue from PROMO parts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg((F.lit(100.0) * _dsum(promo) / _dsum(disc)).alias("promo_revenue_pct"))
+    )
+
+
+_Q14_SQL = """
+SELECT 100.0
+  * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(38,10))) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-subquery shape: orders whose total quantity exceeds 150."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+    )
+
+
+_Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, total_qty
+FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+"""
+
+
+def q_tpch_q19_bracket_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction-of-conjunctions predicate pushed through a join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 5) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 15) & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(_dsum(disc).alias("revenue"))
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size <= 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-nation x supplier-nation trade volume by ship year."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup.hint("broadcast"), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(n2), sup.s_nationkey == F.col("sn_key"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(_dsum(disc).alias("volume"))
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+  year(l_shipdate) AS ship_year,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS volume
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY 1, 2, 3
+"""
+
+
+def q_window_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average + running total of daily revenue — the classic
+    time-series smoothing pass, one range-shuffle then streaming window."""
+    # keep the daily revenue DECIMAL end-to-end: window sums stay exact and
+    # engine-independent; cast to double only on output. (Converting an
+    # already-derived double back to decimal is NOT portable: engines differ
+    # between shortest-repr and exact-binary-expansion conversion.)
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("date"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("rev_dec"))
+    )
+    w7 = Window.orderBy("date").rowsBetween(-6, 0)
+    wcum = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "date",
+        F.col("rev_dec").cast("double").alias("total_revenue"),
+        (F.sum("rev_dec").over(w7).cast("double") / F.count("*").over(w7)).alias("revenue_ma7"),
+        # round to cents: the true cum is exact 2-decimal money, but DuckDB's
+        # decimal->double cast double-rounds (int128->double, then /1e10) and
+        # can land 1 ulp off the correctly-rounded double Spark produces
+        F.round(F.sum("rev_dec").over(wcum).cast("double"), 2).alias("revenue_cum"),
+    )
+
+
+_MOVAVG_SQL = """
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS date,
+         SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS rev_dec
+  FROM orders GROUP BY 1)
+SELECT date, CAST(rev_dec AS DOUBLE) AS total_revenue,
+  CAST(SUM(rev_dec) OVER w7 AS DOUBLE) / COUNT(*) OVER w7 AS revenue_ma7,
+  round(CAST(SUM(rev_dec) OVER wc AS DOUBLE), 2) AS revenue_cum
+FROM d
+WINDOW w7 AS (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       wc AS (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_window_dod_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): day-over-day revenue delta (NULL on the first day)."""
+    daily = _orders_daily(spark, sf_dir)
+    w = Window.orderBy("date")
+    return daily.select(
+        "date",
+        "total_revenue",
+        (F.col("total_revenue") - F.lag("total_revenue").over(w)).alias("dod_delta"),
+    )
+
+
+_DOD_SQL = f"""
+WITH d AS ({_ORDERS_DAILY_SQL})
+SELECT date, total_revenue,
+  total_revenue - LAG(total_revenue) OVER (ORDER BY date) AS dod_delta
+FROM d
+"""
+
+
+def q_set_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers active in both 1995 and 1996."""
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96).withColumnRenamed("o_custkey", "custkey")
+
+
+_SET_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+def q_anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no orders in 2001 (churn query)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 2001)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 2001)
+"""
+
+
+def q_correlated_above_avg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape: suppliers above their nation's average
+    account balance (decorrelated to a groupBy + equi-join — the plan
+    Catalyst produces for the subquery form too)."""
+    sup = _t(spark, sf_dir, "supplier")
+    nat_avg = sup.groupBy("s_nationkey").agg(
+        (_dsum(F.col("s_acctbal")) / F.count("*")).alias("nation_avg")
+    )
+    return (
+        sup.join(F.broadcast(nat_avg), "s_nationkey")
+        .filter(F.col("s_acctbal") > F.col("nation_avg"))
+        .select("s_suppkey", "s_name", "s_acctbal", F.round("nation_avg", 6).alias("nation_avg"))
+    )
+
+
+_CORR_SQL = """
+WITH a AS (SELECT s_nationkey,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS nation_avg
+           FROM supplier GROUP BY 1)
+SELECT s_suppkey, s_name, s_acctbal, round(nation_avg, 6) AS nation_avg
+FROM supplier JOIN a USING (s_nationkey)
+WHERE s_acctbal > nation_avg
+"""
+
+
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the events props column + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(k.cast("double")).alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(SUM(CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(38,10))) AS DOUBLE) AS sum_k,
+  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_rollup_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (nation, year) revenue with grouping_id — multi-granularity
+    aggregation in one pass (the hypertable-rollup pattern)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("order_year"), "o_totalprice")
+    )
+    return (
+        joined.rollup("n_name", "order_year")
+        .agg(
+            F.grouping_id().alias("gid"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .select("n_name", "order_year", "gid", "revenue")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT n_name, year(o_orderdate) AS order_year,
+  GROUPING(n_name) * 2 + GROUPING(year(o_orderdate)) AS gid,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, year(o_orderdate))
+"""
+
+
+def q_pivot_status_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (no distinct pre-pass): order counts
+    per year x status."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(F.year("o_orderdate").alias("order_year"), "o_orderstatus")
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "order_year",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+_PIVOT_SQL = """
+SELECT year(o_orderdate) AS order_year,
+  COUNT(*) FILTER (o_orderstatus = 'O') AS n_open,
+  COUNT(*) FILTER (o_orderstatus = 'F') AS n_filled,
+  COUNT(*) FILTER (o_orderstatus = 'P') AS n_pending
+FROM orders GROUP BY 1
+"""
+
+
+def q_unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's spine op (SURVEY §7.1): wide daily table -> long
+    (date, metric, value) via native unpivot."""
+    daily = _orders_daily(spark, sf_dir).select(
+        "date",
+        F.col("order_count").cast("double").alias("order_count"),
+        "total_revenue",
+    )
+    return daily.unpivot("date", ["order_count", "total_revenue"], "metric", "value")
+
+
+_UNPIVOT_SQL = f"""
+WITH d AS ({_ORDERS_DAILY_SQL})
+SELECT date, 'order_count' AS metric, CAST(order_count AS DOUBLE) AS value FROM d
+UNION ALL
+SELECT date, 'total_revenue' AS metric, total_revenue AS value FROM d
+"""
+
+
+def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (expands to two-phase agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # text analysis (extension)
 # --------------------------------------------------------------------------
 
@@ -818,7 +1229,23 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3_top_orders": q_tpch_q3_top_orders,
     "tpch_q5_nation_volume": q_tpch_q5_nation_volume,
     "tpch_q6_revenue_delta": q_tpch_q6_revenue_delta,
+    "tpch_q7_nation_trade_volume": q_tpch_q7_nation_trade_volume,
+    "tpch_q10_returned_items": q_tpch_q10_returned_items,
+    "tpch_q13_order_count_distribution": q_tpch_q13_order_count_distribution,
+    "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+    "tpch_q18_large_orders": q_tpch_q18_large_orders,
+    "tpch_q19_bracket_predicates": q_tpch_q19_bracket_predicates,
     "window_top_customers": q_window_top_customers,
+    "window_moving_average": q_window_moving_average,
+    "window_dod_delta": q_window_dod_delta,
+    "set_repeat_customers": q_set_repeat_customers,
+    "anti_join_inactive_customers": q_anti_join_inactive_customers,
+    "correlated_above_avg_suppliers": q_correlated_above_avg_suppliers,
+    "json_extract_props": q_json_extract_props,
+    "rollup_nation_year": q_rollup_nation_year,
+    "pivot_status_by_year": q_pivot_status_by_year,
+    "unpivot_daily_metrics": q_unpivot_daily_metrics,
+    "distinct_users_per_type": q_distinct_users_per_type,
     "sessionization": q_sessionization,
     "asof_join": q_asof_join,
     "streaming_daily_rollup": q_streaming_daily_rollup,
@@ -859,7 +1286,23 @@ ORACLE_QUERIES: dict[str, str] = {
     "tpch_q3_top_orders": _Q3_SQL,
     "tpch_q5_nation_volume": _Q5_SQL,
     "tpch_q6_revenue_delta": _Q6_SQL,
+    "tpch_q7_nation_trade_volume": _Q7_SQL,
+    "tpch_q10_returned_items": _Q10_SQL,
+    "tpch_q13_order_count_distribution": _Q13_SQL,
+    "tpch_q14_promo_revenue": _Q14_SQL,
+    "tpch_q18_large_orders": _Q18_SQL,
+    "tpch_q19_bracket_predicates": _Q19_SQL,
     "window_top_customers": _WINDOW_SQL,
+    "window_moving_average": _MOVAVG_SQL,
+    "window_dod_delta": _DOD_SQL,
+    "set_repeat_customers": _SET_SQL,
+    "anti_join_inactive_customers": _ANTI_SQL,
+    "correlated_above_avg_suppliers": _CORR_SQL,
+    "json_extract_props": _JSON_SQL,
+    "rollup_nation_year": _ROLLUP_SQL,
+    "pivot_status_by_year": _PIVOT_SQL,
+    "unpivot_daily_metrics": _UNPIVOT_SQL,
+    "distinct_users_per_type": _DISTINCT_SQL,
     "sessionization": _SESSION_SQL,
     "asof_join": _ASOF_SQL,
     "streaming_daily_rollup": _STREAM_SQL,

@@ -1,0 +1,233 @@
+"""Tests for the extension surface: text analysis, dedup, similarity
+search, multimodal plumbing, streaming rollup.
+
+Strategy (SURVEY §5.2): small constructed frames with planted structure
+(exact dups, near-dups, known languages) where invariants are checkable by
+hand, plus fixture-scale runs checking distributed == local semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from clickhouse_forecasting_spark.functions import dedup as DD
+from clickhouse_forecasting_spark.functions import similarity as SIM
+from clickhouse_forecasting_spark.functions import text as TX
+from clickhouse_forecasting_spark import multimodal as MM
+from clickhouse_forecasting_spark.sources import read_table
+from clickhouse_forecasting_spark.streaming.rollup import (
+    daily_rollup_stream,
+    streaming_daily_events,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog near the river bank."),
+        (1, "The quick brown fox jumps over the lazy dog near the river bank."),  # exact dup of 0
+        (2, "The quick brown fox jumps over the lazy dog near the river bend."),  # near dup of 0
+        (3, "Der schnelle braune Fuchs springt über den faulen Hund und das ist gut."),
+        (4, "Le renard brun rapide saute par dessus le chien et c'est pour une les pas."),
+        (5, "Completely different content about distributed query engines and parquet files."),
+        (6, ""),  # empty doc
+        (7, "!!! ??? ... ;;; :::"),  # punctuation only
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- text ----
+
+
+def test_token_count_and_stats(docs):
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            TX.token_count(F.col("text")).alias("n"),
+            TX.punct_ratio(F.col("text")).alias("p"),
+            TX.mean_word_length(F.col("text")).alias("mwl"),
+        ).collect()
+    }
+    assert out[0]["n"] == 13
+    assert out[6]["n"] == 0
+    assert out[7]["n"] == 0
+    assert out[5]["p"] < 0.1 < out[7]["p"]
+    assert 3.0 <= out[0]["mwl"] <= 5.0
+
+
+def test_lang_id(docs):
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang")).collect()
+    }
+    assert langs[0] == "en"
+    assert langs[3] == "de"
+    assert langs[4] == "fr"
+    assert langs[6] == "und"
+    assert langs[7] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "  HELLO WORLD  "), (3, "hello worlds")],
+        "doc_id long, text string",
+    )
+    fps = [r["fp"] for r in df.select(TX.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2] != fps[3]
+
+
+def test_quality_score_range(docs):
+    rows = docs.select(TX.quality_score(F.col("text")).alias("q")).collect()
+    for r in rows:
+        assert 0.0 <= r["q"] <= 1.0
+
+
+# --------------------------------------------------------------- dedup ----
+
+
+def test_exact_dedup(docs):
+    groups = DD.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2
+    assert groups[0]["keeper_id"] == 0
+    kept = DD.dedup_exact(docs)
+    assert kept.count() == docs.count() - 1
+    assert kept.filter(F.col("doc_id") == 1).count() == 0
+
+
+def test_minhash_signatures_identical_for_dups(docs):
+    sig = DD.minhash_signatures(docs, num_hashes=8)
+    rows = {r["doc_id"]: [r[f"sig_{i}"] for i in range(8)] for r in sig.collect()}
+    assert rows[0] == rows[1]  # exact dups -> identical signatures
+    # near dup differs in few slots, unrelated doc in many
+    near = sum(a != b for a, b in zip(rows[0], rows[2]))
+    far = sum(a != b for a, b in zip(rows[0], rows[5]))
+    assert near < far
+
+
+def test_lsh_verified_pairs_finds_planted_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.lsh_verified_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and 0.5 <= pairs[(0, 2)] < 1.0
+    assert all({a, b} <= {0, 1, 2} for a, b in pairs)
+
+
+def test_simhash_frame_matches_column_impl(docs):
+    frame = {r["doc_id"]: r["simhash"] for r in DD.simhash_signatures(docs).collect()}
+    col = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", DD.simhash32(F.col("text")).alias("sh")).collect()
+    }
+    assert frame == col
+    assert frame[0] == frame[1]
+    assert frame[6] == 0  # no tokens -> all-zero signature
+
+
+def test_hamming_similarity_of_near_dups(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in DD.simhash_signatures(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[5])
+
+
+# ---------------------------------------------------------- similarity ----
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(vecs):
+    top = SIM.brute_force_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [0, 1, 4]
+    assert top[0]["cosine"] == pytest.approx(1.0)
+    assert top[1]["cosine"] == pytest.approx(0.9 / (0.81 + 0.01) ** 0.5, rel=1e-6)
+
+
+def test_pairwise_topk_ranks(vecs):
+    out = SIM.pairwise_topk(vecs.filter(F.col("vec_id") >= 2), vecs.filter(F.col("vec_id") == 0), k=2)
+    rows = out.orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in rows] == [4, 2]
+    assert rows[0]["rank"] == 1
+
+
+def test_lsh_topk_subset_of_bruteforce(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    approx = SIM.lsh_topk(emb, [float(x) for x in query], k=5, n_planes=4)
+    exact = SIM.brute_force_topk(emb, [float(x) for x in query], k=emb.count())
+    approx_ids = {r["vec_id"] for r in approx.collect()}
+    exact_ranks = {r["vec_id"]: i for i, r in enumerate(exact.collect())}
+    # every approx hit is a real vector; the query's own bucket contains it
+    assert approx_ids <= set(exact_ranks)
+    assert 0 in approx_ids  # identical vector always shares the bucket
+
+
+# ----------------------------------------------------------- multimodal ----
+
+
+def test_multimodal_attach_and_features(docs):
+    mm = MM.attach_payload(docs)
+    assert [f.name for f in mm.schema["media"].dataType.fields] == [
+        "kind", "mime", "byte_len", "checksum",
+    ]
+    meta = {r["doc_id"]: r for r in mm.select("doc_id", "media.*").collect()}
+    assert meta[0]["byte_len"] == len(
+        "The quick brown fox jumps over the lazy dog near the river bank."
+    )
+    feats = {r["doc_id"]: r for r in MM.extract_features(mm).collect()}
+    assert len(feats) == docs.count()
+    assert feats[6]["feat_mean"] is None  # empty payload -> fault-isolated NULL
+    assert feats[0]["feat_dim"] == 4 and feats[0]["feat_mean"] is not None
+
+
+def test_media_stats(docs):
+    stats = MM.media_stats(MM.attach_payload(docs)).collect()
+    assert len(stats) == 1
+    assert stats[0]["n_items"] == docs.count()
+
+
+# ------------------------------------------------------------ streaming ----
+
+
+def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
+    events = read_table(spark, sf_dir, "events")
+    batch = {
+        r["date"]: (r["event_count"], r["total_value"])
+        for r in daily_rollup_stream(events).collect()
+    }
+    # replay the same events through a real stream (availableNow drains the
+    # backlog then stops); complete-mode memory sink holds the final state
+    src = str(tmp_path / "events_stream")
+    events.write.parquet(src)
+    stream_df = streaming_daily_events(spark, src)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("rollup_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["date"]: (r["event_count"], r["total_value"])
+        for r in spark.table("rollup_test").collect()
+    }
+    assert set(got) == set(batch)
+    for d, (n, v) in batch.items():
+        assert got[d][0] == n
+        assert got[d][1] == pytest.approx(v, rel=1e-9)
