@@ -103,6 +103,25 @@ def lang_id(col: Column) -> Column:
     return expr
 
 
+# BPE-ish pre-tokenization split (the GPT-2 pattern family, simplified to
+# the subset whose semantics are identical in Java regex and RE2): word
+# pieces, contractions, digit runs capped at 3 (BPE-style), single
+# non-alnum glyphs. Counting these approximates LLM token budgets far
+# better than whitespace counting (punctuation & digits tokenize apart).
+BPE_SPLIT_RE = r"'[a-z]+|[a-z]+|[0-9]{1,3}|[^\sa-z0-9]"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokens of the lowercased text (regexp_extract_all —
+    row-local, codegen'd, no Python)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_SPLIT_RE), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    """LLM-budget token estimate: count of BPE-ish pre-tokens."""
+    return F.size(bpe_tokens(col))
+
+
 def fingerprint(col: Column) -> Column:
     """Stable document fingerprint: md5 of the normalized text. Identical
     results in any engine with md5 — the exact-dedup key."""

@@ -950,6 +950,49 @@ FROM documents
 """
 
 
+def q_text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token budget vs whitespace token count per document."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.bpe_token_count(t).alias("n_bpe_tokens"),
+        TX.token_count(t).alias("n_ws_tokens"),
+    )
+
+
+_BPE_SQL = f"""
+SELECT doc_id,
+  len(regexp_extract_all(lower(text), '{TX.BPE_SPLIT_RE.replace(chr(39), chr(39) * 2)}')) AS n_bpe_tokens,
+  len({_TOKS_SQL}) AS n_ws_tokens
+FROM documents
+"""
+
+
+def q_text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level word count: explode tokens -> groupBy -> top-20.
+    The canonical map-side-combine aggregation (partial counts per
+    partition; the shuffle carries one row per distinct token)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+_TOP_TOKENS_SQL = f"""
+WITH tok AS (SELECT unnest({_TOKS_SQL}) AS token FROM documents),
+counts AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+SELECT token, n, rank FROM (
+  SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank FROM counts)
+WHERE rank <= 20
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
@@ -1252,6 +1295,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
+    "text_bpe_token_count": q_text_bpe_token_count,
+    "text_top_tokens": q_text_top_tokens,
     "text_fingerprint": q_text_fingerprint,
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_minhash_signature": q_dedup_minhash_signature,
@@ -1309,6 +1354,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "text_stats": _TEXT_STATS_SQL,
     "text_lang_id": _lang_sql(),
     "text_quality": _QUALITY_SQL,
+    "text_bpe_token_count": _BPE_SQL,
+    "text_top_tokens": _TOP_TOKENS_SQL,
     "text_fingerprint": _FP_SQL,
     "dedup_exact_stats": _DEDUP_EXACT_SQL,
     "dedup_minhash_signature": _MINHASH_SIG_SQL,

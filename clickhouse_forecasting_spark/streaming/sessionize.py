@@ -1,0 +1,76 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState`` (SURVEY §7.4 / BASELINE.json streaming surface).
+
+The batch twin (queries.q_sessionization) computes sessions with a lag()
+window; a stream can't — session state must live across micro-batches.
+Per-user state here is (n_sessions, n_events, last_ts): a new session
+starts when the gap to the previous event exceeds ``gap_seconds``.
+
+Scale notes: state is partitioned by user_id across the cluster (one
+shuffle), each entry is 3 scalars — billions of users fit; Arrow batches
+carry events grouped per user into the Python worker. In production add a
+state timeout (ProcessingTimeTimeout + state.setTimeoutDuration) to expire
+idle users; kept NoTimeout here so availableNow replays are deterministic
+for the batch-parity test.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_sessions long, n_events long"
+STATE_SCHEMA = "n_sessions long, n_events long, last_ts double"
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Per-user running session counts over a stream of (user_id, ts, ...).
+
+    Emits one row per user per micro-batch with the updated totals
+    (update output mode). Events inside a micro-batch are processed in
+    event-time order; across batches, arrival order is trusted (the
+    standard low-latency trade — reorder with a watermark upstream if
+    needed).
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n_sessions, n_events, last_ts = state.get
+        else:
+            n_sessions, n_events, last_ts = 0, 0, None
+        for pdf in pdfs:
+            for ts in pdf["ts"].sort_values():
+                t = ts.timestamp()
+                if last_ts is None or t - last_ts > gap_seconds:
+                    n_sessions += 1
+                n_events += 1
+                last_ts = t
+        state.update((n_sessions, n_events, last_ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

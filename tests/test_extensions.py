@@ -22,6 +22,7 @@ from clickhouse_forecasting_spark.streaming.rollup import (
     daily_rollup_stream,
     streaming_daily_events,
 )
+from clickhouse_forecasting_spark.streaming.sessionize import sessionize_stream
 
 
 @pytest.fixture(scope="module")
@@ -231,3 +232,42 @@ def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
     for d, (n, v) in batch.items():
         assert got[d][0] == n
         assert got[d][1] == pytest.approx(v, rel=1e-9)
+
+
+def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState session counts == the batch lag()-window
+    sessionization after an availableNow replay (single micro-batch, so
+    in-batch event-time sorting makes the comparison exact)."""
+    from pyspark.sql import Window
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = {
+        r["user_id"]: r["n_sessions"]
+        for r in events.withColumn(
+            "new_session",
+            F.when(
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800, 1
+            ).otherwise(0)
+            + F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"))
+        .collect()
+    }
+    src = str(tmp_path / "events_sessions")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["n_sessions"] for r in spark.table("sessions_test").collect()
+    }
+    assert got == batch
