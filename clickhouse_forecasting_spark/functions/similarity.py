@@ -130,6 +130,95 @@ def lsh_bucket_assignments(
     )
 
 
+def hyperplane_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Full-corpus embedding near-dup pairs, LSH-bucketed — the scale path.
+
+    Identical/near-identical vectors land in the same sign-projection
+    bucket with probability (1 - theta/pi)^n_planes, so the self-join is an
+    equi-join on bucket (shuffle-hash, exchange reused for both sides) and
+    the cosine verification runs only inside buckets. Expected bucket
+    occupancy n/2^planes controls the quadratic term — size n_planes to
+    data volume. Compare embedding_near_dup_pairs (brute force) for audits."""
+    bucketed = lsh_bucket_assignments(df, dim, n_planes, seed, vec_col, id_col)
+    a = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = bucketed.select(
+        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_index(
+    df: DataFrame,
+    n_clusters: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF index build: MLlib KMeans centroids + per-row cluster assignment.
+
+    Returns (assigned frame with a `cluster` column, centroid matrix).
+    The learned-centroid twin of hyperplane LSH: buckets follow the data
+    distribution, so occupancy is balanced even for clustered corpora where
+    random hyperplanes overload one bucket. At 100 TB: fit on a sample,
+    write the assigned frame partitioned by `cluster`; queries read only
+    probed partitions."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(feats)
+    assigned = model.transform(feats).select(
+        F.col(id_col), F.col(vec_col), F.col("prediction").alias("cluster")
+    )
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: score only the n_probe clusters whose centroids are
+    nearest the query (cosine). n_probe = n_clusters degrades to exact
+    brute force — the recall knob."""
+    q = np.asarray(query, dtype=np.float64)
+    sims = (centroids @ q) / (
+        np.linalg.norm(centroids, axis=1) * np.linalg.norm(q) + 1e-12
+    )
+    probe = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    return (
+        assigned.filter(F.col("cluster").isin(probe))
+        .select(F.col(id_col), cosine_with_literal(F.col(vec_col), query).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     query: list[float],

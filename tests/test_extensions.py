@@ -178,6 +178,33 @@ def test_lsh_topk_subset_of_bruteforce(spark, sf_dir):
     assert 0 in approx_ids  # identical vector always shares the bucket
 
 
+def test_hyperplane_near_dup_pairs_subset_of_bruteforce(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.hyperplane_near_dup_pairs(emb, dim, threshold=0.3, n_planes=4).collect()
+    }
+    assert lsh <= brute  # LSH never invents pairs; it may miss some
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    assigned, centroids = SIM.ivf_index(emb, n_clusters=8)
+    full = SIM.ivf_topk(assigned, centroids, query, k=5, n_probe=8).collect()
+    exact = SIM.brute_force_topk(emb, query, k=5).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in exact]
+    # partial probe returns k results from probed clusters only
+    part = SIM.ivf_topk(assigned, centroids, query, k=5, n_probe=2).collect()
+    assert len(part) == 5
+    assert part[0]["vec_id"] == 0  # the query vector's own cluster is probed first
+
+
 # ----------------------------------------------------------- multimodal ----
 
 

@@ -1,0 +1,76 @@
+"""Physical-plan assertions: the scale properties the engine relies on
+(column pruning into the parquet scan, predicate pushdown, broadcast joins
+for dims, no cartesian products) must survive refactors. These are the
+properties that keep the same code viable at 100 TB — a regression here
+won't fail a correctness test, so it gets its own suite.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry.queries()
+
+
+def _plan(df, run: bool = False) -> str:
+    if run:
+        df.collect()  # resolve AQE: final plan (with codegen spans) exists after execution
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_projection_pruned(spark, sf_dir, qs):
+    plan = _plan(qs["r1_scan_project"](spark, sf_dir))
+    scan = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    read = scan.split("ReadSchema:")[1]
+    assert "l_quantity" in read and "l_extendedprice" in read
+    # unprojected columns must not reach the scan
+    assert "l_comment" not in read and "l_tax" not in read and "l_shipdate" not in read
+
+
+def test_filter_pushdown(spark, sf_dir, qs):
+    plan = _plan(qs["tpch_q6_revenue_delta"](spark, sf_dir))
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_dim_joins_broadcast(spark, sf_dir, qs):
+    for name in ["tpch_q3_top_orders", "tpch_q5_nation_volume", "tpch_q10_returned_items"]:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir, qs):
+    # similarity brute-force uses an explicit 1-row broadcast nested loop;
+    # everything else must plan equi-joins
+    for name, fn in qs.items():
+        if name.startswith(("similarity", "multimodal_features", "forecast")):
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_whole_stage_codegen_on_hot_paths(spark, sf_dir, qs):
+    for name in ["tpch_q1_pricing_summary", "daily_shipping_series", "text_stats"]:
+        plan = _plan(qs[name](spark, sf_dir), run=True)
+        # codegen'd spans print as "*(n) Operator" in the final AQE plan
+        assert "WholeStageCodegen" in plan or "*(" in plan, name
+
+
+def test_lsh_self_join_reuses_exchange(spark, sf_dir, qs):
+    # both sides of the band self-join are the same subplan; at shuffle-join
+    # scale Spark must compute the signature once (ReusedExchange), not
+    # twice. (At fixture scale AQE broadcasts instead, so force the shuffle
+    # path the way a 100 TB corpus would take it.)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(qs["dedup_minhash_lsh_pairs"](spark, sf_dir), run=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "ReusedExchange" in plan
