@@ -37,7 +37,7 @@ from .functions import similarity as SIM
 from .functions import text as TX
 from .functions.text import STOPWORDS
 from . import multimodal as MM
-from .relational import daily_rollup, future_date_axis, only_future
+from .relational import daily_rollup, future_date_axis, gap_fill, only_future
 from .schema import metric_columns
 from .sources import read_table
 
@@ -868,6 +868,112 @@ SELECT date, 'total_revenue' AS metric, total_revenue AS value FROM d
 """
 
 
+def q_gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (ClickHouse WITH FILL / timescale
+    gapfill): complete date spine + linear interpolation of missing days."""
+    daily = _orders_daily(spark, sf_dir).select(
+        "date",
+        F.col("order_count").cast("double").alias("order_count"),
+        "total_revenue",
+    )
+    filled = gap_fill(daily, ["order_count", "total_revenue"], axis="date")
+    return filled.select(
+        "date", F.round("order_count", 6).alias("order_count"),
+        F.round("total_revenue", 4).alias("total_revenue"),
+    )
+
+
+_GAPFILL_SQL = f"""
+WITH d AS ({_ORDERS_DAILY_SQL}),
+bounds AS (SELECT MIN(date) AS d0, MAX(date) AS d1 FROM d),
+spine AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS date FROM bounds),
+j AS (
+  SELECT s.date, CAST(d.order_count AS DOUBLE) AS order_count, d.total_revenue,
+         date_diff('day', DATE '1970-01-01', s.date) AS day
+  FROM spine s LEFT JOIN d ON s.date = d.date),
+w AS (
+  SELECT date, order_count, total_revenue, day,
+    LAST_VALUE(order_count IGNORE NULLS) OVER wp AS oc_prev,
+    FIRST_VALUE(order_count IGNORE NULLS) OVER wn AS oc_next,
+    LAST_VALUE(total_revenue IGNORE NULLS) OVER wp AS tr_prev,
+    FIRST_VALUE(total_revenue IGNORE NULLS) OVER wn AS tr_next,
+    LAST_VALUE(CASE WHEN order_count IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS oc_pd,
+    FIRST_VALUE(CASE WHEN order_count IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS oc_nd,
+    LAST_VALUE(CASE WHEN total_revenue IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS tr_pd,
+    FIRST_VALUE(CASE WHEN total_revenue IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS tr_nd
+  FROM j
+  WINDOW wp AS (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (ORDER BY date ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT date,
+  round(COALESCE(order_count, oc_prev + (oc_next - oc_prev) * (day - oc_pd) / (oc_nd - oc_pd), oc_prev, oc_next), 6) AS order_count,
+  round(COALESCE(total_revenue, tr_prev + (tr_next - tr_prev) * (day - tr_pd) / (tr_nd - tr_pd), tr_prev, tr_next), 4) AS total_revenue
+FROM w
+"""
+
+
+def q_timeseries_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over day/month/year time buckets — one scan, one
+    expand, three granularities (the hypertable-rollup pattern)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql("""
+      SELECT CASE WHEN grouping(d) = 0 THEN 'day'
+                  WHEN grouping(m) = 0 THEN 'month'
+                  ELSE 'year' END AS grain,
+             coalesce(d, m, y) AS bucket_start,
+             count(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total_value
+      FROM (SELECT CAST(ts AS DATE) AS d,
+                   CAST(date_trunc('MONTH', ts) AS DATE) AS m,
+                   CAST(date_trunc('YEAR', ts) AS DATE) AS y,
+                   value
+            FROM events_v)
+      GROUP BY GROUPING SETS ((d), (m), (y))
+    """)
+
+
+_MULTIGRAIN_SQL = """
+SELECT CASE WHEN grouping(d) = 0 THEN 'day'
+            WHEN grouping(m) = 0 THEN 'month'
+            ELSE 'year' END AS grain,
+       coalesce(d, m, y) AS bucket_start,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total_value
+FROM (SELECT CAST(ts AS DATE) AS d,
+             CAST(date_trunc('month', ts) AS DATE) AS m,
+             CAST(date_trunc('year', ts) AS DATE) AS y,
+             value
+      FROM events)
+GROUP BY GROUPING SETS ((d), (m), (y))
+"""
+
+
+def q_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (two-phase: sort within
+    group partitions). approx_percentile is the sketch alternative when a
+    single group's values exceed task memory."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(c_acctbal, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(c_acctbal, 0.75)"), 6).alias("p75"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_PCTL_SQL = """
+SELECT c_mktsegment,
+  round(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+  round(quantile_cont(c_acctbal, 0.50), 6) AS p50,
+  round(quantile_cont(c_acctbal, 0.75), 6) AS p75,
+  COUNT(*) AS n
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count per group (expands to two-phase agg)."""
     ev = _t(spark, sf_dir, "events")
@@ -1289,6 +1395,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_status_by_year": q_pivot_status_by_year,
     "unpivot_daily_metrics": q_unpivot_daily_metrics,
     "distinct_users_per_type": q_distinct_users_per_type,
+    "gap_fill_daily_revenue": q_gap_fill_daily_revenue,
+    "timeseries_multigrain": q_timeseries_multigrain,
+    "percentiles_by_segment": q_percentiles_by_segment,
     "sessionization": q_sessionization,
     "asof_join": q_asof_join,
     "streaming_daily_rollup": q_streaming_daily_rollup,
@@ -1348,6 +1457,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "pivot_status_by_year": _PIVOT_SQL,
     "unpivot_daily_metrics": _UNPIVOT_SQL,
     "distinct_users_per_type": _DISTINCT_SQL,
+    "gap_fill_daily_revenue": _GAPFILL_SQL,
+    "timeseries_multigrain": _MULTIGRAIN_SQL,
+    "percentiles_by_segment": _PCTL_SQL,
     "sessionization": _SESSION_SQL,
     "asof_join": _ASOF_SQL,
     "streaming_daily_rollup": _STREAM_SQL,

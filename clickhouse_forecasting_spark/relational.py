@@ -141,3 +141,57 @@ def daily_rollup(df: DataFrame, ts_col: str, aggs: list[Column]) -> DataFrame:
         .groupBy(DATE_AXIS_COLUMN)
         .agg(*aggs)
     )
+
+
+def date_spine(df: DataFrame, axis: str = DATE_AXIS_COLUMN) -> DataFrame:
+    """Complete daily axis min(date)..max(date) — sequence+explode on the
+    executors (one 2-value aggregate feeds it; no driver loop)."""
+    return df.agg(F.min(axis).alias("d0"), F.max(axis).alias("d1")).select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias(axis)
+    )
+
+
+def gap_fill(
+    df: DataFrame,
+    value_cols: list[str],
+    axis: str = DATE_AXIS_COLUMN,
+    method: str = "interpolate",
+) -> DataFrame:
+    """Fill missing dates of a daily series: join against the full date
+    spine, then per value column either carry the last observation forward
+    (``method='ffill'``) or linearly interpolate between the neighboring
+    observations (``method='interpolate'``; trailing/leading gaps fall back
+    to the nearest observed value).
+
+    A time-series store's gap-filling operator (ClickHouse's WITH FILL /
+    timescale's time_bucket_gapfill). All window passes share ONE
+    range-shuffle on the axis; at 100 TB partition the window by a coarse
+    date bucket (year) to bound task state."""
+    from pyspark.sql import Window
+
+    spine = date_spine(df, axis)
+    joined = spine.join(df, axis, "left").withColumn(
+        "_day", F.datediff(F.col(axis), F.lit("1970-01-01"))
+    )
+    w = Window.orderBy(axis)
+    wprev = w.rowsBetween(Window.unboundedPreceding, 0)
+    wnext = w.rowsBetween(0, Window.unboundedFollowing)
+    out = joined
+    for c in value_cols:
+        prev_v = F.last(c, ignorenulls=True).over(wprev)
+        if method == "ffill":
+            out = out.withColumn(c, F.coalesce(F.col(c), prev_v))
+            continue
+        next_v = F.first(c, ignorenulls=True).over(wnext)
+        prev_d = F.last(
+            F.when(F.col(c).isNotNull(), F.col("_day")), ignorenulls=True
+        ).over(wprev)
+        next_d = F.first(
+            F.when(F.col(c).isNotNull(), F.col("_day")), ignorenulls=True
+        ).over(wnext)
+        interp = prev_v + (next_v - prev_v) * (F.col("_day") - prev_d) / (next_d - prev_d)
+        out = out.withColumn(
+            c,
+            F.coalesce(F.col(c), interp, prev_v, next_v),
+        )
+    return out.drop("_day")

@@ -1,5 +1,7 @@
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -82,3 +84,32 @@ def test_outer_join_null_fill(spark):
 def test_sink_column_order(spark):
     # R13: date, all cols, all _min, all _max (forecast_script.py:204)
     assert R.sink_column_order(["x", "y"]) == ["date", "x", "y", "x_min", "y_min", "x_max", "y_max"]
+
+
+def test_gap_fill_interpolate(spark):
+    df = spark.createDataFrame(
+        [
+            Row(date=dt.date(2024, 1, 1), v=10.0),
+            Row(date=dt.date(2024, 1, 4), v=40.0),  # gap: Jan 2, 3
+            Row(date=dt.date(2024, 1, 5), v=None),  # observed NULL also fills
+            Row(date=dt.date(2024, 1, 6), v=60.0),
+        ]
+    )
+    out = {r.date: r.v for r in R.gap_fill(df, ["v"]).collect()}
+    assert out[dt.date(2024, 1, 2)] == pytest.approx(20.0)
+    assert out[dt.date(2024, 1, 3)] == pytest.approx(30.0)
+    assert out[dt.date(2024, 1, 5)] == pytest.approx(50.0)
+    assert out[dt.date(2024, 1, 1)] == 10.0 and out[dt.date(2024, 1, 6)] == 60.0
+
+
+def test_gap_fill_ffill_and_edges(spark):
+    df = spark.createDataFrame(
+        [
+            Row(date=dt.date(2024, 1, 2), v=10.0),
+            Row(date=dt.date(2024, 1, 5), v=40.0),
+        ]
+    )
+    ff = {r.date: r.v for r in R.gap_fill(df, ["v"], method="ffill").collect()}
+    assert ff[dt.date(2024, 1, 3)] == 10.0 and ff[dt.date(2024, 1, 4)] == 10.0
+    # spine starts at min(date): no leading synthetic dates
+    assert min(ff) == dt.date(2024, 1, 2) and max(ff) == dt.date(2024, 1, 5)
