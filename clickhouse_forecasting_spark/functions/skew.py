@@ -1,0 +1,50 @@
+"""Skew mitigation utilities.
+
+First line of defense is AQE (enabled in session.py): runtime skew-join
+splitting and partition coalescing. These helpers cover the case AQE can't
+fix — a *single aggregation key* hot enough that one reducer task gets the
+whole key (AQE can split skewed JOIN partitions, but a groupBy key is
+indivisible at the shuffle layer).
+
+``salted_agg`` does two-phase aggregation: a deterministic row-hash salt
+spreads each hot key over `n_salts` reducers for the first (heavy) phase;
+the second phase combines `n_salts` tiny partials per key. Correct for any
+commutative-associative aggregate; the combine expression is supplied per
+column (sum -> sum, count -> sum, max -> max, ...).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int = 16, salt_col: str = "_salt") -> DataFrame:
+    """Deterministic salt from a full-row hash (no rand(): resilient to
+    retries/speculative tasks, and replayable)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    combine_aggs: Callable[[], list[Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    partial_aggs run per (keys + salt); combine_aggs() (built over the
+    partial output columns) merge the salt shards per key. Example::
+
+        salted_agg(df, ["k"],
+                   [F.sum("v").alias("s"), F.count("*").alias("n")],
+                   lambda: [F.sum("s").alias("s"), F.sum("n").alias("n")])
+    """
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*combine_aggs())

@@ -1,0 +1,86 @@
+"""Heterogeneous lake ingestion + sink writers.
+
+The canonical store is parquet (catalog.py / __init__.read_table); these
+cover the other formats a lake feeds in, and the write path out.
+
+Scale notes:
+- CSV/JSON readers take an EXPLICIT schema: schema inference is a full
+  extra pass over the data (at 100 TB, a second scan), and inferred types
+  drift between samples. Inference is allowed only behind `infer=True`
+  for exploration.
+- The sink writer sorts within partitions (parquet min/max page stats ->
+  the same pruning MergeTree's ORDER BY provides, forecast_script.py:143)
+  and optionally partitions by a coarse key (date bucket) for partition
+  pruning; `maxRecordsPerFile` bounds file sizes so downstream scans
+  parallelize evenly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    infer: bool = False,
+    **options: str,
+) -> DataFrame:
+    if schema is None and not infer:
+        raise ValueError("pass a schema, or infer=True for exploration only")
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    infer: bool = False,
+    **options: str,
+) -> DataFrame:
+    if schema is None and not infer:
+        raise ValueError("pass a schema, or infer=True for exploration only")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    sort_within_partitions: str | list[str] | None = None,
+    partition_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """C5-at-scale sink: drop-and-recreate via mode='overwrite'
+    (forecast_script.py:127-145 semantics), clustered by sort column."""
+    out = df
+    if sort_within_partitions:
+        cols = (
+            [sort_within_partitions]
+            if isinstance(sort_within_partitions, str)
+            else sort_within_partitions
+        )
+        out = out.sortWithinPartitions(*cols)
+    writer = out.write.mode(mode)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        writer = writer.partitionBy(*cols)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.format(fmt).save(path)

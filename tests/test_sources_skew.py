@@ -1,0 +1,81 @@
+"""Tests: format readers/writers roundtrip; salted aggregation equivalence."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from clickhouse_forecasting_spark.functions.skew import salted_agg, with_salt
+from clickhouse_forecasting_spark.sources import read_table
+from clickhouse_forecasting_spark.sources.formats import read_csv, read_jsonl, write_table
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    nation = read_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_csv")
+    nation.write.option("header", "true").csv(path)
+    back = read_csv(spark, path, schema="n_nationkey int, n_name string, n_regionkey int")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in nation.collect()
+    )
+
+
+def test_csv_requires_schema(spark, tmp_path):
+    with pytest.raises(ValueError):
+        read_csv(spark, str(tmp_path), schema=None)
+
+
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    region = read_table(spark, sf_dir, "region")
+    path = str(tmp_path / "region_json")
+    region.write.json(path)
+    back = read_jsonl(spark, path, schema="r_regionkey int, r_name string")
+    assert sorted(tuple(r) for r in back.select("r_regionkey", "r_name").collect()) == sorted(
+        tuple(r) for r in region.collect()
+    )
+
+
+def test_write_table_partitioned_sorted(spark, sf_dir, tmp_path):
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    write_table(orders, path, sort_within_partitions="o_orderdate", partition_by="order_year")
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    # partition pruning: a year filter must prune the file listing
+    pruned = back.filter(F.col("order_year") == 1995)
+    scan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(order_year" in scan
+
+
+def test_salted_agg_equals_direct(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    direct = {
+        (r["l_returnflag"]): (r["n"], r["s"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("s"))
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"]): (r["n"], r["s"])
+        for r in salted_agg(
+            li.select("l_returnflag", "l_quantity"),
+            ["l_returnflag"],
+            [
+                F.count("*").alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("s"),
+            ],
+            lambda: [F.sum("n").alias("n"), F.sum("s").alias("s")],
+        ).collect()
+    }
+    assert salted == direct
+
+
+def test_salt_is_deterministic(spark, sf_dir):
+    nation = read_table(spark, sf_dir, "nation")
+    a = {tuple(r) for r in with_salt(nation, 8).collect()}
+    b = {tuple(r) for r in with_salt(nation, 8).collect()}
+    assert a == b
+    assert all(0 <= r[-1] < 8 for r in a)
