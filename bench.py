@@ -28,7 +28,13 @@ HEADLINE = [
     "tpch_q3_top_orders",
     "tpch_q5_nation_volume",
     "tpch_q6_revenue_delta",
+    "tpch_q10_returned_items",
+    "tpch_q13_order_count_distribution",
     "window_top_customers",
+    "window_moving_average",
+    "gap_fill_daily_revenue",
+    "timeseries_multigrain",
+    "rollup_nation_year",
     "sessionization",
     "asof_join",
     "streaming_daily_rollup",
