@@ -113,6 +113,89 @@ def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ]
+)
+
+
+def _sample_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """STUB — deterministic fake frame sampler. A real deployment replaces
+    this with libav/pyav keyframe extraction; the dataflow (1 video row ->
+    n frame rows) is what's under test. Fake frames are byte-slices so
+    frame count/sizes are deterministic."""
+    if not payload:
+        raise ValueError("empty payload")
+    step = max(len(payload) // n_frames, 1)
+    return [payload[i * step : (i + 1) * step] or payload[-step:] for i in range(n_frames)]
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling via mapInPandas — the 1:N batch shape (one media row
+    yields n frame rows). Payload bytes stay within the partition; any
+    downstream grouping runs on (doc_id, frame_idx) + checksum, never on
+    frame bytes. Corrupt payloads are skipped (fault isolation), visible as
+    missing doc_ids."""
+    import hashlib
+
+    def _explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    frames = _sample_frames(bytes(payload), n_frames)
+                except Exception:
+                    continue
+                for i, fr in enumerate(frames):
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": i,
+                            "frame_payload": fr,
+                            "frame_checksum": hashlib.md5(fr).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.select("doc_id", "payload").mapInPandas(_explode_frames, schema=FRAME_SCHEMA)
+
+
+def resize_payloads(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize via mapInPandas — the payload->payload (1:1, bytes-in/bytes-out)
+    shape. STUB: truncation/padding stands in for PIL resize; a real decoder
+    swaps _resize only. Output schema mirrors input so resize composes with
+    attach_payload/extract_features pipelines."""
+
+    def _resize(payload: bytes) -> bytes:
+        if not payload:
+            raise ValueError("empty payload")
+        return payload[:target_bytes].ljust(target_bytes, b"\x00")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("resized", T.BooleanType()),
+        ]
+    )
+
+    def _apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    out.append({"doc_id": doc_id, "payload": _resize(bytes(payload)), "resized": True})
+                except Exception:
+                    out.append({"doc_id": doc_id, "payload": bytes(payload), "resized": False})
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return df.select("doc_id", "payload").mapInPandas(_apply, schema=out_schema)
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Metadata-only aggregation — runs entirely on the struct projection;
     parquet column pruning means payload bytes are never read."""

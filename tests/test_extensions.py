@@ -223,6 +223,25 @@ def test_multimodal_attach_and_features(docs):
     assert feats[0]["feat_dim"] == 4 and feats[0]["feat_mean"] is not None
 
 
+def test_frame_sampling_shape(docs):
+    mm = MM.attach_payload(docs)
+    frames = MM.sample_frames(mm, n_frames=3).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 6 not in by_doc  # empty payload -> fault-isolated skip
+    for doc_id, rows in by_doc.items():
+        assert [r["frame_idx"] for r in sorted(rows, key=lambda r: r["frame_idx"])] == [0, 1, 2]
+        assert all(len(r["frame_checksum"]) == 32 for r in rows)
+
+
+def test_resize_payloads(docs):
+    mm = MM.attach_payload(docs)
+    out = {r["doc_id"]: r for r in MM.resize_payloads(mm, target_bytes=16).collect()}
+    assert len(out[0]["payload"]) == 16 and out[0]["resized"]
+    assert not out[6]["resized"]  # empty payload passes through unresized
+
+
 def test_media_stats(docs):
     stats = MM.media_stats(MM.attach_payload(docs)).collect()
     assert len(stats) == 1

