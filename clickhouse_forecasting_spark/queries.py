@@ -1319,6 +1319,32 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans-centroid buckets, 4-probe search (rows-only: learned
+    centroids are engine-side state; full-probe==brute-force equivalence is
+    proven in tests/test_extensions.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    assigned, centroids = SIM.ivf_index(emb, n_clusters=16)
+    return SIM.ivf_topk(assigned, centroids, query, k=10, n_probe=4)
+
+
+def q_dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus embedding near-dup via hyperplane-LSH buckets (rows-only:
+    random projection planes are engine-side state; subset-of-brute-force
+    is proven in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    return SIM.hyperplane_near_dup_pairs(emb, dim, threshold=0.3, n_planes=4)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1:N frame sampling over media payloads (rows-only: frame bytes are
+    stub-decoded engine-side; shape and checksums tested)."""
+    docs = _t(spark, sf_dir, "documents")
+    return MM.sample_frames(MM.attach_payload(docs), n_frames=4)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     mm = MM.attach_payload(docs)
@@ -1416,8 +1442,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_topk": q_similarity_topk,
     "similarity_pairwise_topk": q_similarity_pairwise_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
+    "dedup_embedding_lsh_pairs": q_dedup_embedding_lsh_pairs,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
     "forecast_daily_sales": q_forecast_daily_sales,
     "forecast_only_future": q_forecast_only_future,
 }
