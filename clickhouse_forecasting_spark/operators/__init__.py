@@ -1,0 +1,4 @@
+"""Composite operators Spark lacks natively, built scale-first from
+DataFrame primitives (SURVEY §7.4 / task brief: as-of join, range ops)."""
+
+from .asof import asof_join  # noqa: F401

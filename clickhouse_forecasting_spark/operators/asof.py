@@ -1,0 +1,110 @@
+"""Scalable as-of join (latest right row at-or-before each left timestamp).
+
+Spark has no native as-of join. The textbook formulations both fail at
+100 TB:
+
+- inequality join (``l.t >= r.t`` + row_number): O(n*m) — a cross-join in
+  disguise;
+- single global window over the unioned timeline: correct and linear, but
+  ``Window.orderBy`` without partitioning is ONE range-shuffled task chain —
+  a single straggler owns the whole timeline.
+
+This implementation keeps the union-timeline idea but splits it into
+time buckets (default: month), making it a two-pass algorithm:
+
+1. **in-bucket pass** — window partitioned by (keys, bucket): last right
+   value at-or-before each row *within its bucket*. Fully parallel; state
+   per task is one bucket of one key.
+2. **carry pass** — per (keys, bucket), the bucket's final right value
+   (an aggregate, not a window); then a window over the tiny
+   (keys x buckets) frame computes the carry-in from all earlier buckets.
+   This frame is ~|keys| * |months| rows — negligible vs the data.
+
+Result rows take ``coalesce(in_bucket_value, carry_in)`` — identical output
+to the global-window formulation (the DuckDB oracle runs that form), with
+the shuffle partitioned by bucket instead of a single global range.
+
+Ties: right rows sort before left rows at equal timestamps (at-or-before
+includes equality); among right rows with equal timestamps the greatest
+value wins — both passes use the same (t, value) order so they agree.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _month_bucket(c: Column) -> Column:
+    return F.date_trunc("month", c)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    right_value: str,
+    keys: list[str] | None = None,
+    out_col: str | None = None,
+    bucket_fn: Callable[[Column], Column] = _month_bucket,
+) -> DataFrame:
+    """Attach ``right_value`` of the latest right row with
+    ``right.right_ts <= left.left_ts`` (per ``keys`` if given) to every
+    left row. Left rows with no earlier right row get NULL."""
+    keys = keys or []
+    out_col = out_col or f"asof_{right_value}"
+    rv_type = right.schema[right_value].dataType
+
+    lrow = F.struct(*[F.col(c) for c in left.columns]).alias("_lrow")
+    l2 = left.select(
+        *keys,
+        F.col(left_ts).cast("timestamp").alias("_t"),
+        F.lit(1).alias("_kind"),
+        F.lit(None).cast(rv_type).alias("_rv"),
+        lrow,
+    )
+    lrow_type = l2.schema["_lrow"].dataType
+    r2 = right.select(
+        *keys,
+        F.col(right_ts).cast("timestamp").alias("_t"),
+        F.lit(0).alias("_kind"),
+        F.col(right_value).alias("_rv"),
+        F.lit(None).cast(lrow_type).alias("_lrow"),
+    )
+    u = l2.unionByName(r2).withColumn("_b", bucket_fn(F.col("_t")))
+
+    w_in = (
+        Window.partitionBy(*keys, "_b")
+        .orderBy("_t", "_kind", "_rv")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = u.withColumn("_in_bucket", F.last("_rv", ignorenulls=True).over(w_in))
+
+    bucket_last = (
+        r2.withColumn("_b", bucket_fn(F.col("_t")))
+        .groupBy(*keys, "_b")
+        .agg(F.max_by("_rv", F.struct("_t", "_rv")).alias("_bl"))
+    )
+    buckets = (
+        u.select(*keys, "_b")
+        .distinct()
+        .join(bucket_last, [*keys, "_b"], "left")
+    )
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = buckets.withColumn(
+        "_carry", F.last("_bl", ignorenulls=True).over(w_carry)
+    ).select(*keys, "_b", "_carry")
+
+    out = (
+        u.filter(F.col("_kind") == 1)
+        .join(F.broadcast(carry), [*keys, "_b"], "left")
+        .withColumn(out_col, F.coalesce("_in_bucket", "_carry"))
+    )
+    return out.select("_lrow.*", out_col)

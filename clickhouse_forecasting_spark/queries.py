@@ -37,6 +37,7 @@ from .functions import similarity as SIM
 from .functions import text as TX
 from .functions.text import STOPWORDS
 from . import multimodal as MM
+from .operators import asof as AsOf
 from .relational import daily_rollup, future_date_axis, gap_fill, only_future
 from .schema import metric_columns
 from .sources import read_table
@@ -420,28 +421,17 @@ FROM flagged GROUP BY user_id
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark has no native one): for each order, the latest
-    event with ts <= o_orderdate. Implemented as union -> single time-sorted
-    window -> last(event_id) ignoring NULLs: ONE range-shuffle instead of an
-    O(n*m) inequality join; this is the 100 TB-safe formulation (partition
-    the window by a coarse time bucket when one timeline exceeds a task)."""
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("ts").alias("t"), F.col("event_id"), F.lit(None).cast("long").alias("o_orderkey"),
-        F.lit(0).alias("kind"),
-    )
-    orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderdate").alias("t"), F.lit(None).cast("long").alias("event_id"),
-        F.col("o_orderkey"), F.lit(1).alias("kind"),
-    )
-    unioned = ev.unionByName(orders)
-    w = (
-        Window.orderBy("t", "kind", F.coalesce("event_id", "o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        unioned.withColumn("last_event_id", F.last("event_id", ignorenulls=True).over(w))
-        .filter(F.col("kind") == 1)
-        .select("o_orderkey", "last_event_id")
-    )
+    event with ts <= o_orderdate. Uses the bucketed two-pass operator
+    (operators/asof.py): month-partitioned in-bucket windows + a tiny
+    bucket-carry frame — no O(n*m) inequality join and no single global
+    range-shuffled window task. The DuckDB oracle runs the equivalent
+    global-window formulation."""
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    return AsOf.asof_join(
+        orders, ev, left_ts="o_orderdate", right_ts="ts",
+        right_value="event_id", out_col="last_event_id",
+    ).select("o_orderkey", "last_event_id")
 
 
 _ASOF_SQL = """

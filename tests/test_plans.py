@@ -74,3 +74,47 @@ def test_lsh_self_join_reuses_exchange(spark, sf_dir, qs):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "ReusedExchange" in plan
+
+
+def test_plan_summary_helpers(spark, sf_dir, qs):
+    from clickhouse_forecasting_spark.plans import plan_summary, scan_read_schemas
+
+    s = plan_summary(qs["tpch_q3_top_orders"](spark, sf_dir))
+    assert s["broadcast_joins"] >= 1 and s["cartesian_products"] == 0
+    schemas = scan_read_schemas(qs["r1_scan_project"](spark, sf_dir))
+    assert len(schemas) == 1 and "l_quantity" in schemas[0]
+
+
+def test_asof_join_keyed(spark):
+    """Bucketed as-of with partition keys: latest reading per sensor."""
+    import datetime as dt
+
+    from clickhouse_forecasting_spark.operators import asof_join
+
+    readings = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1, 10), 100),
+            ("a", dt.datetime(2024, 3, 5, 10), 300),   # earlier month bucket
+            ("b", dt.datetime(2024, 2, 1, 10), 999),
+        ],
+        "k string, ts timestamp, val long",
+    )
+    probes = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1, 10)),   # equal ts -> included
+            ("a", dt.datetime(2024, 2, 15, 0)),   # bucket with no readings -> carry
+            ("a", dt.datetime(2024, 4, 1, 0)),    # carry across two buckets
+            ("b", dt.datetime(2024, 1, 31, 0)),   # before any reading -> NULL
+            ("b", dt.datetime(2024, 2, 2, 0)),
+        ],
+        "k string, t timestamp",
+    )
+    out = asof_join(
+        probes, readings, left_ts="t", right_ts="ts", right_value="val", keys=["k"]
+    )
+    got = {(r["k"], r["t"]): r["asof_val"] for r in out.collect()}
+    assert got[("a", dt.datetime(2024, 1, 1, 10))] == 100
+    assert got[("a", dt.datetime(2024, 2, 15, 0))] == 100
+    assert got[("a", dt.datetime(2024, 4, 1, 0))] == 300
+    assert got[("b", dt.datetime(2024, 1, 31, 0))] is None
+    assert got[("b", dt.datetime(2024, 2, 2, 0))] == 999
