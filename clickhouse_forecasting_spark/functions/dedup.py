@@ -292,6 +292,28 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_near(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The end-to-end near-dedup projection a training pipeline ships:
+    corpus minus near-duplicates. A doc is dropped iff some verified pair
+    links it to a lower-id doc — the min-id member of every duplicate
+    cluster survives (pairwise rule; transitive chains keep any member
+    that has no lower-id partner, the standard greedy approximation that
+    avoids an iterative connected-components pass)."""
+    pairs = lsh_verified_pairs(
+        df, text_col, id_col, shingle_size, num_hashes, bands, threshold
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------

@@ -1217,6 +1217,36 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM verified WHERE jaccard >= 0
 """
 
 
+def q_dedup_near_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shipped artifact: corpus minus near-dups (min-id keeper rule)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.dedup_near(docs, threshold=0.8).select("doc_id", "lang", "source")
+
+
+_DEDUP_NEAR_SQL = f"""
+WITH s AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shg FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(shg), 1, 15))::BIGINT % {_P} AS x FROM s),
+sig AS (SELECT doc_id, {_SIG_MINS_SQL} FROM h GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST_SQL}]) AS band
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, {_SHINGLES_SQL} AS sh_set FROM documents),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(sa.sh_set, sb.sh_set))
+      / (len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set))) AS jaccard
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b),
+drop_ids AS (SELECT DISTINCT id_b FROM verified WHERE jaccard >= 0.8)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM drop_ids)
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled brute-force cosine pairs (spot-audit pattern); rounded to
     1e-6 for cross-engine float safety."""
@@ -1428,6 +1458,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_near_projection": q_dedup_near_projection,
     "embedding_near_dup": q_embedding_near_dup,
     "similarity_topk": q_similarity_topk,
     "similarity_pairwise_topk": q_similarity_pairwise_topk,
@@ -1493,6 +1524,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "dedup_minhash_lsh_pairs": _MINHASH_LSH_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_near_projection": _DEDUP_NEAR_SQL,
     "embedding_near_dup": _EMB_DUP_SQL,
     "similarity_topk": _TOPK_SQL,
     "similarity_pairwise_topk": _PAIRWISE_SQL,
