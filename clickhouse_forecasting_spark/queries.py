@@ -1394,6 +1394,37 @@ def q_forecast_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SeriesForecaster(interval=7, backend="fourier_ridge").transform(daily)
 
 
+def q_forecast_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The architecture headline: EVERY daily series of EVERY source table
+    forecast in ONE distributed job. Wide tables unpivot into one long
+    frame tagged (table, metric); groupBy(table, metric).applyInPandas
+    fits all series concurrently — the reference's nested per-table,
+    per-column loop (forecast_script.py:229,169) collapsed into a single
+    shuffle. Output: long forecasts keyed (table, metric, ds)."""
+    from .relational import unpivot_metrics
+
+    orders_daily = _orders_daily(spark, sf_dir)
+    events_daily = daily_rollup(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        [
+            F.count("*").cast("double").alias("event_count"),
+            _dsum(F.col("value")).alias("total_value"),
+        ],
+    )
+    long = unpivot_metrics(
+        orders_daily, ["order_count", "total_revenue"], axis="date"
+    ).withColumn("table", F.lit("orders_daily")).unionByName(
+        unpivot_metrics(
+            events_daily, ["event_count", "total_value"], axis="date"
+        ).withColumn("table", F.lit("events_daily"))
+    )
+    fc = SeriesForecaster(interval=7, backend="fourier_ridge")
+    return fc.transform_long(long, group_cols=["table"]).orderBy(
+        "table", "metric", "ds"
+    )
+
+
 def q_forecast_only_future(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     daily = daily_rollup(
@@ -1470,6 +1501,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "forecast_daily_sales": q_forecast_daily_sales,
     "forecast_only_future": q_forecast_only_future,
+    "forecast_multi_table": q_forecast_multi_table,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
