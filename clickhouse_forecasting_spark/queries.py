@@ -38,6 +38,7 @@ from .functions import text as TX
 from .functions.text import STOPWORDS
 from . import multimodal as MM
 from .operators import asof as AsOf
+from .operators import range_join as RJ
 from .relational import daily_rollup, future_date_axis, gap_fill, only_future
 from .schema import metric_columns
 from .sources import read_table
@@ -445,6 +446,34 @@ w AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_event_id
   FROM u)
 SELECT o_orderkey, last_event_id FROM w WHERE kind = 1
+"""
+
+
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucket equi-join (operators/range_join.py): how many
+    events precede each purchase by at most one hour (the attribution
+    window). The oracle runs the naive inequality-join form; ours never
+    builds the cross product."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("interval 1 hour")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    points = ev.select("event_id", "ts")
+    joined = RJ.range_join_points(purchases, points, "w_start", "w_end", "ts")
+    return (
+        joined.groupBy("purchase_id")
+        .agg(F.count("*").alias("n_preceding"))
+        .orderBy("purchase_id")
+    )
+
+
+_RANGE_SQL = """
+SELECT p.event_id AS purchase_id, COUNT(*) AS n_preceding
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN events e ON e.ts >= p.ts - INTERVAL 1 HOUR AND e.ts < p.ts
+GROUP BY p.event_id ORDER BY p.event_id
 """
 
 
@@ -1477,6 +1506,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentiles_by_segment": q_percentiles_by_segment,
     "sessionization": q_sessionization,
     "asof_join": q_asof_join,
+    "range_join_events": q_range_join_events,
     "streaming_daily_rollup": q_streaming_daily_rollup,
     "text_stats": q_text_stats,
     "text_lang_id": q_text_lang_id,
@@ -1544,6 +1574,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "percentiles_by_segment": _PCTL_SQL,
     "sessionization": _SESSION_SQL,
     "asof_join": _ASOF_SQL,
+    "range_join_events": _RANGE_SQL,
     "streaming_daily_rollup": _STREAM_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "text_lang_id": _lang_sql(),

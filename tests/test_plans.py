@@ -118,3 +118,30 @@ def test_asof_join_keyed(spark):
     assert got[("a", dt.datetime(2024, 4, 1, 0))] == 300
     assert got[("b", dt.datetime(2024, 1, 31, 0))] is None
     assert got[("b", dt.datetime(2024, 2, 2, 0))] == 999
+
+
+def test_range_join_points(spark):
+    import datetime as dt
+
+    from clickhouse_forecasting_spark.operators import range_join_points
+
+    intervals = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 10), dt.datetime(2024, 1, 1, 12)),
+            (2, dt.datetime(2024, 1, 1, 23), dt.datetime(2024, 1, 2, 1)),  # crosses midnight
+            (3, dt.datetime(2024, 2, 1, 0), dt.datetime(2024, 2, 1, 1)),   # no points
+        ],
+        "iid long, w_start timestamp, w_end timestamp",
+    )
+    points = spark.createDataFrame(
+        [
+            (10, dt.datetime(2024, 1, 1, 10)),    # == start -> included
+            (11, dt.datetime(2024, 1, 1, 12)),    # == end -> excluded
+            (12, dt.datetime(2024, 1, 1, 23, 30)),
+            (13, dt.datetime(2024, 1, 2, 0, 30)),  # next-day bucket, same interval
+        ],
+        "pid long, t timestamp",
+    )
+    out = range_join_points(intervals, points, "w_start", "w_end", "t")
+    got = sorted((r["iid"], r["pid"]) for r in out.collect())
+    assert got == [(1, 10), (2, 12), (2, 13)]
