@@ -37,6 +37,7 @@ HEADLINE = [
     "rollup_nation_year",
     "sessionization",
     "asof_join",
+    "range_join_events",
     "streaming_daily_rollup",
     "daily_shipping_series",
     "text_stats",
@@ -50,6 +51,7 @@ HEADLINE = [
     "similarity_topk",
     "similarity_pairwise_topk",
     "forecast_daily_sales",
+    "forecast_multi_table",
 ]
 
 
