@@ -672,6 +672,115 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View + scalar-max shape: supplier(s) with maximum 1996 revenue."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1996)
+    sup = _t(spark, sf_dir, "supplier")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = li.groupBy("l_suppkey").agg(_dsum(disc).alias("total_revenue"))
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total_revenue == max_rev.max_revenue)
+        .join(sup, revenue.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS total_revenue
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-subquery shape, decorrelated: revenue from orders
+    of a part below 50% of that part's average order quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(part_avg.hint("broadcast"), "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            _dsum(F.col("l_extendedprice")).alias("small_qty_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q17_SQL = """
+WITH pa AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS small_qty_revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN pa USING (l_partkey)
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+def q_cube_segment_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (segment, year): all four grouping combinations, one pass."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", F.year("o_orderdate").alias("order_year"), "o_totalprice"
+    )
+    return joined.cube("c_mktsegment", "order_year").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+
+
+_CUBE_SQL = """
+SELECT c_mktsegment, year(o_orderdate) AS order_year,
+  GROUPING(c_mktsegment) * 2 + GROUPING(year(o_orderdate)) AS gid,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, year(o_orderdate))
+"""
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: supplier-name pairs within edit distance 1,
+    prefix-blocked. The block key turns the quadratic self-join into an
+    equi-join (pairs spanning blocks are out of scope by construction —
+    both engines apply the identical blocking, so results agree)."""
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", F.substring("s_name", 1, 10).alias("blk")
+    )
+    a = sup.select(F.col("s_suppkey").alias("id_a"), F.col("s_name").alias("name_a"), "blk")
+    b = sup.select(F.col("s_suppkey").alias("id_b"), F.col("s_name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+_FUZZY_SQL = """
+WITH s AS (SELECT s_suppkey, s_name, substr(s_name, 1, 10) AS blk FROM supplier)
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       levenshtein(a.s_name, b.s_name) AS dist
+FROM s a JOIN s b ON a.blk = b.blk AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
 def q_window_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day moving average + running total of daily revenue — the classic
     time-series smoothing pass, one range-shuffle then streaming window."""
@@ -1490,6 +1599,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "tpch_q19_bracket_predicates": q_tpch_q19_bracket_predicates,
+    "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "tpch_q17_small_quantity_revenue": q_tpch_q17_small_quantity_revenue,
+    "cube_segment_year": q_cube_segment_year,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "window_top_customers": q_window_top_customers,
     "window_moving_average": q_window_moving_average,
     "window_dod_delta": q_window_dod_delta,
@@ -1558,6 +1671,10 @@ ORACLE_QUERIES: dict[str, str] = {
     "tpch_q14_promo_revenue": _Q14_SQL,
     "tpch_q18_large_orders": _Q18_SQL,
     "tpch_q19_bracket_predicates": _Q19_SQL,
+    "tpch_q15_top_supplier": _Q15_SQL,
+    "tpch_q17_small_quantity_revenue": _Q17_SQL,
+    "cube_segment_year": _CUBE_SQL,
+    "fuzzy_name_pairs": _FUZZY_SQL,
     "window_top_customers": _WINDOW_SQL,
     "window_moving_average": _MOVAVG_SQL,
     "window_dod_delta": _DOD_SQL,
