@@ -1158,7 +1158,8 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
 
 
-def _lang_sql() -> str:
+def _lang_case() -> str:
+    """CASE expression for heuristic language ID over a `text` column."""
     scores = {
         lang: f"len(list_filter({_TOKS_SQL}, t -> t IN ({','.join(repr(w) for w in words)})))"
         for lang, words in STOPWORDS.items()
@@ -1167,7 +1168,11 @@ def _lang_sql() -> str:
     cases = " ".join(
         f"WHEN {scores[lang]} > 0 AND {scores[lang]} = {best} THEN '{lang}'" for lang in STOPWORDS
     )
-    return f"SELECT doc_id, CASE {cases} ELSE 'und' END AS lang_pred FROM documents"
+    return f"CASE {cases} ELSE 'und' END"
+
+
+def _lang_sql() -> str:
+    return f"SELECT doc_id, {_lang_case()} AS lang_pred FROM documents"
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1382,6 +1387,75 @@ verified AS (
 drop_ids AS (SELECT DISTINCT id_b FROM verified WHERE jaccard >= 0.8)
 SELECT doc_id, lang, source FROM documents
 WHERE doc_id NOT IN (SELECT id_b FROM drop_ids)
+"""
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation pass in one plan: language ID +
+    quality filter + near-dedup, emitting the surviving corpus with its
+    metadata. This is the composition a 100 TB pipeline ships nightly."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = DD.dedup_near(docs, threshold=0.8)
+    return (
+        kept.withColumn("lang_pred", TX.lang_id(F.col("text")))
+        .withColumn("quality", TX.quality_score(F.col("text")))
+        .filter(F.col("quality") >= 1.0 - 1e-9)
+        .select("doc_id", "lang_pred", F.round("quality", 6).alias("quality"))
+    )
+
+
+_CURATION_SQL = f"""
+WITH s AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shg FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(shg), 1, 15))::BIGINT % {_P} AS x FROM s),
+sig AS (SELECT doc_id, {_SIG_MINS_SQL} FROM h GROUP BY doc_id),
+banded AS (SELECT doc_id, unnest([{_BAND_LIST_SQL}]) AS band FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, {_SHINGLES_SQL} AS sh_set FROM documents),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(sa.sh_set, sb.sh_set))
+      / (len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set))) AS jaccard
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b),
+drop_ids AS (SELECT DISTINCT id_b FROM verified WHERE jaccard >= 0.8),
+kept AS (SELECT * FROM documents WHERE doc_id NOT IN (SELECT id_b FROM drop_ids)),
+scored AS (
+  SELECT doc_id,
+    {_lang_case()} AS lang_pred,
+    ((CASE WHEN len({_TOKS_SQL}) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END)
+   + (CASE WHEN (length(text) - length(regexp_replace(text, '[.,;:!?()\\[\\]{{}}"'']', '', 'g'))) / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.0 END)
+   + (CASE WHEN len(list_filter({_TOKS_SQL}, t -> t IN ({",".join(repr(w) for w in STOPWORDS["en"])}))) / greatest(len({_TOKS_SQL}), 1) > 0.05 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
+  FROM kept)
+SELECT doc_id, lang_pred, round(quality, 6) AS quality
+FROM scored WHERE quality >= 1.0 - 1e-9
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-class sampling (class balancing): keep ~40% of each
+    language via an md5-hash bucket — reproducible across engines and runs,
+    unlike rand()-based sampling; row-local, no shuffle before the count."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        docs.filter(bucket < 40)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+_STRATIFIED_SQL = """
+SELECT lang, COUNT(*) AS n_sampled FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 40
+GROUP BY lang ORDER BY lang
 """
 
 
@@ -1633,6 +1707,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_near_projection": q_dedup_near_projection,
+    "corpus_curation": q_corpus_curation,
+    "stratified_sample": q_stratified_sample,
     "embedding_near_dup": q_embedding_near_dup,
     "similarity_topk": q_similarity_topk,
     "similarity_pairwise_topk": q_similarity_pairwise_topk,
@@ -1705,6 +1781,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_near_projection": _DEDUP_NEAR_SQL,
+    "corpus_curation": _CURATION_SQL,
+    "stratified_sample": _STRATIFIED_SQL,
     "embedding_near_dup": _EMB_DUP_SQL,
     "similarity_topk": _TOPK_SQL,
     "similarity_pairwise_topk": _PAIRWISE_SQL,
