@@ -477,6 +477,41 @@ GROUP BY p.event_id ORDER BY p.event_id
 """
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: per user, first signup -> first subsequent purchase.
+    One aggregation pass (conditional min-timestamps), then a row-local
+    comparison — no self-join over the event log."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    converted = (
+        F.col("first_signup").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_signup"))
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.sum(converted.cast("long")).alias("n_converted"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id)
+SELECT COUNT(*) AS n_users,
+  COUNT(first_signup) AS n_signed_up,
+  SUM(CASE WHEN first_signup IS NOT NULL AND first_purchase IS NOT NULL
+            AND first_purchase > first_signup THEN 1 ELSE 0 END) AS n_converted
+FROM per_user
+"""
+
+
 def q_streaming_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming rollup's batch twin: same window() expression the
     Structured Streaming path uses (streaming/rollup.py)."""
@@ -1694,6 +1729,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionization": q_sessionization,
     "asof_join": q_asof_join,
     "range_join_events": q_range_join_events,
+    "funnel_conversion": q_funnel_conversion,
     "streaming_daily_rollup": q_streaming_daily_rollup,
     "text_stats": q_text_stats,
     "text_lang_id": q_text_lang_id,
@@ -1768,6 +1804,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "sessionization": _SESSION_SQL,
     "asof_join": _ASOF_SQL,
     "range_join_events": _RANGE_SQL,
+    "funnel_conversion": _FUNNEL_SQL,
     "streaming_daily_rollup": _STREAM_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "text_lang_id": _lang_sql(),

@@ -79,3 +79,13 @@ def test_salt_is_deterministic(spark, sf_dir):
     b = {tuple(r) for r in with_salt(nation, 8).collect()}
     assert a == b
     assert all(0 <= r[-1] < 8 for r in a)
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    region = read_table(spark, sf_dir, "region")
+    path = str(tmp_path / "region_orc")
+    write_table(region, path, fmt="orc")
+    back = spark.read.orc(path)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in region.collect()
+    )
