@@ -6,4 +6,4 @@ All hot-path expressions are built-in Spark SQL functions (JVM, codegen'd);
 Python appears only in clearly-marked Pandas-UDF variants.
 """
 
-from . import dedup, similarity, text  # noqa: F401
+from . import dedup, similarity, skew, text  # noqa: F401
