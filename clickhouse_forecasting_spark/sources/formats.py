@@ -58,6 +58,29 @@ def read_jsonl(
     return reader.json(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table write: pre-shuffles data into `n_buckets` files by
+    hash(bucket_col) so future equi-joins/aggregations on that key need NO
+    exchange — both sides arrive co-partitioned (the Hive-bucketing
+    equivalent of co-located MergeTree parts). The big-fact-join strategy
+    at 100 TB: pay the shuffle once at write time, never per query.
+    Requires saveAsTable (bucket metadata lives in the catalog)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    if path:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(name)
+
+
 def write_table(
     df: DataFrame,
     path: str,

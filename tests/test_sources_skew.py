@@ -89,3 +89,30 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in region.collect()
     )
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key -> the join plans with ZERO
+    exchanges (the pay-the-shuffle-once-at-write-time strategy)."""
+    from clickhouse_forecasting_spark.plans import plan_summary
+    from clickhouse_forecasting_spark.sources.formats import write_bucketed_table
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(orders, "orders_b", "o_orderkey", 8, path=str(tmp_path / "ob"))
+    write_bucketed_table(li, "lineitem_b", "l_orderkey", 8, path=str(tmp_path / "lb"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("lineitem_b").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        s = plan_summary(joined)
+        n = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    assert s["exchanges"] == 0 and s["sortmerge_joins"] == 1
+    assert n == read_table(spark, sf_dir, "lineitem").count()
