@@ -317,3 +317,49 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
         r["user_id"]: r["n_sessions"] for r in spark.table("sessions_test").collect()
     }
     assert got == batch
+
+
+def test_transform_with_state_running_stats(spark, sf_dir, tmp_path):
+    """Spark 4 transformWithStateInPandas: running per-user stats after an
+    availableNow replay equal the batch aggregation."""
+    from clickhouse_forecasting_spark.streaming.running_stats import (
+        HAVE_TWS_DEPS,
+        running_stats_stream,
+    )
+
+    if not HAVE_TWS_DEPS:
+        pytest.skip("transformWithState needs google.protobuf (absent in this env)")
+
+    events = read_table(spark, sf_dir, "events")
+    batch = {
+        r["user_id"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    src = str(tmp_path / "events_stats")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        running_stats_stream(stream)
+        .writeStream.format("memory")
+        .queryName("stats_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["min_value"], r["max_value"])
+        for r in spark.table("stats_test").collect()
+    }
+    assert set(got) == set(batch)
+    for u, (n, s, mn, mx) in batch.items():
+        gn, gs, gmn, gmx = got[u]
+        assert gn == n and gmn == mn and gmx == mx
+        assert gs == pytest.approx(s, rel=1e-9)
