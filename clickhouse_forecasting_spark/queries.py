@@ -816,6 +816,61 @@ WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
 
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share shape (ratio of conditional sums per group): EUROPE
+    suppliers' share of total revenue per ship year."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(sup.hint("broadcast"), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    europe = F.when(F.col("r_name") == "EUROPE", disc).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg((_dsum(europe) / _dsum(disc)).alias("europe_share"))
+        .orderBy("ship_year")
+    )
+
+
+_Q8_SQL = """
+SELECT year(l_shipdate) AS ship_year,
+  CAST(SUM(CAST(CASE WHEN r_name = 'EUROPE' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(38,10))) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE) AS europe_share
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank: customer balance deciles within segment."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+_NTILE_SQL = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+  NTILE(10) OVER w AS decile,
+  round(PERCENT_RANK() OVER w, 6) AS pct_rank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
 def q_window_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day moving average + running total of daily revenue — the classic
     time-series smoothing pass, one range-shuffle then streaming window."""
@@ -1708,12 +1763,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
     "tpch_q18_large_orders": q_tpch_q18_large_orders,
     "tpch_q19_bracket_predicates": q_tpch_q19_bracket_predicates,
+    "tpch_q8_market_share": q_tpch_q8_market_share,
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "tpch_q17_small_quantity_revenue": q_tpch_q17_small_quantity_revenue,
     "cube_segment_year": q_cube_segment_year,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "window_top_customers": q_window_top_customers,
     "window_moving_average": q_window_moving_average,
+    "window_ntile_deciles": q_window_ntile_deciles,
     "window_dod_delta": q_window_dod_delta,
     "set_repeat_customers": q_set_repeat_customers,
     "anti_join_inactive_customers": q_anti_join_inactive_customers,
@@ -1783,12 +1840,14 @@ ORACLE_QUERIES: dict[str, str] = {
     "tpch_q14_promo_revenue": _Q14_SQL,
     "tpch_q18_large_orders": _Q18_SQL,
     "tpch_q19_bracket_predicates": _Q19_SQL,
+    "tpch_q8_market_share": _Q8_SQL,
     "tpch_q15_top_supplier": _Q15_SQL,
     "tpch_q17_small_quantity_revenue": _Q17_SQL,
     "cube_segment_year": _CUBE_SQL,
     "fuzzy_name_pairs": _FUZZY_SQL,
     "window_top_customers": _WINDOW_SQL,
     "window_moving_average": _MOVAVG_SQL,
+    "window_ntile_deciles": _NTILE_SQL,
     "window_dod_delta": _DOD_SQL,
     "set_repeat_customers": _SET_SQL,
     "anti_join_inactive_customers": _ANTI_SQL,
