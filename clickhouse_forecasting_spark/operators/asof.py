@@ -50,10 +50,17 @@ def asof_join(
     keys: list[str] | None = None,
     out_col: str | None = None,
     bucket_fn: Callable[[Column], Column] = _month_bucket,
+    strategy: str = "bucketed",
 ) -> DataFrame:
     """Attach ``right_value`` of the latest right row with
     ``right.right_ts <= left.left_ts`` (per ``keys`` if given) to every
-    left row. Left rows with no earlier right row get NULL."""
+    left row. Left rows with no earlier right row get NULL.
+
+    strategy='bucketed' (default) is the 100 TB path described above.
+    strategy='global' uses one window over the whole (per-key) timeline —
+    fewer stages, right choice when the inputs are already small (e.g.
+    daily-aggregated series), wrong at raw-event scale where an
+    unpartitioned timeline is a single task."""
     keys = keys or []
     out_col = out_col or f"asof_{right_value}"
     rv_type = right.schema[right_value].dataType
@@ -74,6 +81,19 @@ def asof_join(
         F.col(right_value).alias("_rv"),
         F.lit(None).cast(lrow_type).alias("_lrow"),
     )
+    if strategy == "global":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("_t", "_kind", "_rv")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            l2.unionByName(r2)
+            .withColumn(out_col, F.last("_rv", ignorenulls=True).over(w))
+            .filter(F.col("_kind") == 1)
+            .select("_lrow.*", out_col)
+        )
+
     u = l2.unionByName(r2).withColumn("_b", bucket_fn(F.col("_t")))
 
     w_in = (

@@ -477,6 +477,31 @@ GROUP BY p.event_id ORDER BY p.event_id
 """
 
 
+def q_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping window (7-day span, 1-day slide) event rollup — the sliding
+    twin of the tumbling streaming rollup; each event lands in 7 windows
+    (Spark's window() expands rows; the oracle expands via a 0..6 series)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_events"), _dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("w.start").cast("date").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SLIDING_SQL = """
+SELECT CAST(date_trunc('day', ts) - INTERVAL (i) DAY AS DATE) AS window_start,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS total_value
+FROM events CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i)
+GROUP BY 1
+"""
+
+
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event funnel: per user, first signup -> first subsequent purchase.
     One aggregation pass (conditional min-timestamps), then a row-local
@@ -1788,6 +1813,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_events": q_range_join_events,
     "funnel_conversion": q_funnel_conversion,
     "streaming_daily_rollup": q_streaming_daily_rollup,
+    "sliding_window_rollup": q_sliding_window_rollup,
     "text_stats": q_text_stats,
     "text_lang_id": q_text_lang_id,
     "text_quality": q_text_quality,
@@ -1865,6 +1891,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "range_join_events": _RANGE_SQL,
     "funnel_conversion": _FUNNEL_SQL,
     "streaming_daily_rollup": _STREAM_SQL,
+    "sliding_window_rollup": _SLIDING_SQL,
     "text_stats": _TEXT_STATS_SQL,
     "text_lang_id": _lang_sql(),
     "text_quality": _QUALITY_SQL,

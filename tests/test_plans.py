@@ -145,3 +145,21 @@ def test_range_join_points(spark):
     out = range_join_points(intervals, points, "w_start", "w_end", "t")
     got = sorted((r["iid"], r["pid"]) for r in out.collect())
     assert got == [(1, 10), (2, 12), (2, 13)]
+
+
+def test_asof_strategies_agree(spark, sf_dir):
+    from clickhouse_forecasting_spark.operators import asof_join
+    from clickhouse_forecasting_spark.sources import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    orders = read_table(spark, sf_dir, "orders").limit(200)
+    kw = dict(left_ts="o_orderdate", right_ts="ts", right_value="event_id")
+    bucketed = {
+        r["o_orderkey"]: r["asof_event_id"]
+        for r in asof_join(orders, ev, **kw).collect()
+    }
+    global_ = {
+        r["o_orderkey"]: r["asof_event_id"]
+        for r in asof_join(orders, ev, strategy="global", **kw).collect()
+    }
+    assert bucketed == global_
