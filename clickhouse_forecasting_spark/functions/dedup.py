@@ -176,6 +176,13 @@ def minhash_lsh_candidates(
     sides are the same plan, so Spark reuses one exchange) -> distinct.
     With b bands of r rows the collision probability of a pair with Jaccard
     j is 1-(1-j^r)^b (b=4, r=4: ~0.97 at j=0.8, ~0.04 at j=0.3)."""
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would make every band key degenerate (all docs
+        # collide -> O(n^2)); a non-dividing bands would silently drop the
+        # remainder hashes. Both are configuration errors, not choices.
+        raise ValueError(
+            f"bands ({bands}) must be >= 1 and divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     p = F.lit(MINHASH_PRIME)
     sh = _exploded_shingles(df, text_col, id_col, shingle_size)

@@ -22,10 +22,14 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int = 16, salt_col: str = "_salt") -> DataFrame:
-    """Deterministic salt from a full-row hash (no rand(): resilient to
-    retries/speculative tasks, and replayable)."""
+    """Salt from the row POSITION (partition id + offset), not row content:
+    a hot key frequently consists of byte-identical rows, and any
+    content-derived hash would give them all the same salt — no spread at
+    all. monotonically_increasing_id is deterministic given the same input
+    partitioning (safe for task retries), and commutative aggregates are
+    insensitive to which salt shard a row lands in regardless."""
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+        salt_col, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     )
 
 

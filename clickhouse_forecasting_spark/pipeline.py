@@ -41,10 +41,10 @@ def run_forecast_pipeline(
     tables = specific_tables if specific_tables else catalog.list_tables()
     forecaster = SeriesForecaster(interval=interval, only_future=only_future, backend=backend)
 
+    # R15 exact-membership selection happens in the `tables` assignment
+    # above (the reference's substring-membership quirk at :231 is a
+    # documented deviation — we take the explicit list as-is)
     for table in tables:
-        # exact-membership selection (R15; reference quirk at :231 deviated)
-        if specific_tables and table not in specific_tables:
-            continue
         if is_forecast_output(table):  # R14 (forecast_script.py:234-236)
             counters.skipped.append(table)
             continue

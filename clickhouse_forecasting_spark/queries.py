@@ -1262,7 +1262,7 @@ SELECT doc_id,
   len({_TOKS_SQL}) AS n_tokens,
   length(text) AS n_chars,
   (length(text) - length(regexp_replace(text, '[.,;:!?()\\[\\]{{}}"'']', '', 'g'))) / greatest(length(text), 1) AS punct_ratio,
-  list_sum(list_transform({_TOKS_SQL}, t -> length(t))) / greatest(len({_TOKS_SQL}), 1) AS mean_word_len,
+  coalesce(list_sum(list_transform({_TOKS_SQL}, t -> length(t))), 0) / greatest(len({_TOKS_SQL}), 1) AS mean_word_len,
   len(list_filter({_TOKS_SQL}, t -> t IN ({",".join(repr(w) for w in STOPWORDS["en"])}))) / greatest(len({_TOKS_SQL}), 1) AS stopword_ratio_en
 FROM documents
 """

@@ -29,6 +29,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANO_TS_COLUMNS.get(name, []):
         field = df.schema[col] if col in df.columns else None
         if field is not None and isinstance(field.dataType, T.LongType):
-            # int64 nanos -> µs timestamp; `div` floors like DuckDB's cast
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+            # int64 nanos -> µs timestamp. True FLOOR division (DuckDB's
+            # cast semantics): `div` truncates toward zero, which differs
+            # from floor by 1µs for negative (pre-1970) nanos, so subtract
+            # the non-negative pmod remainder first — exact at int64 range.
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(
+                    F.expr(f"({col} - pmod({col}, 1000)) div 1000")
+                ),
+            )
     return df

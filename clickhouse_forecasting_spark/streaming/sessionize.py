@@ -47,13 +47,16 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             n_sessions, n_events, last_ts = state.get
         else:
             n_sessions, n_events, last_ts = 0, 0, None
-        for pdf in pdfs:
-            for ts in pdf["ts"].sort_values():
-                t = ts.timestamp()
-                if last_ts is None or t - last_ts > gap_seconds:
-                    n_sessions += 1
-                n_events += 1
-                last_ts = t
+        # a user's micro-batch may span several Arrow chunks; event-time
+        # order must hold ACROSS chunks, so concatenate before sorting
+        chunks = [pdf["ts"] for pdf in pdfs]
+        all_ts = pd.concat(chunks) if chunks else pd.Series([], dtype="datetime64[ns]")
+        for ts in all_ts.sort_values():
+            t = ts.timestamp()
+            if last_ts is None or t - last_ts > gap_seconds:
+                n_sessions += 1
+            n_events += 1
+            last_ts = t
         state.update((n_sessions, n_events, last_ts))
         yield pd.DataFrame(
             {

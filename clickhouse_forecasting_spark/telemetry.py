@@ -23,12 +23,20 @@ LOG_DATEFMT = "%d.%m.%Y %H:%M:%S"
 
 
 def configure_logging(log_path: str = "forecast.log", level: int = logging.INFO) -> logging.Logger:
-    """O1: rotating file log, 50 MB max, 3 backups (forecast_script.py:59-61)."""
-    handler = RotatingFileHandler(log_path, maxBytes=50 * 1024 * 1024, backupCount=3)
-    handler.setFormatter(logging.Formatter(LOG_FORMAT, datefmt=LOG_DATEFMT))
+    """O1: rotating file log, 50 MB max, 3 backups (forecast_script.py:59-61).
+
+    Idempotent: repeated calls (multiple runs in one process, tests) must
+    not stack handlers, or every record is written once per call."""
     logger = logging.getLogger("clickhouse_forecasting_spark")
     logger.setLevel(level)
-    logger.addHandler(handler)
+    already = any(
+        isinstance(h, RotatingFileHandler) and h.baseFilename.endswith(log_path)
+        for h in logger.handlers
+    )
+    if not already:
+        handler = RotatingFileHandler(log_path, maxBytes=50 * 1024 * 1024, backupCount=3)
+        handler.setFormatter(logging.Formatter(LOG_FORMAT, datefmt=LOG_DATEFMT))
+        logger.addHandler(handler)
     return logger
 
 
