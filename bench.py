@@ -74,9 +74,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
+        t0 = time.perf_counter()
         rows = fn(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({len(rows)} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -392,14 +392,17 @@ SELECT c_mktsegment, rank, c_custkey, c_acctbal FROM (
 
 def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min): lag + cumulative sum of
-    session-start flags — one shuffle on user_id."""
+    session-start flags — one shuffle on user_id. Gaps compare at FULL
+    timestamp precision (cast to double seconds) — unix_timestamp truncates
+    to seconds while DuckDB's epoch() keeps fractions, which diverges for
+    gaps within a second of the boundary."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    prev_sec = F.lag(sec).over(w)
     flagged = ev.withColumn(
         "new_session",
-        F.when(
-            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800, 1
-        ).otherwise(0)
+        F.when(sec - prev_sec > 1800, 1).otherwise(0)
         + F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
     )
     return (

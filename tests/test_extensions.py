@@ -269,7 +269,7 @@ def test_streaming_rollup_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not finish in 120s'
     got = {
         r["date"]: (r["event_count"], r["total_value"])
         for r in spark.table("rollup_test").collect()
@@ -288,13 +288,13 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
 
     events = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # full-precision seconds, matching the stream's ts.timestamp() gaps
+    sec = F.col("ts").cast("double")
     batch = {
         r["user_id"]: r["n_sessions"]
         for r in events.withColumn(
             "new_session",
-            F.when(
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800, 1
-            ).otherwise(0)
+            F.when(sec - F.lag(sec).over(w) > 1800, 1).otherwise(0)
             + F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
         )
         .groupBy("user_id")
@@ -312,7 +312,7 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), 'stream did not finish in 120s'
     got = {
         r["user_id"]: r["n_sessions"] for r in spark.table("sessions_test").collect()
     }
@@ -353,7 +353,7 @@ def test_transform_with_state_running_stats(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), 'stream did not finish in 180s'
     got = {
         r["user_id"]: (r["n_events"], r["total_value"], r["min_value"], r["max_value"])
         for r in spark.table("stats_test").collect()

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 import __spark_entry__ as entry
 
 
@@ -152,7 +154,7 @@ def test_asof_strategies_agree(spark, sf_dir):
     from clickhouse_forecasting_spark.sources import read_table
 
     ev = read_table(spark, sf_dir, "events")
-    orders = read_table(spark, sf_dir, "orders").limit(200)
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
     kw = dict(left_ts="o_orderdate", right_ts="ts", right_value="event_id")
     bucketed = {
         r["o_orderkey"]: r["asof_event_id"]
@@ -181,19 +183,16 @@ def test_range_join_hour_granularity(spark):
     )
     out = range_join_points(intervals, points, "w_start", "w_end", "t", granularity="hour")
     assert sorted(r["pid"] for r in out.collect()) == [10, 11]
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         range_join_points(intervals, points, "w_start", "w_end", "t", granularity="fortnight")
 
 
 def test_minhash_band_validation(spark, sf_dir):
-    import pytest as _pytest
-
     from clickhouse_forecasting_spark.functions.dedup import minhash_lsh_candidates
     from clickhouse_forecasting_spark.sources import read_table
 
     docs = read_table(spark, sf_dir, "documents")
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         minhash_lsh_candidates(docs, num_hashes=8, bands=16)
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         minhash_lsh_candidates(docs, num_hashes=16, bands=5)

@@ -11,14 +11,16 @@ Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import math
+import os
 import sys
 import time
 
 import duckdb
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -29,9 +31,13 @@ TABLES = [
 def canon_value(v) -> str:
     if v is None:
         return "\\N"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)  # decimal results hash like their double twins
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v == 0.0:
+            v = 0.0  # normalize -0.0
         return f"{v:.6f}"
     if isinstance(v, bool):
         return str(int(v))
@@ -61,6 +67,10 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FATAL: unknown query names: {sorted(unknown)}")
+        return 2
     n_match = n_total = n_rows_only = 0
     failures = []
     for name, fn in qs.items():
