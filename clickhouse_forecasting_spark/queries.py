@@ -1603,6 +1603,47 @@ SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.3
 # --------------------------------------------------------------------------
 
 
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array analytics: per-label L2-norm statistics over the embedding
+    column — JVM-side array fold, no Python. Per-row norms round to 1e-6
+    before aggregating (in-row float folds may reassociate across engines);
+    the cross-row sum is decimal-exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        6,
+    )
+    return (
+        emb.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            (_dsum(F.col("nrm")) / F.count("*")).alias("avg_norm"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+_NORM_STATS_SQL = """
+WITH n AS (
+  SELECT label,
+    round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS nrm
+  FROM embeddings)
+SELECT label, COUNT(*) AS n_vectors,
+  CAST(SUM(CAST(nrm AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS avg_norm,
+  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+FROM n GROUP BY label ORDER BY label
+"""
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 against the vec_id=0 vector, fully in-plan (the
     query row is broadcast; no driver collect)."""
@@ -1832,6 +1873,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": q_corpus_curation,
     "stratified_sample": q_stratified_sample,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_norm_stats": q_embedding_norm_stats,
     "similarity_topk": q_similarity_topk,
     "similarity_pairwise_topk": q_similarity_pairwise_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
@@ -1910,6 +1952,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "corpus_curation": _CURATION_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "embedding_near_dup": _EMB_DUP_SQL,
+    "embedding_norm_stats": _NORM_STATS_SQL,
     "similarity_topk": _TOPK_SQL,
     "similarity_pairwise_topk": _PAIRWISE_SQL,
     # rows-only (engine-side state / model output, not SQL-expressible):
