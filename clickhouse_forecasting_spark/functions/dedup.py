@@ -305,6 +305,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list (id_a, id_b) —
+    label propagation to the component's MIN id. The iterative-algorithm
+    upgrade of dedup_near's greedy pairwise rule: transitive chains
+    (A~B~C where A!~C) all land in one component.
+
+    Each iteration is one join + one groupBy-min (the simplified
+    large-star/small-star pattern); iteration count is O(log(diameter)),
+    and near-dup clusters have tiny diameters in practice. The driver only
+    checks a convergence flag per iteration — labels never leave the
+    cluster. Returns (id, component) for every id appearing in pairs."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+                (F.coalesce("nbr_component", "component") < F.col("component")).alias(
+                    "_changed"
+                ),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # truncate the lineage per iteration
+        converged = updated.filter(F.col("_changed")).isEmpty()
+        labels = updated.drop("_changed")
+        if converged:
+            break
+    return labels
+
+
 def dedup_near(
     df: DataFrame,
     text_col: str = "text",

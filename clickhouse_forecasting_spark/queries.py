@@ -1508,6 +1508,43 @@ WHERE doc_id NOT IN (SELECT id_b FROM drop_ids)
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters as connected components (iterative label
+    propagation on Spark; the oracle computes the same transitive closure
+    with a recursive CTE)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.lsh_verified_pairs(docs, threshold=0.8)
+    return DD.connected_components(pairs).orderBy("id")
+
+
+_CC_SQL = f"""
+WITH RECURSIVE base AS (
+  WITH s AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shg FROM documents),
+  h AS (SELECT doc_id, ('0x' || substr(md5(shg), 1, 15))::BIGINT % {_P} AS x FROM s),
+  sig AS (SELECT doc_id, {_SIG_MINS_SQL} FROM h GROUP BY doc_id),
+  banded AS (SELECT doc_id, unnest([{_BAND_LIST_SQL}]) AS band FROM sig),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+  sets AS (SELECT doc_id, {_SHINGLES_SQL} AS sh_set FROM documents)
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+  WHERE len(list_intersect(sa.sh_set, sb.sh_set))
+        / (len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set))) >= 0.8
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM base
+  UNION SELECT id_b, id_a FROM base),
+reach(s, t) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.s, e.dst FROM reach r JOIN edges e ON r.t = e.src)
+SELECT s AS id, MIN(t) AS component FROM reach GROUP BY s ORDER BY id
+"""
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data curation pass in one plan: language ID +
     quality filter + near-dedup, emitting the surviving corpus with its
@@ -1870,6 +1907,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_near_projection": q_dedup_near_projection,
+    "dedup_components": q_dedup_components,
     "corpus_curation": q_corpus_curation,
     "stratified_sample": q_stratified_sample,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1949,6 +1987,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_near_projection": _DEDUP_NEAR_SQL,
+    "dedup_components": _CC_SQL,
     "corpus_curation": _CURATION_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "embedding_near_dup": _EMB_DUP_SQL,

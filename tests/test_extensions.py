@@ -408,3 +408,12 @@ def test_streaming_checkpoint_resume(spark, sf_dir, tmp_path):
     for d, (cnt, val) in got.items():
         assert cnt == batch[d][0]
         assert val == pytest.approx(batch[d][1], rel=1e-9)
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, D~E: two components, labels = min id, no cross-linking."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in DD.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
