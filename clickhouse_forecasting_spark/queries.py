@@ -1842,6 +1842,392 @@ def q_forecast_only_future(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TPC-H completion set (adapted shapes — the fixture schema has no partsupp
+# table and no l_shipmode/l_commitdate/l_receiptdate/c_phone columns, so each
+# query keeps the reference plan SHAPE (correlated subqueries, semi/anti
+# joins, conditional aggregation) over the columns that exist; the adaptation
+# is noted per query).
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q2 shape: per-part minimum-cost supplier via a decorrelated min
+    subquery. Adapted: unit supply cost is derived from lineitem as
+    min(l_extendedprice / l_quantity) per (part, supplier) since the fixture
+    has no partsupp. The per-part min is a groupBy + equality join (the
+    classic decorrelation of q2's correlated scalar subquery); dims are
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    )
+    eu_sup = (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey).join(
+        eu_sup.hint("broadcast"), ps.l_suppkey == eu_sup.s_suppkey
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("bp_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        offers.join(
+            F.broadcast(best),
+            (offers.p_partkey == best.bp_partkey)
+            & (offers.supply_cost == best.min_cost),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supply_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eu_sup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+offers AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, supply_cost
+  FROM ps JOIN part ON l_partkey = p_partkey
+  JOIN eu_sup ON l_suppkey = s_suppkey
+  WHERE p_size = 15)
+SELECT s_acctbal, s_name, n_name, p_partkey, supply_cost
+FROM offers o
+WHERE supply_cost = (SELECT MIN(supply_cost) FROM offers i WHERE i.p_partkey = o.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+
+def q_tpch_q4_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q4 shape: order-priority counts over an EXISTS semi-join to lineitem.
+    Adapted: the EXISTS predicate is l_returnflag = 'R' (fixture has no
+    l_commitdate/l_receiptdate)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    flagged = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(flagged, orders.o_orderkey == flagged.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9 shape: profit by (supplier nation, order year) over a 5-way join
+    with a substring part filter. Adapted: cost term uses p_retailprice in
+    place of ps_supplycost (no partsupp): amount = extprice*(1-disc) -
+    0.01*p_retailprice*quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("blue"))
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.01 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(sup.hint("broadcast"), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_dsum(amount).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - 0.01 * p_retailprice * l_quantity
+      AS DECIMAL(38,10))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%blue%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q11 shape: per-part value with a HAVING threshold from a scalar
+    subquery over the same aggregate. Adapted: part value = sum of
+    extendedprice shipped by suppliers of one nation (no partsupp); the
+    threshold is 0.1% of the nation's total."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    scoped = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+    per_part = scoped.groupBy("l_partkey").agg(
+        _dsum(F.col("l_extendedprice")).alias("part_value")
+    )
+    # threshold from the SAME decimal grand total on both engines (never
+    # recast a derived double back to decimal — engines round differently)
+    total = scoped.agg((_dsum(F.col("l_extendedprice")) * 0.001).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+_Q11_SQL = """
+WITH scoped AS (
+  SELECT l_partkey, l_extendedprice
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 7),
+per_part AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS part_value
+  FROM scoped GROUP BY l_partkey)
+SELECT l_partkey, part_value FROM per_part
+WHERE part_value > (
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) * 0.001 FROM scoped)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q_tpch_q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q12 shape: conditional (CASE) aggregation of order priorities per
+    lineitem category. Adapted: l_linestatus stands in for l_shipmode and the
+    date predicate uses l_shipdate (no commit/receipt dates)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q_tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q16 shape: distinct-supplier counts per part attribute group with a
+    NOT IN anti-join on a supplier subquery. Adapted: the part-supplier
+    relation comes from lineitem; excluded suppliers are those with negative
+    account balance (stand-in for the complaints LIKE filter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & (F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+    )
+    bad_sup = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_size IN (1,4,9,14,23,36,45,49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20 shape: nested IN subqueries — suppliers whose 1996 shipped
+    quantity of 'red' parts exceeds half their total availability. Adapted:
+    availability = that supplier's all-time shipped quantity of the part
+    (no partsupp.ps_availqty); both levels stay semi-joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    red_parts = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red")).select("p_partkey")
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    red_li = li.join(F.broadcast(red_parts), li.l_partkey == red_parts.p_partkey)
+    total = red_li.groupBy("l_partkey", "l_suppkey").agg(
+        _dsum(F.col("l_quantity")).alias("total_qty")
+    )
+    recent = (
+        red_li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy(
+            F.col("l_partkey").alias("r_partkey"), F.col("l_suppkey").alias("r_suppkey")
+        )
+        .agg(_dsum(F.col("l_quantity")).alias("recent_qty"))
+    )
+    qualifying = (
+        total.join(
+            recent,
+            (total.l_partkey == recent.r_partkey) & (total.l_suppkey == recent.r_suppkey),
+        )
+        .filter(F.col("recent_qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(qualifying, sup.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+_Q20_SQL = """
+WITH red_li AS (
+  SELECT l_partkey, l_suppkey, l_quantity, l_shipdate
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'),
+total AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS total_qty
+  FROM red_li GROUP BY l_partkey, l_suppkey),
+recent AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS recent_qty
+  FROM red_li
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey)
+SELECT s_name, s_suppkey
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT t.l_suppkey FROM total t JOIN recent r
+      ON t.l_partkey = r.l_partkey AND t.l_suppkey = r.l_suppkey
+    WHERE r.recent_qty > 0.5 * t.total_qty)
+ORDER BY s_name, s_suppkey
+"""
+
+
+def q_tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21 shape: EXISTS + NOT EXISTS self-joins on lineitem — suppliers
+    whose line in a finished multi-supplier order was the only one returned.
+    Adapted: 'kept waiting' = l_returnflag 'R' (no receipt/commit dates);
+    both correlated quantifiers become aggregate-then-join semi/anti checks."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = _t(spark, sf_dir, "supplier")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_flagged_suppliers"),
+    )
+    eligible = per_order.filter(
+        (F.col("n_suppliers") > 1) & (F.col("n_flagged_suppliers") == 1)
+    )
+    flagged = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    return (
+        flagged.join(eligible.select("l_orderkey"), "l_orderkey")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(sup.hint("broadcast"), F.col("l_suppkey") == sup.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+_Q21_SQL = """
+WITH eligible AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING COUNT(DISTINCT l_suppkey) > 1
+     AND COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) = 1),
+flagged AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R')
+SELECT s_name, numwait FROM (
+  SELECT l_suppkey, COUNT(*) AS numwait
+  FROM flagged JOIN eligible USING (l_orderkey)
+  WHERE EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+  GROUP BY l_suppkey)
+JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, s_name LIMIT 100
+"""
+
+
+def q_tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q22 shape: scalar average subquery + anti-join to orders, grouped by a
+    customer attribute. Adapted: nation key stands in for the phone country
+    code (fixture has no c_phone); threshold = average positive balance of
+    nations 0-6; 'dormant' = no URGENT order (every fixture customer has at
+    least one order, so the anti-join carries a predicate)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey") <= 6)
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (_dsum(F.col("c_acctbal")) / F.count("*")).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            _dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+_Q22_SQL = """
+SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_nationkey <= 6
+  AND c_acctbal > (
+    SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS DOUBLE)
+    FROM customer WHERE c_nationkey <= 6 AND c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey ORDER BY cntrycode
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1872,6 +2258,15 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q8_market_share": q_tpch_q8_market_share,
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "tpch_q17_small_quantity_revenue": q_tpch_q17_small_quantity_revenue,
+    "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+    "tpch_q4_priority_semi_join": q_tpch_q4_priority_semi_join,
+    "tpch_q9_product_profit": q_tpch_q9_product_profit,
+    "tpch_q11_important_stock": q_tpch_q11_important_stock,
+    "tpch_q12_priority_by_linestatus": q_tpch_q12_priority_by_linestatus,
+    "tpch_q16_supplier_count": q_tpch_q16_supplier_count,
+    "tpch_q20_part_promotion": q_tpch_q20_part_promotion,
+    "tpch_q21_waiting_orders": q_tpch_q21_waiting_orders,
+    "tpch_q22_dormant_customers": q_tpch_q22_dormant_customers,
     "cube_segment_year": q_cube_segment_year,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "window_top_customers": q_window_top_customers,
@@ -1952,6 +2347,15 @@ ORACLE_QUERIES: dict[str, str] = {
     "tpch_q8_market_share": _Q8_SQL,
     "tpch_q15_top_supplier": _Q15_SQL,
     "tpch_q17_small_quantity_revenue": _Q17_SQL,
+    "tpch_q2_min_cost_supplier": _Q2_SQL,
+    "tpch_q4_priority_semi_join": _Q4_SQL,
+    "tpch_q9_product_profit": _Q9_SQL,
+    "tpch_q11_important_stock": _Q11_SQL,
+    "tpch_q12_priority_by_linestatus": _Q12_SQL,
+    "tpch_q16_supplier_count": _Q16_SQL,
+    "tpch_q20_part_promotion": _Q20_SQL,
+    "tpch_q21_waiting_orders": _Q21_SQL,
+    "tpch_q22_dormant_customers": _Q22_SQL,
     "cube_segment_year": _CUBE_SQL,
     "fuzzy_name_pairs": _FUZZY_SQL,
     "window_top_customers": _WINDOW_SQL,

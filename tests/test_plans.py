@@ -57,6 +57,17 @@ def test_no_cartesian_products_anywhere(spark, sf_dir, qs):
         assert "CartesianProduct" not in plan, name
 
 
+def test_semi_anti_join_shapes(spark, sf_dir, qs):
+    # EXISTS/NOT EXISTS must plan as semi/anti joins (never a join +
+    # distinct + filter) — at 100 TB the semi join stops early per match.
+    plan = _plan(qs["tpch_q4_priority_semi_join"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    plan = _plan(qs["tpch_q22_dormant_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    plan = _plan(qs["tpch_q16_supplier_count"](spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
 def test_whole_stage_codegen_on_hot_paths(spark, sf_dir, qs):
     for name in ["tpch_q1_pricing_summary", "daily_shipping_series", "text_stats"]:
         plan = _plan(qs[name](spark, sf_dir), run=True)
