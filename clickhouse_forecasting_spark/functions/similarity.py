@@ -219,25 +219,85 @@ def ivf_topk(
     )
 
 
+def multi_probe_buckets(
+    query: list[float], planes: np.ndarray, n_probes: int
+) -> list[int]:
+    """The query's own bucket plus the (n_probes - 1) neighbor buckets
+    reached by flipping the lowest-|margin| sign bits — the planes the query
+    sits closest to, i.e. the flips most likely to hold true neighbors
+    (multi-probe LSH, Lv et al., VLDB'07). Driver-side numpy: O(planes)."""
+    q = np.asarray(query, dtype=np.float64)
+    margins = planes @ q
+    qsig = int(np.sum((margins > 0) * (1 << np.arange(len(planes)))))
+    flips = np.argsort(np.abs(margins))[: max(0, n_probes - 1)]
+    return [qsig] + [qsig ^ (1 << int(i)) for i in flips]
+
+
 def lsh_topk(
     df: DataFrame,
     query: list[float],
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    n_probes: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: score only the query's LSH bucket.
+    """Approximate top-k: score only the query's LSH bucket(s).
 
-    Recall/latency trades on n_planes (bucket granularity); multi-probe
-    (flipping low-confidence bits) is the standard recall booster — add by
-    unioning probes over neighbor buckets."""
+    n_probes > 1 enables multi-probe — union in the neighbor buckets whose
+    defining hyperplane the query is closest to. Recall rises toward exact
+    brute force as n_probes -> 2^n_planes while the scanned fraction stays
+    ~n_probes / 2^n_planes; the bucket IN-list prunes partitions when the
+    index is stored partitioned-by-bucket."""
     planes = random_hyperplanes(len(query), n_planes, seed)
-    qsig = int(np.sum((planes @ np.asarray(query, dtype=np.float64) > 0) * (1 << np.arange(n_planes))))
+    probes = multi_probe_buckets(query, planes, n_probes)
     bucketed = lsh_bucket_assignments(df, len(query), n_planes, seed, vec_col, id_col)
     return (
-        bucketed.filter(F.col("bucket") == qsig)
+        bucketed.filter(F.col("bucket").isin(probes))
+        .select(F.col(id_col), cosine_with_literal(F.col(vec_col), query).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_write_index(
+    assigned: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist an IVF index partitioned by cluster: one parquet directory
+    per centroid. This is the 100 TB layout — a probe's `cluster IN (...)`
+    predicate becomes a partition filter, so Spark lists and reads ONLY the
+    probed clusters' files; the other (n_clusters - n_probe)/n_clusters of
+    the corpus is never opened."""
+    assigned.select(id_col, vec_col, "cluster").write.mode("overwrite").partitionBy(
+        "cluster"
+    ).parquet(path)
+
+
+def ivf_probe_persisted(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k against a persisted IVF index: centroid argsort picks the
+    probe clusters driver-side (centroids are tiny), the IN-list filter
+    prunes to those partitions, and only the surviving files are scanned."""
+    q = np.asarray(query, dtype=np.float64)
+    sims = (centroids @ q) / (
+        np.linalg.norm(centroids, axis=1) * np.linalg.norm(q) + 1e-12
+    )
+    probe = [int(i) for i in np.argsort(-sims)[:n_probe]]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cluster").isin(probe))
         .select(F.col(id_col), cosine_with_literal(F.col(vec_col), query).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)

@@ -1742,6 +1742,15 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, [float(x) for x in query], k=10, n_planes=6)
 
 
+def q_similarity_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: the query bucket plus the 3 lowest-margin
+    bit-flip neighbors (rows-only check; recall-vs-brute-force is asserted
+    in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    return SIM.lsh_topk(emb, [float(x) for x in query], k=10, n_planes=6, n_probes=4)
+
+
 # --------------------------------------------------------------------------
 # multimodal (extension)
 # --------------------------------------------------------------------------
@@ -2310,6 +2319,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_topk": q_similarity_topk,
     "similarity_pairwise_topk": q_similarity_pairwise_topk,
     "similarity_lsh_topk": q_similarity_lsh_topk,
+    "similarity_multiprobe_topk": q_similarity_multiprobe_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "dedup_embedding_lsh_pairs": q_dedup_embedding_lsh_pairs,
     "multimodal_meta": q_multimodal_meta,

@@ -205,6 +205,42 @@ def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
     assert part[0]["vec_id"] == 0  # the query vector's own cluster is probed first
 
 
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r["vec_id"] for r in SIM.brute_force_topk(emb, query, k=10).collect()}
+    single = {r["vec_id"] for r in SIM.lsh_topk(emb, query, k=10, n_planes=6).collect()}
+    multi = {
+        r["vec_id"]
+        for r in SIM.lsh_topk(emb, query, k=10, n_planes=6, n_probes=4).collect()
+    }
+    # probing strictly more buckets can only improve recall vs brute force
+    assert len(multi & exact) >= len(single & exact)
+    assert 0 in multi
+    # probe set: own bucket first, then Hamming-distance-1 neighbors, no dups
+    planes = SIM.random_hyperplanes(len(query), 6)
+    probes = SIM.multi_probe_buckets(query, planes, 4)
+    assert len(probes) == len(set(probes)) == 4
+    assert all(bin(probes[0] ^ p).count("1") == 1 for p in probes[1:])
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
+    from clickhouse_forecasting_spark.plans import plan_summary
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    assigned, centroids = SIM.ivf_index(emb, n_clusters=8)
+    path = str(tmp_path / "ivf_index")
+    SIM.ivf_write_index(assigned, path)
+    probed = SIM.ivf_probe_persisted(spark, path, centroids, query, k=5, n_probe=2)
+    # the cluster IN-list must reach the scan as a partition filter...
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:200]
+    # ...and the persisted probe must agree with the in-memory probe
+    mem = SIM.ivf_topk(assigned, centroids, query, k=5, n_probe=2).collect()
+    assert [r["vec_id"] for r in probed.collect()] == [r["vec_id"] for r in mem]
+
+
 # ----------------------------------------------------------- multimodal ----
 
 
