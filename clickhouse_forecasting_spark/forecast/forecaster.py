@@ -77,6 +77,53 @@ class SeriesForecaster:
 
         return long_df.groupBy(*groups).applyInPandas(_fit, schema=out_schema)
 
+    def watermarks(self, long_df: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+        """Per-series fit watermark: (group..., metric, last_max_ds). Persist
+        this tiny frame alongside the forecast output to enable incremental
+        refits — it is a partial-aggregated max, one row per series."""
+        groups = (group_cols or []) + ["metric"]
+        return long_df.groupBy(*groups).agg(F.max("ds").alias("last_max_ds"))
+
+    def transform_long_incremental(
+        self,
+        long_df: DataFrame,
+        prior_forecasts: DataFrame | None,
+        prior_watermarks: DataFrame | None,
+        group_cols: list[str] | None = None,
+    ) -> tuple[DataFrame, DataFrame]:
+        """Incremental refit: only series whose max(ds) advanced past their
+        stored watermark are re-fitted; unchanged series reuse their prior
+        forecast rows verbatim.
+
+        The reference recomputes every table from scratch each run
+        (forecast_script.py:127-132 drop + recreate); at 100 TB with mostly
+        quiet series this makes cost proportional to CHANGE, not corpus:
+        the stale-key set is a per-series aggregate (tiny — one row per
+        series) broadcast into a semi-join on the raw data, so quiet series'
+        history is pruned before it ever reaches a Python worker.
+
+        Returns (forecasts, new_watermarks); pass new_watermarks back in on
+        the next run. With prior_* = None everything is stale (first run).
+        """
+        groups = (group_cols or []) + ["metric"]
+        current = self.watermarks(long_df, group_cols)
+        if prior_forecasts is None or prior_watermarks is None:
+            return self.transform_long(long_df, group_cols), current
+        stale_keys = (
+            current.withColumnRenamed("last_max_ds", "cur_max_ds")
+            .join(prior_watermarks, groups, "left")
+            .filter(
+                F.col("last_max_ds").isNull()
+                | (F.col("cur_max_ds") > F.col("last_max_ds"))
+            )
+            .select(*groups)
+        )
+        refreshed = self.transform_long(
+            long_df.join(F.broadcast(stale_keys), groups, "left_semi"), group_cols
+        )
+        reused = prior_forecasts.join(F.broadcast(stale_keys), groups, "left_anti")
+        return reused.unionByName(refreshed), current
+
     def transform(self, df: DataFrame, axis: str = DATE_AXIS_COLUMN) -> DataFrame:
         """Forecast a wide daily table -> wide forecast table
         (date, m, m_min, m_max per metric), the reference's per-table output

@@ -1842,6 +1842,26 @@ def q_forecast_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_forecast_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refit demo (rows-only): fit on history cut at 2000-01-01,
+    then advance only the order_count series' axis — the revenue series
+    reuses its prior forecast without touching a Python worker. The
+    reference drops and recreates everything per run; cost here scales with
+    changed series."""
+    from .relational import unpivot_metrics
+
+    daily = _orders_daily(spark, sf_dir)
+    long_all = unpivot_metrics(daily, ["order_count", "total_revenue"], axis="date")
+    cut = long_all.filter(F.col("ds") < "2000-01-01")
+    grown = cut.unionByName(
+        long_all.filter((F.col("ds") >= "2000-01-01") & (F.col("metric") == "order_count"))
+    )
+    fc = SeriesForecaster(interval=7, backend="fourier_ridge")
+    prior, wm = fc.transform_long_incremental(cut, None, None)
+    out, _ = fc.transform_long_incremental(grown, prior, wm)
+    return out.orderBy("metric", "ds")
+
+
 def q_forecast_only_future(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     daily = daily_rollup(
@@ -2327,6 +2347,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "forecast_daily_sales": q_forecast_daily_sales,
     "forecast_only_future": q_forecast_only_future,
+    "forecast_incremental": q_forecast_incremental,
     "forecast_multi_table": q_forecast_multi_table,
 }
 

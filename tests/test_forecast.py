@@ -107,3 +107,60 @@ def test_gapped_history_axis(spark):
     got = sorted(r.date for r in out.select("date").collect())
     assert len(got) == len(days) + 2
     assert dt.date(2024, 1, 6) not in got
+
+
+def test_incremental_refits_only_advanced_series(spark):
+    """Incremental: a series whose max(ds) advanced is refit; a quiet series
+    reuses its prior forecast rows verbatim (proven by a sentinel planted in
+    the prior output — a refit would erase it)."""
+    fc = SeriesForecaster(interval=3, backend="fourier_ridge")
+
+    def long_frame(n_a, n_b):
+        rows = [
+            Row(metric="a", ds=dt.date(2024, 1, 1) + dt.timedelta(days=i), y=float(i))
+            for i in range(n_a)
+        ] + [
+            Row(metric="b", ds=dt.date(2024, 1, 1) + dt.timedelta(days=i), y=50.0 + i)
+            for i in range(n_b)
+        ]
+        return spark.createDataFrame(rows, schema="metric string, ds date, y double")
+
+    base = long_frame(30, 30)
+    prior, wm = fc.transform_long_incremental(base, None, None)
+    prior = prior.withColumn(  # sentinel: survives only if 'b' is NOT refit
+        "yhat", F.when(F.col("metric") == "b", F.lit(-12345.0)).otherwise(F.col("yhat"))
+    ).cache()
+    assert wm.count() == 2
+
+    grown = long_frame(40, 30)  # only 'a' advanced
+    out, wm2 = fc.transform_long_incremental(grown, prior, wm)
+    got = out.groupBy("metric").agg(
+        F.count("*").alias("n"), F.min("yhat").alias("min_yhat"), F.max("ds").alias("max_ds")
+    ).collect()
+    by_metric = {r["metric"]: r for r in got}
+    assert by_metric["a"]["n"] == 43  # refit: 40 history + 3 horizon
+    assert by_metric["a"]["max_ds"] == dt.date(2024, 2, 12)
+    assert by_metric["b"]["n"] == 33  # reused prior rows...
+    assert by_metric["b"]["min_yhat"] == -12345.0  # ...sentinel intact
+    # new watermarks reflect the grown axis
+    wm_map = {r["metric"]: r["last_max_ds"] for r in wm2.collect()}
+    assert wm_map == {"a": dt.date(2024, 2, 9), "b": dt.date(2024, 1, 30)}
+
+
+def test_incremental_new_series_is_fitted(spark):
+    """A series with no watermark (newly appeared) counts as stale."""
+    fc = SeriesForecaster(interval=2, backend="fourier_ridge")
+    base = spark.createDataFrame(
+        [Row(metric="a", ds=dt.date(2024, 1, 1) + dt.timedelta(days=i), y=float(i)) for i in range(20)],
+        schema="metric string, ds date, y double",
+    )
+    prior, wm = fc.transform_long_incremental(base, None, None)
+    both = base.unionByName(
+        spark.createDataFrame(
+            [Row(metric="c", ds=dt.date(2024, 1, 1) + dt.timedelta(days=i), y=9.0) for i in range(20)],
+            schema="metric string, ds date, y double",
+        )
+    )
+    out, _ = fc.transform_long_incremental(both, prior, wm)
+    counts = {r["metric"]: r["n"] for r in out.groupBy("metric").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 22, "c": 22}
