@@ -25,11 +25,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # (exact / minhash-LSH / simhash / jaccard), similarity search, forecast.
 HEADLINE = [
     "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
     "tpch_q3_top_orders",
+    "tpch_q4_priority_semi_join",
     "tpch_q5_nation_volume",
     "tpch_q6_revenue_delta",
+    "tpch_q9_product_profit",
     "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_by_linestatus",
     "tpch_q13_order_count_distribution",
+    "tpch_q16_supplier_count",
+    "tpch_q20_part_promotion",
+    "tpch_q21_waiting_orders",
+    "tpch_q22_dormant_customers",
     "window_top_customers",
     "window_moving_average",
     "gap_fill_daily_revenue",
@@ -50,6 +59,7 @@ HEADLINE = [
     "embedding_near_dup",
     "similarity_topk",
     "similarity_pairwise_topk",
+    "similarity_multiprobe_topk",
     "forecast_daily_sales",
     "forecast_multi_table",
 ]
