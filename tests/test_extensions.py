@@ -453,3 +453,93 @@ def test_connected_components_transitive_chain(spark):
     )
     got = {r["id"]: r["component"] for r in DD.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark: re-delivered events are suppressed —
+    a doubled backlog replays to exactly the batch-distinct row set."""
+    from clickhouse_forecasting_spark.streaming import dedup_stream
+
+    events = read_table(spark, sf_dir, "events").limit(2000)
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    events.write.mode("append").parquet(src)
+    events.write.mode("append").parquet(src)  # every event delivered twice
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not finish in 120s"
+    got = spark.read.parquet(sink)
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_sessionize_event_time_ttl_expires_idle_state(spark, tmp_path):
+    """Event-time TTL: user A goes idle past the TTL while B's later events
+    advance the watermark; when A returns their counts restart from fresh
+    state. Without TTL the same replay accumulates. Files are staged with
+    maxFilesPerTrigger=1 so each file is its own micro-batch (the watermark
+    only advances BETWEEN batches)."""
+    import datetime as dt
+    import time as _time
+
+    from clickhouse_forecasting_spark.streaming.sessionize import sessionize_stream
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, d, h, m), u, "t", 1.0, "{}")
+             for i, (d, h, m, u) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        )
+
+    batches = [
+        batch([(1, 10, 0, 0), (1, 10, 5, 0)]),     # A: one session, 2 events
+        batch([(10, 9, 0, 1)]),                    # B advances watermark past A's expiry
+        batch([(11, 9, 0, 1)]),                    # next batch: A's timeout fires
+        batch([(12, 9, 0, 0), (12, 9, 1, 0), (12, 9, 2, 0)]),  # A returns: 3 events
+    ]
+
+    def run(name, ttl):
+        src = str(tmp_path / f"src_{name}")
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(src)
+            _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+        stream = (
+            spark.readStream.schema(batches[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            sessionize_stream(stream, gap_seconds=1800, ttl_seconds=24 * 3600)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        ) if ttl else (
+            sessionize_stream(stream, gap_seconds=1800)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not finish in 120s"
+        rows = spark.table(name).collect()
+        return {(r["user_id"], r["n_sessions"], r["n_events"]) for r in rows}
+
+    with_ttl = run("sess_ttl", ttl=True)
+    # A's comeback rows show fresh state (1 session / 3 events), never
+    # cumulative (3 sessions / 5 events)
+    assert (0, 1, 2) in with_ttl and (0, 1, 3) in with_ttl
+    assert not any(u == 0 and n > 3 for u, _s, n in with_ttl)
+
+    no_ttl = run("sess_nottl", ttl=False)
+    # same replay without TTL accumulates across the idle gap
+    assert (0, 1, 2) in no_ttl and (0, 2, 5) in no_ttl
