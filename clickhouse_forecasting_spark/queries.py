@@ -1350,6 +1350,55 @@ WHERE rank <= 20
 """
 
 
+def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (top-3 terms per doc over a
+    50-doc slice). Two aggregations over one token explode — term frequency
+    per (doc, token) and document frequency per token — joined and ranked
+    by a per-doc window. At corpus scale the df side is the vocabulary
+    (small, broadcastable) while tf shuffles with map-side combine; tfidf
+    is rounded to 6dp and ranked on the ROUNDED value in both engines so
+    libm ulp differences in ln() cannot flip rank order."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH docs50 AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM docs50),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM docs50),
+scored AS (
+  SELECT doc_id, token, ROUND(tf * ln((1.0 + n_docs) / (1.0 + df)), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n)
+SELECT doc_id, token, tfidf, rank FROM (
+  SELECT doc_id, token, tfidf,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+  FROM scored)
+WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
@@ -2324,6 +2373,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_bpe_token_count": q_text_bpe_token_count,
     "text_top_tokens": q_text_top_tokens,
+    "text_tfidf_keywords": q_text_tfidf_keywords,
     "text_fingerprint": q_text_fingerprint,
     "dedup_exact_stats": q_dedup_exact_stats,
     "dedup_minhash_signature": q_dedup_minhash_signature,
@@ -2415,6 +2465,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "text_quality": _QUALITY_SQL,
     "text_bpe_token_count": _BPE_SQL,
     "text_top_tokens": _TOP_TOKENS_SQL,
+    "text_tfidf_keywords": _TFIDF_SQL,
     "text_fingerprint": _FP_SQL,
     "dedup_exact_stats": _DEDUP_EXACT_SQL,
     "dedup_minhash_signature": _MINHASH_SIG_SQL,
