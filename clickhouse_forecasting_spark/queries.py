@@ -480,6 +480,50 @@ GROUP BY p.event_id ORDER BY p.event_id
 """
 
 
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows: groupBy(session_window(ts, gap)) merges
+    events within 30 min of the previous into one window ending
+    last_ts + gap. The same expression runs unchanged under readStream
+    (state pruned by watermark); the oracle is the classic gaps-and-islands
+    rewrite. Spark starts a new session when the gap is >= the threshold
+    (window end is exclusive), mirrored in the oracle's >= comparison."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value")).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_SESSION_WINDOW_SQL = """
+WITH ev AS (SELECT user_id, ts, value FROM events WHERE user_id < 100),
+marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked)
+SELECT user_id, MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS session_value
+FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start
+"""
+
+
 def q_sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping window (7-day span, 1-day slide) event rollup — the sliding
     twin of the tumbling streaming rollup; each event lands in 7 windows
@@ -1112,6 +1156,20 @@ SELECT date, 'order_count' AS metric, CAST(order_count AS DOUBLE) AS value FROM 
 UNION ALL
 SELECT date, 'total_revenue' AS metric, total_revenue AS value FROM d
 """
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type (rows-only: sketch
+    estimates are engine-specific, so no value oracle — the exact twin is
+    distinct_users_per_type and the 5% error bound is test-asserted).
+    The 100 TB cardinality path: one pass, fixed-size mergeable sketches,
+    map-side partials — no distinct-shuffle of the key universe."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
 
 
 def q_gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2359,10 +2417,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_status_by_year": q_pivot_status_by_year,
     "unpivot_daily_metrics": q_unpivot_daily_metrics,
     "distinct_users_per_type": q_distinct_users_per_type,
+    "approx_distinct_users": q_approx_distinct_users,
     "gap_fill_daily_revenue": q_gap_fill_daily_revenue,
     "timeseries_multigrain": q_timeseries_multigrain,
     "percentiles_by_segment": q_percentiles_by_segment,
     "sessionization": q_sessionization,
+    "session_window_stats": q_session_window_stats,
     "asof_join": q_asof_join,
     "range_join_events": q_range_join_events,
     "funnel_conversion": q_funnel_conversion,
@@ -2455,6 +2515,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "timeseries_multigrain": _MULTIGRAIN_SQL,
     "percentiles_by_segment": _PCTL_SQL,
     "sessionization": _SESSION_SQL,
+    "session_window_stats": _SESSION_WINDOW_SQL,
     "asof_join": _ASOF_SQL,
     "range_join_events": _RANGE_SQL,
     "funnel_conversion": _FUNNEL_SQL,

@@ -18,6 +18,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -79,6 +80,44 @@ def write_bucketed_table(
     if path:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(name)
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_col: str,
+) -> None:
+    """MERGE-style upsert into a partitioned parquet dataset: matched keys
+    are replaced, new keys appended, everything else untouched.
+
+    The scale contract is partition-scoped rewrite: only partitions that
+    contain updated keys are read, merged (anti-join out the old versions
+    of updated keys, union the updates), and dynamically overwritten —
+    untouched partitions' files are never opened or rewritten. Update cost
+    is proportional to touched partitions, not table size (the parquet-only
+    stand-in for Delta/Iceberg MERGE INTO; at 100 TB pick partition_col so
+    updates cluster into few partitions).
+
+    The merged slice is localCheckpoint()ed before the overwrite because
+    Spark refuses to overwrite a path it is still lazily reading from;
+    the materialized slice is bounded by the touched partitions.
+    """
+    target = spark.read.parquet(path)
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    merged = (
+        target.filter(F.col(partition_col).isin(touched))
+        .join(updates.select(keys), keys, "left_anti")
+        .unionByName(updates)
+        .localCheckpoint()
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
 
 
 def write_table(

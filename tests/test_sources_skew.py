@@ -116,3 +116,56 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
     assert s["exchanges"] == 0 and s["sortmerge_joins"] == 1
     assert n == read_table(spark, sf_dir, "lineitem").count()
+
+
+def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    import datetime as dt
+    import os
+
+    from clickhouse_forecasting_spark.sources.formats import upsert_partitioned
+
+    path = str(tmp_path / "target")
+    base = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 1), 10.0), (2, dt.date(2024, 1, 1), 20.0),
+         (3, dt.date(2024, 1, 2), 30.0), (4, dt.date(2024, 1, 3), 40.0)],
+        "id long, day date, val double",
+    )
+    base.write.partitionBy("day").parquet(path)
+
+    untouched_dir = os.path.join(path, "day=2024-01-03")
+    before = sorted(os.listdir(untouched_dir))
+    before_mtimes = {f: os.path.getmtime(os.path.join(untouched_dir, f)) for f in before}
+
+    updates = spark.createDataFrame(
+        [(2, dt.date(2024, 1, 1), 99.0),   # replace existing key
+         (5, dt.date(2024, 1, 2), 50.0)],  # brand-new key
+        "id long, day date, val double",
+    )
+    upsert_partitioned(spark, updates, path, keys=["id"], partition_col="day")
+
+    got = {r["id"]: r["val"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0, 5: 50.0}
+    # the untouched partition's files were not rewritten
+    after = sorted(os.listdir(untouched_dir))
+    assert after == before
+    for f in after:
+        assert os.path.getmtime(os.path.join(untouched_dir, f)) == before_mtimes[f]
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    from clickhouse_forecasting_spark.queries import SPARK_QUERIES
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in SPARK_QUERIES["approx_distinct_users"](spark, sf_dir).collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(0.05 * n, 2), (t, approx[t], n)
