@@ -1158,6 +1158,53 @@ SELECT date, 'total_revenue' AS metric, total_revenue AS value FROM d
 """
 
 
+def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: orphan counts across the star schema's foreign
+    keys (anti-join per relation, unioned). The pipeline-gate shape for
+    ingest validation — each check is one LeftAnti join whose build side is
+    just the key column, so the audit scans each fact table once per FK."""
+
+    def orphans(child: DataFrame, parent: DataFrame, ck: str, pk: str, label: str) -> DataFrame:
+        return (
+            child.select(F.col(ck))
+            .join(parent.select(F.col(pk)), child[ck] == parent[pk], "left_anti")
+            .agg(F.count("*").alias("orphans"))
+            .select(F.lit(label).alias("relation"), "orphans")
+        )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    ev = _t(spark, sf_dir, "events")
+    checks = [
+        orphans(li, orders, "l_orderkey", "o_orderkey", "lineitem->orders"),
+        orphans(orders, cust, "o_custkey", "c_custkey", "orders->customer"),
+        orphans(li, sup, "l_suppkey", "s_suppkey", "lineitem->supplier"),
+        orphans(ev, cust, "user_id", "c_custkey", "events->customer"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("relation")
+
+
+_DQ_SQL = """
+SELECT 'lineitem->orders' AS relation, COUNT(*) AS orphans FROM lineitem
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+UNION ALL
+SELECT 'orders->customer', COUNT(*) FROM orders
+  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+UNION ALL
+SELECT 'lineitem->supplier', COUNT(*) FROM lineitem
+  WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+UNION ALL
+SELECT 'events->customer', COUNT(*) FROM events
+  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = user_id)
+ORDER BY relation
+"""
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type (rows-only: sketch
     estimates are engine-specific, so no value oracle — the exact twin is
@@ -2418,6 +2465,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_daily_metrics": q_unpivot_daily_metrics,
     "distinct_users_per_type": q_distinct_users_per_type,
     "approx_distinct_users": q_approx_distinct_users,
+    "dq_referential_integrity": q_dq_referential_integrity,
     "gap_fill_daily_revenue": q_gap_fill_daily_revenue,
     "timeseries_multigrain": q_timeseries_multigrain,
     "percentiles_by_segment": q_percentiles_by_segment,
@@ -2511,6 +2559,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "pivot_status_by_year": _PIVOT_SQL,
     "unpivot_daily_metrics": _UNPIVOT_SQL,
     "distinct_users_per_type": _DISTINCT_SQL,
+    "dq_referential_integrity": _DQ_SQL,
     "gap_fill_daily_revenue": _GAPFILL_SQL,
     "timeseries_multigrain": _MULTIGRAIN_SQL,
     "percentiles_by_segment": _PCTL_SQL,

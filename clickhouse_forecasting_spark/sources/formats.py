@@ -120,6 +120,30 @@ def upsert_partitioned(
     )
 
 
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    sort_within: str | list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into `target_files`
+    files (optionally re-sorted so min/max page stats stay tight).
+
+    Streaming sinks and incremental upserts accrete small files; at 100 TB
+    scan parallelism and footer-read overhead degrade with file count, so
+    periodic compaction is part of table maintenance. coalesce() (no
+    shuffle) merges partitions; a localCheckpoint materializes the data
+    before the self-overwrite. Returns the new file count."""
+    df = spark.read.parquet(path).coalesce(target_files)
+    if sort_within:
+        cols = [sort_within] if isinstance(sort_within, str) else sort_within
+        df = df.sortWithinPartitions(*cols)
+    df.localCheckpoint().write.mode("overwrite").parquet(path)
+    return len(
+        [f for f in spark.read.parquet(path).inputFiles() if f.endswith(".parquet")]
+    )
+
+
 def write_table(
     df: DataFrame,
     path: str,

@@ -169,3 +169,19 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for t, n in exact.items():
         assert abs(approx[t] - n) <= max(0.05 * n, 2), (t, approx[t], n)
+
+
+def test_compact_files_reduces_count_preserves_data(spark, sf_dir, tmp_path):
+    from clickhouse_forecasting_spark.sources.formats import compact_files
+
+    path = str(tmp_path / "fragmented")
+    orders = read_table(spark, sf_dir, "orders")
+    orders.repartition(24).write.parquet(path)
+    assert len(spark.read.parquet(path).inputFiles()) == 24
+    before = orders.count()
+
+    n = compact_files(spark, path, target_files=2, sort_within="o_orderdate")
+    assert n == 2
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    assert after.select(F.sum("o_orderkey")).first()[0] == orders.select(F.sum("o_orderkey")).first()[0]
