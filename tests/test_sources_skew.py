@@ -185,3 +185,55 @@ def test_compact_files_reduces_count_preserves_data(spark, sf_dir, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == before
     assert after.select(F.sum("o_orderkey")).first()[0] == orders.select(F.sum("o_orderkey")).first()[0]
+
+
+def test_salted_join_equals_direct(spark, sf_dir):
+    from clickhouse_forecasting_spark.functions.skew import salted_join
+
+    orders = read_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    direct = (
+        orders.join(cust, "c_custkey")
+        .groupBy("c_mktsegment").agg(F.count("*").alias("n"), F.sum("o_orderkey").alias("s"))
+    )
+    salted = (
+        salted_join(orders, cust, "c_custkey", n_salts=8)
+        .groupBy("c_mktsegment").agg(F.count("*").alias("n"), F.sum("o_orderkey").alias("s"))
+    )
+    assert {tuple(r) for r in direct.collect()} == {tuple(r) for r in salted.collect()}
+    # left join keeps unmatched fact rows
+    some = cust.filter(F.col("c_custkey") < 100)
+    left = salted_join(orders, some, "c_custkey", n_salts=8, how="left")
+    assert left.count() == orders.count()
+    with pytest.raises(ValueError):
+        salted_join(orders, cust, "c_custkey", how="full")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join: a key holding ~half the fact rows must be split into
+    multiple tasks at runtime (skew=true in the final plan). This is the
+    first line of defense salted_join generalizes."""
+    import pyspark.sql.functions as SF
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        facts = spark.range(200_000).select(
+            SF.when(SF.col("id") % 2 == 0, SF.lit(7)).otherwise(SF.col("id")).alias("k"),
+            SF.col("id").alias("v"),
+        )
+        dim = spark.range(100_000).select(SF.col("id").alias("k"), SF.lit("x").alias("tag"))
+        joined = facts.join(dim, "k")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
