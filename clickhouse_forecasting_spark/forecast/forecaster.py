@@ -124,6 +124,63 @@ class SeriesForecaster:
         reused = prior_forecasts.join(F.broadcast(stale_keys), groups, "left_anti")
         return reused.unionByName(refreshed), current
 
+    def backtest(
+        self,
+        long_df: DataFrame,
+        cutoffs: list[str],
+        group_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Rolling-origin evaluation: for every cutoff, fit on history
+        <= cutoff, predict the next `interval` days, and score predictions
+        against the held-out actuals.
+
+        Spark-first shape: the cutoff is just another GROUP KEY — the
+        training sets for all cutoffs are unioned (each tagged with its
+        cutoff) and every (cutoff x series) fit is one applyInPandas task
+        in a single job, so a 10-cutoff backtest parallelizes exactly like
+        a 10x-larger corpus instead of running 10 sequential jobs.
+
+        Returns one row per (group..., metric, cutoff): n_scored, mae,
+        rmse, mape (zero-actual days excluded), and interval coverage
+        (fraction of actuals inside [yhat_lower, yhat_upper]).
+        """
+        groups = (group_cols or []) + ["metric"]
+        train = None
+        for c in cutoffs:
+            t = long_df.filter(F.col("ds") <= F.lit(c)).withColumn(
+                "cutoff", F.lit(str(c))
+            )
+            train = t if train is None else train.unionByName(t)
+        scorer = SeriesForecaster(
+            interval=self.interval, only_future=True, backend=self.backend
+        )
+        preds = scorer.transform_long(
+            train, group_cols=(group_cols or []) + ["cutoff"]
+        )
+        actual = long_df.select(*groups, "ds", F.col("y").alias("actual"))
+        err = F.col("yhat") - F.col("actual")
+        covered = (
+            (F.col("actual") >= F.col("yhat_lower"))
+            & (F.col("actual") <= F.col("yhat_upper"))
+        ).cast("double")
+        return (
+            preds.join(actual, [*groups, "ds"])
+            .groupBy(*groups, "cutoff")
+            .agg(
+                F.count("*").alias("n_scored"),
+                F.avg(F.abs(err)).alias("mae"),
+                F.sqrt(F.avg(err * err)).alias("rmse"),
+                F.avg(
+                    F.when(
+                        F.abs(F.col("actual")) > 1e-9,
+                        F.abs(err / F.col("actual")),
+                    )
+                ).alias("mape"),
+                F.avg(covered).alias("coverage"),
+            )
+            .orderBy(*groups, "cutoff")
+        )
+
     def transform(self, df: DataFrame, axis: str = DATE_AXIS_COLUMN) -> DataFrame:
         """Forecast a wide daily table -> wide forecast table
         (date, m, m_min, m_max per metric), the reference's per-table output

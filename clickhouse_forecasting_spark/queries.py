@@ -1158,6 +1158,54 @@ SELECT date, 'total_revenue' AS metric, total_revenue AS value FROM d
 """
 
 
+def q_anomaly_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomaly detection on daily revenue: each
+    day scored against the prior 28 days' mean/std. Std comes from exact
+    decimal frame sums of x and x^2 (sqrt(E[x^2]-E[x]^2)) — deterministic
+    where stddev_samp's per-engine accumulation order is not; z is ranked
+    and compared on the 6dp-rounded value. The global date-ordered window
+    runs on an already-aggregated daily series (tiny by construction)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("rev_dec")
+    ).withColumn("revenue", F.col("rev_dec").cast("double"))
+    w = Window.orderBy("day").rowsBetween(-28, -1)
+    n = F.count("revenue").over(w)
+    s1 = F.sum("rev_dec").over(w).cast("double")
+    s2 = F.sum(
+        (F.col("revenue") * F.col("revenue")).cast("decimal(38,6)")
+    ).over(w).cast("double")
+    mean = s1 / n
+    var = F.greatest(s2 / n - mean * mean, F.lit(1e-12))
+    z = F.round((F.col("revenue") - mean) / F.sqrt(var), 6)
+    return (
+        daily.select("day", "revenue", n.alias("n"), z.alias("z"))
+        .filter(F.col("n") >= 14)
+        .withColumn("is_anomaly", F.abs(F.col("z")) > 3.0)
+        .drop("n")
+        .orderBy("day")
+    )
+
+
+_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS rev_dec,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1),
+stats AS (
+  SELECT day, revenue,
+    COUNT(revenue) OVER w AS n,
+    CAST(SUM(rev_dec) OVER w AS DOUBLE) AS s1,
+    CAST(SUM(CAST(revenue * revenue AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s2
+  FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+SELECT day, revenue,
+  ROUND((revenue - s1 / n) / sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 1e-12)), 6) AS z,
+  ABS(ROUND((revenue - s1 / n) / sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 1e-12)), 6)) > 3.0 AS is_anomaly
+FROM stats WHERE n >= 14 ORDER BY day
+"""
+
+
 def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality audit: orphan counts across the star schema's foreign
     keys (anti-join per relation, unioned). The pipeline-gate shape for
@@ -2016,6 +2064,18 @@ def q_forecast_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("metric", "ds")
 
 
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest over the orders daily series (rows-only):
+    two cutoffs x two metrics fit in ONE distributed job (cutoff is a group
+    key), scored on held-out actuals."""
+    from .relational import unpivot_metrics
+
+    daily = _orders_daily(spark, sf_dir)
+    long_all = unpivot_metrics(daily, ["order_count", "total_revenue"], axis="date")
+    fc = SeriesForecaster(interval=7, backend="fourier_ridge")
+    return fc.backtest(long_all, cutoffs=["2000-06-01", "2000-09-01"])
+
+
 def q_forecast_only_future(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     daily = daily_rollup(
@@ -2466,6 +2526,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_users_per_type": q_distinct_users_per_type,
     "approx_distinct_users": q_approx_distinct_users,
     "dq_referential_integrity": q_dq_referential_integrity,
+    "anomaly_zscore_daily": q_anomaly_zscore_daily,
     "gap_fill_daily_revenue": q_gap_fill_daily_revenue,
     "timeseries_multigrain": q_timeseries_multigrain,
     "percentiles_by_segment": q_percentiles_by_segment,
@@ -2506,6 +2567,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast_daily_sales": q_forecast_daily_sales,
     "forecast_only_future": q_forecast_only_future,
     "forecast_incremental": q_forecast_incremental,
+    "forecast_backtest": q_forecast_backtest,
     "forecast_multi_table": q_forecast_multi_table,
 }
 
@@ -2560,6 +2622,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "unpivot_daily_metrics": _UNPIVOT_SQL,
     "distinct_users_per_type": _DISTINCT_SQL,
     "dq_referential_integrity": _DQ_SQL,
+    "anomaly_zscore_daily": _ANOMALY_SQL,
     "gap_fill_daily_revenue": _GAPFILL_SQL,
     "timeseries_multigrain": _MULTIGRAIN_SQL,
     "percentiles_by_segment": _PCTL_SQL,

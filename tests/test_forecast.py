@@ -164,3 +164,24 @@ def test_incremental_new_series_is_fitted(spark):
     out, _ = fc.transform_long_incremental(both, prior, wm)
     counts = {r["metric"]: r["n"] for r in out.groupBy("metric").agg(F.count("*").alias("n")).collect()}
     assert counts == {"a": 22, "c": 22}
+
+
+def test_backtest_rolling_origin(spark):
+    """Backtest: every (cutoff x metric) is scored on held-out days; on a
+    noiseless additive series the surrogate's out-of-sample error is small
+    and the uncertainty interval covers most actuals."""
+    pdf = _series(n=120)
+    rows = [
+        Row(metric=m, ds=d.date(), y=float(v))
+        for m in ("a", "b")
+        for d, v in zip(pdf["ds"], pdf["y"])
+    ]
+    long_df = spark.createDataFrame(rows, schema="metric string, ds date, y double")
+    fc = SeriesForecaster(interval=7, backend="fourier_ridge")
+    out = fc.backtest(long_df, cutoffs=["2024-03-01", "2024-04-01"]).collect()
+    assert len(out) == 4  # 2 metrics x 2 cutoffs
+    for r in out:
+        assert r["n_scored"] == 7  # full horizon has actuals
+        assert r["mae"] < 2.0  # near-noiseless series forecasts well
+        assert 0.0 <= r["coverage"] <= 1.0
+        assert r["rmse"] >= r["mae"] - 1e-9
