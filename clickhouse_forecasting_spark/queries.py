@@ -2471,6 +2471,261 @@ GROUP BY c_nationkey ORDER BY cntrycode
 
 
 # --------------------------------------------------------------------------
+# round-1 widening batch 2: grouping sets, argmax-per-group, seasonality,
+# bigrams, embedding centroids, corpus histograms, repetition scoring
+# --------------------------------------------------------------------------
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((n_name), (order_year)) — two *sideways* aggregation
+    grains in one shuffle, a shape neither ROLLUP nor CUBE expresses.
+    Single pass over the joined fact: Spark expands the sets map-side, so
+    the shuffle carries one partial row per (set, key) — at 100 TB this is
+    one fact scan instead of two separate groupBys."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("order_year"), "o_totalprice")
+    )
+    return (
+        joined.groupingSets(
+            [["n_name"], ["order_year"]], "n_name", "order_year"
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .select("n_name", "order_year", "gid", "revenue", "n_orders")
+    )
+
+
+_GSETS_SQL = """
+SELECT n_name, year(o_orderdate) AS order_year,
+  GROUPING(n_name) * 2 + GROUPING(year(o_orderdate)) AS gid,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (year(o_orderdate)))
+"""
+
+
+def q_argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-per-group without a self-join: max over a (price, orderkey)
+    struct gives each customer's most expensive order (ties -> highest key)
+    in ONE aggregation — the scalable alternative to the join-back-on-max
+    idiom the oracle uses. Top 25 customers by that best price."""
+    orders = _t(spark, sf_dir, "orders")
+    best = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+        ).alias("b")
+    )
+    w = Window.orderBy(F.col("best_price").desc(), F.col("o_custkey"))
+    return (
+        best.select(
+            "o_custkey",
+            F.col("b.p").cast("double").alias("best_price"),
+            F.col("b.k").alias("best_orderkey"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+    )
+
+
+_ARGMAX_SQL = """
+WITH m AS (
+  SELECT o_custkey, max(o_totalprice) AS best_price
+  FROM orders GROUP BY o_custkey),
+b AS (
+  SELECT m.o_custkey, m.best_price, max(o.o_orderkey) AS best_orderkey
+  FROM m JOIN orders o
+    ON o.o_custkey = m.o_custkey AND o.o_totalprice = m.best_price
+  GROUP BY m.o_custkey, m.best_price)
+SELECT o_custkey, best_price, best_orderkey, rank FROM (
+  SELECT o_custkey, CAST(best_price AS DOUBLE) AS best_price, best_orderkey,
+    ROW_NUMBER() OVER (ORDER BY best_price DESC, o_custkey) AS rank
+  FROM b)
+WHERE rank <= 25
+"""
+
+
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average daily order revenue by ISO day-of-week — the seasonality
+    profile a forecaster's weekly component captures. Two aggregations
+    (daily rollup, then 7-row dow profile); the second input is one row
+    per date so its shuffle is negligible at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,10)")).alias("rev")
+    )
+    return (
+        daily.groupBy((F.weekday("o_orderdate") + F.lit(1)).alias("isodow"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("rev").cast("double").alias("total_revenue"),
+        )
+        .withColumn(
+            "avg_daily_revenue",
+            F.round(F.col("total_revenue") / F.col("n_days"), 4),
+        )
+        .select("isodow", "n_days", "total_revenue", "avg_daily_revenue")
+    )
+
+
+_DOW_SQL = """
+WITH daily AS (
+  SELECT o_orderdate, SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS rev
+  FROM orders GROUP BY o_orderdate)
+SELECT isodow(o_orderdate) AS isodow,
+  COUNT(*) AS n_days,
+  CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+  ROUND(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 4) AS avg_daily_revenue
+FROM daily GROUP BY isodow(o_orderdate)
+"""
+
+
+def q_text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams: zip the token array against its own tail
+    (pure JVM array ops, no Python), explode, count. The shuffle carries
+    one partial count per distinct bigram per partition (map-side
+    combine), not one row per bigram occurrence."""
+    docs = _t(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+_BIGRAM_SQL = f"""
+WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
+big AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks),
+counts AS (SELECT bigram, COUNT(*) AS n FROM big GROUP BY bigram)
+SELECT bigram, n, rank FROM (
+  SELECT bigram, n, ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rank FROM counts)
+WHERE rank <= 20
+"""
+
+
+def q_embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the 64-dim embedding column in long form
+    (label, pos, centroid): posexplode -> groupBy (label, pos) -> exact
+    decimal mean. This is the k-means-update / class-prototype primitive;
+    the shuffle carries labels x 64 dims regardless of row count, and the
+    long output avoids array-hash comparison pitfalls."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("double").cast("decimal(38,10)")).alias("s"),
+        )
+        .select(
+            "label",
+            "pos",
+            "n",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("centroid"),
+        )
+    )
+
+
+_CENTROID_SQL = """
+WITH pe AS (
+  SELECT label, r.i AS pos, embedding[r.i] AS v
+  FROM embeddings
+  CROSS JOIN (SELECT CAST(range AS INTEGER) AS i FROM range(1, 65)) r)
+SELECT label, pos, COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6) AS centroid
+FROM pe GROUP BY label, pos
+"""
+
+
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram per source: 50-char buckets over n_chars.
+    The pre-training curation sanity check (length distribution shift);
+    pure map-side bucketing + one tiny aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "source",
+            (F.floor(F.col("n_chars") / 50) * 50).alias("bucket_lo"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+_LENHIST_SQL = """
+SELECT source, CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
+  COUNT(*) AS n_docs, MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY source, floor(n_chars / 50) * 50
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score: 1 - distinct_tokens/total_tokens.
+    The boilerplate/spam signal in LLM-corpus quality gates. Per-row array
+    ops only — embarrassingly parallel, no shuffle before the final
+    top-20."""
+    docs = _t(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    n = F.size(t)
+    rep = F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(t)) / F.greatest(n, F.lit(1)).cast("double"),
+        6,
+    )
+    w = Window.orderBy(F.col("repetition").desc(), F.col("doc_id"))
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.size(F.array_distinct(t)).alias("n_distinct"),
+            rep.alias("repetition"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+_REPETITION_SQL = f"""
+WITH s AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS n_tokens,
+    len(list_distinct({_TOKS_SQL})) AS n_distinct
+  FROM documents)
+SELECT doc_id, n_tokens, n_distinct, repetition, rank FROM (
+  SELECT doc_id, n_tokens, n_distinct,
+    ROUND(1.0 - n_distinct / greatest(n_tokens, 1)::DOUBLE, 6) AS repetition,
+    ROW_NUMBER() OVER (
+      ORDER BY ROUND(1.0 - n_distinct / greatest(n_tokens, 1)::DOUBLE, 6) DESC,
+               doc_id) AS rank
+  FROM s)
+WHERE rank <= 20
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2569,6 +2824,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast_incremental": q_forecast_incremental,
     "forecast_backtest": q_forecast_backtest,
     "forecast_multi_table": q_forecast_multi_table,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
+    "argmax_order_per_customer": q_argmax_order_per_customer,
+    "dow_seasonality": q_dow_seasonality,
+    "text_bigram_top": q_text_bigram_top,
+    "embedding_centroid_by_label": q_embedding_centroid_by_label,
+    "doc_length_histogram": q_doc_length_histogram,
+    "text_repetition": q_text_repetition,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -2657,4 +2919,11 @@ ORACLE_QUERIES: dict[str, str] = {
     #   similarity_lsh_topk, multimodal_features,
     #   forecast_daily_sales, forecast_only_future
     "multimodal_meta": _MM_META_SQL,
+    "grouping_sets_revenue": _GSETS_SQL,
+    "argmax_order_per_customer": _ARGMAX_SQL,
+    "dow_seasonality": _DOW_SQL,
+    "text_bigram_top": _BIGRAM_SQL,
+    "embedding_centroid_by_label": _CENTROID_SQL,
+    "doc_length_histogram": _LENHIST_SQL,
+    "text_repetition": _REPETITION_SQL,
 }

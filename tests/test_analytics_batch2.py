@@ -1,0 +1,111 @@
+"""Semantic invariants for the round-1 batch-2 analytics queries
+(grouping sets, argmax-per-group, dow seasonality, bigrams, embedding
+centroids, length histogram, repetition). Cross-engine value equality is
+covered by the DuckDB oracle gate; these tests pin the *semantics* that a
+hash can't explain when it breaks.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry.queries()
+
+
+def test_grouping_sets_two_grains_consistent(spark, sf_dir, qs):
+    rows = qs["grouping_sets_revenue"](spark, sf_dir).collect()
+    # exactly two grouping ids: (n_name) -> year grouped out (gid=1),
+    # (order_year) -> nation grouped out (gid=2)
+    gids = {r.gid for r in rows}
+    assert gids == {1, 2}
+    by_nation = [r for r in rows if r.gid == 1]
+    by_year = [r for r in rows if r.gid == 2]
+    assert all(r.n_name is not None and r.order_year is None for r in by_nation)
+    assert all(r.n_name is None and r.order_year is not None for r in by_year)
+    # both grains partition the same fact rows -> identical totals
+    assert sum(r.n_orders for r in by_nation) == sum(r.n_orders for r in by_year)
+    assert sum(r.revenue for r in by_nation) == pytest.approx(
+        sum(r.revenue for r in by_year), rel=1e-9
+    )
+
+
+def test_argmax_order_is_the_customer_max(spark, sf_dir, qs):
+    res = qs["argmax_order_per_customer"](spark, sf_dir)
+    rows = res.collect()
+    assert len(rows) == 25
+    assert [r.rank for r in rows] == list(range(1, 26))
+    from clickhouse_forecasting_spark.sources import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    checked = (
+        res.join(o, res.best_orderkey == o.o_orderkey)
+        .select("best_price", "o_totalprice", res.o_custkey, o.o_custkey.alias("ok"))
+        .collect()
+    )
+    assert len(checked) == 25
+    for r in checked:
+        assert r.o_custkey == r.ok  # the argmax key belongs to that customer
+        assert r.best_price == pytest.approx(float(r.o_totalprice))
+
+
+def test_dow_seasonality_partitions_days(spark, sf_dir, qs):
+    from clickhouse_forecasting_spark.sources import read_table
+
+    rows = qs["dow_seasonality"](spark, sf_dir).collect()
+    assert {r.isodow for r in rows} <= set(range(1, 8))
+    n_dates = (
+        read_table(spark, sf_dir, "orders").select("o_orderdate").distinct().count()
+    )
+    assert sum(r.n_days for r in rows) == n_dates
+    for r in rows:
+        assert r.avg_daily_revenue == pytest.approx(r.total_revenue / r.n_days, abs=1e-4)
+
+
+def test_bigram_counts_monotone(spark, sf_dir, qs):
+    rows = qs["text_bigram_top"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    counts = [r.n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(" " in r.bigram for r in rows)
+
+
+def test_embedding_centroid_shape_and_range(spark, sf_dir, qs):
+    from clickhouse_forecasting_spark.sources import read_table
+
+    rows = qs["embedding_centroid_by_label"](spark, sf_dir).collect()
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_labels = emb.select("label").distinct().count()
+    assert len(rows) == n_labels * 64
+    per_label = emb.groupBy("label").count().collect()
+    counts = {r.label: r["count"] for r in per_label}
+    for r in rows:
+        assert 1 <= r.pos <= 64
+        assert r.n == counts[r.label]  # every dim of every vector contributed
+
+
+def test_doc_length_histogram_covers_corpus(spark, sf_dir, qs):
+    from clickhouse_forecasting_spark.sources import read_table
+
+    rows = qs["doc_length_histogram"](spark, sf_dir).collect()
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.bucket_lo <= r.min_chars <= r.max_chars < r.bucket_lo + 50
+
+
+def test_repetition_bounded_and_consistent(spark, sf_dir, qs):
+    rows = qs["text_repetition"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0.0 <= r.repetition <= 1.0
+        assert r.n_distinct <= r.n_tokens
+        assert r.repetition == pytest.approx(
+            1.0 - r.n_distinct / max(r.n_tokens, 1), abs=1e-6
+        )
