@@ -60,6 +60,11 @@ HEADLINE = [
     "similarity_topk",
     "similarity_pairwise_topk",
     "similarity_multiprobe_topk",
+    "grouping_sets_revenue",
+    "text_bigram_top",
+    "embedding_centroid_by_label",
+    "sketch_rollup_daily_users",
+    "sketch_weekly_retention",
     "forecast_daily_sales",
     "forecast_multi_table",
 ]

@@ -2726,6 +2726,116 @@ WHERE rank <= 20
 
 
 # --------------------------------------------------------------------------
+# mergeable-sketch rollups (Apache DataSketches built-ins, Spark 3.5+/4.x)
+#
+# THE 100 TB aggregation pattern: sketches are mergeable partial aggregates,
+# so coarse grains (month, total) are computed by unioning the fine-grain
+# sketch column — no second scan of the fact table, and a pre-aggregated
+# sketch table is ~KB per group regardless of row count.
+# --------------------------------------------------------------------------
+
+
+def q_sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct-user HLL sketches unioned into a total WITHOUT
+    rescanning events: one scan builds per-day sketches; the total grain
+    merges 30 sketch blobs (bytes, not rows). Estimates are deterministic
+    (hash registers + pointwise-max merge, no RNG)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    per_day = daily.select(
+        F.lit("day").alias("grain"),
+        F.col("day").cast("string").alias("key"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "n_events",
+    )
+    total = daily.agg(
+        F.hll_union_agg("sk").alias("sk"), F.sum("n_events").alias("n_events")
+    ).select(
+        F.lit("total").alias("grain"),
+        F.lit("ALL").alias("key"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+        "n_events",
+    )
+    return per_day.unionByName(total)
+
+
+def q_sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches of event value per event_type, merged into a
+    global grain from the per-type sketches. p50/p90/p99 come out of the
+    sketch, rank error ~1.7% at default k — the streaming/distributed
+    replacement for exact percentile sorts."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk"),
+        F.count("*").alias("n"),
+    )
+    def _quants(df: DataFrame, key: F.Column) -> DataFrame:
+        return df.select(
+            key.alias("event_type"),
+            "n",
+            F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 6).alias("p90"),
+            F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.99)), 6).alias("p99"),
+        )
+    both = _quants(per_type, F.col("event_type"))
+    merged = per_type.agg(
+        F.kll_merge_agg_double("sk").alias("sk"), F.sum("n").alias("n")
+    )
+    return both.unionByName(_quants(merged, F.lit("ALL")))
+
+
+def q_sketch_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retained users via Theta sketch set intersection:
+    per-week sketches of user_id, consecutive weeks paired, intersection
+    estimated. Below the sketch's nominal-entries threshold estimates are
+    exact, so the DuckDB oracle (exact self-join intersection) hash-matches
+    at fixture scale; at 100 TB the same plan degrades gracefully to
+    bounded-error estimates instead of a quadratic users-join."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start")
+    ).agg(F.theta_sketch_agg("user_id").alias("sk"))
+    a, b = weekly.alias("a"), weekly.alias("b")
+    paired = a.join(
+        b, F.date_add(F.col("a.week_start"), 7) == F.col("b.week_start")
+    )
+    return paired.select(
+        F.col("a.week_start").alias("week_start"),
+        F.col("b.week_start").alias("next_week_start"),
+        F.theta_sketch_estimate(F.col("a.sk")).cast("bigint").alias("users_w"),
+        F.theta_sketch_estimate(F.col("b.sk")).cast("bigint").alias("users_next"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("a.sk"), F.col("b.sk"))
+        ).cast("bigint").alias("retained"),
+    ).withColumn(
+        "retention_rate",
+        F.round(F.col("retained") / F.col("users_w"), 6),
+    )
+
+
+_RETENTION_SQL = """
+WITH wu AS (
+  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week_start, user_id
+  FROM events),
+wc AS (SELECT week_start, COUNT(*) AS users FROM wu GROUP BY week_start),
+ret AS (
+  SELECT a.week_start, b.week_start AS next_week_start, COUNT(*) AS retained
+  FROM wu a JOIN wu b
+    ON b.week_start = a.week_start + INTERVAL 7 DAY AND a.user_id = b.user_id
+  GROUP BY a.week_start, b.week_start)
+SELECT r.week_start, r.next_week_start,
+  w1.users AS users_w, w2.users AS users_next, r.retained,
+  ROUND(r.retained / CAST(w1.users AS DOUBLE), 6) AS retention_rate
+FROM ret r
+JOIN wc w1 ON w1.week_start = r.week_start
+JOIN wc w2 ON w2.week_start = r.next_week_start
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2831,6 +2941,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroid_by_label": q_embedding_centroid_by_label,
     "doc_length_histogram": q_doc_length_histogram,
     "text_repetition": q_text_repetition,
+    "sketch_rollup_daily_users": q_sketch_rollup_daily_users,
+    "sketch_value_quantiles": q_sketch_value_quantiles,
+    "sketch_weekly_retention": q_sketch_weekly_retention,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -2926,4 +3039,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "embedding_centroid_by_label": _CENTROID_SQL,
     "doc_length_histogram": _LENHIST_SQL,
     "text_repetition": _REPETITION_SQL,
+    # sketch_rollup_daily_users / sketch_value_quantiles are rows-only
+    # (DataSketches estimates have no DuckDB twin); weekly retention is
+    # exact below nominal-entries so it oracle-checks at fixture scale:
+    "sketch_weekly_retention": _RETENTION_SQL,
 }
