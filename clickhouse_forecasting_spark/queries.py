@@ -2835,6 +2835,43 @@ JOIN wc w2 ON w2.week_start = r.next_week_start
 """
 
 
+def q_variant_props_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics over the OPEN VARIANT type (Spark 4):
+    parse the JSON props column once into a binary variant, then typed
+    path extraction feeds a normal aggregation. Versus string JSON ops,
+    variant parses each value once (not once per path) and its binary
+    encoding shreds into columnar reads at the parquet layer — the
+    schema-on-read path for 100 TB of heterogeneous event payloads."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("k").cast("bigint")).alias("sum_k"),
+        )
+        .withColumn(
+            "avg_k",
+            F.round(F.col("sum_k").cast("double") / F.col("n_with_k"), 6),
+        )
+    )
+
+
+_VARIANT_SQL = """
+WITH x AS (
+  SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events)
+SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
+  MIN(k) AS min_k, MAX(k) AS max_k, SUM(CAST(k AS BIGINT)) AS sum_k,
+  ROUND(CAST(SUM(CAST(k AS BIGINT)) AS DOUBLE) / COUNT(k), 6) AS avg_k
+FROM x GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2944,6 +2981,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_rollup_daily_users": q_sketch_rollup_daily_users,
     "sketch_value_quantiles": q_sketch_value_quantiles,
     "sketch_weekly_retention": q_sketch_weekly_retention,
+    "variant_props_analytics": q_variant_props_analytics,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -3043,4 +3081,5 @@ ORACLE_QUERIES: dict[str, str] = {
     # (DataSketches estimates have no DuckDB twin); weekly retention is
     # exact below nominal-entries so it oracle-checks at fixture scale:
     "sketch_weekly_retention": _RETENTION_SQL,
+    "variant_props_analytics": _VARIANT_SQL,
 }

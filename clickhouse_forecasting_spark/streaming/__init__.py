@@ -1,9 +1,16 @@
 from .dedup_stream import dedup_stream, dedup_stream_exact
-from .rollup import daily_rollup_stream, streaming_daily_events
+from .rollup import (
+    daily_rollup_stream,
+    enrich_with_static_dim,
+    stream_upsert_daily,
+    streaming_daily_events,
+)
 
 __all__ = [
     "daily_rollup_stream",
     "dedup_stream",
     "dedup_stream_exact",
+    "enrich_with_static_dim",
+    "stream_upsert_daily",
     "streaming_daily_events",
 ]

@@ -61,3 +61,64 @@ def streaming_daily_events(
     the batch-replay entry point used in tests."""
     stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
     return daily_rollup_stream(stream, watermark)
+
+
+def enrich_with_static_dim(
+    stream: DataFrame, dim: DataFrame, on: str | list[str], how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    static dimension, re-read per batch so slowly-changing dims pick up
+    updates without restarting the query. The static side is explicitly
+    broadcast — stream-side state stays empty (stream-static joins are
+    stateless), so this costs a map-side hash probe per batch, never a
+    stateful shuffle. The 100 TB/day enrichment pattern: facts stream,
+    dims broadcast."""
+    return stream.join(F.broadcast(dim), on=on, how=how)
+
+
+def stream_upsert_daily(
+    spark: SparkSession,
+    src_path: str,
+    sink_path: str,
+    checkpoint: str,
+    watermark: str = "1 day",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming daily rollup written through foreachBatch as a MERGE-style
+    upsert into date-partitioned parquet.
+
+    Update-mode windowed aggregation re-emits a day whenever late data
+    changes it; the upsert sink (sources.upsert_partitioned) replaces just
+    that day's partition, so replays and retries are idempotent — the
+    parquet-only equivalent of exactly-once delivery to a MERGE-capable
+    sink. Returns the started StreamingQuery (trigger availableNow:
+    drains the backlog, then stops)."""
+    from ..sources.formats import upsert_partitioned
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    rolled = daily_rollup_stream(reader.parquet(src_path), watermark)
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        # bootstrap: the first batch creates the partitioned sink; later
+        # batches MERGE into it (replaying a batch is then idempotent)
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(sink_path)
+        if not p.getFileSystem(hconf).exists(p):
+            batch.write.partitionBy("date").parquet(sink_path)
+            return
+        upsert_partitioned(
+            spark, batch, sink_path, keys=["date"], partition_col="date"
+        )
+
+    return (
+        rolled.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

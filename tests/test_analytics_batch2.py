@@ -100,6 +100,18 @@ def test_doc_length_histogram_covers_corpus(spark, sf_dir, qs):
         assert r.bucket_lo <= r.min_chars <= r.max_chars < r.bucket_lo + 50
 
 
+def test_variant_extraction_total_and_bounds(spark, sf_dir, qs):
+    from clickhouse_forecasting_spark.sources import read_table
+
+    rows = qs["variant_props_analytics"](spark, sf_dir).collect()
+    n_events = read_table(spark, sf_dir, "events").count()
+    assert sum(r.n for r in rows) == n_events
+    for r in rows:
+        assert r.n_with_k <= r.n
+        if r.n_with_k:
+            assert r.min_k <= r.avg_k <= r.max_k
+
+
 def test_repetition_bounded_and_consistent(spark, sf_dir, qs):
     rows = qs["text_repetition"](spark, sf_dir).collect()
     assert len(rows) == 20
