@@ -1,0 +1,79 @@
+"""Custom Python DataSource (Spark 4 API): deterministic time-series
+generator, `spark.read.format("seriesgen")`.
+
+The reference's only source is a ClickHouse HTTP connector
+(`forecast_script.py:82-94,157`); this is our engine's demonstration that
+NEW sources plug in behind the same DataFrame surface — the Python
+DataSource API gives a schema, partition planning, and per-partition
+readers, so the source parallelizes like any file scan. A generator source
+is also the standard fixture trick for forecasting benchmarks: unbounded,
+deterministic input with known seasonality, no files.
+
+Options (all strings, per the API):
+    start      ISO date of the first day          (default 2024-01-01)
+    days       length of each series              (default 365)
+    series     number of independent series       (default 4)
+    amplitude  weekly-seasonality amplitude       (default 10.0)
+
+One InputPartition per series -> `partitions()` scales the scan out to
+`series` parallel tasks; each task streams its rows (generator, no
+materialized list), so memory per task is O(1). Values are a pure hash
+formula of (series_id, day) — the same options always produce the same
+table, in any partition order, with no RNG state.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import math
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def _noise(series_id: int, day: int) -> float:
+    """Deterministic pseudo-noise in [-1, 1): md5 of the coordinates."""
+    h = hashlib.md5(f"{series_id}:{day}".encode()).digest()
+    return int.from_bytes(h[:8], "big") / 2**63 - 1.0
+
+
+class SeriesGenReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.start = _dt.date.fromisoformat(options.get("start", "2024-01-01"))
+        self.days = int(options.get("days", "365"))
+        self.series = int(options.get("series", "4"))
+        self.amplitude = float(options.get("amplitude", "10.0"))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(self.series)]
+
+    def read(self, partition):
+        sid = partition.value
+        base = 100.0 + 10.0 * sid
+        for d in range(self.days):
+            day = self.start + _dt.timedelta(days=d)
+            y = (
+                base
+                + 0.05 * d  # linear trend
+                + self.amplitude * math.sin(2 * math.pi * (d % 7) / 7.0)
+                + 2.0 * _noise(sid, d)
+            )
+            yield (day, sid, y)
+
+
+class SeriesGenDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "seriesgen"
+
+    def schema(self) -> str:
+        return "date date, series_id int, y double"
+
+    def reader(self, schema) -> SeriesGenReader:
+        return SeriesGenReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration: after this, any query can
+    `spark.read.format("seriesgen")`."""
+    spark.dataSource.register(SeriesGenDataSource)
