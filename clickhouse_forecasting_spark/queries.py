@@ -2872,6 +2872,98 @@ FROM x GROUP BY event_type
 """
 
 
+def q_user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting over the events stream: per day, new users (first
+    ever seen), returning users, and the cumulative user count. Two
+    aggregations sharing the user_id shuffle key (daily-active and
+    first-seen) + a broadcast-sized join on day + a cumulative window over
+    the (tiny) daily series. The user-level frames are one row per user /
+    per (user, day) — at 100 TB both shuffles carry ids, never events."""
+    ev = _t(spark, sf_dir, "events")
+    active = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("active_users"))
+    )
+    first_seen = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        active.join(first_seen, "day", "left")
+        .withColumn("new_users", F.coalesce("new_users", F.lit(0)))
+        .withColumn("returning_users", F.col("active_users") - F.col("new_users"))
+        .withColumn("cumulative_users", F.sum("new_users").over(w))
+        .select("day", "active_users", "new_users", "returning_users", "cumulative_users")
+    )
+
+
+_GROWTH_SQL = """
+WITH active AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS active_users
+  FROM events GROUP BY CAST(ts AS DATE)),
+fs AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id),
+nu AS (SELECT day, COUNT(*) AS new_users FROM fs GROUP BY day)
+SELECT a.day, a.active_users,
+  COALESCE(nu.new_users, 0) AS new_users,
+  a.active_users - COALESCE(nu.new_users, 0) AS returning_users,
+  SUM(COALESCE(nu.new_users, 0)) OVER (
+    ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS cumulative_users
+FROM active a LEFT JOIN nu ON nu.day = a.day
+"""
+
+
+def q_dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations over orders, evaluated in ONE scan
+    (functions/quality.py): any number of row-level rules become
+    conditional-count aggregates in a single agg — never one job per
+    rule. Two rules are deliberately violated by the fixture (pre-2000
+    dates, sub-100k price cap) so the summary exercises non-zero paths."""
+    from .functions.quality import check_expectations
+
+    orders = _t(spark, sf_dir, "orders")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return check_expectations(
+        orders,
+        {
+            "orderkey_not_null": F.col("o_orderkey").isNotNull(),
+            "positive_price": F.col("o_totalprice") > 0,
+            "known_priority": F.col("o_orderpriority").isin(pri),
+            "price_under_100k": F.col("o_totalprice") < 100000,
+            "pre_y2k_date": F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"),
+        },
+    )
+
+
+_DQ_EXPECT_SQL = """
+WITH s AS (
+  SELECT COUNT(*) AS n_rows,
+    SUM(CASE WHEN o_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS v_notnull,
+    SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v_pos,
+    SUM(CASE WHEN o_orderpriority IN
+      ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+      THEN 0 ELSE 1 END) AS v_pri,
+    SUM(CASE WHEN o_totalprice < 100000 THEN 0 ELSE 1 END) AS v_cap,
+    SUM(CASE WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 0 ELSE 1 END) AS v_y2k
+  FROM orders),
+long AS (
+  SELECT 'orderkey_not_null' AS rule, n_rows, v_notnull AS n_violations FROM s
+  UNION ALL SELECT 'positive_price', n_rows, v_pos FROM s
+  UNION ALL SELECT 'known_priority', n_rows, v_pri FROM s
+  UNION ALL SELECT 'price_under_100k', n_rows, v_cap FROM s
+  UNION ALL SELECT 'pre_y2k_date', n_rows, v_y2k FROM s)
+SELECT rule, n_rows, n_violations,
+  ROUND((n_rows - n_violations) / CAST(greatest(n_rows, 1) AS DOUBLE), 6) AS pass_rate
+FROM long ORDER BY rule
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2982,6 +3074,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_value_quantiles": q_sketch_value_quantiles,
     "sketch_weekly_retention": q_sketch_weekly_retention,
     "variant_props_analytics": q_variant_props_analytics,
+    "user_growth_accounting": q_user_growth_accounting,
+    "dq_orders_expectations": q_dq_orders_expectations,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -3082,4 +3176,6 @@ ORACLE_QUERIES: dict[str, str] = {
     # exact below nominal-entries so it oracle-checks at fixture scale:
     "sketch_weekly_retention": _RETENTION_SQL,
     "variant_props_analytics": _VARIANT_SQL,
+    "user_growth_accounting": _GROWTH_SQL,
+    "dq_orders_expectations": _DQ_EXPECT_SQL,
 }
