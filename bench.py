@@ -65,6 +65,9 @@ HEADLINE = [
     "embedding_centroid_by_label",
     "sketch_rollup_daily_users",
     "sketch_weekly_retention",
+    "variant_props_analytics",
+    "user_growth_accounting",
+    "dq_orders_expectations",
     "forecast_daily_sales",
     "forecast_multi_table",
 ]

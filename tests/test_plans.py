@@ -207,3 +207,47 @@ def test_minhash_band_validation(spark, sf_dir):
         minhash_lsh_candidates(docs, num_hashes=8, bands=16)
     with pytest.raises(ValueError):
         minhash_lsh_candidates(docs, num_hashes=16, bands=5)
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Spark's runtime row-level filter: a selective filter on one join
+    side is turned into a bloom filter probed by the OTHER side's scan,
+    cutting shuffle volume before the join. At fixture scale the
+    application-side size threshold (10 GB default) suppresses it — i.e.
+    it is precisely a big-data optimization — so the test lowers the
+    threshold to pin the behavior our 100 TB plans rely on."""
+    from clickhouse_forecasting_spark.sources import read_table
+
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    ) == "true"
+    old_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = read_table(spark, sf_dir, "lineitem")
+        o = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+        filtered_count = j.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+    # the bloom probe is a pure pre-filter: results identical without it
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    assert li.join(o, li.l_orderkey == o.o_orderkey).count() == filtered_count
