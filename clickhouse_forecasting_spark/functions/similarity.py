@@ -61,6 +61,95 @@ def brute_force_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def with_normalized(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "nvec"
+) -> DataFrame:
+    """Add an L2-normalized copy of the vector column. The norm is
+    materialized in its own projection first so the per-element divide
+    does not re-evaluate the aggregate subtree (interpreted higher-order
+    functions re-run argument trees per element)."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return df.withColumn("_norm", F.greatest(norm, F.lit(1e-12))).withColumn(
+        out_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("_norm")),
+    ).drop("_norm")
+
+
+def quantization_stats(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, scale) for asymmetric int8 quantization.
+
+    posexplode -> groupBy(pos): the shuffle carries dims × partials, the
+    driver collects exactly `dim` rows (constants thereafter, shipped in
+    the plan as literals — the classic train-tiny/apply-everywhere split)."""
+    stats = (
+        df.select(F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .orderBy("pos")
+        .collect()
+    )
+    mins = [float(r.lo) for r in stats]
+    scales = [max(float(r.hi) - float(r.lo), 1e-12) / 255.0 for r in stats]
+    return mins, scales
+
+
+def quantize(vec_col: Column, mins: list[float], scales: list[float]) -> Column:
+    """Map float dims to 0..255 ints: round((x - min_d) / scale_d).
+    Row-local, JVM-side; the int8 representation is 4x smaller in memory
+    and shuffle than float32 — the standard ANN compression step."""
+    m = F.array(*[F.lit(v) for v in mins])
+    s = F.array(*[F.lit(v) for v in scales])
+    return F.transform(
+        vec_col,
+        lambda x, i: F.round(
+            (x.cast("double") - F.element_at(m, i + 1)) / F.element_at(s, i + 1)
+        ).cast("int"),
+    )
+
+
+def quantized_topk(
+    df: DataFrame,
+    query: list[float],
+    mins: list[float],
+    scales: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate COSINE top-k over int8-quantized vectors via asymmetric
+    distance computation (ADC, the FAISS SQ8 scheme): only the CORPUS is
+    quantized; the float query folds into per-dim weights. With
+    reconstruction x̂_d = min_d + scale_d·code_d,
+
+        dot(x̂, q) = Σ min_d·q_d  (rank-constant)  +  Σ code_d·(scale_d·q_d)
+
+    so ranking needs just the integer codes x a precomputed weight array.
+    Callers pass an L2-NORMALIZED corpus column + query (with_normalized)
+    so dot ranks like cosine. Corpus memory/bandwidth drop 4x — at 100 TB
+    of embeddings the difference between in-memory and spilled; recall is
+    pinned in tests (only corpus-side quantization error remains)."""
+    w = F.array(*[F.lit(float(sc * qd)) for sc, qd in zip(scales, query)])
+    codes = quantize(F.col(vec_col), mins, scales)
+    score = F.aggregate(
+        F.zip_with(codes, w, lambda c, wd: c.cast("double") * wd),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        df.select(F.col(id_col), F.round(score, 6).alias("qscore"))
+        .orderBy(F.col("qscore").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pairwise_topk(
     df: DataFrame,
     queries: DataFrame,

@@ -2964,6 +2964,19 @@ FROM long ORDER BY rule
 """
 
 
+def q_similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 by integer dot product over int8-quantized embeddings
+    (functions/similarity.py quantize/quantized_topk): per-dim min/max
+    stats train on a dims-sized aggregate, then quantization and scoring
+    are row-local JVM array ops. 4x memory/bandwidth vs float32 — the ANN
+    compression tier; recall vs exact cosine is pinned in tests."""
+    emb = SIM.with_normalized(_t(spark, sf_dir, "embeddings"))
+    qraw = emb.filter(F.col("vec_id") == 0).head().nvec
+    query = [float(x) for x in qraw]
+    mins, scales = SIM.quantization_stats(emb, vec_col="nvec")
+    return SIM.quantized_topk(emb, query, mins, scales, k=20, vec_col="nvec")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3076,6 +3089,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "variant_props_analytics": q_variant_props_analytics,
     "user_growth_accounting": q_user_growth_accounting,
     "dq_orders_expectations": q_dq_orders_expectations,
+    "similarity_quantized_topk": q_similarity_quantized_topk,
 }
 
 ORACLE_QUERIES: dict[str, str] = {

@@ -543,3 +543,29 @@ def test_sessionize_event_time_ttl_expires_idle_state(spark, tmp_path):
     no_ttl = run("sess_nottl", ttl=False)
     # same replay without TTL accumulates across the idle gap
     assert (0, 1, 2) in no_ttl and (0, 2, 5) in no_ttl
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    from clickhouse_forecasting_spark.functions.similarity import (
+        brute_force_topk,
+        quantization_stats,
+        quantize,
+        quantized_topk,
+        with_normalized,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    nemb = with_normalized(emb)
+    query = [float(x) for x in nemb.filter(F.col("vec_id") == 0).head().nvec]
+    mins, scales = quantization_stats(nemb, vec_col="nvec")
+    # quantized values are valid int8-range codes
+    codes = nemb.select(quantize(F.col("nvec"), mins, scales).alias("q")).head().q
+    assert all(0 <= c <= 255 for c in codes)
+    raw_query = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    exact = {r.vec_id for r in brute_force_topk(emb, raw_query, k=10).collect()}
+    approx = {r.vec_id for r in quantized_topk(nemb, query, mins, scales, k=20, vec_col="nvec").collect()}
+    # 8-bit asymmetric quantization: the exact top-10 must survive into
+    # the quantized top-20 at high recall
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, (recall, exact, approx)
+    assert 0 in approx  # the query vector itself is its own best match
