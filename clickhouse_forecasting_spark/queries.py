@@ -2977,6 +2977,102 @@ def q_similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.quantized_topk(emb, query, mins, scales, k=20, vec_col="nvec")
 
 
+def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the training-set hygiene op: flag
+    corpus documents sharing any word 4-gram with a held-out benchmark
+    set (here: doc_id % 97 == 0 simulates the eval set). The benchmark
+    gram set is tiny by construction, so it BROADCASTS: the corpus-side
+    scan streams past it with no shuffle of corpus text; per-source
+    summary follows. At 100 TB this is a broadcast-semi-join per shard —
+    contamination checking at scan speed."""
+    docs = _t(spark, sf_dir, "documents")
+    bench_grams = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(TX.word_shingles(F.col("text"), 4)).alias("g"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        corpus.select("doc_id", "source", F.explode(TX.word_shingles(F.col("text"), 4)).alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    return (
+        corpus.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .join(
+            contaminated.groupBy("source").agg(F.count("*").alias("n_contaminated")),
+            "source",
+            "left",
+        )
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .withColumn("n_kept", F.col("n_docs") - F.col("n_contaminated"))
+        .select("source", "n_docs", "n_contaminated", "n_kept")
+    )
+
+
+_WORD4_SQL = (
+    f"list_distinct(list_transform(generate_series(1, greatest(len({_TOKS_SQL}) - 3, 1)), "
+    f"i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 3), ' ')))"
+)
+
+_DECONTAM_SQL = f"""
+WITH d AS (SELECT doc_id, source, {_WORD4_SQL} AS sh FROM documents),
+bench AS (SELECT DISTINCT unnest(sh) AS g FROM d WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT DISTINCT c.doc_id, c.source
+  FROM (SELECT doc_id, source, unnest(sh) AS g FROM d WHERE doc_id % 97 != 0) c
+  JOIN bench USING (g)),
+per_src AS (
+  SELECT source, COUNT(*) AS n_docs FROM d WHERE doc_id % 97 != 0 GROUP BY source),
+hit_src AS (SELECT source, COUNT(*) AS n_contaminated FROM hits GROUP BY source)
+SELECT p.source, p.n_docs,
+  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+  p.n_docs - COALESCE(h.n_contaminated, 0) AS n_kept
+FROM per_src p LEFT JOIN hit_src h ON h.source = p.source
+"""
+
+
+def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing: per-source target weights (even
+    source ids keep 100%, odd keep 40%) applied via a content-hash
+    Bernoulli gate — md5(doc_id) mod 1e6 under rate. No RNG state, so
+    the SAME rows are selected on every engine, every run, any partition
+    order: reproducible data recipes, the mixing contract a training
+    pipeline needs. Output: per-source selection summary."""
+    docs = _t(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    rate = F.when(src_num % 2 == 0, F.lit(1.0)).otherwise(F.lit(0.4))
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 1000000
+    ) / 1000000.0
+    return (
+        docs.select("source", rate.alias("rate"), (frac < rate).alias("sel"))
+        .groupBy("source", "rate")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("sel").cast("int")).alias("n_selected"),
+        )
+        .select("source", "rate", "n_docs", "n_selected")
+    )
+
+
+_MIX_SQL = """
+WITH x AS (
+  SELECT source,
+    CASE WHEN CAST(regexp_extract(source, '([0-9]+)', 1) AS INTEGER) % 2 = 0
+         THEN 1.0 ELSE 0.4 END AS rate,
+    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000)
+      / 1000000.0 AS frac
+  FROM documents)
+SELECT source, rate, COUNT(*) AS n_docs,
+  SUM(CASE WHEN frac < rate THEN 1 ELSE 0 END) AS n_selected
+FROM x GROUP BY source, rate
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3090,6 +3186,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_growth_accounting": q_user_growth_accounting,
     "dq_orders_expectations": q_dq_orders_expectations,
     "similarity_quantized_topk": q_similarity_quantized_topk,
+    "decontaminate_corpus": q_decontaminate_corpus,
+    "corpus_mix_sample": q_corpus_mix_sample,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -3192,4 +3290,6 @@ ORACLE_QUERIES: dict[str, str] = {
     "variant_props_analytics": _VARIANT_SQL,
     "user_growth_accounting": _GROWTH_SQL,
     "dq_orders_expectations": _DQ_EXPECT_SQL,
+    "decontaminate_corpus": _DECONTAM_SQL,
+    "corpus_mix_sample": _MIX_SQL,
 }

@@ -121,3 +121,32 @@ def test_repetition_bounded_and_consistent(spark, sf_dir, qs):
         assert r.repetition == pytest.approx(
             1.0 - r.n_distinct / max(r.n_tokens, 1), abs=1e-6
         )
+
+
+def test_decontamination_flags_benchmark_overlap(spark, sf_dir, qs):
+    from clickhouse_forecasting_spark.sources import read_table
+
+    rows = qs["decontaminate_corpus"](spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents")
+    n_corpus = docs.filter(F.col("doc_id") % 97 != 0).count()
+    assert sum(r.n_docs for r in rows) == n_corpus
+    for r in rows:
+        assert r.n_kept == r.n_docs - r.n_contaminated
+        assert 0 <= r.n_contaminated <= r.n_docs
+    # the synthetic vocabulary guarantees SOME 4-gram overlap exists
+    assert sum(r.n_contaminated for r in rows) > 0
+
+
+def test_mix_sampling_deterministic_and_rate_shaped(spark, sf_dir, qs):
+    a = {(r.source): (r.rate, r.n_docs, r.n_selected) for r in qs["corpus_mix_sample"](spark, sf_dir).collect()}
+    b = {(r.source): (r.rate, r.n_docs, r.n_selected) for r in qs["corpus_mix_sample"](spark, sf_dir).collect()}
+    assert a == b  # hash gate: no RNG, identical selection every run
+    for src, (rate, n, sel) in a.items():
+        if rate == 1.0:
+            assert sel == n  # full-weight sources keep everything
+        else:
+            assert 0 <= sel <= n
+    # aggregate 0.4-rate selection lands near 40% (hash uniformity)
+    lo = [v for v in a.values() if v[0] == 0.4]
+    tot, seltot = sum(v[1] for v in lo), sum(v[2] for v in lo)
+    assert 0.25 <= seltot / tot <= 0.55
