@@ -3073,6 +3073,100 @@ FROM x GROUP BY source, rate
 """
 
 
+def q_window_range_1h_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per event, the count/sum of same-type
+    events in the trailing hour — a range frame over epoch-micros, NOT a
+    row frame, so irregular event spacing is handled exactly (peers at
+    the same instant always share a frame). Partitioned by event_type:
+    parallel by construction; frame sums run in decimal (engines disagree
+    on double add/retract order inside sliding frames)."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(38,10)")).over(w)
+        .cast("double")
+        .alias("sum_1h"),
+    )
+
+
+_RANGE1H_SQL = """
+SELECT event_id, event_type,
+  COUNT(*) OVER w AS n_1h,
+  CAST(SUM(CAST(value AS DECIMAL(38,10))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics from EXACT decimal power sums: per
+    event_type, stddev of value and corr(value, props.k) derived from
+    (n, Σx, Σx², Σy, Σy², Σxy) — one aggregation pass, and because the
+    sums are exact decimals the derived doubles are bit-identical across
+    engines (native corr()/stddev() stream in partition order and are
+    not reproducible). The moment-sum shape is also the distributed
+    one: partials add, so it map-side combines like any sum."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(38,10)")
+    y = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int").cast(
+        "decimal(38,10)"
+    )
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    stddev = F.sqrt((sxx - sx * sx / n) / (n - 1))
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(sx / n, 6).alias("mean_value"),
+        F.round(stddev, 6).alias("stddev_value"),
+        F.round(corr, 6).alias("corr_value_k"),
+    )
+
+
+_MOMENTS_SQL = """
+WITH b AS (
+  SELECT event_type,
+    CAST(value AS DECIMAL(38,10)) AS x,
+    CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS DECIMAL(38,10)) AS y
+  FROM events),
+m AS (
+  SELECT event_type, COUNT(*) AS n,
+    SUM(x) AS sx, SUM(x*x) AS sxx, SUM(y) AS sy, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM b GROUP BY event_type)
+SELECT event_type, n,
+  ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_value,
+  ROUND(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)/n) / (n - 1)), 6) AS stddev_value,
+  ROUND((n*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+    / (sqrt(n*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+     * sqrt(n*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) AS corr_value_k
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3188,6 +3282,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_quantized_topk": q_similarity_quantized_topk,
     "decontaminate_corpus": q_decontaminate_corpus,
     "corpus_mix_sample": q_corpus_mix_sample,
+    "window_range_1h_rolling": q_window_range_1h_rolling,
+    "stats_moments": q_stats_moments,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -3292,4 +3388,6 @@ ORACLE_QUERIES: dict[str, str] = {
     "dq_orders_expectations": _DQ_EXPECT_SQL,
     "decontaminate_corpus": _DECONTAM_SQL,
     "corpus_mix_sample": _MIX_SQL,
+    "window_range_1h_rolling": _RANGE1H_SQL,
+    "stats_moments": _MOMENTS_SQL,
 }

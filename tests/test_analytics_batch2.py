@@ -150,3 +150,50 @@ def test_mix_sampling_deterministic_and_rate_shaped(spark, sf_dir, qs):
     lo = [v for v in a.values() if v[0] == 0.4]
     tot, seltot = sum(v[1] for v in lo), sum(v[2] for v in lo)
     assert 0.25 <= seltot / tot <= 0.55
+
+
+def test_range_frame_includes_trailing_hour_only(spark):
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    rows = [
+        (1, "a", dt.datetime(2024, 1, 1, 10, 0, 0), 1.0),
+        (2, "a", dt.datetime(2024, 1, 1, 10, 30, 0), 2.0),
+        (3, "a", dt.datetime(2024, 1, 1, 10, 59, 0), 4.0),
+        (4, "a", dt.datetime(2024, 1, 1, 11, 1, 0), 8.0),
+        (5, "b", dt.datetime(2024, 1, 1, 10, 30, 0), 100.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, ts timestamp, value double")
+    w = Window.partitionBy("event_type").orderBy(F.unix_micros("ts")).rangeBetween(-3_600_000_000, 0)
+    got = {
+        r.event_id: (r.n, r.s)
+        for r in df.select(
+            "event_id",
+            F.count("*").over(w).alias("n"),
+            F.sum("value").over(w).alias("s"),
+        ).collect()
+    }
+    # event 4 (11:01) sees 10:30, 10:59 and itself — 10:00 aged out
+    assert got == {1: (1, 1.0), 2: (2, 3.0), 3: (3, 7.0), 4: (3, 14.0), 5: (1, 100.0)}
+
+
+def test_moments_match_native_aggregates(spark, sf_dir, qs):
+    from clickhouse_forecasting_spark.sources import read_table
+
+    rows = {r.event_type: r for r in qs["stats_moments"](spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "k", F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    )
+    native = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.stddev_samp("value").alias("sd"),
+            F.corr("value", F.col("k").cast("double")).alias("c"),
+        )
+        .collect()
+    }
+    for et, r in rows.items():
+        assert r.stddev_value == pytest.approx(native[et].sd, abs=1e-5)
+        assert r.corr_value_k == pytest.approx(native[et].c, abs=1e-5)
