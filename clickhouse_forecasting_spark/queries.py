@@ -3167,6 +3167,34 @@ FROM m
 """
 
 
+def q_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling: rank rows inside each source by
+    a content hash and keep the first 5 — a uniform without-replacement
+    sample per group that is identical on every engine/run/partitioning
+    (the distributed replacement for per-group reservoir sampling; same
+    hash-gate idea as corpus_mix_sample but with an exact per-group k).
+    One shuffle on the group key; the window sorts within groups only."""
+    docs = _t(spark, sf_dir, "documents")
+    hsh = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(hsh, "doc_id")
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= 5)
+    )
+
+
+_PGSAMPLE_SQL = """
+SELECT source, doc_id, n_chars, pick FROM (
+  SELECT source, doc_id, n_chars,
+    ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    ) AS pick
+  FROM documents)
+WHERE pick <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3284,6 +3312,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_mix_sample": q_corpus_mix_sample,
     "window_range_1h_rolling": q_window_range_1h_rolling,
     "stats_moments": q_stats_moments,
+    "per_group_sample": q_per_group_sample,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -3390,4 +3419,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "corpus_mix_sample": _MIX_SQL,
     "window_range_1h_rolling": _RANGE1H_SQL,
     "stats_moments": _MOMENTS_SQL,
+    "per_group_sample": _PGSAMPLE_SQL,
 }

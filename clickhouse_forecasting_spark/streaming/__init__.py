@@ -1,4 +1,5 @@
 from .dedup_stream import dedup_stream, dedup_stream_exact
+from .join import attribution_join
 from .rollup import (
     daily_rollup_stream,
     enrich_with_static_dim,
@@ -7,6 +8,7 @@ from .rollup import (
 )
 
 __all__ = [
+    "attribution_join",
     "daily_rollup_stream",
     "dedup_stream",
     "dedup_stream_exact",

@@ -85,3 +85,34 @@ def test_stream_upsert_daily_matches_batch(spark, sf_dir, tmp_path):
     for d, (n, v) in want.items():
         assert got[d][0] == n, d
         assert got[d][1] == pytest.approx(v, rel=1e-9)
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path):
+    from clickhouse_forecasting_spark.streaming import attribution_join
+
+    events = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+    sv = stream.filter(F.col("event_type") == "view")
+    sc = stream.filter(F.col("event_type") == "click")
+    q = (
+        attribution_join(sv, sc, window_minutes=30, watermark="60 days")
+        .writeStream.format("memory")
+        .queryName("attr_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish in 180s"
+    got = {
+        (r.view_id, r.click_id) for r in spark.table("attr_test").collect()
+    }
+    bv = events.filter(F.col("event_type") == "view")
+    bc = events.filter(F.col("event_type") == "click")
+    want = {
+        (r.view_id, r.click_id)
+        for r in attribution_join(bv, bc, window_minutes=30, streaming=False).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the fixture must actually produce attributions
