@@ -569,3 +569,28 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, (recall, exact, approx)
     assert 0 in approx  # the query vector itself is its own best match
+
+
+def test_pq_topk_recall_vs_exact(spark, sf_dir):
+    from clickhouse_forecasting_spark.functions.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+        with_normalized,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    nemb = with_normalized(emb).cache()
+    books = pq_train(nemb, m=8, k=32)
+    assert books.shape == (8, 32, 8)
+    encoded = pq_encode(nemb, books)
+    codes = encoded.select(*[f"code_{s}" for s in range(8)]).head()
+    assert all(0 <= c <= 31 for c in codes)
+    raw_query = [float(x) for x in emb.filter(F.col("vec_id") == 0).head().embedding]
+    nquery = [float(x) for x in nemb.filter(F.col("vec_id") == 0).head().nvec]
+    exact = {r.vec_id for r in brute_force_topk(emb, raw_query, k=10).collect()}
+    approx = {r.vec_id for r in pq_topk(encoded, nquery, books, topk=30).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, (recall, sorted(exact), sorted(approx))
+    nemb.unpersist()
