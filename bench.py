@@ -68,6 +68,10 @@ HEADLINE = [
     "variant_props_analytics",
     "user_growth_accounting",
     "dq_orders_expectations",
+    "per_group_sample",
+    "stats_moments",
+    "window_range_1h_rolling",
+    "nation_top_customers_listagg",
     "forecast_daily_sales",
     "forecast_multi_table",
 ]

@@ -3195,6 +3195,46 @@ WHERE pick <= 5
 """
 
 
+def q_nation_top_customers_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg WITHIN GROUP, Spark 4): per
+    nation, its top-3 customers by account balance concatenated in rank
+    order. Rank runs partitioned by nation (parallel); the listagg input
+    is 3 rows per nation, so the final aggregation is trivially small."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    top3 = (
+        cust.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        top3.groupBy("n_name")
+        .agg(
+            F.expr(
+                "listagg(c_name, ',') WITHIN GROUP (ORDER BY rank)"
+            ).alias("top_customers"),
+            F.count("*").alias("n_top"),
+        )
+        .select("n_name", "top_customers", "n_top")
+    )
+
+
+_LISTAGG_SQL = """
+WITH ranked AS (
+  SELECT n_name, c_name,
+    ROW_NUMBER() OVER (
+      PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rank
+  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+SELECT n_name,
+  string_agg(c_name, ',' ORDER BY rank) AS top_customers,
+  COUNT(*) AS n_top
+FROM ranked WHERE rank <= 3 GROUP BY n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3313,6 +3353,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_range_1h_rolling": q_window_range_1h_rolling,
     "stats_moments": q_stats_moments,
     "per_group_sample": q_per_group_sample,
+    "nation_top_customers_listagg": q_nation_top_customers_listagg,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -3420,4 +3461,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "window_range_1h_rolling": _RANGE1H_SQL,
     "stats_moments": _MOMENTS_SQL,
     "per_group_sample": _PGSAMPLE_SQL,
+    "nation_top_customers_listagg": _LISTAGG_SQL,
 }
