@@ -23,13 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-DAILY_ROLLUP_AGGS: dict[str, str] = {
-    # column -> merge semantics (additive partials)
-    "event_count": "sum",
-    "total_value": "sum",
-}
-
-
 def delta_daily_rollup(events_delta: DataFrame) -> DataFrame:
     """Aggregate a batch of new events to the view's grain."""
     return (

@@ -58,6 +58,15 @@ def _dsum(col: F.Column) -> F.Column:
     return F.sum(col.cast("decimal(38,10)")).cast("double")
 
 
+def _dsum_cents(col: F.Column) -> F.Column:
+    """Money sum rounded to cents AFTER the double cast. Needed whenever
+    the total can exceed ~9e5: scaled by 1e10 that passes 2^53, where
+    DuckDB's decimal->double (int128 -> double, then /1e10) lands one ulp
+    away from Spark's conversion; rounding to the (exact) cent grid makes
+    both engines emit the identical double."""
+    return F.round(F.sum(col.cast("decimal(38,10)")).cast("double"), 2)
+
+
 # --------------------------------------------------------------------------
 # catalog / schema operators (SURVEY §2.1)
 # --------------------------------------------------------------------------
@@ -817,7 +826,7 @@ def q_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataF
         li.join(part_avg.hint("broadcast"), "l_partkey")
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
-            _dsum(F.col("l_extendedprice")).alias("small_qty_revenue"),
+            _dsum_cents(F.col("l_extendedprice")).alias("small_qty_revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -829,7 +838,7 @@ WITH pa AS (
     CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS avg_qty
   FROM lineitem GROUP BY l_partkey)
 SELECT
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS small_qty_revenue,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE), 2) AS small_qty_revenue,
   COUNT(*) AS n_lines
 FROM lineitem JOIN pa USING (l_partkey)
 WHERE l_quantity < 0.5 * avg_qty
@@ -846,7 +855,7 @@ def q_cube_segment_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.cube("c_mktsegment", "order_year").agg(
         F.grouping_id().alias("gid"),
         F.count("*").alias("n_orders"),
-        _dsum(F.col("o_totalprice")).alias("revenue"),
+        _dsum_cents(F.col("o_totalprice")).alias("revenue"),
     )
 
 
@@ -854,7 +863,7 @@ _CUBE_SQL = """
 SELECT c_mktsegment, year(o_orderdate) AS order_year,
   GROUPING(c_mktsegment) * 2 + GROUPING(year(o_orderdate)) AS gid,
   COUNT(*) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY CUBE (c_mktsegment, year(o_orderdate))
 """
@@ -2496,7 +2505,7 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.grouping_id().alias("gid"),
-            _dsum(F.col("o_totalprice")).alias("revenue"),
+            _dsum_cents(F.col("o_totalprice")).alias("revenue"),
             F.count("*").alias("n_orders"),
         )
         .select("n_name", "order_year", "gid", "revenue", "n_orders")
@@ -2506,7 +2515,7 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GSETS_SQL = """
 SELECT n_name, year(o_orderdate) AS order_year,
   GROUPING(n_name) * 2 + GROUPING(year(o_orderdate)) AS gid,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue,
   COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -2567,7 +2576,7 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.groupBy((F.weekday("o_orderdate") + F.lit(1)).alias("isodow"))
         .agg(
             F.count("*").alias("n_days"),
-            F.sum("rev").cast("double").alias("total_revenue"),
+            F.round(F.sum("rev").cast("double"), 2).alias("total_revenue"),
         )
         .withColumn(
             "avg_daily_revenue",
@@ -2583,8 +2592,8 @@ WITH daily AS (
   FROM orders GROUP BY o_orderdate)
 SELECT isodow(o_orderdate) AS isodow,
   COUNT(*) AS n_days,
-  CAST(SUM(rev) AS DOUBLE) AS total_revenue,
-  ROUND(CAST(SUM(rev) AS DOUBLE) / COUNT(*), 4) AS avg_daily_revenue
+  ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS total_revenue,
+  ROUND(ROUND(CAST(SUM(rev) AS DOUBLE), 2) / COUNT(*), 4) AS avg_daily_revenue
 FROM daily GROUP BY isodow(o_orderdate)
 """
 
