@@ -23,16 +23,27 @@ def check_expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
 
     Returns a long summary: (rule, n_rows, n_violations, pass_rate) —
     one row per rule, ordered by rule name. NULL predicate results count
-    as violations (a rule that cannot be evaluated did not pass).
+    as violations (a rule that cannot be evaluated did not pass). Empty
+    input yields n_violations = 0 per rule (not NULL), so downstream
+    gates comparing against 0 stay sound. Rule names are data, not SQL:
+    they are positionally indexed internally and may contain any
+    characters except a single quote.
     """
+    if not rules:
+        raise ValueError("check_expectations requires at least one rule")
+    names = list(rules)
+    for n in names:
+        if "'" in n:
+            raise ValueError(f"rule name may not contain a quote: {n!r}")
     aggs = [
-        F.sum(
-            F.when(F.coalesce(rule, F.lit(False)), 0).otherwise(1)
-        ).alias(f"v_{name}")
-        for name, rule in rules.items()
+        F.coalesce(
+            F.sum(F.when(F.coalesce(rule, F.lit(False)), 0).otherwise(1)),
+            F.lit(0),
+        ).alias(f"v_{i}")
+        for i, rule in enumerate(rules.values())
     ]
     row = df.agg(F.count("*").alias("n_rows"), *aggs)
-    stack_args = ", ".join(f"'{name}', v_{name}" for name in rules)
+    stack_args = ", ".join(f"'{name}', v_{i}" for i, name in enumerate(names))
     return (
         row.select(
             "n_rows",

@@ -165,7 +165,10 @@ def pq_train(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dim = len(df.select(vec_col).head()[0])
+    first = df.select(vec_col).head()
+    if first is None:
+        raise ValueError("pq_train: input frame is empty")
+    dim = len(first[0])
     assert dim % m == 0, (dim, m)
     d_sub = dim // m
     books = []

@@ -53,20 +53,29 @@ def maintain_daily_rollup(
     """Apply a delta of events to the materialized daily rollup at
     `view_path` (date-partitioned parquet). Creates the view on first use;
     afterwards reads ONLY the touched date partitions, merges additively,
-    and rewrites only those partitions."""
-    delta = delta_daily_rollup(events_delta)
+    and dynamically overwrites only those partitions. An empty delta is a
+    no-op (a scheduled run with no new events must not create or touch
+    anything)."""
+    from ..sources.formats import path_exists
 
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(view_path)
-    if not p.getFileSystem(hconf).exists(p):
+    delta = delta_daily_rollup(events_delta)
+    if delta.isEmpty():
+        return
+
+    if not path_exists(spark, view_path):
         delta.write.partitionBy("date").parquet(view_path)
         return
 
     touched = [r.date for r in delta.select("date").distinct().collect()]
     existing = spark.read.parquet(view_path).filter(F.col("date").isin(touched))
-    merged = merge_additive(existing, delta, keys=["date"])
-
-    from ..sources.formats import upsert_partitioned
-
-    upsert_partitioned(spark, merged, view_path, keys=["date"], partition_col="date")
+    # merged fully covers every touched partition, so it can overwrite
+    # those partitions directly (no anti-join against the target needed);
+    # localCheckpoint() first — Spark refuses to overwrite a path it is
+    # still lazily reading from, and the slice is bounded by touched days
+    merged = merge_additive(existing, delta, keys=["date"]).localCheckpoint()
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date")
+        .parquet(view_path)
+    )

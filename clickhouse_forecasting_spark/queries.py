@@ -2980,8 +2980,10 @@ def q_similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are row-local JVM array ops. 4x memory/bandwidth vs float32 — the ANN
     compression tier; recall vs exact cosine is pinned in tests."""
     emb = SIM.with_normalized(_t(spark, sf_dir, "embeddings"))
-    qraw = emb.filter(F.col("vec_id") == 0).head().nvec
-    query = [float(x) for x in qraw]
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    if qrow is None:
+        raise ValueError("embeddings table has no vec_id=0 query row")
+    query = [float(x) for x in qrow.nvec]
     mins, scales = SIM.quantization_stats(emb, vec_col="nvec")
     return SIM.quantized_topk(emb, query, mins, scales, k=20, vec_col="nvec")
 
@@ -3123,11 +3125,17 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums are exact decimals the derived doubles are bit-identical across
     engines (native corr()/stddev() stream in partition order and are
     not reproducible). The moment-sum shape is also the distributed
-    one: partials add, so it map-side combines like any sum."""
+    one: partials add, so it map-side combines like any sum.
+
+    Inputs cast to decimal(18,8), NOT (38,10): Spark truncates a
+    (38,10)x(38,10) product to scale 6 (the 38-digit precision cap forces
+    scale loss) while DuckDB keeps full scale — (18,8) products stay
+    exact at scale 16 in both engines, so the power sums really are
+    exact for inputs with <= 8 decimal places."""
     ev = _t(spark, sf_dir, "events")
-    x = F.col("value").cast("decimal(38,10)")
+    x = F.col("value").cast("decimal(18,8)")
     y = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int").cast(
-        "decimal(38,10)"
+        "decimal(18,8)"
     )
     agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -3158,9 +3166,12 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MOMENTS_SQL = """
 WITH b AS (
+  -- DECIMAL(19,8) not (18,8): width 19 forces int128 storage so the
+  -- product does not overflow int64; products are exact at scale 16,
+  -- matching Spark's (18,8)x(18,8) -> (37,16) exactly
   SELECT event_type,
-    CAST(value AS DECIMAL(38,10)) AS x,
-    CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS DECIMAL(38,10)) AS y
+    CAST(value AS DECIMAL(19,8)) AS x,
+    CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS DECIMAL(19,8)) AS y
   FROM events),
 m AS (
   SELECT event_type, COUNT(*) AS n,

@@ -82,6 +82,15 @@ def write_bucketed_table(
     writer.format("parquet").saveAsTable(name)
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence probe via the Hadoop FS API (works
+    for local paths, HDFS, and object stores alike — os.path does not)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf).exists(p)
+
+
 def upsert_partitioned(
     spark: SparkSession,
     updates: DataFrame,

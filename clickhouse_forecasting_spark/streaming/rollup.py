@@ -93,7 +93,7 @@ def stream_upsert_daily(
     parquet-only equivalent of exactly-once delivery to a MERGE-capable
     sink. Returns the started StreamingQuery (trigger availableNow:
     drains the backlog, then stops)."""
-    from ..sources.formats import upsert_partitioned
+    from ..sources.formats import path_exists, upsert_partitioned
 
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger is not None:
@@ -105,10 +105,7 @@ def stream_upsert_daily(
             return
         # bootstrap: the first batch creates the partitioned sink; later
         # batches MERGE into it (replaying a batch is then idempotent)
-        jvm = spark.sparkContext._jvm
-        hconf = spark.sparkContext._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(sink_path)
-        if not p.getFileSystem(hconf).exists(p):
+        if not path_exists(spark, sink_path):
             batch.write.partitionBy("date").parquet(sink_path)
             return
         upsert_partitioned(

@@ -69,3 +69,25 @@ def test_growth_accounting_identities(spark, sf_dir):
     assert rows[-1].cumulative_users == total_users
     # day 1: everyone is new
     assert rows[0].returning_users == 0
+
+
+def test_expectations_empty_input_reports_zero_violations(spark):
+    import pyspark.sql.types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("v", T.DoubleType())])
+    )
+    out = {r.rule: r for r in check_expectations(empty, {"pos": F.col("v") > 0}).collect()}
+    assert out["pos"].n_rows == 0
+    assert out["pos"].n_violations == 0  # NOT NULL — gates compare against 0
+
+
+def test_expectations_rejects_bad_rule_sets(spark):
+    df = spark.createDataFrame([(1,)], ["v"])
+    with pytest.raises(ValueError):
+        check_expectations(df, {})
+    with pytest.raises(ValueError):
+        check_expectations(df, {"bad'name": F.col("v") > 0})
+    # arbitrary non-identifier names are fine (positional internal aliases)
+    out = check_expectations(df, {"price > 0 (USD)": F.col("v") > 0}).collect()
+    assert out[0].rule == "price > 0 (USD)" and out[0].n_violations == 0
