@@ -3255,6 +3255,46 @@ FROM ranked WHERE rank <= 3 GROUP BY n_name
 """
 
 
+def q_scd2_user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change stream: each user's
+    event_type is treated as a mutable attribute; consecutive duplicate
+    states compress away (lag), then each surviving change opens a
+    validity interval closed by the next change (lead). valid_to NULL
+    marks the current state. Two window passes partitioned by user —
+    parallel across users, no self-join, the standard CDC->SCD2 build."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "ts", "event_id", F.col("event_type").alias("state"))
+        .withColumn("prev_state", F.lag("state").over(w))
+        .filter(
+            F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type AS state,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_state
+  FROM events),
+changes AS (
+  SELECT user_id, ts, event_id, state FROM ordered
+  WHERE prev_state IS NULL OR state != prev_state)
+SELECT user_id, state, ts AS valid_from,
+  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM changes
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3374,6 +3414,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_moments": q_stats_moments,
     "per_group_sample": q_per_group_sample,
     "nation_top_customers_listagg": q_nation_top_customers_listagg,
+    "scd2_user_state_intervals": q_scd2_user_state_intervals,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -3482,4 +3523,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "stats_moments": _MOMENTS_SQL,
     "per_group_sample": _PGSAMPLE_SQL,
     "nation_top_customers_listagg": _LISTAGG_SQL,
+    "scd2_user_state_intervals": _SCD2_SQL,
 }

@@ -197,3 +197,23 @@ def test_moments_match_native_aggregates(spark, sf_dir, qs):
     for et, r in rows.items():
         assert r.stddev_value == pytest.approx(native[et].sd, abs=1e-5)
         assert r.corr_value_k == pytest.approx(native[et].c, abs=1e-5)
+
+
+def test_scd2_intervals_tile_each_user_timeline(spark, sf_dir, qs):
+    from clickhouse_forecasting_spark.sources import read_table
+
+    rows = qs["scd2_user_state_intervals"](spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    ev = read_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert len(by_user) == n_users
+    for uid, ivals in by_user.items():
+        ivals.sort(key=lambda r: r.valid_from)
+        # exactly one open (current) interval per user, and it is the last
+        assert [r.is_current for r in ivals].count(True) == 1
+        assert ivals[-1].is_current and ivals[-1].valid_to is None
+        for a, b in zip(ivals, ivals[1:]):
+            assert a.valid_to == b.valid_from  # intervals tile, no gaps
+            assert a.state != b.state  # consecutive duplicates compressed
