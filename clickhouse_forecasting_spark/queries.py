@@ -3295,6 +3295,32 @@ FROM changes
 """
 
 
+def q_scd2_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup over the SCD2 intervals: every user's state
+    as of 2024-01-15 00:00. Interval containment on the already-built
+    dimension — a filter, not a join, because validity intervals tile
+    each user's timeline (the \"time travel\" read pattern)."""
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    ivals = q_scd2_user_state_intervals(spark, sf_dir)
+    return (
+        ivals.filter(
+            (F.col("valid_from") <= cutoff)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > cutoff))
+        )
+        .select("user_id", "state", "valid_from")
+        .orderBy("user_id")
+    )
+
+
+_SCD2_ASOF_SQL = f"""
+WITH ivals AS ({_SCD2_SQL})
+SELECT user_id, state, valid_from FROM ivals
+WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+ORDER BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3415,6 +3441,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "per_group_sample": q_per_group_sample,
     "nation_top_customers_listagg": q_nation_top_customers_listagg,
     "scd2_user_state_intervals": q_scd2_user_state_intervals,
+    "scd2_state_asof": q_scd2_state_asof,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -3524,4 +3551,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "per_group_sample": _PGSAMPLE_SQL,
     "nation_top_customers_listagg": _LISTAGG_SQL,
     "scd2_user_state_intervals": _SCD2_SQL,
+    "scd2_state_asof": _SCD2_ASOF_SQL,
 }

@@ -89,3 +89,35 @@ def test_merge_additive_is_commutative(spark):
     ab = {tuple(r) for r in merge_additive(a, b, ["date"]).collect()}
     ba = {tuple(r) for r in merge_additive(b, a, ["date"]).collect()}
     assert ab == ba == {("2024-01-01", 5, 15.0), ("2024-01-02", 1, 1.0)}
+
+
+def test_snapshot_diff_classifies_all_cases(spark):
+    from clickhouse_forecasting_spark.operators.diff import diff_summary, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0), (5, "e", 50.0)],
+        ["k", "s", "v"],
+    )
+    got = {r.k: r.change for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",  # NULL -> 30.0 must register as a change
+        4: "unchanged",
+        5: "added",
+    }
+    summary = {r.change: r.n for r in diff_summary(old, new, ["k"]).collect()}
+    assert summary == {"removed": 1, "unchanged": 2, "changed": 1, "added": 1}
+
+
+def test_snapshot_diff_identity_is_all_unchanged(spark, sf_dir):
+    from clickhouse_forecasting_spark.operators.diff import diff_summary
+    from clickhouse_forecasting_spark.sources import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    summary = {r.change: r.n for r in diff_summary(orders, orders, ["o_orderkey"]).collect()}
+    assert summary == {"unchanged": orders.count()}
