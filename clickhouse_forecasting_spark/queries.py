@@ -2114,8 +2114,18 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    # selective part filter joins BELOW the aggregation: grouping the
+    # filtered lineitem == filtering the grouped result (inner join on the
+    # group key), but ~50x fewer rows enter the groupBy — a reordering
+    # Catalyst does not do across an aggregate, so it is encoded here
+    ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "supply_cost"
+            )
+        )
     )
     eu_sup = (
         sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
