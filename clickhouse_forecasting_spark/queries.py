@@ -3331,6 +3331,96 @@ ORDER BY user_id
 """
 
 
+def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily revenue
+    series: trend = centered 7-day moving average (decimal inside the
+    frame), seasonal = mean detrended value per ISO weekday (recentered
+    to sum to zero), residual = value - trend - seasonal. The explain-
+    the-forecast companion to the Prophet/ridge forecaster, exact enough
+    to hash-check cross-engine. Window + two tiny aggregates over the
+    daily series — at 100 TB the daily rollup upstream is the reducer."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).cast("double"), 2
+        ).alias("y")
+    )
+    wtrend = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.withColumn(
+        "n_win", F.count("*").over(wtrend)
+    ).withColumn(
+        "trend",
+        F.round(
+            F.sum(F.col("y").cast("decimal(38,10)")).over(wtrend).cast("double")
+            / F.col("n_win"),
+            6,
+        ),
+    )
+    detr = trended.withColumn("dt", F.round(F.col("y") - F.col("trend"), 6))
+    dow_means = (
+        detr.groupBy((F.weekday("day") + F.lit(1)).alias("isodow"))
+        .agg(
+            F.round(
+                F.sum(F.col("dt").cast("decimal(38,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("s_raw")
+        )
+    )
+    grand = dow_means.agg(
+        F.round(
+            F.sum(F.col("s_raw").cast("decimal(38,10)")).cast("double") / F.count("*"),
+            6,
+        ).alias("g")
+    )
+    seasonal = dow_means.crossJoin(F.broadcast(grand)).select(
+        "isodow", F.round(F.col("s_raw") - F.col("g"), 6).alias("seasonal")
+    )
+    return (
+        detr.join(
+            F.broadcast(seasonal),
+            (F.weekday("day") + F.lit(1)) == F.col("isodow"),
+        )
+        .select(
+            "day",
+            "y",
+            "trend",
+            "seasonal",
+            F.round(F.col("y") - F.col("trend") - F.col("seasonal"), 6).alias(
+                "residual"
+            ),
+        )
+    )
+
+
+_DECOMP_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2) AS y
+  FROM orders GROUP BY o_orderdate),
+trended AS (
+  SELECT day, y,
+    COUNT(*) OVER w AS n_win,
+    ROUND(CAST(SUM(CAST(y AS DECIMAL(38,10))) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+detr AS (
+  SELECT day, y, trend, ROUND(y - trend, 6) AS dt FROM trended),
+dow_means AS (
+  SELECT isodow(day) AS isodow,
+    ROUND(CAST(SUM(CAST(dt AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6) AS s_raw
+  FROM detr GROUP BY isodow(day)),
+grand AS (
+  SELECT ROUND(CAST(SUM(CAST(s_raw AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6) AS g
+  FROM dow_means),
+seasonal AS (
+  SELECT isodow, ROUND(s_raw - g, 6) AS seasonal FROM dow_means CROSS JOIN grand)
+SELECT d.day, d.y, d.trend, s.seasonal,
+  ROUND(d.y - d.trend - s.seasonal, 6) AS residual
+FROM detr d JOIN seasonal s ON isodow(d.day) = s.isodow
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3452,6 +3542,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_top_customers_listagg": q_nation_top_customers_listagg,
     "scd2_user_state_intervals": q_scd2_user_state_intervals,
     "scd2_state_asof": q_scd2_state_asof,
+    "seasonal_decompose_daily": q_seasonal_decompose_daily,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -3562,4 +3653,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "nation_top_customers_listagg": _LISTAGG_SQL,
     "scd2_user_state_intervals": _SCD2_SQL,
     "scd2_state_asof": _SCD2_ASOF_SQL,
+    "seasonal_decompose_daily": _DECOMP_SQL,
 }

@@ -217,3 +217,17 @@ def test_scd2_intervals_tile_each_user_timeline(spark, sf_dir, qs):
         for a, b in zip(ivals, ivals[1:]):
             assert a.valid_to == b.valid_from  # intervals tile, no gaps
             assert a.state != b.state  # consecutive duplicates compressed
+
+
+def test_seasonal_decomposition_reconstructs_series(spark, sf_dir, qs):
+    rows = qs["seasonal_decompose_daily"](spark, sf_dir).collect()
+    assert rows
+    # additive identity: y == trend + seasonal + residual (to rounding)
+    for r in rows:
+        assert abs(r.y - (r.trend + r.seasonal + r.residual)) < 1e-4
+    # seasonal components recenter to ~zero across the 7 weekdays
+    seasonal_by_day = {}
+    for r in rows:
+        seasonal_by_day[r.day.isoweekday()] = r.seasonal
+    assert len(seasonal_by_day) == 7
+    assert abs(sum(seasonal_by_day.values())) < 1e-3
