@@ -3421,6 +3421,142 @@ FROM detr d JOIN seasonal s ON isodow(d.day) = s.isodow
 """
 
 
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) over parts: keep every part no other part
+    strictly dominates on (cheaper price, larger size). Instead of the
+    naive O(n^2) self-anti-join, the 2-D skyline reduces to a window scan:
+    collapse to one row per distinct price with the max size at that price,
+    take the running max of size over strictly-cheaper prices (rows frame
+    on the per-price rollup = strict because prices are grouped), and keep
+    parts whose size matches or exceeds it (dominance needs BOTH strict
+    dims, so equal-size-but-cheaper does not dominate). One small aggregate + one window + one
+    broadcastable join back — O(n log n), no join explosion at 100 TB."""
+    part = _t(spark, sf_dir, "part")
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("max_size_at_price")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cheaper = per_price.withColumn(
+        "cheaper_max_size", F.max("max_size_at_price").over(w)
+    ).select("p_retailprice", "cheaper_max_size")
+    return (
+        part.join(F.broadcast(cheaper), "p_retailprice")
+        .filter(
+            F.col("cheaper_max_size").isNull()
+            | (F.col("p_size") >= F.col("cheaper_max_size"))
+        )
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )
+
+
+_SKYLINE_SQL = """
+WITH per_price AS (
+  SELECT p_retailprice, MAX(p_size) AS max_size_at_price
+  FROM part GROUP BY p_retailprice),
+cheaper AS (
+  SELECT p_retailprice,
+    MAX(max_size_at_price) OVER (ORDER BY p_retailprice
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cheaper_max_size
+  FROM per_price)
+SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+FROM part p JOIN cheaper c ON p.p_retailprice = c.p_retailprice
+WHERE c.cheaper_max_size IS NULL OR p.p_size >= c.cheaper_max_size
+"""
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event_type | current event_type), estimated from every adjacent
+    pair in each user's timeline. One lag-free window pass (lead) + one
+    aggregation — the sequence-model bootstrap for behavioral data. The
+    per-src normalizer rides along via a second window over the grouped
+    counts, so there is no extra self-join."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    wsrc = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wsrc), 6).alias("p"),
+    )
+
+
+_MARKOV_SQL = """
+WITH pairs AS (
+  SELECT event_type AS src,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events),
+counts AS (
+  SELECT src, dst, COUNT(*) AS n FROM pairs
+  WHERE dst IS NOT NULL GROUP BY src, dst)
+SELECT src, dst, n,
+  ROUND(n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+FROM counts
+"""
+
+
+def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user over irregularly-spaced
+    events: each observation holds until the next one, so TWAP =
+    sum(value * dt) / sum(dt) with dt in exact integer microseconds
+    (unix_micros == DuckDB epoch_us). The weighted sum aggregates in
+    decimal — value*dt is one IEEE multiply (deterministic), only the
+    reduction order needs taming. The standard finance/metrics estimator
+    that plain avg() gets wrong on bursty streams."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = (
+        ev.select(
+            "user_id",
+            "value",
+            F.unix_micros("ts").alias("t0"),
+            F.unix_micros(F.lead("ts").over(w)).alias("t1"),
+        )
+        .filter(F.col("t1").isNotNull())
+        .withColumn("dt", F.col("t1") - F.col("t0"))
+    )
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("dt").alias("total_us"),
+            F.round(
+                F.sum((F.col("value") * F.col("dt")).cast("decimal(38,6)"))
+                .cast("double")
+                / F.sum("dt"),
+                6,
+            ).alias("twap"),
+        )
+        .filter(F.col("total_us") > 0)
+    )
+
+
+_TWAP_SQL = """
+WITH spans AS (
+  SELECT user_id, value,
+    epoch_us(ts) AS t0,
+    epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS t1
+  FROM events),
+d AS (
+  SELECT user_id, value, t1 - t0 AS dt FROM spans WHERE t1 IS NOT NULL)
+SELECT user_id, COUNT(*) AS n_spans, SUM(dt) AS total_us,
+  ROUND(CAST(SUM(CAST(value * dt AS DECIMAL(38,6))) AS DOUBLE)
+        / CAST(SUM(dt) AS DOUBLE), 6) AS twap
+FROM d GROUP BY user_id HAVING SUM(dt) > 0
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3543,6 +3679,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_user_state_intervals": q_scd2_user_state_intervals,
     "scd2_state_asof": q_scd2_state_asof,
     "seasonal_decompose_daily": q_seasonal_decompose_daily,
+    "skyline_parts": q_skyline_parts,
+    "markov_transitions": q_markov_transitions,
+    "twap_user_value": q_twap_user_value,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -3654,4 +3793,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "scd2_user_state_intervals": _SCD2_SQL,
     "scd2_state_asof": _SCD2_ASOF_SQL,
     "seasonal_decompose_daily": _DECOMP_SQL,
+    "skyline_parts": _SKYLINE_SQL,
+    "markov_transitions": _MARKOV_SQL,
+    "twap_user_value": _TWAP_SQL,
 }
