@@ -1,0 +1,100 @@
+"""Iterative graph analytics on DataFrames: weighted PageRank.
+
+The reference engine has no graph surface (SURVEY §2.6); this extends the
+derived-graph analytics family (dedup connected components, Markov
+transitions, triangle census) with the canonical iterative algorithm.
+
+Design for scale:
+- The edge list stays a DataFrame end-to-end; each iteration is one
+  join (ranks ⋈ out-normalized edges) + one groupBy — the standard
+  shuffle-bound PageRank dataflow that scales with the edge count.
+- Out-weight normalization is computed ONCE before the loop.
+- Lineage is cut with ``localCheckpoint`` every iteration: without it the
+  plan doubles per iteration and Catalyst analysis time explodes by ~k².
+- Dangling-node mass (sinks with no out-edges) is redistributed uniformly
+  each iteration — a one-scalar aggregate, not a per-row fix-up — so
+  ranks always sum to 1 and the result matches the textbook formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list.
+
+    Returns a DataFrame ``(node, rank)`` with ranks summing to 1.
+    ``weight=None`` treats every edge as weight 1 (plain PageRank).
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    ).persist()
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    norm = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("frac"))
+        .persist()
+    )
+    # dangling (sink) node set: computed ONCE and persisted — the per-
+    # iteration mass probe must not re-derive it (that would re-run the
+    # upstream edge aggregation every round)
+    dangling_nodes = nodes.join(
+        out_w.select(F.col("src").alias("node")), "node", "left_anti"
+    ).persist()
+    n_dangling = dangling_nodes.count()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        # mass sitting on dangling nodes this iteration (scalar; skipped
+        # entirely when the graph has no sinks)
+        dangling = 0.0
+        if n_dangling:
+            dangling = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .collect()[0][0]
+            )
+        contribs = (
+            norm.join(ranks, norm.src == ranks.node)
+            .select("dst", (F.col("rank") * F.col("frac")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    nodes.unpersist()
+    norm.unpersist()
+    dangling_nodes.unpersist()
+    return ranks

@@ -3557,6 +3557,484 @@ FROM d GROUP BY user_id HAVING SUM(dt) > 0
 """
 
 
+def q_allocation_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder proration: split each order's total price across
+    its line items proportionally to extended price, in EXACT integer
+    cents — sum(alloc) == order total, always. floor-divide gives the
+    base share, then the leftover cents (< n_items) go to the largest
+    fractional remainders (total order via remainder desc, weight desc,
+    linenumber). Pure int64 arithmetic end-to-end: no float drift on any
+    engine, and the whole thing is two window passes over a single
+    partition-by-orderkey shuffle — no self-join, linear at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+    )
+    w_order = Window.partitionBy("l_orderkey")
+    w_rank = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("rem"), F.desc("price_cents"), "l_linenumber"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("sw", F.sum("price_cents").over(w_order))
+        .withColumn("base", F.expr("(total_cents * price_cents) DIV sw"))
+        .withColumn("rem", F.expr("(total_cents * price_cents) % sw"))
+        .withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("leftover", F.col("total_cents") - F.sum("base").over(w_order))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "price_cents",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), F.lit(1)).otherwise(F.lit(0))
+            ).alias("alloc_cents"),
+        )
+    )
+
+
+_PRORATE_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents
+  FROM lineitem),
+j AS (
+  SELECT li.*, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+  FROM li JOIN orders ON l_orderkey = o_orderkey),
+b AS (
+  SELECT *, SUM(price_cents) OVER (PARTITION BY l_orderkey) AS sw
+  FROM j),
+c AS (
+  SELECT *, (total_cents * price_cents) // sw AS base,
+            (total_cents * price_cents) % sw AS rem
+  FROM b),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      ORDER BY rem DESC, price_cents DESC, l_linenumber) AS rk,
+    total_cents - SUM(base) OVER (PARTITION BY l_orderkey) AS leftover
+  FROM c)
+SELECT l_orderkey, l_linenumber, price_cents,
+  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_cents
+FROM r
+"""
+
+
+def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix over the event stream: users are
+    cohorted by the ISO week of their first event; each later active week
+    contributes one cell (cohort_week, week_offset) with the distinct-user
+    count. All date/integer arithmetic (date_trunc('week') agrees across
+    engines; the offset is an exact multiple of 7 days) — no floats to
+    tame. Two aggregations plus one join that is broadcastable because the
+    per-user first-seen table is |users|, tiny next to the event log."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week_d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week_d").alias("cohort_week"))
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("week_d", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_COHORT_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week_d FROM events),
+firsts AS (
+  SELECT user_id, MIN(week_d) AS cohort_week FROM ev GROUP BY user_id)
+SELECT cohort_week,
+  CAST(date_diff('day', cohort_week, week_d) / 7 AS INTEGER) AS week_offset,
+  COUNT(DISTINCT ev.user_id) AS n_users
+FROM ev JOIN firsts ON ev.user_id = firsts.user_id
+GROUP BY cohort_week, week_offset
+"""
+
+
+def q_phonetic_word_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic-lite dedup over the part-name vocabulary: fingerprint each
+    word as first letter + vowel-stripped tail (a soundex-style consonant
+    skeleton that RE2 and Java regex agree on — no backreferences), then
+    group words sharing a fingerprint. Surfaces spelling variants that
+    exact dedup misses. Vocabulary extraction is explode + groupBy (all
+    codegen); the grouping runs on the distinct-word set, which is tiny
+    relative to the corpus at any scale."""
+    words = (
+        _t(spark, sf_dir, "part")
+        .select(F.explode(F.split(F.upper("p_name"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    keyed = words.select(
+        "w",
+        F.concat(
+            F.substring("w", 1, 1),
+            F.regexp_replace(F.substring(F.col("w"), 2, 1000), "[AEIOU]", ""),
+        ).alias("fingerprint"),
+    )
+    return (
+        keyed.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.array_join(F.array_sort(F.collect_list("w")), ",").alias("words"),
+        )
+        .filter(F.col("n_words") >= 2)
+    )
+
+
+_PHONETIC_SQL = """
+WITH words AS (
+  SELECT DISTINCT w
+  FROM (SELECT unnest(string_split(upper(p_name), ' ')) AS w FROM part)
+  WHERE w <> ''),
+keyed AS (
+  SELECT w, substr(w, 1, 1) || regexp_replace(substr(w, 2), '[AEIOU]', '', 'g')
+    AS fingerprint
+  FROM words)
+SELECT fingerprint, COUNT(*) AS n_words,
+  string_agg(w, ',' ORDER BY w) AS words
+FROM keyed
+GROUP BY fingerprint
+HAVING COUNT(*) >= 2
+"""
+
+
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order, vs the
+    global max order date), frequency (order count) and monetary (lifetime
+    revenue, cents-rounded) per customer, each scored into quintiles with
+    ntile(5). Every ntile ordering carries a custkey tie-break so the
+    quintile assignment is a total order — identical across engines. One
+    aggregation over orders + three window passes over the |customers|
+    aggregate (tiny next to the fact table at any scale)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count("*").alias("frequency"),
+        _dsum_cents(F.col("o_totalprice")).alias("monetary"),
+    )
+    max_d = o.select(F.max(F.to_date("o_orderdate")).alias("max_d"))
+    scored = (
+        per_cust.crossJoin(F.broadcast(max_d))
+        .withColumn("recency_days", F.datediff("max_d", "last_order"))
+        .drop("max_d", "last_order")
+    )
+    w_r = Window.orderBy("recency_days", "o_custkey")
+    w_f = Window.orderBy(F.desc("frequency"), "o_custkey")
+    w_m = Window.orderBy(F.desc("monetary"), "o_custkey")
+    return scored.select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(w_r).alias("r_score"),
+        F.ntile(5).over(w_f).alias("f_score"),
+        F.ntile(5).over(w_m).alias("m_score"),
+    )
+
+
+_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+    MAX(CAST(o_orderdate AS DATE)) AS last_order,
+    COUNT(*) AS frequency,
+    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+      AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT o_custkey,
+    date_diff('day', last_order,
+      (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS recency_days,
+    frequency, monetary
+  FROM per_cust)
+SELECT o_custkey AS custkey, recency_days, frequency, monetary,
+  NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+  NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+  NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+FROM scored
+"""
+
+
+def q_trade_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census on the nation trade graph: nations are vertices; an
+    undirected edge joins two nations whose mutual trade volume (either
+    direction) beats 1.05x the mean pair volume — a relative threshold so
+    the graph sparsifies identically at every scale factor. Triangles are
+    counted by the canonical a<b<c two-hop join. Integer counting on a
+    <=25-vertex derived graph: the heavy lifting is the fact-table
+    aggregation (one shuffle); the triangle join runs on a broadcast-size
+    edge list."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            F.least("s_nationkey", "c_nationkey").alias("a"),
+            F.greatest("s_nationkey", "c_nationkey").alias("b"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(_dsum(F.col("v")).alias("volume"))
+    )
+    mean_vol = vol.select((_dsum(F.col("volume")) / F.count("*")).alias("mv"))
+    edges = (
+        vol.crossJoin(F.broadcast(mean_vol))
+        .filter(F.col("volume") > 1.05 * F.col("mv"))
+        .select("a", "b")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("na"),
+            F.col("e1.b").alias("nb"),
+            F.col("e2.b").alias("nc"),
+        )
+    )
+    return tri.groupBy().agg(
+        F.count("*").alias("n_triangles"),
+        F.count_distinct("na", "nb", "nc").alias("n_distinct"),
+    )
+
+
+_TRIANGLE_SQL = """
+WITH vol AS (
+  SELECT LEAST(s_nationkey, c_nationkey) AS a,
+         GREATEST(s_nationkey, c_nationkey) AS b,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))
+              AS DOUBLE) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2),
+mv AS (
+  SELECT CAST(SUM(CAST(volume AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS mv
+  FROM vol),
+edges AS (
+  SELECT a, b FROM vol, mv WHERE volume > 1.05 * mv),
+tri AS (
+  SELECT e1.a AS na, e1.b AS nb, e2.b AS nc
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b)
+SELECT COUNT(*) AS n_triangles,
+  COUNT(DISTINCT (na, nb, nc)) AS n_distinct
+FROM tri
+"""
+
+
+def q_funnel_sequence_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event timelines: compress
+    each user's time-ordered event types to an initials string (s/v/c/p/e)
+    and regex-match the signup->view->purchase funnel with arbitrary gaps
+    — the MATCH_RECOGNIZE-lite idiom. The ordered compression is a sorted
+    collect_list inside one groupBy (a single shuffle keyed by user);
+    the regex runs once per user on a short string, not per event."""
+    ev = _t(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("i")
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws("", F.transform(F.array_sort(F.collect_list("s")), lambda x: x["i"])).alias(
+                "seq"
+            )
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").alias("n_events"),
+        F.col("seq").rlike("s.*v.*p").alias("funnel_hit"),
+        F.length(F.regexp_replace("seq", "[^p]", "")).alias("n_purchases"),
+    )
+
+
+_FUNNEL_SEQ_SQL = """
+WITH seqs AS (
+  SELECT user_id,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id)
+SELECT user_id, LENGTH(seq) AS n_events,
+  regexp_matches(seq, 's.*v.*p') AS funnel_hit,
+  LENGTH(regexp_replace(seq, '[^p]', '', 'g')) AS n_purchases
+FROM seqs
+"""
+
+
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily order revenue with a
+    half-life of one day, truncated to a 16-day kernel. The whole kernel
+    is INTEGER arithmetic end-to-end: daily revenue in cents (exact int64)
+    scaled by 2^(15-lag) via shiftleft, summed, and floored to micro-
+    dollars with a split quotient/remainder integer division — no libm,
+    no float division, no ROUND (a real 6dp half-up/half-even tie showed
+    up at sf0.01). The kernel is a bounded day-index band join
+    (16 rows per day) — linear in days, no unbounded window state,
+    scale-safe."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(_dsum_cents(F.col("o_totalprice")).alias("revenue"))
+        .withColumn("idx", F.row_number().over(Window.orderBy("d")))
+    )
+    daily = daily.withColumn(
+        "rev_cents", F.round(F.col("revenue") * 100).cast("bigint")
+    )
+    cur, past = daily.alias("cur"), daily.alias("past")
+    joined = cur.join(
+        past,
+        (F.col("past.idx") <= F.col("cur.idx"))
+        & (F.col("past.idx") > F.col("cur.idx") - 16),
+    ).select(
+        F.col("cur.d").alias("d"),
+        F.col("cur.revenue").alias("revenue"),
+        (F.lit(15) - (F.col("cur.idx") - F.col("past.idx"))).alias("shift"),
+        F.col("past.rev_cents").alias("rev_cents"),
+    )
+    # exact floor at micro-dollar precision: num/(den*100) dollars, scaled
+    # by 1e6 via split quotient/remainder so every intermediate fits int64.
+    # No float division, no ROUND — immune to half-up/half-even tie drift.
+    return (
+        joined.groupBy("d", "revenue")
+        .agg(
+            F.sum(F.expr("rev_cents * shiftleft(1L, shift)")).alias("num"),
+            (F.sum(F.expr("shiftleft(1L, shift)")) * 100).alias("d2"),
+        )
+        .select(
+            "d",
+            "revenue",
+            F.expr(
+                "(num DIV d2) * 1000000 + ((num % d2) * 1000000) DIV d2"
+            ).alias("ewma_micro"),
+        )
+    )
+
+
+_EWMA_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+      AS revenue
+  FROM orders GROUP BY 1),
+idxd AS (
+  SELECT d, revenue, CAST(ROUND(revenue * 100) AS BIGINT) AS rev_cents,
+    ROW_NUMBER() OVER (ORDER BY d) AS idx
+  FROM daily),
+joined AS (
+  SELECT cur.d, cur.revenue,
+    15 - (cur.idx - past.idx) AS shift, past.rev_cents
+  FROM idxd cur JOIN idxd past
+    ON past.idx <= cur.idx AND past.idx > cur.idx - 16),
+agg AS (
+  SELECT d, revenue,
+    SUM(rev_cents * (1::BIGINT << shift)) AS num,
+    SUM(1::BIGINT << shift) * 100 AS d2
+  FROM joined GROUP BY d, revenue)
+SELECT d, revenue,
+  (num // d2) * 1000000 + ((num % d2) * 1000000) // d2 AS ewma_micro
+FROM agg
+"""
+
+
+def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the directed nation trade graph (supplier
+    nation -> customer nation, edge weight = trade volume). Genuinely
+    iterative — k rounds of join+aggregate with lineage cuts — so there is
+    no SQL twin; correctness is pinned by the numpy power-iteration parity
+    test (tests/test_graph.py). Ranks round to 6dp; rows-only check."""
+    from .operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+    )
+    pr = pagerank(edges, weight="volume", iterations=10, damping=0.85)
+    return pr.select(
+        F.col("node").alias("nationkey"), F.round("rank", 6).alias("rank")
+    )
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each document's token distribution — the
+    classic diversity/quality signal for training-data curation: near-zero
+    entropy flags degenerate/repetitive documents. p*ln(p) terms aggregate
+    in decimal (commutative), divided by a shared ln(2) literal so both
+    engines compute the identical double. explode + two aggregations, all
+    codegen — no Python in the hot path, linear in corpus size."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    counts = toks.groupBy("doc_id", "w").agg(F.count("*").alias("n"))
+    p = F.col("n") / F.col("tot")
+    return (
+        counts.withColumn("tot", F.sum("n").over(Window.partitionBy("doc_id")))
+        .groupBy("doc_id")
+        .agg(
+            F.min("tot").alias("n_tokens"),
+            F.round(
+                F.sum((-p * F.log(p)).cast("decimal(38,18)")).cast("double")
+                / 0.6931471805599453,
+                6,
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+_ENTROPY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+  FROM documents),
+counts AS (
+  SELECT doc_id, w, COUNT(*) AS n FROM toks WHERE w <> '' GROUP BY doc_id, w),
+tot AS (
+  SELECT *, SUM(n) OVER (PARTITION BY doc_id) AS tot FROM counts)
+SELECT doc_id, MIN(tot) AS n_tokens,
+  ROUND(
+    CAST(SUM(CAST(-(n / CAST(tot AS DOUBLE)) * ln(n / CAST(tot AS DOUBLE))
+                  AS DECIMAL(38,18))) AS DOUBLE) / 0.6931471805599453,
+    6) AS entropy_bits
+FROM tot GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3682,6 +4160,15 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_parts": q_skyline_parts,
     "markov_transitions": q_markov_transitions,
     "twap_user_value": q_twap_user_value,
+    "allocation_proration": q_allocation_proration,
+    "cohort_retention_weekly": q_cohort_retention_weekly,
+    "phonetic_word_groups": q_phonetic_word_groups,
+    "rfm_segmentation": q_rfm_segmentation,
+    "trade_graph_triangles": q_trade_graph_triangles,
+    "funnel_sequence_regex": q_funnel_sequence_regex,
+    "ewma_daily_revenue": q_ewma_daily_revenue,
+    "pagerank_trade_graph": q_pagerank_trade_graph,
+    "token_entropy": q_token_entropy,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -3796,4 +4283,13 @@ ORACLE_QUERIES: dict[str, str] = {
     "skyline_parts": _SKYLINE_SQL,
     "markov_transitions": _MARKOV_SQL,
     "twap_user_value": _TWAP_SQL,
+    "allocation_proration": _PRORATE_SQL,
+    "cohort_retention_weekly": _COHORT_SQL,
+    "phonetic_word_groups": _PHONETIC_SQL,
+    "rfm_segmentation": _RFM_SQL,
+    "trade_graph_triangles": _TRIANGLE_SQL,
+    "funnel_sequence_regex": _FUNNEL_SEQ_SQL,
+    "ewma_daily_revenue": _EWMA_SQL,
+    # pagerank_trade_graph is rows-only (iterative; no SQL twin)
+    "token_entropy": _ENTROPY_SQL,
 }
