@@ -4035,6 +4035,232 @@ FROM tot GROUP BY doc_id
 """
 
 
+def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the document corpus for a fixed 3-term
+    query — the standard lexical-search scorer (k1=1.2, b=0.75). tf/df/
+    doclen are integers; idf and the saturation term are a fixed chain of
+    IEEE ops identical on both engines; per-term scores aggregate in
+    decimal so the 3-term sum is order-free. Top-20 with doc_id tie-break.
+    One explode + two aggregations + a broadcast of the 3-row term stats —
+    the inverted-index-free formulation that still scales linearly."""
+    terms = ["spark", "join", "table"]
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    # ONE tokenization pass: per-doc length and the per-term counts come out
+    # of the same groupBy (the explode is the expensive part — running it
+    # once instead of per-statistic halves the scan+shuffle volume)
+    grouped = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("w") == t).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    corpus = grouped.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    stack_expr = "stack({}, {}) as (w, tf)".format(
+        len(terms), ", ".join(f"'{t}', tf_{i}" for i, t in enumerate(terms))
+    )
+    tf = (
+        grouped.select("doc_id", "dl", F.expr(stack_expr))
+        .filter(F.col("tf") > 0)
+    )
+    df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "w").crossJoin(F.broadcast(corpus))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    avgdl = F.col("total_len") / F.col("n_docs")
+    sat = (F.col("tf") * (1.2 + 1)) / (
+        F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * (F.col("dl") / avgdl))
+    )
+    return (
+        scored.select("doc_id", (idf * sat).alias("term_score"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("term_score").cast("decimal(38,18)")).cast("double"), 6
+            ).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w
+  FROM documents),
+toks2 AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id),
+corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM doclen),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM toks2
+  WHERE w IN ('spark', 'join', 'table') GROUP BY doc_id, w),
+df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+      * ((tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75
+          * (dl / (CAST(total_len AS DOUBLE) / n_docs))))) AS term_score
+  FROM tf JOIN df USING (w) JOIN doclen USING (doc_id), corpus)
+SELECT doc_id,
+  ROUND(CAST(SUM(CAST(term_score AS DECIMAL(38,18))) AS DOUBLE), 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+def q_revenue_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive days where daily
+    revenue strictly increased day-over-day. The island id is the classic
+    row_number difference (day index minus run-local row_number), entirely
+    integer/date arithmetic; revenue comparisons happen on the cents-
+    rounded daily series so both engines see identical doubles. Returns
+    the 10 longest rising streaks. Two window passes + one aggregate —
+    no self-join, linear in days."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(_dsum_cents(F.col("o_totalprice")).alias("revenue"))
+    )
+    w = Window.orderBy("d")
+    flagged = (
+        daily.withColumn("idx", F.row_number().over(w))
+        .withColumn("up", (F.col("revenue") > F.lag("revenue").over(w)).cast("int"))
+        .filter(F.col("up") == 1)
+    )
+    w_up = Window.orderBy("idx")
+    islands = flagged.withColumn(
+        "grp", F.col("idx") - F.row_number().over(w_up)
+    )
+    return (
+        islands.groupBy("grp")
+        .agg(
+            F.min("d").alias("start_d"),
+            F.max("d").alias("end_d"),
+            F.count("*").alias("streak_days"),
+        )
+        .drop("grp")
+        .orderBy(F.desc("streak_days"), "start_d")
+        .limit(10)
+    )
+
+
+_STREAK_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+      AS revenue
+  FROM orders GROUP BY 1),
+flagged AS (
+  SELECT d, revenue,
+    ROW_NUMBER() OVER (ORDER BY d) AS idx,
+    CASE WHEN revenue > LAG(revenue) OVER (ORDER BY d) THEN 1 ELSE 0 END AS up
+  FROM daily),
+ups AS (SELECT * FROM flagged WHERE up = 1),
+islands AS (
+  SELECT *, idx - ROW_NUMBER() OVER (ORDER BY idx) AS grp FROM ups)
+SELECT MIN(d) AS start_d, MAX(d) AS end_d, COUNT(*) AS streak_days
+FROM islands GROUP BY grp
+ORDER BY streak_days DESC, start_d LIMIT 10
+"""
+
+
+def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: event count and exact-decimal mean value per
+    (ISO day-of-week, hour-of-day) cell — the 7x24 usage fingerprint.
+    Pure integer bucketing (Spark weekday()+1 == DuckDB isodow) and one
+    aggregation; the mean divides an exact decimal sum by the count in
+    double. Single shuffle on a 168-key space — trivially scalable."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).alias("isodow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                _dsum(F.col("value")) / F.count("*"), 6
+            ).alias("avg_value"),
+        )
+    )
+
+
+_HEATMAP_SQL = """
+SELECT isodow(ts) AS isodow, hour(ts) AS hour, COUNT(*) AS n_events,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6)
+    AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per event type: exact median (percentile_cont
+    0.5, R-7 linear interpolation in both engines) and the median absolute
+    deviation — the outlier-resistant alternative to mean/stddev for
+    telemetry with heavy tails. Outliers counted at the |v - med| > 3*MAD
+    fence; both engines derive the fence through the identical op chain so
+    the boundary double is bit-equal. Two grouped percentile passes."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.min("med").alias("med"),
+        F.expr("percentile(adev, 0.5)").alias("mad"),
+        F.count("*").alias("n"),
+    )
+    return (
+        dev.join(
+            F.broadcast(mad.select("event_type", F.col("mad").alias("mad2"))),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("adev") > 3 * F.col("mad2")).cast("int")).alias("n_outliers")
+        )
+        .join(mad, "event_type")
+        .select(
+            "event_type",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n",
+            "n_outliers",
+        )
+    )
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type),
+mad AS (
+  SELECT event_type, MIN(med) AS med, quantile_cont(adev, 0.5) AS mad,
+    COUNT(*) AS n
+  FROM dev GROUP BY event_type),
+outl AS (
+  SELECT d.event_type,
+    SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS n_outliers
+  FROM dev d JOIN mad m ON d.event_type = m.event_type
+  GROUP BY d.event_type)
+SELECT o.event_type, ROUND(m.med, 6) AS med, ROUND(m.mad, 6) AS mad,
+  m.n, o.n_outliers
+FROM outl o JOIN mad m ON o.event_type = m.event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4169,6 +4395,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ewma_daily_revenue": q_ewma_daily_revenue,
     "pagerank_trade_graph": q_pagerank_trade_graph,
     "token_entropy": q_token_entropy,
+    "bm25_keyword_search": q_bm25_keyword_search,
+    "revenue_streaks": q_revenue_streaks,
+    "dow_hour_heatmap": q_dow_hour_heatmap,
+    "mad_robust_stats": q_mad_robust_stats,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -4292,4 +4522,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "ewma_daily_revenue": _EWMA_SQL,
     # pagerank_trade_graph is rows-only (iterative; no SQL twin)
     "token_entropy": _ENTROPY_SQL,
+    "bm25_keyword_search": _BM25_SQL,
+    "revenue_streaks": _STREAK_SQL,
+    "dow_hour_heatmap": _HEATMAP_SQL,
+    "mad_robust_stats": _MAD_SQL,
 }
