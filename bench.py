@@ -72,6 +72,14 @@ HEADLINE = [
     "stats_moments",
     "window_range_1h_rolling",
     "nation_top_customers_listagg",
+    "allocation_proration",
+    "cohort_retention_weekly",
+    "ewma_daily_revenue",
+    "revenue_streaks",
+    "bm25_keyword_search",
+    "token_entropy",
+    "dow_hour_heatmap",
+    "mad_robust_stats",
     "forecast_daily_sales",
     "forecast_multi_table",
 ]

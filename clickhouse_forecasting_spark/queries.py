@@ -3773,8 +3773,13 @@ def q_trade_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the graph sparsifies identically at every scale factor. Triangles are
     counted by the canonical a<b<c two-hop join. Integer counting on a
     <=25-vertex derived graph: the heavy lifting is the fact-table
-    aggregation (one shuffle); the triangle join runs on a broadcast-size
-    edge list."""
+    aggregation; the thresholded edge list (<= |nations|^2 rows) is
+    materialized to the driver ONCE and re-created as a local DataFrame,
+    so the three-way self-join never re-derives the fact aggregation —
+    without this, Spark re-planned the 5-table join under every alias
+    (24 parquet scans in the census; the fact tables are now read only in
+    the single edge-materialization job). The DuckDB twin needs
+    MATERIALIZED CTEs for the same reason."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -3793,11 +3798,15 @@ def q_trade_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_dsum(F.col("v")).alias("volume"))
     )
     mean_vol = vol.select((_dsum(F.col("volume")) / F.count("*")).alias("mv"))
-    edges = (
+    edge_rows = (
         vol.crossJoin(F.broadcast(mean_vol))
         .filter(F.col("volume") > 1.05 * F.col("mv"))
         .select("a", "b")
+        .collect()
     )
+    edges = spark.createDataFrame(
+        [(r.a, r.b) for r in edge_rows] or [(None, None)], "a bigint, b bigint"
+    ).filter(F.col("a").isNotNull())
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))
@@ -3818,7 +3827,7 @@ def q_trade_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLE_SQL = """
-WITH vol AS (
+WITH vol AS MATERIALIZED (
   SELECT LEAST(s_nationkey, c_nationkey) AS a,
          GREATEST(s_nationkey, c_nationkey) AS b,
          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))
@@ -3832,7 +3841,9 @@ WITH vol AS (
 mv AS (
   SELECT CAST(SUM(CAST(volume AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS mv
   FROM vol),
-edges AS (
+edges AS MATERIALIZED (
+  -- MATERIALIZED on vol+edges: inlined, DuckDB re-expands the fact
+  -- aggregation under every self-join alias and the plan blows up at sf0.1
   SELECT a, b FROM vol, mv WHERE volume > 1.05 * mv),
 tri AS (
   SELECT e1.a AS na, e1.b AS nb, e2.b AS nc
@@ -4058,7 +4069,10 @@ def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("w") == t).cast("long")).alias(f"tf_{i}")
             for i, t in enumerate(terms)
         ],
-    )
+    ).localCheckpoint(eager=True)
+    # ^ materialized once: corpus stats, df and the scoring join all read
+    # the per-doc aggregate (|docs| rows), so the corpus-wide tokenization
+    # runs exactly one time instead of once per consumer subtree.
     corpus = grouped.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
     )
