@@ -4275,6 +4275,204 @@ FROM outl o JOIN mad m ON o.event_type = m.event_type
 """
 
 
+def q_interval_merge_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval consolidation (the calendar/uptime-merge
+    primitive): each event opens a 5-minute activity interval; per user,
+    intervals that overlap or touch merge into islands via the running-max
+    -of-end trick (a new island starts when ts > max end so far). All
+    exact integer microseconds. One shuffle (partition by user) + two
+    ordered window passes + one aggregation — no self-join, linear in
+    events, the standard scale-safe formulation."""
+    span_us = 300_000_000  # 5 minutes
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(span_us)).alias("e"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_us"), F.max("e").alias("end_us")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("end_us") - F.col("start_us")).alias("total_active_us"),
+        F.max(F.col("end_us") - F.col("start_us")).alias("max_island_us"),
+    )
+
+
+_INTERVAL_SQL = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e, event_id
+  FROM events),
+flagged AS (
+  SELECT *, CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY user_id
+      ORDER BY s, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      -9223372036854775808) THEN 1 ELSE 0 END AS new_island
+  FROM ev),
+islands AS (
+  SELECT *, SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged),
+per_island AS (
+  SELECT user_id, island, MIN(s) AS start_us, MAX(e) AS end_us
+  FROM islands GROUP BY user_id, island)
+SELECT user_id, COUNT(*) AS n_islands,
+  SUM(end_us - start_us) AS total_active_us,
+  MAX(end_us - start_us) AS max_island_us
+FROM per_island GROUP BY user_id
+"""
+
+
+def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase is credited to the user's
+    EARLIEST click in the preceding 7 days, found with an event-time RANGE
+    frame (order by epoch-micros, range 7d preceding .. current row) — no
+    as-of self-join, one window pass. Daily rollup reports purchases,
+    attributed purchases, and the mean click->purchase latency (exact
+    integer-microsecond sum / count, divided once in double)."""
+    week_us = 7 * 24 * 3600 * 1_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.to_date("ts").alias("d"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-week_us, 0)
+    )
+    attributed = (
+        ev.withColumn(
+            "first_click_us",
+            F.min(
+                F.when(F.col("event_type") == "click", F.col("us"))
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+    return attributed.groupBy("d").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.col("first_click_us").isNotNull().cast("int")).alias("n_attributed"),
+        F.round(
+            F.sum(F.col("us") - F.col("first_click_us")).cast("double")
+            / F.sum(F.col("first_click_us").isNotNull().cast("int")),
+            1,
+        ).alias("avg_latency_us"),
+    )
+
+
+_ATTRIB_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, CAST(ts AS DATE) AS d
+  FROM events),
+attributed AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' THEN us END) OVER (
+      PARTITION BY user_id ORDER BY us
+      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS first_click_us
+  FROM ev)
+SELECT d, COUNT(*) AS n_purchases,
+  SUM(CASE WHEN first_click_us IS NOT NULL THEN 1 ELSE 0 END) AS n_attributed,
+  ROUND(CAST(SUM(us - first_click_us) AS DOUBLE)
+        / SUM(CASE WHEN first_click_us IS NOT NULL THEN 1 ELSE 0 END), 1)
+    AS avg_latency_us
+FROM attributed WHERE event_type = 'purchase' GROUP BY d
+"""
+
+
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's revenue, in
+    exact integer parts-per-million (nation_cents * 1e6 DIV region_cents)
+    — the integer-floor idiom again, so no float division or ROUND can
+    drift. One fact aggregation keyed by nation + broadcast dims + one
+    window sum over the 25-row aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.withColumn(
+        "region_cents", F.sum("rev_cents").over(w)
+    ).select(
+        "r_name",
+        "n_name",
+        "rev_cents",
+        F.expr("(rev_cents * 1000000) DIV region_cents").alias("share_ppm"),
+    )
+
+
+_SHARE_SQL = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name),
+tot AS (
+  SELECT *, SUM(rev_cents) OVER (PARTITION BY r_name) AS region_cents
+  FROM per_nation)
+SELECT r_name, n_name, rev_cents,
+  (rev_cents * 1000000) // region_cents AS share_ppm
+FROM tot
+"""
+
+
+def q_yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth in exact integer basis points:
+    (year_cents - prev_cents) * 10000 DIV prev_cents. lag() over the
+    per-year aggregate (a handful of rows) — the canonical reporting
+    query, float-free."""
+    o = _t(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents")
+    )
+    w = Window.orderBy("yr")
+    return (
+        yearly.withColumn("prev_cents", F.lag("rev_cents").over(w))
+        .withColumn(
+            "growth_bp",
+            F.expr("(rev_cents - prev_cents) * 10000 DIV prev_cents"),
+        )
+        .select("yr", "rev_cents", "prev_cents", "growth_bp")
+    )
+
+
+_YOY_SQL = """
+WITH yearly AS (
+  SELECT year(o_orderdate) AS yr,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1),
+lagged AS (
+  SELECT *, LAG(rev_cents) OVER (ORDER BY yr) AS prev_cents FROM yearly)
+SELECT yr, rev_cents, prev_cents,
+  (rev_cents - prev_cents) * 10000 // prev_cents AS growth_bp
+FROM lagged
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4413,6 +4611,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_streaks": q_revenue_streaks,
     "dow_hour_heatmap": q_dow_hour_heatmap,
     "mad_robust_stats": q_mad_robust_stats,
+    "interval_merge_activity": q_interval_merge_activity,
+    "attribution_first_touch": q_attribution_first_touch,
+    "nation_revenue_share": q_nation_revenue_share,
+    "yoy_revenue_growth": q_yoy_revenue_growth,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -4540,4 +4742,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "revenue_streaks": _STREAK_SQL,
     "dow_hour_heatmap": _HEATMAP_SQL,
     "mad_robust_stats": _MAD_SQL,
+    "interval_merge_activity": _INTERVAL_SQL,
+    "attribution_first_touch": _ATTRIB_SQL,
+    "nation_revenue_share": _SHARE_SQL,
+    "yoy_revenue_growth": _YOY_SQL,
 }
