@@ -4473,6 +4473,107 @@ FROM lagged
 """
 
 
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day, with EXACT sliding
+    distinct counts: each active (day, user) pair fans out to the 7 target
+    days it supports via explode(sequence(...)) and a count_distinct per
+    target day — an equi-shuffle formulation (dedup -> bounded 7x explode
+    -> groupBy), not an inequality self-join and not a window (Spark has
+    no COUNT(DISTINCT) over frames). Stickiness is integer ppm, the
+    float-free ratio idiom. Scales as 7x the (day,user) dedup output,
+    which is already tiny next to the event log."""
+    ev = _t(spark, sf_dir, "events")
+    day_users = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    bounds = ev.agg(F.max(F.to_date("ts")).alias("max_d"))
+    fanned = (
+        day_users.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d"), F.date_add(F.col("d"), 6), F.expr("interval 1 day")
+                )
+            ).alias("target_d"),
+            F.col("d").alias("active_d"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("target_d") <= F.col("max_d"))
+    )
+    per_day = fanned.groupBy("target_d").agg(
+        F.count_distinct("user_id").alias("wau"),
+        F.count_distinct(
+            F.when(F.col("active_d") == F.col("target_d"), F.col("user_id"))
+        ).alias("dau"),
+    )
+    return per_day.select(
+        F.col("target_d").alias("d"),
+        "dau",
+        "wau",
+        F.expr("(dau * 1000000) DIV wau").alias("stickiness_ppm"),
+    ).filter(F.col("dau") > 0)
+
+
+_DAUWAU_SQL = """
+WITH day_users AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+bounds AS (SELECT MAX(CAST(ts AS DATE)) AS max_d FROM events),
+fanned AS (
+  SELECT user_id, d AS active_d,
+    CAST(unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))
+         AS DATE) AS target_d
+  FROM day_users),
+per_day AS (
+  SELECT target_d,
+    COUNT(DISTINCT user_id) AS wau,
+    COUNT(DISTINCT CASE WHEN active_d = target_d THEN user_id END) AS dau
+  FROM fanned, bounds WHERE target_d <= max_d
+  GROUP BY target_d)
+SELECT target_d AS d, dau, wau, (dau * 1000000) // wau AS stickiness_ppm
+FROM per_day WHERE dau > 0
+"""
+
+
+def q_priority_topn_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N-with-others reporting rollup: per order year, the two most
+    frequent order priorities keep their own rows and everything else
+    collapses into an OTHER bucket — the standard dashboard legend shape.
+    Rank ties break on the priority string so the cut is a total order.
+    One aggregation + one small window over the (year x priority) grid +
+    one re-aggregation; all integer counts."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy(
+        F.year("o_orderdate").alias("yr"), "o_orderpriority"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("yr").orderBy(F.desc("n"), "o_orderpriority")
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.withColumn(
+            "bucket",
+            F.when(F.col("rk") <= 2, F.col("o_orderpriority")).otherwise(
+                F.lit("OTHER")
+            ),
+        )
+        .groupBy("yr", "bucket")
+        .agg(F.sum("n").alias("n_orders"), F.count("*").alias("n_priorities"))
+    )
+
+
+_TOPN_OTHER_SQL = """
+WITH counts AS (
+  SELECT year(o_orderdate) AS yr, o_orderpriority, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY yr
+    ORDER BY n DESC, o_orderpriority) AS rk
+  FROM counts)
+SELECT yr,
+  CASE WHEN rk <= 2 THEN o_orderpriority ELSE 'OTHER' END AS bucket,
+  SUM(n) AS n_orders, COUNT(*) AS n_priorities
+FROM ranked GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4615,6 +4716,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution_first_touch": q_attribution_first_touch,
     "nation_revenue_share": q_nation_revenue_share,
     "yoy_revenue_growth": q_yoy_revenue_growth,
+    "dau_wau_stickiness": q_dau_wau_stickiness,
+    "priority_topn_with_others": q_priority_topn_with_others,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -4746,4 +4849,6 @@ ORACLE_QUERIES: dict[str, str] = {
     "attribution_first_touch": _ATTRIB_SQL,
     "nation_revenue_share": _SHARE_SQL,
     "yoy_revenue_growth": _YOY_SQL,
+    "dau_wau_stickiness": _DAUWAU_SQL,
+    "priority_topn_with_others": _TOPN_OTHER_SQL,
 }

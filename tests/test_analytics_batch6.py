@@ -92,6 +92,54 @@ def test_revenue_shares_sum_to_one_million_or_less(spark, sf_dir, qs):
         assert 1_000_000 - len(nations) <= total <= 1_000_000, region
 
 
+def test_dau_wau_matches_python_sets(spark, sf_dir, qs):
+    import datetime
+
+    rows = {r.d: r for r in qs["dau_wau_stickiness"](spark, sf_dir).collect()}
+    assert rows
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+        .collect()
+    )
+    by_day: dict[datetime.date, set] = {}
+    for r in ev:
+        by_day.setdefault(r.d, set()).add(r.user_id)
+    for d, users in by_day.items():
+        r = rows[d]
+        assert r.dau == len(users)
+        wau = set()
+        for k in range(7):
+            wau |= by_day.get(d - datetime.timedelta(days=k), set())
+        assert r.wau == len(wau)
+        assert r.stickiness_ppm == (r.dau * 1_000_000) // r.wau
+        assert r.dau <= r.wau
+    assert set(rows) == set(by_day)  # zero-DAU days are filtered, none exist
+
+
+def test_topn_with_others_partitions_all_orders(spark, sf_dir, qs):
+    rows = qs["priority_topn_with_others"](spark, sf_dir).collect()
+    total = sum(r.n_orders for r in rows)
+    assert total == read_table(spark, sf_dir, "orders").count()
+    by_year: dict[int, list] = {}
+    for r in rows:
+        by_year.setdefault(r.yr, []).append(r)
+    for yr, buckets in by_year.items():
+        named = [b for b in buckets if b.bucket != "OTHER"]
+        other = [b for b in buckets if b.bucket == "OTHER"]
+        assert len(named) <= 2
+        assert len(other) <= 1
+        if other:
+            # every named bucket beats (or ties into, broken by name) OTHER's
+            # single largest constituent — implied by top-2 cut: each named
+            # count >= any OTHER constituent, so >= OTHER avg
+            assert all(
+                b.n_orders >= other[0].n_orders / other[0].n_priorities
+                for b in named
+            )
+
+
 def test_yoy_growth_reconstructs_revenue(spark, sf_dir, qs):
     rows = sorted(qs["yoy_revenue_growth"](spark, sf_dir).collect(), key=lambda r: r.yr)
     assert rows
