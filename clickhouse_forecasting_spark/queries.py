@@ -4574,6 +4574,99 @@ FROM ranked GROUP BY 1, 2
 """
 
 
+def q_window_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking/navigation window functions in one pass over
+    the per-customer revenue aggregate, partitioned by market segment:
+    rank, dense_rank, percent_rank, cume_dist, first_value, nth_value(2)
+    and the gap to the segment leader. The ordering is a total order
+    (monetary desc, custkey) so every function is engine-deterministic;
+    percent_rank/cume_dist are exact (k-1)/(n-1) rationals computed the
+    same way on both sides. One fact aggregation + one window over the
+    |customers| aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("rev_cents"), "c_custkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    return per_cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "rev_cents",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first_value("rev_cents").over(wf).alias("leader_cents"),
+        F.nth_value("rev_cents", 2).over(wf).alias("runnerup_cents"),
+        (F.first_value("rev_cents").over(wf) - F.col("rev_cents")).alias(
+            "gap_to_leader"
+        ),
+    )
+
+
+_WINFUNCS_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, c_mktsegment,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_mktsegment)
+SELECT c_custkey, c_mktsegment, rev_cents,
+  RANK() OVER w AS rnk,
+  DENSE_RANK() OVER w AS drnk,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 6) AS cume,
+  FIRST_VALUE(rev_cents) OVER wf AS leader_cents,
+  NTH_VALUE(rev_cents, 2) OVER wf AS runnerup_cents,
+  FIRST_VALUE(rev_cents) OVER wf - rev_cents AS gap_to_leader
+FROM per_cust
+WINDOW
+  w AS (PARTITION BY c_mktsegment ORDER BY rev_cents DESC, c_custkey),
+  wf AS (PARTITION BY c_mktsegment ORDER BY rev_cents DESC, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+_SQL_API_REPORT = """
+WITH monthly AS (
+  SELECT n_name,
+    date_trunc('month', CAST(o_orderdate AS DATE)) AS mo,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS gross,
+    COUNT(*) AS n_orders
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE o_orderstatus <> 'F'
+  GROUP BY n_name, date_trunc('month', CAST(o_orderdate AS DATE))),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY mo
+      ORDER BY gross DESC, n_name) AS rk
+  FROM monthly)
+SELECT CAST(mo AS DATE) AS mo, n_name, ROUND(gross, 2) AS gross, n_orders
+FROM ranked WHERE rk <= 3
+"""
+
+
+def q_sql_api_monthly_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL front end: the exact report text runs through
+    spark.sql() over registered temp views — same string (modulo nothing)
+    DuckDB executes as the oracle. Demonstrates that the engine's SQL
+    surface, not just the DataFrame combinators, is ANSI-portable:
+    CTEs, named windows, month truncation, top-k per group."""
+    for t in ["orders", "customer", "nation"]:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_SQL_API_REPORT)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4718,6 +4811,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "yoy_revenue_growth": q_yoy_revenue_growth,
     "dau_wau_stickiness": q_dau_wau_stickiness,
     "priority_topn_with_others": q_priority_topn_with_others,
+    "window_function_showcase": q_window_function_showcase,
+    "sql_api_monthly_leaders": q_sql_api_monthly_leaders,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -4851,4 +4946,6 @@ ORACLE_QUERIES: dict[str, str] = {
     "yoy_revenue_growth": _YOY_SQL,
     "dau_wau_stickiness": _DAUWAU_SQL,
     "priority_topn_with_others": _TOPN_OTHER_SQL,
+    "window_function_showcase": _WINFUNCS_SQL,
+    "sql_api_monthly_leaders": _SQL_API_REPORT,
 }

@@ -140,6 +140,40 @@ def test_topn_with_others_partitions_all_orders(spark, sf_dir, qs):
             )
 
 
+def test_window_showcase_internal_consistency(spark, sf_dir, qs):
+    rows = qs["window_function_showcase"](spark, sf_dir).collect()
+    assert rows
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r.c_mktsegment, []).append(r)
+    for seg, rs in by_seg.items():
+        rs.sort(key=lambda r: (-r.rev_cents, r.c_custkey))
+        n = len(rs)
+        leader = rs[0].rev_cents
+        for i, r in enumerate(rs):
+            assert r.rnk == i + 1  # total order => rank == row position
+            assert r.leader_cents == leader
+            assert r.gap_to_leader == leader - r.rev_cents
+            if n > 1:
+                assert r.pct_rank == pytest.approx(i / (n - 1), abs=1e-6)
+            assert r.cume == pytest.approx((i + 1) / n, abs=1e-6)
+            if i >= 1:
+                assert r.runnerup_cents == rs[1].rev_cents
+            else:
+                assert r.runnerup_cents is None
+
+
+def test_sql_api_report_top3_per_month(spark, sf_dir, qs):
+    rows = qs["sql_api_monthly_leaders"](spark, sf_dir).collect()
+    assert rows
+    by_mo: dict = {}
+    for r in rows:
+        by_mo.setdefault(r.mo, []).append(r.gross)
+    for mo, gs in by_mo.items():
+        assert 1 <= len(gs) <= 3
+        assert gs == sorted(gs, reverse=True) or len(set(gs)) < len(gs)
+
+
 def test_yoy_growth_reconstructs_revenue(spark, sf_dir, qs):
     rows = sorted(qs["yoy_revenue_growth"](spark, sf_dir).collect(), key=lambda r: r.yr)
     assert rows
