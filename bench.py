@@ -82,6 +82,10 @@ HEADLINE = [
     "mad_robust_stats",
     "forecast_daily_sales",
     "forecast_multi_table",
+    "market_basket_pairs",
+    "regression_trend_by_nation",
+    "cusum_breakpoints",
+    "event_type_trigrams",
 ]
 
 

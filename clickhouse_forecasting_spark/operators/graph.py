@@ -21,6 +21,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def bfs_distances(
+    edges: DataFrame,
+    source,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Minimum-hop BFS distances from ``source`` over a directed edge list.
+
+    Returns ``(node, dist)`` for every node reachable within ``max_hops``
+    (the source itself at dist 0). Classic frontier expansion: each round
+    is one join (frontier ⋈ edges) + one anti-join against the visited
+    set — both shuffle on the node key, so a round costs O(|frontier
+    out-edges|) regardless of graph size. Lineage is cut per round with
+    ``localCheckpoint`` (same k²-analysis-blowup fix as pagerank above).
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    visited = spark.createDataFrame(
+        [(source, 0)], f"node {edges.schema[src].dataType.simpleString()}, dist int"
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    e.unpersist()
+    return visited
+
+
 def pagerank(
     edges: DataFrame,
     *,

@@ -4667,6 +4667,355 @@ def q_sql_api_monthly_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_API_REPORT)
 
 
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: parts co-purchased in the same order, with
+    association lift. The pair generation is a self-join of the distinct
+    (order, part) item set on the order key — per-order blowup is bounded
+    by the order's line count (<= 7 in TPC-H), so the shuffle stays
+    linear in |lineitem| at any scale. Lift is emitted as an EXACT
+    integer (parts-per-million, floor division) so the cross-engine hash
+    needs no float formatting: lift_ppm = n12 * N * 1e6 div (n1 * n2).
+    int64-safe through sf~10 (n12*N*1e6 ~ 1e17); the decimal upgrade is
+    a one-line cast. Top 50 by support with full tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    # tiny derived aggregates: materialize once so the a/b self-join does
+    # not re-expand the distinct's subtree (cf. triangles lesson)
+    items = items.localCheckpoint(eager=True)
+    n_orders = items.select(F.count_distinct("ok").alias("n"))
+    item_counts = items.groupBy("pk").agg(F.count("*").alias("cnt"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        .agg(F.count("*").alias("n12"))
+        .filter(F.col("n12") >= 2)
+    )
+    return (
+        pairs.join(F.broadcast(item_counts.withColumnRenamed("cnt", "n1")), pairs.p1 == F.col("pk"))
+        .drop("pk")
+        .join(F.broadcast(item_counts.withColumnRenamed("cnt", "n2")), F.col("p2") == F.col("pk"))
+        .drop("pk")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "p1", "p2", "n12", "n1", "n2",
+            F.expr("(n12 * n * 1000000L) div (n1 * n2)").alias("lift_ppm"),
+        )
+        .orderBy(F.desc("n12"), F.desc("lift_ppm"), "p1", "p2")
+        .limit(50)
+    )
+
+
+_BASKET_SQL = """
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+n_orders AS (SELECT COUNT(DISTINCT ok) AS n FROM items),
+item_counts AS MATERIALIZED (SELECT pk, COUNT(*) AS cnt FROM items GROUP BY pk),
+pair_counts AS (
+  SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n12
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT p1, p2, n12, c1.cnt AS n1, c2.cnt AS n2,
+  (n12 * n * 1000000) // (c1.cnt * c2.cnt) AS lift_ppm
+FROM pair_counts
+JOIN item_counts c1 ON p1 = c1.pk
+JOIN item_counts c2 ON p2 = c2.pk
+CROSS JOIN n_orders
+ORDER BY n12 DESC, lift_ppm DESC, p1, p2 LIMIT 50
+"""
+
+
+def q_regression_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (regr_slope/regr_intercept twin) of
+    monthly revenue on a month index, one slope per nation. Native
+    regr_* stream doubles and are not cross-engine reproducible; instead
+    the five power sums (n, Σx, Σy, Σxy, Σx²) are EXACT integers (x =
+    month index, y = cents), and the slope/intercept algebra runs on
+    exact int64 numerators/denominators with one final double division —
+    bit-identical across engines. One fact aggregation (month grain) +
+    one 25-row aggregation; sums stay int64-safe through sf~10."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            (
+                (F.year(F.col("o_orderdate").cast("date")) - F.lit(1992)) * 12
+                + F.month(F.col("o_orderdate").cast("date")) - 1
+            ).alias("x"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("n_name", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    sums = monthly.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "n_name",
+        "n",
+        F.round(num.cast("double") / den.cast("double"), 6).alias("slope_cents_per_month"),
+        F.round(
+            (F.col("sy") * den - num * F.col("sx")).cast("double")
+            / (F.col("n") * den).cast("double"),
+            6,
+        ).alias("intercept_cents"),
+    )
+
+
+_REGRESSION_SQL = """
+WITH monthly AS (
+  SELECT n_name,
+    (year(CAST(o_orderdate AS DATE)) - 1992) * 12
+      + month(CAST(o_orderdate AS DATE)) - 1 AS x,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+sums AS (
+  SELECT n_name, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM monthly GROUP BY 1)
+SELECT n_name, n,
+  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_month,
+  ROUND(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx AS DOUBLE)
+        / CAST(n * (n * sxx - sx * sx) AS DOUBLE), 6) AS intercept_cents
+FROM sums
+"""
+
+
+def q_chi_square_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the market-segment ×
+    order-priority contingency table, computed with window marginals
+    (zero extra joins: one fact aggregation to the 25-cell table, then
+    three window sums over it). Counts are exact integers; expected
+    value and the chi² contribution are evaluated with explicit
+    multiplication (no POWER) in double from those integers — identical
+    IEEE results on both engines, rounded at 6dp."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count("*").alias("obs"))
+    )
+    w_seg = Window.partitionBy("seg")
+    w_pri = Window.partitionBy("pri")
+    w_all = Window.partitionBy()
+    with_marg = cells.select(
+        "seg", "pri", "obs",
+        F.sum("obs").over(w_seg).alias("row_tot"),
+        F.sum("obs").over(w_pri).alias("col_tot"),
+        F.sum("obs").over(w_all).alias("n"),
+    )
+    exp = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n").cast("double")
+    dev = F.col("obs").cast("double") - exp
+    return with_marg.select(
+        "seg", "pri", "obs",
+        F.round(exp, 6).alias("expected"),
+        F.round(dev * dev / exp, 6).alias("chi2_contrib"),
+    )
+
+
+_CHI2_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS pri, COUNT(*) AS obs
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+marg AS (
+  SELECT seg, pri, obs,
+    SUM(obs) OVER (PARTITION BY seg) AS row_tot,
+    SUM(obs) OVER (PARTITION BY pri) AS col_tot,
+    SUM(obs) OVER () AS n
+  FROM cells)
+SELECT seg, pri, obs,
+  ROUND(CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE), 6) AS expected,
+  ROUND((CAST(obs AS DOUBLE) - CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(obs AS DOUBLE) - CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+        / (CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS chi2_contrib
+FROM marg
+"""
+
+
+def q_cusum_breakpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point candidates on the daily revenue series: the
+    cumulative deviation from the global mean, S_t = Σ_{i<=t}(x_i - x̄),
+    peaks where the level shifts. Computed INTEGER-EXACT by scaling by n
+    (S_t·n = n·P_t - t·T with P_t the cents prefix sum, T the total):
+    no mean division, no doubles anywhere. One day-grain aggregation,
+    one global-order window (day count rows, not fact rows), top 10 by
+    |S·n| with date tie-break. n·P_t stays int64 through sf~100."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d", "cents",
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+        F.sum("cents").over(w).alias("p"),
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("t")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "d", "cents",
+            (F.col("n") * F.col("p") - F.col("i") * F.col("t")).alias("s_scaled"),
+        )
+        .orderBy(F.abs(F.col("s_scaled")).desc(), "d")
+        .limit(10)
+    )
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n, SUM(cents) AS t FROM daily),
+cum AS (
+  SELECT d, cents, ROW_NUMBER() OVER (ORDER BY d) AS i,
+         SUM(cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM daily)
+SELECT d, cents, n * p - i * t AS s_scaled
+FROM cum CROSS JOIN tot
+ORDER BY ABS(n * p - i * t) DESC, d LIMIT 10
+"""
+
+
+def q_event_type_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining (order-3): the most frequent event-type
+    trigrams across per-user timelines. Two LEADs over the (user, time)
+    window — the ordering is a total order (ts, event_id) so the
+    sequence is engine-deterministic — then one count aggregation over
+    at most |types|³ groups. Scales as one shuffle keyed by user plus
+    one tiny aggregation; no per-user collect."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("trigram"))
+        .groupBy("trigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(20)
+    )
+
+
+_TRIGRAM_SQL = """
+WITH seq AS (
+  SELECT event_type AS e1,
+    LEAD(event_type, 1) OVER w AS e2,
+    LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e1 || '>' || e2 || '>' || e3 AS trigram, COUNT(*) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20
+"""
+
+
+def q_khop_nation_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-hop reachability (<= 4 hops) over the DIRECTED trade
+    graph (supplier nation -> customer nation, edges kept where pair
+    volume beats 1.05x the mean), from the hub: the nation with the
+    most qualifying out-edges (tie-break: lowest key). The Spark side runs
+    the iterative frontier-expansion BFS operator
+    (operators/graph.bfs_distances); the oracle is a DuckDB RECURSIVE
+    CTE over the identical edge derivation — an iterative DataFrame
+    loop hash-checked against recursive SQL. Edge volumes use the exact
+    decimal-sum shape, so the threshold comparison sees bit-identical
+    doubles on both sides (same guarantee the triangle census relies
+    on). The thresholded edge list (<= |nations|²) is collected once,
+    so BFS rounds never re-run the fact aggregation."""
+    from .operators.graph import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+    )
+    mean_vol = vol.select((_dsum(F.col("volume")) / F.count("*")).alias("mv"))
+    edge_rows = (
+        vol.crossJoin(F.broadcast(mean_vol))
+        .filter(F.col("volume") > 1.05 * F.col("mv"))
+        .select("src", "dst")
+        .collect()
+    )
+    edges = spark.createDataFrame(
+        [(r.src, r.dst) for r in edge_rows] or [(None, None)], "src int, dst int"
+    ).filter(F.col("src").isNotNull())
+    out_deg: dict[int, int] = {}
+    for r in edge_rows:
+        out_deg[r.src] = out_deg.get(r.src, 0) + 1
+    hub = min(out_deg, key=lambda k: (-out_deg[k], k)) if out_deg else 0
+    return bfs_distances(edges, hub, max_hops=4).orderBy("dist", "node")
+
+
+_KHOP_SQL = """
+WITH RECURSIVE vol AS MATERIALIZED (
+  SELECT s_nationkey AS src, c_nationkey AS dst,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))
+         AS DOUBLE) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2),
+mv AS (
+  SELECT CAST(SUM(CAST(volume AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS mv
+  FROM vol),
+edges AS MATERIALIZED (
+  SELECT CAST(src AS INT) AS src, CAST(dst AS INT) AS dst
+  FROM vol, mv WHERE volume > 1.05 * mv),
+hub AS (
+  SELECT src AS h FROM edges GROUP BY src
+  ORDER BY COUNT(*) DESC, src LIMIT 1),
+hops AS (
+  SELECT (SELECT h FROM hub) AS node, 0 AS dist
+  UNION ALL
+  SELECT e.dst, h.dist + 1
+  FROM hops h JOIN edges e ON e.src = h.node
+  WHERE h.dist < 4)
+SELECT node, CAST(MIN(dist) AS INT) AS dist
+FROM hops GROUP BY node ORDER BY dist, node
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4813,6 +5162,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_topn_with_others": q_priority_topn_with_others,
     "window_function_showcase": q_window_function_showcase,
     "sql_api_monthly_leaders": q_sql_api_monthly_leaders,
+    "market_basket_pairs": q_market_basket_pairs,
+    "regression_trend_by_nation": q_regression_trend_by_nation,
+    "chi_square_segment_priority": q_chi_square_segment_priority,
+    "cusum_breakpoints": q_cusum_breakpoints,
+    "event_type_trigrams": q_event_type_trigrams,
+    "khop_nation_reachability": q_khop_nation_reachability,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -4948,4 +5303,10 @@ ORACLE_QUERIES: dict[str, str] = {
     "priority_topn_with_others": _TOPN_OTHER_SQL,
     "window_function_showcase": _WINFUNCS_SQL,
     "sql_api_monthly_leaders": _SQL_API_REPORT,
+    "market_basket_pairs": _BASKET_SQL,
+    "regression_trend_by_nation": _REGRESSION_SQL,
+    "chi_square_segment_priority": _CHI2_SQL,
+    "cusum_breakpoints": _CUSUM_SQL,
+    "event_type_trigrams": _TRIGRAM_SQL,
+    "khop_nation_reachability": _KHOP_SQL,
 }

@@ -18,7 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# columns known to carry int64-nanos after nanosAsLong, per table
+# event-time columns to normalize to TimestampType, per table. Fixture
+# generations have shipped both TIMESTAMP(NANOS) (read as int64 under
+# nanosAsLong) and TIMESTAMP(MICROS) without isAdjustedToUTC (read as
+# TIMESTAMP_NTZ); both land on plain TimestampType here.
 _NANO_TS_COLUMNS = {"events": ["ts"]}
 
 
@@ -39,4 +42,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                     F.expr(f"({col} - pmod({col}, 1000)) div 1000")
                 ),
             )
+        elif field is not None and isinstance(field.dataType, T.TimestampNTZType):
+            # µs-precision naive timestamp: with the UTC session timezone
+            # (session.py) this cast is a pure reinterpretation — the same
+            # wall-clock instants DuckDB sees on its naive timestamps.
+            df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
     return df
