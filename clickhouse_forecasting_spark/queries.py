@@ -5016,6 +5016,274 @@ FROM hops GROUP BY node ORDER BY dist, node
 """
 
 
+def q_fifo_attribution_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO supply/demand matching (queue attribution / cost-basis
+    allocation): each user's purchase spend consumes their view budget
+    strictly first-in-first-out. The classic sequential algorithm becomes
+    a set-based interval-overlap join: cumulative cents turn each view
+    (supply) and purchase (demand) into a half-open interval, and FIFO
+    matches are exactly the pairwise interval overlaps. Everything is
+    int64 (cents prefix sums over a total (ts, event_id) order), the
+    overlap join is equi on user + range on the cumsums, and output size
+    is O(|events|) because FIFO chains are monotone. The 100 TB shape:
+    one shuffle by user for the windows, one co-partitioned self-join."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def intervals(df: DataFrame, typ: str, idx: str, lo: str, hi: str) -> DataFrame:
+        return (
+            df.filter(F.col("event_type") == typ)
+            .select(
+                "user_id", "ts", "event_id",
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+            .select(
+                "user_id",
+                F.row_number().over(w).alias(idx),
+                (F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)) - F.col("cents")).alias(lo),
+                F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(hi),
+            )
+        )
+
+    sup = intervals(ev, "view", "s_idx", "s_lo", "s_hi").alias("s")
+    dem = intervals(ev, "purchase", "d_idx", "d_lo", "d_hi").alias("d")
+    return (
+        sup.join(
+            dem,
+            (F.col("s.user_id") == F.col("d.user_id"))
+            & (F.col("s_lo") < F.col("d_hi"))
+            & (F.col("d_lo") < F.col("s_hi")),
+        )
+        .select(
+            F.col("s.user_id").alias("user_id"),
+            "d_idx", "s_idx",
+            (F.least("s_hi", "d_hi") - F.greatest("s_lo", "d_lo")).alias("matched_cents"),
+        )
+    )
+
+
+_FIFO_SQL = """
+WITH sup AS (
+  SELECT user_id,
+    ROW_NUMBER() OVER w AS s_idx,
+    SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+      - CAST(ROUND(value * 100) AS BIGINT) AS s_lo,
+    SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS s_hi
+  FROM events WHERE event_type = 'view'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+dem AS (
+  SELECT user_id,
+    ROW_NUMBER() OVER w AS d_idx,
+    SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+      - CAST(ROUND(value * 100) AS BIGINT) AS d_lo,
+    SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS d_hi
+  FROM events WHERE event_type = 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT s.user_id, d_idx, s_idx,
+  LEAST(s_hi, d_hi) - GREATEST(s_lo, d_lo) AS matched_cents
+FROM sup s JOIN dem d
+  ON s.user_id = d.user_id AND s_lo < d_hi AND d_lo < s_hi
+"""
+
+
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label covariance matrix entries for the first four embedding
+    dimensions (feature-correlation screening before training). Native
+    covar_pop streams doubles and is not reproducible; here each of the
+    10 (i<=j) entries comes from exact decimal power sums (n, Σxi, Σxj,
+    Σxixj) with the algebra done once in double — the same pattern as
+    stats_moments, extended to array columns. Products are formed in
+    double from exact float->double casts, so both engines hand the same
+    values to the decimal accumulator. One scan, one aggregation."""
+    em = _t(spark, sf_dir, "embeddings")
+    dims = [F.col("embedding")[i].cast("double").alias(f"x{i}") for i in range(4)]
+    base = em.select("label", *dims)
+    aggs = [F.count("*").alias("n")]
+    for i in range(4):
+        aggs.append(F.sum(F.col(f"x{i}").cast("decimal(38,10)")).cast("double").alias(f"s{i}"))
+    for i in range(4):
+        for j in range(i, 4):
+            aggs.append(
+                F.sum((F.col(f"x{i}") * F.col(f"x{j}")).cast("decimal(38,10)"))
+                .cast("double")
+                .alias(f"p{i}{j}")
+            )
+    sums = base.groupBy("label").agg(*aggs)
+    rows = []
+    for i in range(4):
+        for j in range(i, 4):
+            cov = (
+                F.col(f"p{i}{j}") / F.col("n")
+                - (F.col(f"s{i}") / F.col("n")) * (F.col(f"s{j}") / F.col("n"))
+            )
+            rows.append(
+                sums.select(
+                    "label", F.lit(i).alias("i"), F.lit(j).alias("j"),
+                    F.round(cov, 6).alias("cov"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _emb_cov_sql() -> str:
+    cells = []
+    for i in range(4):
+        for j in range(i, 4):
+            cells.append(
+                f"SELECT label, {i} AS i, {j} AS j, "
+                f"ROUND(p{i}{j} / n - (s{i} / n) * (s{j} / n), 6) AS cov FROM sums"
+            )
+    sum_cols = ["COUNT(*) AS n"] + [
+        f"CAST(SUM(CAST(x{i} AS DECIMAL(38,10))) AS DOUBLE) AS s{i}" for i in range(4)
+    ] + [
+        f"CAST(SUM(CAST(x{i} * x{j} AS DECIMAL(38,10))) AS DOUBLE) AS p{i}{j}"
+        for i in range(4) for j in range(i, 4)
+    ]
+    dim_cols = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(4)
+    )
+    return (
+        f"WITH base AS (SELECT label, {dim_cols} FROM embeddings),\n"
+        f"sums AS (SELECT label, {', '.join(sum_cols)} FROM base GROUP BY label)\n"
+        + "\nUNION ALL\n".join(cells)
+    )
+
+
+_EMB_COV_SQL = _emb_cov_sql()
+
+# Benford's-law expected first-digit probabilities, hardcoded as exact
+# decimal literals on BOTH sides so no engine ever evaluates log10.
+_BENFORD_P = {
+    1: "0.301029995664", 2: "0.176091259056", 3: "0.124938736608",
+    4: "0.096910013008", 5: "0.079181246048", 6: "0.066946789631",
+    7: "0.057991946978", 8: "0.051152522447", 9: "0.045757490561",
+}
+
+
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law fraud screen on order totals: observed first-
+    significant-digit counts vs the log-law expectation, with per-digit
+    chi² contributions. The first digit is taken from the cents integer
+    (scaling by 100 never changes the first significant digit of a
+    positive value). Expected probabilities are shared 12-dp literals —
+    no log10 call in either engine — so expected counts and chi² terms
+    are identical doubles. One scan, 9 output rows."""
+    o = _t(spark, sf_dir, "orders")
+    digits = (
+        o.select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("obs"))
+    )
+    probs = spark.createDataFrame(
+        [(d, float(p)) for d, p in _BENFORD_P.items()], "digit int, p double"
+    )
+    n_tot = digits.agg(F.sum("obs").alias("n"))
+    exp = F.col("p") * F.col("n").cast("double")
+    dev = F.col("obs").cast("double") - exp
+    return (
+        digits.join(F.broadcast(probs), "digit")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "digit", "obs",
+            F.round(exp, 4).alias("expected"),
+            F.round(dev * dev / exp, 6).alias("chi2_contrib"),
+        )
+    )
+
+
+_BENFORD_SQL = (
+    "WITH digits AS (\n"
+    "  SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,\n"
+    "         COUNT(*) AS obs\n"
+    "  FROM orders GROUP BY 1),\n"
+    "probs AS (SELECT * FROM (VALUES "
+    # 'e0' forces a DOUBLE literal (correctly-rounded parse) — a bare
+    # decimal literal would go through DECIMAL and double-round
+    + ", ".join(f"({d}, {p}e0)" for d, p in _BENFORD_P.items())
+    + ") AS t(digit, p)),\n"
+    "tot AS (SELECT SUM(obs) AS n FROM digits)\n"
+    "SELECT d.digit, obs,\n"
+    "  ROUND(p * CAST(n AS DOUBLE), 4) AS expected,\n"
+    "  ROUND((CAST(obs AS DOUBLE) - p * CAST(n AS DOUBLE))\n"
+    "        * (CAST(obs AS DOUBLE) - p * CAST(n AS DOUBLE))\n"
+    "        / (p * CAST(n AS DOUBLE)), 6) AS chi2_contrib\n"
+    "FROM digits d JOIN probs ON d.digit = probs.digit CROSS JOIN tot\n"
+)
+
+
+def q_pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) concentration per nation: the smallest customer
+    count whose cumulative revenue reaches 80% of the nation total, and
+    that count as exact ppm of the customer base. The 80% threshold is
+    the integer comparison 5·cum >= 4·total (no percentage doubles),
+    revenue is exact cents, ranking has a custkey tie-break, and the
+    share is floor-division ppm — every output column is an integer.
+    One fact aggregation + one per-nation window."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("cents"), "c_custkey")
+    ranked = per_cust.select(
+        "n_name",
+        F.row_number().over(w).alias("rk"),
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cents").over(Window.partitionBy("n_name")).alias("total"),
+        F.count("*").over(Window.partitionBy("n_name")).alias("n_customers"),
+    )
+    return (
+        ranked.filter(5 * F.col("cum") >= 4 * F.col("total"))
+        .groupBy("n_name")
+        .agg(
+            F.min("rk").alias("n_top80"),
+            F.first("n_customers").alias("n_customers"),
+        )
+        .select(
+            "n_name", "n_top80", "n_customers",
+            F.expr("(n_top80 * 1000000L) div n_customers").alias("share_ppm"),
+        )
+    )
+
+
+_PARETO_SQL = """
+WITH per_cust AS (
+  SELECT n_name, c_custkey,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT n_name,
+    ROW_NUMBER() OVER w AS rk,
+    SUM(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(cents) OVER (PARTITION BY n_name) AS total,
+    COUNT(*) OVER (PARTITION BY n_name) AS n_customers
+  FROM per_cust
+  WINDOW w AS (PARTITION BY n_name ORDER BY cents DESC, c_custkey))
+SELECT n_name, MIN(rk) AS n_top80, MIN(n_customers) AS n_customers,
+  (MIN(rk) * 1000000) // MIN(n_customers) AS share_ppm
+FROM ranked WHERE 5 * cum >= 4 * total
+GROUP BY n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5168,6 +5436,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_breakpoints": q_cusum_breakpoints,
     "event_type_trigrams": q_event_type_trigrams,
     "khop_nation_reachability": q_khop_nation_reachability,
+    "fifo_attribution_match": q_fifo_attribution_match,
+    "embedding_covariance": q_embedding_covariance,
+    "benford_first_digit": q_benford_first_digit,
+    "pareto_revenue_concentration": q_pareto_revenue_concentration,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -5309,4 +5581,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "cusum_breakpoints": _CUSUM_SQL,
     "event_type_trigrams": _TRIGRAM_SQL,
     "khop_nation_reachability": _KHOP_SQL,
+    "fifo_attribution_match": _FIFO_SQL,
+    "embedding_covariance": _EMB_COV_SQL,
+    "benford_first_digit": _BENFORD_SQL,
+    "pareto_revenue_concentration": _PARETO_SQL,
 }
