@@ -5284,6 +5284,284 @@ GROUP BY n_name
 """
 
 
+def q_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue within each nation (the
+    Lorenz-curve inequality measure). Sorted-rank formula G =
+    (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) on exact cents with a custkey
+    tie-break, so both engines rank identically; the two accumulators
+    are int64 (Σi·x ≈ n²·x̄/2 stays under 2^63 through sf~1, decimal
+    upgrade beyond). One fact aggregation + one per-nation window."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("cents", "c_custkey")
+    ranked = per_cust.select(
+        "n_name", "cents", F.row_number().over(w).alias("i")
+    )
+    sums = ranked.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).alias("six"),
+    )
+    return sums.select(
+        "n_name", "n",
+        F.round(
+            (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
+            / (F.col("n") * F.col("sx")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+_GINI_SQL = """
+WITH per_cust AS (
+  SELECT n_name, c_custkey,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT n_name, cents,
+    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY cents, c_custkey) AS i
+  FROM per_cust),
+sums AS (
+  SELECT n_name, COUNT(*) AS n, SUM(cents) AS sx, SUM(i * cents) AS six
+  FROM ranked GROUP BY 1)
+SELECT n_name, n,
+  ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+        / CAST(n * sx AS DOUBLE), 6) AS gini
+FROM sums
+"""
+
+
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily revenue series at lags
+    1..14 (seasonality detection for the forecasting surface). Per-lag
+    Pearson correlation over the index-aligned pairs: the series gets a
+    dense row index, joins itself at offset k for all 14 lags via a
+    lags spine, and every power sum (Σx, Σy, Σxy, Σx², Σy²) is an
+    exact decimal accumulation of int64 cents products — the corr
+    algebra runs once in double per lag (the stats_moments recipe).
+    Products fit int64 through sf~0.5; cast-before-multiply upgrades
+    beyond. Two shuffles (day grain, lag-join) regardless of scale."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x"))
+    )
+    series = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("i"), "x"
+    )
+    lags = spark.range(1, 15).select(F.col("id").cast("int").alias("k"))
+    a, b = series.alias("a"), series.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.i") == F.col("a.i") + F.col("k"))
+        .select("k", F.col("a.x").alias("x"), F.col("b.x").alias("y"))
+    )
+    dsum = lambda col: F.sum(col.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    sums = pairs.groupBy("k").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select("k", "n", F.round(num / den, 6).alias("acf"))
+
+
+_ACF_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY 1),
+series AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, x FROM daily),
+lags AS (SELECT CAST(unnest(generate_series(1, 14)) AS INT) AS k),
+pairs AS (
+  SELECT k, a.x AS x, b.x AS y
+  FROM series a CROSS JOIN lags
+  JOIN series b ON b.i = a.i + k),
+sums AS (
+  SELECT k, COUNT(*) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM pairs GROUP BY k)
+SELECT k, n,
+  ROUND((n * sxy - sx * sy)
+        / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS acf
+FROM sums
+"""
+
+
+def q_survival_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival analysis (Kaplan-Meier ingredients) for
+    signup -> first purchase: for each day-offset t with at least one
+    conversion, the number at risk, the conversions, and the hazard
+    d_t/n_t as exact ppm. Censoring: users who signed up but never
+    purchased exit at the global last-observed date. n_t is a reversed
+    cumulative sum over the per-day exit counts — one user-grain
+    aggregation plus one tiny window; no per-user driver loop."""
+    ev = _t(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    purchase = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    first_purchase = (
+        signup.join(purchase, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    horizon = ev.agg(F.max(F.col("ts").cast("date")).alias("h"))
+    exits = (
+        signup.join(first_purchase, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("t1").isNotNull(),
+                F.datediff(F.col("t1").cast("date"), F.col("t0").cast("date")),
+            )
+            .otherwise(F.datediff(F.col("h"), F.col("t0").cast("date")))
+            .alias("t"),
+            F.col("t1").isNotNull().cast("int").alias("converted"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count("*").alias("n_exits"),
+            F.sum("converted").alias("d_events"),
+        )
+    )
+    w_rev = Window.orderBy(F.desc("t")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        exits.select(
+            "t", "d_events", F.sum("n_exits").over(w_rev).alias("n_risk")
+        )
+        .filter(F.col("d_events") > 0)
+        .select(
+            "t", "n_risk", "d_events",
+            F.expr("(d_events * 1000000L) div n_risk").alias("hazard_ppm"),
+        )
+    )
+
+
+_SURVIVAL_SQL = """
+WITH signup AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+first_purchase AS (
+  SELECT s.user_id, MIN(e.ts) AS t1
+  FROM signup s JOIN events e ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+  GROUP BY s.user_id),
+horizon AS (SELECT MAX(CAST(ts AS DATE)) AS h FROM events),
+exits AS (
+  SELECT
+    CASE WHEN t1 IS NOT NULL
+         THEN date_diff('day', CAST(t0 AS DATE), CAST(t1 AS DATE))
+         ELSE date_diff('day', CAST(t0 AS DATE), h) END AS t,
+    COUNT(*) AS n_exits,
+    SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS d_events
+  FROM signup LEFT JOIN first_purchase USING (user_id) CROSS JOIN horizon
+  GROUP BY 1),
+curve AS (
+  SELECT t, d_events,
+    SUM(n_exits) OVER (ORDER BY t DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM exits)
+SELECT t, n_risk, d_events,
+  (d_events * 1000000) // n_risk AS hazard_ppm
+FROM curve WHERE d_events > 0
+"""
+
+
+def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of daily revenue
+    direction: day-over-day deltas become a +/- sign sequence (zero
+    deltas excluded), runs are counted where consecutive signs differ,
+    and the normal-approximation z-score comes from the exact integer
+    counts (n⁺, n⁻, R) with the textbook mean/variance formula done
+    once in double. Two windows over the day-grain series (delta, then
+    lagged sign after the zero-filter); single-row output."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x"))
+    )
+    w = Window.orderBy("d")
+    signs = (
+        daily.select("d", (F.col("x") - F.lag("x").over(w)).alias("delta"))
+        .filter(F.col("delta").isNotNull() & (F.col("delta") != 0))
+        .select("d", F.signum(F.col("delta").cast("double")).cast("int").alias("s"))
+    )
+    seq = signs.select(
+        "s", F.lag("s").over(Window.orderBy("d")).alias("prev")
+    )
+    counts = seq.agg(
+        F.sum((F.col("s") == 1).cast("int")).alias("n_pos"),
+        F.sum((F.col("s") == -1).cast("int")).alias("n_neg"),
+        (1 + F.sum((F.col("prev").isNotNull() & (F.col("s") != F.col("prev"))).cast("int"))).alias("n_runs"),
+    )
+    np_, nn, r = (
+        F.col("n_pos").cast("double"),
+        F.col("n_neg").cast("double"),
+        F.col("n_runs").cast("double"),
+    )
+    mu = 1 + 2 * np_ * nn / (np_ + nn)
+    var = (
+        2 * np_ * nn * (2 * np_ * nn - np_ - nn)
+        / ((np_ + nn) * (np_ + nn) * (np_ + nn - 1))
+    )
+    return counts.select(
+        "n_pos", "n_neg", "n_runs",
+        F.round((r - mu) / F.sqrt(var), 6).alias("z_score"),
+    )
+
+
+_RUNS_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY 1),
+deltas AS (
+  SELECT d, x - LAG(x) OVER (ORDER BY d) AS delta FROM daily),
+signs AS (
+  SELECT d, CASE WHEN delta > 0 THEN 1 ELSE -1 END AS s
+  FROM deltas WHERE delta IS NOT NULL AND delta <> 0),
+seq AS (
+  SELECT s, LAG(s) OVER (ORDER BY d) AS prev FROM signs),
+counts AS (
+  SELECT
+    SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n_pos,
+    SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS n_neg,
+    1 + SUM(CASE WHEN prev IS NOT NULL AND s <> prev THEN 1 ELSE 0 END) AS n_runs
+  FROM seq)
+SELECT n_pos, n_neg, n_runs,
+  ROUND((CAST(n_runs AS DOUBLE)
+         - (1 + 2.0 * n_pos * n_neg / (n_pos + n_neg)))
+        / SQRT(2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n_pos - n_neg)
+               / (CAST(n_pos + n_neg AS DOUBLE) * (n_pos + n_neg) * (n_pos + n_neg - 1))), 6) AS z_score
+FROM counts
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5440,6 +5718,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_covariance": q_embedding_covariance,
     "benford_first_digit": q_benford_first_digit,
     "pareto_revenue_concentration": q_pareto_revenue_concentration,
+    "gini_revenue_by_nation": q_gini_revenue_by_nation,
+    "acf_daily_revenue": q_acf_daily_revenue,
+    "survival_hazard_curve": q_survival_hazard_curve,
+    "runs_test_daily": q_runs_test_daily,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -5585,4 +5867,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "embedding_covariance": _EMB_COV_SQL,
     "benford_first_digit": _BENFORD_SQL,
     "pareto_revenue_concentration": _PARETO_SQL,
+    "gini_revenue_by_nation": _GINI_SQL,
+    "acf_daily_revenue": _ACF_SQL,
+    "survival_hazard_curve": _SURVIVAL_SQL,
+    "runs_test_daily": _RUNS_SQL,
 }
