@@ -5562,6 +5562,205 @@ FROM counts
 """
 
 
+def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval ("value table") over a positional token
+    index — the capability BM25's bag-of-words ranking cannot express.
+    Tokenization is posexplode of the whitespace split; adjacency is one
+    LEAD over the (doc, position) window, so phrase hits are counted
+    without a positions self-join. Scales as one shuffle keyed by doc;
+    the index (doc, pos, token) is the standard inverted-index layout
+    a real corpus would persist bucketed by token. Top 20 docs by hit
+    count with doc_id tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    hits = (
+        toks.select("doc_id", "tok", F.lead("tok").over(w).alias("nxt"))
+        .filter((F.col("tok") == "value") & (F.col("nxt") == "table"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return hits.orderBy(F.desc("n_hits"), "doc_id").limit(20)
+
+
+_PHRASE_SQL = """
+WITH lists AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+toks AS (
+  -- parallel unnest zips token with its ordinal (no WITH ORDINALITY in
+  -- this DuckDB)
+  SELECT doc_id, unnest(l) AS tok,
+         unnest(generate_series(1, len(l))) AS pos
+  FROM lists),
+seq AS (
+  SELECT doc_id, tok,
+    LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM toks)
+SELECT doc_id, COUNT(*) AS n_hits
+FROM seq WHERE tok = 'value' AND nxt = 'table'
+GROUP BY doc_id ORDER BY n_hits DESC, doc_id LIMIT 20
+"""
+
+
+def q_ccf_order_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between two fact tables' daily series
+    — ordered revenue by ORDER date (x) vs shipped quantity by SHIP
+    date (y) — at lags -7..+7 (positive k: shipping lags ordering by k
+    days; TPC-H ships 1..121 days after ordering, so the physical lag
+    structure is real). Same exact-decimal power-sum Pearson as the ACF
+    query, but the pairing joins ON CALENDAR DATE shifted by the lag
+    spine, so series gaps align correctly rather than by row index.
+    Day-grain aggregations on both facts, one lag-join, 15-row output."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dx = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x"))
+    )
+    dy = (
+        li.groupBy(F.col("l_shipdate").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("y"))
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("k"))
+    pairs = (
+        dx.crossJoin(F.broadcast(lags))
+        .join(dy.withColumnRenamed("d", "dy"), F.expr("dy = date_add(d, k)"))
+        .select("k", "x", "y")
+    )
+    dsum = lambda col: F.sum(col.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    sums = pairs.groupBy("k").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select("k", "n", F.round(num / den, 6).alias("ccf"))
+
+
+_CCF_SQL = """
+WITH dx AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY 1),
+dy AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS y
+  FROM lineitem GROUP BY 1),
+lags AS (SELECT CAST(unnest(generate_series(-7, 7)) AS INT) AS k),
+pairs AS (
+  SELECT k, x, y
+  FROM dx CROSS JOIN lags
+  JOIN dy ON dy.d = dx.d + to_days(k)),
+sums AS (
+  SELECT k, COUNT(*) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM pairs GROUP BY k)
+SELECT k, n,
+  ROUND((n * sxy - sx * sy)
+        / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS ccf
+FROM sums
+"""
+
+
+def q_profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-profiling operator (the DESCRIBE-statistics surface
+    every lakehouse engine ships): per column of ``orders`` — row count,
+    null count, exact distinct count. A single aggregation computes all
+    3×|columns| measures map-side, then unpivots to the long profile
+    layout driver-side; nothing rescans the fact per column. Counts are
+    integers, so the profile is hash-exact across engines."""
+    o = _t(spark, sf_dir, "orders")
+    cols = o.columns
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"dist_{c}"))
+    wide = o.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', null_{c}, dist_{c}" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS (column_name, n_null, n_distinct)",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_null", "n_distinct")
+
+
+def _profile_sql() -> str:
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    ]
+    parts = [
+        f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null, "
+        f"COUNT(DISTINCT {c}) AS n_distinct FROM orders"
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+_PROFILE_SQL = _profile_sql()
+
+
+def q_percentile_disc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE percentiles (p50/p90/p99) of order value per
+    market segment: the value physically present at rank ceil(q·n) in
+    cents order — no interpolation, so the output is an integer and the
+    hash needs no float discipline (the interpolating twin is
+    percentiles_by_segment). Both engines use the identical row_number
+    formulation; ranking ties break on orderkey. One fact shuffle, one
+    window, 3 rows per segment."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            "o_orderkey",
+        )
+    )
+    w = Window.partitionBy("seg").orderBy("cents", "o_orderkey")
+    ranked = base.select(
+        "seg", "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("seg")).alias("n"),
+    )
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q int")
+    return (
+        ranked.crossJoin(F.broadcast(qs))
+        .filter(F.col("rk") == F.ceil(F.col("q") * F.col("n") / 100))
+        .select("seg", "q", F.col("cents").alias("value_cents"))
+    )
+
+
+_PCTL_DISC_SQL = """
+WITH base AS (
+  SELECT c_mktsegment AS seg,
+    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+ranked AS (
+  SELECT seg, cents,
+    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, o_orderkey) AS rk,
+    COUNT(*) OVER (PARTITION BY seg) AS n
+  FROM base)
+SELECT seg, q, cents AS value_cents
+FROM ranked CROSS JOIN (SELECT unnest([50, 90, 99]) AS q) qs
+WHERE rk = CEIL(q * n / 100.0)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5722,6 +5921,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "acf_daily_revenue": q_acf_daily_revenue,
     "survival_hazard_curve": q_survival_hazard_curve,
     "runs_test_daily": q_runs_test_daily,
+    "phrase_search_positional": q_phrase_search_positional,
+    "ccf_order_to_ship": q_ccf_order_to_ship,
+    "profile_orders_columns": q_profile_orders_columns,
+    "percentile_disc_by_segment": q_percentile_disc_by_segment,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -5871,4 +6074,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "acf_daily_revenue": _ACF_SQL,
     "survival_hazard_curve": _SURVIVAL_SQL,
     "runs_test_daily": _RUNS_SQL,
+    "phrase_search_positional": _PHRASE_SQL,
+    "ccf_order_to_ship": _CCF_SQL,
+    "profile_orders_columns": _PROFILE_SQL,
+    "percentile_disc_by_segment": _PCTL_DISC_SQL,
 }
