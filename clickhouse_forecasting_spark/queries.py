@@ -5761,6 +5761,199 @@ WHERE rk = CEIL(q * n / 100.0)
 """
 
 
+def q_bollinger_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over daily revenue: 20-day trailing mean ± 2σ.
+    The sliding frame accumulates exact decimal sums (Σx, Σx² in
+    DECIMAL — double add/retract drift differs per engine, decimals
+    don't), the mean/σ algebra runs in double once per row, and bands
+    are rounded to cents. Population σ over the observed frame (shorter
+    at the series head). One day-grain aggregation + one frame window."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x"))
+    )
+    wf = Window.orderBy("d").rowsBetween(-19, 0)
+    framed = daily.select(
+        "d", "x",
+        F.count("*").over(wf).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).over(wf).cast("double").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).over(wf).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    sigma = F.sqrt(F.col("ss") / F.col("n") - mean * mean)
+    return framed.select(
+        "d", "x",
+        F.round(mean, 2).alias("ma20"),
+        F.round(mean - 2 * sigma, 2).alias("band_lo"),
+        F.round(mean + 2 * sigma, 2).alias("band_hi"),
+    )
+
+
+_BOLLINGER_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY 1),
+framed AS (
+  SELECT d, x,
+    COUNT(*) OVER wf AS n,
+    CAST(SUM(CAST(x AS DECIMAL(38,0))) OVER wf AS DOUBLE) AS s,
+    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) OVER wf AS DOUBLE) AS ss
+  FROM daily
+  WINDOW wf AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT d, x,
+  ROUND(s / n, 2) AS ma20,
+  ROUND(s / n - 2 * SQRT(ss / n - (s / n) * (s / n)), 2) AS band_lo,
+  ROUND(s / n + 2 * SQRT(ss / n - (s / n) * (s / n)), 2) AS band_hi
+FROM framed
+"""
+
+
+def q_max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative-revenue-minus-trend curve:
+    for each day, the drop from the running peak of the detrended
+    cumulative series (the CUSUM statistic reused as an equity curve),
+    and the single worst (peak, trough) episode. Everything is the
+    n-scaled integer arithmetic of the CUSUM query — running max and
+    drawdown are int64 — so the output is hash-exact. Two global-order
+    windows over the day-grain series; top-1 row."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "d",
+        F.row_number().over(Window.orderBy("d")).alias("i"),
+        F.sum("cents").over(w).alias("p"),
+    )
+    tot = daily.agg(F.count("*").alias("n"), F.sum("cents").alias("t"))
+    curve = cum.crossJoin(F.broadcast(tot)).select(
+        "d", (F.col("n") * F.col("p") - F.col("i") * F.col("t")).alias("equity")
+    )
+    dd = curve.select(
+        "d", "equity",
+        F.max("equity").over(Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)).alias("peak"),
+    ).select(
+        "d", "equity", "peak", (F.col("peak") - F.col("equity")).alias("drawdown")
+    )
+    return dd.orderBy(F.desc("drawdown"), "d").limit(1)
+
+
+_DRAWDOWN_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n, SUM(cents) AS t FROM daily),
+curve AS (
+  SELECT d,
+    n * SUM(cents) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      - ROW_NUMBER() OVER (ORDER BY d) * t AS equity
+  FROM daily CROSS JOIN tot),
+dd AS (
+  SELECT d, equity,
+    MAX(equity) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM curve)
+SELECT d, equity, peak, peak - equity AS drawdown
+FROM dd ORDER BY drawdown DESC, d LIMIT 1
+"""
+
+
+def q_haar_wavelet_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-level Haar wavelet decomposition of the daily revenue
+    series (multi-resolution change detection): each level pairs
+    consecutive samples into an approximation (sum) and a detail
+    (difference), then recurses on the approximations. Unscaled integer
+    Haar (no /√2 — cents stay int64; magnitudes at level L carry an
+    implicit 2^(L/2) factor, irrelevant for within-level ranking). Each
+    level is one groupBy on idx div 2 with parity-split sums; incomplete
+    tail pairs are dropped. Output: top 5 |detail| per level with
+    pair-index tie-break — the strongest day-pair, 2-day, and 4-day
+    shocks. Three tiny aggregations after the day-grain shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x"))
+    )
+    level = daily.select(
+        (F.row_number().over(Window.orderBy("d")) - 1).alias("i"), "x"
+    )
+    outs = []
+    for lvl in (1, 2, 3):
+        paired = (
+            level.select(F.expr("i div 2").alias("pi"), "i", "x")
+            .groupBy("pi")
+            .agg(
+                F.sum(F.when(F.col("i") % 2 == 0, F.col("x"))).alias("even"),
+                F.sum(F.when(F.col("i") % 2 == 1, F.col("x"))).alias("odd"),
+                F.count("*").alias("cnt"),
+            )
+            .filter(F.col("cnt") == 2)
+        )
+        approx = paired.select(F.col("pi").alias("i"), (F.col("even") + F.col("odd")).alias("x"))
+        detail = paired.select(
+            F.lit(lvl).alias("level"),
+            F.col("pi").alias("pair_idx"),
+            (F.col("even") - F.col("odd")).alias("detail"),
+        )
+        w = Window.partitionBy("level").orderBy(
+            F.abs(F.col("detail")).desc(), "pair_idx"
+        )
+        outs.append(
+            detail.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .drop("rk")
+        )
+        level = approx
+    out = outs[0]
+    for o_ in outs[1:]:
+        out = out.unionByName(o_)
+    return out
+
+
+_HAAR_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY 1),
+l0 AS (SELECT ROW_NUMBER() OVER (ORDER BY d) - 1 AS i, x FROM daily),
+p1 AS (
+  SELECT i // 2 AS i,
+    SUM(CASE WHEN i % 2 = 0 THEN x END) AS even,
+    SUM(CASE WHEN i % 2 = 1 THEN x END) AS odd,
+    COUNT(*) AS cnt
+  FROM l0 GROUP BY i // 2 HAVING COUNT(*) = 2),
+l1 AS (SELECT i, even + odd AS x FROM p1),
+p2 AS (
+  SELECT i // 2 AS i,
+    SUM(CASE WHEN i % 2 = 0 THEN x END) AS even,
+    SUM(CASE WHEN i % 2 = 1 THEN x END) AS odd,
+    COUNT(*) AS cnt
+  FROM l1 GROUP BY i // 2 HAVING COUNT(*) = 2),
+l2 AS (SELECT i, even + odd AS x FROM p2),
+p3 AS (
+  SELECT i // 2 AS i,
+    SUM(CASE WHEN i % 2 = 0 THEN x END) AS even,
+    SUM(CASE WHEN i % 2 = 1 THEN x END) AS odd,
+    COUNT(*) AS cnt
+  FROM l2 GROUP BY i // 2 HAVING COUNT(*) = 2),
+details AS (
+  SELECT 1 AS level, i AS pair_idx, even - odd AS detail FROM p1
+  UNION ALL
+  SELECT 2, i, even - odd FROM p2
+  UNION ALL
+  SELECT 3, i, even - odd FROM p3),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY level
+    ORDER BY ABS(detail) DESC, pair_idx) AS rk
+  FROM details)
+SELECT level, pair_idx, detail FROM ranked WHERE rk <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5925,6 +6118,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccf_order_to_ship": q_ccf_order_to_ship,
     "profile_orders_columns": q_profile_orders_columns,
     "percentile_disc_by_segment": q_percentile_disc_by_segment,
+    "bollinger_bands_daily": q_bollinger_bands_daily,
+    "max_drawdown_daily": q_max_drawdown_daily,
+    "haar_wavelet_daily": q_haar_wavelet_daily,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -6078,4 +6274,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "ccf_order_to_ship": _CCF_SQL,
     "profile_orders_columns": _PROFILE_SQL,
     "percentile_disc_by_segment": _PCTL_DISC_SQL,
+    "bollinger_bands_daily": _BOLLINGER_SQL,
+    "max_drawdown_daily": _DRAWDOWN_SQL,
+    "haar_wavelet_daily": _HAAR_SQL,
 }
