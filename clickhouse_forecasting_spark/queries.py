@@ -5954,6 +5954,29 @@ SELECT level, pair_idx, detail FROM ranked WHERE rk <= 5
 """
 
 
+_LATERAL_SQL = """
+SELECT n_name, t.c_name, t.bal
+FROM nation n, LATERAL (
+  SELECT c_name, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+  FROM customer WHERE c_nationkey = n.n_nationkey
+  ORDER BY bal DESC, c_name LIMIT 2
+) t
+"""
+
+
+def q_lateral_top_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (top-2-per-group as a dependent
+    subquery): the same SQL string runs through spark.sql() and DuckDB
+    — ANSI LATERAL parity, the second pure-SQL front-end query after
+    sql_api_monthly_leaders. Catalyst decorrelates the LIMIT subquery
+    into a ranked window rather than executing per-row, so the plan is
+    one shuffle over customer, not |nation| probes. Balance in exact
+    cents; (bal, name) total order."""
+    for t in ["nation", "customer"]:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6121,6 +6144,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bollinger_bands_daily": q_bollinger_bands_daily,
     "max_drawdown_daily": q_max_drawdown_daily,
     "haar_wavelet_daily": q_haar_wavelet_daily,
+    "lateral_top_balances": q_lateral_top_balances,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -6277,4 +6301,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "bollinger_bands_daily": _BOLLINGER_SQL,
     "max_drawdown_daily": _DRAWDOWN_SQL,
     "haar_wavelet_daily": _HAAR_SQL,
+    "lateral_top_balances": _LATERAL_SQL,
 }
