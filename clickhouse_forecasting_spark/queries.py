@@ -5977,6 +5977,150 @@ def q_lateral_top_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL_SQL)
 
 
+def q_ks_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic comparing the order-value
+    distributions of the BUILDING vs MACHINERY segments — computed
+    EXACTLY: D = max|F1-F2| is evaluated as max|cum1·n2 - cum2·n1| over
+    the merged support (integer cents, integer counts, one ordered
+    window), then emitted both as the exact scaled integer and as ppm.
+    One fact aggregation to (value, per-segment counts); the window runs
+    over the distinct-value table, not the fact. int64-safe: cum·n ≤
+    |orders|² ≈ 2×10¹⁰ at sf1."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+            (F.col("c_mktsegment") == "BUILDING").cast("bigint").alias("is1"),
+        )
+    )
+    counts = base.groupBy("v").agg(
+        F.sum("is1").alias("c1"), F.sum(1 - F.col("is1")).alias("c2")
+    )
+    # cumulative AND total counts from ONE WindowExec (two frames over the
+    # same ordering) — no second scan of the fact, no 600k-row crossJoin
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    diffs = counts.select(
+        F.sum("c1").over(wt).alias("n1"),
+        F.sum("c2").over(wt).alias("n2"),
+        F.abs(
+            F.sum("c1").over(w) * F.sum("c2").over(wt)
+            - F.sum("c2").over(w) * F.sum("c1").over(wt)
+        ).alias("d_scaled"),
+    )
+    return diffs.groupBy("n1", "n2").agg(
+        F.max("d_scaled").alias("d_scaled")
+    ).select(
+        "n1", "n2", "d_scaled",
+        F.expr("(d_scaled * 1000000L) div (n1 * n2)").alias("d_ppm"),
+    )
+
+
+_KS_SQL = """
+WITH base AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is1
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+counts AS (
+  SELECT v, SUM(is1) AS c1, SUM(1 - is1) AS c2 FROM base GROUP BY v),
+diffs AS (
+  SELECT
+    SUM(c1) OVER wt AS n1,
+    SUM(c2) OVER wt AS n2,
+    ABS(SUM(c1) OVER w * SUM(c2) OVER wt - SUM(c2) OVER w * SUM(c1) OVER wt) AS d_scaled
+  FROM counts
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wt AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+SELECT n1, n2, MAX(d_scaled) AS d_scaled,
+  (MAX(d_scaled) * 1000000) // (n1 * n2) AS d_ppm
+FROM diffs GROUP BY n1, n2
+"""
+
+
+def q_mannwhitney_u_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U for the same two segments. Rank sums
+    stay EXACT under ties by working with doubled ranks: a tied group of
+    c values after s predecessors carries doubled-average-rank 2s+c+1,
+    so 2·R1 = Σ c1·(2s+c+1) is an integer, and 2·U1 = 2·R1 − n1(n1+1).
+    The normal approximation with the tie-correction term Σ(t³−t) (also
+    exact) runs once in double. Same grouped-value + one-window shape as
+    the KS query. 2R1 ≤ n² ≈ 2×10¹⁰ at sf1 — int64-safe."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+            (F.col("c_mktsegment") == "BUILDING").cast("bigint").alias("is1"),
+        )
+    )
+    counts = base.groupBy("v").agg(
+        F.sum("is1").alias("c1"),
+        F.sum(1 - F.col("is1")).alias("c2"),
+        F.count("*").alias("c"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    terms = counts.select(
+        "c1", "c",
+        (F.sum("c").over(w) - F.col("c")).alias("s"),
+    )
+    sums = terms.agg(
+        F.sum(F.col("c1") * (2 * F.col("s") + F.col("c") + 1)).alias("r1_2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie3"),
+    )
+    tot = base.agg(
+        F.sum("is1").alias("n1"), F.sum(1 - F.col("is1")).alias("n2")
+    )
+    j = sums.crossJoin(F.broadcast(tot)).select(
+        "n1", "n2",
+        (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)).alias("u1_2"),
+        "tie3",
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = n1d + n2d
+    mu2 = n1d * n2d  # doubled mean: 2 * n1*n2/2
+    var = n1d * n2d / 12 * ((nd + 1) - F.col("tie3").cast("double") / (nd * (nd - 1)))
+    return j.select(
+        "n1", "n2", "u1_2", "tie3",
+        F.round((F.col("u1_2").cast("double") - mu2) / (2 * F.sqrt(var)), 6).alias("z_score"),
+    )
+
+
+_MWU_SQL = """
+WITH base AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS is1
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+counts AS (
+  SELECT v, SUM(is1) AS c1, SUM(1 - is1) AS c2, COUNT(*) AS c
+  FROM base GROUP BY v),
+terms AS (
+  SELECT c1, c,
+    SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS s
+  FROM counts),
+sums AS (
+  SELECT SUM(c1 * (2 * s + c + 1)) AS r1_2,
+         SUM(c * c * c - c) AS tie3
+  FROM terms),
+tot AS (SELECT SUM(is1) AS n1, SUM(1 - is1) AS n2 FROM base)
+SELECT n1, n2, r1_2 - n1 * (n1 + 1) AS u1_2, tie3,
+  ROUND((CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)
+        / (2 * SQRT(CAST(n1 AS DOUBLE) * n2 / 12
+             * ((CAST(n1 AS DOUBLE) + n2 + 1)
+                - CAST(tie3 AS DOUBLE)
+                  / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2 - 1))))), 6) AS z_score
+FROM sums CROSS JOIN tot
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6145,6 +6289,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "max_drawdown_daily": q_max_drawdown_daily,
     "haar_wavelet_daily": q_haar_wavelet_daily,
     "lateral_top_balances": q_lateral_top_balances,
+    "ks_test_segments": q_ks_test_segments,
+    "mannwhitney_u_segments": q_mannwhitney_u_segments,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -6302,4 +6448,6 @@ ORACLE_QUERIES: dict[str, str] = {
     "max_drawdown_daily": _DRAWDOWN_SQL,
     "haar_wavelet_daily": _HAAR_SQL,
     "lateral_top_balances": _LATERAL_SQL,
+    "ks_test_segments": _KS_SQL,
+    "mannwhitney_u_segments": _MWU_SQL,
 }
