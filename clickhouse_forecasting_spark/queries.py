@@ -6121,6 +6121,234 @@ FROM sums CROSS JOIN tot
 """
 
 
+def q_theilsen_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per nation: the median of all pairwise
+    slopes of the monthly revenue series — the outlier-resistant twin of
+    regression_trend_by_nation. Slopes are (Δcents/Δmonths) computed in
+    double from exact integers (identical IEEE division both engines);
+    the median is the DISCRETE lower median picked by row_number, so no
+    interpolation ever mixes two doubles. Pair count is C(84,2)≈3.5k
+    per nation — quadratic in MONTHS (the aggregate), constant in fact
+    rows, which is what makes Theil-Sen feasible at any corpus scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                (F.year(F.col("o_orderdate").cast("date")) - 1992) * 12
+                + F.month(F.col("o_orderdate").cast("date")) - 1
+            ).alias("x"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("y"))
+        .localCheckpoint(eager=True)  # tiny; avoid re-deriving per alias
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.n_name") == F.col("b.n_name")) & (F.col("a.x") < F.col("b.x")),
+        )
+        .select(
+            F.col("a.n_name").alias("n_name"),
+            (
+                (F.col("b.y") - F.col("a.y")).cast("double")
+                / (F.col("b.x") - F.col("a.x")).cast("double")
+            ).alias("slope"),
+            F.col("a.x").alias("x1"),
+            F.col("b.x").alias("x2"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("slope", "x1", "x2")
+    ranked = slopes.select(
+        "n_name", "slope",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("n_name")).alias("cnt"),
+    )
+    return ranked.filter(F.expr("rk = (cnt + 1) div 2")).select(
+        "n_name", "cnt", F.round("slope", 6).alias("theilsen_slope")
+    )
+
+
+_THEILSEN_SQL = """
+WITH monthly AS MATERIALIZED (
+  SELECT n_name,
+    (year(CAST(o_orderdate AS DATE)) - 1992) * 12
+      + month(CAST(o_orderdate AS DATE)) - 1 AS x,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+slopes AS (
+  SELECT a.n_name,
+    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope,
+    a.x AS x1, b.x AS x2
+  FROM monthly a JOIN monthly b
+    ON a.n_name = b.n_name AND a.x < b.x),
+ranked AS (
+  SELECT n_name, slope,
+    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY slope, x1, x2) AS rk,
+    COUNT(*) OVER (PARTITION BY n_name) AS cnt
+  FROM slopes)
+SELECT n_name, cnt, ROUND(slope, 6) AS theilsen_slope
+FROM ranked WHERE rk = (cnt + 1) // 2
+"""
+
+
+def q_interpurchase_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase-time distribution: days between a customer's
+    consecutive orders (LAG over the per-customer date order, ties
+    broken by orderkey), bucketed into weekly bins capped at 52+. All
+    integer day arithmetic; one shuffle keyed by customer, then a tiny
+    histogram aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return (
+        gaps.select(
+            F.least(F.expr("gap_days div 7"), F.lit(52)).alias("week_bucket")
+        )
+        .groupBy("week_bucket")
+        .agg(F.count("*").alias("n_gaps"))
+    )
+
+
+_INTERPURCHASE_SQL = """
+WITH gaps AS (
+  SELECT date_diff('day',
+      LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+      CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders)
+SELECT LEAST(gap_days // 7, 52) AS week_bucket, COUNT(*) AS n_gaps
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_fano_factor_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness per event type: the Fano factor (variance/mean of the
+    DAILY event-count series; 1 = Poisson, >1 = bursty). Daily counts
+    are integers, so the power sums are exact int64 and the dispersion
+    algebra runs once in double (population variance). Two aggregations:
+    day×type grain, then per-type sums over ≤ days rows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").alias("k"))
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+    )
+    n, sk, skk = (
+        F.col("n_days").cast("double"),
+        F.col("sk").cast("double"),
+        F.col("skk").cast("double"),
+    )
+    mean = sk / n
+    var = skk / n - mean * mean
+    return sums.select(
+        "event_type", "n_days", "sk",
+        F.round(var / mean, 6).alias("fano_factor"),
+    )
+
+
+_FANO_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS k
+  FROM events GROUP BY 1, 2),
+sums AS (
+  SELECT event_type, COUNT(*) AS n_days, SUM(k) AS sk, SUM(k * k) AS skk
+  FROM daily GROUP BY 1)
+SELECT event_type, n_days, sk,
+  ROUND((CAST(skk AS DOUBLE) / n_days
+         - (CAST(sk AS DOUBLE) / n_days) * (CAST(sk AS DOUBLE) / n_days))
+        / (CAST(sk AS DOUBLE) / n_days), 6) AS fano_factor
+FROM sums
+"""
+
+
+def q_winsorized_mean_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (5%/95%) of order value per market segment:
+    values outside the exact discrete p05/p95 fences clamp TO the fence,
+    then the clamped cents average exactly (int64 sum / count in double,
+    rounded to cents). The fences reuse the rank = ceil(q·n) discrete-
+    percentile rule, joined back as one tiny broadcast. Robust-location
+    twin of mad_robust_stats at a fraction of its passes."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            "o_orderkey",
+        )
+    )
+    w = Window.partitionBy("seg").orderBy("cents", "o_orderkey")
+    ranked = base.select(
+        "seg", "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("seg")).alias("n"),
+    )
+    fences = (
+        ranked.filter(
+            (F.col("rk") == F.ceil(F.col("n") * 5 / 100))
+            | (F.col("rk") == F.ceil(F.col("n") * 95 / 100))
+        )
+        .groupBy("seg")
+        .agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    )
+    clamped = base.join(F.broadcast(fences), "seg").select(
+        "seg", F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("cents"))).alias("wc")
+    )
+    return clamped.groupBy("seg").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("wc").cast("double") / F.count("*"), 2).alias("winsorized_mean_cents"),
+    )
+
+
+_WINSOR_SQL = """
+WITH base AS (
+  SELECT c_mktsegment AS seg,
+    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+ranked AS (
+  SELECT seg, cents,
+    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, o_orderkey) AS rk,
+    COUNT(*) OVER (PARTITION BY seg) AS n
+  FROM base),
+fences AS (
+  SELECT seg, MIN(cents) AS lo, MAX(cents) AS hi
+  FROM ranked
+  WHERE rk = CEIL(n * 5 / 100.0) OR rk = CEIL(n * 95 / 100.0)
+  GROUP BY seg),
+clamped AS (
+  SELECT base.seg, GREATEST(lo, LEAST(hi, cents)) AS wc
+  FROM base JOIN fences ON base.seg = fences.seg)
+SELECT seg, COUNT(*) AS n,
+  ROUND(CAST(SUM(wc) AS DOUBLE) / COUNT(*), 2) AS winsorized_mean_cents
+FROM clamped GROUP BY seg
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6291,6 +6519,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lateral_top_balances": q_lateral_top_balances,
     "ks_test_segments": q_ks_test_segments,
     "mannwhitney_u_segments": q_mannwhitney_u_segments,
+    "theilsen_trend_by_nation": q_theilsen_trend_by_nation,
+    "interpurchase_time_histogram": q_interpurchase_time_histogram,
+    "fano_factor_event_types": q_fano_factor_event_types,
+    "winsorized_mean_by_segment": q_winsorized_mean_by_segment,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -6450,4 +6682,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "lateral_top_balances": _LATERAL_SQL,
     "ks_test_segments": _KS_SQL,
     "mannwhitney_u_segments": _MWU_SQL,
+    "theilsen_trend_by_nation": _THEILSEN_SQL,
+    "interpurchase_time_histogram": _INTERPURCHASE_SQL,
+    "fano_factor_event_types": _FANO_SQL,
+    "winsorized_mean_by_segment": _WINSOR_SQL,
 }
