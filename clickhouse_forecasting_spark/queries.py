@@ -6349,6 +6349,176 @@ FROM clamped GROUP BY seg
 """
 
 
+def q_ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship SLA: discrete p50/p90/p99 of the days between order
+    date and each line item's ship date, per order priority — the
+    operational-latency percentile report. The only fact-fact join in
+    the statistics family: lineitem ⋈ orders shuffles on the order key
+    (AQE skew-safe), delays are integer days, and the percentile rule is
+    the exact rank = ceil(q·n) discrete pick with a (delay, orderkey,
+    linenumber) total order."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    delays = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("delay_days"),
+            "l_orderkey", "l_linenumber",
+        )
+    )
+    w = Window.partitionBy("pri").orderBy("delay_days", "l_orderkey", "l_linenumber")
+    ranked = delays.select(
+        "pri", "delay_days",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("pri")).alias("n"),
+    )
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "q int")
+    return (
+        ranked.crossJoin(F.broadcast(qs))
+        .filter(F.col("rk") == F.ceil(F.col("q") * F.col("n") / 100))
+        .select("pri", "q", "delay_days")
+    )
+
+
+_SHIP_DELAY_SQL = """
+WITH delays AS (
+  SELECT o_orderpriority AS pri,
+    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS delay_days,
+    l_orderkey, l_linenumber
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+ranked AS (
+  SELECT pri, delay_days,
+    ROW_NUMBER() OVER (PARTITION BY pri
+      ORDER BY delay_days, l_orderkey, l_linenumber) AS rk,
+    COUNT(*) OVER (PARTITION BY pri) AS n
+  FROM delays)
+SELECT pri, q, delay_days
+FROM ranked CROSS JOIN (SELECT unnest([50, 90, 99]) AS q) qs
+WHERE rk = CEIL(q * n / 100.0)
+"""
+
+
+def q_peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by sweep line: an order is OPEN from its order
+    date until its last line ships; the sweep emits +1/-1 boundary
+    events, a running sum over the date order gives the concurrently-
+    open count, and the top 10 peak days fall out. The per-order
+    interval needs one fact-fact aggregation (max shipdate per order);
+    the sweep itself runs over the tiny per-day boundary table.
+    Orders whose last ship falls ON day d count as open through d
+    (the -1 lands on d+1). All integer counting."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    spans = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("close_d"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .select(F.col("o_orderdate").cast("date").alias("open_d"), "close_d")
+    )
+    deltas = (
+        spans.select(F.col("open_d").alias("d"), F.lit(1).alias("delta"))
+        .unionByName(
+            spans.select(
+                F.date_add(F.col("close_d"), 1).alias("d"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("d")
+        .agg(F.sum("delta").alias("net"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        deltas.select("d", F.sum("net").over(w).alias("open_orders"))
+        .orderBy(F.desc("open_orders"), "d")
+        .limit(10)
+    )
+
+
+_PEAK_OPEN_SQL = """
+WITH spans AS (
+  SELECT CAST(o_orderdate AS DATE) AS open_d,
+         MAX(CAST(l_shipdate AS DATE)) AS close_d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, CAST(o_orderdate AS DATE)),
+deltas AS (
+  SELECT d, SUM(delta) AS net FROM (
+    SELECT open_d AS d, 1 AS delta FROM spans
+    UNION ALL
+    SELECT close_d + 1 AS d, -1 AS delta FROM spans)
+  GROUP BY d),
+sweep AS (
+  SELECT d,
+    SUM(net) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_orders
+  FROM deltas)
+SELECT d, open_orders FROM sweep
+ORDER BY open_orders DESC, d LIMIT 10
+"""
+
+
+def q_lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve sampled at customer-count deciles, per region: the
+    cumulative revenue share held by the poorest 10%..100% of customers
+    — the curve the Gini coefficient integrates. Shares are exact ppm
+    (floor division of int64 cumulative cents), decile membership is
+    rank·10 div n, and the last row of each decile carries the point.
+    One fact aggregation, one region-partitioned window."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "c_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    w = Window.partitionBy("r_name").orderBy("cents", "c_custkey")
+    ranked = per_cust.select(
+        "r_name",
+        F.row_number().over(w).alias("rk"),
+        F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.count("*").over(Window.partitionBy("r_name")).alias("n"),
+        F.sum("cents").over(Window.partitionBy("r_name")).alias("total"),
+    )
+    return (
+        ranked.withColumn("decile", F.expr("(rk * 10) div n"))
+        .filter(F.expr("rk * 10 % n = 0 OR rk = n"))
+        .filter(F.col("decile") >= 1)
+        .groupBy("r_name", "decile")
+        .agg(
+            F.max(F.expr("(cum * 1000000) div total")).alias("cum_share_ppm")
+        )
+    )
+
+
+_LORENZ_SQL = """
+WITH per_cust AS (
+  SELECT r_name, c_custkey,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT r_name,
+    ROW_NUMBER() OVER w AS rk,
+    SUM(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    COUNT(*) OVER (PARTITION BY r_name) AS n,
+    SUM(cents) OVER (PARTITION BY r_name) AS total
+  FROM per_cust
+  WINDOW w AS (PARTITION BY r_name ORDER BY cents, c_custkey))
+SELECT r_name, (rk * 10) // n AS decile,
+  MAX((cum * 1000000) // total) AS cum_share_ppm
+FROM ranked
+WHERE (rk * 10 % n = 0 OR rk = n) AND (rk * 10) // n >= 1
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6523,6 +6693,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interpurchase_time_histogram": q_interpurchase_time_histogram,
     "fano_factor_event_types": q_fano_factor_event_types,
     "winsorized_mean_by_segment": q_winsorized_mean_by_segment,
+    "ship_delay_percentiles": q_ship_delay_percentiles,
+    "peak_open_orders": q_peak_open_orders,
+    "lorenz_curve_points": q_lorenz_curve_points,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -6686,4 +6859,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "interpurchase_time_histogram": _INTERPURCHASE_SQL,
     "fano_factor_event_types": _FANO_SQL,
     "winsorized_mean_by_segment": _WINSOR_SQL,
+    "ship_delay_percentiles": _SHIP_DELAY_SQL,
+    "peak_open_orders": _PEAK_OPEN_SQL,
+    "lorenz_curve_points": _LORENZ_SQL,
 }
