@@ -86,6 +86,12 @@ HEADLINE = [
     "regression_trend_by_nation",
     "cusum_breakpoints",
     "event_type_trigrams",
+    "fifo_attribution_match",
+    "gini_revenue_by_nation",
+    "acf_daily_revenue",
+    "ks_test_segments",
+    "phrase_search_positional",
+    "peak_open_orders",
 ]
 
 
