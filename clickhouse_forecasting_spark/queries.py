@@ -6519,6 +6519,149 @@ GROUP BY 1, 2
 """
 
 
+def q_weighted_median_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per part brand: the smallest
+    price v whose cumulative quantity weight reaches half the brand
+    total (2·cumw >= totw — integer comparison, no halving). Weights
+    pre-aggregate per (brand, price) BEFORE the window, so tie ordering
+    within equal prices can never matter. One fact-fact-ish join
+    (part broadcasts), one brand-partitioned window over the price
+    grain."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    grain = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        )
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("w"))
+    )
+    win = Window.partitionBy("p_brand").orderBy("cents")
+    ranked = grain.select(
+        "p_brand", "cents",
+        F.sum("w").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("cumw"),
+        F.sum("w").over(Window.partitionBy("p_brand")).alias("totw"),
+    )
+    return (
+        ranked.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("p_brand")
+        .agg(
+            F.min("cents").alias("weighted_median_cents"),
+            F.max("totw").alias("total_quantity"),
+        )
+    )
+
+
+_WMEDIAN_SQL = """
+WITH grain AS (
+  SELECT p_brand,
+    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS w
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT p_brand, cents,
+    SUM(w) OVER (PARTITION BY p_brand ORDER BY cents
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+    SUM(w) OVER (PARTITION BY p_brand) AS totw
+  FROM grain)
+SELECT p_brand, MIN(cents) AS weighted_median_cents,
+  MAX(totw) AS total_quantity
+FROM ranked WHERE 2 * cumw >= totw
+GROUP BY p_brand
+"""
+
+
+def q_snapshot_diff_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC reconciliation via the snapshot-diff operator
+    (operators/diff.py): per-customer order aggregates as of 1995-12-31
+    vs today, classified added / changed / unchanged by the operator's
+    pre-hashed full-outer join (md5 over integer-string value columns —
+    engine-portable because bigint->string casts agree). Aggregated to
+    class counts; 'removed' is structurally impossible (history only
+    grows) and its absence is part of the check."""
+    from .operators.diff import diff_summary
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = lambda df: (  # noqa: E731
+        df.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+        )
+    )
+    old = per_cust(o.filter(F.col("o_orderdate").cast("date") < F.lit("1996-01-01").cast("date")))
+    new = per_cust(o)
+    return diff_summary(old, new, ["custkey"]).orderBy("change")
+
+
+_SNAPDIFF_SQL = """
+WITH old AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+  GROUP BY 1),
+new AS (
+  SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+classified AS (
+  SELECT CASE
+    WHEN old.custkey IS NULL THEN 'added'
+    WHEN new.custkey IS NULL THEN 'removed'
+    WHEN old.n_orders = new.n_orders AND old.cents = new.cents THEN 'unchanged'
+    ELSE 'changed' END AS change
+  FROM old FULL OUTER JOIN new ON old.custkey = new.custkey)
+SELECT change, COUNT(*) AS n FROM classified
+GROUP BY change ORDER BY change
+"""
+
+
+def q_embedding_clip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as the vector-preprocessing surface:
+    per label, how many embedding components exceed |x| > 0.2 (clip
+    candidates), via filter(embedding, ...) + size — no explode, no
+    Python. The predicate casts float components to double before the
+    0.2 comparison so both engines test identical values; counts are
+    integers and the clip rate is floor-division ppm."""
+    em = _t(spark, sf_dir, "embeddings")
+    per_vec = em.select(
+        "label",
+        F.size(F.col("embedding")).alias("n_dims"),
+        F.size(
+            F.filter(
+                F.col("embedding"),
+                lambda x: F.abs(x.cast("double")) > F.lit(0.2),
+            )
+        ).alias("n_clip"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("n_dims").alias("total_dims"),
+            F.sum("n_clip").alias("total_clip"),
+        )
+        .select(
+            "label", "n_vectors", "total_dims", "total_clip",
+            F.expr("(total_clip * 1000000L) div total_dims").alias("clip_ppm"),
+        )
+    )
+
+
+_CLIP_SQL = """
+WITH per_vec AS (
+  SELECT label, len(embedding) AS n_dims,
+    len(list_filter(embedding, x -> ABS(CAST(x AS DOUBLE)) > 0.2e0)) AS n_clip
+  FROM embeddings)
+SELECT label, COUNT(*) AS n_vectors,
+  SUM(n_dims) AS total_dims, SUM(n_clip) AS total_clip,
+  (SUM(n_clip) * 1000000) // SUM(n_dims) AS clip_ppm
+FROM per_vec GROUP BY label
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6696,6 +6839,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ship_delay_percentiles": q_ship_delay_percentiles,
     "peak_open_orders": q_peak_open_orders,
     "lorenz_curve_points": q_lorenz_curve_points,
+    "weighted_median_price_by_brand": q_weighted_median_price_by_brand,
+    "snapshot_diff_customer_orders": q_snapshot_diff_customer_orders,
+    "embedding_clip_stats": q_embedding_clip_stats,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -6862,4 +7008,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "ship_delay_percentiles": _SHIP_DELAY_SQL,
     "peak_open_orders": _PEAK_OPEN_SQL,
     "lorenz_curve_points": _LORENZ_SQL,
+    "weighted_median_price_by_brand": _WMEDIAN_SQL,
+    "snapshot_diff_customer_orders": _SNAPDIFF_SQL,
+    "embedding_clip_stats": _CLIP_SQL,
 }
