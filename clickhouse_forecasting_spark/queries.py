@@ -6662,6 +6662,111 @@ FROM per_vec GROUP BY label
 """
 
 
+def q_daily_kpi_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metrics-layer spine: one wide daily KPI row — orders, exact
+    revenue, floor-division AOV, distinct buyers, first-time buyers, and
+    the cumulative customer base. Three day-grain aggregates (core,
+    first-seen, cumulative window) joined on the date spine; every
+    column is an integer so the report is hash-exact. The shape a
+    semantic layer materializes incrementally at scale (cf.
+    operators/incremental.py)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents"),
+        F.count_distinct("o_custkey").alias("n_buyers"),
+    )
+    first_seen = (
+        o.groupBy("o_custkey")
+        .agg(F.min(F.col("o_orderdate").cast("date")).alias("d"))
+        .groupBy("d")
+        .agg(F.count("*").alias("n_new_buyers"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(first_seen, "d", "left")
+        .select(
+            "d", "n_orders", "rev_cents",
+            F.expr("rev_cents div n_orders").alias("aov_cents"),
+            "n_buyers",
+            F.coalesce("n_new_buyers", F.lit(0)).alias("n_new_buyers"),
+        )
+        .withColumn("cum_buyers", F.sum("n_new_buyers").over(w))
+    )
+
+
+_KPI_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents,
+    COUNT(DISTINCT o_custkey) AS n_buyers
+  FROM orders GROUP BY 1),
+first_seen AS (
+  SELECT d, COUNT(*) AS n_new_buyers FROM (
+    SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS d
+    FROM orders GROUP BY 1)
+  GROUP BY 1)
+SELECT d, n_orders, rev_cents,
+  rev_cents // n_orders AS aov_cents,
+  n_buyers,
+  COALESCE(n_new_buyers, 0) AS n_new_buyers,
+  SUM(COALESCE(n_new_buyers, 0)) OVER (ORDER BY d
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_buyers
+FROM daily LEFT JOIN first_seen USING (d)
+"""
+
+
+def q_hierarchy_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels in one pass: each
+    nation's revenue as exact-ppm share of its region and each region's
+    share of the world, from two window partitions over the 25-row
+    nation aggregate — the drill-down report shape (no self-joins, no
+    re-aggregation). Integer ppm floor division throughout."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return per_nation.withColumn(
+        "region_cents", F.sum("cents").over(w_region)
+    ).withColumn(
+        "world_cents", F.sum("cents").over(w_all)
+    ).select(
+        "r_name", "n_name", "cents",
+        F.expr("(cents * 1000000) div region_cents").alias("share_of_region_ppm"),
+        F.expr("(region_cents * 1000000) div world_cents").alias("region_share_ppm"),
+    )
+
+
+_HIER_SQL = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2),
+leveled AS (
+  SELECT r_name, n_name, cents,
+    SUM(cents) OVER (PARTITION BY r_name) AS region_cents,
+    SUM(cents) OVER () AS world_cents
+  FROM per_nation)
+SELECT r_name, n_name, cents,
+  (cents * 1000000) // region_cents AS share_of_region_ppm,
+  (region_cents * 1000000) // world_cents AS region_share_ppm
+FROM leveled
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6842,6 +6947,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_median_price_by_brand": q_weighted_median_price_by_brand,
     "snapshot_diff_customer_orders": q_snapshot_diff_customer_orders,
     "embedding_clip_stats": q_embedding_clip_stats,
+    "daily_kpi_wide": q_daily_kpi_wide,
+    "hierarchy_share_report": q_hierarchy_share_report,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -7011,4 +7118,6 @@ ORACLE_QUERIES: dict[str, str] = {
     "weighted_median_price_by_brand": _WMEDIAN_SQL,
     "snapshot_diff_customer_orders": _SNAPDIFF_SQL,
     "embedding_clip_stats": _CLIP_SQL,
+    "daily_kpi_wide": _KPI_SQL,
+    "hierarchy_share_report": _HIER_SQL,
 }
