@@ -6767,6 +6767,121 @@ FROM leveled
 """
 
 
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic — the report an operator runs before
+    sizing a 100 TB join: per candidate key (order custkey, lineitem
+    partkey/suppkey), the row count of the heaviest key, the exact
+    discrete p50/p99 of per-key counts, and max/p50 as the skew ratio
+    in exact ppm. All integer; per-key counts aggregate first, the
+    percentile windows run over the key-count table."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def key_stats(df: DataFrame, col: str, label: str) -> DataFrame:
+        per_key = df.groupBy(F.col(col).alias("k")).agg(F.count("*").alias("n"))
+        w = Window.orderBy("n", "k")
+        ranked = per_key.select(
+            "n",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(Window.partitionBy()).alias("cnt"),
+        )
+        picks = ranked.agg(
+            F.max("n").alias("max_n"),
+            F.max(F.when(F.col("rk") == F.ceil(F.col("cnt") * 50 / 100), F.col("n"))).alias("p50_n"),
+            F.max(F.when(F.col("rk") == F.ceil(F.col("cnt") * 99 / 100), F.col("n"))).alias("p99_n"),
+            F.count("*").alias("n_keys"),
+        )
+        return picks.select(
+            F.lit(label).alias("key_name"), "n_keys", "max_n", "p50_n", "p99_n",
+            F.expr("(max_n * 1000000L) div p50_n").alias("skew_ratio_ppm"),
+        )
+
+    out = key_stats(o, "o_custkey", "orders.o_custkey")
+    out = out.unionByName(key_stats(li, "l_partkey", "lineitem.l_partkey"))
+    out = out.unionByName(key_stats(li, "l_suppkey", "lineitem.l_suppkey"))
+    return out
+
+
+def _skew_sql() -> str:
+    parts = []
+    for table, col in [
+        ("orders", "o_custkey"),
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"),
+    ]:
+        parts.append(f"""
+SELECT '{table}.{col}' AS key_name, n_keys, max_n, p50_n, p99_n,
+  (max_n * 1000000) // p50_n AS skew_ratio_ppm
+FROM (
+  SELECT MAX(n) AS max_n,
+    MAX(CASE WHEN rk = CEIL(cnt * 50 / 100.0) THEN n END) AS p50_n,
+    MAX(CASE WHEN rk = CEIL(cnt * 99 / 100.0) THEN n END) AS p99_n,
+    COUNT(*) AS n_keys
+  FROM (
+    SELECT n, ROW_NUMBER() OVER (ORDER BY n, k) AS rk,
+      COUNT(*) OVER () AS cnt
+    FROM (SELECT {col} AS k, COUNT(*) AS n FROM {table} GROUP BY 1)))""")
+    return "\nUNION ALL\n".join(parts)
+
+
+_KEY_SKEW_SQL = _skew_sql()
+
+
+def q_weekly_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-over-time movement: each nation's weekly revenue rank in
+    1995, with the week-over-week rank delta (positive = climbed). Rank
+    ties break on nation name; LAG over the (nation, week) grid gives
+    the movement — the leaderboard-delta report shape. Output limited
+    to movers (delta <> 0) to keep the result focused."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    weekly = (
+        o.filter(F.year(F.col("o_orderdate").cast("date")) == 1995)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.weekofyear(F.col("o_orderdate").cast("date")).alias("wk"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    w_rank = Window.partitionBy("wk").orderBy(F.desc("cents"), "n_name")
+    ranked = weekly.select(
+        "n_name", "wk", F.row_number().over(w_rank).alias("rnk")
+    )
+    w_lag = Window.partitionBy("n_name").orderBy("wk")
+    return (
+        ranked.select(
+            "n_name", "wk", "rnk",
+            (F.lag("rnk").over(w_lag) - F.col("rnk")).alias("delta"),
+        )
+        .filter(F.col("delta").isNotNull() & (F.col("delta") != 0))
+    )
+
+
+_RANK_MOVERS_SQL = """
+WITH weekly AS (
+  SELECT n_name, weekofyear(CAST(o_orderdate AS DATE)) AS wk,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE year(CAST(o_orderdate AS DATE)) = 1995
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT n_name, wk,
+    ROW_NUMBER() OVER (PARTITION BY wk ORDER BY cents DESC, n_name) AS rnk
+  FROM weekly),
+moved AS (
+  SELECT n_name, wk, rnk,
+    LAG(rnk) OVER (PARTITION BY n_name ORDER BY wk) - rnk AS delta
+  FROM ranked)
+SELECT n_name, wk, rnk, delta
+FROM moved WHERE delta IS NOT NULL AND delta <> 0
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6949,6 +7064,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_clip_stats": q_embedding_clip_stats,
     "daily_kpi_wide": q_daily_kpi_wide,
     "hierarchy_share_report": q_hierarchy_share_report,
+    "key_skew_report": q_key_skew_report,
+    "weekly_rank_movers": q_weekly_rank_movers,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -7120,4 +7237,6 @@ ORACLE_QUERIES: dict[str, str] = {
     "embedding_clip_stats": _CLIP_SQL,
     "daily_kpi_wide": _KPI_SQL,
     "hierarchy_share_report": _HIER_SQL,
+    "key_skew_report": _KEY_SKEW_SQL,
+    "weekly_rank_movers": _RANK_MOVERS_SQL,
 }
