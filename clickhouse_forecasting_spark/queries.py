@@ -4667,6 +4667,15 @@ def q_sql_api_monthly_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_API_REPORT)
 
 
+
+def _daily_cents(o: DataFrame, alias: str = "cents") -> DataFrame:
+    """Day-grain exact-cents revenue series (d, <alias>) from orders —
+    the shared input of the CUSUM/ACF/runs/Bollinger/drawdown/Haar
+    time-series statistics family."""
+    return o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(alias)
+    )
+
 def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket analysis: parts co-purchased in the same order, with
     association lift. The pair generation is a self-join of the distinct
@@ -4862,10 +4871,7 @@ def q_cusum_breakpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     one global-order window (day count rows, not fact rows), top 10 by
     |S·n| with date tie-break. n·P_t stays int64 through sf~100."""
     o = _t(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
-    )
+    daily = _daily_cents(o, "cents")
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     cum = daily.select(
         "d", "cents",
@@ -5352,10 +5358,7 @@ def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Products fit int64 through sf~0.5; cast-before-multiply upgrades
     beyond. Two shuffles (day grain, lag-join) regardless of scale."""
     o = _t(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x"))
-    )
+    daily = _daily_cents(o, "x")
     series = daily.select(
         F.row_number().over(Window.orderBy("d")).alias("i"), "x"
     )
@@ -5501,10 +5504,7 @@ def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     once in double. Two windows over the day-grain series (delta, then
     lagged sign after the zero-filter); single-row output."""
     o = _t(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x"))
-    )
+    daily = _daily_cents(o, "x")
     w = Window.orderBy("d")
     signs = (
         daily.select("d", (F.col("x") - F.lag("x").over(w)).alias("delta"))
@@ -5615,10 +5615,7 @@ def q_ccf_order_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     Day-grain aggregations on both facts, one lag-join, 15-row output."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    dx = (
-        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x"))
-    )
+    dx = _daily_cents(o, "x")
     dy = (
         li.groupBy(F.col("l_shipdate").cast("date").alias("d"))
         .agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("y"))
@@ -5769,10 +5766,7 @@ def q_bollinger_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     are rounded to cents. Population σ over the observed frame (shorter
     at the series head). One day-grain aggregation + one frame window."""
     o = _t(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x"))
-    )
+    daily = _daily_cents(o, "x")
     wf = Window.orderBy("d").rowsBetween(-19, 0)
     framed = daily.select(
         "d", "x",
@@ -5819,10 +5813,7 @@ def q_max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     drawdown are int64 — so the output is hash-exact. Two global-order
     windows over the day-grain series; top-1 row."""
     o = _t(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
-    )
+    daily = _daily_cents(o, "cents")
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     cum = daily.select(
         "d",
@@ -5874,10 +5865,7 @@ def q_haar_wavelet_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-index tie-break — the strongest day-pair, 2-day, and 4-day
     shocks. Three tiny aggregations after the day-grain shuffle."""
     o = _t(spark, sf_dir, "orders")
-    daily = (
-        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x"))
-    )
+    daily = _daily_cents(o, "x")
     level = daily.select(
         (F.row_number().over(Window.orderBy("d")) - 1).alias("i"), "x"
     )
