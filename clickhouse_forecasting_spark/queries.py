@@ -6870,6 +6870,33 @@ FROM moved WHERE delta IS NOT NULL AND delta <> 0
 """
 
 
+def q_frequent_parts_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accelerated EXACT heavy hitters: every part whose line
+    count exceeds 1/32768 of the fact, found via partition-local
+    Misra-Gries summaries (functions/frequent.py) and re-counted
+    exactly — shuffle cost is O(partitions × k_sketch) + candidate
+    rows instead of the full key universe. The support-threshold
+    contract is provably complete under any distribution (see the
+    operator docstring — a top-k framing is NOT sketch-safe on
+    near-uniform keys, which this fixture's partkey is), and the
+    DuckDB oracle computes the same set exactly, so the hash match
+    verifies zero candidate loss end-to-end. The one intentionally-
+    Python stage (mapInPandas summary) is Arrow-batched."""
+    from .functions.frequent import frequent_above_support
+
+    li = _t(spark, sf_dir, "lineitem")
+    return frequent_above_support(li, "l_partkey", k_sketch=32768)
+
+
+_FREQ_SUPPORT_SQL = """
+WITH tot AS (SELECT COUNT(*) AS total FROM lineitem)
+SELECT l_partkey, COUNT(*) AS n
+FROM lineitem CROSS JOIN tot
+GROUP BY l_partkey, total
+HAVING 32768 * COUNT(*) > total
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7054,6 +7081,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hierarchy_share_report": q_hierarchy_share_report,
     "key_skew_report": q_key_skew_report,
     "weekly_rank_movers": q_weekly_rank_movers,
+    "frequent_parts_sketch": q_frequent_parts_sketch,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -7227,4 +7255,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "hierarchy_share_report": _HIER_SQL,
     "key_skew_report": _KEY_SKEW_SQL,
     "weekly_rank_movers": _RANK_MOVERS_SQL,
+    "frequent_parts_sketch": _FREQ_SUPPORT_SQL,
 }
