@@ -6897,6 +6897,168 @@ HAVING 32768 * COUNT(*) > total
 """
 
 
+def q_customer_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer gaps-and-islands over the MONTH grid: runs of
+    consecutive active months via the classic month_index − row_number
+    grouping trick, reporting each customer's longest streak and island
+    count — top 20 by (longest streak, fewest islands, custkey).
+    Customers hold ~10 orders across 84 months at every scale factor,
+    so the island structure is non-degenerate at any SF. Two windows +
+    two aggregations, all keyed by customer."""
+    o = _t(spark, sf_dir, "orders")
+    months = (
+        o.select(
+            "o_custkey",
+            (
+                (F.year(F.col("o_orderdate").cast("date")) - 1992) * 12
+                + F.month(F.col("o_orderdate").cast("date")) - 1
+            ).alias("m"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    islands = months.select(
+        "o_custkey",
+        (F.col("m") - F.row_number().over(w)).alias("grp"),
+    ).groupBy("o_custkey", "grp").agg(F.count("*").alias("run_len"))
+    return (
+        islands.groupBy("o_custkey")
+        .agg(
+            F.max("run_len").alias("longest_streak"),
+            F.count("*").alias("n_islands"),
+        )
+        .orderBy(F.desc("longest_streak"), "n_islands", "o_custkey")
+        .limit(20)
+    )
+
+
+_ISLANDS_SQL = """
+WITH months AS (
+  SELECT DISTINCT o_custkey,
+    (year(CAST(o_orderdate AS DATE)) - 1992) * 12
+      + month(CAST(o_orderdate AS DATE)) - 1 AS m
+  FROM orders),
+islands AS (
+  SELECT o_custkey,
+    m - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY m) AS grp
+  FROM months),
+runs AS (
+  SELECT o_custkey, grp, COUNT(*) AS run_len
+  FROM islands GROUP BY 1, 2)
+SELECT o_custkey, MAX(run_len) AS longest_streak, COUNT(*) AS n_islands
+FROM runs GROUP BY o_custkey
+ORDER BY longest_streak DESC, n_islands, o_custkey LIMIT 20
+"""
+
+
+def q_lineitem_contiguity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detail-row integrity: line numbers within each order must be
+    exactly 1..k with no duplicates — checked in ONE aggregation pass
+    per order via the arithmetic identity (count == max AND sum ==
+    k(k+1)/2 AND min == 1), then summarized to a single row. No sort,
+    no window, no distinct — the cheapest possible contiguity proof."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("cnt"),
+        F.min("l_linenumber").alias("mn"),
+        F.max("l_linenumber").alias("mx"),
+        F.sum("l_linenumber").alias("sm"),
+    )
+    flagged = per_order.select(
+        (
+            (F.col("mn") == 1)
+            & (F.col("mx") == F.col("cnt"))
+            & (F.col("sm") == F.col("cnt") * (F.col("cnt") + 1) / 2)
+        ).alias("ok")
+    )
+    return flagged.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("ok").cast("bigint")).alias("n_contiguous"),
+        F.sum((~F.col("ok")).cast("bigint")).alias("n_violations"),
+    )
+
+
+_CONTIG_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(*) AS cnt, MIN(l_linenumber) AS mn,
+         MAX(l_linenumber) AS mx, SUM(l_linenumber) AS sm
+  FROM lineitem GROUP BY 1),
+flagged AS (
+  SELECT (mn = 1 AND mx = cnt AND sm = cnt * (cnt + 1) / 2) AS ok
+  FROM per_order)
+SELECT COUNT(*) AS n_orders,
+  SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_contiguous,
+  SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS n_violations
+FROM flagged
+"""
+
+# discount weights 0.9^k for order-year offsets 0..6, shared 12-dp
+# literals on both sides so neither engine ever calls pow()
+_LTV_W = {
+    0: "1.0", 1: "0.9", 2: "0.81", 3: "0.729",
+    4: "0.6561", 5: "0.59049", 6: "0.531441",
+}
+
+
+def q_discounted_ltv_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted customer lifetime value: yearly revenue × 0.9^years-
+    since-first-order, summed per customer — top 20. The discount
+    powers are shared decimal literals (the Benford trick: no pow(), no
+    libm divergence); yearly revenue is exact cents, the weighted sum
+    runs once in double and rounds to cents. Two aggregations (customer
+    × year, then customer) + a broadcast weights join."""
+    o = _t(spark, sf_dir, "orders")
+    yearly = (
+        o.groupBy(
+            "o_custkey", F.year(F.col("o_orderdate").cast("date")).alias("yr")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    w_first = Window.partitionBy("o_custkey")
+    offset = yearly.select(
+        "o_custkey", "cents",
+        (F.col("yr") - F.min("yr").over(w_first)).alias("k"),
+    )
+    weights = spark.createDataFrame(
+        [(k, float(v)) for k, v in _LTV_W.items()], "k int, w double"
+    )
+    return (
+        offset.join(F.broadcast(weights), "k")
+        .groupBy("o_custkey")
+        .agg(
+            # each term's double product casts to decimal BEFORE the sum:
+            # exact commutative accumulation, shuffle-order-proof
+            F.round(
+                F.sum(
+                    (F.col("cents").cast("double") * F.col("w")).cast("decimal(38,10)")
+                ).cast("double"),
+                2,
+            ).alias("ltv_cents")
+        )
+        .orderBy(F.desc("ltv_cents"), "o_custkey")
+        .limit(20)
+    )
+
+
+_LTV_SQL = (
+    "WITH yearly AS (\n"
+    "  SELECT o_custkey, year(CAST(o_orderdate AS DATE)) AS yr,\n"
+    "    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents\n"
+    "  FROM orders GROUP BY 1, 2),\n"
+    "offs AS (\n"
+    "  SELECT o_custkey, cents,\n"
+    "    yr - MIN(yr) OVER (PARTITION BY o_custkey) AS k\n"
+    "  FROM yearly),\n"
+    "weights AS (SELECT * FROM (VALUES "
+    + ", ".join(f"({k}, {v}e0)" for k, v in _LTV_W.items())
+    + ") AS t(k, w))\n"
+    "SELECT o_custkey,\n"
+    "  ROUND(CAST(SUM(CAST(CAST(cents AS DOUBLE) * w AS DECIMAL(38,10))) AS DOUBLE), 2) AS ltv_cents\n"
+    "FROM offs JOIN weights USING (k)\n"
+    "GROUP BY o_custkey ORDER BY ltv_cents DESC, o_custkey LIMIT 20\n"
+)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7082,6 +7244,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "key_skew_report": q_key_skew_report,
     "weekly_rank_movers": q_weekly_rank_movers,
     "frequent_parts_sketch": q_frequent_parts_sketch,
+    "customer_activity_islands": q_customer_activity_islands,
+    "lineitem_contiguity_check": q_lineitem_contiguity_check,
+    "discounted_ltv_top_customers": q_discounted_ltv_top_customers,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -7256,4 +7421,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "key_skew_report": _KEY_SKEW_SQL,
     "weekly_rank_movers": _RANK_MOVERS_SQL,
     "frequent_parts_sketch": _FREQ_SUPPORT_SQL,
+    "customer_activity_islands": _ISLANDS_SQL,
+    "lineitem_contiguity_check": _CONTIG_SQL,
+    "discounted_ltv_top_customers": _LTV_SQL,
 }
