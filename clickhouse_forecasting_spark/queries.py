@@ -7059,6 +7059,108 @@ _LTV_SQL = (
 )
 
 
+def q_dice_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation strength for adjacent token pairs: the Dice
+    coefficient 2·n_ab/(n_a+n_b) in exact ppm, over pairs with support
+    ≥ 20 — which word pairs stick together beyond their individual
+    frequencies (the PMI-family association measure, integer-exact so
+    no log). One tokenization pass feeds both the unigram counts
+    (broadcast twice) and the LEAD-adjacency bigram counts. Top 30 by
+    (dice, pair)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.select("doc_id", "tok", F.lead("tok").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 20)
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("n").alias("n_b"))
+    return (
+        bi.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .select(
+            "a", "b", "n_ab", "n_a", "n_b",
+            F.expr("(2 * n_ab * 1000000L) div (n_a + n_b)").alias("dice_ppm"),
+        )
+        .orderBy(F.desc("dice_ppm"), "a", "b")
+        .limit(30)
+    )
+
+
+_DICE_SQL = """
+WITH lists AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok,
+         unnest(generate_series(1, len(l))) AS pos
+  FROM lists),
+uni AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+bi AS (
+  SELECT a, b, COUNT(*) AS n_ab FROM (
+    SELECT doc_id, tok AS a,
+      LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+    FROM toks)
+  WHERE b IS NOT NULL GROUP BY a, b HAVING COUNT(*) >= 20)
+SELECT a, b, n_ab, ua.n AS n_a, ub.n AS n_b,
+  (2 * n_ab * 1000000) // (ua.n + ub.n) AS dice_ppm
+FROM bi JOIN uni ua ON bi.a = ua.tok JOIN uni ub ON bi.b = ub.tok
+ORDER BY dice_ppm DESC, a, b LIMIT 30
+"""
+
+
+def q_embedding_dimension_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension discrete median of the embedding corpus (the
+    feature-wise robust center a normalization pipeline needs): one
+    posexplode to (dim, value) — integer-scaled to micro-units so the
+    rank pick is hash-exact — then the ceil(n/2) rank pick per
+    dimension. 64 output rows regardless of corpus size; the explode
+    shuffle is the only fact-sized stage."""
+    em = _t(spark, sf_dir, "embeddings")
+    vals = em.select(
+        F.posexplode(F.col("embedding")).alias("dim", "v"),
+        F.col("vec_id"),
+    ).select(
+        "dim",
+        F.round(F.col("v").cast("double") * 1000000).cast("bigint").alias("micro"),
+        "vec_id",
+    )
+    w = Window.partitionBy("dim").orderBy("micro", "vec_id")
+    ranked = vals.select(
+        "dim", "micro",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("dim")).alias("n"),
+    )
+    return (
+        ranked.filter(F.col("rk") == F.ceil(F.col("n") / 2))
+        .select("dim", F.col("micro").alias("median_micro"), "n")
+    )
+
+
+_EMB_MEDIAN_SQL = """
+WITH vals AS (
+  SELECT dim - 1 AS dim,
+    CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS micro, vec_id
+  FROM (
+    SELECT vec_id, unnest(embedding) AS v,
+           unnest(generate_series(1, len(embedding))) AS dim
+    FROM embeddings)),
+ranked AS (
+  SELECT dim, micro,
+    ROW_NUMBER() OVER (PARTITION BY dim ORDER BY micro, vec_id) AS rk,
+    COUNT(*) OVER (PARTITION BY dim) AS n
+  FROM vals)
+SELECT dim, micro AS median_micro, n
+FROM ranked WHERE rk = CEIL(n / 2.0)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7247,6 +7349,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_activity_islands": q_customer_activity_islands,
     "lineitem_contiguity_check": q_lineitem_contiguity_check,
     "discounted_ltv_top_customers": q_discounted_ltv_top_customers,
+    "dice_collocations": q_dice_collocations,
+    "embedding_dimension_medians": q_embedding_dimension_medians,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -7424,4 +7528,6 @@ ORACLE_QUERIES: dict[str, str] = {
     "customer_activity_islands": _ISLANDS_SQL,
     "lineitem_contiguity_check": _CONTIG_SQL,
     "discounted_ltv_top_customers": _LTV_SQL,
+    "dice_collocations": _DICE_SQL,
+    "embedding_dimension_medians": _EMB_MEDIAN_SQL,
 }
