@@ -7161,6 +7161,93 @@ FROM ranked WHERE rk = CEIL(n / 2.0)
 """
 
 
+def q_rank_correlation_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric association between nations' order volume and
+    revenue: Spearman's rho (1 − 6Σd²/(n(n²−1)) over row_number ranks
+    with name tie-breaks) and Kendall's tau (concordant-minus-
+    discordant over the 25×24/2 nation pairs). Both statistics reduce
+    to exact integer counts on the 25-row aggregate — the double
+    division happens once per statistic. The pairwise stage is
+    quadratic in NATIONS, constant in fact rows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+        )
+        .localCheckpoint(eager=True)  # 25 rows; reused by ranks and pairs
+    )
+    ranked = per_nation.select(
+        "n_name",
+        F.row_number().over(Window.orderBy("n_orders", "n_name")).alias("rx"),
+        F.row_number().over(Window.orderBy("cents", "n_name")).alias("ry"),
+    )
+    spearman = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+        ).alias("sum_d2"),
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pairs = a.join(b, F.col("a.n_name") < F.col("b.n_name")).select(
+        (
+            (F.col("a.rx") < F.col("b.rx")) == (F.col("a.ry") < F.col("b.ry"))
+        ).cast("bigint").alias("concordant")
+    )
+    kendall = pairs.agg(
+        F.sum("concordant").alias("n_conc"),
+        F.sum(1 - F.col("concordant")).alias("n_disc"),
+    )
+    return (
+        spearman.crossJoin(kendall)
+        .select(
+            "n", "sum_d2", "n_conc", "n_disc",
+            F.round(
+                1 - (6 * F.col("sum_d2")).cast("double")
+                / (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("double"),
+                6,
+            ).alias("spearman_rho"),
+            F.round(
+                (F.col("n_conc") - F.col("n_disc")).cast("double")
+                / (F.col("n_conc") + F.col("n_disc")).cast("double"),
+                6,
+            ).alias("kendall_tau"),
+        )
+    )
+
+
+_RANKCORR_SQL = """
+WITH per_nation AS MATERIALIZED (
+  SELECT n_name, COUNT(*) AS n_orders,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1),
+ranked AS MATERIALIZED (
+  SELECT n_name,
+    ROW_NUMBER() OVER (ORDER BY n_orders, n_name) AS rx,
+    ROW_NUMBER() OVER (ORDER BY cents, n_name) AS ry
+  FROM per_nation),
+spearman AS (
+  SELECT COUNT(*) AS n, SUM((rx - ry) * (rx - ry)) AS sum_d2 FROM ranked),
+kendall AS (
+  SELECT
+    SUM(CASE WHEN (a.rx < b.rx) = (a.ry < b.ry) THEN 1 ELSE 0 END) AS n_conc,
+    SUM(CASE WHEN (a.rx < b.rx) = (a.ry < b.ry) THEN 0 ELSE 1 END) AS n_disc
+  FROM ranked a JOIN ranked b ON a.n_name < b.n_name)
+SELECT n, sum_d2, n_conc, n_disc,
+  ROUND(1 - CAST(6 * sum_d2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE), 6) AS spearman_rho,
+  ROUND(CAST(n_conc - n_disc AS DOUBLE) / CAST(n_conc + n_disc AS DOUBLE), 6) AS kendall_tau
+FROM spearman CROSS JOIN kendall
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7351,6 +7438,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "discounted_ltv_top_customers": q_discounted_ltv_top_customers,
     "dice_collocations": q_dice_collocations,
     "embedding_dimension_medians": q_embedding_dimension_medians,
+    "rank_correlation_nations": q_rank_correlation_nations,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -7530,4 +7618,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "discounted_ltv_top_customers": _LTV_SQL,
     "dice_collocations": _DICE_SQL,
     "embedding_dimension_medians": _EMB_MEDIAN_SQL,
+    "rank_correlation_nations": _RANKCORR_SQL,
 }
