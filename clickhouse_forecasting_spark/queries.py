@@ -7248,6 +7248,60 @@ FROM spearman CROSS JOIN kendall
 """
 
 
+def q_rapid_repeat_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rapid-repeat-order audit: pairs of distinct orders by the same
+    customer within 3 days, with the amount-similarity signal
+    min/max·1e6 (exact ppm) that a duplicate-payment screen thresholds
+    on. The self-join is equi on customer plus a bounded date-range
+    predicate, so pair volume scales with per-customer short-window
+    bursts, not the fact. Canonical pair order (earlier orderkey
+    first), all-integer output."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    ).localCheckpoint(eager=True)  # avoid re-deriving the scan per alias
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.abs(F.datediff(F.col("b.d"), F.col("a.d"))) <= 3),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("orderkey_1"),
+            F.col("b.o_orderkey").alias("orderkey_2"),
+            F.abs(F.datediff(F.col("b.d"), F.col("a.d"))).alias("days_apart"),
+            F.col("a.cents").alias("cents_1"),
+            F.col("b.cents").alias("cents_2"),
+            F.expr(
+                "(least(a.cents, b.cents) * 1000000L) div greatest(a.cents, b.cents)"
+            ).alias("amount_sim_ppm"),
+        )
+    )
+
+
+_DUP_PAY_SQL = """
+WITH base AS (
+  SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_orderdate AS DATE) AS d, o_orderkey
+  FROM orders)
+SELECT a.o_custkey AS custkey,
+  a.o_orderkey AS orderkey_1, b.o_orderkey AS orderkey_2,
+  ABS(date_diff('day', a.d, b.d)) AS days_apart,
+  a.cents AS cents_1, b.cents AS cents_2,
+  (LEAST(a.cents, b.cents) * 1000000) // GREATEST(a.cents, b.cents) AS amount_sim_ppm
+FROM base a JOIN base b
+  ON a.o_custkey = b.o_custkey
+  AND a.o_orderkey < b.o_orderkey
+  AND ABS(date_diff('day', a.d, b.d)) <= 3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7439,6 +7493,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dice_collocations": q_dice_collocations,
     "embedding_dimension_medians": q_embedding_dimension_medians,
     "rank_correlation_nations": q_rank_correlation_nations,
+    "rapid_repeat_orders": q_rapid_repeat_orders,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -7619,4 +7674,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "dice_collocations": _DICE_SQL,
     "embedding_dimension_medians": _EMB_MEDIAN_SQL,
     "rank_correlation_nations": _RANKCORR_SQL,
+    "rapid_repeat_orders": _DUP_PAY_SQL,
 }
