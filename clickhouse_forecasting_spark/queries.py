@@ -7302,6 +7302,84 @@ FROM base a JOIN base b
 """
 
 
+def q_boxplot_stats_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boxplot statistics per nation: discrete quartiles (rank =
+    ceil(q·n) picks), IQR, and Tukey-fence outlier counts — with the
+    1.5·IQR fences evaluated in DOUBLED integers (2·x < 2·q1 − 3·IQR)
+    so the half-unit never becomes a float. One fact shuffle for the
+    ranking window, quartiles join back as a broadcast, outliers count
+    in one conditional aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            "o_orderkey",
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("cents", "o_orderkey")
+    ranked = base.select(
+        "n_name", "cents",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("n_name")).alias("n"),
+    )
+    quartiles = (
+        ranked.filter(
+            (F.col("rk") == F.ceil(F.col("n") * 25 / 100))
+            | (F.col("rk") == F.ceil(F.col("n") * 50 / 100))
+            | (F.col("rk") == F.ceil(F.col("n") * 75 / 100))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.min("cents").alias("q1"),
+            F.max("cents").alias("q3"),
+            F.max(
+                F.when(F.col("rk") == F.ceil(F.col("n") * 50 / 100), F.col("cents"))
+            ).alias("q2"),
+        )
+    )
+    joined = base.join(F.broadcast(quartiles), "n_name")
+    iqr = F.col("q3") - F.col("q1")
+    low = 2 * F.col("cents") < 2 * F.col("q1") - 3 * iqr
+    high = 2 * F.col("cents") > 2 * F.col("q3") + 3 * iqr
+    return joined.groupBy("n_name", "q1", "q2", "q3").agg(
+        F.count("*").alias("n"),
+        (F.col("q3") - F.col("q1")).alias("iqr"),
+        F.sum(low.cast("bigint")).alias("n_low_outliers"),
+        F.sum(high.cast("bigint")).alias("n_high_outliers"),
+    ).select("n_name", "n", "q1", "q2", "q3", "iqr", "n_low_outliers", "n_high_outliers")
+
+
+_BOXPLOT_SQL = """
+WITH base AS (
+  SELECT n_name, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey),
+ranked AS (
+  SELECT n_name, cents,
+    ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY cents, o_orderkey) AS rk,
+    COUNT(*) OVER (PARTITION BY n_name) AS n
+  FROM base),
+quartiles AS (
+  SELECT n_name, MIN(cents) AS q1, MAX(cents) AS q3,
+    MAX(CASE WHEN rk = CEIL(n * 50 / 100.0) THEN cents END) AS q2
+  FROM ranked
+  WHERE rk = CEIL(n * 25 / 100.0) OR rk = CEIL(n * 50 / 100.0)
+     OR rk = CEIL(n * 75 / 100.0)
+  GROUP BY n_name)
+SELECT base.n_name, COUNT(*) AS n, q1, q2, q3, q3 - q1 AS iqr,
+  SUM(CASE WHEN 2 * cents < 2 * q1 - 3 * (q3 - q1) THEN 1 ELSE 0 END) AS n_low_outliers,
+  SUM(CASE WHEN 2 * cents > 2 * q3 + 3 * (q3 - q1) THEN 1 ELSE 0 END) AS n_high_outliers
+FROM base JOIN quartiles ON base.n_name = quartiles.n_name
+GROUP BY base.n_name, q1, q2, q3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7494,6 +7572,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dimension_medians": q_embedding_dimension_medians,
     "rank_correlation_nations": q_rank_correlation_nations,
     "rapid_repeat_orders": q_rapid_repeat_orders,
+    "boxplot_stats_by_nation": q_boxplot_stats_by_nation,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -7675,4 +7754,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "embedding_dimension_medians": _EMB_MEDIAN_SQL,
     "rank_correlation_nations": _RANKCORR_SQL,
     "rapid_repeat_orders": _DUP_PAY_SQL,
+    "boxplot_stats_by_nation": _BOXPLOT_SQL,
 }
