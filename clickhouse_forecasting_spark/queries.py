@@ -7380,6 +7380,120 @@ GROUP BY base.n_name, q1, q2, q3
 """
 
 
+def q_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative signup→purchase conversion at the 1/7/14/30-day
+    marks: the share of the signup cohort converting within T days, in
+    exact ppm — the business-facing complement of the survival hazard
+    query. Per-user first-purchase offsets compute once (user-grain
+    shuffle); the four thresholds fold into one conditional aggregation
+    over a broadcast spine."""
+    ev = _t(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    purchase = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    offsets = (
+        signup.join(purchase, "user_id", "left")
+        .filter(F.col("ts").isNull() | (F.col("ts") >= F.col("t0")))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.datediff(F.col("ts").cast("date"), F.col("t0").cast("date"))
+            ).alias("t_days")
+        )
+    )
+    marks = spark.createDataFrame([(1,), (7,), (14,), (30,)], "t_mark int")
+    return (
+        offsets.crossJoin(F.broadcast(marks))
+        .groupBy("t_mark")
+        .agg(
+            F.count("*").alias("n_cohort"),
+            F.sum(
+                (F.col("t_days").isNotNull() & (F.col("t_days") <= F.col("t_mark"))).cast("bigint")
+            ).alias("n_converted"),
+        )
+        .select(
+            "t_mark", "n_cohort", "n_converted",
+            F.expr("(n_converted * 1000000L) div n_cohort").alias("conv_ppm"),
+        )
+    )
+
+
+_CONV_CURVE_SQL = """
+WITH signup AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+offsets AS (
+  SELECT s.user_id,
+    MIN(date_diff('day', CAST(t0 AS DATE), CAST(e.ts AS DATE))) AS t_days
+  FROM signup s LEFT JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts >= s.t0
+  GROUP BY s.user_id),
+marks AS (SELECT unnest([1, 7, 14, 30]) AS t_mark)
+SELECT t_mark, COUNT(*) AS n_cohort,
+  SUM(CASE WHEN t_days IS NOT NULL AND t_days <= t_mark THEN 1 ELSE 0 END) AS n_converted,
+  (SUM(CASE WHEN t_days IS NOT NULL AND t_days <= t_mark THEN 1 ELSE 0 END) * 1000000)
+    // COUNT(*) AS conv_ppm
+FROM offsets CROSS JOIN marks
+GROUP BY t_mark
+"""
+
+
+def q_monthly_hhi_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration time series: the Herfindahl-Hirschman index
+    of revenue shares across nations, per month (Σ shareᵢ², 1/25 =
+    perfectly even … 1 = monopolized). Squares and totals accumulate as
+    exact decimals (cents² passes int64 beyond sf~10), the share
+    algebra runs once per month in double, rounded 6dp. One fact
+    aggregation to month×nation, one 84-row reduce."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .alias("mo"),
+            "n_name",
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    sums = monthly.groupBy("mo").agg(
+        F.count("*").alias("n_nations"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("double").alias("tot"),
+        F.sum(
+            (F.col("cents").cast("decimal(38,0)") * F.col("cents").cast("decimal(38,0)"))
+        ).cast("double").alias("sq"),
+    )
+    return sums.select(
+        "mo", "n_nations",
+        F.round(F.col("sq") / (F.col("tot") * F.col("tot")), 6).alias("hhi"),
+    )
+
+
+_HHI_SQL = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mo,
+    n_name,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+sums AS (
+  SELECT mo, COUNT(*) AS n_nations,
+    CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS tot,
+    CAST(SUM(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS sq
+  FROM monthly GROUP BY mo)
+SELECT mo, n_nations, ROUND(sq / (tot * tot), 6) AS hhi
+FROM sums
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7573,6 +7687,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_correlation_nations": q_rank_correlation_nations,
     "rapid_repeat_orders": q_rapid_repeat_orders,
     "boxplot_stats_by_nation": q_boxplot_stats_by_nation,
+    "conversion_curve": q_conversion_curve,
+    "monthly_hhi_nations": q_monthly_hhi_nations,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -7755,4 +7871,6 @@ ORACLE_QUERIES: dict[str, str] = {
     "rank_correlation_nations": _RANKCORR_SQL,
     "rapid_repeat_orders": _DUP_PAY_SQL,
     "boxplot_stats_by_nation": _BOXPLOT_SQL,
+    "conversion_curve": _CONV_CURVE_SQL,
+    "monthly_hhi_nations": _HHI_SQL,
 }
