@@ -7494,6 +7494,56 @@ FROM sums
 """
 
 
+def q_rebased_revenue_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed time series: each region's monthly revenue rebased to
+    its own first month (= 1,000,000 ppm) — the '1995 = 100' economic-
+    index report. FIRST_VALUE over the region window supplies the base;
+    the index is exact ppm floor division. One fact aggregation to
+    region×month, one window over the 420-row aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            "r_name",
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .alias("mo"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    w = Window.partitionBy("r_name").orderBy("mo").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return monthly.withColumn(
+        "base_cents", F.first_value("cents").over(w)
+    ).select(
+        "r_name", "mo", "cents",
+        F.expr("(cents * 1000000) div base_cents").alias("index_ppm"),
+    )
+
+
+_REBASE_SQL = """
+WITH monthly AS (
+  SELECT r_name,
+    CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mo,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2)
+SELECT r_name, mo, cents,
+  (cents * 1000000) // FIRST_VALUE(cents) OVER (PARTITION BY r_name ORDER BY mo
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS index_ppm
+FROM monthly
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -7689,6 +7739,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boxplot_stats_by_nation": q_boxplot_stats_by_nation,
     "conversion_curve": q_conversion_curve,
     "monthly_hhi_nations": q_monthly_hhi_nations,
+    "rebased_revenue_index": q_rebased_revenue_index,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -7873,4 +7924,5 @@ ORACLE_QUERIES: dict[str, str] = {
     "boxplot_stats_by_nation": _BOXPLOT_SQL,
     "conversion_curve": _CONV_CURVE_SQL,
     "monthly_hhi_nations": _HHI_SQL,
+    "rebased_revenue_index": _REBASE_SQL,
 }
