@@ -7926,3 +7926,64 @@ ORACLE_QUERIES: dict[str, str] = {
     "monthly_hhi_nations": _HHI_SQL,
     "rebased_revenue_index": _REBASE_SQL,
 }
+
+# DuckDB SUM()/integer-division over integer columns returns HUGEINT
+# (int128); pandas materializes that as float/object, so the driver's
+# hash canonicalization diverges from Spark's BIGINT even when values
+# are identical (round-1 tpch_q12 failure). Every oracle output column
+# listed here is wrapped with CAST(... AS BIGINT) below; the audit in
+# tools/audit_oracle_dtypes.py (pytest tests/test_oracle_dtypes.py)
+# asserts the class can't regress.
+_BIGINT_CASTS: dict[str, tuple[str, ...]] = {
+    "allocation_proration": ("alloc_cents",),
+    "attribution_first_touch": ("n_attributed",),
+    "bollinger_bands_daily": ("x",),
+    "boxplot_stats_by_nation": ("n_low_outliers", "n_high_outliers"),
+    "conversion_curve": ("n_converted", "conv_ppm"),
+    "corpus_mix_sample": ("n_selected",),
+    "cusum_breakpoints": ("cents", "s_scaled"),
+    "daily_kpi_wide": ("rev_cents", "aov_cents", "cum_buyers"),
+    "dq_orders_expectations": ("n_violations",),
+    "embedding_clip_stats": ("total_dims", "total_clip", "clip_ppm"),
+    "ewma_daily_revenue": ("ewma_micro",),
+    "fano_factor_event_types": ("sk",),
+    "fifo_attribution_match": ("matched_cents",),
+    "funnel_conversion": ("n_converted",),
+    "haar_wavelet_daily": ("detail",),
+    "hierarchy_share_report": ("cents", "share_of_region_ppm", "region_share_ppm"),
+    "interval_merge_activity": ("total_active_us",),
+    "ks_test_segments": ("n1", "n2", "d_scaled", "d_ppm"),
+    "lineitem_contiguity_check": ("n_contiguous", "n_violations"),
+    "lorenz_curve_points": ("cum_share_ppm",),
+    "mad_robust_stats": ("n_outliers",),
+    "mannwhitney_u_segments": ("n1", "n2", "u1_2", "tie3"),
+    "max_drawdown_daily": ("equity", "peak", "drawdown"),
+    "nation_revenue_share": ("rev_cents", "share_ppm"),
+    "peak_open_orders": ("open_orders",),
+    "priority_topn_with_others": ("n_orders",),
+    "profile_orders_columns": ("n_null",),
+    "rank_correlation_nations": ("sum_d2", "n_conc", "n_disc"),
+    "rebased_revenue_index": ("cents", "index_ppm"),
+    "runs_test_daily": ("n_pos", "n_neg", "n_runs"),
+    "sessionization": ("n_sessions",),
+    "survival_hazard_curve": ("n_risk", "d_events", "hazard_ppm"),
+    "token_entropy": ("n_tokens",),
+    "tpch_q12_priority_by_linestatus": ("high_line_count", "low_line_count"),
+    "twap_user_value": ("total_us",),
+    "user_growth_accounting": ("cumulative_users",),
+    "variant_props_analytics": ("sum_k",),
+    "weighted_median_price_by_brand": ("total_quantity",),
+    "window_function_showcase": (
+        "rev_cents", "leader_cents", "runnerup_cents", "gap_to_leader"),
+    "yoy_revenue_growth": ("rev_cents", "prev_cents", "growth_bp"),
+}
+
+
+def _cast_bigint(sql: str, cols: tuple[str, ...]) -> str:
+    repl = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    return f"SELECT * REPLACE ({repl}) FROM (\n{sql}\n) AS _bigint_t"
+
+
+for _name, _cols in _BIGINT_CASTS.items():
+    ORACLE_QUERIES[_name] = _cast_bigint(ORACLE_QUERIES[_name], _cols)
+del _name, _cols

@@ -1,0 +1,44 @@
+"""Oracle dtype gate: no DuckDB oracle twin may emit HUGEINT columns.
+
+DuckDB SUM()/integer-division over integers returns HUGEINT (int128);
+the driver's pandas-side canonicalization materializes that as
+float/object and hash-mismatches Spark's BIGINT even when values are
+identical (round-1 tpch_q12). ORACLE_QUERIES post-processing wraps the
+affected output columns with CAST(... AS BIGINT); this test pins the
+whole class at zero so it can't regress as queries are added.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from clickhouse_forecasting_spark.queries import ORACLE_QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+BAD = ("HUGEINT", "UHUGEINT", "INT128", "UINT128")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def test_no_hugeint_oracle_columns(con):
+    offenders = {}
+    for name, sql in ORACLE_QUERIES.items():
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        bad = [(r[0], str(r[1])) for r in desc
+               if any(b in str(r[1]).upper() for b in BAD)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"oracle twins emitting HUGEINT: {offenders}"
