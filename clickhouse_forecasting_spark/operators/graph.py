@@ -44,20 +44,22 @@ def bfs_distances(
         [(source, 0)], f"node {edges.schema[src].dataType.simpleString()}, dist int"
     )
     frontier = visited.select("node")
-    for hop in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(e, frontier.node == e.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited, "node", "left_anti")
-            .withColumn("dist", F.lit(hop))
-            .localCheckpoint(eager=True)
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
-        frontier = nxt.select("node")
-    e.unpersist()
+    try:
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(e, frontier.node == e.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .withColumn("dist", F.lit(hop))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.union(nxt).localCheckpoint(eager=True)
+            frontier = nxt.select("node")
+    finally:
+        e.unpersist()
     return visited
 
 
@@ -105,36 +107,38 @@ def pagerank(
     n_dangling = dangling_nodes.count()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iterations):
-        # mass sitting on dangling nodes this iteration (scalar; skipped
-        # entirely when the graph has no sinks)
-        dangling = 0.0
-        if n_dangling:
-            dangling = (
-                ranks.join(dangling_nodes, "node", "left_semi")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                .collect()[0][0]
+    try:
+        for _ in range(iterations):
+            # mass sitting on dangling nodes this iteration (scalar;
+            # skipped entirely when the graph has no sinks)
+            dangling = 0.0
+            if n_dangling:
+                dangling = (
+                    ranks.join(dangling_nodes, "node", "left_semi")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .collect()[0][0]
+                )
+            contribs = (
+                norm.join(ranks, norm.src == ranks.node)
+                .select("dst", (F.col("rank") * F.col("frac")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("c"))
             )
-        contribs = (
-            norm.join(ranks, norm.src == ranks.node)
-            .select("dst", (F.col("rank") * F.col("frac")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("c"))
-        )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
-                ).alias("rank"),
+            ranks = (
+                nodes.join(contribs, nodes.node == contribs.dst, "left")
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-    e.unpersist()
-    nodes.unpersist()
-    norm.unpersist()
-    dangling_nodes.unpersist()
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+        norm.unpersist()
+        dangling_nodes.unpersist()
     return ranks

@@ -1263,17 +1263,41 @@ ORDER BY relation
 
 
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct users per event type (rows-only: sketch
-    estimates are engine-specific, so no value oracle — the exact twin is
-    distinct_users_per_type and the 5% error bound is test-asserted).
-    The 100 TB cardinality path: one pass, fixed-size mergeable sketches,
-    map-side partials — no distinct-shuffle of the key universe."""
+    """HyperLogLog++ distinct users per event type, with the sketch's 5%
+    tolerance bound materialized IN the result: the raw HLL estimate is
+    engine-specific (not oracle-hashable), so the query emits the exact
+    count plus a boolean verdict `approx_within_5pct` — if the sketch ever
+    drifts out of bound the verdict flips and the oracle hash catches it.
+    The 100 TB cardinality path is the approx aggregate (one pass,
+    fixed-size mergeable sketches, map-side partials — no distinct-shuffle
+    of the key universe); the exact column is the verification twin, cf.
+    sketch_rollup_daily_users for the sketch-only rollup shape."""
     ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+    )
     return (
-        ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        agg.select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
         .orderBy("event_type")
     )
+
+
+_APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 def q_gap_fill_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4974,6 +4998,10 @@ def q_khop_nation_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
     )
+    # vol feeds both the mean and the edge filter; without a cut the
+    # 3-table fact join subtree would be derived twice in one action
+    # (cf. triangles lesson). ≤ |nations|² rows, so the checkpoint is tiny.
+    vol = vol.localCheckpoint(eager=True)
     mean_vol = vol.select((_dsum(F.col("volume")) / F.count("*")).alias("mv"))
     edge_rows = (
         vol.crossJoin(F.broadcast(mean_vol))
@@ -5369,14 +5397,20 @@ def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, F.col("b.i") == F.col("a.i") + F.col("k"))
         .select("k", F.col("a.x").alias("x"), F.col("b.x").alias("y"))
     )
+    # cast to decimal BEFORE multiplying: an int64 cents product wraps
+    # silently in non-ANSI Spark beyond ~sf0.5 while DuckDB raises, so
+    # the divergence would be silent-wrong vs loud-fail. decimal(19,0)
+    # operands keep the product width at 38 in both engines.
     dsum = lambda col: F.sum(col.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    psum = lambda u, v: F.sum(d19(u) * d19(v)).cast("double")  # noqa: E731
     sums = pairs.groupBy("k").agg(
         F.count("*").alias("n"),
         dsum(F.col("x")).alias("sx"),
         dsum(F.col("y")).alias("sy"),
-        dsum(F.col("x") * F.col("y")).alias("sxy"),
-        dsum(F.col("x") * F.col("x")).alias("sxx"),
-        dsum(F.col("y") * F.col("y")).alias("syy"),
+        psum(F.col("x"), F.col("y")).alias("sxy"),
+        psum(F.col("x"), F.col("x")).alias("sxx"),
+        psum(F.col("y"), F.col("y")).alias("syy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.sqrt(
@@ -5401,9 +5435,9 @@ sums AS (
   SELECT k, COUNT(*) AS n,
     CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
     CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-    CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy
   FROM pairs GROUP BY k)
 SELECT k, n,
   ROUND((n * sxy - sx * sy)
@@ -5626,14 +5660,20 @@ def q_ccf_order_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dy.withColumnRenamed("d", "dy"), F.expr("dy = date_add(d, k)"))
         .select("k", "x", "y")
     )
+    # cast to decimal BEFORE multiplying: an int64 cents product wraps
+    # silently in non-ANSI Spark beyond ~sf0.5 while DuckDB raises, so
+    # the divergence would be silent-wrong vs loud-fail. decimal(19,0)
+    # operands keep the product width at 38 in both engines.
     dsum = lambda col: F.sum(col.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    psum = lambda u, v: F.sum(d19(u) * d19(v)).cast("double")  # noqa: E731
     sums = pairs.groupBy("k").agg(
         F.count("*").alias("n"),
         dsum(F.col("x")).alias("sx"),
         dsum(F.col("y")).alias("sy"),
-        dsum(F.col("x") * F.col("y")).alias("sxy"),
-        dsum(F.col("x") * F.col("x")).alias("sxx"),
-        dsum(F.col("y") * F.col("y")).alias("syy"),
+        psum(F.col("x"), F.col("y")).alias("sxy"),
+        psum(F.col("x"), F.col("x")).alias("sxx"),
+        psum(F.col("y"), F.col("y")).alias("syy"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.sqrt(
@@ -5661,9 +5701,9 @@ sums AS (
   SELECT k, COUNT(*) AS n,
     CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
     CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
-    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-    CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy
   FROM pairs GROUP BY k)
 SELECT k, n,
   ROUND((n * sxy - sx * sy)
@@ -6477,7 +6517,16 @@ def q_lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("decile") >= 1)
         .groupBy("r_name", "decile")
         .agg(
-            F.max(F.expr("(cum * 1000000) div total")).alias("cum_share_ppm")
+            # two-stage exact split (cf. ewma_micro): cum*1e6 overflows
+            # int64 near sf1, but cum*1e3 holds to sf~400 and
+            # floor(cum*1e6/total) == q*1e3 + floor((r*1e3)/total)
+            # for q, r = divmod(cum*1e3, total).
+            F.max(
+                F.expr(
+                    "((cum * 1000) div total) * 1000"
+                    " + (((cum * 1000) % total) * 1000) div total"
+                )
+            ).alias("cum_share_ppm")
         )
     )
 
@@ -6500,7 +6549,8 @@ ranked AS (
   FROM per_cust
   WINDOW w AS (PARTITION BY r_name ORDER BY cents, c_custkey))
 SELECT r_name, (rk * 10) // n AS decile,
-  MAX((cum * 1000000) // total) AS cum_share_ppm
+  MAX(((cum * 1000) // total) * 1000
+      + (((cum * 1000) % total) * 1000) // total) AS cum_share_ppm
 FROM ranked
 WHERE (rk * 10 % n = 0 OR rk = n) AND (rk * 10) // n >= 1
 GROUP BY 1, 2
@@ -6729,8 +6779,16 @@ def q_hierarchy_share_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "world_cents", F.sum("cents").over(w_all)
     ).select(
         "r_name", "n_name", "cents",
-        F.expr("(cents * 1000000) div region_cents").alias("share_of_region_ppm"),
-        F.expr("(region_cents * 1000000) div world_cents").alias("region_share_ppm"),
+        # two-stage exact split (cf. ewma_micro): cents*1e6 overflows
+        # int64 near sf1-2; *1e3 twice holds to sf~400.
+        F.expr(
+            "((cents * 1000) div region_cents) * 1000"
+            " + (((cents * 1000) % region_cents) * 1000) div region_cents"
+        ).alias("share_of_region_ppm"),
+        F.expr(
+            "((region_cents * 1000) div world_cents) * 1000"
+            " + (((region_cents * 1000) % world_cents) * 1000) div world_cents"
+        ).alias("region_share_ppm"),
     )
 
 
@@ -6749,8 +6807,12 @@ leveled AS (
     SUM(cents) OVER () AS world_cents
   FROM per_nation)
 SELECT r_name, n_name, cents,
-  (cents * 1000000) // region_cents AS share_of_region_ppm,
-  (region_cents * 1000000) // world_cents AS region_share_ppm
+  ((cents * 1000) // region_cents) * 1000
+    + (((cents * 1000) % region_cents) * 1000) // region_cents
+    AS share_of_region_ppm,
+  ((region_cents * 1000) // world_cents) * 1000
+    + (((region_cents * 1000) % world_cents) * 1000) // world_cents
+    AS region_share_ppm
 FROM leveled
 """
 
@@ -6830,7 +6892,13 @@ def q_weekly_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             "n_name",
-            F.weekofyear(F.col("o_orderdate").cast("date")).alias("wk"),
+            # week = the Monday date, not the bare ISO week number: Jan 1
+            # 1995 carries ISO week 52 (of 1994) and a bare `wk` would
+            # merge it with late-December 1995; a date axis is also
+            # monotone with time for the LAG ordering.
+            F.date_trunc("week", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .alias("wk"),
         )
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
     )
@@ -6850,7 +6918,7 @@ def q_weekly_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RANK_MOVERS_SQL = """
 WITH weekly AS (
-  SELECT n_name, weekofyear(CAST(o_orderdate AS DATE)) AS wk,
+  SELECT n_name, CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS wk,
     SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
   FROM orders
   JOIN customer ON o_custkey = c_custkey
@@ -7394,13 +7462,21 @@ def q_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("t0"))
     )
     purchase = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    # ts >= t0 lives in the JOIN condition, not a post-join filter: a
+    # signup user whose purchases are all pre-t0 must null-extend into
+    # the cohort with t_days NULL, not vanish from it.
+    s, p = signup.alias("s"), purchase.alias("p")
     offsets = (
-        signup.join(purchase, "user_id", "left")
-        .filter(F.col("ts").isNull() | (F.col("ts") >= F.col("t0")))
-        .groupBy("user_id")
+        s.join(
+            p,
+            (F.col("s.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("s.t0")),
+            "left",
+        )
+        .groupBy(F.col("s.user_id").alias("user_id"))
         .agg(
             F.min(
-                F.datediff(F.col("ts").cast("date"), F.col("t0").cast("date"))
+                F.datediff(F.col("p.ts").cast("date"), F.col("s.t0").cast("date"))
             ).alias("t_days")
         )
     )
@@ -7792,6 +7868,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "pivot_status_by_year": _PIVOT_SQL,
     "unpivot_daily_metrics": _UNPIVOT_SQL,
     "distinct_users_per_type": _DISTINCT_SQL,
+    "approx_distinct_users": _APPROX_DISTINCT_SQL,
     "dq_referential_integrity": _DQ_SQL,
     "anomaly_zscore_daily": _ANOMALY_SQL,
     "gap_fill_daily_revenue": _GAPFILL_SQL,

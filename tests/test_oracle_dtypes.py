@@ -33,6 +33,23 @@ def con():
     return c
 
 
+def test_profile_oracle_columns_match_fixture_schema(con):
+    """q_profile_orders_columns iterates the live orders schema while its
+    oracle hardcodes the column list; pin them together so a fixture
+    schema change can't silently drop oracle rows."""
+    from clickhouse_forecasting_spark.queries import _profile_sql
+
+    fixture_cols = [
+        r[0] for r in con.execute("DESCRIBE SELECT * FROM orders").fetchall()
+    ]
+    oracle_cols = [
+        r[0] for r in con.execute(
+            f"SELECT DISTINCT column_name FROM ({_profile_sql()})"
+        ).fetchall()
+    ]
+    assert sorted(oracle_cols) == sorted(fixture_cols)
+
+
 def test_no_hugeint_oracle_columns(con):
     offenders = {}
     for name, sql in ORACLE_QUERIES.items():
