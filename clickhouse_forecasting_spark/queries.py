@@ -1969,21 +1969,113 @@ WHERE rank <= 3
 """
 
 
-def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN: LSH-bucketed top-k (rows-only check; the random
-    hyperplanes are engine-side state, not SQL-expressible)."""
+# Fixture embedding dimensionality: the hyperplane constants baked into
+# the LSH oracle SQL below depend on it (pinned to the parquet schema by
+# tests/test_oracle_dtypes.py::test_embedding_dim_matches_fixture).
+_EMB_DIM = 64
+
+
+def _lsh_probe_topk(
+    spark: SparkSession, sf_dir: str, n_planes: int, n_probes: int
+) -> DataFrame:
+    """Shared body for the (multi-probe) LSH top-k queries: bucket filter
+    via the seed-fixed signature, then the similarity_topk ranking recipe
+    (cosine rounded to 6dp BEFORE ranking so the top-k set is
+    deterministic across engines)."""
     emb = _t(spark, sf_dir, "embeddings")
-    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
-    return SIM.lsh_topk(emb, [float(x) for x in query], k=10, n_planes=6)
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    planes = SIM.random_hyperplanes(len(query), n_planes, seed=42)
+    probes = SIM.multi_probe_buckets(query, planes, n_probes)
+    bucketed = SIM.lsh_bucket_assignments(emb, len(query), n_planes, seed=42)
+    qrow = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    scored = (
+        bucketed.filter(F.col("bucket").isin(probes))
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            F.round(
+                DD.cosine_similarity(F.col("embedding"), F.col("qvec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN: LSH-bucketed top-k. The seed-fixed hyperplanes are
+    deterministic, so the DuckDB twin recomputes the identical signatures
+    from the same plane constants baked into the SQL (the minhash-family
+    recipe) — a full hash gate, not rows-only."""
+    return _lsh_probe_topk(spark, sf_dir, n_planes=6, n_probes=1)
 
 
 def q_similarity_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH ANN: the query bucket plus the 3 lowest-margin
-    bit-flip neighbors (rows-only check; recall-vs-brute-force is asserted
-    in tests)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
-    return SIM.lsh_topk(emb, [float(x) for x in query], k=10, n_planes=6, n_probes=4)
+    """Multi-probe LSH ANN: the query bucket plus the 3 lowest-|margin|
+    bit-flip neighbors; hash-gated against a DuckDB twin that derives the
+    probe set from the same plane constants."""
+    return _lsh_probe_topk(spark, sf_dir, n_planes=6, n_probes=4)
+
+
+def _planes_cte(n_planes: int) -> str:
+    """VALUES CTE of the seed-42 hyperplanes (repr round-trips doubles
+    exactly, so both engines see bit-identical plane constants)."""
+    planes = SIM.random_hyperplanes(_EMB_DIM, n_planes, seed=42)
+    rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            i, ", ".join(repr(float(v)) for v in plane)
+        )
+        for i, plane in enumerate(planes)
+    )
+    return f"planes(i, p) AS (VALUES {rows})"
+
+
+_LSH_SIGS_SQL = """
+dots AS (
+  SELECT e.vec_id, p.i,
+    list_sum(list_transform(generate_series(1, len(e.embedding)),
+             j -> e.embedding[j]::DOUBLE * p.p[j])) AS d
+  FROM embeddings e CROSS JOIN planes p),
+sigs AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id)"""
+
+
+def _lsh_topk_sql(n_planes: int, n_probes: int) -> str:
+    return f"""
+WITH {_planes_cte(n_planes)},
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+margins AS (
+  SELECT p.i,
+    list_sum(list_transform(generate_series(1, len(q.qvec)),
+             j -> q.qvec[j]::DOUBLE * p.p[j])) AS m
+  FROM planes p, q),
+qsig AS (
+  SELECT CAST(SUM(CASE WHEN m > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sig
+  FROM margins),
+flips AS (SELECT i FROM margins ORDER BY abs(m), i LIMIT {n_probes - 1}),
+probes AS (
+  SELECT sig AS b FROM qsig
+  UNION ALL SELECT xor(sig, (1::BIGINT << i)) FROM qsig, flips),
+{_LSH_SIGS_SQL.lstrip()},
+scored AS (
+  SELECT e.vec_id,
+    round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+          j -> e.embedding[j]::DOUBLE * q.qvec[j]::DOUBLE))
+    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(q.qvec, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id IN (SELECT vec_id FROM sigs JOIN probes ON bucket = b))
+SELECT vec_id, cosine, rank FROM (
+  SELECT vec_id, cosine, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
+_LSH_TOPK_SQL = _lsh_topk_sql(n_planes=6, n_probes=1)
+_LSH_MULTIPROBE_SQL = _lsh_topk_sql(n_planes=6, n_probes=4)
 
 
 # --------------------------------------------------------------------------
@@ -2002,12 +2094,32 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-corpus embedding near-dup via hyperplane-LSH buckets (rows-only:
-    random projection planes are engine-side state; subset-of-brute-force
-    is proven in tests)."""
+    """Full-corpus embedding near-dup via hyperplane-LSH buckets,
+    hash-gated: the seed-fixed plane constants are baked into the DuckDB
+    twin, which recomputes the same signatures, bucket equi-join, and
+    cosine verification (output rounded 6dp, the embedding_near_dup
+    convention)."""
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.first()["embedding"])
-    return SIM.hyperplane_near_dup_pairs(emb, dim, threshold=0.3, n_planes=4)
+    pairs = SIM.hyperplane_near_dup_pairs(emb, dim, threshold=0.3, n_planes=4)
+    return pairs.withColumn("cosine", F.round("cosine", 6))
+
+
+_LSH_PAIRS_SQL = f"""
+WITH {_planes_cte(4)},
+{_LSH_SIGS_SQL.lstrip()},
+e2 AS (
+  SELECT s.vec_id, s.bucket, e.embedding
+  FROM sigs s JOIN embeddings e USING (vec_id)),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+  FROM e2 a JOIN e2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM p WHERE cosine >= 0.3
+"""
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2786,23 +2898,52 @@ def q_sketch_rollup_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count("*").alias("n_events"),
     )
+    # the HLL estimate itself is engine-specific, so the hashable surface
+    # is the exact count plus an in-query 5% tolerance verdict on the
+    # estimate (the approx_distinct_users pattern): if the sketch or the
+    # merge ever drifts out of bound the verdict flips and the oracle
+    # hash catches it.
+    ok = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) <= 0.05 * exact
+    ).alias("approx_within_5pct")
     per_day = daily.select(
         F.lit("day").alias("grain"),
         F.col("day").cast("string").alias("key"),
-        F.hll_sketch_estimate("sk").alias("est_users"),
+        "exact_users",
         "n_events",
+        ok(F.hll_sketch_estimate("sk"), F.col("exact_users")),
     )
-    total = daily.agg(
-        F.hll_union_agg("sk").alias("sk"), F.sum("n_events").alias("n_events")
-    ).select(
-        F.lit("total").alias("grain"),
-        F.lit("ALL").alias("key"),
-        F.hll_sketch_estimate("sk").alias("est_users"),
-        "n_events",
+    exact_total = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    total = (
+        daily.agg(
+            F.hll_union_agg("sk").alias("sk"), F.sum("n_events").alias("n_events")
+        )
+        .crossJoin(F.broadcast(exact_total))
+        .select(
+            F.lit("total").alias("grain"),
+            F.lit("ALL").alias("key"),
+            "exact_users",
+            "n_events",
+            ok(F.hll_sketch_estimate("sk"), F.col("exact_users")),
+        )
     )
     return per_day.unionByName(total)
+
+
+_SKETCH_ROLLUP_SQL = """
+SELECT 'day' AS grain, CAST(CAST(ts AS DATE) AS VARCHAR) AS key,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  TRUE AS approx_within_5pct
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'total', 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT),
+  CAST(COUNT(*) AS BIGINT), TRUE
+FROM events
+"""
 
 
 def q_sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2811,23 +2952,68 @@ def q_sketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch, rank error ~1.7% at default k — the streaming/distributed
     replacement for exact percentile sorts."""
     ev = _t(spark, sf_dir, "events")
-    per_type = ev.groupBy("event_type").agg(
-        F.kll_sketch_agg_double("value").alias("sk"),
+    # hashable surface = the exact interpolated percentiles (the
+    # percentiles_by_segment pairing) plus in-query verdicts that each
+    # KLL quantile lands inside the exact ±5%-rank window — sketch
+    # estimates themselves are engine-specific. The verdicts are
+    # Spark-internal assertions (the oracle emits TRUE), so a sketch
+    # regression flips a hashed boolean.
+    exact_aggs = [
         F.count("*").alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    ]
+    bound_exprs = {
+        "p50": ("percentile(value, 0.45)", "percentile(value, 0.55)"),
+        "p90": ("percentile(value, 0.85)", "percentile(value, 0.95)"),
+        "p99": ("percentile(value, 0.94)", "percentile(value, 1.0)"),
+    }
+    bound_aggs = [
+        F.expr(e).alias(f"{name}_{side}")
+        for name, (lo, hi) in bound_exprs.items()
+        for side, e in (("lo", lo), ("hi", hi))
+    ]
+    per_type = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk"), *exact_aggs, *bound_aggs
     )
-    def _quants(df: DataFrame, key: F.Column) -> DataFrame:
-        return df.select(
-            key.alias("event_type"),
-            "n",
-            F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 6).alias("p50"),
-            F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 6).alias("p90"),
-            F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.99)), 6).alias("p99"),
-        )
-    both = _quants(per_type, F.col("event_type"))
-    merged = per_type.agg(
-        F.kll_merge_agg_double("sk").alias("sk"), F.sum("n").alias("n")
+    merged_sk = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    ).agg(F.kll_merge_agg_double("sk").alias("sk"))
+    merged = (
+        ev.agg(*exact_aggs, *bound_aggs).crossJoin(F.broadcast(merged_sk))
     )
-    return both.unionByName(_quants(merged, F.lit("ALL")))
+
+    def _verdicts(df: DataFrame, key: F.Column) -> DataFrame:
+        cols = [key.alias("event_type"), "n", "p50", "p90", "p99"]
+        for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            est = F.kll_sketch_get_quantile_double("sk", F.lit(q))
+            cols.append(
+                (
+                    (est >= F.col(f"{name}_lo")) & (est <= F.col(f"{name}_hi"))
+                ).alias(f"{name}_within_rank_tol")
+            )
+        return df.select(*cols)
+
+    return _verdicts(per_type, F.col("event_type")).unionByName(
+        _verdicts(merged, F.lit("ALL"))
+    )
+
+
+_SKETCH_QUANTILES_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.9), 6) AS p90,
+  round(quantile_cont(value, 0.99), 6) AS p99,
+  TRUE AS p50_within_rank_tol, TRUE AS p90_within_rank_tol,
+  TRUE AS p99_within_rank_tol
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL', CAST(COUNT(*) AS BIGINT),
+  round(quantile_cont(value, 0.5), 6), round(quantile_cont(value, 0.9), 6),
+  round(quantile_cont(value, 0.99), 6), TRUE, TRUE, TRUE
+FROM events
+"""
 
 
 def q_sketch_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4000,9 +4186,11 @@ FROM agg
 def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the directed nation trade graph (supplier
     nation -> customer nation, edge weight = trade volume). Genuinely
-    iterative — k rounds of join+aggregate with lineage cuts — so there is
-    no SQL twin; correctness is pinned by the numpy power-iteration parity
-    test (tests/test_graph.py). Ranks round to 6dp; rows-only check."""
+    iterative — k rounds of join+aggregate with lineage cuts — but the
+    iteration count is FIXED (10), so the DuckDB twin unrolls the power
+    iteration into 10 generated CTE stages over the identical edge
+    derivation and hash-checks the 6dp-rounded ranks; the numpy parity
+    test (tests/test_graph.py) independently pins the operator."""
     from .operators.graph import pagerank
 
     li = _t(spark, sf_dir, "lineitem")
@@ -4023,6 +4211,52 @@ def q_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("nationkey"), F.round("rank", 6).alias("rank")
     )
+
+
+def _pagerank_sql(iterations: int = 10) -> str:
+    """Unrolled power-iteration twin of operators/graph.pagerank: one CTE
+    trio (dangling mass, contributions, new ranks) per round, mirroring
+    the operator's float algebra — (1.0 - 0.85) evaluates to the same
+    IEEE double in both engines, and all cross-row sums feed a 6dp round."""
+    stages = []
+    for k in range(1, iterations + 1):
+        prev = f"r{k - 1}"
+        stages.append(f"""
+d{k} AS (
+  SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+  FROM {prev} r JOIN dangling d ON r.node = d.node),
+c{k} AS (
+  SELECT nm.dst, SUM(nm.frac * r.rank) AS c
+  FROM norm nm JOIN {prev} r ON nm.src = r.node GROUP BY nm.dst),
+r{k} AS (
+  SELECT n.node,
+    (1.0 - 0.85) / nn.n + 0.85 * (COALESCE(c.c, 0.0) + d{k}.dm / nn.n) AS rank
+  FROM nodes n CROSS JOIN nn CROSS JOIN d{k} LEFT JOIN c{k} c ON c.dst = n.node)""")
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT s_nationkey AS src, c_nationkey AS dst,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10)))
+         AS DOUBLE) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey <> c_nationkey
+  GROUP BY 1, 2),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+out_w AS MATERIALIZED (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+norm AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w / o.ow AS frac FROM edges e JOIN out_w o USING (src)),
+dangling AS MATERIALIZED (
+  SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM out_w)),
+r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn),
+{",".join(stages)}
+SELECT node AS nationkey, round(rank, 6) AS rank FROM r{iterations}
+"""
+
+
+_PAGERANK_SQL = _pagerank_sql(10)
 
 
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7901,9 +8135,12 @@ ORACLE_QUERIES: dict[str, str] = {
     "embedding_norm_stats": _NORM_STATS_SQL,
     "similarity_topk": _TOPK_SQL,
     "similarity_pairwise_topk": _PAIRWISE_SQL,
+    "similarity_lsh_topk": _LSH_TOPK_SQL,
+    "similarity_multiprobe_topk": _LSH_MULTIPROBE_SQL,
+    "dedup_embedding_lsh_pairs": _LSH_PAIRS_SQL,
     # rows-only (engine-side state / model output, not SQL-expressible):
-    #   similarity_lsh_topk, multimodal_features,
-    #   forecast_daily_sales, forecast_only_future
+    #   forecast_* (model output), multimodal_features/frames (engine-side
+    #   decode), similarity_ivf_topk (learned KMeans centroids)
     "multimodal_meta": _MM_META_SQL,
     "grouping_sets_revenue": _GSETS_SQL,
     "argmax_order_per_customer": _ARGMAX_SQL,
@@ -7912,9 +8149,11 @@ ORACLE_QUERIES: dict[str, str] = {
     "embedding_centroid_by_label": _CENTROID_SQL,
     "doc_length_histogram": _LENHIST_SQL,
     "text_repetition": _REPETITION_SQL,
-    # sketch_rollup_daily_users / sketch_value_quantiles are rows-only
-    # (DataSketches estimates have no DuckDB twin); weekly retention is
-    # exact below nominal-entries so it oracle-checks at fixture scale:
+    # sketch estimates are engine-specific, so the HLL/KLL rollups hash
+    # their exact twins + in-query tolerance verdicts; weekly retention
+    # is exact below nominal-entries so it oracle-checks directly:
+    "sketch_rollup_daily_users": _SKETCH_ROLLUP_SQL,
+    "sketch_value_quantiles": _SKETCH_QUANTILES_SQL,
     "sketch_weekly_retention": _RETENTION_SQL,
     "variant_props_analytics": _VARIANT_SQL,
     "user_growth_accounting": _GROWTH_SQL,
@@ -7938,7 +8177,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "trade_graph_triangles": _TRIANGLE_SQL,
     "funnel_sequence_regex": _FUNNEL_SEQ_SQL,
     "ewma_daily_revenue": _EWMA_SQL,
-    # pagerank_trade_graph is rows-only (iterative; no SQL twin)
+    "pagerank_trade_graph": _PAGERANK_SQL,
     "token_entropy": _ENTROPY_SQL,
     "bm25_keyword_search": _BM25_SQL,
     "revenue_streaks": _STREAK_SQL,

@@ -50,6 +50,17 @@ def test_profile_oracle_columns_match_fixture_schema(con):
     assert sorted(oracle_cols) == sorted(fixture_cols)
 
 
+def test_embedding_dim_matches_fixture(con):
+    """The hyperplane constants baked into the LSH oracle SQL are generated
+    for _EMB_DIM dimensions; pin that to the parquet fixture."""
+    from clickhouse_forecasting_spark.queries import _EMB_DIM
+
+    dims = con.execute(
+        "SELECT DISTINCT len(embedding) FROM embeddings"
+    ).fetchall()
+    assert dims == [(_EMB_DIM,)]
+
+
 def test_no_hugeint_oracle_columns(con):
     offenders = {}
     for name, sql in ORACLE_QUERIES.items():
