@@ -9,10 +9,13 @@ training data:
                     checksum: string>
 
 The Spark-side plumbing (schemas, batch shapes, partitioning, Pandas-UDF
-signatures) is real and tested; the actual media *decode* is stubbed behind
-``decode_stub`` with a deterministic fake (image/audio libraries are not in
-this container — swap ``_decode_payload`` for PIL/libav calls in a real
-deployment; the dataflow does not change).
+signatures) is real and tested. The decode step is PLUGGABLE: payloads
+carrying an uncompressed 24-bit BMP (magic ``BM``) are decoded for real by
+the pure-Python codec below (header parse, bottom-up BGR rows, 4-byte row
+padding, nearest-neighbor resize) — pixel-accurate and library-free; any
+other payload falls back to the deterministic byte-statistics stub. A real
+deployment swaps/extends ``_DECODERS`` with PIL/libav calls; the dataflow
+does not change.
 
 Scale notes: payloads dominate bytes, so operators keep them out of
 shuffles — feature extraction is ``mapInPandas`` (per-partition, zero
@@ -67,13 +70,98 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def _decode_payload(payload: bytes) -> list[float]:
-    """STUB — deterministic fake decode. A real deployment replaces this
-    with e.g. PIL.Image.open + resize + np.asarray. Raises for empty
-    payloads the way a real decoder raises for corrupt media."""
-    if not payload:
-        raise ValueError("empty payload")
-    # fake 4-dim feature: byte statistics (deterministic, library-free)
+# ---------------------------------------------------------------------------
+# pure-Python BMP codec (the real decode path)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode top-down RGB triples as an uncompressed 24-bit BI_RGB BMP
+    (bottom-up BGR rows, each padded to a 4-byte boundary)."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"rgb length {len(rgb)} != {width}x{height}x3")
+    row_raw = width * 3
+    pad = (-row_raw) % 4
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = bytearray()
+        base = y * row_raw
+        for x in range(width):
+            r, g, b = rgb[base + 3 * x : base + 3 * x + 3]
+            row += bytes((b, g, r))
+        rows.append(bytes(row) + b"\x00" * pad)
+    pixels = b"".join(rows)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 54)
+    return file_header + info + pixels
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an uncompressed 24-bit BMP into (width, height, top-down RGB
+    bytes). Raises ValueError for anything it can't honestly decode —
+    that's the corrupt-media path the Pandas UDFs isolate per row."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant: planes={planes} bpp={bpp} compression={compression}")
+    if width <= 0 or height == 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
+    bottom_up = height > 0
+    height = abs(height)
+    row_raw = width * 3
+    stride = row_raw + ((-row_raw) % 4)
+    if len(payload) < data_offset + stride * height:
+        raise ValueError("truncated BMP pixel data")
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_row = (height - 1 - y) if bottom_up else y
+        base = data_offset + src_row * stride
+        dst = y * row_raw
+        for x in range(width):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            out[dst + 3 * x : dst + 3 * x + 3] = bytes((r, g, b))
+    return width, height, bytes(out)
+
+
+def resize_rgb(
+    rgb: bytes, width: int, height: int, target_w: int, target_h: int
+) -> bytes:
+    """Nearest-neighbor resize of top-down RGB bytes (floor sampling —
+    source pixel (x*w//tw, y*h//th), the standard point-sampling grid)."""
+    out = bytearray(target_w * target_h * 3)
+    for y in range(target_h):
+        sy = y * height // target_h
+        for x in range(target_w):
+            sx = x * width // target_w
+            i = (sy * width + sx) * 3
+            j = (y * target_w + x) * 3
+            out[j : j + 3] = rgb[i : i + 3]
+    return bytes(out)
+
+
+def _decode_bmp_features(payload: bytes) -> list[float]:
+    """Real decode: mean pixel intensity over all RGB samples + geometry."""
+    width, height, rgb = decode_bmp(payload)
+    n = len(rgb)
+    return [sum(rgb) / n, float(width), float(height), float(n)]
+
+
+def _decode_stub_features(payload: bytes) -> list[float]:
+    """Deterministic byte-statistics fake for payloads with no real codec
+    in this container (swap in PIL/libav in a real deployment)."""
     n = len(payload)
     return [
         float(n),
@@ -81,6 +169,24 @@ def _decode_payload(payload: bytes) -> list[float]:
         float(payload[0]),
         float(payload[-1]),
     ]
+
+
+# magic-byte -> decoder registry; first match wins, stub is the fallback.
+_DECODERS: list[tuple[bytes, object]] = [
+    (b"BM", _decode_bmp_features),
+]
+
+
+def _decode_payload(payload: bytes) -> list[float]:
+    """Pluggable decode: real codec when the payload's magic matches one
+    (BMP today), deterministic stub otherwise. Raises for empty payloads
+    the way a real decoder raises for corrupt media."""
+    if not payload:
+        raise ValueError("empty payload")
+    for magic, fn in _DECODERS:
+        if payload[: len(magic)] == magic:
+            return fn(payload)  # type: ignore[operator]
+    return _decode_stub_features(payload)
 
 
 def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
@@ -191,6 +297,55 @@ def resize_payloads(df: DataFrame, target_bytes: int = 64) -> DataFrame:
                     out.append({"doc_id": doc_id, "payload": _resize(bytes(payload)), "resized": True})
                 except Exception:
                     out.append({"doc_id": doc_id, "payload": bytes(payload), "resized": False})
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return df.select("doc_id", "payload").mapInPandas(_apply, schema=out_schema)
+
+
+def resize_images(df: DataFrame, target_w: int = 8, target_h: int = 8) -> DataFrame:
+    """Pixel-accurate image resize via mapInPandas: BMP payloads are
+    decoded, nearest-neighbor resampled to (target_w, target_h), and
+    re-encoded as BMP — the real payload->payload shape (compare
+    resize_payloads, the byte-level stub twin for codec-less formats).
+    Non-decodable payloads pass through with resized=False."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("resized", T.BooleanType()),
+        ]
+    )
+
+    def _apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                try:
+                    w, h, rgb = decode_bmp(raw)
+                    resized = resize_rgb(rgb, w, h, target_w, target_h)
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "payload": encode_bmp(target_w, target_h, resized),
+                            "width": target_w,
+                            "height": target_h,
+                            "resized": True,
+                        }
+                    )
+                except Exception:
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "payload": raw,
+                            "width": None,
+                            "height": None,
+                            "resized": False,
+                        }
+                    )
             yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
     return df.select("doc_id", "payload").mapInPandas(_apply, schema=out_schema)

@@ -2148,6 +2148,54 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(MM.attach_payload(docs))
 
 
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-gated end-to-end: each document gets a
+    deterministic 4x4 24-bit BMP whose pixels tile its md5 digest, the
+    payload round-trips through the pure-Python encoder AND decoder inside
+    mapInPandas, and the decoded mean pixel intensity is emitted. The
+    DuckDB twin recomputes the same mean directly from the md5 hex pairs,
+    so a codec bug anywhere in the header/row-padding/BGR/bottom-up logic
+    breaks the hash. Payload bytes never shuffle (generate + decode in one
+    per-partition pass)."""
+    import hashlib
+    from collections.abc import Iterator as _It
+
+    import pandas as pd  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = "doc_id long, feat_mean double, width int, height int"
+
+    def _gen_and_decode(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(str(text).encode("utf-8")).digest()
+                rgb = (digest * 3)[:48]  # 4*4*3 bytes
+                payload = MM.encode_bmp(4, 4, rgb)
+                feats = MM._decode_payload(payload)  # real BMP path
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "feat_mean": round(feats[0], 6),
+                        "width": int(feats[1]),
+                        "height": int(feats[2]),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "feat_mean", "width", "height"])
+
+    return docs.mapInPandas(_gen_and_decode, schema=schema)
+
+
+_MM_IMAGE_SQL = """
+SELECT doc_id,
+  round(list_sum(list_transform(generate_series(0, 15),
+        i -> ('0x' || substr(md5(text), 2 * i + 1, 2))::BIGINT)) / 16.0, 6)
+    AS feat_mean,
+  4 AS width, 4 AS height
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -7947,6 +7995,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh_pairs": q_dedup_embedding_lsh_pairs,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
+    "multimodal_image_features": q_multimodal_image_features,
     "multimodal_frames": q_multimodal_frames,
     "forecast_daily_sales": q_forecast_daily_sales,
     "forecast_only_future": q_forecast_only_future,
@@ -8142,6 +8191,7 @@ ORACLE_QUERIES: dict[str, str] = {
     #   forecast_* (model output), multimodal_features/frames (engine-side
     #   decode), similarity_ivf_topk (learned KMeans centroids)
     "multimodal_meta": _MM_META_SQL,
+    "multimodal_image_features": _MM_IMAGE_SQL,
     "grouping_sets_revenue": _GSETS_SQL,
     "argmax_order_per_customer": _ARGMAX_SQL,
     "dow_seasonality": _DOW_SQL,

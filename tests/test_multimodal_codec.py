@@ -1,0 +1,131 @@
+"""Pixel-accurate tests for the real (BMP) multimodal decode path.
+
+The encoder is pinned byte-for-byte against a hand-assembled 2x2 BMP (so
+encoder+decoder can't be wrong together), the checked-in fixture decodes
+to an independently recomputed gradient, and the Spark-side mapInPandas
+operators (extract_features, resize_images) are verified on real pixels.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import pytest
+
+from clickhouse_forecasting_spark import multimodal as MM
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "gradient_6x4.bmp")
+
+
+def _gradient_rgb(w: int = 6, h: int = 4) -> bytes:
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            out += bytes((x * 40, y * 60, (x + y) * 20))
+    return bytes(out)
+
+
+def test_encode_bmp_matches_hand_assembled_bytes():
+    # 2x2 top-down RGB: red, green / blue, white
+    rgb = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255))
+    expected = (
+        struct.pack("<2sIHHI", b"BM", 70, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 2835, 2835, 0, 0)
+        # bottom-up BGR rows, each padded to 4 bytes:
+        # bottom row (blue, white), then top row (red, green)
+        + bytes((255, 0, 0, 255, 255, 255, 0, 0))
+        + bytes((0, 0, 255, 0, 255, 0, 0, 0))
+    )
+    assert MM.encode_bmp(2, 2, rgb) == expected
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (2, 2), (3, 2), (5, 3), (6, 4), (7, 1)])
+def test_bmp_roundtrip_all_padding_cases(w, h):
+    rgb = bytes((7 * i + 3) % 256 for i in range(w * h * 3))
+    dec_w, dec_h, dec_rgb = MM.decode_bmp(MM.encode_bmp(w, h, rgb))
+    assert (dec_w, dec_h, dec_rgb) == (w, h, rgb)
+
+
+def test_fixture_decodes_to_recomputed_gradient():
+    payload = open(FIXTURE, "rb").read()
+    w, h, rgb = MM.decode_bmp(payload)
+    assert (w, h) == (6, 4)
+    assert rgb == _gradient_rgb()
+
+
+def test_decode_payload_routes_bmp_to_real_features():
+    payload = open(FIXTURE, "rb").read()
+    feats = MM._decode_payload(payload)
+    rgb = _gradient_rgb()
+    exact_mean = sum(rgb) / len(rgb)
+    assert feats == [exact_mean, 6.0, 4.0, float(len(rgb))]
+
+
+def test_decode_payload_falls_back_to_stub_for_unknown_magic():
+    payload = b"not-an-image-payload"
+    assert MM._decode_payload(payload) == [
+        float(len(payload)),
+        float(sum(payload) % 997),
+        float(payload[0]),
+        float(payload[-1]),
+    ]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        b"",
+        b"BM" + b"\x00" * 20,  # truncated header
+        # valid header claiming more pixel data than present
+        MM.encode_bmp(2, 2, bytes(12))[:-4],
+    ],
+)
+def test_decode_bmp_raises_on_corrupt(bad):
+    with pytest.raises(ValueError):
+        MM.decode_bmp(bad) if bad[:2] == b"BM" else MM._decode_payload(bad)
+
+
+def test_resize_rgb_nearest_neighbor_exact():
+    # 4x2 -> 2x1: floor sampling picks source pixels (0,0) and (2,0)
+    rgb = bytes(range(4 * 2 * 3))
+    out = MM.resize_rgb(rgb, 4, 2, 2, 1)
+    assert out == rgb[0:3] + rgb[6:9]
+
+
+def test_extract_features_real_pixels_in_spark(spark):
+    payload = open(FIXTURE, "rb").read()
+    rgb = _gradient_rgb()
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"plain-bytes")), (3, bytearray(b""))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in MM.extract_features(df).collect()}
+    assert rows[1].feat_mean == pytest.approx(
+        (sum(rgb) / len(rgb) + 6.0 + 4.0 + len(rgb)) / 4
+    )
+    assert rows[1].feat_dim == 4
+    assert rows[2].feat_mean is not None  # stub fallback still works
+    assert rows[3].feat_mean is None  # corrupt row isolated, not failed
+
+
+def test_resize_images_pixel_accurate_in_spark(spark):
+    payload = open(FIXTURE, "rb").read()
+    src_rgb = _gradient_rgb()
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"opaque"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in MM.resize_images(df, 3, 2).collect()}
+    assert rows[1].resized and (rows[1].width, rows[1].height) == (3, 2)
+    w, h, got = MM.decode_bmp(bytes(rows[1].payload))
+    assert (w, h) == (3, 2)
+    assert got == MM.resize_rgb(src_rgb, 6, 4, 3, 2)
+    # and the expected pixels, recomputed independently: (x*6//3, y*4//2)
+    expected = bytearray()
+    for y in range(2):
+        for x in range(3):
+            sx, sy = x * 2, y * 2
+            expected += src_rgb[(sy * 6 + sx) * 3 : (sy * 6 + sx) * 3 + 3]
+    assert got == bytes(expected)
+    assert not rows[2].resized and bytes(rows[2].payload) == b"opaque"
