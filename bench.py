@@ -94,6 +94,17 @@ HEADLINE = [
     "peak_open_orders",
 ]
 
+# Round-2 additions, reported inside the same total but also split out as
+# extensions_r2_sec so BENCH_rN stays comparable to the round-1 68-query
+# baseline subtotal (suite_r1_sec vs BASELINE.md).
+EXTENSIONS_R2 = [
+    "dedup_near_projection",  # shares the persisted banded-signature stage
+    "dedup_components",
+    "pagerank_trade_graph",
+    "multimodal_image_features",
+    "similarity_lsh_topk",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,14 +123,48 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENSIONS_R2:
         fn = qs[name]
         t0 = time.perf_counter()
         rows = fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({len(rows)} rows)", file=sys.stderr)
 
+    # Scale-knob telemetry: candidate-pair volume is the real 100 TB cost
+    # driver of the dedup/ANN families — a knob regression that doubles
+    # candidates shows up here even when local wall-clock barely moves.
+    from clickhouse_forecasting_spark.functions import dedup as DD
+    from clickhouse_forecasting_spark.functions import similarity as SIM
+    from clickhouse_forecasting_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_docs = docs.count()
+    minhash_cand = DD.minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, cache_key=sf_dir
+    ).count()
+    verified = DD.lsh_verified_pairs(
+        docs, threshold=0.8, cache_key=sf_dir
+    ).count()
+    dim = len(emb.first()["embedding"])
+    emb_lsh_cand = (
+        SIM.hyperplane_near_dup_pairs(emb, dim, threshold=-1.0, n_planes=4).count()
+    )
+    scale_knobs = {
+        "minhash": {"num_hashes": 16, "bands": 4, "rows_per_band": 4, "shingle_size": 5},
+        "embedding_lsh": {"n_planes": 4},
+        "ann_lsh": {"n_planes": 6, "n_probes": 4},
+    }
+    candidate_pairs = {
+        "n_docs": n_docs,
+        "minhash_lsh_candidates": minhash_cand,
+        "minhash_verified_pairs": verified,
+        "embedding_lsh_bucket_pairs": emb_lsh_cand,
+        "all_pairs_equivalent": n_docs * (n_docs - 1) // 2,
+    }
+
     total = round(sum(timings.values()), 3)
+    suite_r1 = round(sum(timings[q] for q in HEADLINE), 3)
     print(
         json.dumps(
             {
@@ -128,6 +173,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "suite_r1_sec": suite_r1,
+                "extensions_r2_sec": round(total - suite_r1, 3),
+                "scale_knobs": scale_knobs,
+                "candidate_pairs": candidate_pairs,
             }
         )
     )

@@ -159,23 +159,46 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     return out
 
 
-def minhash_lsh_candidates(
+# Session-scoped cache of persisted intermediate stages shared by the
+# dedup family (VERDICT r1 #6): the banded-signature frame and the
+# shingle-set frame are each ONE corpus pass, and four registry queries
+# (lsh_pairs, ngram_jaccard, near_projection, components) consume them.
+# Keyed by (spark application id, caller token, params) so a cached frame
+# never outlives its session; at 100 TB the same role is played by a
+# persisted bucket table. Opt-in via cache_key (e.g. the sf_dir).
+_STAGE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached_stage(df: DataFrame, key: tuple | None, build) -> DataFrame:
+    if key is None:
+        return build()
+    full_key = (df.sparkSession.sparkContext.applicationId, *key)
+    hit = _STAGE_CACHE.get(full_key)
+    if hit is not None:
+        return hit
+    from pyspark import StorageLevel
+
+    built = build().persist(StorageLevel.MEMORY_AND_DISK)
+    _STAGE_CACHE[full_key] = built
+    return built
+
+
+def banded_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_size: int = 5,
     num_hashes: int = 16,
     bands: int = 4,
+    cache_key=None,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
+    """(id, band-key) frame — the LSH index build pass.
 
-    Scale shape: explode shingles -> ONE md5 per (doc, shingle), k cheap
-    multiply-mod hashes derived from it -> partial-aggregated groupBy-min
-    (shuffle carries docs*k longs, not shingles) -> explode b band keys ->
-    self-equi-join on the band key (shuffle-hash; never a cross join; both
-    sides are the same plan, so Spark reuses one exchange) -> distinct.
-    With b bands of r rows the collision probability of a pair with Jaccard
-    j is 1-(1-j^r)^b (b=4, r=4: ~0.97 at j=0.8, ~0.04 at j=0.3)."""
+    explode shingles -> ONE md5 per (doc, shingle), k cheap multiply-mod
+    hashes derived from it -> partial-aggregated groupBy-min (shuffle
+    carries docs*k longs, not shingles) -> explode b band keys. With
+    cache_key set the result is persisted and shared across the dedup
+    family — one corpus pass instead of one per query."""
     if bands < 1 or num_hashes % bands != 0:
         # bands > num_hashes would make every band key degenerate (all docs
         # collide -> O(n^2)); a non-dividing bands would silently drop the
@@ -183,29 +206,82 @@ def minhash_lsh_candidates(
         raise ValueError(
             f"bands ({bands}) must be >= 1 and divide num_hashes ({num_hashes})"
         )
-    rows_per_band = num_hashes // bands
-    p = F.lit(MINHASH_PRIME)
-    sh = _exploded_shingles(df, text_col, id_col, shingle_size)
-    x = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long") % p
-    params = minhash_params(num_hashes)
-    hashed = sh.select(
-        F.col(id_col),
-        *[((F.lit(a) * x + F.lit(b)) % p).alias(f"h{i}") for i, (a, b) in enumerate(params)],
+
+    def _build() -> DataFrame:
+        rows_per_band = num_hashes // bands
+        p = F.lit(MINHASH_PRIME)
+        sh = _exploded_shingles(df, text_col, id_col, shingle_size)
+        x = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long") % p
+        params = minhash_params(num_hashes)
+        hashed = sh.select(
+            F.col(id_col),
+            *[((F.lit(a) * x + F.lit(b)) % p).alias(f"h{i}") for i, (a, b) in enumerate(params)],
+        )
+        sig = hashed.groupBy(id_col).agg(
+            *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+        )
+        band_keys = F.array(
+            *[
+                F.concat_ws(
+                    ",",
+                    F.lit(str(b)),
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+                for b in range(bands)
+            ]
+        )
+        return sig.select(F.col(id_col), F.explode(band_keys).alias("band"))
+
+    key = None
+    if cache_key is not None:
+        key = ("banded", cache_key, text_col, id_col, shingle_size, num_hashes, bands)
+    return _cached_stage(df, key, _build)
+
+
+def shingle_sets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 5,
+    cache_key=None,
+) -> DataFrame:
+    """(id, shingle-set) frame — the exact-verification side. Cached the
+    same way as banded_signatures (both verify joins of a family run read
+    it twice each)."""
+
+    def _build() -> DataFrame:
+        return df.select(
+            F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+        ).select(
+            F.col(id_col),
+            char_shingles_of_norm(F.col("_norm"), shingle_size).alias("sh_set"),
+        )
+
+    key = None
+    if cache_key is not None:
+        key = ("sets", cache_key, text_col, id_col, shingle_size)
+    return _cached_stage(df, key, _build)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    cache_key=None,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
+
+    Self-equi-join of banded_signatures on the band key (shuffle-hash;
+    never a cross join; both sides are the same plan, so Spark reuses one
+    exchange — or one persisted stage when cache_key is set) -> distinct.
+    With b bands of r rows the collision probability of a pair with Jaccard
+    j is 1-(1-j^r)^b (b=4, r=4: ~0.97 at j=0.8, ~0.04 at j=0.3)."""
+    banded = banded_signatures(
+        df, text_col, id_col, shingle_size, num_hashes, bands, cache_key
     )
-    sig = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
-    )
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ",",
-                F.lit(str(b)),
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(F.col(id_col), F.explode(band_keys).alias("band"))
     a, b2 = banded.alias("a"), banded.alias("b")
     return (
         a.join(b2, "band")
@@ -225,6 +301,7 @@ def lsh_verified_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
+    cache_key=None,
 ) -> DataFrame:
     """Near-dup pairs: LSH candidate generation + exact Jaccard verification.
 
@@ -235,14 +312,9 @@ def lsh_verified_pairs(
     size, and immune to hot stop-shingles (which blow up any shingle-keyed
     self-join: a shingle shared by n docs contributes n² join rows)."""
     cand = minhash_lsh_candidates(
-        df, text_col, id_col, shingle_size, num_hashes, bands
+        df, text_col, id_col, shingle_size, num_hashes, bands, cache_key
     )
-    sets = df.select(
-        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
-    ).select(
-        F.col(id_col),
-        char_shingles_of_norm(F.col("_norm"), shingle_size).alias("sh_set"),
-    )
+    sets = shingle_sets(df, text_col, id_col, shingle_size, cache_key)
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b"))
     common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -363,6 +435,7 @@ def dedup_near(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
+    cache_key=None,
 ) -> DataFrame:
     """The end-to-end near-dedup projection a training pipeline ships:
     corpus minus near-duplicates. A doc is dropped iff some verified pair
@@ -371,7 +444,7 @@ def dedup_near(
     that has no lower-id partner, the standard greedy approximation that
     avoids an iterative connected-components pass)."""
     pairs = lsh_verified_pairs(
-        df, text_col, id_col, shingle_size, num_hashes, bands, threshold
+        df, text_col, id_col, shingle_size, num_hashes, bands, threshold, cache_key
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop, id_col, "left_anti")

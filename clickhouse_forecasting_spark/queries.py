@@ -1637,7 +1637,9 @@ FROM s
 
 def q_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return DD.minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    # cache_key shares the persisted banded-signature stage with the
+    # other three dedup-family queries: one corpus pass per run, not four
+    return DD.minhash_lsh_candidates(docs, num_hashes=16, bands=4, cache_key=sf_dir)
 
 
 _P = DD.MINHASH_PRIME
@@ -1687,7 +1689,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification join only sees candidate docs). Jaccard rounded to 1e-6
     for cross-engine float safety."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = DD.lsh_verified_pairs(docs, threshold=0.8)
+    pairs = DD.lsh_verified_pairs(docs, threshold=0.8, cache_key=sf_dir)
     return pairs.withColumn("jaccard", F.round("jaccard", 6))
 
 
@@ -1716,7 +1718,9 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM verified WHERE jaccard >= 0
 def q_dedup_near_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shipped artifact: corpus minus near-dups (min-id keeper rule)."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.dedup_near(docs, threshold=0.8).select("doc_id", "lang", "source")
+    return DD.dedup_near(docs, threshold=0.8, cache_key=sf_dir).select(
+        "doc_id", "lang", "source"
+    )
 
 
 _DEDUP_NEAR_SQL = f"""
@@ -1748,7 +1752,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation on Spark; the oracle computes the same transitive closure
     with a recursive CTE)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = DD.lsh_verified_pairs(docs, threshold=0.8)
+    pairs = DD.lsh_verified_pairs(docs, threshold=0.8, cache_key=sf_dir)
     return DD.connected_components(pairs).orderBy("id")
 
 
