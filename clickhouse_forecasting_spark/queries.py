@@ -3260,6 +3260,37 @@ def q_similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.quantized_topk(emb, query, mins, scales, k=20, vec_col="nvec")
 
 
+# The quantizer's "learned" state is all deterministic data (per-dim
+# min/max of the L2-normalized corpus, scales, the normalized vec_id=0
+# query), so the DuckDB twin replays the identical IEEE pipeline:
+# normalize -> per-dim stats -> ADC weights -> rounded integer codes ->
+# dot with the weight array -> 6dp-rounded ranking.
+_QUANTIZED_SQL = f"""
+WITH nv AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> x::DOUBLE /
+      greatest(sqrt(list_sum(list_transform(embedding,
+               y -> y::DOUBLE * y::DOUBLE))), 1e-12)) AS nvec
+  FROM embeddings),
+dims AS (
+  SELECT i, MIN(nvec[i]) AS lo, MAX(nvec[i]) AS hi
+  FROM nv, generate_series(1, {_EMB_DIM}) t(i)
+  GROUP BY i),
+arrs AS (
+  SELECT list(lo ORDER BY i) AS lo_a,
+         list(greatest(hi - lo, 1e-12) / 255.0 ORDER BY i) AS sc_a
+  FROM dims),
+qn AS (SELECT nvec AS qv FROM nv WHERE vec_id = 0),
+scored AS (
+  SELECT n.vec_id,
+    round(list_sum(list_transform(generate_series(1, {_EMB_DIM}),
+          i -> round((n.nvec[i] - a.lo_a[i]) / a.sc_a[i])
+               * (a.sc_a[i] * q.qv[i]))), 6) AS qscore
+  FROM nv n, arrs a, qn q)
+SELECT vec_id, qscore FROM scored ORDER BY qscore DESC, vec_id LIMIT 20
+"""
+
+
 def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the training-set hygiene op: flag
     corpus documents sharing any word 4-gram with a held-out benchmark
@@ -7907,6 +7938,277 @@ FROM monthly
 
 
 # --------------------------------------------------------------------------
+# round-2 additions: curation reporting, path analysis, corpus statistics
+# --------------------------------------------------------------------------
+
+
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation report: per (source, lang), how much of the corpus the
+    near-dedup pass keeps — the number every data-mixture owner asks for.
+    Consumes the SAME persisted banded-signature/shingle-set stages as the
+    rest of the dedup family (cache_key), so the report costs one
+    candidate join + a broadcast-joined rollup, not a corpus re-pass."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.lsh_verified_pairs(docs, threshold=0.8, cache_key=sf_dir)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        docs.join(drop.withColumn("dropped", F.lit(1)), "doc_id", "left")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("dropped"), F.lit(0)).cast("bigint")).alias(
+                "n_dropped"
+            ),
+        )
+        .select(
+            "source", "lang", "n_docs", "n_dropped",
+            F.expr("((n_docs - n_dropped) * 1000000) div n_docs").alias(
+                "keep_ratio_ppm"
+            ),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+_DEDUP_RATE_SQL = f"""
+WITH s AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shg FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(shg), 1, 15))::BIGINT % {_P} AS x FROM s),
+sig AS (SELECT doc_id, {_SIG_MINS_SQL} FROM h GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST_SQL}]) AS band
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, {_SHINGLES_SQL} AS sh_set FROM documents),
+drop_ids AS (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+  WHERE len(list_intersect(sa.sh_set, sb.sh_set))
+        / (len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set))) >= 0.8),
+agg AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CASE WHEN d.doc_id IN (SELECT doc_id FROM drop_ids)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+  FROM documents d GROUP BY 1, 2)
+SELECT source, lang, n_docs, n_dropped,
+  ((n_docs - n_dropped) * 1000000) // n_docs AS keep_ratio_ppm
+FROM agg ORDER BY source, lang
+"""
+
+
+def q_session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey prefixes: 30-min-gap sessionization (the
+    sessionization query's exact gap convention), the first 3 event types
+    of each session joined with '>', counted across sessions — the funnel
+    discovery report. The path pivot is 3 conditional MAX aggregates (no
+    order-sensitive collect_list), so the result is engine-deterministic;
+    top-20 rank ties break on the path string."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(sec - F.lag(sec).over(w) > 1800, 1)
+        .otherwise(0)
+        + F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w_sess = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    first3 = (
+        flagged.withColumn("rn", F.row_number().over(w_sess))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("e1"),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))).alias("e2"),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))).alias("e3"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    paths = (
+        first3.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path"), "n_events"
+        )
+        .groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+        )
+    )
+    w_top = Window.orderBy(F.desc("n_sessions"), "path")
+    return (
+        paths.withColumn("rank", F.row_number().over(w_top))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "path", "n_sessions", "total_events")
+    )
+
+
+_SESSION_PATHS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    (CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END
+     + CASE WHEN LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END) AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged),
+numbered AS (
+  SELECT user_id, sid, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+  FROM sessions),
+first3 AS (
+  SELECT user_id, sid,
+    MAX(CASE WHEN rn = 1 THEN event_type END) AS e1,
+    MAX(CASE WHEN rn = 2 THEN event_type END) AS e2,
+    MAX(CASE WHEN rn = 3 THEN event_type END) AS e3,
+    COUNT(*) AS n_events
+  FROM numbered GROUP BY 1, 2),
+paths AS (
+  SELECT concat_ws('>', e1, e2, e3) AS path,
+    CAST(COUNT(*) AS BIGINT) AS n_sessions,
+    CAST(SUM(n_events) AS BIGINT) AS total_events
+  FROM first3 GROUP BY 1)
+SELECT rank, path, n_sessions, total_events FROM (
+  SELECT path, n_sessions, total_events,
+    ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rank
+  FROM paths)
+WHERE rank <= 20
+"""
+
+
+def q_text_zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf profile of the corpus: global token frequencies, rank-ordered
+    (count desc, token asc), top 50 — the vocabulary-concentration signal
+    curation dashboards plot log-log. One explode + one aggregation; the
+    rank window runs over the tiny distinct-token table."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    counts = toks.groupBy("w").agg(F.count("*").alias("n"))
+    w_rank = Window.orderBy(F.desc("n"), "w")
+    return (
+        counts.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "w", "n")
+    )
+
+
+_ZIPF_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                x -> x <> '')) AS w
+  FROM documents),
+counts AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY w)
+SELECT rank, w, n FROM (
+  SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank FROM counts)
+WHERE rank <= 50
+"""
+
+
+def q_window_percentile_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + percent_rank coverage: every 200th customer (by balance
+    order) per market segment with both distribution markers, 6dp — the
+    sampled-CDF report shape. Ties in acctbal are real in the fixture, so
+    both engines order by (acctbal, custkey) and the markers stay exact."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    marked = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+    return marked.filter(F.col("rn") % 200 == 0).select(
+        "seg", "c_custkey", "rn", "cume_dist", "pct_rank"
+    )
+
+
+_PCTL_MARKERS_SQL = """
+SELECT seg, c_custkey, rn, cume_dist, pct_rank FROM (
+  SELECT c_mktsegment AS seg, c_custkey,
+    ROW_NUMBER() OVER w AS rn,
+    round(CUME_DIST() OVER w, 6) AS cume_dist,
+    round(PERCENT_RANK() OVER w, 6) AS pct_rank
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey))
+WHERE rn % 200 = 0
+"""
+
+
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planning: allocate a 100k-token sampling budget across
+    (lang, source) strata proportionally to their token mass, exact to the
+    last token via largest-remainder (the allocation_proration recipe on
+    the corpus axis). All int64; one corpus aggregation + one 25-row
+    window pass."""
+    budget = 100_000
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.sum(
+                F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""))
+            ).cast("bigint").alias("n_tokens")
+        )
+    )
+    w_all = Window.partitionBy()
+    based = toks.withColumn("total", F.sum("n_tokens").over(w_all)).select(
+        "lang", "source", "n_tokens", "total",
+        F.expr(f"({budget}L * n_tokens) div total").alias("base_quota"),
+        F.expr(f"({budget}L * n_tokens) % total").alias("rem"),
+    )
+    w_rem = Window.orderBy(F.desc("rem"), "lang", "source")
+    w_sum = Window.partitionBy()
+    return (
+        based.withColumn("rem_rank", F.row_number().over(w_rem))
+        .withColumn("assigned", F.sum("base_quota").over(w_sum))
+        .select(
+            "lang", "source", "n_tokens",
+            (
+                F.col("base_quota")
+                + F.when(
+                    F.col("rem_rank") <= F.lit(budget) - F.col("assigned"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("token_quota"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_TOKEN_BUDGET_SQL = r"""
+WITH toks AS (
+  SELECT lang, source,
+    CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1, 2),
+based AS (
+  SELECT lang, source, n_tokens,
+    SUM(n_tokens) OVER () AS total,
+    (100000 * n_tokens) // SUM(n_tokens) OVER () AS base_quota,
+    (100000 * n_tokens) % SUM(n_tokens) OVER () AS rem
+  FROM toks),
+ranked AS (
+  SELECT lang, source, n_tokens, base_quota,
+    ROW_NUMBER() OVER (ORDER BY rem DESC, lang, source) AS rem_rank,
+    SUM(base_quota) OVER () AS assigned
+  FROM based)
+SELECT lang, source, n_tokens,
+  CAST(base_quota + CASE WHEN rem_rank <= 100000 - assigned THEN 1 ELSE 0 END
+       AS BIGINT) AS token_quota
+FROM ranked ORDER BY lang, source
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -8102,6 +8404,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boxplot_stats_by_nation": q_boxplot_stats_by_nation,
     "conversion_curve": q_conversion_curve,
     "monthly_hhi_nations": q_monthly_hhi_nations,
+    "dedup_rate_by_source": q_dedup_rate_by_source,
+    "session_event_paths": q_session_event_paths,
+    "text_zipf_rank_freq": q_text_zipf_rank_freq,
+    "window_percentile_markers": q_window_percentile_markers,
+    "corpus_token_budget": q_corpus_token_budget,
     "rebased_revenue_index": q_rebased_revenue_index,
 }
 
@@ -8190,6 +8497,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "similarity_pairwise_topk": _PAIRWISE_SQL,
     "similarity_lsh_topk": _LSH_TOPK_SQL,
     "similarity_multiprobe_topk": _LSH_MULTIPROBE_SQL,
+    "similarity_quantized_topk": _QUANTIZED_SQL,
     "dedup_embedding_lsh_pairs": _LSH_PAIRS_SQL,
     # rows-only (engine-side state / model output, not SQL-expressible):
     #   forecast_* (model output), multimodal_features/frames (engine-side
@@ -8295,6 +8603,11 @@ ORACLE_QUERIES: dict[str, str] = {
     "conversion_curve": _CONV_CURVE_SQL,
     "monthly_hhi_nations": _HHI_SQL,
     "rebased_revenue_index": _REBASE_SQL,
+    "dedup_rate_by_source": _DEDUP_RATE_SQL,
+    "session_event_paths": _SESSION_PATHS_SQL,
+    "text_zipf_rank_freq": _ZIPF_SQL,
+    "window_percentile_markers": _PCTL_MARKERS_SQL,
+    "corpus_token_budget": _TOKEN_BUDGET_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

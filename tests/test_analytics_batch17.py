@@ -50,7 +50,12 @@ def test_rank_movers_deltas_consistent(spark, sf_dir, qs):
         .filter(F.year(F.col("o_orderdate").cast("date")) == 1995)
         .join(read_table(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(read_table(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("n_name", F.weekofyear(F.col("o_orderdate").cast("date")).alias("wk"))
+        .groupBy(
+            "n_name",
+            F.date_trunc("week", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .alias("wk"),
+        )
         .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
         .collect()
     )
