@@ -2281,6 +2281,57 @@ def q_forecast_only_future(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SeriesForecaster(interval=7, only_future=True, backend="fourier_ridge").transform(daily)
 
 
+def q_forecast_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed contract for the flagship forecast (the forecast_* queries
+    stay rows-only because yhat is model output, but everything the
+    CONTRACT promises is deterministic and oracle-checkable): axis =
+    distinct history dates plus exactly `interval` future days (R7/M3),
+    schema = date + (m, m_min, m_max) per metric (C5), zero NULL cells for
+    healthy series (M4/R12), and zero rows violating m_min <= m <= m_max
+    (R10/M2 interval ordering). The DuckDB twin recomputes the axis facts
+    from orders and pins every verdict at its healthy value."""
+    fc = q_forecast_daily_sales(spark, sf_dir)
+    metrics = sorted(
+        c for c in fc.columns
+        if c != "date" and not c.endswith("_min") and not c.endswith("_max")
+    )
+    bad = None
+    nulls = None
+    for m in metrics:
+        viol = (
+            (F.col(f"{m}_min") > F.col(m)) | (F.col(m) > F.col(f"{m}_max"))
+        ).cast("bigint")
+        isnull = (
+            F.col(m).isNull()
+            | F.col(f"{m}_min").isNull()
+            | F.col(f"{m}_max").isNull()
+        ).cast("bigint")
+        bad = viol if bad is None else bad + viol
+        nulls = isnull if nulls is None else nulls + isnull
+    return fc.agg(
+        F.count("*").alias("n_rows"),
+        F.min("date").alias("min_date"),
+        F.max("date").alias("max_date"),
+        F.sum(nulls).cast("bigint").alias("n_null_cells"),
+        F.sum(bad).cast("bigint").alias("n_bound_violations"),
+    ).select(
+        "n_rows", "min_date", "max_date",
+        F.lit(len(metrics)).alias("n_metrics"),
+        "n_null_cells", "n_bound_violations",
+    )
+
+
+_FORECAST_AUDIT_SQL = """
+SELECT CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) + 7 AS BIGINT) AS n_rows,
+  MIN(CAST(o_orderdate AS DATE)) AS min_date,
+  MAX(CAST(o_orderdate AS DATE)) + 7 AS max_date,
+  2 AS n_metrics,
+  CAST(0 AS BIGINT) AS n_null_cells,
+  CAST(0 AS BIGINT) AS n_bound_violations
+FROM orders
+"""
+
+
 # --------------------------------------------------------------------------
 # TPC-H completion set (adapted shapes — the fixture schema has no partsupp
 # table and no l_shipmode/l_commitdate/l_receiptdate/c_phone columns, so each
@@ -8404,6 +8455,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boxplot_stats_by_nation": q_boxplot_stats_by_nation,
     "conversion_curve": q_conversion_curve,
     "monthly_hhi_nations": q_monthly_hhi_nations,
+    "forecast_contract_audit": q_forecast_contract_audit,
     "dedup_rate_by_source": q_dedup_rate_by_source,
     "session_event_paths": q_session_event_paths,
     "text_zipf_rank_freq": q_text_zipf_rank_freq,
@@ -8603,6 +8655,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "conversion_curve": _CONV_CURVE_SQL,
     "monthly_hhi_nations": _HHI_SQL,
     "rebased_revenue_index": _REBASE_SQL,
+    "forecast_contract_audit": _FORECAST_AUDIT_SQL,
     "dedup_rate_by_source": _DEDUP_RATE_SQL,
     "session_event_paths": _SESSION_PATHS_SQL,
     "text_zipf_rank_freq": _ZIPF_SQL,
