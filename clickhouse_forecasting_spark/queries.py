@@ -2133,6 +2133,40 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.sample_frames(MM.attach_payload(docs), n_frames=4)
 
 
+def q_multimodal_frames_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed audit of the 1:N frame sampler: per (doc, frame) the md5
+    checksum and byte length of the frame payload — fully deterministic
+    byte arithmetic, so the DuckDB twin replays the same slicing
+    (step = max(len//4, 1), tail fallback) with substr/md5. The fixture
+    text is pure ASCII (dtype test pins it), so char slicing == byte
+    slicing; the binary frames themselves stay in the rows-only query."""
+    docs = _t(spark, sf_dir, "documents")
+    fr = MM.sample_frames(MM.attach_payload(docs), n_frames=4)
+    return fr.select(
+        "doc_id", "frame_idx", "frame_checksum",
+        F.octet_length("frame_payload").cast("bigint").alias("frame_bytes"),
+    )
+
+
+_MM_FRAMES_AUDIT_SQL = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         greatest(length(text) // 4, 1) AS step
+  FROM documents WHERE length(text) > 0),
+idx AS (
+  SELECT doc_id, text, n, step, unnest(generate_series(0, 3)) AS i FROM d),
+fr AS (
+  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+    CASE WHEN substr(text, i * step + 1, step) <> ''
+         THEN substr(text, i * step + 1, step)
+         ELSE substr(text, n - step + 1, step) END AS frame
+  FROM idx)
+SELECT doc_id, frame_idx, md5(frame) AS frame_checksum,
+  CAST(length(frame) AS BIGINT) AS frame_bytes
+FROM fr
+"""
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     mm = MM.attach_payload(docs)
@@ -8353,6 +8387,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_frames_audit": q_multimodal_frames_audit,
     "multimodal_frames": q_multimodal_frames,
     "forecast_daily_sales": q_forecast_daily_sales,
     "forecast_only_future": q_forecast_only_future,
@@ -8556,6 +8591,7 @@ ORACLE_QUERIES: dict[str, str] = {
     #   decode), similarity_ivf_topk (learned KMeans centroids)
     "multimodal_meta": _MM_META_SQL,
     "multimodal_image_features": _MM_IMAGE_SQL,
+    "multimodal_frames_audit": _MM_FRAMES_AUDIT_SQL,
     "grouping_sets_revenue": _GSETS_SQL,
     "argmax_order_per_customer": _ARGMAX_SQL,
     "dow_seasonality": _DOW_SQL,

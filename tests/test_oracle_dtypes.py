@@ -61,6 +61,18 @@ def test_embedding_dim_matches_fixture(con):
     assert dims == [(_EMB_DIM,)]
 
 
+def test_documents_text_is_ascii_and_nonempty(con):
+    """multimodal_frames_audit's oracle slices text by CHARS while the
+    Spark sampler slices the utf-8 payload by BYTES; they coincide only
+    for pure-ASCII fixtures, so pin that (and non-emptiness, which the
+    sampler's corrupt-payload path assumes)."""
+    bad = con.execute(
+        "SELECT COUNT(*) FROM documents "
+        "WHERE strlen(text) <> length(text) OR length(text) = 0"
+    ).fetchone()[0]
+    assert bad == 0
+
+
 def test_no_hugeint_oracle_columns(con):
     offenders = {}
     for name, sql in ORACLE_QUERIES.items():
