@@ -2181,9 +2181,27 @@ _MM_META_SQL = "SELECT doc_id, strlen(text)::BIGINT AS byte_len, md5(text) AS ch
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pandas-UDF decode path (rows-only: the decode stub is engine-side)."""
+    """Pandas-UDF decode path over the documents payloads. The fallback
+    decoder is deterministic byte statistics, so even the stub path is
+    oracle-hashable: the DuckDB twin recomputes byte_len/first/last/
+    window-sum from the ASCII text (char == byte, pinned by the dtype
+    test) and the exact integer-sum/4 mean. The REAL codec path is
+    hash-gated separately by multimodal_image_features."""
     docs = _t(spark, sf_dir, "documents")
     return MM.extract_features(MM.attach_payload(docs))
+
+
+_MM_FEATURES_SQL = """
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS byte_len,
+  (length(text)
+   + list_sum(list_transform(generate_series(1, least(length(text), 256)),
+              i -> ascii(substr(text, i, 1)))) % 997
+   + ascii(substr(text, 1, 1))
+   + ascii(substr(text, length(text), 1))) / 4.0 AS feat_mean,
+  4 AS feat_dim
+FROM documents
+"""
 
 
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8592,6 +8610,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "multimodal_meta": _MM_META_SQL,
     "multimodal_image_features": _MM_IMAGE_SQL,
     "multimodal_frames_audit": _MM_FRAMES_AUDIT_SQL,
+    "multimodal_features": _MM_FEATURES_SQL,
     "grouping_sets_revenue": _GSETS_SQL,
     "argmax_order_per_customer": _ARGMAX_SQL,
     "dow_seasonality": _DOW_SQL,
