@@ -2097,6 +2097,118 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(assigned, centroids, query, k=10, n_probe=4)
 
 
+def q_similarity_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe with DETERMINISTIC data-sampled centroids (the vectors of
+    vec_id 0..15): the same partition-pruned probe shape as the KMeans
+    variant (similarity_ivf_topk, rows-only because MLlib centroids are
+    engine state), but every step — centroid pick, 4-probe cosine ranking,
+    argmin assignment via ||c||^2 - 2<x,c>, in-probe cosine top-10 — is
+    replayed by the DuckDB twin with the identical sequential-sum float
+    algebra, so the whole IVF dataflow is hash-gated. Assignment runs
+    in-plan against literal centroids (the pq_encode recipe); ties break
+    to the lowest centroid id in both engines."""
+    import math
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16).collect()
+    }
+    cent_ids = sorted(cents)
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    def seq_dot(a: list, b: list) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    qn = math.sqrt(seq_dot(query, query))
+    sims = [
+        (
+            seq_dot(cents[c], query)
+            / (math.sqrt(seq_dot(cents[c], cents[c])) * qn),
+            c,
+        )
+        for c in cent_ids
+    ]
+    probe = [c for _, c in sorted(sims, key=lambda t: (-t[0], t[1]))[:4]]
+
+    d2s = F.array(
+        *[
+            F.lit(seq_dot(cents[c], cents[c]))
+            - 2.0
+            * F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(v) for v in cents[c]]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in cent_ids
+        ]
+    )
+    cluster = F.element_at(
+        F.array(*[F.lit(c) for c in cent_ids]),
+        F.array_position(d2s, F.array_min(d2s)).cast("int"),
+    )
+    qrow = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    scored = (
+        emb.withColumn("cluster", cluster)
+        .filter(F.col("cluster").isin(probe))
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            F.round(
+                DD.cosine_similarity(F.col("embedding"), F.col("qvec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+_IVF_DET_SQL = """
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT cid FROM cent, q
+  ORDER BY
+    list_sum(list_transform(generate_series(1, len(cv)),
+             i -> cv[i]::DOUBLE * qv[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(cv, y -> y::DOUBLE * y::DOUBLE)))
+     * sqrt(list_sum(list_transform(qv, y -> y::DOUBLE * y::DOUBLE)))) DESC,
+    cid
+  LIMIT 4),
+d2 AS (
+  SELECT e.vec_id, c.cid,
+    list_sum(list_transform(c.cv, y -> y::DOUBLE * y::DOUBLE))
+    - 2.0 * list_sum(list_transform(generate_series(1, len(e.embedding)),
+             i -> e.embedding[i]::DOUBLE * c.cv[i]::DOUBLE)) AS d2
+  FROM embeddings e CROSS JOIN cent c),
+assigned AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d2)
+  WHERE rn = 1),
+scored AS (
+  SELECT e.vec_id,
+    round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+          i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id IN (SELECT vec_id FROM assigned JOIN probes ON cluster = cid))
+SELECT vec_id, cosine, rank FROM (
+  SELECT vec_id, cosine, ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 10
+"""
+
+
 def q_dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus embedding near-dup via hyperplane-LSH buckets,
     hash-gated: the seed-fixed plane constants are baked into the DuckDB
@@ -8401,6 +8513,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_lsh_topk": q_similarity_lsh_topk,
     "similarity_multiprobe_topk": q_similarity_multiprobe_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
+    "similarity_ivf_det_topk": q_similarity_ivf_det_topk,
     "dedup_embedding_lsh_pairs": q_dedup_embedding_lsh_pairs,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
@@ -8603,6 +8716,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "similarity_lsh_topk": _LSH_TOPK_SQL,
     "similarity_multiprobe_topk": _LSH_MULTIPROBE_SQL,
     "similarity_quantized_topk": _QUANTIZED_SQL,
+    "similarity_ivf_det_topk": _IVF_DET_SQL,
     "dedup_embedding_lsh_pairs": _LSH_PAIRS_SQL,
     # rows-only (engine-side state / model output, not SQL-expressible):
     #   forecast_* (model output), multimodal_features/frames (engine-side
