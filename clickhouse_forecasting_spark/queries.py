@@ -2496,6 +2496,92 @@ FROM orders
 """
 
 
+def q_forecast_future_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed contract for the --only-future shape (R8): exactly
+    `interval` rows, all strictly after the last observed event day,
+    consecutive, bounds ordered — the contract the reference's
+    only_future flag promises (forecast_script.py:175-176), recomputed by
+    DuckDB from the events table."""
+    fc = q_forecast_only_future(spark, sf_dir)
+    metrics = sorted(
+        c for c in fc.columns
+        if c != "date" and not c.endswith("_min") and not c.endswith("_max")
+    )
+    bad = None
+    for m in metrics:
+        viol = (
+            (F.col(f"{m}_min") > F.col(m)) | (F.col(m) > F.col(f"{m}_max"))
+        ).cast("bigint")
+        bad = viol if bad is None else bad + viol
+    return fc.agg(
+        F.count("*").alias("n_rows"),
+        F.min("date").alias("min_date"),
+        F.max("date").alias("max_date"),
+        F.sum(bad).cast("bigint").alias("n_bound_violations"),
+    ).select(
+        "n_rows", "min_date", "max_date",
+        F.lit(len(metrics)).alias("n_metrics"),
+        "n_bound_violations",
+    )
+
+
+_FORECAST_FUTURE_AUDIT_SQL = """
+SELECT CAST(7 AS BIGINT) AS n_rows,
+  MAX(CAST(ts AS DATE)) + 1 AS min_date,
+  MAX(CAST(ts AS DATE)) + 7 AS max_date,
+  2 AS n_metrics,
+  CAST(0 AS BIGINT) AS n_bound_violations
+FROM events
+"""
+
+
+def q_forecast_multi_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed contract for the one-job multi-table forecast: per
+    (table, metric) series, the long output carries exactly
+    history-axis + interval rows spanning [min history day, max history
+    day + interval], with ordered uncertainty bounds — i.e. the
+    architecture headline (every series of every table in ONE shuffle)
+    preserves each series' R7/M3 axis. DuckDB recomputes both tables'
+    axes directly."""
+    fc = q_forecast_multi_table(spark, sf_dir)
+    viol = (
+        (F.col("yhat_lower") > F.col("yhat")) | (F.col("yhat") > F.col("yhat_upper"))
+    ).cast("bigint")
+    return (
+        fc.groupBy("table", "metric")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(F.col("ds").cast("date")).alias("min_ds"),
+            F.max(F.col("ds").cast("date")).alias("max_ds"),
+            F.sum(viol).cast("bigint").alias("n_bound_violations"),
+        )
+        .orderBy("table", "metric")
+    )
+
+
+_FORECAST_MULTI_AUDIT_SQL = """
+WITH o AS (
+  SELECT CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) + 7 AS BIGINT) AS n_rows,
+    MIN(CAST(o_orderdate AS DATE)) AS min_ds,
+    MAX(CAST(o_orderdate AS DATE)) + 7 AS max_ds
+  FROM orders),
+e AS (
+  SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) + 7 AS BIGINT) AS n_rows,
+    MIN(CAST(ts AS DATE)) AS min_ds,
+    MAX(CAST(ts AS DATE)) + 7 AS max_ds
+  FROM events)
+SELECT 'events_daily' AS "table", 'event_count' AS metric,
+  n_rows, min_ds, max_ds, CAST(0 AS BIGINT) AS n_bound_violations FROM e
+UNION ALL
+SELECT 'events_daily', 'total_value', n_rows, min_ds, max_ds, CAST(0 AS BIGINT) FROM e
+UNION ALL
+SELECT 'orders_daily', 'order_count', n_rows, min_ds, max_ds, CAST(0 AS BIGINT) FROM o
+UNION ALL
+SELECT 'orders_daily', 'total_revenue', n_rows, min_ds, max_ds, CAST(0 AS BIGINT) FROM o
+ORDER BY "table", metric
+"""
+
+
 # --------------------------------------------------------------------------
 # TPC-H completion set (adapted shapes — the fixture schema has no partsupp
 # table and no l_shipmode/l_commitdate/l_receiptdate/c_phone columns, so each
@@ -8622,6 +8708,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "conversion_curve": q_conversion_curve,
     "monthly_hhi_nations": q_monthly_hhi_nations,
     "forecast_contract_audit": q_forecast_contract_audit,
+    "forecast_future_contract_audit": q_forecast_future_contract_audit,
+    "forecast_multi_contract_audit": q_forecast_multi_contract_audit,
     "dedup_rate_by_source": q_dedup_rate_by_source,
     "session_event_paths": q_session_event_paths,
     "text_zipf_rank_freq": q_text_zipf_rank_freq,
@@ -8825,6 +8913,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "monthly_hhi_nations": _HHI_SQL,
     "rebased_revenue_index": _REBASE_SQL,
     "forecast_contract_audit": _FORECAST_AUDIT_SQL,
+    "forecast_future_contract_audit": _FORECAST_FUTURE_AUDIT_SQL,
+    "forecast_multi_contract_audit": _FORECAST_MULTI_AUDIT_SQL,
     "dedup_rate_by_source": _DEDUP_RATE_SQL,
     "session_event_paths": _SESSION_PATHS_SQL,
     "text_zipf_rank_freq": _ZIPF_SQL,
