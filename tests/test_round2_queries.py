@@ -1,0 +1,88 @@
+"""Semantic invariants for the round-2 query additions (beyond the
+DuckDB hash gate): budget conservation, path/session consistency,
+curation-rate arithmetic, deterministic-IVF recall, forecast contracts.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from clickhouse_forecasting_spark.sources import read_table
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry.queries()
+
+
+def test_token_budget_is_conserved_and_proportional(spark, sf_dir, qs):
+    rows = qs["corpus_token_budget"](spark, sf_dir).collect()
+    assert sum(r.token_quota for r in rows) == 100_000  # exact conservation
+    total = sum(r.n_tokens for r in rows)
+    for r in rows:
+        exact = 100_000 * r.n_tokens / total
+        # largest-remainder never deviates more than 1 from the real share
+        assert abs(r.token_quota - exact) < 1.0, (r.lang, r.source)
+
+
+def test_session_paths_consistent_with_sessionization(spark, sf_dir, qs):
+    paths = qs["session_event_paths"](spark, sf_dir).collect()
+    assert paths and all(r.n_sessions >= 1 for r in paths)
+    # ranks are dense, ordered by (count desc, path)
+    counts = [(r.rank, r.n_sessions) for r in sorted(paths, key=lambda r: r.rank)]
+    assert [r for r, _ in counts] == list(range(1, len(counts) + 1))
+    assert all(a[1] >= b[1] for a, b in zip(counts, counts[1:]))
+    # total sessions across ALL paths equals the sessionization query's total
+    all_paths_total = (
+        qs["session_event_paths"](spark, sf_dir)
+        .agg(F.sum("n_sessions"))
+        .collect()
+    )
+    n_sessions_total = sum(
+        r.n_sessions for r in qs["sessionization"](spark, sf_dir).collect()
+    )
+    # top-20 is a subset, so it can't exceed the true total
+    assert all_paths_total[0][0] <= n_sessions_total
+
+
+def test_dedup_rate_report_arithmetic(spark, sf_dir, qs):
+    rows = qs["dedup_rate_by_source"](spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    kept_total = sum(r.n_docs - r.n_dropped for r in rows)
+    shipped = qs["dedup_near_projection"](spark, sf_dir).count()
+    assert kept_total == shipped  # the report reconciles with the artifact
+    for r in rows:
+        assert 0 <= r.n_dropped <= r.n_docs
+        assert r.keep_ratio_ppm == (r.n_docs - r.n_dropped) * 1_000_000 // r.n_docs
+
+
+def test_ivf_det_results_are_true_cosines(spark, sf_dir, qs):
+    approx = {r.vec_id: r.cosine for r in qs["similarity_ivf_det_topk"](spark, sf_dir).collect()}
+    exact = {r.vec_id: r.cosine for r in qs["similarity_topk"](spark, sf_dir).collect()}
+    assert approx
+    # every returned cosine is the true cosine (probe only prunes candidates)
+    for vid, cos in approx.items():
+        if vid in exact:
+            assert cos == pytest.approx(exact[vid], abs=1e-6)
+    # the query's own bucket is probed, so vec_id 0 (cosine 1.0) is found
+    assert approx.get(0) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_forecast_contract_audits_are_healthy(spark, sf_dir, qs):
+    one = qs["forecast_contract_audit"](spark, sf_dir).collect()[0]
+    assert one.n_bound_violations == 0 and one.n_null_cells == 0
+    fut = qs["forecast_future_contract_audit"](spark, sf_dir).collect()[0]
+    assert fut.n_rows == 7 and fut.n_bound_violations == 0
+    assert (fut.max_date - fut.min_date).days == 6
+    multi = qs["forecast_multi_contract_audit"](spark, sf_dir).collect()
+    assert {(r["table"], r.metric) for r in multi} == {
+        ("orders_daily", "order_count"),
+        ("orders_daily", "total_revenue"),
+        ("events_daily", "event_count"),
+        ("events_daily", "total_value"),
+    }
+    assert all(r.n_bound_violations == 0 for r in multi)
