@@ -71,6 +71,7 @@ def pagerank(
     weight: str | None = None,
     iterations: int = 10,
     damping: float = 0.85,
+    checkpoint_interval: int = 3,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list.
 
@@ -108,7 +109,7 @@ def pagerank(
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     try:
-        for _ in range(iterations):
+        for it in range(iterations):
             # mass sitting on dangling nodes this iteration (scalar;
             # skipped entirely when the graph has no sinks)
             dangling = 0.0
@@ -124,18 +125,22 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum("c").alias("c"))
             )
-            ranks = (
-                nodes.join(contribs, nodes.node == contribs.dst, "left")
-                .select(
-                    "node",
-                    (
-                        F.lit((1.0 - damping) / n)
-                        + F.lit(damping)
-                        * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
-                    ).alias("rank"),
-                )
-                .localCheckpoint(eager=True)
+            ranks = nodes.join(contribs, nodes.node == contribs.dst, "left").select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
             )
+            # lineage cut every `checkpoint_interval` rounds (and on the
+            # last): plan depth stays bounded while avoiding one full job
+            # per round — with no sinks the loop is pure plan-building
+            # between cuts. Interval 1 = the original per-round cut; any
+            # interval with a dangling probe forces a cut each round
+            # anyway because the probe collects.
+            if n_dangling or (it + 1) % checkpoint_interval == 0 or it == iterations - 1:
+                ranks = ranks.localCheckpoint(eager=True)
     finally:
         e.unpersist()
         nodes.unpersist()
