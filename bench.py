@@ -147,8 +147,17 @@ def main() -> None:
         docs, threshold=0.8, cache_key=sf_dir
     ).count()
     dim = len(emb.first()["embedding"])
-    emb_lsh_cand = (
-        SIM.hyperplane_near_dup_pairs(emb, dim, threshold=-1.0, n_planes=4).count()
+    # candidate volume = sum over buckets of C(occupancy, 2); no cosines
+    # needed to count — this is the pre-verify join size itself
+    from pyspark.sql import functions as F
+
+    emb_lsh_cand = int(
+        SIM.lsh_bucket_assignments(emb, dim, n_planes=4)
+        .groupBy("bucket")
+        .count()
+        .agg(F.sum(F.expr("count * (count - 1) / 2")))
+        .collect()[0][0]
+        or 0
     )
     scale_knobs = {
         "minhash": {"num_hashes": 16, "bands": 4, "rows_per_band": 4, "shingle_size": 5},
