@@ -2559,6 +2559,81 @@ def q_forecast_multi_contract_audit(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_forecast_incremental_contract_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hashed contract for the incremental refit: the grown series
+    (order_count) carries the FULL history axis + interval while the
+    untouched series (total_revenue) still carries its pre-cutoff axis +
+    interval — i.e. the operator really did refit only the changed series
+    and reuse the prior forecast. Axes recomputed by DuckDB from orders."""
+    fc = q_forecast_incremental(spark, sf_dir)
+    viol = (
+        (F.col("yhat_lower") > F.col("yhat")) | (F.col("yhat") > F.col("yhat_upper"))
+    ).cast("bigint")
+    return (
+        fc.groupBy("metric")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(F.col("ds").cast("date")).alias("min_ds"),
+            F.max(F.col("ds").cast("date")).alias("max_ds"),
+            F.sum(viol).cast("bigint").alias("n_bound_violations"),
+        )
+        .orderBy("metric")
+    )
+
+
+_FORECAST_INCR_AUDIT_SQL = """
+WITH full_axis AS (
+  SELECT CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) + 7 AS BIGINT) AS n_rows,
+    MIN(CAST(o_orderdate AS DATE)) AS min_ds,
+    MAX(CAST(o_orderdate AS DATE)) + 7 AS max_ds
+  FROM orders),
+cut_axis AS (
+  SELECT CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) + 7 AS BIGINT) AS n_rows,
+    MIN(CAST(o_orderdate AS DATE)) AS min_ds,
+    MAX(CAST(o_orderdate AS DATE)) + 7 AS max_ds
+  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '2000-01-01')
+SELECT 'order_count' AS metric, n_rows, min_ds, max_ds,
+  CAST(0 AS BIGINT) AS n_bound_violations FROM full_axis
+UNION ALL
+SELECT 'total_revenue', n_rows, min_ds, max_ds, CAST(0 AS BIGINT) FROM cut_axis
+ORDER BY metric
+"""
+
+
+def q_forecast_backtest_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed contract for the rolling-origin backtest: the (cutoff,
+    metric) grid is complete, each cell scored exactly the held-out days
+    inside (cutoff, cutoff+7] that exist in history, and the metric
+    identities that hold for ANY model (mae >= 0, rmse >= mae, coverage
+    in [0,1]) are emitted as hashed verdicts."""
+    bt = q_forecast_backtest(spark, sf_dir)
+    return bt.select(
+        "metric",
+        "cutoff",
+        F.col("n_scored").cast("bigint").alias("n_scored"),
+        (F.col("mae") >= 0).alias("mae_nonneg"),
+        (F.col("rmse") >= F.col("mae")).alias("rmse_dominates_mae"),
+        ((F.col("coverage") >= 0) & (F.col("coverage") <= 1)).alias("coverage_in_01"),
+    ).orderBy("metric", "cutoff")
+
+
+_FORECAST_BT_AUDIT_SQL = """
+WITH days AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders),
+cells AS (
+  SELECT m.metric, c.cutoff,
+    CAST((SELECT COUNT(*) FROM days
+          WHERE d > CAST(c.cutoff AS DATE)
+            AND d <= CAST(c.cutoff AS DATE) + 7) AS BIGINT) AS n_scored
+  FROM (SELECT unnest(['order_count', 'total_revenue']) AS metric) m
+  CROSS JOIN (SELECT unnest(['2000-06-01', '2000-09-01']) AS cutoff) c)
+SELECT metric, cutoff, n_scored,
+  TRUE AS mae_nonneg, TRUE AS rmse_dominates_mae, TRUE AS coverage_in_01
+FROM cells ORDER BY metric, cutoff
+"""
+
+
 _FORECAST_MULTI_AUDIT_SQL = """
 WITH o AS (
   SELECT CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) + 7 AS BIGINT) AS n_rows,
@@ -8710,6 +8785,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast_contract_audit": q_forecast_contract_audit,
     "forecast_future_contract_audit": q_forecast_future_contract_audit,
     "forecast_multi_contract_audit": q_forecast_multi_contract_audit,
+    "forecast_incremental_contract_audit": q_forecast_incremental_contract_audit,
+    "forecast_backtest_contract_audit": q_forecast_backtest_contract_audit,
     "dedup_rate_by_source": q_dedup_rate_by_source,
     "session_event_paths": q_session_event_paths,
     "text_zipf_rank_freq": q_text_zipf_rank_freq,
@@ -8915,6 +8992,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "forecast_contract_audit": _FORECAST_AUDIT_SQL,
     "forecast_future_contract_audit": _FORECAST_FUTURE_AUDIT_SQL,
     "forecast_multi_contract_audit": _FORECAST_MULTI_AUDIT_SQL,
+    "forecast_incremental_contract_audit": _FORECAST_INCR_AUDIT_SQL,
+    "forecast_backtest_contract_audit": _FORECAST_BT_AUDIT_SQL,
     "dedup_rate_by_source": _DEDUP_RATE_SQL,
     "session_event_paths": _SESSION_PATHS_SQL,
     "text_zipf_rank_freq": _ZIPF_SQL,
