@@ -8318,6 +8318,42 @@ FROM monthly
 # --------------------------------------------------------------------------
 
 
+def q_skew_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skew-safe aggregation surfaced as a registry query: the
+    events fact grouped by its genuinely-hot key (a handful of event_type
+    values own the whole table — the one skew case AQE cannot split,
+    since a groupBy key is indivisible at the shuffle layer). salted_agg
+    spreads each hot key over 16 salt shards for the heavy phase and
+    merges 16 tiny partials per key; counts and decimal cents sums are
+    commutative, so the result is EXACTLY the plain GROUP BY — which is
+    what the DuckDB twin computes, proving salting changes the plan, not
+    the answer."""
+    from .functions.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        [
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        ],
+        lambda: [
+            F.sum("n_events").alias("n_events"),
+            F.sum("cents").alias("cents"),
+        ],
+        n_salts=16,
+    )
+    return out.orderBy("event_type")
+
+
+_SALTED_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation report: per (source, lang), how much of the corpus the
     near-dedup pass keeps — the number every data-mixture owner asks for.
@@ -8787,6 +8823,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast_multi_contract_audit": q_forecast_multi_contract_audit,
     "forecast_incremental_contract_audit": q_forecast_incremental_contract_audit,
     "forecast_backtest_contract_audit": q_forecast_backtest_contract_audit,
+    "skew_salted_rollup": q_skew_salted_rollup,
     "dedup_rate_by_source": q_dedup_rate_by_source,
     "session_event_paths": q_session_event_paths,
     "text_zipf_rank_freq": q_text_zipf_rank_freq,
@@ -8994,6 +9031,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "forecast_multi_contract_audit": _FORECAST_MULTI_AUDIT_SQL,
     "forecast_incremental_contract_audit": _FORECAST_INCR_AUDIT_SQL,
     "forecast_backtest_contract_audit": _FORECAST_BT_AUDIT_SQL,
+    "skew_salted_rollup": _SALTED_SQL,
     "dedup_rate_by_source": _DEDUP_RATE_SQL,
     "session_event_paths": _SESSION_PATHS_SQL,
     "text_zipf_rank_freq": _ZIPF_SQL,
