@@ -71,6 +71,13 @@ def test_documents_text_is_ascii_and_nonempty(con):
         "WHERE strlen(text) <> length(text) OR length(text) = 0"
     ).fetchone()[0]
     assert bad == 0
+    # multimodal_features' oracle assumes the STUB decode path for every
+    # doc; a text starting with the BMP magic would be sniffed by the
+    # real decoder (raise -> NULL features) and diverge from the twin.
+    bm = con.execute(
+        "SELECT COUNT(*) FROM documents WHERE text LIKE 'BM%'"
+    ).fetchone()[0]
+    assert bm == 0
 
 
 def test_no_hugeint_oracle_columns(con):
