@@ -47,6 +47,29 @@ def test_bmp_roundtrip_all_padding_cases(w, h):
     assert (dec_w, dec_h, dec_rgb) == (w, h, rgb)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=7),
+        data=st.data(),
+    )
+    def test_bmp_roundtrip_property(w, h, data):
+        rgb = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                )
+            )
+        )
+        assert MM.decode_bmp(MM.encode_bmp(w, h, rgb)) == (w, h, rgb)
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_fixture_decodes_to_recomputed_gradient():
     payload = open(FIXTURE, "rb").read()
     w, h, rgb = MM.decode_bmp(payload)
