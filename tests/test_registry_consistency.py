@@ -1,0 +1,62 @@
+"""Registry drift gates: every declared query must be oracled or on the
+documented rows-only allowlist, and the generated artifacts must cover
+the full registry."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from clickhouse_forecasting_spark.queries import ORACLE_QUERIES, SPARK_QUERIES
+
+# Every rows-only query needs BOTH a justification here and a hash-gated
+# companion audit in the registry. Growing this list is a deliberate act.
+ROWS_ONLY_ALLOWED = {
+    # model outputs (each shape paired with a *_contract_audit twin):
+    "forecast_daily_sales",
+    "forecast_only_future",
+    "forecast_multi_table",
+    "forecast_incremental",
+    "forecast_backtest",
+    # binary frame payloads (logic hash-gated by multimodal_frames_audit):
+    "multimodal_frames",
+    # MLlib KMeans centroids are engine state (dataflow hash-gated by
+    # similarity_ivf_det_topk):
+    "similarity_ivf_topk",
+}
+
+
+def test_every_query_is_oracled_or_allowlisted():
+    rows_only = set(SPARK_QUERIES) - set(ORACLE_QUERIES)
+    assert rows_only == ROWS_ONLY_ALLOWED, (
+        f"unexpected rows-only: {sorted(rows_only - ROWS_ONLY_ALLOWED)}; "
+        f"stale allowlist: {sorted(ROWS_ONLY_ALLOWED - rows_only)}"
+    )
+
+
+def test_every_rows_only_query_has_a_companion_audit():
+    companions = {
+        "forecast_daily_sales": "forecast_contract_audit",
+        "forecast_only_future": "forecast_future_contract_audit",
+        "forecast_multi_table": "forecast_multi_contract_audit",
+        "forecast_incremental": "forecast_incremental_contract_audit",
+        "forecast_backtest": "forecast_backtest_contract_audit",
+        "multimodal_frames": "multimodal_frames_audit",
+        "similarity_ivf_topk": "similarity_ivf_det_topk",
+    }
+    assert set(companions) == ROWS_ONLY_ALLOWED
+    for rows_only, audit in companions.items():
+        assert audit in ORACLE_QUERIES, (rows_only, audit)
+
+
+def test_oracles_reference_declared_queries_only():
+    stray = set(ORACLE_QUERIES) - set(SPARK_QUERIES)
+    assert not stray, f"oracle entries without a Spark query: {sorted(stray)}"
+
+
+def test_plans_census_covers_registry():
+    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    text = open(path).read()
+    listed = set(re.findall(r"^\| (\w+) \|", text, flags=re.M)) - {"query"}
+    missing = set(SPARK_QUERIES) - listed
+    assert not missing, f"queries missing from PLANS.md: {sorted(missing)}"
