@@ -2209,6 +2209,48 @@ WHERE rank <= 10
 """
 
 
+def q_similarity_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measuring ANN quality telemetry: |approx top-10 ∩ exact
+    top-10| for each deterministic approximate method (single-probe LSH,
+    multi-probe LSH, deterministic-centroid IVF) — 'measure, don't
+    guess' as a first-class query. Every path is seed/data-deterministic,
+    so the DuckDB twin recomputes the identical report by composing the
+    methods' own oracle SQL and intersecting."""
+    from functools import reduce
+
+    exact = q_similarity_topk(spark, sf_dir).select("vec_id")
+    methods = [
+        ("ivf_det", q_similarity_ivf_det_topk),
+        ("lsh", q_similarity_lsh_topk),
+        ("multiprobe", q_similarity_multiprobe_topk),
+    ]
+    frames = [
+        fn(spark, sf_dir)
+        .select("vec_id")
+        .join(exact, "vec_id")
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+        .select(F.lit(name).alias("method"), "n_overlap")
+        for name, fn in methods
+    ]
+    return reduce(lambda a, b: a.unionByName(b), frames).orderBy("method")
+
+
+def _recall_report_sql() -> str:
+    return f"""
+WITH exact AS (SELECT vec_id FROM ({_TOPK_SQL})),
+ivf AS (SELECT vec_id FROM ({_IVF_DET_SQL})),
+lshq AS (SELECT vec_id FROM ({_LSH_TOPK_SQL})),
+mp AS (SELECT vec_id FROM ({_LSH_MULTIPROBE_SQL}))
+SELECT 'ivf_det' AS method, CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM ivf JOIN exact USING (vec_id)
+UNION ALL
+SELECT 'lsh', CAST(COUNT(*) AS BIGINT) FROM lshq JOIN exact USING (vec_id)
+UNION ALL
+SELECT 'multiprobe', CAST(COUNT(*) AS BIGINT) FROM mp JOIN exact USING (vec_id)
+ORDER BY method
+"""
+
+
 def q_dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus embedding near-dup via hyperplane-LSH buckets,
     hash-gated: the seed-fixed plane constants are baked into the DuckDB
@@ -8711,6 +8753,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_multiprobe_topk": q_similarity_multiprobe_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "similarity_ivf_det_topk": q_similarity_ivf_det_topk,
+    "similarity_recall_report": q_similarity_recall_report,
     "dedup_embedding_lsh_pairs": q_dedup_embedding_lsh_pairs,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
@@ -8919,6 +8962,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "similarity_multiprobe_topk": _LSH_MULTIPROBE_SQL,
     "similarity_quantized_topk": _QUANTIZED_SQL,
     "similarity_ivf_det_topk": _IVF_DET_SQL,
+    "similarity_recall_report": _recall_report_sql(),
     "dedup_embedding_lsh_pairs": _LSH_PAIRS_SQL,
     # rows-only (engine-side state / model output, not SQL-expressible):
     #   forecast_* (model output), multimodal_features/frames (engine-side
