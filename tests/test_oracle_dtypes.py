@@ -68,9 +68,9 @@ def test_documents_text_is_ascii_and_nonempty(con):
     sampler's corrupt-payload path assumes)."""
     bad = con.execute(
         "SELECT COUNT(*) FROM documents "
-        "WHERE strlen(text) <> length(text) OR length(text) = 0"
+        "WHERE text IS NULL OR strlen(text) <> length(text) OR length(text) = 0"
     ).fetchone()[0]
-    assert bad == 0
+    assert bad == 0  # NULL text would also desync md5(str(text)) twins
     # multimodal_features' oracle assumes the STUB decode path for every
     # doc; a text starting with the BMP magic would be sniffed by the
     # real decoder (raise -> NULL features) and diverge from the twin.
