@@ -183,6 +183,41 @@ def _cached_stage(df: DataFrame, key: tuple | None, build) -> DataFrame:
     return built
 
 
+def numeric_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 5,
+    num_hashes: int = 16,
+    cache_key=None,
+) -> DataFrame:
+    """(id, h0..h{k-1}) numeric MinHash signature frame — the un-banded
+    signature table (what a 100 TB pipeline would materialize once and
+    index many ways). explode shingles -> ONE md5 per (doc, shingle),
+    k multiply-mod hashes derived from it -> partial-aggregated
+    groupBy-min, so the shuffle carries docs*k longs, never shingles.
+    Cached per (session, params) like the other family stages; the
+    banded index and the estimator-quality audit both read it."""
+
+    def _build() -> DataFrame:
+        p = F.lit(MINHASH_PRIME)
+        sh = _exploded_shingles(df, text_col, id_col, shingle_size)
+        x = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long") % p
+        params = minhash_params(num_hashes)
+        hashed = sh.select(
+            F.col(id_col),
+            *[((F.lit(a) * x + F.lit(b)) % p).alias(f"h{i}") for i, (a, b) in enumerate(params)],
+        )
+        return hashed.groupBy(id_col).agg(
+            *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+        )
+
+    key = None
+    if cache_key is not None:
+        key = ("numsig", cache_key, text_col, id_col, shingle_size, num_hashes)
+    return _cached_stage(df, key, _build)
+
+
 def banded_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -194,11 +229,9 @@ def banded_signatures(
 ) -> DataFrame:
     """(id, band-key) frame — the LSH index build pass.
 
-    explode shingles -> ONE md5 per (doc, shingle), k cheap multiply-mod
-    hashes derived from it -> partial-aggregated groupBy-min (shuffle
-    carries docs*k longs, not shingles) -> explode b band keys. With
-    cache_key set the result is persisted and shared across the dedup
-    family — one corpus pass instead of one per query."""
+    Reads the (cached) numeric signature stage and explodes b band keys.
+    With cache_key set both stages persist and are shared across the
+    dedup family — one corpus pass per run, not one per query."""
     if bands < 1 or num_hashes % bands != 0:
         # bands > num_hashes would make every band key degenerate (all docs
         # collide -> O(n^2)); a non-dividing bands would silently drop the
@@ -209,16 +242,8 @@ def banded_signatures(
 
     def _build() -> DataFrame:
         rows_per_band = num_hashes // bands
-        p = F.lit(MINHASH_PRIME)
-        sh = _exploded_shingles(df, text_col, id_col, shingle_size)
-        x = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long") % p
-        params = minhash_params(num_hashes)
-        hashed = sh.select(
-            F.col(id_col),
-            *[((F.lit(a) * x + F.lit(b)) % p).alias(f"h{i}") for i, (a, b) in enumerate(params)],
-        )
-        sig = hashed.groupBy(id_col).agg(
-            *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+        sig = numeric_signatures(
+            df, text_col, id_col, shingle_size, num_hashes, cache_key
         )
         band_keys = F.array(
             *[

@@ -38,6 +38,7 @@ from .functions import text as TX
 from .functions.text import STOPWORDS
 from . import multimodal as MM
 from .operators import asof as AsOf
+from .operators import packing as PK
 from .operators import range_join as RJ
 from .relational import daily_rollup, future_date_axis, gap_fill, only_future
 from .schema import metric_columns
@@ -8662,6 +8663,258 @@ FROM ranked ORDER BY lang, source
 """
 
 
+def q_corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (GPT-style): per source shard,
+    tokens are concatenated in doc_id order and cut every 256; the
+    report shows, per (shard, context window), how many docs feed it,
+    how many straddle in from the previous window, and its fill. One
+    window cumsum per shard + a bounded explode — closed-form, fully
+    codegen'd, identical SQL on the oracle side."""
+    return PK.pack_concat_chunks(_t(spark, sf_dir, "documents"), budget=256)
+
+
+_PACK_CHUNKS_SQL = r"""
+WITH toks AS (
+  SELECT source, doc_id,
+    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+         x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+pos AS (
+  SELECT source, doc_id, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before
+  FROM toks WHERE n_tokens > 0),
+spans AS (
+  SELECT source, n_tokens, cum_before,
+    cum_before // 256 AS first_bin,
+    (cum_before + n_tokens - 1) // 256 AS last_bin
+  FROM pos),
+binned AS (
+  SELECT source, n_tokens, cum_before, first_bin,
+    unnest(generate_series(first_bin, last_bin)) AS bin_id
+  FROM spans)
+SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN first_bin < bin_id THEN 1 ELSE 0 END) AS BIGINT) AS n_carry,
+  CAST(SUM(LEAST((bin_id + 1) * 256, cum_before + n_tokens)
+         - GREATEST(bin_id * 256, cum_before)) AS BIGINT) AS bin_tokens
+FROM binned GROUP BY source, bin_id ORDER BY source, bin_id
+"""
+
+
+def q_corpus_pack_firstfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit sequence packing: docs fill the current 256-token
+    bin until the next would overflow. The per-shard fill recurrence is
+    sequential, so Spark runs it as applyInPandas (one scan per source
+    shard); the oracle replays the identical recurrence with a recursive
+    CTE that advances every shard one document per step."""
+    return PK.pack_first_fit(_t(spark, sf_dir, "documents"), budget=256)
+
+
+_PACK_FIRSTFIT_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT source, doc_id,
+    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+         x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+docs AS (
+  SELECT source, doc_id, n_tokens,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM toks WHERE n_tokens > 0),
+pack(source, rn, doc_id, n_tokens, bin_id, fill) AS (
+  SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+    CASE WHEN p.fill + d.n_tokens > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+    CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens
+         ELSE p.fill + d.n_tokens END
+  FROM pack p JOIN docs d ON d.source = p.source AND d.rn = p.rn + 1)
+SELECT source, doc_id, n_tokens, bin_id FROM pack ORDER BY source, doc_id
+"""
+
+
+def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the dedup index: per LSH candidate
+    pair, the MinHash-estimated Jaccard (fraction of agreeing signature
+    components) against the exact shingle Jaccard. This is the telemetry
+    that justifies band/row parameters before a 100 TB run. Reads the
+    SAME persisted signature/shingle-set stages as the dedup family —
+    zero extra corpus passes."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = DD.minhash_lsh_candidates(docs, num_hashes=16, bands=4, cache_key=sf_dir)
+    sig = DD.numeric_signatures(docs, num_hashes=16, cache_key=sf_dir)
+    exact = DD.lsh_verified_pairs(docs, threshold=0.0, cache_key=sf_dir).select(
+        "id_a", "id_b", "jaccard"
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(16)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(16)
+    )
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (matches / F.lit(16.0)).alias("est"))
+    )
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        F.round("est", 6).alias("est_jaccard"),
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round(F.abs(F.col("est") - F.col("jaccard")), 6).alias("abs_err"),
+    )
+
+
+_MINHASH_EST_MATCH_SQL = " + ".join(
+    f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(16)
+)
+
+_MINHASH_ERR_SQL = f"""
+WITH s AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS sh FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % {_P} AS x FROM s),
+sig AS (SELECT doc_id, {_SIG_MINS_SQL} FROM h GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST_SQL}]) AS band
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.id_a, c.id_b, ({_MINHASH_EST_MATCH_SQL}) / 16.0 AS est
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b),
+sets AS (SELECT doc_id, {_SHINGLES_SQL} AS sh_set FROM documents),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(sa.sh_set, sb.sh_set))
+      / (len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set))) AS jaccard
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b)
+SELECT e.id_a, e.id_b, round(e.est, 6) AS est_jaccard,
+  round(v.jaccard, 6) AS jaccard,
+  round(abs(e.est - v.jaccard), 6) AS abs_err
+FROM est e JOIN verified v ON v.id_a = e.id_a AND v.id_b = e.id_b
+"""
+
+
+def q_embedding_standardize_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization audit for the embedding corpus:
+    mean, stddev (both from exact decimal sums, so the doubles agree
+    bit-for-bit cross-engine), and the tail census beyond mean +/- 2.5
+    sd. Two passes over the exploded values with a broadcast of the
+    64-row stats frame; output is 64 rows regardless of corpus size."""
+    em = _t(spark, sf_dir, "embeddings")
+    vals = em.select(
+        F.col("vec_id"), F.posexplode("embedding").alias("dim", "v0")
+    ).select("vec_id", "dim", F.col("v0").cast("double").alias("v"))
+    stats = vals.groupBy("dim").agg(
+        _dsum(F.col("v")).alias("s"),
+        _dsum(F.col("v") * F.col("v")).alias("s2"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    m = stats.select(
+        "dim",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt(
+            F.greatest(
+                (F.col("s2") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1),
+                F.lit(0.0),
+            )
+        ).alias("sd"),
+    )
+    return (
+        vals.join(F.broadcast(m), "dim")
+        .groupBy("dim", "mean", "sd")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > F.col("mean") + 2.5 * F.col("sd"), 1).otherwise(0)
+            ).cast("bigint").alias("n_hi"),
+            F.sum(
+                F.when(F.col("v") < F.col("mean") - 2.5 * F.col("sd"), 1).otherwise(0)
+            ).cast("bigint").alias("n_lo"),
+        )
+        .select(
+            "dim",
+            F.round("mean", 6).alias("mean_v"),
+            F.round("sd", 6).alias("sd_v"),
+            "n_hi",
+            "n_lo",
+        )
+        .orderBy("dim")
+    )
+
+
+_EMB_STANDARDIZE_SQL = """
+WITH vals AS (
+  SELECT vec_id, dim - 1 AS dim, CAST(v AS DOUBLE) AS v
+  FROM (
+    SELECT vec_id, unnest(embedding) AS v,
+           unnest(generate_series(1, len(embedding))) AS dim
+    FROM embeddings)),
+stats AS (
+  SELECT dim,
+    CAST(SUM(CAST(v AS DECIMAL(38,10))) AS DOUBLE) AS s,
+    CAST(SUM(CAST(v * v AS DECIMAL(38,10))) AS DOUBLE) AS s2,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM vals GROUP BY dim),
+m AS (
+  SELECT dim, s / n AS mean,
+    sqrt(greatest((s2 - s * s / n) / (n - 1), 0.0)) AS sd
+  FROM stats)
+SELECT v.dim, round(m.mean, 6) AS mean_v, round(m.sd, 6) AS sd_v,
+  CAST(SUM(CASE WHEN v.v > m.mean + 2.5 * m.sd THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+  CAST(SUM(CASE WHEN v.v < m.mean - 2.5 * m.sd THEN 1 ELSE 0 END) AS BIGINT) AS n_lo
+FROM vals v JOIN m ON v.dim = m.dim
+GROUP BY v.dim, m.mean, m.sd ORDER BY v.dim
+"""
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of labeled lang vs the
+    n-gram-heuristic prediction, with an exact ppm share of each true
+    lang's row. The eval every classifier-driven curation step needs
+    before it gates a 100 TB corpus; one groupBy + a 25-row window."""
+    docs = _t(spark, sf_dir, "documents")
+    cm = (
+        docs.select("lang", TX.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return (
+        cm.withColumn("lang_total", F.sum("n").over(w))
+        .select(
+            "lang",
+            "lang_pred",
+            "n",
+            F.expr("n * 1000000L div lang_total").alias("share_ppm"),
+        )
+        .orderBy("lang", "lang_pred")
+    )
+
+
+_LANG_CONFUSION_SQL = f"""
+WITH pred AS (SELECT lang, {_lang_case()} AS lang_pred FROM documents),
+cm AS (
+  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2)
+SELECT lang, lang_pred, n,
+  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
+FROM cm ORDER BY lang, lang_pred
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -8873,6 +9126,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_percentile_markers": q_window_percentile_markers,
     "corpus_token_budget": q_corpus_token_budget,
     "rebased_revenue_index": q_rebased_revenue_index,
+    "corpus_pack_chunks": q_corpus_pack_chunks,
+    "corpus_pack_firstfit": q_corpus_pack_firstfit,
+    "minhash_estimate_error": q_minhash_estimate_error,
+    "embedding_standardize_outliers": q_embedding_standardize_outliers,
+    "lang_id_confusion": q_lang_id_confusion,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -9081,6 +9339,11 @@ ORACLE_QUERIES: dict[str, str] = {
     "text_zipf_rank_freq": _ZIPF_SQL,
     "window_percentile_markers": _PCTL_MARKERS_SQL,
     "corpus_token_budget": _TOKEN_BUDGET_SQL,
+    "corpus_pack_chunks": _PACK_CHUNKS_SQL,
+    "corpus_pack_firstfit": _PACK_FIRSTFIT_SQL,
+    "minhash_estimate_error": _MINHASH_ERR_SQL,
+    "embedding_standardize_outliers": _EMB_STANDARDIZE_SQL,
+    "lang_id_confusion": _LANG_CONFUSION_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
