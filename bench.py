@@ -103,6 +103,10 @@ EXTENSIONS_R2 = [
     "pagerank_trade_graph",
     "multimodal_image_features",
     "similarity_lsh_topk",
+    "corpus_pack_chunks",
+    "corpus_pack_firstfit",
+    "minhash_estimate_error",  # rides the shared dedup stages
+    "bloom_semi_join_audit",
 ]
 
 

@@ -8915,6 +8915,175 @@ FROM cm ORDER BY lang, lang_pred
 """
 
 
+def q_incremental_rollup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance invariant, surfaced as a query: the
+    daily events rollup maintained as base-through-Jan-20 PLUS a delta of
+    later events, merged additively (operators/incremental.py), must
+    equal the batch recompute — which is exactly what the DuckDB oracle
+    computes. Sums carry exact decimal partials through the merge so the
+    two-stage addition is bit-identical to the oracle's one-stage sum.
+    At 100 TB the same algebra runs against touched partitions only
+    (maintain_daily_rollup); cost tracks the delta, not the view."""
+    from .operators import incremental as IV
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-21").cast("timestamp")
+
+    def roll(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("date", F.to_date("ts"))
+            .groupBy("date")
+            .agg(
+                F.count("*").cast("bigint").alias("event_count"),
+                F.sum(F.col("value").cast("decimal(38,10)")).alias("total_value"),
+            )
+        )
+
+    base = roll(ev.filter(F.col("ts") < cutoff))
+    delta = roll(ev.filter(F.col("ts") >= cutoff))
+    merged = IV.merge_additive(base, delta, keys=["date"])
+    return merged.select(
+        "date",
+        F.col("event_count").cast("bigint").alias("event_count"),
+        F.round(F.col("total_value").cast("double"), 6).alias("total_value"),
+    ).orderBy("date")
+
+
+_INCR_ROLLUP_SQL = """
+SELECT CAST(ts AS DATE) AS date,
+  CAST(COUNT(*) AS BIGINT) AS event_count,
+  round(CAST(SUM(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 6) AS total_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+# Bloom filter geometry for the semi-join audit: 2^18 bits as 8192
+# 32-bit words (shift <= 31 keeps every mask positive and in-range for
+# both engines' BIGINT shift), 2 md5-derived hash functions.
+_BLOOM_BITS = 262144
+_BLOOM_WORD = 32
+
+
+def q_bloom_semi_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter (Bloom semi-join) audit: a 32 KiB bit array built
+    from the urgent-order keys stands in for the multi-GB build side of
+    orders⋉lineitem — the probe side tests 2 bits per key before any
+    shuffle. The audit reports the exact-vs-bloom pass counts and the
+    measured false-positive rate, which is the number that sizes the
+    filter before a 100 TB run (where the bitmap ships as one broadcast
+    and the filtered probe side skips the join shuffle for ~99% of
+    rows). All arithmetic is md5-derived integer ops, identical in the
+    oracle."""
+    m, w = _BLOOM_BITS, _BLOOM_WORD
+
+    def h(col: F.Column, salt: str) -> F.Column:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % m
+        )
+
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    positions = urgent.select(h(F.col("k"), "a").alias("pos")).unionAll(
+        urgent.select(h(F.col("k"), "b").alias("pos"))
+    )
+    words = (
+        positions.select(
+            F.expr(f"pos div {w}").alias("word_idx"),
+            F.expr(f"shiftleft(cast(1 as bigint), cast(pos % {w} as int))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("word"))
+    )
+    probe = (
+        _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k")).distinct()
+    )
+    probed = probe.select(
+        "k",
+        h(F.col("k"), "a").alias("h1"),
+        h(F.col("k"), "b").alias("h2"),
+    )
+    w1 = words.select(F.col("word_idx").alias("w1"), F.col("word").alias("word1"))
+    w2 = words.select(F.col("word_idx").alias("w2"), F.col("word").alias("word2"))
+    checked = (
+        probed.withColumn("w1", F.expr(f"h1 div {w}"))
+        .withColumn("m1", F.expr(f"shiftleft(cast(1 as bigint), cast(h1 % {w} as int))"))
+        .withColumn("w2", F.expr(f"h2 div {w}"))
+        .withColumn("m2", F.expr(f"shiftleft(cast(1 as bigint), cast(h2 % {w} as int))"))
+        .join(F.broadcast(w1), "w1", "left")
+        .join(F.broadcast(w2), "w2", "left")
+        .withColumn(
+            "bloom_pass",
+            (F.coalesce(F.col("word1"), F.lit(0)).bitwiseAND(F.col("m1")) != 0)
+            & (F.coalesce(F.col("word2"), F.lit(0)).bitwiseAND(F.col("m2")) != 0),
+        )
+    )
+    exact = urgent.distinct().withColumn("is_urgent", F.lit(1))
+    audited = checked.join(exact, checked.k == exact.k, "left")
+    return audited.agg(
+        F.count("*").cast("bigint").alias("n_probed"),
+        F.sum(F.coalesce(F.col("is_urgent"), F.lit(0))).cast("bigint").alias("n_exact"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).cast("bigint").alias("n_bloom_pass"),
+        F.sum(
+            F.when(F.col("bloom_pass") & F.col("is_urgent").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_false_pos"),
+        F.sum(F.when(~F.col("bloom_pass") & F.col("is_urgent").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_false_neg"),
+    )
+
+
+_BLOOM_SQL = f"""
+WITH urgent AS (
+  SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+positions AS (
+  SELECT ('0x' || substr(md5('a' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+         % {_BLOOM_BITS} AS pos FROM urgent
+  UNION ALL
+  SELECT ('0x' || substr(md5('b' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+         % {_BLOOM_BITS} AS pos FROM urgent),
+words AS (
+  SELECT pos // {_BLOOM_WORD} AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % {_BLOOM_WORD} AS INTEGER)) AS word
+  FROM positions GROUP BY 1),
+probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+hashed AS (
+  SELECT k,
+    ('0x' || substr(md5('a' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+      % {_BLOOM_BITS} AS h1,
+    ('0x' || substr(md5('b' || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+      % {_BLOOM_BITS} AS h2
+  FROM probe),
+checked AS (
+  SELECT h.k,
+    (COALESCE(w1.word, 0) & (1::BIGINT << CAST(h.h1 % {_BLOOM_WORD} AS INTEGER))) <> 0
+    AND
+    (COALESCE(w2.word, 0) & (1::BIGINT << CAST(h.h2 % {_BLOOM_WORD} AS INTEGER))) <> 0
+      AS bloom_pass,
+    u.k IS NOT NULL AS is_urgent
+  FROM hashed h
+  LEFT JOIN words w1 ON w1.word_idx = h.h1 // {_BLOOM_WORD}
+  LEFT JOIN words w2 ON w2.word_idx = h.h2 // {_BLOOM_WORD}
+  LEFT JOIN (SELECT DISTINCT k FROM urgent) u ON u.k = h.k)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+  CAST(SUM(CASE WHEN is_urgent THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+  CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+  CAST(SUM(CASE WHEN bloom_pass AND NOT is_urgent THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_pos,
+  CAST(SUM(CASE WHEN NOT bloom_pass AND is_urgent THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_neg
+FROM checked
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9131,6 +9300,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_estimate_error": q_minhash_estimate_error,
     "embedding_standardize_outliers": q_embedding_standardize_outliers,
     "lang_id_confusion": q_lang_id_confusion,
+    "incremental_rollup_equivalence": q_incremental_rollup_equivalence,
+    "bloom_semi_join_audit": q_bloom_semi_join_audit,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -9344,6 +9515,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "minhash_estimate_error": _MINHASH_ERR_SQL,
     "embedding_standardize_outliers": _EMB_STANDARDIZE_SQL,
     "lang_id_confusion": _LANG_CONFUSION_SQL,
+    "incremental_rollup_equivalence": _INCR_ROLLUP_SQL,
+    "bloom_semi_join_audit": _BLOOM_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

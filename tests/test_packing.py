@@ -116,3 +116,37 @@ def test_lang_id_confusion_reconciles(spark, sf_dir, qs):
     # integer-division shares sum to <= 1e6 and within rounding slack
     for lang, ppm in per_lang.items():
         assert 1_000_000 - len(rows) <= ppm <= 1_000_000, lang
+
+
+def test_incremental_rollup_matches_batch(spark, sf_dir, qs):
+    """The merge-of-partials path must equal the batch rollup computed
+    directly in Spark (the oracle checks vs DuckDB; this pins the
+    within-engine equivalence on exact decimals)."""
+    merged = {
+        (r.date, r.event_count, r.total_value)
+        for r in qs["incremental_rollup_equivalence"](spark, sf_dir).collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    batch = {
+        (r.date, r.event_count, r.total_value)
+        for r in ev.withColumn("date", F.to_date("ts"))
+        .groupBy("date")
+        .agg(
+            F.count("*").cast("bigint").alias("event_count"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+        .collect()
+    }
+    assert merged == batch and merged
+
+
+def test_bloom_semi_join_audit_laws(spark, sf_dir, qs):
+    r = qs["bloom_semi_join_audit"](spark, sf_dir).collect()[0]
+    # Bloom filters never produce false negatives
+    assert r.n_false_neg == 0
+    assert r.n_bloom_pass == r.n_exact + r.n_false_pos
+    assert 0 < r.n_exact <= r.n_probed
+    # the filter must actually filter (pass rate well under 100%)
+    assert r.n_bloom_pass < r.n_probed
