@@ -9084,6 +9084,125 @@ FROM checked
 """
 
 
+def q_holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, alpha=0.2,
+    beta=0.1) of daily order revenue — a second, fully HASH-GATED model
+    family beside the Prophet-style surface (whose model outputs are
+    rows-only). The recurrence is inherently sequential, so it runs in
+    applyInPandas per series; the oracle replays the identical
+    IEEE-double recurrence in a recursive CTE. No rounding anywhere:
+    both engines execute the same op sequence on the same doubles, so
+    the bits match and the harness's %.6f canonicalization agrees.
+    Scale shape: one task per (table, metric) series like the
+    forecaster; state is O(1) per series."""
+    import pandas as pd
+
+    daily = _orders_daily(spark, sf_dir).select(
+        "date", F.col("total_revenue").cast("double").alias("y")
+    )
+    alpha, beta = 0.2, 0.1
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"date": [], "level": [], "trend": [], "fitted": []}
+            )
+        y = pdf["y"].tolist()
+        lvl, tr = y[0], y[1] - y[0]
+        levels, trends, fitted = [lvl], [tr], [y[0]]
+        for i in range(1, len(y)):
+            fit = lvl + tr
+            new_lvl = alpha * y[i] + (1 - alpha) * (lvl + tr)
+            tr = beta * (new_lvl - lvl) + (1 - beta) * tr
+            lvl = new_lvl
+            levels.append(lvl)
+            trends.append(tr)
+            fitted.append(fit)
+        return pd.DataFrame(
+            {"date": pdf["date"], "level": levels, "trend": trends, "fitted": fitted}
+        )
+
+    return (
+        daily.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda _, pdf: _holt(pdf),
+            "date date, level double, trend double, fitted double",
+        )
+        .orderBy("date")
+    )
+
+
+_HOLT_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS y,
+    ROW_NUMBER() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS rn
+  FROM orders GROUP BY 1),
+init AS (
+  SELECT a.d, a.y, a.rn, a.y AS level, b.y - a.y AS trend, a.y AS fitted
+  FROM daily a JOIN daily b ON b.rn = 2 WHERE a.rn = 1),
+holt(d, y, rn, level, trend, fitted) AS (
+  SELECT d, y, rn, level, trend, fitted FROM init
+  UNION ALL
+  SELECT n.d, n.y, n.rn,
+    0.2 * n.y + (1 - 0.2) * (h.level + h.trend),
+    0.1 * ((0.2 * n.y + (1 - 0.2) * (h.level + h.trend)) - h.level)
+      + (1 - 0.1) * h.trend,
+    h.level + h.trend
+  FROM holt h JOIN daily n ON n.rn = h.rn + 1)
+SELECT d AS date, level, trend, fitted FROM holt ORDER BY d
+"""
+
+
+def q_corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (96/2/2 by md5 of the
+    doc id — stable across runs, engines, and cluster sizes, which is
+    what makes a 100 TB split reproducible and leak-free), reported as
+    doc and token mass per (source, split). Pure row-local hashing +
+    one rollup; no shuffle beyond the final aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 100
+    )
+    n_tokens = F.size(
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    ).cast("bigint")
+    split = (
+        F.when(bucket < 96, "train").when(bucket < 98, "val").otherwise("test")
+    )
+    return (
+        docs.select(F.col("source"), split.alias("split"), n_tokens.alias("t"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("t").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+_SPLIT_SQL = r"""
+WITH assigned AS (
+  SELECT source,
+    CASE
+      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100 < 96 THEN 'train'
+      WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100 < 98 THEN 'val'
+      ELSE 'test' END AS split,
+    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+         x -> x <> '')) AS BIGINT) AS t
+  FROM documents)
+SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(t) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY 1, 2 ORDER BY source, split
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9302,6 +9421,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_confusion": q_lang_id_confusion,
     "incremental_rollup_equivalence": q_incremental_rollup_equivalence,
     "bloom_semi_join_audit": q_bloom_semi_join_audit,
+    "holt_linear_daily": q_holt_linear_daily,
+    "corpus_split_assignment": q_corpus_split_assignment,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -9517,6 +9638,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "lang_id_confusion": _LANG_CONFUSION_SQL,
     "incremental_rollup_equivalence": _INCR_ROLLUP_SQL,
     "bloom_semi_join_audit": _BLOOM_SQL,
+    "holt_linear_daily": _HOLT_SQL,
+    "corpus_split_assignment": _SPLIT_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

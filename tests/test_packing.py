@@ -150,3 +150,39 @@ def test_bloom_semi_join_audit_laws(spark, sf_dir, qs):
     assert 0 < r.n_exact <= r.n_probed
     # the filter must actually filter (pass rate well under 100%)
     assert r.n_bloom_pass < r.n_probed
+
+
+def test_holt_recurrence_replays_exactly(spark, sf_dir, qs):
+    """Recompute the Holt recurrence driver-side from the daily series;
+    the applyInPandas result must match bit-for-bit."""
+    daily = sorted(
+        (r.date, r.total_revenue)
+        for r in qs["daily_sales_series"](spark, sf_dir).collect()
+    )
+    y = [v for _, v in daily]
+    lvl, tr = y[0], y[1] - y[0]
+    expect = {daily[0][0]: (lvl, tr, y[0])}
+    for i in range(1, len(y)):
+        fit = lvl + tr
+        new_lvl = 0.2 * y[i] + (1 - 0.2) * (lvl + tr)
+        tr = 0.1 * (new_lvl - lvl) + (1 - 0.1) * tr
+        lvl = new_lvl
+        expect[daily[i][0]] = (lvl, tr, fit)
+    got = qs["holt_linear_daily"](spark, sf_dir).collect()
+    assert len(got) == len(y)
+    for r in got:
+        e = expect[r.date]
+        assert (r.level, r.trend, r.fitted) == e, r.date
+
+
+def test_corpus_split_assignment_partitions_corpus(spark, sf_dir, qs):
+    rows = qs["corpus_split_assignment"](spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    by_split: dict[str, int] = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    total = sum(by_split.values())
+    # 96/2/2 target with hash noise on a small corpus
+    assert by_split["train"] / total > 0.85
