@@ -9203,6 +9203,121 @@ FROM assigned GROUP BY 1, 2 ORDER BY source, split
 """
 
 
+_HASH_EMB_DIM = 16
+
+
+def q_text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embedding (the hashing trick): each token
+    maps to one of 16 dimensions by md5, per-dim counts form the vector.
+    This is the deterministic 'embed' step that connects the documents
+    table to the similarity stack without any model — and unlike learned
+    embeddings it is exactly replayable in SQL, so the whole vector is
+    hash-gated. One explode + one groupBy with 16 conditional sums
+    (codegen'd; ONE md5 per token, not per (token, dim))."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("t")
+    )
+    dim = (
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+        % _HASH_EMB_DIM
+    )
+    dimmed = tok.select("doc_id", dim.alias("dim"))
+    return (
+        dimmed.groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("dim") == i, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"f{i}")
+                for i in range(_HASH_EMB_DIM)
+            ]
+        )
+        .orderBy("doc_id")
+    )
+
+
+_HASH_EMB_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents),
+dims AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(t), 1, 15))::BIGINT % {_HASH_EMB_DIM} AS dim
+  FROM tok)
+SELECT doc_id,
+  {", ".join(f"CAST(SUM(CASE WHEN dim = {i} THEN 1 ELSE 0 END) AS BIGINT) AS f{i}" for i in range(_HASH_EMB_DIM))}
+FROM dims GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_stream_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit: treating event_id as arrival order, how
+    late does each event arrive relative to the max event-time seen so
+    far? The p50/p90/p99/max lateness (exact rank picks) and the ppm of
+    events later than 60 s are exactly the numbers that choose a
+    Structured Streaming `withWatermark` delay. The global arrival-order
+    window is the profiling cost — at 100 TB this runs on an id-range
+    sample or per shard; the report shape is identical."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    late = ev.select(
+        "event_id", (F.max("us").over(w) - F.col("us")).alias("late_us")
+    )
+    wr = Window.orderBy("late_us", "event_id")
+    ranked = late.select(
+        "late_us",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+
+    def pick(q: float) -> F.Column:
+        return F.max(
+            F.when(
+                F.col("rk") == F.ceil(F.col("n") * F.lit(q)).cast("bigint"),
+                F.col("late_us"),
+            )
+        )
+
+    return ranked.agg(
+        F.max("n").alias("n_events"),
+        pick(0.5).alias("p50_late_us"),
+        pick(0.9).alias("p90_late_us"),
+        pick(0.99).alias("p99_late_us"),
+        F.max("late_us").alias("max_late_us"),
+        F.expr(
+            "CAST(SUM(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) * 1000000"
+            " div MAX(n) AS BIGINT)"
+        ).alias("over_60s_ppm"),
+    )
+
+
+_LATENESS_SQL = """
+WITH ev AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+late AS (
+  SELECT event_id,
+    MAX(us) OVER (ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us AS late_us
+  FROM ev),
+ranked AS (
+  SELECT late_us,
+    ROW_NUMBER() OVER (ORDER BY late_us, event_id) AS rk,
+    COUNT(*) OVER () AS n
+  FROM late)
+SELECT CAST(MAX(n) AS BIGINT) AS n_events,
+  CAST(MAX(CASE WHEN rk = CAST(CEIL(n * 0.5) AS BIGINT) THEN late_us END)
+    AS BIGINT) AS p50_late_us,
+  CAST(MAX(CASE WHEN rk = CAST(CEIL(n * 0.9) AS BIGINT) THEN late_us END)
+    AS BIGINT) AS p90_late_us,
+  CAST(MAX(CASE WHEN rk = CAST(CEIL(n * 0.99) AS BIGINT) THEN late_us END)
+    AS BIGINT) AS p99_late_us,
+  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+  CAST(SUM(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) * 1000000
+    // MAX(n) AS BIGINT) AS over_60s_ppm
+FROM ranked
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9423,6 +9538,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_semi_join_audit": q_bloom_semi_join_audit,
     "holt_linear_daily": q_holt_linear_daily,
     "corpus_split_assignment": q_corpus_split_assignment,
+    "text_hash_embedding": q_text_hash_embedding,
+    "stream_lateness_profile": q_stream_lateness_profile,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -9640,6 +9757,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "bloom_semi_join_audit": _BLOOM_SQL,
     "holt_linear_daily": _HOLT_SQL,
     "corpus_split_assignment": _SPLIT_SQL,
+    "text_hash_embedding": _HASH_EMB_SQL,
+    "stream_lateness_profile": _LATENESS_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

@@ -186,3 +186,29 @@ def test_corpus_split_assignment_partitions_corpus(spark, sf_dir, qs):
     total = sum(by_split.values())
     # 96/2/2 target with hash noise on a small corpus
     assert by_split["train"] / total > 0.85
+
+
+def test_hash_embedding_conserves_token_mass(spark, sf_dir, qs):
+    from clickhouse_forecasting_spark.functions import text as TX
+
+    rows = qs["text_hash_embedding"](spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents")
+    counts = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", TX.token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert len(rows) == sum(1 for n in counts.values() if n > 0)
+    for r in rows:
+        fs = [r[f"f{i}"] for i in range(16)]
+        assert all(v >= 0 for v in fs)
+        assert sum(fs) == counts[r.doc_id]  # every token lands in one dim
+
+
+def test_stream_lateness_profile_is_ordered(spark, sf_dir, qs):
+    r = qs["stream_lateness_profile"](spark, sf_dir).collect()[0]
+    ev = read_table(spark, sf_dir, "events")
+    assert r.n_events == ev.count()
+    assert 0 <= r.p50_late_us <= r.p90_late_us <= r.p99_late_us <= r.max_late_us
+    assert 0 <= r.over_60s_ppm <= 1_000_000
