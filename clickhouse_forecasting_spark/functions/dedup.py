@@ -355,6 +355,65 @@ def lsh_verified_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold_ppm: int = 600_000,
+    cache_key=None,
+) -> DataFrame:
+    """Containment near-dup pairs: doc-inside-doc detection Jaccard misses.
+
+    A short doc quoted verbatim inside a long one has tiny Jaccard (the
+    union is dominated by the long doc) but containment |A∩B|/|A| ≈ 1.
+    Candidate generation is the SAME LSH band join as the Jaccard family
+    (shares the persisted banded-signature + shingle-set stages when
+    cache_key is set — zero extra corpus passes); only the verification
+    formula differs. Both directions are emitted as exact integer ppm
+    (common * 1e6 div |side|), and the pair is kept when either direction
+    clears ``threshold_ppm``. ``contained`` labels the more-contained side.
+
+    Scale: cost is O(LSH candidate pairs), independent of corpus size —
+    identical profile to lsh_verified_pairs. Note the LSH recall bias:
+    bands are tuned for Jaccard, so an extreme containment pair with low
+    Jaccard may not collide; raising num_hashes/bands (or banding on the
+    short side's signature only) trades cost for recall.
+    """
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, shingle_size, num_hashes, bands, cache_key
+    )
+    sets = shingle_sets(df, text_col, id_col, shingle_size, cache_key)
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh_set").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh_set").alias("sh_b"))
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("common", common.cast("bigint"))
+        .withColumn(
+            "cont_a_in_b_ppm",
+            F.expr("common * 1000000 div size(sh_a)").cast("bigint"),
+        )
+        .withColumn(
+            "cont_b_in_a_ppm",
+            F.expr("common * 1000000 div size(sh_b)").cast("bigint"),
+        )
+        .filter(
+            F.greatest("cont_a_in_b_ppm", "cont_b_in_a_ppm") >= F.lit(threshold_ppm)
+        )
+        .withColumn(
+            "contained",
+            F.when(
+                F.col("cont_a_in_b_ppm") >= F.col("cont_b_in_a_ppm"), F.lit("a_in_b")
+            ).otherwise(F.lit("b_in_a")),
+        )
+        .select("id_a", "id_b", "cont_a_in_b_ppm", "cont_b_in_a_ppm", "contained")
+    )
+
+
 # --------------------------------------------------------------------------
 # n-gram Jaccard (exact verification)
 # --------------------------------------------------------------------------

@@ -1716,6 +1716,127 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM verified WHERE jaccard >= 0
 """
 
 
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-inside-doc detection: containment |A∩B|/|A| catches a short doc
+    quoted verbatim inside a long one, which Jaccard misses (the union is
+    dominated by the long doc). Shares the persisted banded-signature and
+    shingle-set stages with the rest of the dedup family (cache_key) — the
+    verification formula is the only new work, so the marginal cost is one
+    O(candidate-pairs) join. Both directions emitted as exact integer ppm."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.containment_pairs(docs, threshold_ppm=600_000, cache_key=sf_dir)
+
+
+_CONTAIN_SQL = f"""
+WITH s AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shg FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(shg), 1, 15))::BIGINT % {_P} AS x FROM s),
+sig AS (SELECT doc_id, {_SIG_MINS_SQL} FROM h GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST_SQL}]) AS band
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, {_SHINGLES_SQL} AS sh_set FROM documents),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(sa.sh_set, sb.sh_set)) AS common,
+    len(sa.sh_set) AS n_a, len(sb.sh_set) AS n_b
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b,
+  CAST(common * 1000000 // n_a AS BIGINT) AS cont_a_in_b_ppm,
+  CAST(common * 1000000 // n_b AS BIGINT) AS cont_b_in_a_ppm,
+  CASE WHEN common * 1000000 // n_a >= common * 1000000 // n_b
+       THEN 'a_in_b' ELSE 'b_in_a' END AS contained
+FROM verified
+WHERE GREATEST(common * 1000000 // n_a, common * 1000000 // n_b) >= 600000
+"""
+
+
+def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filtering, exact-arithmetic edition: a bigram
+    model is trained on the corpus itself (count(w1,w2)/count(w1·) as
+    integer ppm) and every document is scored by its mean bigram
+    probability — word-soup and boilerplate-heavy shards surface at the
+    extremes. Per-source report: corpus mean and the min/max document
+    scores.
+
+    Scale: two groupBys over the exploded bigrams (map-side partial aggs)
+    plus one equi-join of bigrams back to the model on (w1, w2). The model
+    table grows with bigram *types*, not corpus size, so no broadcast is
+    forced — sort-merge/shuffle-hash with AQE is the 100 TB path; every
+    ratio is integer div, so the hash gate is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bg = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (x, y) -> struct(x AS w1, y AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "source", "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    lm = c2.join(c1, "w1").select(
+        "w1", "w2", F.expr("c2 * 1000000 div c1").cast("bigint").alias("p_ppm")
+    )
+    per_doc = (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("p_ppm").cast("bigint").alias("sum_ppm"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.expr("sum(sum_ppm) div sum(n_bigrams)")
+            .cast("bigint")
+            .alias("corpus_mean_ppm"),
+            F.min(F.expr("sum_ppm div n_bigrams")).cast("bigint").alias("min_doc_ppm"),
+            F.max(F.expr("sum_ppm div n_bigrams")).cast("bigint").alias("max_doc_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_BIGRAM_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS l FROM documents
+  WHERE len({_TOKS_SQL}) >= 2),
+bg AS (
+  SELECT doc_id, source, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
+  FROM toks),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+lm AS (
+  SELECT c2.w1, c2.w2, c2.c2 * 1000000 // c1.c1 AS p_ppm
+  FROM c2 JOIN c1 ON c1.w1 = c2.w1),
+per_doc AS (
+  SELECT bg.doc_id, bg.source, COUNT(*) AS n_bigrams, SUM(p_ppm) AS sum_ppm
+  FROM bg JOIN lm ON lm.w1 = bg.w1 AND lm.w2 = bg.w2
+  GROUP BY bg.doc_id, bg.source)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+  CAST(SUM(sum_ppm) // SUM(n_bigrams) AS BIGINT) AS corpus_mean_ppm,
+  CAST(MIN(sum_ppm // n_bigrams) AS BIGINT) AS min_doc_ppm,
+  CAST(MAX(sum_ppm // n_bigrams) AS BIGINT) AS max_doc_ppm
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 def q_dedup_near_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shipped artifact: corpus minus near-dups (min-id keeper rule)."""
     docs = _t(spark, sf_dir, "documents")
@@ -9397,6 +9518,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh_pairs": q_dedup_minhash_lsh_pairs,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_containment_pairs": q_dedup_containment_pairs,
+    "bigram_lm_quality": q_bigram_lm_quality,
     "dedup_near_projection": q_dedup_near_projection,
     "dedup_components": q_dedup_components,
     "corpus_curation": q_corpus_curation,
@@ -9617,6 +9740,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "dedup_minhash_lsh_pairs": _MINHASH_LSH_SQL,
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
+    "dedup_containment_pairs": _CONTAIN_SQL,
+    "bigram_lm_quality": _BIGRAM_LM_SQL,
     "dedup_near_projection": _DEDUP_NEAR_SQL,
     "dedup_components": _CC_SQL,
     "corpus_curation": _CURATION_SQL,

@@ -86,3 +86,31 @@ def test_forecast_contract_audits_are_healthy(spark, sf_dir, qs):
         ("events_daily", "total_value"),
     }
     assert all(r.n_bound_violations == 0 for r in multi)
+
+
+def test_containment_pairs_bounds_and_superset_of_jaccard(spark, sf_dir, qs):
+    cont = qs["dedup_containment_pairs"](spark, sf_dir).collect()
+    assert cont, "fixture corpus is known to contain near-dup pairs"
+    for r in cont:
+        assert 0 <= r.cont_a_in_b_ppm <= 1_000_000
+        assert 0 <= r.cont_b_in_a_ppm <= 1_000_000
+        assert max(r.cont_a_in_b_ppm, r.cont_b_in_a_ppm) >= 600_000
+        expect = "a_in_b" if r.cont_a_in_b_ppm >= r.cont_b_in_a_ppm else "b_in_a"
+        assert r.contained == expect
+    # J = |A∩B|/|A∪B| <= |A∩B|/min(|A|,|B|) = max containment, so every
+    # Jaccard>=0.8 near-dup pair must also clear the 0.6 containment gate
+    jac = qs["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    cont_keys = {(r.id_a, r.id_b) for r in cont}
+    for r in jac:
+        assert (r.id_a, r.id_b) in cont_keys, "containment missed a Jaccard pair"
+
+
+def test_bigram_lm_quality_report_shape(spark, sf_dir, qs):
+    rows = qs["bigram_lm_quality"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_docs > 0 and r.n_bigrams >= r.n_docs
+        # bigram probabilities are <= 1, so every ppm score lands in [0, 1e6];
+        # the corpus mean is a weighted mean of doc means (integer-div slop 1)
+        assert 0 <= r.min_doc_ppm <= r.max_doc_ppm <= 1_000_000
+        assert r.min_doc_ppm - 1 <= r.corpus_mean_ppm <= r.max_doc_ppm + 1
