@@ -107,6 +107,8 @@ EXTENSIONS_R2 = [
     "corpus_pack_firstfit",
     "minhash_estimate_error",  # rides the shared dedup stages
     "bloom_semi_join_audit",
+    "dedup_containment_pairs",  # rides the shared dedup stages
+    "bigram_lm_quality",
 ]
 
 
