@@ -9439,6 +9439,172 @@ FROM ranked
 """
 
 
+def q_boilerplate_prefix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prevalence report: per source shard, the modal 16-char
+    normalized document prefix and its share. Scraped corpora concentrate
+    templated headers/navigation in the document head, so a shard whose
+    modal prefix share spikes is a boilerplate-stripping candidate before
+    tokenization. One (source, prefix) groupBy with map-side combine, a
+    top-1 window over the per-source prefix table (prefix-type-bounded,
+    not corpus-bounded), and a broadcast-sized totals join."""
+    docs = _t(spark, sf_dir, "documents")
+    pre = docs.select(
+        "source", F.substring(TX.normalize_text(F.col("text")), 1, 16).alias("pre")
+    )
+    counts = pre.groupBy("source", "pre").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("pre"))
+    top = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("pre").alias("modal_prefix"), F.col("n").alias("modal_n"))
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_prefixes"),
+    )
+    return (
+        totals.join(top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_prefixes",
+            "modal_prefix",
+            F.col("modal_n").cast("bigint").alias("modal_n"),
+            F.expr("modal_n * 1000000 div n_docs").cast("bigint").alias("modal_share_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_BOILERPLATE_SQL = f"""
+WITH p AS (SELECT source, substr({_NORM_SQL}, 1, 16) AS pre FROM documents),
+counts AS (SELECT source, pre, COUNT(*) AS n FROM p GROUP BY source, pre),
+top AS (
+  SELECT source, pre AS modal_prefix, n AS modal_n,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, pre ASC) AS rk
+  FROM counts),
+totals AS (
+  SELECT source, SUM(n) AS n_docs, COUNT(*) AS n_prefixes FROM counts GROUP BY source)
+SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+  CAST(t.n_prefixes AS BIGINT) AS n_prefixes,
+  top.modal_prefix, CAST(top.modal_n AS BIGINT) AS modal_n,
+  CAST(top.modal_n * 1000000 // t.n_docs AS BIGINT) AS modal_share_ppm
+FROM totals t JOIN top ON top.source = t.source AND top.rk = 1
+ORDER BY t.source
+"""
+
+
+def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage census: near-dup pairs (Jaccard >= 0.8) whose two
+    docs live in DIFFERENT source shards — exactly the pairs that turn a
+    shard-level train/eval split into contamination. Rides the persisted
+    LSH candidate + shingle-set stages (cache_key), so the marginal cost is
+    one metadata join; the report aggregates to unordered shard pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.lsh_verified_pairs(docs, threshold=0.8, cache_key=sf_dir)
+    meta = docs.select("doc_id", "source")
+    sa = meta.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    sb = meta.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .groupBy("source_x", "source_y")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("source_x", "source_y")
+    )
+
+
+_LEAKAGE_SQL = f"""
+WITH s AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shg FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(shg), 1, 15))::BIGINT % {_P} AS x FROM s),
+sig AS (SELECT doc_id, {_SIG_MINS_SQL} FROM h GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST_SQL}]) AS band
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, {_SHINGLES_SQL} AS sh_set FROM documents),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(sa.sh_set, sb.sh_set))
+      / (len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set))) AS jaccard
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+  WHERE jaccard >= 0.8),
+meta AS (SELECT doc_id, source FROM documents)
+SELECT LEAST(ma.source, mb.source) AS source_x,
+  GREATEST(ma.source, mb.source) AS source_y,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  MAX(round(v.jaccard, 6)) AS max_jaccard
+FROM verified v
+JOIN meta ma ON ma.doc_id = v.id_a
+JOIN meta mb ON mb.doc_id = v.id_b
+WHERE ma.source <> mb.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle for training-data delivery: every doc is
+    assigned a pseudo-random position key md5('epoch7|' || doc_id) and a
+    shard (key mod 8) — the same permutation on any cluster size, any run.
+    The manifest is what a data loader consumes: per shard, its doc count,
+    share of the corpus, an order-insensitive id checksum, and the key
+    range. At 100 TB the write is repartitionByRange on the key (narrow
+    rows, near-uniform by construction); no global sort ever runs."""
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("epoch7|"), F.col("doc_id").cast("string"))).alias("k"),
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("k", 1, 8), 16, 10).cast("bigint") % 8).cast("bigint"),
+    )
+    agg = keyed.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        F.min("k").alias("first_key"),
+        F.max("k").alias("last_key"),
+    )
+    # total derives from the 8-row aggregate itself (window over shards),
+    # so the corpus is scanned exactly once
+    return (
+        agg.withColumn("_total", F.sum("n_docs").over(Window.partitionBy()))
+        .withColumn("share_ppm", F.expr("n_docs * 1000000 div _total").cast("bigint"))
+        .select(
+            "shard", "n_docs", "share_ppm", "id_checksum", "first_key", "last_key"
+        )
+        .orderBy("shard")
+    )
+
+
+_EPOCH_SHUFFLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, md5('epoch7|' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents),
+sharded AS (
+  SELECT doc_id, k, ('0x' || substr(k, 1, 8))::BIGINT % 8 AS shard FROM keyed),
+tot AS (SELECT COUNT(*) AS n FROM sharded)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) * 1000000 // MAX(tot.n) AS BIGINT) AS share_ppm,
+  CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+  MIN(k) AS first_key, MAX(k) AS last_key
+FROM sharded, tot
+GROUP BY shard ORDER BY shard
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -9520,6 +9686,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_containment_pairs": q_dedup_containment_pairs,
     "bigram_lm_quality": q_bigram_lm_quality,
+    "boilerplate_prefix_report": q_boilerplate_prefix_report,
+    "cross_source_leakage": q_cross_source_leakage,
+    "epoch_shuffle_manifest": q_epoch_shuffle_manifest,
     "dedup_near_projection": q_dedup_near_projection,
     "dedup_components": q_dedup_components,
     "corpus_curation": q_corpus_curation,
@@ -9742,6 +9911,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_containment_pairs": _CONTAIN_SQL,
     "bigram_lm_quality": _BIGRAM_LM_SQL,
+    "boilerplate_prefix_report": _BOILERPLATE_SQL,
+    "cross_source_leakage": _LEAKAGE_SQL,
+    "epoch_shuffle_manifest": _EPOCH_SHUFFLE_SQL,
     "dedup_near_projection": _DEDUP_NEAR_SQL,
     "dedup_components": _CC_SQL,
     "corpus_curation": _CURATION_SQL,

@@ -114,3 +114,43 @@ def test_bigram_lm_quality_report_shape(spark, sf_dir, qs):
         # the corpus mean is a weighted mean of doc means (integer-div slop 1)
         assert 0 <= r.min_doc_ppm <= r.max_doc_ppm <= 1_000_000
         assert r.min_doc_ppm - 1 <= r.corpus_mean_ppm <= r.max_doc_ppm + 1
+
+
+def test_boilerplate_prefix_report_shares(spark, sf_dir, qs):
+    rows = qs["boilerplate_prefix_report"](spark, sf_dir).collect()
+    assert rows and len({r.source for r in rows}) == len(rows)
+    for r in rows:
+        assert 1 <= r.modal_n <= r.n_docs
+        assert r.n_prefixes <= r.n_docs
+        assert 0 <= r.modal_share_ppm <= 1_000_000
+        assert len(r.modal_prefix) <= 16
+
+
+def test_cross_source_leakage_is_subset_of_near_dups(spark, sf_dir, qs):
+    leak = qs["cross_source_leakage"](spark, sf_dir).collect()
+    for r in leak:
+        assert r.source_x < r.source_y  # unordered pair normalization
+        assert r.n_pairs >= 1 and 0.8 <= r.max_jaccard <= 1.0
+    # leaked pair count never exceeds the total near-dup pair count
+    total_near = qs["dedup_ngram_jaccard"](spark, sf_dir).count()
+    assert sum(r.n_pairs for r in leak) <= total_near
+
+
+def test_epoch_shuffle_manifest_is_deterministic_partition(spark, sf_dir, qs):
+    from clickhouse_forecasting_spark.sources import read_table
+
+    rows = qs["epoch_shuffle_manifest"](spark, sf_dir).collect()
+    assert [r.shard for r in rows] == sorted({r.shard for r in rows})
+    assert all(0 <= r.shard < 8 for r in rows)
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.count()
+    ids = docs.agg(F.sum("doc_id")).collect()[0][0]
+    # the shards partition the corpus exactly: counts and id checksums add up
+    assert sum(r.n_docs for r in rows) == n
+    assert sum(r.id_checksum for r in rows) == ids
+    # shares are exact integer ppm of the true total
+    for r in rows:
+        assert r.share_ppm == r.n_docs * 1_000_000 // n
+    # second run returns the identical manifest (pure function of doc_id)
+    again = qs["epoch_shuffle_manifest"](spark, sf_dir).collect()
+    assert again == rows
