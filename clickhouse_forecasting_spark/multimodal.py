@@ -12,8 +12,10 @@ The Spark-side plumbing (schemas, batch shapes, partitioning, Pandas-UDF
 signatures) is real and tested. The decode step is PLUGGABLE: payloads
 carrying an uncompressed 24-bit BMP (magic ``BM``) are decoded for real by
 the pure-Python codec below (header parse, bottom-up BGR rows, 4-byte row
-padding, nearest-neighbor resize) — pixel-accurate and library-free; any
-other payload falls back to the deterministic byte-statistics stub. A real
+padding, nearest-neighbor resize), and RIFF/WAVE payloads (magic ``RIFF``)
+by the pure-Python PCM codec (chunk walk, 16-bit mono samples, power /
+zero-crossing features) — sample-accurate and library-free; any other
+payload falls back to the deterministic byte-statistics stub. A real
 deployment swaps/extends ``_DECODERS`` with PIL/libav calls; the dataflow
 does not change.
 
@@ -159,6 +161,74 @@ def _decode_bmp_features(payload: bytes) -> list[float]:
     return [sum(rgb) / n, float(width), float(height), float(n)]
 
 
+def encode_wav(sample_rate: int, samples: "list[int]") -> bytes:
+    """Encode 16-bit signed mono PCM samples as a canonical RIFF/WAVE file
+    (fmt chunk 16 bytes, audio_format=1/PCM, then the data chunk)."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """Decode a RIFF/WAVE payload into (sample_rate, 16-bit mono samples).
+    Walks the chunk list (so extra chunks like LIST/INFO are skipped),
+    requires PCM mono 16-bit, and raises ValueError for anything it can't
+    honestly decode — the corrupt-media path the Pandas UDFs isolate."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, bits, channels, fmt_seen = 12, None, None, None, False
+    samples: list[int] | None = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_format, channels, sample_rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_format != 1:
+                raise ValueError(f"unsupported WAVE format {audio_format} (PCM only)")
+            fmt_seen = True
+        elif cid == b"data":
+            if len(body) < size:
+                raise ValueError("truncated data chunk")
+            if not fmt_seen:
+                raise ValueError("data chunk before fmt chunk")
+            if channels != 1 or bits != 16:
+                raise ValueError(f"unsupported PCM layout: {channels}ch {bits}-bit")
+            n = size // 2
+            samples = list(struct.unpack_from(f"<{n}h", body, 0))
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if samples is None or sample_rate is None:
+        raise ValueError("missing fmt/data chunk")
+    return sample_rate, samples
+
+
+def _decode_wav_features(payload: bytes) -> list[float]:
+    """Real audio decode: mean signal power, rate, length, zero crossings."""
+    sample_rate, samples = decode_wav(payload)
+    n = len(samples)
+    if n == 0:
+        raise ValueError("empty PCM data")
+    zc = sum(1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0))
+    return [sum(s * s for s in samples) / n, float(sample_rate), float(n), float(zc)]
+
+
 def _decode_stub_features(payload: bytes) -> list[float]:
     """Deterministic byte-statistics fake for payloads with no real codec
     in this container (swap in PIL/libav in a real deployment)."""
@@ -174,6 +244,7 @@ def _decode_stub_features(payload: bytes) -> list[float]:
 # magic-byte -> decoder registry; first match wins, stub is the fallback.
 _DECODERS: list[tuple[bytes, object]] = [
     (b"BM", _decode_bmp_features),
+    (b"RIFF", _decode_wav_features),
 ]
 
 

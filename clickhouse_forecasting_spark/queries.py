@@ -2528,6 +2528,66 @@ FROM documents
 """
 
 
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-gated end-to-end: each document gets a
+    deterministic 16-sample 16-bit mono PCM clip (samples derived from its
+    md5 digest), the payload round-trips through the pure-Python RIFF/WAVE
+    encoder AND decoder inside mapInPandas, and the decoded mean signal
+    power + zero-crossing count are emitted. The DuckDB twin recomputes
+    both directly from the md5 hex pairs, so a codec bug anywhere in the
+    chunk walk / PCM unpack breaks the hash (all values are exact: the
+    power sum is < 2^53 and divides by 16). Payload bytes never shuffle."""
+    import hashlib
+    from collections.abc import Iterator as _It
+
+    import pandas as pd  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = (
+        "doc_id long, mean_power double, sample_rate long,"
+        " n_samples long, zero_crossings long"
+    )
+
+    def _gen_and_decode(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        cols = ["doc_id", "mean_power", "sample_rate", "n_samples", "zero_crossings"]
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(str(text).encode("utf-8")).digest()
+                samples = [b * 256 - 32768 for b in digest]  # 16 int16 values
+                payload = MM.encode_wav(8000, samples)
+                feats = MM._decode_payload(payload)  # real RIFF/WAVE path
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "mean_power": feats[0],
+                        "sample_rate": int(feats[1]),
+                        "n_samples": int(feats[2]),
+                        "zero_crossings": int(feats[3]),
+                    }
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(_gen_and_decode, schema=schema)
+
+
+_MM_AUDIO_SQL = """
+WITH b AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 15),
+      i -> ('0x' || substr(md5(text), 2 * i + 1, 2))::BIGINT * 256 - 32768) AS s
+  FROM documents)
+SELECT doc_id,
+  list_sum(list_transform(s, v -> v * v)) / 16.0 AS mean_power,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(16 AS BIGINT) AS n_samples,
+  CAST(list_sum(list_transform(generate_series(2, 16),
+      i -> CASE WHEN (s[i-1] < 0) <> (s[i] < 0) THEN 1 ELSE 0 END))
+    AS BIGINT) AS zero_crossings
+FROM b
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -9706,6 +9766,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_features": q_multimodal_features,
     "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frames_audit": q_multimodal_frames_audit,
     "multimodal_frames": q_multimodal_frames,
     "forecast_daily_sales": q_forecast_daily_sales,
@@ -9933,6 +9994,7 @@ ORACLE_QUERIES: dict[str, str] = {
     #   decode), similarity_ivf_topk (learned KMeans centroids)
     "multimodal_meta": _MM_META_SQL,
     "multimodal_image_features": _MM_IMAGE_SQL,
+    "multimodal_audio_features": _MM_AUDIO_SQL,
     "multimodal_frames_audit": _MM_FRAMES_AUDIT_SQL,
     "multimodal_features": _MM_FEATURES_SQL,
     "grouping_sets_revenue": _GSETS_SQL,

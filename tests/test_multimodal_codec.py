@@ -152,3 +152,70 @@ def test_resize_images_pixel_accurate_in_spark(spark):
             expected += src_rgb[(sy * 6 + sx) * 3 : (sy * 6 + sx) * 3 + 3]
     assert got == bytes(expected)
     assert not rows[2].resized and bytes(rows[2].payload) == b"opaque"
+
+
+# ---------------------------------------------------------------------------
+# RIFF/WAVE (PCM) codec
+# ---------------------------------------------------------------------------
+
+
+def test_encode_wav_matches_hand_assembled_bytes():
+    # 3 samples at 8 kHz: 0, +1, -1
+    expected = (
+        b"RIFF"
+        + struct.pack("<I", 36 + 6)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", 6)
+        + struct.pack("<3h", 0, 1, -1)
+    )
+    assert MM.encode_wav(8000, [0, 1, -1]) == expected
+
+
+def test_wav_roundtrip_extremes_and_rates():
+    for sr, samples in [
+        (8000, [0]),
+        (16000, [32767, -32768, 0, -1, 1]),
+        (44100, [(i * 1103) % 65536 - 32768 for i in range(64)]),
+    ]:
+        dec_sr, dec = MM.decode_wav(MM.encode_wav(sr, samples))
+        assert (dec_sr, dec) == (sr, samples)
+
+
+def test_decode_wav_skips_extra_chunks():
+    # a LIST/INFO chunk between fmt and data must be walked over
+    body = (
+        b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", 4) + struct.pack("<2h", 5, -5)
+    )
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    assert MM.decode_wav(payload) == (8000, [5, -5])
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda p: p[:3],  # too short
+        lambda p: b"RIFX" + p[4:],  # wrong magic
+        lambda p: p.replace(b"WAVE", b"AVI "),  # wrong form type
+        lambda p: p.replace(struct.pack("<HH", 16, 1)[2:], struct.pack("<H", 3), 1),
+    ],
+)
+def test_decode_wav_rejects_corrupt_payloads(mutate):
+    good = MM.encode_wav(8000, [1, 2, 3])
+    with pytest.raises(ValueError):
+        MM.decode_wav(mutate(good))
+
+
+def test_wav_features_power_and_zero_crossings():
+    # samples: +, -, -, + => 2 sign changes; mean power exact
+    feats = MM._decode_payload(MM.encode_wav(8000, [100, -100, -50, 200]))
+    assert feats == [
+        (100 * 100 + 100 * 100 + 50 * 50 + 200 * 200) / 4,
+        8000.0,
+        4.0,
+        2.0,
+    ]
