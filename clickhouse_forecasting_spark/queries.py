@@ -9430,6 +9430,83 @@ FROM dims GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_source_domain_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing analytics: cosine similarity between source shards in
+    the feature-hash embedding space (per-source token-count vectors over
+    the same 16 md5 dims as text_hash_embedding). The corpus reduces to
+    one 16-dim integer vector per source (one explode + groupBy, map-side
+    combined); the pair stage is an inequality join over the CHECKPOINTED
+    |sources|-row aggregate — bounded at every scale factor (cf. the
+    rank_correlation/triangles lesson), never over docs. Dot products and
+    norms are exact bigints; the only doubles are the final sqrt/divide,
+    computed in the same op order both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(TX.tokens(F.col("text"))).alias("t"))
+    dim = (
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long") % _HASH_EMB_DIM
+    )
+    vec = (
+        tok.select("source", dim.alias("dim"))
+        .groupBy("source")
+        .agg(
+            *[
+                F.sum(F.when(F.col("dim") == i, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"f{i}")
+                for i in range(_HASH_EMB_DIM)
+            ]
+        )
+        .localCheckpoint(eager=True)  # tiny; prevents double corpus derivation
+    )
+    a = vec.select(
+        F.col("source").alias("source_x"),
+        *[F.col(f"f{i}").alias(f"a{i}") for i in range(_HASH_EMB_DIM)],
+    )
+    b = vec.select(
+        F.col("source").alias("source_y"),
+        *[F.col(f"f{i}").alias(f"b{i}") for i in range(_HASH_EMB_DIM)],
+    )
+    dot = sum(F.col(f"a{i}") * F.col(f"b{i}") for i in range(_HASH_EMB_DIM))
+    na2 = sum(F.col(f"a{i}") * F.col(f"a{i}") for i in range(_HASH_EMB_DIM))
+    nb2 = sum(F.col(f"b{i}") * F.col(f"b{i}") for i in range(_HASH_EMB_DIM))
+    return (
+        a.join(b, F.col("source_x") < F.col("source_y"))
+        .select(
+            "source_x",
+            "source_y",
+            dot.cast("bigint").alias("dot"),
+            F.round(
+                dot
+                / (
+                    F.sqrt(na2.cast("double")) * F.sqrt(nb2.cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("source_x", "source_y")
+    )
+
+
+_DOMAIN_SIM_SQL = f"""
+WITH tok AS (SELECT source, unnest({_TOKS_SQL}) AS t FROM documents),
+dims AS (
+  SELECT source,
+    ('0x' || substr(md5(t), 1, 15))::BIGINT % {_HASH_EMB_DIM} AS dim
+  FROM tok),
+vec AS (
+  SELECT source,
+    {", ".join(f"CAST(SUM(CASE WHEN dim = {i} THEN 1 ELSE 0 END) AS BIGINT) AS f{i}" for i in range(_HASH_EMB_DIM))}
+  FROM dims GROUP BY source)
+SELECT a.source AS source_x, b.source AS source_y,
+  CAST(({" + ".join(f"a.f{i} * b.f{i}" for i in range(_HASH_EMB_DIM))}) AS BIGINT) AS dot,
+  round(({" + ".join(f"a.f{i} * b.f{i}" for i in range(_HASH_EMB_DIM))})
+    / (sqrt(CAST(({" + ".join(f"a.f{i} * a.f{i}" for i in range(_HASH_EMB_DIM))}) AS DOUBLE))
+       * sqrt(CAST(({" + ".join(f"b.f{i} * b.f{i}" for i in range(_HASH_EMB_DIM))}) AS DOUBLE))), 6) AS cosine
+FROM vec a JOIN vec b ON a.source < b.source
+ORDER BY source_x, source_y
+"""
+
+
 def q_stream_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-sizing audit: treating event_id as arrival order, how
     late does each event arrive relative to the max event-time seen so
@@ -9749,6 +9826,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_prefix_report": q_boilerplate_prefix_report,
     "cross_source_leakage": q_cross_source_leakage,
     "epoch_shuffle_manifest": q_epoch_shuffle_manifest,
+    "source_domain_similarity": q_source_domain_similarity,
     "dedup_near_projection": q_dedup_near_projection,
     "dedup_components": q_dedup_components,
     "corpus_curation": q_corpus_curation,
@@ -9975,6 +10053,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "boilerplate_prefix_report": _BOILERPLATE_SQL,
     "cross_source_leakage": _LEAKAGE_SQL,
     "epoch_shuffle_manifest": _EPOCH_SHUFFLE_SQL,
+    "source_domain_similarity": _DOMAIN_SIM_SQL,
     "dedup_near_projection": _DEDUP_NEAR_SQL,
     "dedup_components": _CC_SQL,
     "corpus_curation": _CURATION_SQL,

@@ -154,3 +154,14 @@ def test_epoch_shuffle_manifest_is_deterministic_partition(spark, sf_dir, qs):
     # second run returns the identical manifest (pure function of doc_id)
     again = qs["epoch_shuffle_manifest"](spark, sf_dir).collect()
     assert again == rows
+
+
+def test_source_domain_similarity_matrix(spark, sf_dir, qs):
+    rows = qs["source_domain_similarity"](spark, sf_dir).collect()
+    srcs = {s for r in rows for s in (r.source_x, r.source_y)}
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2  # full unordered pair matrix
+    for r in rows:
+        assert r.source_x < r.source_y
+        assert r.dot >= 0  # count vectors are non-negative
+        assert 0.0 <= r.cosine <= 1.0 + 1e-9
