@@ -9430,6 +9430,67 @@ FROM dims GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_corpus_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diversity telemetry: treating doc_id as crawl order, what
+    fraction of each document's 5-char shingles has never been seen
+    before? A healthy crawl keeps novelty high; a collapsing one trends
+    toward boilerplate. Report: per (source, arrival decile), docs and
+    novelty ppm. The only corpus-sized shuffle is the min-doc-per-shingle
+    aggregate (map-side combined); per-doc novel counts come from that
+    aggregate alone (groupBy first_doc — no join back to the exploded
+    shingles), and per-doc shingle counts are row-local set sizes from
+    the dedup family's persisted shingle-set stage."""
+    docs = _t(spark, sf_dir, "documents")
+    sets = DD.shingle_sets(docs, cache_key=sf_dir)
+    exploded = sets.select("doc_id", F.explode("sh_set").alias("sh"))
+    first = exploded.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("n_novel")
+    )
+    per_doc = (
+        sets.select("doc_id", F.size("sh_set").cast("bigint").alias("n_sh"))
+        .join(novel, "doc_id", "left")
+        .fillna(0, subset=["n_novel"])
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    decile = F.ntile(10).over(Window.partitionBy("source").orderBy("doc_id"))
+    return (
+        per_doc.withColumn("decile", decile.cast("bigint"))
+        .groupBy("source", "decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_sh").cast("bigint").alias("n_shingles"),
+            F.expr("sum(n_novel) * 1000000 div sum(n_sh)")
+            .cast("bigint")
+            .alias("novelty_ppm"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+_NOVELTY_SQL = f"""
+WITH sets AS (SELECT doc_id, {_SHINGLES_SQL} AS sh_set FROM documents),
+exploded AS (SELECT doc_id, unnest(sh_set) AS sh FROM sets),
+first AS (SELECT sh, MIN(doc_id) AS first_doc FROM exploded GROUP BY sh),
+novel AS (SELECT first_doc AS doc_id, COUNT(*) AS n_novel FROM first GROUP BY first_doc),
+per_doc AS (
+  SELECT s.doc_id, len(s.sh_set) AS n_sh, COALESCE(n.n_novel, 0) AS n_novel,
+    d.source
+  FROM sets s
+  LEFT JOIN novel n ON n.doc_id = s.doc_id
+  JOIN documents d ON d.doc_id = s.doc_id),
+binned AS (
+  SELECT source, n_sh, n_novel,
+    NTILE(10) OVER (PARTITION BY source ORDER BY doc_id) AS decile
+  FROM per_doc)
+SELECT source, CAST(decile AS BIGINT) AS decile,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+  CAST(SUM(n_novel) * 1000000 // SUM(n_sh) AS BIGINT) AS novelty_ppm
+FROM binned GROUP BY source, decile ORDER BY source, decile
+"""
+
+
 def q_source_domain_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixing analytics: cosine similarity between source shards in
     the feature-hash embedding space (per-source token-count vectors over
@@ -9827,6 +9888,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_source_leakage": q_cross_source_leakage,
     "epoch_shuffle_manifest": q_epoch_shuffle_manifest,
     "source_domain_similarity": q_source_domain_similarity,
+    "corpus_novelty_decay": q_corpus_novelty_decay,
     "dedup_near_projection": q_dedup_near_projection,
     "dedup_components": q_dedup_components,
     "corpus_curation": q_corpus_curation,
@@ -10054,6 +10116,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "cross_source_leakage": _LEAKAGE_SQL,
     "epoch_shuffle_manifest": _EPOCH_SHUFFLE_SQL,
     "source_domain_similarity": _DOMAIN_SIM_SQL,
+    "corpus_novelty_decay": _NOVELTY_SQL,
     "dedup_near_projection": _DEDUP_NEAR_SQL,
     "dedup_components": _CC_SQL,
     "corpus_curation": _CURATION_SQL,

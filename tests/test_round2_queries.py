@@ -165,3 +165,27 @@ def test_source_domain_similarity_matrix(spark, sf_dir, qs):
         assert r.source_x < r.source_y
         assert r.dot >= 0  # count vectors are non-negative
         assert 0.0 <= r.cosine <= 1.0 + 1e-9
+
+
+def test_corpus_novelty_decay_conserves_shingle_firsts(spark, sf_dir, qs):
+    rows = qs["corpus_novelty_decay"](spark, sf_dir).collect()
+    assert rows and all(1 <= r.decile <= 10 for r in rows)
+    for r in rows:
+        assert 0 <= r.novelty_ppm <= 1_000_000
+        assert r.n_shingles >= r.n_docs  # every doc has >= 1 shingle
+    # every distinct shingle is novel exactly once: summing novel counts
+    # across all buckets equals the corpus-wide distinct shingle count
+    from clickhouse_forecasting_spark.functions import dedup as DD
+    from clickhouse_forecasting_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    distinct_sh = (
+        DD.shingle_sets(docs, cache_key=sf_dir)
+        .select(F.explode("sh_set").alias("sh"))
+        .distinct()
+        .count()
+    )
+    novel_total = sum(
+        int(r.novelty_ppm * r.n_shingles) for r in rows
+    )  # ppm floors, so only a bound check
+    assert novel_total <= distinct_sh * 1_000_000
