@@ -1763,11 +1763,12 @@ def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     extremes. Per-source report: corpus mean and the min/max document
     scores.
 
-    Scale: two groupBys over the exploded bigrams (map-side partial aggs)
-    plus one equi-join of bigrams back to the model on (w1, w2). The model
-    table grows with bigram *types*, not corpus size, so no broadcast is
-    forced — sort-merge/shuffle-hash with AQE is the 100 TB path; every
-    ratio is integer div, so the hash gate is exact."""
+    Scale: ONE groupBy over the exploded bigrams trains c2 (map-side
+    partial aggs); c1 derives from the model table itself (c1 = Σ_w2 c2),
+    so the plan is one train scan + one score scan. The model table grows
+    with bigram *types*, not corpus size, so no broadcast is forced —
+    sort-merge/shuffle-hash with AQE is the 100 TB path; every ratio is
+    integer div, so the hash gate is exact."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", TX.tokens(F.col("text")).alias("toks")
@@ -1783,8 +1784,17 @@ def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "source", "b.w1", "b.w2")
-    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    # c1(w1) = Σ_w2 c2(w1, w2): deriving it from the model table instead
+    # of the exploded bigrams saves a full corpus pass, and checkpointing
+    # c2 (model-table-sized, bigram-type-bounded) stops the train subtree
+    # from being derived twice (cf. the khop/vol lesson) — the plan is one
+    # train scan + one score scan, never three
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     lm = c2.join(c1, "w1").select(
         "w1", "w2", F.expr("c2 * 1000000 div c1").cast("bigint").alias("p_ppm")
     )
@@ -1819,7 +1829,7 @@ bg AS (
   SELECT doc_id, source, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2
   FROM toks),
 c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
-c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
 lm AS (
   SELECT c2.w1, c2.w2, c2.c2 * 1000000 // c1.c1 AS p_ppm
   FROM c2 JOIN c1 ON c1.w1 = c2.w1),
