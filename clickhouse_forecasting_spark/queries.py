@@ -9659,7 +9659,13 @@ def q_boilerplate_prefix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = docs.select(
         "source", F.substring(TX.normalize_text(F.col("text")), 1, 16).alias("pre")
     )
-    counts = pre.groupBy("source", "pre").agg(F.count("*").alias("n"))
+    # prefix-type-bounded aggregate referenced twice (top + totals):
+    # checkpoint so the corpus scan runs once (cf. the khop/vol lesson)
+    counts = (
+        pre.groupBy("source", "pre")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("pre"))
     top = (
         counts.withColumn("rk", F.row_number().over(w))
