@@ -135,3 +135,63 @@ def pack_first_fit(
         .applyInPandas(_pack, schema)
         .orderBy(shard_col, id_col)
     )
+
+
+def chunk_overlap_manifest(
+    df: DataFrame,
+    chunk: int = 128,
+    stride: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """RAG-style sliding-window chunking report, one row per shard.
+
+    Every document splits into windows of `chunk` tokens advancing by
+    `stride` (overlap = chunk - stride); the last window may be partial.
+    k = 1 + max(0, ceil((n - chunk) / stride)) windows cover all tokens.
+    The report gives, per shard: docs, corpus tokens, window count, total
+    window tokens, the index amplification the overlap costs a vector
+    store (expansion ppm), and the share of full windows.
+
+    Per-doc window sums fold ROW-LOCALLY with ``aggregate`` over the
+    window-index sequence (≤ n/stride + 1 entries) — no explode row
+    blow-up, no per-doc shuffle; the only exchange is the final per-shard
+    rollup with map-side combine. Exact integer arithmetic end-to-end."""
+    toks = token_lengths(df, text_col, id_col, shard_col)
+    per_doc = toks.select(
+        F.col(shard_col),
+        "n_tokens",
+        F.expr(
+            f"1 + greatest(0L, (n_tokens - {chunk} + {stride} - 1) div {stride})"
+        ).alias("k"),
+    ).select(
+        F.col(shard_col),
+        "n_tokens",
+        "k",
+        F.expr(
+            f"aggregate(sequence(0L, k - 1), 0L,"
+            f" (acc, i) -> acc + least({chunk}L, n_tokens - i * {stride}L))"
+        ).alias("win_tokens"),
+        F.expr(
+            f"aggregate(sequence(0L, k - 1), 0L, (acc, i) ->"
+            f" acc + CASE WHEN n_tokens - i * {stride}L >= {chunk}L"
+            f" THEN 1L ELSE 0L END)"
+        ).alias("full_windows"),
+    )
+    return (
+        per_doc.groupBy(shard_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("k").cast("bigint").alias("n_windows"),
+            F.sum("win_tokens").cast("bigint").alias("window_tokens"),
+            F.expr("sum(win_tokens) * 1000000 div sum(n_tokens)")
+            .cast("bigint")
+            .alias("expansion_ppm"),
+            F.expr("sum(full_windows) * 1000000 div sum(k)")
+            .cast("bigint")
+            .alias("full_share_ppm"),
+        )
+        .orderBy(shard_col)
+    )

@@ -8926,6 +8926,45 @@ SELECT source, doc_id, n_tokens, bin_id FROM pack ORDER BY source, doc_id
 """
 
 
+def q_corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-indexing twin of the packing family: sliding 128-token windows
+    with stride 64 (50% overlap) per document; the manifest prices the
+    index amplification a vector store pays for the overlap. Per-doc
+    window sums fold row-locally (aggregate over the index sequence), so
+    the only shuffle is the per-shard rollup."""
+    return PK.chunk_overlap_manifest(
+        _t(spark, sf_dir, "documents"), chunk=128, stride=64
+    )
+
+
+_CHUNK_OVERLAP_SQL = r"""
+WITH toks AS (
+  SELECT source, doc_id,
+    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+         x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+per_doc AS (
+  SELECT source, n_tokens,
+    1 + GREATEST(0, (n_tokens - 128 + 63) // 64) AS k
+  FROM toks WHERE n_tokens > 0),
+folded AS (
+  SELECT source, n_tokens, k,
+    list_sum(list_transform(generate_series(0, k - 1),
+      i -> LEAST(128, n_tokens - i * 64))) AS win_tokens,
+    list_sum(list_transform(generate_series(0, k - 1),
+      i -> CASE WHEN n_tokens - i * 64 >= 128 THEN 1 ELSE 0 END)) AS full_windows
+  FROM per_doc)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(SUM(k) AS BIGINT) AS n_windows,
+  CAST(SUM(win_tokens) AS BIGINT) AS window_tokens,
+  CAST(SUM(win_tokens) * 1000000 // SUM(n_tokens) AS BIGINT) AS expansion_ppm,
+  CAST(SUM(full_windows) * 1000000 // SUM(k) AS BIGINT) AS full_share_ppm
+FROM folded GROUP BY source ORDER BY source
+"""
+
+
 def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator-quality audit for the dedup index: per LSH candidate
     pair, the MinHash-estimated Jaccard (fraction of agreeing signature
@@ -9905,6 +9944,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "epoch_shuffle_manifest": q_epoch_shuffle_manifest,
     "source_domain_similarity": q_source_domain_similarity,
     "corpus_novelty_decay": q_corpus_novelty_decay,
+    "corpus_chunk_overlap": q_corpus_chunk_overlap,
     "dedup_near_projection": q_dedup_near_projection,
     "dedup_components": q_dedup_components,
     "corpus_curation": q_corpus_curation,
@@ -10133,6 +10173,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "epoch_shuffle_manifest": _EPOCH_SHUFFLE_SQL,
     "source_domain_similarity": _DOMAIN_SIM_SQL,
     "corpus_novelty_decay": _NOVELTY_SQL,
+    "corpus_chunk_overlap": _CHUNK_OVERLAP_SQL,
     "dedup_near_projection": _DEDUP_NEAR_SQL,
     "dedup_components": _CC_SQL,
     "corpus_curation": _CURATION_SQL,

@@ -212,3 +212,17 @@ def test_stream_lateness_profile_is_ordered(spark, sf_dir, qs):
     assert r.n_events == ev.count()
     assert 0 <= r.p50_late_us <= r.p90_late_us <= r.p99_late_us <= r.max_late_us
     assert 0 <= r.over_60s_ppm <= 1_000_000
+
+
+def test_chunk_overlap_manifest_covers_every_token(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["corpus_chunk_overlap"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # windows tile [0, n) with stride 64: every token lands in >= 1
+        # and <= 2 windows, so expansion lies in [1, 2] exactly
+        assert r.n_tokens <= r.window_tokens <= 2 * r.n_tokens
+        assert 1_000_000 <= r.expansion_ppm <= 2_000_000
+        assert r.n_windows >= r.n_docs
+        assert 0 <= r.full_share_ppm <= 1_000_000
