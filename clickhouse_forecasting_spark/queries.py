@@ -9479,6 +9479,155 @@ FROM dims GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel with stage attribution: every document is
+    claimed by the FIRST rule that rejects it — (1) too short (< 30
+    tokens), (2) near-dup loser (min-id keeper over the Jaccard-0.8
+    verified pairs, riding the persisted LSH stages), (3) LM quality
+    (bigram score below half the corpus mean) — or survives to `kept`.
+    Per-source stage counts are what a pipeline owner reads to see WHICH
+    rule is eating their corpus. All thresholds and scores are exact
+    integers, so the whole funnel is hash-gated.
+
+    Scale: the LM per-doc scores and dup set are the two non-row-local
+    inputs; the corpus-mean threshold is a broadcast single-row aggregate
+    (never a global window), and the stage attribution itself is one
+    row-local CASE over the joined flags."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.size(TX.tokens(F.col("text"))).cast("bigint").alias("n_tok")
+    )
+    dup = (
+        DD.lsh_verified_pairs(docs, threshold=0.8, cache_key=sf_dir)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 1),"
+                " slice(toks, 2, size(toks) - 1),"
+                " (x, y) -> struct(x AS w1, y AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = (
+        bg.groupBy("w1", "w2").agg(F.count("*").alias("c2")).localCheckpoint(eager=True)
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    lm = c2.join(c1, "w1").select(
+        "w1", "w2", F.expr("c2 * 1000000 div c1").cast("bigint").alias("p_ppm")
+    )
+    per_doc = (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("p_ppm").cast("bigint").alias("sum_ppm"),
+        )
+        .withColumn("mean_ppm", F.expr("sum_ppm div n_bigrams").cast("bigint"))
+    )
+    thr = per_doc.agg(
+        F.expr("sum(sum_ppm) div sum(n_bigrams)").cast("bigint").alias("corpus_ppm")
+    )
+    stage = (
+        base.join(dup, "doc_id", "left")
+        .join(per_doc.select("doc_id", "mean_ppm"), "doc_id", "left")
+        .crossJoin(F.broadcast(thr))
+        .withColumn(
+            "stage",
+            F.when(F.col("n_tok") < 30, F.lit("drop_short"))
+            .when(F.col("is_dup") == 1, F.lit("drop_near_dup"))
+            .when(
+                F.col("mean_ppm") * 2 < F.col("corpus_ppm"), F.lit("drop_low_lm")
+            )
+            .otherwise(F.lit("kept")),
+        )
+    )
+    return (
+        stage.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("stage") == "drop_short", 1).otherwise(0))
+            .cast("bigint")
+            .alias("drop_short"),
+            F.sum(F.when(F.col("stage") == "drop_near_dup", 1).otherwise(0))
+            .cast("bigint")
+            .alias("drop_near_dup"),
+            F.sum(F.when(F.col("stage") == "drop_low_lm", 1).otherwise(0))
+            .cast("bigint")
+            .alias("drop_low_lm"),
+            F.sum(F.when(F.col("stage") == "kept", 1).otherwise(0))
+            .cast("bigint")
+            .alias("kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_FUNNEL_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+  FROM documents),
+s AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shg FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(shg), 1, 15))::BIGINT % {_P} AS x FROM s),
+sig AS (SELECT doc_id, {_SIG_MINS_SQL} FROM h GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST_SQL}]) AS band
+  FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, {_SHINGLES_SQL} AS sh_set FROM documents),
+dup AS (
+  SELECT DISTINCT c.id_b AS doc_id, 1 AS is_dup
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b
+  WHERE len(list_intersect(sa.sh_set, sb.sh_set))
+      / (len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set)))
+      >= 0.8),
+tk AS (
+  SELECT doc_id, {_TOKS_SQL} AS l FROM documents
+  WHERE len({_TOKS_SQL}) >= 2),
+bg AS (
+  SELECT doc_id, unnest(l[1:len(l)-1]) AS w1, unnest(l[2:len(l)]) AS w2 FROM tk),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+lm AS (
+  SELECT c2.w1, c2.w2, c2.c2 * 1000000 // c1.c1 AS p_ppm
+  FROM c2 JOIN c1 ON c1.w1 = c2.w1),
+per_doc AS (
+  SELECT bg.doc_id, COUNT(*) AS n_bigrams, SUM(p_ppm) AS sum_ppm,
+    SUM(p_ppm) // COUNT(*) AS mean_ppm
+  FROM bg JOIN lm ON lm.w1 = bg.w1 AND lm.w2 = bg.w2
+  GROUP BY bg.doc_id),
+thr AS (SELECT SUM(sum_ppm) // SUM(n_bigrams) AS corpus_ppm FROM per_doc),
+staged AS (
+  SELECT b.source,
+    CASE WHEN b.n_tok < 30 THEN 'drop_short'
+         WHEN d.is_dup = 1 THEN 'drop_near_dup'
+         WHEN p.mean_ppm * 2 < t.corpus_ppm THEN 'drop_low_lm'
+         ELSE 'kept' END AS stage
+  FROM base b
+  LEFT JOIN dup d ON d.doc_id = b.doc_id
+  LEFT JOIN per_doc p ON p.doc_id = b.doc_id
+  CROSS JOIN thr t)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN stage = 'drop_short' THEN 1 ELSE 0 END) AS BIGINT) AS drop_short,
+  CAST(SUM(CASE WHEN stage = 'drop_near_dup' THEN 1 ELSE 0 END) AS BIGINT) AS drop_near_dup,
+  CAST(SUM(CASE WHEN stage = 'drop_low_lm' THEN 1 ELSE 0 END) AS BIGINT) AS drop_low_lm,
+  CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS kept
+FROM staged GROUP BY source ORDER BY source
+"""
+
+
 def q_corpus_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-diversity telemetry: treating doc_id as crawl order, what
     fraction of each document's 5-char shingles has never been seen
@@ -9945,6 +10094,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_domain_similarity": q_source_domain_similarity,
     "corpus_novelty_decay": q_corpus_novelty_decay,
     "corpus_chunk_overlap": q_corpus_chunk_overlap,
+    "curation_funnel_report": q_curation_funnel_report,
     "dedup_near_projection": q_dedup_near_projection,
     "dedup_components": q_dedup_components,
     "corpus_curation": q_corpus_curation,
@@ -10174,6 +10324,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "source_domain_similarity": _DOMAIN_SIM_SQL,
     "corpus_novelty_decay": _NOVELTY_SQL,
     "corpus_chunk_overlap": _CHUNK_OVERLAP_SQL,
+    "curation_funnel_report": _FUNNEL_SQL,
     "dedup_near_projection": _DEDUP_NEAR_SQL,
     "dedup_components": _CC_SQL,
     "corpus_curation": _CURATION_SQL,

@@ -189,3 +189,20 @@ def test_corpus_novelty_decay_conserves_shingle_firsts(spark, sf_dir, qs):
         int(r.novelty_ppm * r.n_shingles) for r in rows
     )  # ppm floors, so only a bound check
     assert novel_total <= distinct_sh * 1_000_000
+
+
+def test_curation_funnel_stages_partition_the_corpus(spark, sf_dir, qs):
+    from clickhouse_forecasting_spark.sources import read_table
+
+    rows = qs["curation_funnel_report"](spark, sf_dir).collect()
+    total_docs = read_table(spark, sf_dir, "documents").count()
+    # stage attribution is a partition: every doc lands in exactly one bucket
+    assert sum(r.n_docs for r in rows) == total_docs
+    for r in rows:
+        assert r.drop_short + r.drop_near_dup + r.drop_low_lm + r.kept == r.n_docs
+    # the near-dup stage can never claim more docs than there are verified
+    # dup losers corpus-wide
+    dup_losers = (
+        qs["dedup_ngram_jaccard"](spark, sf_dir).select("id_b").distinct().count()
+    )
+    assert sum(r.drop_near_dup for r in rows) <= dup_losers
