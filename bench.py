@@ -109,6 +109,12 @@ EXTENSIONS_R2 = [
     "bloom_semi_join_audit",
     "dedup_containment_pairs",  # rides the shared dedup stages
     "bigram_lm_quality",
+    "curation_funnel_report",  # composes LM + persisted-LSH dup set
+    "corpus_novelty_decay",  # rides the persisted shingle stage
+    "source_domain_similarity",
+    "corpus_chunk_overlap",
+    "multimodal_audio_features",
+    "epoch_shuffle_manifest",
 ]
 
 
