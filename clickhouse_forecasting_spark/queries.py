@@ -34,6 +34,7 @@ from .catalog import ParquetCatalog, forecast_table_name
 from .forecast import SeriesForecaster
 from .functions import dedup as DD
 from .functions import similarity as SIM
+from .functions import lm as LM
 from .functions import text as TX
 from .functions.text import STOPWORDS
 from . import multimodal as MM
@@ -1763,49 +1764,13 @@ def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     extremes. Per-source report: corpus mean and the min/max document
     scores.
 
-    Scale: ONE groupBy over the exploded bigrams trains c2 (map-side
-    partial aggs); c1 derives from the model table itself (c1 = Σ_w2 c2),
-    so the plan is one train scan + one score scan. The model table grows
-    with bigram *types*, not corpus size, so no broadcast is forced —
-    sort-merge/shuffle-hash with AQE is the 100 TB path; every ratio is
-    integer div, so the hash gate is exact."""
+    Scale: ONE groupBy over the exploded bigrams trains the model
+    (map-side partial aggs; context totals derive from the model table
+    itself — see functions/lm.py), one equi-join scores; both stages
+    persist per run and are shared with the curation funnel's low-LM
+    rule, so the corpus pays one train + one score pass total."""
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "source", TX.tokens(F.col("text")).alias("toks")
-    ).filter(F.size("toks") >= 2)
-    bg = toks.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr(
-                "zip_with(slice(toks, 1, size(toks) - 1),"
-                " slice(toks, 2, size(toks) - 1),"
-                " (x, y) -> struct(x AS w1, y AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "source", "b.w1", "b.w2")
-    # c1(w1) = Σ_w2 c2(w1, w2): deriving it from the model table instead
-    # of the exploded bigrams saves a full corpus pass, and checkpointing
-    # c2 (model-table-sized, bigram-type-bounded) stops the train subtree
-    # from being derived twice (cf. the khop/vol lesson) — the plan is one
-    # train scan + one score scan, never three
-    c2 = (
-        bg.groupBy("w1", "w2")
-        .agg(F.count("*").alias("c2"))
-        .localCheckpoint(eager=True)
-    )
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    lm = c2.join(c1, "w1").select(
-        "w1", "w2", F.expr("c2 * 1000000 div c1").cast("bigint").alias("p_ppm")
-    )
-    per_doc = (
-        bg.join(lm, ["w1", "w2"])
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum("p_ppm").cast("bigint").alias("sum_ppm"),
-        )
-    )
+    per_doc = LM.doc_scores(docs, cache_key=sf_dir)
     return (
         per_doc.groupBy("source")
         .agg(
@@ -9503,35 +9468,9 @@ def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )
-    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("toks")).filter(
-        F.size("toks") >= 2
-    )
-    bg = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "zip_with(slice(toks, 1, size(toks) - 1),"
-                " slice(toks, 2, size(toks) - 1),"
-                " (x, y) -> struct(x AS w1, y AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
-    c2 = (
-        bg.groupBy("w1", "w2").agg(F.count("*").alias("c2")).localCheckpoint(eager=True)
-    )
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    lm = c2.join(c1, "w1").select(
-        "w1", "w2", F.expr("c2 * 1000000 div c1").cast("bigint").alias("p_ppm")
-    )
-    per_doc = (
-        bg.join(lm, ["w1", "w2"])
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum("p_ppm").cast("bigint").alias("sum_ppm"),
-        )
-        .withColumn("mean_ppm", F.expr("sum_ppm div n_bigrams").cast("bigint"))
-    )
+    # shared cached stage with bigram_lm_quality: one train + one score
+    # pass per run, no matter how many queries consume the scores
+    per_doc = LM.doc_scores(docs, cache_key=sf_dir)
     thr = per_doc.agg(
         F.expr("sum(sum_ppm) div sum(n_bigrams)").cast("bigint").alias("corpus_ppm")
     )
