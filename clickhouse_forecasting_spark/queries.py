@@ -9509,7 +9509,7 @@ def q_curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FUNNEL_SQL = f"""
+_CURATION_FUNNEL_SQL = f"""
 WITH base AS (
   SELECT doc_id, source, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
   FROM documents),
@@ -10263,7 +10263,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "source_domain_similarity": _DOMAIN_SIM_SQL,
     "corpus_novelty_decay": _NOVELTY_SQL,
     "corpus_chunk_overlap": _CHUNK_OVERLAP_SQL,
-    "curation_funnel_report": _FUNNEL_SQL,
+    "curation_funnel_report": _CURATION_FUNNEL_SQL,
     "dedup_near_projection": _DEDUP_NEAR_SQL,
     "dedup_components": _CC_SQL,
     "corpus_curation": _CURATION_SQL,

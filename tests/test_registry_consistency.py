@@ -60,3 +60,17 @@ def test_plans_census_covers_registry():
     listed = set(re.findall(r"^\| (\w+) \|", text, flags=re.M)) - {"query"}
     missing = set(SPARK_QUERIES) - listed
     assert not missing, f"queries missing from PLANS.md: {sorted(missing)}"
+
+
+def test_no_shadowed_oracle_sql_definitions():
+    """A second module-level `_X_SQL = ` definition silently rewires every
+    registry entry bound to the first (this bit funnel_conversion when a
+    curation query reused the `_FUNNEL_SQL` name) — pin uniqueness."""
+    import re
+
+    import clickhouse_forecasting_spark.queries as q
+
+    src = open(q.__file__).read()
+    names = re.findall(r"^(_[A-Z0-9_]+_SQL) = ", src, re.M)
+    dups = sorted({n for n in names if names.count(n) > 1})
+    assert dups == [], f"shadowed oracle SQL variables: {dups}"
