@@ -9947,6 +9947,301 @@ GROUP BY shard ORDER BY shard
 
 
 # --------------------------------------------------------------------------
+# corpus policy gates: blocklist filtering, substring-level dup spans,
+# temperature-based domain mixing, cross-shard distribution drift
+# --------------------------------------------------------------------------
+
+_BLOCKLIST = ("slow", "merge", "spam")
+
+
+def q_blocklist_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style banned-term gate: per source shard, how many docs contain
+    a blocklisted token, total hits, and the token budget kept if flagged
+    docs are dropped (exact integer ppm). Per-row array filter only —
+    embarrassingly parallel; the shuffle carries one 5-int row per doc.
+    ('spam' is deliberately absent from the fixture vocab: zero-hit terms
+    must cost nothing and report cleanly.)"""
+    docs = _t(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    hits = F.size(F.filter(t, lambda x: x.isin(*_BLOCKLIST)))
+    per = docs.select(
+        "source",
+        F.size(t).alias("n_toks"),
+        hits.alias("hits"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("hits") > 0).cast("int")).cast("bigint").alias("n_flagged"),
+            F.sum("hits").cast("bigint").alias("blocked_hits"),
+            F.sum("n_toks").cast("bigint").alias("tokens_total"),
+            F.sum(F.when(F.col("hits") == 0, F.col("n_toks")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .withColumn(
+            "kept_ppm",
+            F.expr("tokens_kept * 1000000 div tokens_total").cast("bigint"),
+        )
+        .orderBy("source")
+    )
+
+
+_BLOCKLIST_SQL = f"""
+WITH d AS (
+  SELECT source, len({_TOKS_SQL}) AS n_toks,
+    len(list_filter({_TOKS_SQL}, x -> x IN ('slow', 'merge', 'spam'))) AS hits
+  FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+  CAST(SUM(hits) AS BIGINT) AS blocked_hits,
+  CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
+  CAST(SUM(CASE WHEN hits = 0 THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_kept,
+  CAST(SUM(CASE WHEN hits = 0 THEN n_toks ELSE 0 END) * 1000000
+       // SUM(n_toks) AS BIGINT) AS kept_ppm
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+def q_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication spans — the signal doc-level MinHash
+    misses (Lee et al., 'Deduplicating Training Data Makes LMs Better'):
+    a doc can be globally unique yet contain a long pasted passage. Every
+    positional 5-gram shingle is marked duplicated if an earlier doc
+    (min doc_id) already contains it; gaps-and-islands over positions
+    yields the longest contiguous duplicated token span per doc. Scale
+    shape: one explode, a window-min on the 16-byte shingle hash, per-doc
+    windows — one corpus scan, no pairwise comparison ever."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    idx = F.when(
+        F.size("t") >= 5, F.sequence(F.lit(1), F.size("t") - 4)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(idx).alias("p"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "p",
+        F.md5(F.concat_ws(" ", F.slice("t", F.col("p"), F.lit(5)))).alias("sh"),
+    )
+    # ONE linear pipeline over the exploded shingles — no join-back, no
+    # lineage reuse: first-seen via window-min on the shingle hash (one
+    # shuffle), islands via a (doc, dup)-partitioned window (one shuffle),
+    # then two partition-compatible aggregations. Exactly one corpus scan.
+    w_sh = Window.partitionBy("sh")
+    marked = sh.withColumn("dup", F.min("doc_id").over(w_sh) < F.col("doc_id"))
+    w_run = Window.partitionBy("doc_id", "dup").orderBy("p")
+    runs = marked.withColumn("grp", F.col("p") - F.row_number().over(w_run))
+    per_doc = (
+        runs.groupBy("doc_id", "dup", "grp")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("dup"), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("dup_shingles"),
+            F.coalesce(F.max(F.when(F.col("dup"), F.col("cnt"))), F.lit(0)).alias(
+                "span_raw"
+            ),
+        )
+        .withColumn(
+            "max_dup_span",
+            F.when(F.col("span_raw") > 0, F.col("span_raw") + 4)
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+    )
+    w_rank = Window.orderBy(
+        F.col("max_dup_span").desc(), F.col("dup_shingles").desc(), F.col("doc_id")
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "n_shingles", "dup_shingles", "max_dup_span", "rank")
+    )
+
+
+_DUP_SPAN_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (
+  SELECT doc_id, p, md5(array_to_string(t[p:p+4], ' ')) AS sh
+  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(p)),
+marked AS (
+  SELECT doc_id, p,
+    MIN(doc_id) OVER (PARTITION BY sh) < doc_id AS dup
+  FROM sh),
+runs AS (
+  SELECT doc_id, p, dup,
+    p - ROW_NUMBER() OVER (PARTITION BY doc_id, dup ORDER BY p) AS grp
+  FROM marked),
+spans AS (
+  SELECT doc_id, MAX(cnt) + 4 AS max_dup_span FROM (
+    SELECT doc_id, grp, COUNT(*) AS cnt FROM runs WHERE dup GROUP BY doc_id, grp)
+  GROUP BY doc_id),
+stats AS (
+  SELECT doc_id, COUNT(*) AS n_shingles,
+    SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS dup_shingles
+  FROM marked GROUP BY doc_id)
+SELECT doc_id, n_shingles, dup_shingles, max_dup_span, rank FROM (
+  SELECT s.doc_id, CAST(s.n_shingles AS BIGINT) AS n_shingles,
+    CAST(s.dup_shingles AS BIGINT) AS dup_shingles,
+    CAST(COALESCE(sp.max_dup_span, 0) AS BIGINT) AS max_dup_span,
+    ROW_NUMBER() OVER (ORDER BY COALESCE(sp.max_dup_span, 0) DESC,
+                       s.dup_shingles DESC, s.doc_id) AS rank
+  FROM stats s LEFT JOIN spans sp ON s.doc_id = sp.doc_id)
+WHERE rank <= 20
+"""
+
+
+def q_domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (alpha = 0.5, the multilingual
+    upsampling rule): per-source weight c^alpha / sum(c^alpha) and the
+    per-doc sample factor it implies. Sqrt weights are rounded to the
+    1e-6 grid and summed as DECIMAL so the normalizer is order-independent
+    and bit-identical cross-engine. One corpus scan into a 20-row
+    aggregate; everything after is driver-free window math."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    w = per.withColumn(
+        "w_raw",
+        F.round(F.sqrt(F.col("n_docs").cast("double")), 6).cast("decimal(38,6)"),
+    )
+    tot = w.withColumn(
+        "w_sum", F.sum("w_raw").over(Window.partitionBy())
+    ).withColumn("n_tot", F.sum("n_docs").over(Window.partitionBy()))
+    weight = F.round(
+        F.col("w_raw").cast("double") / F.col("w_sum").cast("double"), 6
+    )
+    return tot.select(
+        "source",
+        "n_docs",
+        weight.alias("weight"),
+        F.round(
+            weight * F.col("n_tot").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("sample_factor"),
+    ).orderBy("source")
+
+
+_TEMPERATURE_MIX_SQL = """
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source),
+w AS (
+  SELECT source, n_docs,
+    CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(38,6)) AS w_raw
+  FROM per),
+t AS (
+  SELECT source, n_docs, w_raw,
+    SUM(w_raw) OVER () AS w_sum,
+    CAST(SUM(n_docs) OVER () AS BIGINT) AS n_tot
+  FROM w)
+SELECT source, n_docs,
+  ROUND(CAST(w_raw AS DOUBLE) / CAST(w_sum AS DOUBLE), 6) AS weight,
+  ROUND(ROUND(CAST(w_raw AS DOUBLE) / CAST(w_sum AS DOUBLE), 6)
+        * CAST(n_tot AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS sample_factor
+FROM t ORDER BY source
+"""
+
+
+def q_shard_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of token distributions between every
+    source-shard pair — the drift/eval report that tells a data recipe
+    which shards are redundant and which add coverage. Distributions are
+    per-shard aggregates (vocab-sized, tiny at any SF), so the pairwise
+    stage joins pre-aggregated frames, never raw docs; JS terms are
+    rounded to 1e-12 and summed as DECIMAL for cross-engine exactness."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    # vocab-x-shards rows: checkpoint so the pairwise stage's four aliases
+    # derive from the tiny aggregate, not four corpus re-scans
+    dist = (
+        tok.groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = dist.groupBy("source").agg(F.sum("c").alias("n"))
+    d = dist.join(tot, "source").select(
+        "source",
+        "tok",
+        (F.col("c").cast("double") / F.col("n").cast("double")).alias("p"),
+    )
+    srcs = tot.select("source")
+    # shard domain is bounded (20 here, O(100s) in any corpus) — broadcast
+    # the inequality pair join so it plans BNLJ, never a cartesian shuffle
+    pairs = srcs.select(F.col("source").alias("src_a")).join(
+        F.broadcast(srcs.select(F.col("source").alias("src_b"))),
+        F.col("src_a") < F.col("src_b"),
+    )
+    pa = pairs.join(
+        d.select(F.col("source").alias("src_a"), "tok", F.col("p").alias("pa")),
+        ["src_a"],
+    )
+    pb = pairs.join(
+        d.select(F.col("source").alias("src_b"), "tok", F.col("p").alias("pb")),
+        ["src_b"],
+    )
+    merged = (
+        pa.join(pb, ["src_a", "src_b", "tok"], "full_outer")
+        .withColumn("pa", F.coalesce("pa", F.lit(0.0)))
+        .withColumn("pb", F.coalesce("pb", F.lit(0.0)))
+    )
+    term = 0.5 * F.when(
+        F.col("pa") > 0,
+        F.col("pa") * F.log(2.0 * F.col("pa") / (F.col("pa") + F.col("pb"))),
+    ).otherwise(F.lit(0.0)) + 0.5 * F.when(
+        F.col("pb") > 0,
+        F.col("pb") * F.log(2.0 * F.col("pb") / (F.col("pa") + F.col("pb"))),
+    ).otherwise(F.lit(0.0))
+    return (
+        merged.groupBy("src_a", "src_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens_union"),
+            F.round(
+                F.sum(F.round(term, 12).cast("decimal(38,12)")).cast("double"), 6
+            ).alias("js_div"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_JS_DIVERGENCE_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents),
+dist AS (
+  SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY source, tok),
+tot AS (SELECT source, SUM(c) AS n FROM dist GROUP BY source),
+d AS (
+  SELECT dist.source, tok,
+    CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS p
+  FROM dist JOIN tot ON dist.source = tot.source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM tot a JOIN tot b ON a.source < b.source),
+merged AS (
+  SELECT p.src_a, p.src_b, v.tok,
+    COALESCE(da.p, 0.0) AS pa, COALESCE(db.p, 0.0) AS pb
+  FROM pairs p
+  CROSS JOIN (SELECT DISTINCT tok FROM dist) v
+  LEFT JOIN d da ON da.source = p.src_a AND da.tok = v.tok
+  LEFT JOIN d db ON db.source = p.src_b AND db.tok = v.tok
+  WHERE COALESCE(da.p, 0.0) > 0 OR COALESCE(db.p, 0.0) > 0),
+terms AS (
+  SELECT src_a, src_b,
+    0.5 * CASE WHEN pa > 0 THEN pa * ln(2.0 * pa / (pa + pb)) ELSE 0.0 END
+    + 0.5 * CASE WHEN pb > 0 THEN pb * ln(2.0 * pb / (pa + pb)) ELSE 0.0 END
+      AS term
+  FROM merged)
+SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_tokens_union,
+  ROUND(CAST(SUM(CAST(ROUND(term, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS js_div
+FROM terms GROUP BY src_a, src_b ORDER BY src_a, src_b
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -10178,6 +10473,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_split_assignment": q_corpus_split_assignment,
     "text_hash_embedding": q_text_hash_embedding,
     "stream_lateness_profile": q_stream_lateness_profile,
+    "blocklist_filter_report": q_blocklist_filter_report,
+    "dup_span_report": q_dup_span_report,
+    "domain_temperature_mix": q_domain_temperature_mix,
+    "shard_js_divergence": q_shard_js_divergence,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -10407,6 +10706,10 @@ ORACLE_QUERIES: dict[str, str] = {
     "corpus_split_assignment": _SPLIT_SQL,
     "text_hash_embedding": _HASH_EMB_SQL,
     "stream_lateness_profile": _LATENESS_SQL,
+    "blocklist_filter_report": _BLOCKLIST_SQL,
+    "dup_span_report": _DUP_SPAN_SQL,
+    "domain_temperature_mix": _TEMPERATURE_MIX_SQL,
+    "shard_js_divergence": _JS_DIVERGENCE_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
