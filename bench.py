@@ -115,6 +115,10 @@ EXTENSIONS_R2 = [
     "corpus_chunk_overlap",
     "multimodal_audio_features",
     "epoch_shuffle_manifest",
+    "blocklist_filter_report",
+    "dup_span_report",  # substring-level spans: the heavy new shingle pass
+    "domain_temperature_mix",
+    "shard_js_divergence",
 ]
 
 

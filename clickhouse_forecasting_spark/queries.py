@@ -10241,6 +10241,204 @@ FROM terms GROUP BY src_a, src_b ORDER BY src_a, src_b
 """
 
 
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge round of tokenizer training: weighted character-pair
+    counts over the corpus. The classic two-phase trick makes this viable
+    at 100 TB — one corpus pass folds into the word-frequency table
+    (vocab ≪ corpus), then pair counting explodes only the tiny vocab
+    table, never the corpus. Output: top-20 merge candidates with
+    type/token statistics, the table a BPE trainer's first iteration
+    would commit."""
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    idx = F.when(
+        F.length("w") >= 2, F.sequence(F.lit(1), F.length("w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = wf.select("w", "cnt", F.explode(idx).alias("p")).select(
+        "w", "cnt", F.col("w").substr(F.col("p"), F.lit(2)).alias("pair")
+    )
+    w_rank = Window.orderBy(F.col("weighted_count").desc(), F.col("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("weighted_count"),
+            F.countDistinct("w").cast("bigint").alias("n_word_types"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 20)
+        .select("pair", "weighted_count", "n_word_types", "rank")
+    )
+
+
+_BPE_MERGE_SQL = f"""
+WITH wf AS (
+  SELECT w, COUNT(*) AS cnt
+  FROM (SELECT unnest({_TOKS_SQL}) AS w FROM documents) GROUP BY w),
+pairs AS (
+  SELECT w, cnt, substr(w, p, 2) AS pair
+  FROM wf, UNNEST(generate_series(1, length(w) - 1)) AS u(p)),
+agg AS (
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS weighted_count,
+    CAST(COUNT(DISTINCT w) AS BIGINT) AS n_word_types
+  FROM pairs GROUP BY pair)
+SELECT pair, weighted_count, n_word_types, rank FROM (
+  SELECT pair, weighted_count, n_word_types,
+    ROW_NUMBER() OVER (ORDER BY weighted_count DESC, pair) AS rank FROM agg)
+WHERE rank <= 20
+"""
+
+
+_PCA_DIMS = 16
+_PCA_ITERS = 8
+
+
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance via 8 unrolled
+    power-iteration rounds — the deterministic PCA primitive (whitening /
+    outlier axes / spectral screening) without MLlib's RNG-seeded SVD.
+    One corpus pass builds exact decimal power sums for the leading
+    16x16 covariance block (the stats_moments pattern over array
+    columns); every later round is driver-free math on a checkpointed
+    256-row matrix. Matvec terms and norms are rounded to fixed decimal
+    grids each round, so both engines walk the identical float
+    trajectory. Loadings are sign-normalized on dim 0."""
+    d, iters = _PCA_DIMS, _PCA_ITERS
+    em = _t(spark, sf_dir, "embeddings")
+    base = em.select(
+        *[F.col("embedding")[i].cast("double").alias(f"x{i}") for i in range(d)]
+    )
+    aggs = [F.count("*").alias("n")]
+    for i in range(d):
+        aggs.append(
+            F.sum(F.col(f"x{i}").cast("decimal(38,10)")).cast("double").alias(f"s{i}")
+        )
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(
+                F.sum((F.col(f"x{i}") * F.col(f"x{j}")).cast("decimal(38,10)"))
+                .cast("double")
+                .alias(f"p{i}_{j}")
+            )
+    sums = base.agg(*aggs).localCheckpoint(eager=True)  # 1 row
+    cells = []
+    for i in range(d):
+        for j in range(d):
+            a, b = min(i, j), max(i, j)
+            c = F.round(
+                F.col(f"p{a}_{b}") / F.col("n")
+                - (F.col(f"s{i}") / F.col("n")) * (F.col(f"s{j}") / F.col("n")),
+                9,
+            )
+            cells.append(
+                F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"), c.alias("c"))
+            )
+    cov = (
+        sums.select(F.explode(F.array(*cells)).alias("e"))
+        .select("e.i", "e.j", "e.c")
+        .localCheckpoint(eager=True)
+    )
+    v = spark.createDataFrame([(j, 0.25) for j in range(d)], "j int, v double")
+    nrm = None
+    for _ in range(iters):
+        # one eager job per round: checkpoint u (16 rows); nrm and v are
+        # lazy one-stage derivations of it, so no subtree is ever computed
+        # twice and the lineage stays flat across rounds
+        u = (
+            cov.join(v, "j")
+            .groupBy("i")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(F.col("c") * F.col("v"), 12).cast("decimal(38,12)")
+                    ).cast("double"),
+                    9,
+                ).alias("u")
+            )
+            .localCheckpoint(eager=True)
+        )
+        nrm = u.agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(F.col("u") * F.col("u"), 12).cast("decimal(38,12)")
+                    ).cast("double")
+                ),
+                9,
+            ).alias("nrm")
+        )
+        v = u.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"), F.round(F.col("u") / F.col("nrm"), 9).alias("v")
+        )
+    sign = v.filter(F.col("j") == 0).select(
+        F.when(F.col("v") < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("sgn")
+    )
+    return (
+        v.crossJoin(F.broadcast(sign))
+        .crossJoin(F.broadcast(nrm))
+        .select(
+            F.col("j").alias("dim"),
+            F.round(F.col("v") * F.col("sgn"), 6).alias("loading"),
+            F.round(F.col("nrm"), 6).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )
+
+
+def _pca_power_sql(d: int = _PCA_DIMS, iters: int = _PCA_ITERS) -> str:
+    """Unrolled power-iteration twin of q_embedding_pca_power: identical
+    decimal power sums, identical per-round rounding grids."""
+    dim_cols = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(d)
+    )
+    sum_cols = ["COUNT(*) AS n"] + [
+        f"CAST(SUM(CAST(x{i} AS DECIMAL(38,10))) AS DOUBLE) AS s{i}" for i in range(d)
+    ] + [
+        f"CAST(SUM(CAST(x{i} * x{j} AS DECIMAL(38,10))) AS DOUBLE) AS p{i}_{j}"
+        for i in range(d) for j in range(i, d)
+    ]
+    cells = []
+    for i in range(d):
+        for j in range(d):
+            a, b = min(i, j), max(i, j)
+            cells.append(
+                f"SELECT {i} AS i, {j} AS j, "
+                f"ROUND(p{a}_{b} / n - (s{i} / n) * (s{j} / n), 9) AS c FROM sums"
+            )
+    stages = []
+    for k in range(1, iters + 1):
+        prev = f"v{k - 1}"
+        stages.append(f"""
+u{k} AS MATERIALIZED (
+  SELECT i, ROUND(CAST(SUM(CAST(ROUND(c * v, 12) AS DECIMAL(38,12)))
+                  AS DOUBLE), 9) AS u
+  FROM cov JOIN {prev} ON cov.j = {prev}.j GROUP BY i),
+n{k} AS MATERIALIZED (
+  SELECT ROUND(sqrt(CAST(SUM(CAST(ROUND(u * u, 12) AS DECIMAL(38,12)))
+                    AS DOUBLE)), 9) AS nrm FROM u{k}),
+v{k} AS MATERIALIZED (
+  SELECT i AS j, ROUND(u / nrm, 9) AS v FROM u{k}, n{k})""")
+    v0_rows = ", ".join(f"({j}, CAST(0.25 AS DOUBLE))" for j in range(d))
+    return f"""
+WITH base AS (SELECT {dim_cols} FROM embeddings),
+sums AS MATERIALIZED (SELECT {", ".join(sum_cols)} FROM base),
+cov AS MATERIALIZED ({" UNION ALL ".join(cells)}),
+v0 AS (SELECT * FROM (VALUES {v0_rows}) t(j, v)),
+{",".join(stages)},
+sgn AS (SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sgn
+        FROM v{iters} WHERE j = 0)
+SELECT v{iters}.j AS dim, ROUND(v * sgn, 6) AS loading,
+  ROUND(nrm, 6) AS eigenvalue
+FROM v{iters}, sgn, n{iters} ORDER BY dim
+"""
+
+
+_PCA_POWER_SQL = _pca_power_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10477,6 +10675,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_report": q_dup_span_report,
     "domain_temperature_mix": q_domain_temperature_mix,
     "shard_js_divergence": q_shard_js_divergence,
+    "bpe_merge_candidates": q_bpe_merge_candidates,
+    "embedding_pca_power": q_embedding_pca_power,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -10710,6 +10910,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "dup_span_report": _DUP_SPAN_SQL,
     "domain_temperature_mix": _TEMPERATURE_MIX_SQL,
     "shard_js_divergence": _JS_DIVERGENCE_SQL,
+    "bpe_merge_candidates": _BPE_MERGE_SQL,
+    "embedding_pca_power": _PCA_POWER_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

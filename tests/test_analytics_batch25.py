@@ -108,3 +108,50 @@ def test_js_divergence_bounds_and_shape(spark, sf_dir, qs):
         assert r.src_a < r.src_b
         assert -1e-9 <= r.js_div <= ln2 + 1e-9
         assert 1 <= r.n_tokens_union
+
+
+def test_bpe_merge_candidates_match_python(spark, sf_dir, qs):
+    rows = qs["bpe_merge_candidates"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    docs = read_table(spark, sf_dir, "documents").select("text").collect()
+    from collections import Counter
+
+    wf: Counter = Counter()
+    for d in docs:
+        wf.update(_toks(d.text))
+    weighted: Counter = Counter()
+    types: dict[str, set] = {}
+    for w, c in wf.items():
+        for i in range(len(w) - 1):
+            pair = w[i : i + 2]
+            weighted[pair] += c
+            types.setdefault(pair, set()).add(w)
+    expect = sorted(weighted.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = sorted(rows, key=lambda r: r.rank)
+    for r, (pair, cnt) in zip(got, expect):
+        assert r.pair == pair and r.weighted_count == cnt
+        assert r.n_word_types == len(types[pair])
+
+
+def test_embedding_pca_power_invariants(spark, sf_dir, qs):
+    rows = sorted(qs["embedding_pca_power"](spark, sf_dir).collect(), key=lambda r: r.dim)
+    assert [r.dim for r in rows] == list(range(16))
+    lam = {r.eigenvalue for r in rows}
+    assert len(lam) == 1
+    lam = lam.pop()
+    assert lam > 0
+    # loadings are a unit vector (up to the 1e-6 output rounding)
+    norm2 = sum(r.loading**2 for r in rows)
+    assert abs(norm2 - 1.0) < 1e-4
+    # sign convention: dim-0 loading is non-negative
+    assert rows[0].loading >= 0
+    # the dominant eigenvalue is bounded by the covariance trace
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    X = np.array([r.embedding[:16] for r in emb], dtype=np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    assert lam <= np.trace(C) + 1e-6
+    # and matches numpy's dominant eigenvalue to power-iteration accuracy
+    top = float(np.linalg.eigvalsh(C)[-1])
+    assert lam <= top + 1e-6
