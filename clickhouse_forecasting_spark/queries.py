@@ -10439,6 +10439,201 @@ FROM v{iters}, sgn, n{iters} ORDER BY dim
 _PCA_POWER_SQL = _pca_power_sql()
 
 
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before a dataset ships: treat (event_type, day) as
+    the quasi-identifier and flag cells whose distinct-user count is
+    below k=5 — the re-identification surface k-anonymity bounds. Per
+    event type: cell counts, risky cells, the minimum cell population,
+    and the ppm share of events sitting in risky cells (exact integer
+    math). One scan, two partial-aggregating shuffles, both on bounded
+    keys (types x days)."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        cells.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum(F.when(F.col("n_users") < 5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_risky_cells"),
+            F.min("n_users").cast("bigint").alias("min_cell_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("n_users") < 5, F.col("n_events")).otherwise(0))
+            .cast("bigint")
+            .alias("risky_events"),
+        )
+        .withColumn(
+            "risky_ppm",
+            F.expr("risky_events * 1000000 div n_events").cast("bigint"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_K_ANON_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cells,
+  CAST(SUM(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_cells,
+  CAST(MIN(n_users) AS BIGINT) AS min_cell_users,
+  CAST(SUM(n_events) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN n_users < 5 THEN n_events ELSE 0 END) AS BIGINT)
+    AS risky_events,
+  CAST(SUM(CASE WHEN n_users < 5 THEN n_events ELSE 0 END) * 1000000
+       // SUM(n_events) AS BIGINT) AS risky_ppm
+FROM cells GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA audit across heterogeneous time columns: each
+    fact table reports its row count and high-water mark; staleness is
+    measured in days behind the fleet-wide maximum (a deterministic
+    'now'). The shape that matters at scale: per-table aggregates are
+    parquet-statistics-answerable scans (min/max/count), unioned into a
+    3-row report — no cross-table join of raw rows ever happens."""
+    o = _t(spark, sf_dir, "orders").agg(
+        F.lit("orders").alias("table_name"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.max(F.to_date("o_orderdate")).alias("high_water"),
+    )
+    li = _t(spark, sf_dir, "lineitem").agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.max(F.to_date("l_shipdate")).alias("high_water"),
+    )
+    ev = _t(spark, sf_dir, "events").agg(
+        F.lit("events").alias("table_name"),
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.max(F.to_date("ts")).alias("high_water"),
+    )
+    rep = o.unionByName(li).unionByName(ev)
+    w = Window.partitionBy()
+    return (
+        rep.withColumn("fleet_max", F.max("high_water").over(w))
+        .select(
+            "table_name",
+            "n_rows",
+            "high_water",
+            F.datediff("fleet_max", "high_water").cast("bigint").alias(
+                "staleness_days"
+            ),
+        )
+        .orderBy("table_name")
+    )
+
+
+_FRESHNESS_SQL = """
+WITH rep AS (
+  SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(MAX(o_orderdate) AS DATE) AS high_water FROM orders
+  UNION ALL
+  SELECT 'lineitem', CAST(COUNT(*) AS BIGINT), CAST(MAX(l_shipdate) AS DATE)
+  FROM lineitem
+  UNION ALL
+  SELECT 'events', CAST(COUNT(*) AS BIGINT), CAST(MAX(ts) AS DATE) FROM events)
+SELECT table_name, n_rows, high_water,
+  CAST(date_diff('day', high_water, MAX(high_water) OVER ()) AS BIGINT)
+    AS staleness_days
+FROM rep ORDER BY table_name
+"""
+
+
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: every purchase's value is split
+    across the user's clicks in the preceding 7 days with half-life
+    weights 0.5^(age_days/7), normalized per purchase. Unlike first-touch
+    (one window pass), multi-touch needs the (purchase, click) pair list —
+    built as a per-user range join (equi-join on user_id + bounded time
+    predicate), never a cross join. Daily report: attributed value by
+    click day, exact-decimal summed. Weights are rounded to 1e-9 before
+    the per-purchase normalizer so shares are identical cross-engine."""
+    ev = _t(spark, sf_dir, "events")
+    week_us = 7 * 24 * 3600 * 1_000_000
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("p_us"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.unix_micros("ts").alias("c_us"),
+        F.to_date(F.timestamp_micros(F.col("c_us"))).alias("click_day"),
+    )
+    pairs = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_us") <= F.col("p_us"))
+        & (F.col("c_us") > F.col("p_us") - F.lit(week_us)),
+    ).withColumn(
+        "w",
+        F.round(
+            F.pow(
+                F.lit(0.5),
+                (F.col("p_us") - F.col("c_us")).cast("double")
+                / F.lit(float(week_us)),
+            ),
+            9,
+        ),
+    )
+    w_norm = Window.partitionBy("purchase_id")
+    shared = pairs.withColumn(
+        "share",
+        F.col("w")
+        / F.sum(F.col("w").cast("decimal(38,12)")).over(w_norm).cast("double"),
+    )
+    return (
+        shared.groupBy("click_day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_touches"),
+            F.countDistinct("purchase_id").cast("bigint").alias("n_purchases"),
+            F.round(
+                F.sum(
+                    F.round(F.col("p_value") * F.col("share"), 9).cast(
+                        "decimal(38,10)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("attributed_value"),
+        )
+        .orderBy("click_day")
+    )
+
+
+_TIME_DECAY_SQL = """
+WITH purchases AS (
+  SELECT user_id AS p_user, event_id AS purchase_id,
+    epoch_us(ts) AS p_us, value AS p_value
+  FROM events WHERE event_type = 'purchase'),
+clicks AS (
+  SELECT user_id AS c_user, epoch_us(ts) AS c_us, CAST(ts AS DATE) AS click_day
+  FROM events WHERE event_type = 'click'),
+pairs AS (
+  SELECT purchase_id, p_value, click_day,
+    ROUND(pow(0.5, CAST(p_us - c_us AS DOUBLE) / 604800000000.0), 9) AS w
+  FROM purchases JOIN clicks
+    ON p_user = c_user AND c_us <= p_us AND c_us > p_us - 604800000000),
+shared AS (
+  SELECT click_day, purchase_id, p_value,
+    w / CAST(SUM(CAST(w AS DECIMAL(38,12))) OVER (PARTITION BY purchase_id)
+             AS DOUBLE) AS share
+  FROM pairs)
+SELECT click_day, CAST(COUNT(*) AS BIGINT) AS n_touches,
+  CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+  ROUND(CAST(SUM(CAST(ROUND(p_value * share, 9) AS DECIMAL(38,10))) AS DOUBLE),
+        6) AS attributed_value
+FROM shared GROUP BY click_day ORDER BY click_day
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10677,6 +10872,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_js_divergence": q_shard_js_divergence,
     "bpe_merge_candidates": q_bpe_merge_candidates,
     "embedding_pca_power": q_embedding_pca_power,
+    "k_anonymity_report": q_k_anonymity_report,
+    "freshness_report": q_freshness_report,
+    "attribution_time_decay": q_attribution_time_decay,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -10912,6 +11110,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "shard_js_divergence": _JS_DIVERGENCE_SQL,
     "bpe_merge_candidates": _BPE_MERGE_SQL,
     "embedding_pca_power": _PCA_POWER_SQL,
+    "k_anonymity_report": _K_ANON_SQL,
+    "freshness_report": _FRESHNESS_SQL,
+    "attribution_time_decay": _TIME_DECAY_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

@@ -1,0 +1,84 @@
+"""Semantic invariants for the batch-26 governance/attribution queries
+(k-anonymity audit, freshness SLA report, time-decay attribution).
+Cross-engine value equality is covered by the DuckDB oracle gate.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import defaultdict
+
+import pytest
+
+import __spark_entry__ as entry
+from clickhouse_forecasting_spark.sources import read_table
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry.queries()
+
+
+def test_k_anonymity_matches_python(spark, sf_dir, qs):
+    rows = qs["k_anonymity_report"](spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "user_id"
+    ).collect()
+    cells: dict[tuple, set] = defaultdict(set)
+    counts: dict[tuple, int] = defaultdict(int)
+    for e in ev:
+        key = (e.event_type, e.ts.date())
+        cells[key].add(e.user_id)
+        counts[key] += 1
+    for r in rows:
+        mine = {k: v for k, v in cells.items() if k[0] == r.event_type}
+        assert r.n_cells == len(mine)
+        risky = {k for k, v in mine.items() if len(v) < 5}
+        assert r.n_risky_cells == len(risky)
+        assert r.min_cell_users == min(len(v) for v in mine.values())
+        n_events = sum(counts[k] for k in mine)
+        risky_events = sum(counts[k] for k in risky)
+        assert r.n_events == n_events and r.risky_events == risky_events
+        assert r.risky_ppm == risky_events * 1_000_000 // n_events
+
+
+def test_freshness_report_invariants(spark, sf_dir, qs):
+    rows = qs["freshness_report"](spark, sf_dir).collect()
+    assert {r.table_name for r in rows} == {"orders", "lineitem", "events"}
+    assert min(r.staleness_days for r in rows) == 0
+    for r in rows:
+        assert r.staleness_days >= 0
+        assert r.n_rows == read_table(spark, sf_dir, r.table_name).count()
+        assert isinstance(r.high_water, dt.date)
+    # lineitem ships after orders are placed -> lineitem is at least as
+    # fresh as orders in the TPC-H generator
+    by = {r.table_name: r for r in rows}
+    assert by["lineitem"].high_water >= by["orders"].high_water
+
+
+def test_time_decay_conserves_purchase_value(spark, sf_dir, qs):
+    rows = qs["attribution_time_decay"](spark, sf_dir).collect()
+    assert rows
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    ).collect()
+    clicks_by_user = defaultdict(list)
+    for e in ev:
+        if e.event_type == "click":
+            clicks_by_user[e.user_id].append(e.ts)
+    week = dt.timedelta(days=7)
+    attributable = 0.0
+    n_attributable = 0
+    for e in ev:
+        if e.event_type != "purchase":
+            continue
+        if any(e.ts - week < c <= e.ts for c in clicks_by_user[e.user_id]):
+            attributable += e.value
+            n_attributable += 1
+    # per-purchase shares sum to 1, so total attributed value equals the
+    # value of purchases that have >= 1 click in the window
+    total = sum(r.attributed_value for r in rows)
+    assert abs(total - attributable) < 1e-3
+    assert sum(r.n_purchases for r in rows) >= n_attributable  # purchase may span days
+    assert all(r.n_touches >= r.n_purchases * 0 for r in rows)
+    assert all(r.attributed_value >= 0 for r in rows)
