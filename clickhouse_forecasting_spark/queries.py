@@ -10634,6 +10634,180 @@ FROM shared GROUP BY click_day ORDER BY click_day
 """
 
 
+def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the nightly-ingest shape: a new batch (odd
+    doc_ids) is admitted against a frozen index (even doc_ids) WITHOUT
+    ever re-deduping the index against itself. The banded-signature and
+    shingle-set stages are the same persisted family stages every other
+    dedup query reads (one corpus pass per run); the candidate join is
+    band-key equi with parity filters on each side, so its cost is
+    O(batch x collisions), independent of index self-pairs. Output: one
+    admission row per batch doc with its verified index duplicates."""
+    docs = _t(spark, sf_dir, "documents")
+    banded = DD.banded_signatures(docs, num_hashes=16, bands=4, cache_key=sf_dir)
+    idx = banded.filter(F.col("doc_id") % 2 == 0)
+    new = banded.filter(F.col("doc_id") % 2 == 1)
+    cand = (
+        new.alias("n")
+        .join(idx.alias("i"), F.col("n.band") == F.col("i.band"))
+        .select(
+            F.col("n.doc_id").alias("batch_id"),
+            F.col("i.doc_id").alias("index_id"),
+        )
+        .distinct()
+    )
+    sets = DD.shingle_sets(docs, cache_key=sf_dir)
+    sa = sets.select(F.col("doc_id").alias("batch_id"), F.col("sh_set").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("index_id"), F.col("sh_set").alias("sh_b"))
+    common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    verified = (
+        cand.join(sa, "batch_id")
+        .join(sb, "index_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                common / (F.size("sh_a") + F.size("sh_b") - common), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+    dup_stats = verified.groupBy("batch_id").agg(
+        F.count("*").cast("bigint").alias("n_index_dups"),
+        F.min("index_id").cast("bigint").alias("first_dup_index_id"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    batch_docs = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("batch_id")
+    )
+    return (
+        batch_docs.join(dup_stats, "batch_id", "left")
+        .select(
+            "batch_id",
+            F.coalesce("n_index_dups", F.lit(0)).cast("bigint").alias("n_index_dups"),
+            F.col("first_dup_index_id"),
+            F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce("n_index_dups", F.lit(0)) == 0).alias("admitted"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+_INCR_DEDUP_SQL = f"""
+WITH s AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shg FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(shg), 1, 15))::BIGINT % {_P} AS x FROM s),
+sig AS (SELECT doc_id, {_SIG_MINS_SQL} FROM h GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST_SQL}]) AS band
+  FROM sig),
+cand AS (
+  SELECT DISTINCT n.doc_id AS batch_id, i.doc_id AS index_id
+  FROM banded n JOIN banded i ON n.band = i.band
+  WHERE n.doc_id % 2 = 1 AND i.doc_id % 2 = 0),
+sets AS (SELECT doc_id, {_SHINGLES_SQL} AS sh_set FROM documents),
+verified AS (
+  SELECT c.batch_id, c.index_id,
+    round(len(list_intersect(sa.sh_set, sb.sh_set))
+      / (len(sa.sh_set) + len(sb.sh_set)
+         - len(list_intersect(sa.sh_set, sb.sh_set))), 6) AS jaccard
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.batch_id
+  JOIN sets sb ON sb.doc_id = c.index_id),
+agg AS (
+  SELECT batch_id, COUNT(*) AS n_index_dups,
+    MIN(index_id) AS first_dup_index_id, MAX(jaccard) AS max_jaccard
+  FROM verified WHERE jaccard >= 0.8 GROUP BY batch_id)
+SELECT d.doc_id AS batch_id,
+  CAST(COALESCE(a.n_index_dups, 0) AS BIGINT) AS n_index_dups,
+  CAST(a.first_dup_index_id AS BIGINT) AS first_dup_index_id,
+  COALESCE(a.max_jaccard, 0.0) AS max_jaccard,
+  COALESCE(a.n_index_dups, 0) = 0 AS admitted
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.batch_id
+WHERE d.doc_id % 2 = 1 ORDER BY batch_id
+"""
+
+
+def q_label_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-sample screening: each vector's nearest in-bucket
+    neighbor (hyperplane LSH, 6 seed-fixed planes) votes on its label;
+    per label the report counts vectors, evaluable vectors (bucket
+    neighbors exist), nearest-neighbor agreements, and the agreement ppm.
+    The kNN graph is bucket-local by construction — cosine never runs
+    across buckets, so cost scales with occupancy (sized by n_planes),
+    not corpus². Ranking uses 6dp-rounded cosines with an id tie-break,
+    identical in the baked-plane DuckDB twin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    pairs = SIM.hyperplane_near_dup_pairs(emb, dim, threshold=-1.0, n_planes=6)
+    directed = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cosine"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "cosine"
+        )
+    ).withColumn("cos_r", F.round("cosine", 6))
+    w_nn = Window.partitionBy("src").orderBy(F.col("cos_r").desc(), F.col("dst"))
+    nn = directed.withColumn("rn", F.row_number().over(w_nn)).filter("rn = 1")
+    lab = emb.select("vec_id", "label")
+    nn_lab = nn.join(
+        lab.select(F.col("vec_id").alias("dst"), F.col("label").alias("nn_label")),
+        "dst",
+    ).select(F.col("src").alias("vec_id"), "nn_label")
+    per_vec = lab.join(nn_lab, "vec_id", "left")
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("nn_label").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_evaluated"),
+            F.sum(F.when(F.col("nn_label") == F.col("label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_agree"),
+        )
+        .withColumn(
+            "agree_ppm",
+            F.expr(
+                "CASE WHEN n_evaluated > 0"
+                " THEN n_agree * 1000000 div n_evaluated ELSE NULL END"
+            ).cast("bigint"),
+        )
+        .orderBy("label")
+    )
+
+
+_KNN_AGREE_SQL = f"""
+WITH {_planes_cte(6)},
+{_LSH_SIGS_SQL.lstrip()},
+e2 AS (
+  SELECT s.vec_id, s.bucket, e.embedding, e.label
+  FROM sigs s JOIN embeddings e USING (vec_id)),
+p AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, b.label AS nn_label,
+    round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+      6) AS cos_r
+  FROM e2 a JOIN e2 b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+nn AS (
+  SELECT src, nn_label FROM (
+    SELECT src, nn_label,
+      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos_r DESC, dst) AS rn
+    FROM p) WHERE rn = 1)
+SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(SUM(CASE WHEN nn.nn_label IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_evaluated,
+  CAST(SUM(CASE WHEN nn.nn_label = e.label THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_agree,
+  CAST(CASE WHEN SUM(CASE WHEN nn.nn_label IS NOT NULL THEN 1 ELSE 0 END) > 0
+       THEN SUM(CASE WHEN nn.nn_label = e.label THEN 1 ELSE 0 END) * 1000000
+            // SUM(CASE WHEN nn.nn_label IS NOT NULL THEN 1 ELSE 0 END)
+       ELSE NULL END AS BIGINT) AS agree_ppm
+FROM embeddings e LEFT JOIN nn ON e.vec_id = nn.src
+GROUP BY e.label ORDER BY e.label
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -10875,6 +11049,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity_report": q_k_anonymity_report,
     "freshness_report": q_freshness_report,
     "attribution_time_decay": q_attribution_time_decay,
+    "dedup_incremental_batch": q_dedup_incremental_batch,
+    "label_knn_agreement": q_label_knn_agreement,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -11113,6 +11289,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "k_anonymity_report": _K_ANON_SQL,
     "freshness_report": _FRESHNESS_SQL,
     "attribution_time_decay": _TIME_DECAY_SQL,
+    "dedup_incremental_batch": _INCR_DEDUP_SQL,
+    "label_knn_agreement": _KNN_AGREE_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

@@ -82,3 +82,44 @@ def test_time_decay_conserves_purchase_value(spark, sf_dir, qs):
     assert sum(r.n_purchases for r in rows) >= n_attributable  # purchase may span days
     assert all(r.n_touches >= r.n_purchases * 0 for r in rows)
     assert all(r.attributed_value >= 0 for r in rows)
+
+
+def test_incremental_dedup_admission_contract(spark, sf_dir, qs):
+    rows = qs["dedup_incremental_batch"](spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents")
+    n_odd = docs.filter("doc_id % 2 = 1").count()
+    assert len(rows) == n_odd
+    for r in rows:
+        assert r.batch_id % 2 == 1  # only batch (odd) docs are admitted/rejected
+        assert r.admitted == (r.n_index_dups == 0)
+        if r.n_index_dups:
+            assert r.first_dup_index_id is not None
+            assert r.first_dup_index_id % 2 == 0  # dups point INTO the index
+            assert r.max_jaccard >= 0.8
+        else:
+            assert r.first_dup_index_id is None and r.max_jaccard == 0.0
+    # the batch-vs-index pair set is a subset of the full-corpus near-dup
+    # pair set (same bands, same threshold)
+    full = {
+        (min(p.id_a, p.id_b), max(p.id_a, p.id_b))
+        for p in qs["dedup_ngram_jaccard"](spark, sf_dir).collect()
+    }
+    for r in rows:
+        if r.n_index_dups:
+            a, b = sorted((r.batch_id, r.first_dup_index_id))
+            assert (a, b) in full
+
+
+def test_label_knn_agreement_shape(spark, sf_dir, qs):
+    rows = qs["label_knn_agreement"](spark, sf_dir).collect()
+    emb = read_table(spark, sf_dir, "embeddings")
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    assert {r.label for r in rows} == {
+        x.label for x in emb.select("label").distinct().collect()
+    }
+    for r in rows:
+        assert 0 <= r.n_agree <= r.n_evaluated <= r.n_vecs
+        if r.n_evaluated:
+            assert r.agree_ppm == r.n_agree * 1_000_000 // r.n_evaluated
+        else:
+            assert r.agree_ppm is None
