@@ -10808,6 +10808,86 @@ GROUP BY e.label ORDER BY e.label
 """
 
 
+def q_window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-parity windowFunnel: per user, the deepest
+    view -> click -> purchase chain whose THREE events all fit inside a
+    24h window anchored at the view (the reference engine's signature
+    funnel aggregate, absent from Spark). Chains build via per-user
+    time-bounded equi-joins — user_id is always an equality key, so the
+    pair volume is bounded by per-user daily activity, never corpus².
+    Output: user count per achieved level (0-3), levels summing to the
+    full user base."""
+    day_us = 24 * 3600 * 1_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    users = ev.select("user_id").distinct()
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("us").alias("t1")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("us").alias("t2")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"), F.col("us").alias("t3")
+    )
+    l2 = v.join(
+        c,
+        ["u"],
+    ).filter((F.col("t2") > F.col("t1")) & (F.col("t2") <= F.col("t1") + day_us))
+    l3 = l2.join(p, ["u"]).filter(
+        (F.col("t3") > F.col("t2")) & (F.col("t3") <= F.col("t1") + day_us)
+    )
+    lvl1 = v.select("u").distinct().withColumn("l1", F.lit(1))
+    lvl2 = l2.select("u").distinct().withColumn("l2", F.lit(2))
+    lvl3 = l3.select("u").distinct().withColumn("l3", F.lit(3))
+    per_user = (
+        users.join(lvl1, users.user_id == lvl1.u, "left")
+        .drop("u")
+        .join(lvl2, users.user_id == lvl2.u, "left")
+        .drop("u")
+        .join(lvl3, users.user_id == lvl3.u, "left")
+        .drop("u")
+        .select(
+            "user_id",
+            F.greatest(
+                F.coalesce("l3", F.lit(0)),
+                F.coalesce("l2", F.lit(0)),
+                F.coalesce("l1", F.lit(0)),
+            ).alias("level"),
+        )
+    )
+    return (
+        per_user.groupBy("level")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("level")
+    )
+
+
+_WINDOW_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (SELECT user_id AS u, us AS t1 FROM ev WHERE event_type = 'view'),
+c AS (SELECT user_id AS u, us AS t2 FROM ev WHERE event_type = 'click'),
+p AS (SELECT user_id AS u, us AS t3 FROM ev WHERE event_type = 'purchase'),
+l2 AS (
+  SELECT v.u, t1, t2 FROM v JOIN c ON v.u = c.u
+  WHERE t2 > t1 AND t2 <= t1 + 86400000000),
+l3 AS (
+  SELECT l2.u FROM l2 JOIN p ON l2.u = p.u
+  WHERE t3 > t2 AND t3 <= t1 + 86400000000),
+per_user AS (
+  SELECT users.user_id,
+    GREATEST(
+      CASE WHEN users.user_id IN (SELECT u FROM l3) THEN 3 ELSE 0 END,
+      CASE WHEN users.user_id IN (SELECT u FROM l2) THEN 2 ELSE 0 END,
+      CASE WHEN users.user_id IN (SELECT u FROM v) THEN 1 ELSE 0 END) AS level
+  FROM (SELECT DISTINCT user_id FROM ev) users)
+SELECT level, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY level ORDER BY level
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11051,6 +11131,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution_time_decay": q_attribution_time_decay,
     "dedup_incremental_batch": q_dedup_incremental_batch,
     "label_knn_agreement": q_label_knn_agreement,
+    "window_funnel_levels": q_window_funnel_levels,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -11291,6 +11372,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "attribution_time_decay": _TIME_DECAY_SQL,
     "dedup_incremental_batch": _INCR_DEDUP_SQL,
     "label_knn_agreement": _KNN_AGREE_SQL,
+    "window_funnel_levels": _WINDOW_FUNNEL_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

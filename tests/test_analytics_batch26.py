@@ -123,3 +123,40 @@ def test_label_knn_agreement_shape(spark, sf_dir, qs):
             assert r.agree_ppm == r.n_agree * 1_000_000 // r.n_evaluated
         else:
             assert r.agree_ppm is None
+
+
+def test_window_funnel_levels_partition_users(spark, sf_dir, qs):
+    rows = qs["window_funnel_levels"](spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    n_users = len({e.user_id for e in ev})
+    assert sum(r.n_users for r in rows) == n_users  # levels partition the base
+    assert all(0 <= r.level <= 3 for r in rows)
+    # python recompute of the windowFunnel semantics (24h anchored at view)
+    per_user = defaultdict(lambda: defaultdict(list))
+    for e in ev:
+        per_user[e.user_id][e.event_type].append(e.ts)
+    day = dt.timedelta(hours=24)
+    levels = defaultdict(int)
+    for u, by_type in per_user.items():
+        lvl = 0
+        views = sorted(by_type.get("view", []))
+        if views:
+            lvl = 1
+            for t1 in views:
+                clicks = [t for t in by_type.get("click", []) if t1 < t <= t1 + day]
+                if clicks:
+                    lvl = max(lvl, 2)
+                    for t2 in clicks:
+                        if any(
+                            t2 < t3 <= t1 + day for t3 in by_type.get("purchase", [])
+                        ):
+                            lvl = 3
+                            break
+                if lvl == 3:
+                    break
+        levels[lvl] += 1
+    assert {r.level: r.n_users for r in rows} == {
+        k: v for k, v in levels.items() if v
+    }
