@@ -10888,6 +10888,106 @@ FROM per_user GROUP BY level ORDER BY level
 """
 
 
+def q_retention_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-parity retention(): per user a vector of gate flags —
+    active in week 1 (the anchor), AND-ed with weeks 2/3/4 — aggregated
+    to the classic retention curve (denominator = anchor cohort, the CH
+    semantics where later flags only count if the first fired). One scan
+    folds to per-(user, week) activity; flags are a conditional-MAX
+    pivot per user; the curve is one tiny aggregate. Weeks are fixed
+    7-day buckets from the global min day (deterministic anchor)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d"))
+    t0 = ev.agg(F.min("d").alias("d0"))
+    wk = ev.crossJoin(F.broadcast(t0)).select(
+        "user_id", (F.datediff("d", "d0") / 7).cast("int").alias("week")
+    )
+    flags = wk.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("week") == w, 1).otherwise(0)).alias(f"w{w}")
+            for w in range(4)
+        ]
+    )
+    return flags.agg(
+        F.sum("w0").cast("bigint").alias("cohort"),
+        F.sum(F.col("w0") * F.col("w1")).cast("bigint").alias("kept_w1"),
+        F.sum(F.col("w0") * F.col("w2")).cast("bigint").alias("kept_w2"),
+        F.sum(F.col("w0") * F.col("w3")).cast("bigint").alias("kept_w3"),
+    ).select(
+        "cohort",
+        "kept_w1",
+        "kept_w2",
+        "kept_w3",
+        F.expr("kept_w1 * 1000000 div cohort").cast("bigint").alias("w1_ppm"),
+        F.expr("kept_w2 * 1000000 div cohort").cast("bigint").alias("w2_ppm"),
+        F.expr("kept_w3 * 1000000 div cohort").cast("bigint").alias("w3_ppm"),
+    )
+
+
+_RETENTION_FLAGS_SQL = """
+WITH d AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+t0 AS (SELECT MIN(d) AS d0 FROM d),
+wk AS (
+  SELECT user_id, CAST(date_diff('day', d0, d) / 7 AS INTEGER) AS week
+  FROM d, t0),
+flags AS (
+  SELECT user_id,
+    MAX(CASE WHEN week = 0 THEN 1 ELSE 0 END) AS w0,
+    MAX(CASE WHEN week = 1 THEN 1 ELSE 0 END) AS w1,
+    MAX(CASE WHEN week = 2 THEN 1 ELSE 0 END) AS w2,
+    MAX(CASE WHEN week = 3 THEN 1 ELSE 0 END) AS w3
+  FROM wk GROUP BY user_id)
+SELECT CAST(SUM(w0) AS BIGINT) AS cohort,
+  CAST(SUM(w0 * w1) AS BIGINT) AS kept_w1,
+  CAST(SUM(w0 * w2) AS BIGINT) AS kept_w2,
+  CAST(SUM(w0 * w3) AS BIGINT) AS kept_w3,
+  CAST(SUM(w0 * w1) * 1000000 // SUM(w0) AS BIGINT) AS w1_ppm,
+  CAST(SUM(w0 * w2) * 1000000 // SUM(w0) AS BIGINT) AS w2_ppm,
+  CAST(SUM(w0 * w3) * 1000000 // SUM(w0) AS BIGINT) AS w3_ppm
+FROM flags
+"""
+
+
+def q_adaptive_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-parity histogram(N): equal-FREQUENCY bins over order
+    totals (8 bins) — adaptive boundaries that track the data where
+    equal-width bins waste resolution on empty tails. Bin edges come
+    from ntile over the cents-exact total (total-order tie-break on the
+    key), then per-bin min/max/count/exact-decimal sum. Two shuffles:
+    the ntile sort and the bin rollup — both scale as an ordinary
+    grouped sort at 100 TB (ntile over a skewless numeric is
+    range-partition-friendly)."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.orderBy(F.col("cents"), F.col("o_orderkey"))
+    binned = o.select(
+        cents.alias("cents"), F.col("o_orderkey")
+    ).withColumn("bin", F.ntile(8).over(w))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("cents").cast("bigint").alias("lo_cents"),
+            F.max("cents").cast("bigint").alias("hi_cents"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("bin")
+    )
+
+
+_ADAPTIVE_HIST_SQL = """
+WITH b AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+    NTILE(8) OVER (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                   o_orderkey) AS bin
+  FROM orders)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(MIN(cents) AS BIGINT) AS lo_cents,
+  CAST(MAX(cents) AS BIGINT) AS hi_cents,
+  CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11132,6 +11232,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental_batch": q_dedup_incremental_batch,
     "label_knn_agreement": q_label_knn_agreement,
     "window_funnel_levels": q_window_funnel_levels,
+    "retention_flags": q_retention_flags,
+    "adaptive_histogram": q_adaptive_histogram,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -11373,6 +11475,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "dedup_incremental_batch": _INCR_DEDUP_SQL,
     "label_knn_agreement": _KNN_AGREE_SQL,
     "window_funnel_levels": _WINDOW_FUNNEL_SQL,
+    "retention_flags": _RETENTION_FLAGS_SQL,
+    "adaptive_histogram": _ADAPTIVE_HIST_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

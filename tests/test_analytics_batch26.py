@@ -160,3 +160,34 @@ def test_window_funnel_levels_partition_users(spark, sf_dir, qs):
     assert {r.level: r.n_users for r in rows} == {
         k: v for k, v in levels.items() if v
     }
+
+
+def test_retention_flags_ch_semantics(spark, sf_dir, qs):
+    r = qs["retention_flags"](spark, sf_dir).collect()[0]
+    assert r.cohort > 0
+    assert r.cohort >= r.kept_w1 >= 0 and r.cohort >= r.kept_w2 >= 0
+    assert r.w1_ppm == r.kept_w1 * 1_000_000 // r.cohort
+    # recompute: kept counts only users active in the ANCHOR week
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    d0 = min(e.ts.date() for e in ev)
+    weeks = defaultdict(set)
+    for e in ev:
+        weeks[(e.ts.date() - d0).days // 7].add(e.user_id)
+    assert r.cohort == len(weeks[0])
+    assert r.kept_w1 == len(weeks[0] & weeks.get(1, set()))
+    assert r.kept_w3 == len(weeks[0] & weeks.get(3, set()))
+
+
+def test_adaptive_histogram_bins(spark, sf_dir, qs):
+    rows = sorted(qs["adaptive_histogram"](spark, sf_dir).collect(), key=lambda r: r.bin)
+    o = read_table(spark, sf_dir, "orders")
+    n = o.count()
+    assert [r.bin for r in rows] == list(range(1, 9))
+    assert sum(r.n for r in rows) == n
+    # equal frequency: ntile bins differ by at most 1
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # adaptive boundaries are monotone and non-overlapping
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_cents <= b.lo_cents
+        assert a.lo_cents <= a.hi_cents
