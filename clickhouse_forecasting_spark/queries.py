@@ -10988,6 +10988,61 @@ FROM b GROUP BY bin ORDER BY bin
 """
 
 
+def q_dedup_canonical_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection per near-dup cluster: keep the LONGEST member
+    (ties -> min id) instead of the min-id rule — the policy that ships
+    the most complete copy of each duplicated document. Components ride
+    the family's persisted LSH stages; the canonical election is one
+    window over the (id, component, n_chars) frame — metadata-sized, the
+    text never travels. Per-cluster report includes the chars the policy
+    saves (total minus canonical)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.lsh_verified_pairs(docs, threshold=0.8, cache_key=sf_dir)
+    cc = DD.connected_components(pairs)
+    m = cc.join(
+        docs.select(F.col("doc_id").alias("id"), "n_chars"), "id"
+    )
+    w_comp = Window.partitionBy("component")
+    w_rank = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("id")
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_members", F.count("*").over(w_comp))
+        .withColumn("total_chars", F.sum("n_chars").over(w_comp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("id").alias("canonical_id"),
+            F.col("n_chars").cast("bigint").alias("canonical_chars"),
+            (F.col("total_chars") - F.col("n_chars"))
+            .cast("bigint")
+            .alias("chars_saved"),
+        )
+        .orderBy("component")
+    )
+
+
+_CANONICAL_SQL = f"""
+WITH cc AS ({_CC_SQL}),
+m AS (
+  SELECT cc.component, cc.id, d.n_chars
+  FROM cc JOIN documents d ON cc.id = d.doc_id),
+sel AS (
+  SELECT component, id, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY component
+                       ORDER BY n_chars DESC, id) AS rn,
+    COUNT(*) OVER (PARTITION BY component) AS n_members,
+    SUM(n_chars) OVER (PARTITION BY component) AS total_chars
+  FROM m)
+SELECT component, CAST(n_members AS BIGINT) AS n_members,
+  id AS canonical_id, CAST(n_chars AS BIGINT) AS canonical_chars,
+  CAST(total_chars - n_chars AS BIGINT) AS chars_saved
+FROM sel WHERE rn = 1 ORDER BY component
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11234,6 +11289,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_funnel_levels": q_window_funnel_levels,
     "retention_flags": q_retention_flags,
     "adaptive_histogram": q_adaptive_histogram,
+    "dedup_canonical_projection": q_dedup_canonical_projection,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -11477,6 +11533,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "window_funnel_levels": _WINDOW_FUNNEL_SQL,
     "retention_flags": _RETENTION_FLAGS_SQL,
     "adaptive_histogram": _ADAPTIVE_HIST_SQL,
+    "dedup_canonical_projection": _CANONICAL_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

@@ -191,3 +191,28 @@ def test_adaptive_histogram_bins(spark, sf_dir, qs):
     for a, b in zip(rows, rows[1:]):
         assert a.hi_cents <= b.lo_cents
         assert a.lo_cents <= a.hi_cents
+
+
+def test_canonical_projection_beats_min_id_policy(spark, sf_dir, qs):
+    rows = qs["dedup_canonical_projection"](spark, sf_dir).collect()
+    assert rows
+    comp = qs["dedup_components"](spark, sf_dir).collect()
+    by_comp = defaultdict(list)
+    for c in comp:
+        by_comp[c.component].append(c.id)
+    chars = {
+        d.doc_id: d.n_chars
+        for d in read_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    assert {r.component for r in rows} == set(by_comp)
+    for r in rows:
+        members = by_comp[r.component]
+        assert r.n_members == len(members)
+        best = max(chars[m] for m in members)
+        assert chars[r.canonical_id] == best == r.canonical_chars
+        # deterministic tie-break: smallest id among the longest members
+        assert r.canonical_id == min(m for m in members if chars[m] == best)
+        assert r.chars_saved == sum(chars[m] for m in members) - best
+        assert r.chars_saved >= 0
