@@ -11043,6 +11043,198 @@ FROM sel WHERE rn = 1 ORDER BY component
 """
 
 
+def q_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand — the forecasting-family
+    member for sparse series, where Holt/Prophet smear zeros into bias.
+    Demand = daily count of a deterministic 1%-ish order slice
+    (o_orderkey % 101 = 0) on the gap-filled axis; smoothed demand size z
+    and inter-demand interval p (alpha = 0.2) update ONLY on demand
+    days; forecast = z / p. Inherently sequential -> applyInPandas (one
+    task per series, O(1) state, the forecaster's partitioning); the
+    oracle replays the identical IEEE recurrence in a recursive CTE, so
+    no rounding is needed anywhere."""
+    import pandas as pd
+
+    o = _t(spark, sf_dir, "orders")
+    span = o.agg(
+        F.min(F.to_date("o_orderdate")).alias("d0"),
+        F.max(F.to_date("o_orderdate")).alias("d1"),
+    )
+    axis = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("date")
+    )
+    demand = (
+        o.filter(F.col("o_orderkey") % 101 == 0)
+        .groupBy(F.to_date("o_orderdate").alias("date"))
+        .agg(F.count("*").alias("y"))
+    )
+    daily = (
+        axis.join(demand, "date", "left")
+        .select("date", F.coalesce("y", F.lit(0)).cast("double").alias("y"))
+    )
+    alpha = 0.2
+
+    def _croston(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("date").reset_index(drop=True)
+        out = {"date": [], "y": [], "z": [], "p": [], "forecast": []}
+        z = p = None
+        q = 0
+        for i in range(len(pdf)):
+            y = pdf["y"][i]
+            q += 1
+            if y > 0:
+                if z is None:
+                    z, p = y, float(q)
+                else:
+                    z = z + alpha * (y - z)
+                    p = p + alpha * (q - p)
+                q = 0
+            if z is not None:
+                out["date"].append(pdf["date"][i])
+                out["y"].append(y)
+                out["z"].append(z)
+                out["p"].append(p)
+                out["forecast"].append(z / p)
+        return pd.DataFrame(out)
+
+    return (
+        daily.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda _, pdf: _croston(pdf),
+            "date date, y double, z double, p double, forecast double",
+        )
+        .orderBy("date")
+    )
+
+
+_CROSTON_SQL = """
+WITH RECURSIVE axis AS (
+  SELECT UNNEST(generate_series(MIN(CAST(o_orderdate AS DATE)),
+                                MAX(CAST(o_orderdate AS DATE)),
+                                INTERVAL 1 DAY))::DATE AS date
+  FROM orders),
+demand AS (
+  SELECT CAST(o_orderdate AS DATE) AS date, COUNT(*) AS y
+  FROM orders WHERE o_orderkey % 101 = 0 GROUP BY 1),
+daily AS (
+  SELECT a.date, CAST(COALESCE(d.y, 0) AS DOUBLE) AS y,
+    ROW_NUMBER() OVER (ORDER BY a.date) AS rn
+  FROM axis a LEFT JOIN demand d ON a.date = d.date),
+first_demand AS (SELECT MIN(rn) AS rn0 FROM daily WHERE y > 0),
+cr(date, y, rn, z, p, q) AS (
+  SELECT d.date, d.y, d.rn, d.y, CAST(d.rn AS DOUBLE), 0
+  FROM daily d, first_demand f WHERE d.rn = f.rn0
+  UNION ALL
+  SELECT n.date, n.y, n.rn,
+    CASE WHEN n.y > 0 THEN c.z + 0.2 * (n.y - c.z) ELSE c.z END,
+    CASE WHEN n.y > 0 THEN c.p + 0.2 * ((c.q + 1) - c.p) ELSE c.p END,
+    CASE WHEN n.y > 0 THEN 0 ELSE c.q + 1 END
+  FROM cr c JOIN daily n ON n.rn = c.rn + 1)
+SELECT date, y, z, p, z / p AS forecast FROM cr ORDER BY date
+"""
+
+
+def q_naive_baseline_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (lag-7) baseline scorecard for the two daily series
+    the forecaster ships — MAE / RMSE / sMAPE per metric, the floor any
+    real model must beat (and the MASE denominator). Errors run in exact
+    integers (cents / counts) summed as DECIMAL, divided once in double;
+    sMAPE terms are 1e-12-rounded doubles summed as DECIMAL. One
+    aggregation over the lag-joined daily frame; the lag is a window on
+    the tiny daily series, not the fact table."""
+    daily = _orders_daily(spark, sf_dir).select(
+        "date",
+        F.col("order_count").cast("bigint").alias("cnt"),
+        F.round(F.col("total_revenue") * 100).cast("bigint").alias("rev_cents"),
+    )
+    w = Window.orderBy("date")
+    lagged = (
+        daily.select(
+            "date",
+            "cnt",
+            "rev_cents",
+            F.lag("cnt", 7).over(w).alias("cnt_hat"),
+            F.lag("rev_cents", 7).over(w).alias("rev_hat"),
+        )
+        .filter(F.col("cnt_hat").isNotNull())
+        # daily-series-sized; both metric branches read it, so one
+        # checkpoint saves a second scan of the orders fact
+        .localCheckpoint(eager=True)
+    )
+
+    def metric(y, yhat, name, scale):
+        err = F.abs(y - yhat)
+        smape_term = F.round(
+            F.lit(2.0)
+            * err.cast("double")
+            / (F.abs(y) + F.abs(yhat)).cast("double"),
+            12,
+        )
+        return lagged.agg(
+            F.lit(name).alias("metric"),
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(
+                F.sum(err.cast("decimal(38,0)")).cast("double")
+                / F.count("*")
+                / scale,
+                6,
+            ).alias("mae"),
+            F.round(
+                F.sqrt(
+                    F.sum((err * err).cast("decimal(38,0)")).cast("double")
+                    / F.count("*")
+                )
+                / scale,
+                6,
+            ).alias("rmse"),
+            F.round(
+                F.sum(smape_term.cast("decimal(38,12)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("smape"),
+        )
+
+    return metric(F.col("cnt"), F.col("cnt_hat"), "order_count", 1.0).unionByName(
+        metric(F.col("rev_cents"), F.col("rev_hat"), "total_revenue", 100.0)
+    ).orderBy("metric")
+
+
+_NAIVE_SCORE_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS date, COUNT(*) AS cnt,
+    CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
+          * 100) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1),
+lagged AS (
+  SELECT date, cnt, rev_cents,
+    LAG(cnt, 7) OVER (ORDER BY date) AS cnt_hat,
+    LAG(rev_cents, 7) OVER (ORDER BY date) AS rev_hat
+  FROM daily),
+f AS (SELECT * FROM lagged WHERE cnt_hat IS NOT NULL)
+SELECT 'order_count' AS metric, CAST(COUNT(*) AS BIGINT) AS n_days,
+  ROUND(CAST(SUM(CAST(ABS(cnt - cnt_hat) AS DECIMAL(38,0))) AS DOUBLE)
+        / COUNT(*) / 1.0, 6) AS mae,
+  ROUND(sqrt(CAST(SUM(CAST(ABS(cnt - cnt_hat) * ABS(cnt - cnt_hat)
+                       AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)) / 1.0, 6)
+    AS rmse,
+  ROUND(CAST(SUM(CAST(ROUND(2.0 * CAST(ABS(cnt - cnt_hat) AS DOUBLE)
+        / CAST(ABS(cnt) + ABS(cnt_hat) AS DOUBLE), 12) AS DECIMAL(38,12)))
+        AS DOUBLE) / COUNT(*), 6) AS smape
+FROM f
+UNION ALL
+SELECT 'total_revenue', CAST(COUNT(*) AS BIGINT),
+  ROUND(CAST(SUM(CAST(ABS(rev_cents - rev_hat) AS DECIMAL(38,0))) AS DOUBLE)
+        / COUNT(*) / 100.0, 6),
+  ROUND(sqrt(CAST(SUM(CAST(ABS(rev_cents - rev_hat) * ABS(rev_cents - rev_hat)
+                       AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)) / 100.0, 6),
+  ROUND(CAST(SUM(CAST(ROUND(2.0 * CAST(ABS(rev_cents - rev_hat) AS DOUBLE)
+        / CAST(ABS(rev_cents) + ABS(rev_hat) AS DOUBLE), 12) AS DECIMAL(38,12)))
+        AS DOUBLE) / COUNT(*), 6)
+FROM f
+ORDER BY metric
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11290,6 +11482,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_flags": q_retention_flags,
     "adaptive_histogram": q_adaptive_histogram,
     "dedup_canonical_projection": q_dedup_canonical_projection,
+    "croston_intermittent": q_croston_intermittent,
+    "naive_baseline_scorecard": q_naive_baseline_scorecard,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -11534,6 +11728,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "retention_flags": _RETENTION_FLAGS_SQL,
     "adaptive_histogram": _ADAPTIVE_HIST_SQL,
     "dedup_canonical_projection": _CANONICAL_SQL,
+    "croston_intermittent": _CROSTON_SQL,
+    "naive_baseline_scorecard": _NAIVE_SCORE_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

@@ -216,3 +216,58 @@ def test_canonical_projection_beats_min_id_policy(spark, sf_dir, qs):
         assert r.canonical_id == min(m for m in members if chars[m] == best)
         assert r.chars_saved == sum(chars[m] for m in members) - best
         assert r.chars_saved >= 0
+
+
+def test_croston_matches_python_recurrence(spark, sf_dir, qs):
+    rows = sorted(qs["croston_intermittent"](spark, sf_dir).collect(), key=lambda r: r.date)
+    assert rows
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate").collect()
+    from collections import Counter
+
+    demand = Counter()
+    all_days = set()
+    for r in o:
+        d = r.o_orderdate.date() if hasattr(r.o_orderdate, "date") else r.o_orderdate
+        all_days.add(d)
+        if r.o_orderkey % 101 == 0:
+            demand[d] += 1
+    d0, d1 = min(all_days), max(all_days)
+    days = [d0 + dt.timedelta(days=i) for i in range((d1 - d0).days + 1)]
+    z = p = None
+    q = 0
+    expect = []
+    for d in days:
+        y = float(demand.get(d, 0))
+        q += 1
+        if y > 0:
+            if z is None:
+                z, p = y, float(q)
+            else:
+                z = z + 0.2 * (y - z)
+                p = p + 0.2 * (q - p)
+            q = 0
+        if z is not None:
+            expect.append((d, y, z, p, z / p))
+    assert len(rows) == len(expect)
+    for r, (d, y, z, p, f) in zip(rows, expect):
+        assert r.date == d and r.y == y
+        assert r.z == z and r.p == p and r.forecast == f  # bit-exact IEEE
+
+
+def test_naive_scorecard_recompute(spark, sf_dir, qs):
+    rows = {r.metric: r for r in qs["naive_baseline_scorecard"](spark, sf_dir).collect()}
+    assert set(rows) == {"order_count", "total_revenue"}
+    daily = sorted(
+        qs["daily_sales_series"](spark, sf_dir).collect(), key=lambda r: r.date
+    )
+    cnts = [r.order_count for r in daily]
+    errs = [abs(a - b) for a, b in zip(cnts[7:], cnts[:-7])]
+    r = rows["order_count"]
+    assert r.n_days == len(errs)
+    assert abs(r.mae - sum(errs) / len(errs)) < 1e-6
+    import math
+
+    assert abs(r.rmse - math.sqrt(sum(e * e for e in errs) / len(errs))) < 1e-6
+    for r in rows.values():
+        assert 0 <= r.smape <= 2.0
+        assert r.rmse >= r.mae >= 0
