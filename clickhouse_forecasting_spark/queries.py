@@ -11234,6 +11234,101 @@ FROM f
 ORDER BY metric
 """
 
+# Multivariate OLS via normal equations, solved in closed form (Cramer's
+# rule on the 3x3 Gram matrix). The algebra below is ONE shared formula
+# text evaluated by F.expr on the Spark side and spliced verbatim into the
+# DuckDB twin — identical expression trees guarantee identical IEEE
+# doubles, so no tolerance is needed. Note a33 = sw because the weekend
+# dummy is idempotent (w² = w).
+_OLS_DET = "(n*(stt*sw - stw*stw) - st*(st*sw - stw*sw) + sw*(st*stw - stt*sw))"
+_OLS_DA = "(sy*(stt*sw - stw*stw) - st*(sty*sw - stw*swy) + sw*(sty*stw - stt*swy))"
+_OLS_DB = "(n*(sty*sw - stw*swy) - sy*(st*sw - stw*sw) + sw*(st*swy - sty*sw))"
+_OLS_DC = "(n*(stt*swy - sty*stw) - st*(st*swy - sty*sw) + sy*(st*stw - stt*sw))"
+_OLS_OUT = (
+    f"ROUND({_OLS_DA} / {_OLS_DET}, 6) AS intercept, "
+    f"ROUND({_OLS_DB} / {_OLS_DET}, 6) AS slope_per_day, "
+    f"ROUND({_OLS_DC} / {_OLS_DET}, 6) AS weekend_effect, "
+    f"ROUND(1.0 - (syy - ({_OLS_DA} / {_OLS_DET} * sy"
+    f" + {_OLS_DB} / {_OLS_DET} * sty"
+    f" + {_OLS_DC} / {_OLS_DET} * swy))"
+    f" / (syy - sy * sy / n), 6) AS r2"
+)
+
+
+def _split_select_list(s: str) -> list[str]:
+    """Split a SELECT list on top-level commas (parens-aware)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
+def q_multivar_ols_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression in one aggregation pass: daily revenue ~
+    intercept + trend·t + weekend dummy, solved in closed form from exact
+    power sums (the normal-equations / Cramer path — no iterative
+    optimizer, no MLlib RNG). The only corpus-sized work is the daily
+    rollup; the Gram matrix is 9 decimal-exact sums over the tiny series
+    and the solve is scalar algebra shared verbatim with the oracle.
+    This is the scale shape for ANY fixed-feature linear model: map-side
+    partial sums, one row out."""
+    daily = _orders_daily(spark, sf_dir).select(
+        "date", F.col("total_revenue").alias("y")
+    )
+    w0 = Window.partitionBy()
+    base = daily.withColumn("d0", F.min("date").over(w0)).select(
+        F.datediff("date", "d0").cast("double").alias("t"),
+        F.dayofweek("date").isin(1, 7).cast("int").cast("double").alias("w"),
+        "y",
+    )
+    t, w, y = F.col("t"), F.col("w"), F.col("y")
+    sums = base.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(t.cast("decimal(38,6)")).cast("double").alias("st"),
+        F.sum(w.cast("decimal(38,6)")).cast("double").alias("sw"),
+        F.sum((t * t).cast("decimal(38,6)")).cast("double").alias("stt"),
+        F.sum((t * w).cast("decimal(38,6)")).cast("double").alias("stw"),
+        F.sum(F.round(y, 6).cast("decimal(38,6)")).cast("double").alias("sy"),
+        F.sum(F.round(t * y, 6).cast("decimal(38,6)")).cast("double").alias("sty"),
+        F.sum(F.round(w * y, 6).cast("decimal(38,6)")).cast("double").alias("swy"),
+        F.sum(F.round(y * y, 4).cast("decimal(38,4)")).cast("double").alias("syy"),
+    )
+    return sums.selectExpr(*[e.strip() for e in _split_select_list(_OLS_OUT)])
+
+
+_MULTIVAR_OLS_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS date,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS y
+  FROM orders GROUP BY 1),
+base AS (
+  SELECT CAST(date_diff('day', MIN(date) OVER (), date) AS DOUBLE) AS t,
+    CAST(CASE WHEN dayofweek(date) IN (0, 6) THEN 1 ELSE 0 END AS DOUBLE) AS w,
+    y
+  FROM daily),
+sums AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(t AS DECIMAL(38,6))) AS DOUBLE) AS st,
+    CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) AS sw,
+    CAST(SUM(CAST(t * t AS DECIMAL(38,6))) AS DOUBLE) AS stt,
+    CAST(SUM(CAST(t * w AS DECIMAL(38,6))) AS DOUBLE) AS stw,
+    CAST(SUM(CAST(ROUND(y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(ROUND(t * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS sty,
+    CAST(SUM(CAST(ROUND(w * y, 6) AS DECIMAL(38,6))) AS DOUBLE) AS swy,
+    CAST(SUM(CAST(ROUND(y * y, 4) AS DECIMAL(38,4))) AS DOUBLE) AS syy
+  FROM base)
+SELECT {_OLS_OUT} FROM sums
+"""
+
 
 # --------------------------------------------------------------------------
 # registry
@@ -11484,6 +11579,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_canonical_projection": q_dedup_canonical_projection,
     "croston_intermittent": q_croston_intermittent,
     "naive_baseline_scorecard": q_naive_baseline_scorecard,
+    "multivar_ols_daily": q_multivar_ols_daily,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -11730,6 +11826,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "dedup_canonical_projection": _CANONICAL_SQL,
     "croston_intermittent": _CROSTON_SQL,
     "naive_baseline_scorecard": _NAIVE_SCORE_SQL,
+    "multivar_ols_daily": _MULTIVAR_OLS_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

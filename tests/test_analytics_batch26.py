@@ -271,3 +271,28 @@ def test_naive_scorecard_recompute(spark, sf_dir, qs):
     for r in rows.values():
         assert 0 <= r.smape <= 2.0
         assert r.rmse >= r.mae >= 0
+
+
+def test_multivar_ols_matches_numpy_lstsq(spark, sf_dir, qs):
+    r = qs["multivar_ols_daily"](spark, sf_dir).collect()[0]
+    import numpy as np
+
+    daily = sorted(
+        qs["daily_sales_series"](spark, sf_dir).collect(), key=lambda x: x.date
+    )
+    d0 = daily[0].date
+    t = np.array([(x.date - d0).days for x in daily], dtype=np.float64)
+    w = np.array(
+        [1.0 if x.date.weekday() >= 5 else 0.0 for x in daily], dtype=np.float64
+    )
+    y = np.array([x.total_revenue for x in daily], dtype=np.float64)
+    X = np.column_stack([np.ones_like(t), t, w])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(r.intercept - beta[0]) < max(1e-3, abs(beta[0]) * 1e-5)
+    assert abs(r.slope_per_day - beta[1]) < max(1e-3, abs(beta[1]) * 1e-3)
+    assert abs(r.weekend_effect - beta[2]) < max(1e-3, abs(beta[2]) * 1e-3)
+    resid = y - X @ beta
+    sst = ((y - y.mean()) ** 2).sum()
+    r2 = 1.0 - (resid**2).sum() / sst
+    assert abs(r.r2 - r2) < 1e-4
+    assert 0.0 <= r.r2 <= 1.0
