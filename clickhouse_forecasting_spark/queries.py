@@ -11330,6 +11330,55 @@ SELECT {_OLS_OUT} FROM sums
 """
 
 
+def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass weighted sampling without replacement (Efraimidis-
+    Spirakis): each doc draws key = u^(1/w) from a deterministic
+    md5-derived uniform u and weight w = n_chars; the global top-k by key
+    IS a weighted sample — the standard distributed primitive (inclusion
+    probability proportional to weight, no second pass, no rejection
+    loop). Top-k is a TakeOrdered over row-local keys: at 100 TB each
+    partition ships k candidates, never the corpus. Keys are rounded to
+    1e-12 with an id tie-break for cross-engine total order."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("es|"), F.col("doc_id").cast("string"))), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000
+        ).cast("double")
+        + 0.5
+    ) / 1000000.0
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 12
+    )
+    w_rank = Window.orderBy(F.col("key").desc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("key"))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "source", "n_chars", "key", "rank")
+    )
+
+
+_ES_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+    ROUND(pow(
+      (CAST(('0x' || substr(md5('es|' || CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) % 1000000 + 0.5) / 1000000.0,
+      1.0 / CAST(n_chars AS DOUBLE)), 12) AS key
+  FROM documents)
+SELECT doc_id, source, n_chars, key, rank FROM (
+  SELECT doc_id, source, n_chars, key,
+    ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS rank
+  FROM keyed)
+WHERE rank <= 20
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -11580,6 +11629,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "croston_intermittent": q_croston_intermittent,
     "naive_baseline_scorecard": q_naive_baseline_scorecard,
     "multivar_ols_daily": q_multivar_ols_daily,
+    "weighted_sample_es": q_weighted_sample_es,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -11827,6 +11877,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "croston_intermittent": _CROSTON_SQL,
     "naive_baseline_scorecard": _NAIVE_SCORE_SQL,
     "multivar_ols_daily": _MULTIVAR_OLS_SQL,
+    "weighted_sample_es": _ES_SAMPLE_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

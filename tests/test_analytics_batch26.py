@@ -296,3 +296,29 @@ def test_multivar_ols_matches_numpy_lstsq(spark, sf_dir, qs):
     r2 = 1.0 - (resid**2).sum() / sst
     assert abs(r.r2 - r2) < 1e-4
     assert 0.0 <= r.r2 <= 1.0
+
+
+def test_weighted_sample_es_favors_heavy_docs(spark, sf_dir, qs):
+    rows = qs["weighted_sample_es"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert sorted(r.rank for r in rows) == list(range(1, 21))
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    mean_chars = sum(d.n_chars for d in docs) / len(docs)
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    # w = n_chars -> inclusion probability grows with length, so the
+    # sample must be longer than the corpus average
+    assert sample_mean > mean_chars
+    # python recompute of the deterministic keys -> exact same top-20
+    import hashlib
+
+    def key(doc_id, n_chars):
+        h = hashlib.md5(f"es|{doc_id}".encode()).hexdigest()[:15]
+        u = (int(h, 16) % 1_000_000 + 0.5) / 1_000_000.0
+        return round(u ** (1.0 / n_chars), 12)
+
+    expect = sorted(
+        ((key(d.doc_id, d.n_chars), d.doc_id) for d in docs),
+        key=lambda kv: (-kv[0], kv[1]),
+    )[:20]
+    got = [(r.key, r.doc_id) for r in sorted(rows, key=lambda r: r.rank)]
+    assert [g[1] for g in got] == [e[1] for e in expect]
