@@ -10812,50 +10812,48 @@ def q_window_funnel_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse-parity windowFunnel: per user, the deepest
     view -> click -> purchase chain whose THREE events all fit inside a
     24h window anchored at the view (the reference engine's signature
-    funnel aggregate, absent from Spark). Chains build via per-user
-    time-bounded equi-joins — user_id is always an equality key, so the
-    pair volume is bounded by per-user daily activity, never corpus².
-    Output: user count per achieved level (0-3), levels summing to the
-    full user base."""
+    funnel aggregate, absent from Spark). Single-scan plan: instead of
+    per-level self-joins (which re-read the fact once per level), the
+    chain state propagates through TWO event-time RANGE windows over the
+    user partition — each click carries its latest qualifying view
+    (v_best), each purchase checks the max v_best among its prior-24h
+    clicks against its own anchor bound. Exact: a valid chain exists iff
+    max(v_best) >= t3 - 24h (proof in the window bounds: t1 ∈
+    [t2-24h, t2), t2 ∈ (t3-24h, t3), t3 <= t1+24h). Output: user count
+    per achieved level (0-3), levels summing to the full user base."""
     day_us = 24 * 3600 * 1_000_000
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
-    users = ev.select("user_id").distinct()
-    v = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("u"), F.col("us").alias("t1")
-    )
-    c = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("u"), F.col("us").alias("t2")
-    )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("u"), F.col("us").alias("t3")
-    )
-    l2 = v.join(
-        c,
-        ["u"],
-    ).filter((F.col("t2") > F.col("t1")) & (F.col("t2") <= F.col("t1") + day_us))
-    l3 = l2.join(p, ["u"]).filter(
-        (F.col("t3") > F.col("t2")) & (F.col("t3") <= F.col("t1") + day_us)
-    )
-    lvl1 = v.select("u").distinct().withColumn("l1", F.lit(1))
-    lvl2 = l2.select("u").distinct().withColumn("l2", F.lit(2))
-    lvl3 = l3.select("u").distinct().withColumn("l3", F.lit(3))
-    per_user = (
-        users.join(lvl1, users.user_id == lvl1.u, "left")
-        .drop("u")
-        .join(lvl2, users.user_id == lvl2.u, "left")
-        .drop("u")
-        .join(lvl3, users.user_id == lvl3.u, "left")
-        .drop("u")
-        .select(
-            "user_id",
-            F.greatest(
-                F.coalesce("l3", F.lit(0)),
-                F.coalesce("l2", F.lit(0)),
-                F.coalesce("l1", F.lit(0)),
-            ).alias("level"),
+    w24 = Window.partitionBy("user_id").orderBy("us").rangeBetween(-day_us, -1)
+    chain = (
+        ev.withColumn(
+            "v_best",
+            F.max(
+                F.when(F.col("event_type") == "view", F.col("us"))
+            ).over(w24),
         )
+        .withColumn(
+            "click_anchor",
+            F.when(
+                (F.col("event_type") == "click") & F.col("v_best").isNotNull(),
+                F.col("v_best"),
+            ),
+        )
+        .withColumn("best_click_anchor", F.max("click_anchor").over(w24))
+    )
+    per_user = chain.groupBy("user_id").agg(
+        F.greatest(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("best_click_anchor") >= F.col("us") - day_us),
+                    3,
+                ).otherwise(0)
+            ),
+            F.max(F.when(F.col("click_anchor").isNotNull(), 2).otherwise(0)),
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)),
+        ).alias("level")
     )
     return (
         per_user.groupBy("level")
