@@ -229,6 +229,130 @@ def _decode_wav_features(payload: bytes) -> list[float]:
     return [sum(s * s for s in samples) / n, float(sample_rate), float(n), float(zc)]
 
 
+def encode_avi(width: int, height: int, frames: "list[bytes]") -> bytes:
+    """Encode top-down RGB frames as a minimal uncompressed AVI (RIFF
+    'AVI ' form): hdrl LIST (avih main header + one 'vids'/'DIB ' stream
+    with a BITMAPINFOHEADER), then a movi LIST of '00db' raw-DIB frame
+    chunks (bottom-up BGR rows padded to 4 bytes, the BMP pixel layout)."""
+    import struct
+
+    row_raw = width * 3
+    pad = (-row_raw) % 4
+    frame_chunks = []
+    for rgb in frames:
+        if len(rgb) != width * height * 3:
+            raise ValueError(f"frame length {len(rgb)} != {width}x{height}x3")
+        rows = []
+        for y in range(height - 1, -1, -1):
+            row = bytearray()
+            base = y * row_raw
+            for x in range(width):
+                r, g, b = rgb[base + 3 * x : base + 3 * x + 3]
+                row += bytes((b, g, r))
+            rows.append(bytes(row) + b"\x00" * pad)
+        dib = b"".join(rows)
+        frame_chunks.append(
+            b"00db" + struct.pack("<I", len(dib)) + dib + (b"\x00" * (len(dib) % 2))
+        )
+    movi_body = b"movi" + b"".join(frame_chunks)
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    frame_bytes = (row_raw + pad) * height
+    avih = b"avih" + struct.pack(
+        "<I14I",
+        56, 40_000, frame_bytes * 25, 0, 0x10, len(frames), 0, 1,
+        frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = b"strh" + struct.pack(
+        "<I4s4sIHHIIIIIIIIhhhh",
+        56, b"vids", b"DIB ", 0, 0, 0, 0, 1, 25, 0, len(frames),
+        frame_bytes, 0xFFFFFFFF, 0, 0, 0, width, height,
+    )
+    strf = b"strf" + struct.pack(
+        "<I" + "IiiHHIIiiII", 40,
+        40, width, height, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0,
+    )
+    strl_body = b"strl" + strh + strf
+    strl = b"LIST" + struct.pack("<I", len(strl_body)) + strl_body
+    hdrl_body = b"hdrl" + avih + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes) -> tuple[int, int, "list[bytes]"]:
+    """Decode a minimal uncompressed AVI into (width, height, list of
+    top-down RGB frames). Walks the RIFF chunk tree (unknown chunks are
+    skipped, like the WAV walker) and raises ValueError for anything it
+    can't honestly decode."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError(f"truncated chunk {cid!r}")
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif cid == b"avih":
+                if size < 40:
+                    raise ValueError("truncated avih header")
+                # dwWidth/dwHeight are the 9th/10th dwords of the body
+                width, height = struct.unpack_from("<II", payload, body_start + 32)
+            elif cid == b"00db":
+                frames.append(payload[body_start : body_start + size])
+            pos = body_start + size + (size % 2)
+
+    walk(12, len(payload))
+    if width is None or height is None:
+        raise ValueError("missing avih header")
+    if not frames:
+        raise ValueError("no video frames ('00db' chunks)")
+    row_raw = width * 3
+    stride = row_raw + ((-row_raw) % 4)
+    out_frames = []
+    for dib in frames:
+        if len(dib) < stride * height:
+            raise ValueError("truncated frame data")
+        out = bytearray(width * height * 3)
+        for y in range(height):
+            base = (height - 1 - y) * stride
+            dst = y * row_raw
+            for x in range(width):
+                b, g, r = dib[base + 3 * x : base + 3 * x + 3]
+                out[dst + 3 * x : dst + 3 * x + 3] = bytes((r, g, b))
+        out_frames.append(bytes(out))
+    return width, height, out_frames
+
+
+def _decode_avi_features(payload: bytes) -> list[float]:
+    """Real video decode: frame count, geometry, mean RGB level across
+    every pixel of every frame."""
+    width, height, frames = decode_avi(payload)
+    total = sum(sum(f) for f in frames)
+    n = len(frames) * width * height * 3
+    return [float(len(frames)), float(width), float(height), total / n]
+
+
+def _decode_riff_features(payload: bytes) -> list[float]:
+    """RIFF container dispatch: the form type (bytes 8-12) picks the
+    codec — WAVE audio or AVI video — mirroring how a real media stack
+    routes on container metadata, not file extension."""
+    form = payload[8:12]
+    if form == b"WAVE":
+        return _decode_wav_features(payload)
+    if form == b"AVI ":
+        return _decode_avi_features(payload)
+    raise ValueError(f"unsupported RIFF form {form!r}")
+
+
 def _decode_stub_features(payload: bytes) -> list[float]:
     """Deterministic byte-statistics fake for payloads with no real codec
     in this container (swap in PIL/libav in a real deployment)."""
@@ -242,9 +366,10 @@ def _decode_stub_features(payload: bytes) -> list[float]:
 
 
 # magic-byte -> decoder registry; first match wins, stub is the fallback.
+# RIFF routes through the form-type dispatch (WAVE audio / AVI video).
 _DECODERS: list[tuple[bytes, object]] = [
     (b"BM", _decode_bmp_features),
-    (b"RIFF", _decode_wav_features),
+    (b"RIFF", _decode_riff_features),
 ]
 
 

@@ -2563,6 +2563,65 @@ FROM b
 """
 
 
+def q_multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, oracle-gated end-to-end — completing the
+    image/audio/VIDEO codec trio: each document gets a deterministic
+    4-frame 2x2 RGB clip (48 bytes from three chained md5 digests), the
+    payload round-trips through the pure-Python AVI encoder AND decoder
+    (RIFF form-type dispatch -> chunk-tree walk -> bottom-up-BGR frame
+    unpack) inside mapInPandas, and the decoded geometry + mean RGB
+    level are emitted. The DuckDB twin recomputes them from the same
+    md5 hex pairs, so a bug anywhere in the container walk or the DIB
+    row flip breaks the hash. Payload bytes never shuffle."""
+    import hashlib
+    from collections.abc import Iterator as _It
+
+    import pandas as pd  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = "doc_id long, n_frames long, width long, height long, mean_rgb double"
+
+    def _gen_and_decode(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        cols = ["doc_id", "n_frames", "width", "height", "mean_rgb"]
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = str(text)
+                raw = (
+                    hashlib.md5(t.encode()).digest()
+                    + hashlib.md5((t + "|1").encode()).digest()
+                    + hashlib.md5((t + "|2").encode()).digest()
+                )
+                frames = [raw[12 * k : 12 * k + 12] for k in range(4)]
+                payload = MM.encode_avi(2, 2, frames)
+                feats = MM._decode_payload(payload)  # RIFF -> AVI path
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": int(feats[0]),
+                        "width": int(feats[1]),
+                        "height": int(feats[2]),
+                        "mean_rgb": feats[3],
+                    }
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(_gen_and_decode, schema=schema)
+
+
+_MM_VIDEO_SQL = """
+WITH b AS (
+  SELECT doc_id,
+    md5(text) || md5(text || '|1') || md5(text || '|2') AS hexs
+  FROM documents)
+SELECT doc_id, CAST(4 AS BIGINT) AS n_frames, CAST(2 AS BIGINT) AS width,
+  CAST(2 AS BIGINT) AS height,
+  list_sum(list_transform(generate_series(0, 47),
+    i -> ('0x' || substr(hexs, 2 * i + 1, 2))::BIGINT)) / 48.0 AS mean_rgb
+FROM b
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -11628,6 +11687,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "naive_baseline_scorecard": q_naive_baseline_scorecard,
     "multivar_ols_daily": q_multivar_ols_daily,
     "weighted_sample_es": q_weighted_sample_es,
+    "multimodal_video_features": q_multimodal_video_features,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -11876,6 +11936,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "naive_baseline_scorecard": _NAIVE_SCORE_SQL,
     "multivar_ols_daily": _MULTIVAR_OLS_SQL,
     "weighted_sample_es": _ES_SAMPLE_SQL,
+    "multimodal_video_features": _MM_VIDEO_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

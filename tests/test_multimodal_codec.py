@@ -219,3 +219,89 @@ def test_wav_features_power_and_zero_crossings():
         4.0,
         2.0,
     ]
+
+
+# ---------------------------------------------------------------------------
+# AVI video codec
+# ---------------------------------------------------------------------------
+
+
+def test_encode_avi_decodes_via_hand_assembled_reference():
+    # hand-assemble a single-frame 1x1 white AVI independent of encode_avi
+    dib = b"\xff\xff\xff\x00"  # BGR + stride pad
+    avih = b"avih" + struct.pack(
+        "<I14I", 56, 40000, 100, 0, 16, 1, 0, 1, 4, 1, 1, 0, 0, 0, 0
+    )
+    strh = b"strh" + struct.pack(
+        "<I4s4sIHHIIIIIIIIhhhh",
+        56, b"vids", b"DIB ", 0, 0, 0, 0, 1, 25, 0, 1, 4, 0xFFFFFFFF, 0, 0, 0, 1, 1,
+    )
+    strf = b"strf" + struct.pack(
+        "<IIiiHHIIiiII", 40, 40, 1, 1, 1, 24, 0, 4, 2835, 2835, 0, 0
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+    movi = (
+        b"LIST" + struct.pack("<I", 4 + 8 + len(dib)) + b"movi"
+        + b"00db" + struct.pack("<I", len(dib)) + dib
+    )
+    body = b"AVI " + hdrl + movi
+    hand = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert MM.decode_avi(hand) == (1, 1, [b"\xff\xff\xff"])
+    # the encoder's own output decodes to the same content
+    assert MM.decode_avi(MM.encode_avi(1, 1, [b"\xff\xff\xff"])) == (
+        1, 1, [b"\xff\xff\xff"],
+    )
+
+
+@pytest.mark.parametrize("w,h,n", [(1, 1, 1), (2, 2, 4), (3, 2, 2), (5, 3, 3)])
+def test_avi_roundtrip_all_padding_cases(w, h, n):
+    frames = [
+        bytes(((i * 31 + k * 17) % 256) for i in range(w * h * 3)) for k in range(n)
+    ]
+    assert MM.decode_avi(MM.encode_avi(w, h, frames)) == (w, h, frames)
+
+
+def test_decode_avi_rejects_corrupt_payloads():
+    good = MM.encode_avi(2, 2, [bytes(range(12))])
+    for bad in [
+        b"RIFF" + good[4:8] + b"WAVX" + good[12:],  # wrong form
+        good[:40],  # truncated tree
+        good[:8] + b"AVI " + b"",  # no headers at all
+    ]:
+        with pytest.raises(ValueError):
+            MM.decode_avi(bad)
+    # a frameless but well-formed header tree also raises
+    with pytest.raises(ValueError):
+        no_movi = MM.encode_avi(2, 2, [bytes(range(12))])
+        # strip the movi LIST (last top-level chunk)
+        import struct as _s
+
+        pos = 12
+        while pos + 8 <= len(no_movi):
+            (size,) = _s.unpack_from("<I", no_movi, pos + 4)
+            if no_movi[pos + 8 : pos + 12] == b"movi":
+                truncated = no_movi[:pos]
+                truncated = (
+                    truncated[:4]
+                    + _s.pack("<I", len(truncated) - 8)
+                    + truncated[8:]
+                )
+                MM.decode_avi(truncated)
+                break
+            pos += 8 + size + (size % 2)
+
+
+def test_riff_dispatch_routes_by_form_type():
+    wav = MM.encode_wav(8000, [100, -100])
+    avi = MM.encode_avi(1, 1, [b"\x10\x20\x30"])
+    assert MM._decode_payload(wav)[1] == 8000.0  # sample_rate slot
+    assert MM._decode_payload(avi)[0] == 1.0  # n_frames slot
+    with pytest.raises(ValueError):
+        MM._decode_riff_features(b"RIFF\x04\x00\x00\x00JUNK")
+
+
+def test_avi_features_mean_rgb_exact():
+    frames = [bytes([10] * 12), bytes([30] * 12)]
+    feats = MM._decode_avi_features(MM.encode_avi(2, 2, frames))
+    assert feats == [2.0, 2.0, 2.0, 20.0]
