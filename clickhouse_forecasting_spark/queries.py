@@ -2622,6 +2622,69 @@ FROM b
 """
 
 
+def q_multimodal_video_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full video TRANSFORM pipeline, oracle-gated: decode the 4-frame
+    AVI clip, nearest-neighbor-resize every frame 2x2 -> 1x1, and emit
+    each thumbnail's RGB. Floor point-sampling picks source pixel (0,0),
+    i.e. the first 3 RGB bytes of each decoded frame — which the DuckDB
+    twin reads straight from the md5 hex pairs, so the whole
+    decode -> row-unflip -> resize chain must be byte-perfect for the
+    hash to match. 1:N frame fan-out happens inside mapInPandas; only
+    (doc, frame, 3 ints) rows ever shuffle."""
+    import hashlib
+    from collections.abc import Iterator as _It
+
+    import pandas as pd  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = "doc_id long, frame_idx long, r long, g long, b long"
+
+    def _pipeline(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        cols = ["doc_id", "frame_idx", "r", "g", "b"]
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = str(text)
+                raw = (
+                    hashlib.md5(t.encode()).digest()
+                    + hashlib.md5((t + "|1").encode()).digest()
+                    + hashlib.md5((t + "|2").encode()).digest()
+                )
+                payload = MM.encode_avi(
+                    2, 2, [raw[12 * k : 12 * k + 12] for k in range(4)]
+                )
+                w, h, frames = MM.decode_avi(payload)
+                for k, fr in enumerate(frames):
+                    thumb = MM.resize_rgb(fr, w, h, 1, 1)
+                    out.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": k,
+                            "r": thumb[0],
+                            "g": thumb[1],
+                            "b": thumb[2],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(_pipeline, schema=schema)
+
+
+_MM_VIDEO_THUMBS_SQL = """
+WITH b AS (
+  SELECT doc_id,
+    md5(text) || md5(text || '|1') || md5(text || '|2') AS hexs
+  FROM documents),
+f AS (
+  SELECT doc_id, k AS frame_idx,
+    ('0x' || substr(hexs, 24 * k + 1, 2))::BIGINT AS r,
+    ('0x' || substr(hexs, 24 * k + 3, 2))::BIGINT AS g,
+    ('0x' || substr(hexs, 24 * k + 5, 2))::BIGINT AS b
+  FROM b, UNNEST(generate_series(0, 3)) AS u(k))
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, r, g, b FROM f
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -11688,6 +11751,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multivar_ols_daily": q_multivar_ols_daily,
     "weighted_sample_es": q_weighted_sample_es,
     "multimodal_video_features": q_multimodal_video_features,
+    "multimodal_video_thumbs": q_multimodal_video_thumbs,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -11937,6 +12001,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "multivar_ols_daily": _MULTIVAR_OLS_SQL,
     "weighted_sample_es": _ES_SAMPLE_SQL,
     "multimodal_video_features": _MM_VIDEO_SQL,
+    "multimodal_video_thumbs": _MM_VIDEO_THUMBS_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
