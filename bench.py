@@ -119,6 +119,10 @@ EXTENSIONS_R2 = [
     "dup_span_report",  # substring-level spans: the heavy new shingle pass
     "domain_temperature_mix",
     "shard_js_divergence",
+    "bpe_merge_candidates",
+    "dedup_incremental_batch",  # rides the shared dedup stages
+    "window_funnel_levels",
+    "multimodal_video_features",  # real AVI codec round-trip
 ]
 
 
