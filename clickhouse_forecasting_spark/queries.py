@@ -2685,6 +2685,68 @@ SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, r, g, b FROM f
 """
 
 
+def q_ch_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse array-function parity pack over each doc's token-length
+    sequence: arraySum (total chars), arrayDistinct (distinct lengths),
+    arrayCompact length (count of runs of equal consecutive values),
+    arrayDifference (sum of absolute step changes), arrayMax/arrayMin.
+    Every op is a row-local higher-order array expression inside
+    whole-stage codegen — zero shuffles before the output sort, the
+    embarrassing-parallel shape array analytics should have. All values
+    integer-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    lens = F.transform(TX.tokens(F.col("text")), lambda t: F.length(t))
+    d = docs.select("doc_id", lens.alias("l"))
+    n = F.size("l")
+    # guarded: Spark's sequence(2, 1) would DESCEND for a 1-token doc
+    idx2 = F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    step_ne = F.transform(
+        idx2,
+        lambda i: F.when(
+            F.element_at(F.col("l"), i) != F.element_at(F.col("l"), i - 1), 1
+        ).otherwise(0),
+    )
+    abs_diff = F.transform(
+        idx2,
+        lambda i: F.abs(
+            F.element_at(F.col("l"), i) - F.element_at(F.col("l"), i - 1)
+        ),
+    )
+    isum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        isum(F.col("l")).alias("total_chars"),
+        F.size(F.array_distinct("l")).cast("bigint").alias("n_distinct_lens"),
+        (isum(step_ne) + 1).alias("n_runs"),
+        isum(abs_diff).alias("sum_abs_diff"),
+        F.array_max("l").cast("bigint").alias("max_len"),
+        F.array_min("l").cast("bigint").alias("min_len"),
+    ).orderBy("doc_id")
+
+
+_CH_ARRAY_SQL = f"""
+WITH d AS (
+  SELECT doc_id, list_transform({_TOKS_SQL}, t -> length(t)) AS l
+  FROM documents)
+SELECT doc_id,
+  CAST(len(l) AS BIGINT) AS n_tokens,
+  CAST(list_sum(l) AS BIGINT) AS total_chars,
+  CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct_lens,
+  CAST(list_sum(list_transform(generate_series(2, len(l)),
+    i -> CASE WHEN l[i] <> l[i-1] THEN 1 ELSE 0 END)) + 1 AS BIGINT) AS n_runs,
+  CAST(list_sum(list_transform(generate_series(2, len(l)),
+    i -> abs(l[i] - l[i-1]))) AS BIGINT) AS sum_abs_diff,
+  CAST(list_max(l) AS BIGINT) AS max_len,
+  CAST(list_min(l) AS BIGINT) AS min_len
+FROM d ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -11752,6 +11814,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample_es": q_weighted_sample_es,
     "multimodal_video_features": q_multimodal_video_features,
     "multimodal_video_thumbs": q_multimodal_video_thumbs,
+    "ch_array_functions": q_ch_array_functions,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -12002,6 +12065,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "weighted_sample_es": _ES_SAMPLE_SQL,
     "multimodal_video_features": _MM_VIDEO_SQL,
     "multimodal_video_thumbs": _MM_VIDEO_THUMBS_SQL,
+    "ch_array_functions": _CH_ARRAY_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

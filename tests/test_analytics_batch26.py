@@ -322,3 +322,19 @@ def test_weighted_sample_es_favors_heavy_docs(spark, sf_dir, qs):
     )[:20]
     got = [(r.key, r.doc_id) for r in sorted(rows, key=lambda r: r.rank)]
     assert [g[1] for g in got] == [e[1] for e in expect]
+
+
+def test_ch_array_functions_python_recompute(spark, sf_dir, qs):
+    rows = {r.doc_id: r for r in qs["ch_array_functions"](spark, sf_dir).collect()}
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+    for d in docs:
+        lens = [len(t) for t in __import__("re").split(r"[^a-z0-9]+", d.text.lower()) if t]
+        r = rows[d.doc_id]
+        assert r.n_tokens == len(lens)
+        assert r.total_chars == sum(lens)
+        assert r.n_distinct_lens == len(set(lens))
+        runs = 1 + sum(1 for a, b in zip(lens, lens[1:]) if a != b)
+        assert r.n_runs == runs  # arrayCompact length
+        assert r.sum_abs_diff == sum(abs(b - a) for a, b in zip(lens, lens[1:]))
+        assert r.max_len == max(lens) and r.min_len == min(lens)
