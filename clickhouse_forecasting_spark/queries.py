@@ -2747,6 +2747,111 @@ FROM d ORDER BY doc_id
 """
 
 
+def q_sample_by_user_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse SAMPLE-BY semantics: hash-RANGE sampling on the user
+    key keeps every user all-or-nothing (bucket = md5(user) mod 8, keep
+    bucket 1) — unlike row-Bernoulli, a sampled user's sessions, funnels,
+    and retention stay COMPLETE, so behavioral metrics computed on the
+    sample are unbiased per-user. Report: per event type, sampled
+    events/users vs totals with exact ppm rates (expected ~125000).
+    Row-local bucketing, one aggregation — the sample is reproducible on
+    any engine, any partition order."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 8
+    )
+    b = ev.select("event_type", "user_id", bucket.alias("bucket"))
+    return (
+        b.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum((F.col("bucket") == 1).cast("int"))
+            .cast("bigint")
+            .alias("sampled_events"),
+            F.countDistinct(
+                F.when(F.col("bucket") == 1, F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("sampled_users"),
+        )
+        .withColumn(
+            "event_rate_ppm",
+            F.expr("sampled_events * 1000000 div n_events").cast("bigint"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SAMPLE_BY_SQL = """
+WITH b AS (
+  SELECT event_type, user_id,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS bucket
+  FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS sampled_events,
+  CAST(COUNT(DISTINCT CASE WHEN bucket = 1 THEN user_id END) AS BIGINT)
+    AS sampled_users,
+  CAST(SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) * 1000000
+       // COUNT(*) AS BIGINT) AS event_rate_ppm
+FROM b GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_locf_impute_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation on the daily series: revenue on days where
+    day-of-month % 7 = 3 is masked to NULL (a deterministic outage
+    pattern), then repaired by LOCF (last observation carried forward)
+    with a backward-fill for any leading gap — the standard sensor/KPI
+    repair pair. Both directions are IGNORE-NULLS window edges over the
+    date order; on the tiny daily frame this is one sort, and at scale
+    the same windows partition by series key. Output flags which days
+    were imputed so downstream consumers can weight them."""
+    daily = _orders_daily(spark, sf_dir).select(
+        "date", F.round("total_revenue", 2).alias("rev")
+    )
+    masked = daily.withColumn(
+        "rev_masked",
+        F.when(F.dayofmonth("date") % 7 == 3, F.lit(None)).otherwise(F.col("rev")),
+    )
+    w_fwd = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    w_bwd = Window.orderBy("date").rowsBetween(0, Window.unboundedFollowing)
+    return (
+        masked.withColumn("locf", F.last("rev_masked", ignorenulls=True).over(w_fwd))
+        .withColumn("bfill", F.first("rev_masked", ignorenulls=True).over(w_bwd))
+        .select(
+            "date",
+            F.coalesce("locf", "bfill").alias("rev_imputed"),
+            F.col("rev_masked").isNull().alias("was_imputed"),
+        )
+        .orderBy("date")
+    )
+
+
+_LOCF_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS date,
+    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2) AS rev
+  FROM orders GROUP BY 1),
+masked AS (
+  SELECT date,
+    CASE WHEN dayofmonth(date) % 7 = 3 THEN NULL ELSE rev END AS rev_masked
+  FROM daily)
+SELECT date,
+  COALESCE(
+    LAST_VALUE(rev_masked IGNORE NULLS) OVER (
+      ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    FIRST_VALUE(rev_masked IGNORE NULLS) OVER (
+      ORDER BY date ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    AS rev_imputed,
+  rev_masked IS NULL AS was_imputed
+FROM masked ORDER BY date
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -11815,6 +11920,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_video_features": q_multimodal_video_features,
     "multimodal_video_thumbs": q_multimodal_video_thumbs,
     "ch_array_functions": q_ch_array_functions,
+    "sample_by_user_cohort": q_sample_by_user_cohort,
+    "locf_impute_daily": q_locf_impute_daily,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -12066,6 +12173,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "multimodal_video_features": _MM_VIDEO_SQL,
     "multimodal_video_thumbs": _MM_VIDEO_THUMBS_SQL,
     "ch_array_functions": _CH_ARRAY_SQL,
+    "sample_by_user_cohort": _SAMPLE_BY_SQL,
+    "locf_impute_daily": _LOCF_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

@@ -338,3 +338,42 @@ def test_ch_array_functions_python_recompute(spark, sf_dir, qs):
         assert r.n_runs == runs  # arrayCompact length
         assert r.sum_abs_diff == sum(abs(b - a) for a, b in zip(lens, lens[1:]))
         assert r.max_len == max(lens) and r.min_len == min(lens)
+
+
+def test_sample_by_user_is_all_or_nothing(spark, sf_dir, qs):
+    rows = qs["sample_by_user_cohort"](spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    import hashlib
+
+    def bucket(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 8
+
+    sampled_users = {e.user_id for e in ev if bucket(e.user_id) == 1}
+    for r in rows:
+        evs = [e for e in ev if e.event_type == r.event_type]
+        assert r.n_events == len(evs)
+        in_sample = [e for e in evs if e.user_id in sampled_users]
+        # all-or-nothing: the sampled event count is EXACTLY the events
+        # of sampled users — no partial users
+        assert r.sampled_events == len(in_sample)
+        assert r.sampled_users == len({e.user_id for e in in_sample})
+        assert r.event_rate_ppm == r.sampled_events * 1_000_000 // r.n_events
+
+
+def test_locf_impute_repairs_all_masked_days(spark, sf_dir, qs):
+    rows = sorted(qs["locf_impute_daily"](spark, sf_dir).collect(), key=lambda r: r.date)
+    daily = {r.date: r.total_revenue for r in
+             qs["daily_sales_series"](spark, sf_dir).collect()}
+    assert len(rows) == len(daily)
+    prev_val = None
+    for r in rows:
+        assert r.rev_imputed is not None  # every day repaired
+        if r.was_imputed:
+            assert r.date.day % 7 == 3
+            if prev_val is not None:
+                assert r.rev_imputed == prev_val  # LOCF takes the prior day
+        else:
+            assert abs(r.rev_imputed - round(daily[r.date], 2)) < 1e-9
+            prev_val = r.rev_imputed
+        if not r.was_imputed:
+            prev_val = r.rev_imputed
