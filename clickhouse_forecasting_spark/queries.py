@@ -6901,7 +6901,8 @@ def q_profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout driver-side; nothing rescans the fact per column. Counts are
     integers, so the profile is hash-exact across engines."""
     o = _t(spark, sf_dir, "orders")
-    cols = o.columns
+    cols = _PROFILE_COLUMNS  # shared with the oracle; fixture drift is
+    # caught by tests/test_registry_consistency.py::test_profile_columns
     aggs = [F.count("*").alias("n_rows")]
     for c in cols:
         aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"null_{c}"))
@@ -6914,11 +6915,17 @@ def q_profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("column_name", "n_rows", "n_null", "n_distinct")
 
 
+# ONE canonical column list drives both engines: the Spark query and the
+# DuckDB twin cannot diverge on coverage; a registry test pins the list
+# to the live fixture schema so silent drift surfaces as a test failure.
+_PROFILE_COLUMNS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+
+
 def _profile_sql() -> str:
-    cols = [
-        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-        "o_orderdate", "o_orderpriority",
-    ]
+    cols = _PROFILE_COLUMNS
     parts = [
         f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
         f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null, "

@@ -74,3 +74,21 @@ def test_no_shadowed_oracle_sql_definitions():
     names = re.findall(r"^(_[A-Z0-9_]+_SQL) = ", src, re.M)
     dups = sorted({n for n in names if names.count(n) > 1})
     assert dups == [], f"shadowed oracle SQL variables: {dups}"
+
+
+def test_profile_columns_match_fixture_schema():
+    """The profile query and its DuckDB twin share _PROFILE_COLUMNS; this
+    pin catches the orders fixture growing/renaming a column (the oracle
+    would silently miss it otherwise — advisor finding r1)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from clickhouse_forecasting_spark.queries import _PROFILE_COLUMNS
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    files = glob.glob(os.path.join(sf_dir, "orders.parquet")) or glob.glob(
+        os.path.join(sf_dir, "orders.parquet", "*.parquet")
+    )
+    assert files, f"no orders fixture under {sf_dir}"
+    assert list(pq.read_schema(files[0]).names) == _PROFILE_COLUMNS
