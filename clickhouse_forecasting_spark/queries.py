@@ -2852,6 +2852,214 @@ FROM masked ORDER BY date
 """
 
 
+def q_pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the compliance gate every training
+    corpus passes before the tokenizer. The fixture text is synthetic
+    word-soup, so the query first injects DETERMINISTIC PII (emails on
+    doc_id%7=3, phone numbers on %11=5, SSN-shaped ids on %13=8 — in a
+    real corpus this stage is the raw data), then runs the real
+    machinery: three disjoint regex detectors, ordered regexp_replace
+    redaction, and a per-source report of docs flagged, hits per PII
+    class, chars redacted, and a residual_pii self-check that MUST be 0
+    (redaction missed nothing). All row-local regex work in codegen —
+    embarrassingly parallel at 100 TB; the shuffle carries one 8-int
+    row per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 3,
+               F.format_string(" contact user%d@mail-example.org", did)
+               ).otherwise(F.lit("")),
+        F.when(did % 11 == 5,
+               F.format_string(" call 555-%03d-%04d", did % 1000, did % 10000)
+               ).otherwise(F.lit("")),
+        F.when(did % 13 == 8,
+               F.format_string(" id 078-05-%04d", did % 10000)
+               ).otherwise(F.lit("")),
+    )
+    # character classes only (no backslash escapes) so the identical
+    # pattern strings drive Java regex (Spark) and RE2 (DuckDB)
+    p_email = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+"
+    p_phone = "555-[0-9]{3}-[0-9]{4}"
+    p_ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    base = docs.select("source", aug.alias("aug"))
+    n = lambda c, pat: F.size(  # noqa: E731
+        F.regexp_extract_all(c, F.lit(pat), F.lit(0))
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), F.lit(p_email), F.lit("[EMAIL]")),
+            F.lit(p_phone), F.lit("[PHONE]")),
+        F.lit(p_ssn), F.lit("[SSN]"))
+    per = base.select(
+        "source",
+        n(F.col("aug"), p_email).alias("e"),
+        n(F.col("aug"), p_phone).alias("p"),
+        n(F.col("aug"), p_ssn).alias("s"),
+        (F.length("aug") - F.length(red)).alias("chars_cut"),
+        (n(red, p_email) + n(red, p_phone) + n(red, p_ssn)).alias("residual"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(((F.col("e") + F.col("p") + F.col("s")) > 0).cast("int"))
+            .cast("bigint").alias("n_pii_docs"),
+            F.sum("e").cast("bigint").alias("n_emails"),
+            F.sum("p").cast("bigint").alias("n_phones"),
+            F.sum("s").cast("bigint").alias("n_ssns"),
+            F.sum("chars_cut").cast("bigint").alias("chars_redacted"),
+            F.sum("residual").cast("bigint").alias("residual_pii"),
+        )
+        .orderBy("source")
+    )
+
+
+_PII_SQL = """
+WITH aug AS (
+  SELECT source,
+    text ||
+    CASE WHEN doc_id % 7 = 3
+      THEN printf(' contact user%d@mail-example.org', doc_id) ELSE '' END ||
+    CASE WHEN doc_id % 11 = 5
+      THEN printf(' call 555-%03d-%04d', doc_id % 1000, doc_id % 10000)
+      ELSE '' END ||
+    CASE WHEN doc_id % 13 = 8
+      THEN printf(' id 078-05-%04d', doc_id % 10000) ELSE '' END AS aug
+  FROM documents),
+red AS (
+  SELECT source, aug,
+    regexp_replace(regexp_replace(regexp_replace(aug,
+      '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+', '[EMAIL]', 'g'),
+      '555-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+      '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g') AS redtext
+  FROM aug),
+per AS (
+  SELECT source,
+    len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+')) AS e,
+    len(regexp_extract_all(aug, '555-[0-9]{3}-[0-9]{4}')) AS p,
+    len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS s,
+    length(aug) - length(redtext) AS chars_cut,
+    len(regexp_extract_all(redtext, '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+'))
+      + len(regexp_extract_all(redtext, '555-[0-9]{3}-[0-9]{4}'))
+      + len(regexp_extract_all(redtext, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+      AS residual
+  FROM red)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN e + p + s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+  CAST(SUM(e) AS BIGINT) AS n_emails,
+  CAST(SUM(p) AS BIGINT) AS n_phones,
+  CAST(SUM(s) AS BIGINT) AS n_ssns,
+  CAST(SUM(chars_cut) AS BIGINT) AS chars_redacted,
+  CAST(SUM(residual) AS BIGINT) AS residual_pii
+FROM per GROUP BY source ORDER BY source
+"""
+
+
+def q_agg_if_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``-If`` combinator parity (countIf / sumIf / avgIf /
+    uniqExactIf / minIf / maxIf): the whole conditional-aggregate family
+    folded into ONE pass over orders, grouped by order year. Money sums
+    are exact cents; avgIf divides the exact sum by the If-count in
+    double at the very end. Every measure is map-side combinable — one
+    shuffle on ~7 year keys regardless of scale."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate").cast("date")).alias("yr")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    is_f = F.col("o_orderstatus") == "F"
+    urgent = F.col("o_orderpriority").startswith("1-")
+    is_open = F.col("o_orderstatus") == "O"
+    return (
+        o.groupBy(yr)
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(is_f.cast("int")).cast("bigint").alias("count_if_final"),
+            F.sum(F.when(urgent, cents).otherwise(F.lit(0)))
+            .cast("bigint").alias("sum_if_urgent_cents"),
+            F.round(
+                F.sum(F.when(is_open, cents)).cast("double")
+                / (F.sum(is_open.cast("int")) * 100),
+                6,
+            ).alias("avg_if_open_price"),
+            F.countDistinct(F.when(is_open, F.col("o_custkey")))
+            .cast("bigint").alias("uniq_if_open_buyers"),
+            F.min(F.when(urgent, F.col("o_orderdate").cast("date")))
+            .alias("min_if_urgent_date"),
+            F.max(F.when(urgent, F.col("o_orderdate").cast("date")))
+            .alias("max_if_urgent_date"),
+        )
+        .orderBy("yr")
+    )
+
+
+_AGG_IF_SQL = """
+SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS count_if_final,
+  CAST(COALESCE(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+    FILTER (o_orderpriority LIKE '1-%'), 0) AS BIGINT) AS sum_if_urgent_cents,
+  ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+          FILTER (o_orderstatus = 'O') AS DOUBLE)
+        / (COUNT(*) FILTER (o_orderstatus = 'O') * 100), 6)
+    AS avg_if_open_price,
+  CAST(COUNT(DISTINCT o_custkey) FILTER (o_orderstatus = 'O') AS BIGINT)
+    AS uniq_if_open_buyers,
+  MIN(CAST(o_orderdate AS DATE)) FILTER (o_orderpriority LIKE '1-%')
+    AS min_if_urgent_date,
+  MAX(CAST(o_orderdate AS DATE)) FILTER (o_orderpriority LIKE '1-%')
+    AS max_if_urgent_date
+FROM orders GROUP BY yr ORDER BY yr
+"""
+
+
+def q_summap_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumMap`` parity: per event type, a key-aligned map
+    aggregation over the JSON props key (bucketed k%10) summing exact
+    value-cents per bucket — emitted as the sorted ``keys_csv`` /
+    ``sums_csv`` array pair (sumMap's return shape) so both engines
+    hash the same canonical strings. Two shuffles: the (type, bucket)
+    partial sum (map-side combinable, ≤ 10·|types| rows out), then the
+    per-type array fold — the AggregatingMergeTree rollup shape."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.get_json_object("props", "$.k").cast("long") % 10).alias("bucket")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    partial = (
+        ev.groupBy("event_type", bucket)
+        .agg(F.sum(cents).alias("s"), F.count("*").cast("bigint").alias("n"))
+    )
+    folded = (
+        partial.groupBy("event_type")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("bucket", "s", "n"))
+            ).alias("kv")
+        )
+        .select(
+            "event_type",
+            F.concat_ws(",", F.transform("kv", lambda x: x["bucket"])).alias("keys_csv"),
+            F.concat_ws(",", F.transform("kv", lambda x: x["s"])).alias("sums_csv"),
+            F.concat_ws(",", F.transform("kv", lambda x: x["n"])).alias("counts_csv"),
+        )
+    )
+    return folded.orderBy("event_type")
+
+
+_SUMMAP_SQL = """
+WITH partial AS (
+  SELECT event_type,
+    CAST(props->>'$.k' AS BIGINT) % 10 AS bucket,
+    SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+  array_to_string(list(bucket ORDER BY bucket), ',') AS keys_csv,
+  array_to_string(list(s ORDER BY bucket), ',') AS sums_csv,
+  array_to_string(list(n ORDER BY bucket), ',') AS counts_csv
+FROM partial GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -11929,6 +12137,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ch_array_functions": q_ch_array_functions,
     "sample_by_user_cohort": q_sample_by_user_cohort,
     "locf_impute_daily": q_locf_impute_daily,
+    "pii_redaction_report": q_pii_redaction_report,
+    "agg_if_combinators": q_agg_if_combinators,
+    "summap_props_rollup": q_summap_props_rollup,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -12182,6 +12393,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "ch_array_functions": _CH_ARRAY_SQL,
     "sample_by_user_cohort": _SAMPLE_BY_SQL,
     "locf_impute_daily": _LOCF_SQL,
+    "pii_redaction_report": _PII_SQL,
+    "agg_if_combinators": _AGG_IF_SQL,
+    "summap_props_rollup": _SUMMAP_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
