@@ -3060,6 +3060,237 @@ FROM partial GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test (ClickHouse ``welchTTest`` parity) on
+    order value between every market-segment pair: per (seg_a, seg_b),
+    the t statistic and Welch–Satterthwaite degrees of freedom. Moments
+    come from one exact-decimal pass per segment (n, Σcents, Σcents² in
+    decimal — bit-identical doubles on both engines); the pair stage is
+    a self-join over the 5-row moment table, so the expensive part is
+    one fact-table aggregation regardless of scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(F.col("c_mktsegment").alias("seg"), cents.alias("x"))
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(d19(F.col("x"))).cast("double").alias("sx"),
+            F.sum(d19(F.col("x")) * d19(F.col("x"))).cast("double").alias("sxx"),
+        )
+        .select(
+            "seg", "n",
+            (F.col("sx") / F.col("n") / 100).alias("mean"),
+            ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+             / (F.col("n") - 1) / 10000).alias("var"),
+        )
+        # the 5-row moment table feeds BOTH sides of the pair join;
+        # the cut stops the fact aggregation from being derived twice
+        .localCheckpoint(eager=True)
+    )
+    a, b = m.alias("a"), m.alias("b")
+    va_n = F.col("a.var") / F.col("a.n")
+    vb_n = F.col("b.var") / F.col("b.n")
+    t = (F.col("a.mean") - F.col("b.mean")) / F.sqrt(va_n + vb_n)
+    df = (va_n + vb_n) * (va_n + vb_n) / (
+        va_n * va_n / (F.col("a.n") - 1) + vb_n * vb_n / (F.col("b.n") - 1)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a.seg") < F.col("b.seg"))
+        .select(
+            F.col("a.seg").alias("seg_a"),
+            F.col("b.seg").alias("seg_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(t, 6).alias("t_stat"),
+            F.round(df, 3).alias("welch_df"),
+        )
+        .orderBy("seg_a", "seg_b")
+    )
+
+
+_WELCH_SQL = """
+WITH m AS (
+  SELECT c_mktsegment AS seg, COUNT(*) AS n,
+    CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+          AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DECIMAL(19,0))
+           * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DECIMAL(19,0)))
+         AS DOUBLE) AS sxx
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1),
+mm AS (
+  SELECT seg, n, sx / n / 100 AS mean,
+    (sxx - sx * sx / n) / (n - 1) / 10000 AS var
+  FROM m)
+SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS n_a, b.n AS n_b,
+  ROUND((a.mean - b.mean) / SQRT(a.var / a.n + b.var / b.n), 6) AS t_stat,
+  ROUND(POW(a.var / a.n + b.var / b.n, 2)
+        / (POW(a.var / a.n, 2) / (a.n - 1)
+           + POW(b.var / b.n, 2) / (b.n - 1)), 3) AS welch_df
+FROM mm a JOIN mm b ON a.seg < b.seg
+ORDER BY seg_a, seg_b
+"""
+
+
+def q_m4_downsample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014 — the visualization-
+    grade reducer ClickHouse ships as ``largestTriangleThreeBuckets``'s
+    parallel cousin): the daily revenue series reduced to 25 buckets,
+    each emitting first/last/min/max with their dates — the four pixels
+    a line chart actually needs. Unlike LTTB there is NO sequential
+    dependency, so every bucket folds map-side: one tiny window for the
+    row index, one aggregation. Exact cents throughout."""
+    o = _t(spark, sf_dir, "orders")
+    daily = _daily_cents(o)
+    idx = (
+        daily.select(
+            "d", "cents",
+            (F.row_number().over(Window.orderBy("d")) - 1).alias("i"),
+        )
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+        .withColumn("bucket", F.expr("int(i * 25 div n)"))
+    )
+    return (
+        idx.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.min_by("d", "i").alias("d_first"),
+            F.min_by("cents", "i").alias("v_first"),
+            F.max_by("d", "i").alias("d_last"),
+            F.max_by("cents", "i").alias("v_last"),
+            F.min("cents").alias("v_min"),
+            F.max("cents").alias("v_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_M4_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+idx AS (
+  SELECT d, cents,
+    ROW_NUMBER() OVER (ORDER BY d) - 1 AS i,
+    COUNT(*) OVER () AS n
+  FROM daily)
+SELECT CAST(i * 25 // n AS INT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_days,
+  arg_min(d, i) AS d_first, arg_min(cents, i) AS v_first,
+  arg_max(d, i) AS d_last, arg_max(cents, i) AS v_last,
+  MIN(cents) AS v_min, MAX(cents) AS v_max
+FROM idx GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_target_encode_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe target encoding — the feature-engineering staple:
+    each customer's nation encoded as the LEAVE-ONE-OUT mean account
+    balance of the nation's *other* customers, (Σ − x)/(n − 1) in exact
+    cents so the exclusion is bit-reproducible. One customer-grain
+    aggregation broadcast back over the fact — no per-row subqueries,
+    no fold loop; the encoding table is |nations| rows. Reports the 50
+    customers whose own balance diverges most from their nation prior
+    (the outlier-screening read of the encoding)."""
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    per = c.select("c_custkey", "c_nationkey", cents.alias("x"))
+    nat = per.groupBy("c_nationkey").agg(
+        F.sum("x").alias("sx"), F.count("*").alias("n")
+    )
+    return (
+        per.join(F.broadcast(nat), "c_nationkey")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("x") / 100.0, 2).alias("acctbal"),
+            F.round(
+                (F.col("sx") - F.col("x")) / (F.col("n") - 1) / 100.0, 6
+            ).alias("loo_encoding"),
+        )
+        .withColumn(
+            "abs_gap_cents",
+            F.abs(
+                F.round(F.col("acctbal") * 100).cast("bigint")
+                - F.round(F.col("loo_encoding") * 100).cast("bigint")
+            ),
+        )
+        .orderBy(F.desc("abs_gap_cents"), "c_custkey")
+        .limit(50)
+    )
+
+
+_TARGET_ENC_SQL = """
+WITH per AS (
+  SELECT c_custkey, c_nationkey,
+    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x
+  FROM customer),
+nat AS (
+  SELECT c_nationkey, SUM(x) AS sx, COUNT(*) AS n
+  FROM per GROUP BY 1)
+SELECT c_custkey, per.c_nationkey,
+  ROUND(x / 100.0, 2) AS acctbal,
+  ROUND((sx - x) / (n - 1) / 100.0, 6) AS loo_encoding,
+  ABS(CAST(ROUND(ROUND(x / 100.0, 2) * 100) AS BIGINT)
+      - CAST(ROUND(ROUND((sx - x) / (n - 1) / 100.0, 6) * 100) AS BIGINT))
+    AS abs_gap_cents
+FROM per JOIN nat ON per.c_nationkey = nat.c_nationkey
+ORDER BY abs_gap_cents DESC, c_custkey LIMIT 50
+"""
+
+
+def q_vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-30 corpus vocabulary
+    (count desc, token asc — fully deterministic), then report per
+    source shard the total tokens, out-of-vocabulary tokens, and OOV
+    ppm — the go/no-go stat before committing a tokenizer to a corpus.
+    The vocab is a tiny aggregate broadcast into an array-contains
+    filter, so the second pass stays row-local; both passes are
+    codegen'd array expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), "tok")
+        .limit(30)
+        .select("tok")
+    )
+    per = (
+        toks.join(F.broadcast(vocab).withColumn("in_v", F.lit(1)), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("tokens_total"),
+            F.sum((F.col("in_v").isNull()).cast("int")).cast("bigint").alias("tokens_oov"),
+        )
+        .withColumn(
+            "oov_ppm",
+            F.expr("tokens_oov * 1000000 div tokens_total").cast("bigint"),
+        )
+    )
+    return per.orderBy("source")
+
+
+_VOCAB_COV_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents),
+vocab AS (
+  SELECT tok FROM toks GROUP BY tok
+  ORDER BY COUNT(*) DESC, tok LIMIT 30)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS tokens_total,
+  CAST(SUM(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END)
+       AS BIGINT) AS tokens_oov,
+  CAST(SUM(CASE WHEN tok NOT IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END)
+       * 1000000 // COUNT(*) AS BIGINT) AS oov_ppm
+FROM toks GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -12140,6 +12371,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction_report": q_pii_redaction_report,
     "agg_if_combinators": q_agg_if_combinators,
     "summap_props_rollup": q_summap_props_rollup,
+    "welch_ttest_segments": q_welch_ttest_segments,
+    "m4_downsample_daily": q_m4_downsample_daily,
+    "target_encode_nations": q_target_encode_nations,
+    "vocab_coverage_report": q_vocab_coverage_report,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -12396,6 +12631,10 @@ ORACLE_QUERIES: dict[str, str] = {
     "pii_redaction_report": _PII_SQL,
     "agg_if_combinators": _AGG_IF_SQL,
     "summap_props_rollup": _SUMMAP_SQL,
+    "welch_ttest_segments": _WELCH_SQL,
+    "m4_downsample_daily": _M4_SQL,
+    "target_encode_nations": _TARGET_ENC_SQL,
+    "vocab_coverage_report": _VOCAB_COV_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

@@ -106,3 +106,88 @@ def test_summap_matches_python(spark, sf_dir, qs):
         assert r.keys_csv == ",".join(str(k) for k in keys)
         assert r.sums_csv == ",".join(str(buckets[k][0]) for k in keys)
         assert r.counts_csv == ",".join(str(buckets[k][1]) for k in keys)
+
+
+def test_welch_ttest_matches_scipy_formula(spark, sf_dir, qs):
+    rows = qs["welch_ttest_segments"](spark, sf_dir).collect()
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice").collect()
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment").collect()
+    seg_of = {r.c_custkey: r.c_mktsegment for r in c}
+    vals = defaultdict(list)
+    for r in o:
+        vals[seg_of[r.o_custkey]].append(round(r.o_totalprice * 100) / 100)
+    assert len(rows) == len(vals) * (len(vals) - 1) // 2
+    import statistics
+
+    for r in rows:
+        assert r.seg_a < r.seg_b
+        xa, xb = vals[r.seg_a], vals[r.seg_b]
+        assert (r.n_a, r.n_b) == (len(xa), len(xb))
+        ma, mb = statistics.fmean(xa), statistics.fmean(xb)
+        va, vb = statistics.variance(xa), statistics.variance(xb)
+        t = (ma - mb) / (va / len(xa) + vb / len(xb)) ** 0.5
+        df = (va / len(xa) + vb / len(xb)) ** 2 / (
+            (va / len(xa)) ** 2 / (len(xa) - 1) + (vb / len(xb)) ** 2 / (len(xb) - 1)
+        )
+        assert abs(r.t_stat - t) < 1e-4
+        assert abs(r.welch_df - df) < 0.01
+
+
+def test_m4_downsample_covers_series(spark, sf_dir, qs):
+    rows = sorted(qs["m4_downsample_daily"](spark, sf_dir).collect(),
+                  key=lambda r: r.bucket)
+    daily = sorted(
+        ((r.date, round(r.total_revenue * 100))
+         for r in qs["daily_sales_series"](spark, sf_dir).collect())
+    )
+    assert [r.bucket for r in rows] == list(range(25))
+    assert sum(r.n_days for r in rows) == len(daily)
+    n = len(daily)
+    for r in rows:
+        members = [daily[i] for i in range(n) if i * 25 // n == r.bucket]
+        assert r.n_days == len(members)
+        assert (r.d_first, r.v_first) == members[0]
+        assert (r.d_last, r.v_last) == members[-1]
+        assert r.v_min == min(v for _, v in members)
+        assert r.v_max == max(v for _, v in members)
+
+
+def test_target_encoding_excludes_self(spark, sf_dir, qs):
+    rows = qs["target_encode_nations"](spark, sf_dir).collect()
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    ).collect()
+    by_nat = defaultdict(list)
+    bal = {}
+    for r in c:
+        cents = round(r.c_acctbal * 100)
+        by_nat[r.c_nationkey].append(cents)
+        bal[r.c_custkey] = cents
+    assert len(rows) == 50
+    gaps = [r.abs_gap_cents for r in rows]
+    assert gaps == sorted(gaps, reverse=True)
+    for r in rows:
+        sx, n = sum(by_nat[r.c_nationkey]), len(by_nat[r.c_nationkey])
+        x = bal[r.c_custkey]
+        assert abs(r.loo_encoding - round((sx - x) / (n - 1) / 100.0, 6)) < 1e-9
+
+
+def test_vocab_coverage_matches_python(spark, sf_dir, qs):
+    rows = {r.source: r for r in qs["vocab_coverage_report"](spark, sf_dir).collect()}
+    docs = read_table(spark, sf_dir, "documents").select("source", "text").collect()
+    from collections import Counter
+
+    tok_re = re.compile(r"[^a-z0-9]+")
+    counts = Counter()
+    per_src = defaultdict(list)
+    for d in docs:
+        toks = [t for t in tok_re.split(d.text.lower()) if t]
+        counts.update(toks)
+        per_src[d.source].extend(toks)
+    vocab = {t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:30]}
+    assert set(rows) == set(per_src)
+    for src, toks in per_src.items():
+        r = rows[src]
+        oov = sum(t not in vocab for t in toks)
+        assert (r.tokens_total, r.tokens_oov) == (len(toks), oov)
+        assert r.oov_ppm == oov * 1_000_000 // len(toks)
