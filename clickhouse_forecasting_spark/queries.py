@@ -3291,6 +3291,298 @@ FROM toks GROUP BY source ORDER BY source
 """
 
 
+def q_cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-association measures (ClickHouse ``cramersV`` /
+    ``theilsU`` parity) between market segment and order priority:
+    chi², Cramér's V, and BOTH asymmetric Theil's U coefficients from
+    one contingency pass. The fact table is touched once (25-cell
+    groupBy); every derived statistic is window arithmetic over that
+    tiny frame. Entropies use natural log on integer counts — both
+    engines agree at the 6-digit rounding all entropy queries here
+    share."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count("*").alias("nij"))
+    )
+    w_all = Window.partitionBy()
+    t = (
+        cells.withColumn("n", F.sum("nij").over(w_all))
+        .withColumn("ri", F.sum("nij").over(Window.partitionBy("seg")))
+        .withColumn("cj", F.sum("nij").over(Window.partitionBy("prio")))
+    )
+    nij, n, ri, cj = (F.col(x).cast("double") for x in ("nij", "n", "ri", "cj"))
+    chi2_cell = (nij - ri * cj / n) * (nij - ri * cj / n) / (ri * cj / n)
+    # H(X,Y), H(X), H(Y) terms; p log p summed over the 25 cells
+    h_xy = -(nij / n) * F.log(nij / n)
+    h_x_term = -(nij / n) * F.log(ri / n)   # sums to H(seg)
+    h_y_term = -(nij / n) * F.log(cj / n)   # sums to H(prio)
+    agg = t.agg(
+        F.first("n").alias("n_orders"),
+        F.countDistinct("seg").alias("r"),
+        F.countDistinct("prio").alias("c"),
+        F.sum(chi2_cell).alias("chi2"),
+        F.sum(h_xy).alias("hxy"),
+        F.sum(h_x_term).alias("hx"),
+        F.sum(h_y_term).alias("hy"),
+    )
+    return agg.select(
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n_orders") * (F.least("r", "c") - 1))),
+            6,
+        ).alias("cramers_v"),
+        # U(seg|prio) = (H(seg) - H(seg|prio)) / H(seg); H(seg|prio)=H(X,Y)-H(Y)
+        F.round(
+            (F.col("hx") - (F.col("hxy") - F.col("hy"))) / F.col("hx"), 6
+        ).alias("theils_u_seg"),
+        F.round(
+            (F.col("hy") - (F.col("hxy") - F.col("hx"))) / F.col("hy"), 6
+        ).alias("theils_u_prio"),
+    )
+
+
+_CRAMERS_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+    COUNT(*) AS nij
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2),
+t AS (
+  SELECT nij,
+    CAST(SUM(nij) OVER () AS DOUBLE) AS n,
+    CAST(SUM(nij) OVER (PARTITION BY seg) AS DOUBLE) AS ri,
+    CAST(SUM(nij) OVER (PARTITION BY prio) AS DOUBLE) AS cj,
+    seg, prio
+  FROM cells),
+agg AS (
+  SELECT ANY_VALUE(n) AS n_orders,
+    COUNT(DISTINCT seg) AS r, COUNT(DISTINCT prio) AS c,
+    SUM((CAST(nij AS DOUBLE) - ri * cj / n) * (CAST(nij AS DOUBLE) - ri * cj / n)
+        / (ri * cj / n)) AS chi2,
+    SUM(-(CAST(nij AS DOUBLE) / n) * LN(CAST(nij AS DOUBLE) / n)) AS hxy,
+    SUM(-(CAST(nij AS DOUBLE) / n) * LN(ri / n)) AS hx,
+    SUM(-(CAST(nij AS DOUBLE) / n) * LN(cj / n)) AS hy
+  FROM t)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+  ROUND(chi2, 6) AS chi2,
+  ROUND(SQRT(chi2 / (n_orders * (LEAST(r, c) - 1))), 6) AS cramers_v,
+  ROUND((hx - (hxy - hy)) / hx, 6) AS theils_u_seg,
+  ROUND((hy - (hxy - hx)) / hy, 6) AS theils_u_prio
+FROM agg
+"""
+
+
+def q_bitmap_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra (ClickHouse ``groupBitmapAnd/Or/Xor``
+    parity): for every event-type pair, the exact user-set
+    intersection, union, symmetric difference, and Jaccard ppm. One
+    user-grain dedup pass builds (user, type) once; the pair stage
+    works on per-type membership counts from a user-level type bitmap
+    (collect_set ≤ 5 types/user), so no user-level self-join ever
+    happens — the shuffle is one row per distinct (user, type-set)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ev.select("event_type").distinct()
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.collect_set("event_type").alias("ts"))
+    )
+    a, b = types.alias("a"), types.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+    )
+    # per user×pair membership without exploding users: broadcast the
+    # ≤ C(5,2)=10 pairs over the user frame, test set membership row-local
+    m = per_user.crossJoin(F.broadcast(pairs)).select(
+        "type_a", "type_b",
+        F.array_contains("ts", F.col("type_a")).cast("int").alias("in_a"),
+        F.array_contains("ts", F.col("type_b")).cast("int").alias("in_b"),
+    )
+    return (
+        m.groupBy("type_a", "type_b")
+        .agg(
+            F.sum(F.col("in_a")).cast("bigint").alias("n_a"),
+            F.sum(F.col("in_b")).cast("bigint").alias("n_b"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_and"),
+            F.sum(F.greatest("in_a", "in_b")).cast("bigint").alias("n_or"),
+            F.sum(
+                (F.col("in_a") + F.col("in_b") == 1).cast("int")
+            ).cast("bigint").alias("n_xor"),
+        )
+        .withColumn("jaccard_ppm", F.expr("n_and * 1000000 div n_or").cast("bigint"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+_BITMAP_SQL = """
+WITH per_user AS (
+  SELECT user_id, list(DISTINCT event_type) AS ts FROM events GROUP BY 1),
+types AS (SELECT DISTINCT event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type),
+m AS (
+  SELECT type_a, type_b,
+    CASE WHEN list_contains(ts, type_a) THEN 1 ELSE 0 END AS in_a,
+    CASE WHEN list_contains(ts, type_b) THEN 1 ELSE 0 END AS in_b
+  FROM per_user CROSS JOIN pairs)
+SELECT type_a, type_b,
+  CAST(SUM(in_a) AS BIGINT) AS n_a,
+  CAST(SUM(in_b) AS BIGINT) AS n_b,
+  CAST(SUM(in_a * in_b) AS BIGINT) AS n_and,
+  CAST(SUM(GREATEST(in_a, in_b)) AS BIGINT) AS n_or,
+  CAST(SUM(CASE WHEN in_a + in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_xor,
+  CAST(SUM(in_a * in_b) * 1000000 // SUM(GREATEST(in_a, in_b)) AS BIGINT)
+    AS jaccard_ppm
+FROM m GROUP BY 1, 2 ORDER BY type_a, type_b
+"""
+
+
+def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction for training: documents ranked by the
+    quality score (stopword share minus non-alnum noise, the text_quality
+    recipe), cut into 5 NTILE phases (highest quality = phase 1, fed
+    first), each phase reporting docs, token budget, cumulative tokens,
+    and the quality-score range — the schedule a curriculum loader
+    consumes. Scoring is row-local; the only shuffle is the ntile sort,
+    which at 100 TB becomes a range-partitioned global sort (Spark's
+    TakeOrderedAndProject/RangePartitioner path), then a 5-key fold."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n_toks = F.size(toks)
+    stop_share = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+        / F.greatest(n_toks, F.lit(1))
+    )
+    noise = (
+        F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", ""))
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    scored = docs.select(
+        "doc_id",
+        n_toks.alias("n_toks"),
+        F.round(stop_share - noise, 9).alias("q_score"),
+    )
+    phased = scored.withColumn(
+        "phase",
+        F.ntile(5).over(Window.orderBy(F.desc("q_score"), "doc_id")),
+    )
+    per = (
+        phased.groupBy("phase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("tokens"),
+            F.round(F.min("q_score"), 9).alias("q_min"),
+            F.round(F.max("q_score"), 9).alias("q_max"),
+        )
+    )
+    w_cum = Window.orderBy("phase").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.withColumn("tokens_cum", F.sum("tokens").over(w_cum).cast("bigint"))
+        .orderBy("phase")
+    )
+
+
+_CURRICULUM_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS n_toks,
+    ROUND(
+      len(list_filter({_TOKS_SQL},
+        t -> t IN ({",".join(repr(w) for w in STOPWORDS["en"])})))
+        / greatest(len({_TOKS_SQL}), 1)
+      - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+        / greatest(length(text), 1), 9) AS q_score
+  FROM documents),
+phased AS (
+  SELECT *, NTILE(5) OVER (ORDER BY q_score DESC, doc_id) AS phase
+  FROM scored),
+per AS (
+  SELECT phase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_toks) AS BIGINT) AS tokens,
+    ROUND(MIN(q_score), 9) AS q_min, ROUND(MAX(q_score), 9) AS q_max
+  FROM phased GROUP BY phase)
+SELECT phase, n_docs, tokens, q_min, q_max,
+  CAST(SUM(tokens) OVER (ORDER BY phase
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tokens_cum
+FROM per ORDER BY phase
+"""
+
+
+# Shared polynomial-cos great-circle recipe: cos(z) via an even Taylor
+# polynomial in EXACT textual form — double +,*,/ are IEEE-determined, so
+# evaluating the SAME expression string in Spark (selectExpr) and DuckDB
+# yields bit-identical doubles, sidestepping cross-libm cos() drift.
+_COS_POLY = (
+    "(1.0 - {z2}/2.0 + {z2}*{z2}/24.0 - {z2}*{z2}*{z2}/720.0"
+    " + {z2}*{z2}*{z2}*{z2}/40320.0"
+    " - {z2}*{z2}*{z2}*{z2}*{z2}/3628800.0)"
+)
+_GEO_RAD = "(({d}) * 3.141592653589793 / 180.0)"
+
+
+def _geo_dist_expr(lat_a: str, lon_a: str, lat_b: str, lon_b: str) -> str:
+    """Equirectangular distance in km over the shared polynomial cos —
+    one expression string consumed verbatim by both engines."""
+    mlat = f"(({_GEO_RAD.format(d=lat_a)} + {_GEO_RAD.format(d=lat_b)}) / 2.0)"
+    z2 = f"({mlat} * {mlat})"
+    cosm = _COS_POLY.format(z2=z2)
+    x = f"(({_GEO_RAD.format(d=lon_b)} - {_GEO_RAD.format(d=lon_a)}) * {cosm})"
+    y = f"({_GEO_RAD.format(d=lat_b)} - {_GEO_RAD.format(d=lat_a)})"
+    return f"ROUND(6371.0 * SQRT({x}*{x} + {y}*{y}), 3)"
+
+
+def q_geo_nation_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-distance surface (ClickHouse ``greatCircleDistance`` family):
+    each nation gets a deterministic synthetic coordinate (an affine map
+    of its key — the fixture has no geo columns, so the coordinates ARE
+    the contract), and the query reports the 20 closest nation pairs by
+    equirectangular distance. The trig is a shared polynomial-cos
+    expression string evaluated textually by BOTH engines (bit-identical
+    doubles — the multivar_ols trick applied to geo). 25 nations → 300
+    broadcast pairs; at scale this is the geo-join shape where one side
+    is a broadcast dimension."""
+    n = _t(spark, sf_dir, "nation")
+    # CAST to DOUBLE: both Spark and DuckDB parse these dotted literals
+    # as DECIMAL, and decimal-scale truncation in the radian conversion
+    # diverges between engines — the whole pipeline must run in ieee754
+    geo = n.selectExpr(
+        "n_nationkey", "n_name",
+        "CAST(-60.0 + n_nationkey * 5.0 AS DOUBLE) AS lat",
+        "CAST(-170.0 + n_nationkey * 13.0 AS DOUBLE) AS lon",
+    )
+    a, b = geo.alias("a"), geo.alias("b")
+    dist = _geo_dist_expr("a.lat", "a.lon", "b.lat", "b.lon")
+    return (
+        a.join(F.broadcast(b), F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .selectExpr(
+            "a.n_name AS nation_a",
+            "b.n_name AS nation_b",
+            f"{dist} AS dist_km",
+        )
+        .orderBy("dist_km", "nation_a", "nation_b")
+        .limit(20)
+    )
+
+
+_GEO_SQL = f"""
+WITH geo AS (
+  SELECT n_nationkey, n_name,
+    CAST(-60.0 + n_nationkey * 5.0 AS DOUBLE) AS lat,
+    CAST(-170.0 + n_nationkey * 13.0 AS DOUBLE) AS lon
+  FROM nation)
+SELECT a.n_name AS nation_a, b.n_name AS nation_b,
+  {_geo_dist_expr("a.lat", "a.lon", "b.lat", "b.lon")} AS dist_km
+FROM geo a JOIN geo b ON a.n_nationkey < b.n_nationkey
+ORDER BY dist_km, nation_a, nation_b LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -12375,6 +12667,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m4_downsample_daily": q_m4_downsample_daily,
     "target_encode_nations": q_target_encode_nations,
     "vocab_coverage_report": q_vocab_coverage_report,
+    "cramers_v_association": q_cramers_v_association,
+    "bitmap_set_ops": q_bitmap_set_ops,
+    "curriculum_phases": q_curriculum_phases,
+    "geo_nation_distances": q_geo_nation_distances,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -12635,6 +12931,10 @@ ORACLE_QUERIES: dict[str, str] = {
     "m4_downsample_daily": _M4_SQL,
     "target_encode_nations": _TARGET_ENC_SQL,
     "vocab_coverage_report": _VOCAB_COV_SQL,
+    "cramers_v_association": _CRAMERS_SQL,
+    "bitmap_set_ops": _BITMAP_SQL,
+    "curriculum_phases": _CURRICULUM_SQL,
+    "geo_nation_distances": _GEO_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

@@ -191,3 +191,95 @@ def test_vocab_coverage_matches_python(spark, sf_dir, qs):
         oov = sum(t not in vocab for t in toks)
         assert (r.tokens_total, r.tokens_oov) == (len(toks), oov)
         assert r.oov_ppm == oov * 1_000_000 // len(toks)
+
+
+def test_cramers_v_matches_python(spark, sf_dir, qs):
+    r = qs["cramers_v_association"](spark, sf_dir).collect()[0]
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority").collect()
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment").collect()
+    import math
+
+    seg_of = {x.c_custkey: x.c_mktsegment for x in c}
+    cells = defaultdict(int)
+    for x in o:
+        cells[(seg_of[x.o_custkey], x.o_orderpriority)] += 1
+    n = sum(cells.values())
+    ri = defaultdict(int)
+    cj = defaultdict(int)
+    for (s, p), v in cells.items():
+        ri[s] += v
+        cj[p] += v
+    chi2 = sum(
+        (v - ri[s] * cj[p] / n) ** 2 / (ri[s] * cj[p] / n)
+        for (s, p), v in cells.items()
+    )
+    v_stat = math.sqrt(chi2 / (n * (min(len(ri), len(cj)) - 1)))
+    hx = -sum(v / n * math.log(v / n) for v in ri.values())
+    hy = -sum(v / n * math.log(v / n) for v in cj.values())
+    hxy = -sum(v / n * math.log(v / n) for v in cells.values())
+    assert r.n_orders == n
+    assert abs(r.chi2 - chi2) < 1e-3
+    assert abs(r.cramers_v - v_stat) < 1e-6
+    assert abs(r.theils_u_seg - (hx - (hxy - hy)) / hx) < 1e-6
+    assert abs(r.theils_u_prio - (hy - (hxy - hx)) / hy) < 1e-6
+    assert 0.0 <= r.cramers_v <= 1.0
+    assert 0.0 <= r.theils_u_seg <= 1.0
+
+
+def test_bitmap_set_ops_match_python(spark, sf_dir, qs):
+    rows = qs["bitmap_set_ops"](spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    users = defaultdict(set)
+    for e in ev:
+        users[e.event_type].add(e.user_id)
+    types = sorted(users)
+    expect_pairs = [(a, b) for a in types for b in types if a < b]
+    assert sorted((r.type_a, r.type_b) for r in rows) == expect_pairs
+    for r in rows:
+        A, B = users[r.type_a], users[r.type_b]
+        assert (r.n_a, r.n_b) == (len(A), len(B))
+        assert r.n_and == len(A & B)
+        assert r.n_or == len(A | B)
+        assert r.n_xor == len(A ^ B)
+        assert r.n_and + r.n_xor == r.n_or  # set identity
+        assert r.jaccard_ppm == len(A & B) * 1_000_000 // len(A | B)
+
+
+def test_curriculum_phases_partition_corpus(spark, sf_dir, qs):
+    rows = sorted(qs["curriculum_phases"](spark, sf_dir).collect(), key=lambda r: r.phase)
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert [r.phase for r in rows] == [1, 2, 3, 4, 5]
+    assert sum(r.n_docs for r in rows) == n_docs
+    # ntile balance: sizes differ by at most 1
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    # quality is non-increasing across phases and cumsum is consistent
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.q_min >= cur.q_max - 1e-9
+        assert cur.tokens_cum == prev.tokens_cum + cur.tokens
+
+
+def test_geo_distances_match_haversine_closely(spark, sf_dir, qs):
+    import math
+
+    rows = qs["geo_nation_distances"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    dists = [r.dist_km for r in rows]
+    assert dists == sorted(dists)
+
+    def coords(k):
+        return -60.0 + k * 5.0, -170.0 + k * 13.0
+
+    name_to_key = {
+        r.n_name: r.n_nationkey
+        for r in read_table(spark, sf_dir, "nation").collect()
+    }
+    for r in rows:
+        la, lo = coords(name_to_key[r.nation_a])
+        lb, lob = coords(name_to_key[r.nation_b])
+        # reference: true-cos equirectangular; the polynomial cos agrees
+        # to ~1e-8 rad, so km distances match well under a metre
+        mlat = math.radians((la + lb) / 2)
+        x = math.radians(lob - lo) * math.cos(mlat)
+        y = math.radians(lb - la)
+        assert abs(r.dist_km - 6371.0 * math.hypot(x, y)) < 1e-3
