@@ -3583,6 +3583,206 @@ ORDER BY dist_km, nation_a, nation_b LIMIT 20
 """
 
 
+def q_woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information value (ClickHouse
+    ``categoricalInformationValue`` parity — the credit-scoring feature
+    screen): market segment as the categorical feature, "order has a
+    returned line item" as the binary target. Per segment: good/bad
+    counts, WOE = ln((good/Σgood)/(bad/Σbad)), the IV contribution, and
+    the feature-level IV total. One semi-join flags returned orders,
+    one 5-key aggregation, then window arithmetic on the tiny frame."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+    )
+    flagged = (
+        o.join(returned.withColumn("is_bad", F.lit(1)), "o_orderkey", "left")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.coalesce("is_bad", F.lit(0)).alias("bad"),
+        )
+    )
+    per = flagged.groupBy("seg").agg(
+        F.sum(1 - F.col("bad")).cast("bigint").alias("n_good"),
+        F.sum("bad").cast("bigint").alias("n_bad"),
+    )
+    w = Window.partitionBy()
+    t = per.withColumn("tg", F.sum("n_good").over(w)).withColumn(
+        "tb", F.sum("n_bad").over(w)
+    )
+    pg = F.col("n_good").cast("double") / F.col("tg")
+    pb = F.col("n_bad").cast("double") / F.col("tb")
+    woe = F.log(pg / pb)
+    return (
+        t.select(
+            "seg", "n_good", "n_bad",
+            F.round(woe, 6).alias("woe"),
+            F.round((pg - pb) * woe, 6).alias("iv_part"),
+            F.round(F.sum((pg - pb) * woe).over(w), 6).alias("iv_total"),
+        )
+        .orderBy("seg")
+    )
+
+
+_WOE_SQL = """
+WITH returned AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+flagged AS (
+  SELECT c_mktsegment AS seg,
+    CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS bad
+  FROM orders
+  LEFT JOIN returned r ON o_orderkey = r.l_orderkey
+  JOIN customer ON o_custkey = c_custkey),
+per AS (
+  SELECT seg, CAST(SUM(1 - bad) AS BIGINT) AS n_good,
+    CAST(SUM(bad) AS BIGINT) AS n_bad
+  FROM flagged GROUP BY seg),
+t AS (
+  SELECT *, SUM(n_good) OVER () AS tg, SUM(n_bad) OVER () AS tb FROM per)
+SELECT seg, n_good, n_bad,
+  ROUND(LN((CAST(n_good AS DOUBLE) / tg) / (CAST(n_bad AS DOUBLE) / tb)), 6)
+    AS woe,
+  ROUND((CAST(n_good AS DOUBLE) / tg - CAST(n_bad AS DOUBLE) / tb)
+        * LN((CAST(n_good AS DOUBLE) / tg) / (CAST(n_bad AS DOUBLE) / tb)), 6)
+    AS iv_part,
+  ROUND(SUM((CAST(n_good AS DOUBLE) / tg - CAST(n_bad AS DOUBLE) / tb)
+        * LN((CAST(n_good AS DOUBLE) / tg) / (CAST(n_bad AS DOUBLE) / tb)))
+        OVER (), 6) AS iv_total
+FROM t ORDER BY seg
+"""
+
+
+def q_sequence_count_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1).*(?2)')`` parity: per user, the
+    number of NON-OVERLAPPING view→purchase chains (greedy matching, the
+    engine's semantics), reported as a distribution (users per chain
+    count). The greedy recurrence m_j = min(m_{j-1}+1, views_before_j)
+    unrolls to m = n_purchases + min_j(views_before_j − j) — pure
+    window arithmetic, NO per-user iteration, no UDF: one sort-shuffle
+    on user_id regardless of scale."""
+    ev = _t(spark, sf_dir, "events")
+    typed = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id", "ts", "event_id",
+        (F.col("event_type") == "view").cast("int").alias("is_v"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_before = w_seq.rowsBetween(Window.unboundedPreceding, -1)
+    marked = (
+        typed.withColumn("views_before", F.coalesce(F.sum("is_v").over(w_before), F.lit(0)))
+        .withColumn("p_rank", F.sum("is_p").over(w_seq))
+        .filter(F.col("is_p") == 1)
+    )
+    per_user = marked.groupBy("user_id").agg(
+        F.max("p_rank").alias("n_p"),
+        F.min(F.col("views_before") - F.col("p_rank")).alias("slack"),
+    )
+    # m_n = min(n, min_j(A_j + n − j)) — the slack only ever SUBTRACTS
+    # (cap at n_p when views are plentiful), hence least(slack, 0)
+    chains = per_user.select(
+        "user_id",
+        (F.col("n_p") + F.least(F.col("slack"), F.lit(0))).alias("n_chains"),
+    )
+    return (
+        chains.groupBy("n_chains")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("n_chains")
+    )
+
+
+_SEQ_COUNT_SQL = """
+WITH typed AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_v,
+    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events WHERE event_type IN ('view', 'purchase')),
+marked AS (
+  SELECT user_id,
+    COALESCE(SUM(is_v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS views_before,
+    SUM(is_p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_rank,
+    is_p
+  FROM typed),
+per_user AS (
+  SELECT user_id, MAX(p_rank) AS n_p,
+    MIN(views_before - p_rank) AS slack
+  FROM marked WHERE is_p = 1 GROUP BY user_id)
+SELECT n_p + LEAST(slack, 0) AS n_chains,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY 1 ORDER BY n_chains
+"""
+
+
+def q_roc_auc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC via the tie-corrected rank-sum identity (the exact
+    distributed AUC — no threshold sweep): score = rounded L2 norm of
+    the embedding (the proven cross-engine float recipe), positive
+    class = label ≥ 5. Average ranks come from RANK + (tie_count−1)/2,
+    so ties contribute exactly ½ — bit-reproducible on both engines.
+    One sort-shuffle on the score; everything else is scalar algebra."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding"), F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        6,
+    )
+    scored = emb.select(
+        norm.alias("score"), (F.col("label") >= 5).cast("int").alias("pos")
+    )
+    w_rank = Window.orderBy("score")
+    avg_rank = (
+        F.rank().over(w_rank)
+        + (F.count("*").over(Window.partitionBy("score")) - 1) / 2.0
+    )
+    r = scored.withColumn("ar", avg_rank)
+    agg = r.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum(1 - F.col("pos")).alias("n_neg"),
+        F.sum(F.when(F.col("pos") == 1, F.col("ar"))).alias("rank_sum_pos"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.round(
+            (F.col("rank_sum_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+_ROC_AUC_SQL = """
+WITH scored AS (
+  SELECT
+    round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6)
+      AS score,
+    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings),
+r AS (
+  SELECT pos,
+    RANK() OVER (ORDER BY score)
+      + (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0 AS ar
+  FROM scored),
+agg AS (
+  SELECT SUM(pos) AS n_pos, SUM(1 - pos) AS n_neg,
+    SUM(CASE WHEN pos = 1 THEN ar END) AS rank_sum_pos
+  FROM r)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+  ROUND((rank_sum_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -12671,6 +12871,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitmap_set_ops": q_bitmap_set_ops,
     "curriculum_phases": q_curriculum_phases,
     "geo_nation_distances": q_geo_nation_distances,
+    "woe_information_value": q_woe_information_value,
+    "sequence_count_chains": q_sequence_count_chains,
+    "roc_auc_embeddings": q_roc_auc_embeddings,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -12935,6 +13138,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "bitmap_set_ops": _BITMAP_SQL,
     "curriculum_phases": _CURRICULUM_SQL,
     "geo_nation_distances": _GEO_SQL,
+    "woe_information_value": _WOE_SQL,
+    "sequence_count_chains": _SEQ_COUNT_SQL,
+    "roc_auc_embeddings": _ROC_AUC_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

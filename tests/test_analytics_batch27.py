@@ -283,3 +283,70 @@ def test_geo_distances_match_haversine_closely(spark, sf_dir, qs):
         x = math.radians(lob - lo) * math.cos(mlat)
         y = math.radians(lb - la)
         assert abs(r.dist_km - 6371.0 * math.hypot(x, y)) < 1e-3
+
+
+def test_woe_iv_matches_python(spark, sf_dir, qs):
+    import math
+
+    rows = {r.seg: r for r in qs["woe_information_value"](spark, sf_dir).collect()}
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").collect()
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment").collect()
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag").collect()
+    bad_orders = {x.l_orderkey for x in li if x.l_returnflag == "R"}
+    seg_of = {x.c_custkey: x.c_mktsegment for x in c}
+    good = defaultdict(int)
+    bad = defaultdict(int)
+    for x in o:
+        (bad if x.o_orderkey in bad_orders else good)[seg_of[x.o_custkey]] += 1
+    tg, tb = sum(good.values()), sum(bad.values())
+    iv_total = 0.0
+    for seg in rows:
+        pg, pb = good[seg] / tg, bad[seg] / tb
+        iv_total += (pg - pb) * math.log(pg / pb)
+    for seg, r in rows.items():
+        pg, pb = good[seg] / tg, bad[seg] / tb
+        assert (r.n_good, r.n_bad) == (good[seg], bad[seg])
+        assert abs(r.woe - math.log(pg / pb)) < 1e-6
+        assert abs(r.iv_part - (pg - pb) * math.log(pg / pb)) < 1e-6
+        assert abs(r.iv_total - iv_total) < 1e-6
+
+
+def test_sequence_count_matches_greedy_scan(spark, sf_dir, qs):
+    rows = {r.n_chains: r.n_users for r in
+            qs["sequence_count_chains"](spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    per_user = defaultdict(list)
+    for e in ev:
+        if e.event_type in ("view", "purchase"):
+            per_user[e.user_id].append((e.ts, e.event_id, e.event_type))
+    dist = defaultdict(int)
+    for _, evs in per_user.items():
+        armed = matched = 0
+        for _, _, t in sorted(evs):
+            if t == "view":
+                armed += 1
+            elif armed > matched:
+                matched += 1
+        if any(t == "purchase" for _, _, t in evs):
+            dist[matched] += 1
+    # users with purchases only (no view row at all) still appear via the
+    # is_p filter; users with zero purchase rows are out of scope
+    assert rows == dict(dist)
+
+
+def test_roc_auc_matches_sklearn_formula(spark, sf_dir, qs):
+    r = qs["roc_auc_embeddings"](spark, sf_dir).collect()[0]
+    emb = read_table(spark, sf_dir, "embeddings").collect()
+    pairs = []
+    for e in emb:
+        s = round(sum(float(x) * float(x) for x in e.embedding) ** 0.5, 6)
+        pairs.append((s, 1 if e.label >= 5 else 0))
+    pos = [s for s, p in pairs if p]
+    neg = [s for s, p in pairs if not p]
+    assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+    # O(n_pos*n_neg) direct AUC with half-credit ties
+    wins = sum((a > b) + 0.5 * (a == b) for a in pos for b in neg)
+    assert abs(r.auc - wins / (len(pos) * len(neg))) < 1e-6
+    assert 0.0 <= r.auc <= 1.0
