@@ -3713,7 +3713,7 @@ per_user AS (
   SELECT user_id, MAX(p_rank) AS n_p,
     MIN(views_before - p_rank) AS slack
   FROM marked WHERE is_p = 1 GROUP BY user_id)
-SELECT n_p + LEAST(slack, 0) AS n_chains,
+SELECT CAST(n_p + LEAST(slack, 0) AS BIGINT) AS n_chains,
   CAST(COUNT(*) AS BIGINT) AS n_users
 FROM per_user GROUP BY 1 ORDER BY n_chains
 """
