@@ -3725,19 +3725,14 @@ def q_roc_auc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the embedding (the proven cross-engine float recipe), positive
     class = label ≥ 5. Average ranks come from RANK + (tie_count−1)/2,
     so ties contribute exactly ½ — bit-reproducible on both engines.
-    One sort-shuffle on the score; everything else is scalar algebra."""
+    One sort-shuffle on the score; everything else is scalar algebra.
+    (Score = first embedding component: the fixture vectors are
+    unit-normalized, so the L2 norm is constant and useless as a
+    discriminator — a projection is the honest scalar probe.)"""
     emb = _t(spark, sf_dir, "embeddings")
-    norm = F.round(
-        F.sqrt(
-            F.aggregate(
-                F.col("embedding"), F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            )
-        ),
-        6,
-    )
     scored = emb.select(
-        norm.alias("score"), (F.col("label") >= 5).cast("int").alias("pos")
+        F.round(F.col("embedding").getItem(0).cast("double"), 6).alias("score"),
+        (F.col("label") >= 5).cast("int").alias("pos"),
     )
     w_rank = Window.orderBy("score")
     avg_rank = (
@@ -3763,9 +3758,7 @@ def q_roc_auc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROC_AUC_SQL = """
 WITH scored AS (
-  SELECT
-    round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6)
-      AS score,
+  SELECT round(embedding[1]::DOUBLE, 6) AS score,
     CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
   FROM embeddings),
 r AS (
@@ -3780,6 +3773,216 @@ agg AS (
 SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
   ROUND((rank_sum_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc
 FROM agg
+"""
+
+
+def q_ab_cuped_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with CUPED variance reduction (Deng et al.
+    WSDM'13 — the industry-standard sensitivity boost): users split into
+    arms by id parity at 2024-01-16; Y = post-period value, X =
+    pre-period value (the covariate), θ = cov(X,Y)/var(X) POOLED, and
+    the adjusted metric Yᶜ = Y − θ(X − X̄). Reports per-arm means, the
+    raw and CUPED diffs, θ, and the achieved variance-reduction ppm.
+    One user-grain aggregation; every moment is an exact-cents decimal
+    power sum folded map-side — the scalar stage is a broadcast of one
+    row."""
+    ev = _t(spark, sf_dir, "events")
+    t0 = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < t0, cents).otherwise(F.lit(0))).alias("xc"),
+            F.sum(F.when(F.col("ts") >= t0, cents).otherwise(F.lit(0))).alias("yc"),
+        )
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("arm"),
+            F.col("xc"), F.col("yc"),
+        )
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    moments = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum(d19(F.col("xc"))).cast("double").alias("sx"),
+        F.sum(d19(F.col("yc"))).cast("double").alias("sy"),
+        F.sum(d19(F.col("xc")) * d19(F.col("xc"))).cast("double").alias("sxx"),
+        F.sum(d19(F.col("xc")) * d19(F.col("yc"))).cast("double").alias("sxy"),
+    ).select(
+        (F.col("sx") / F.col("n")).alias("mx"),
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+         / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))).alias("theta"),
+    )
+    adj = per_user.crossJoin(F.broadcast(moments)).select(
+        "arm",
+        F.col("yc").cast("double").alias("y"),
+        (F.col("yc").cast("double")
+         - F.col("theta") * (F.col("xc").cast("double") - F.col("mx"))).alias("ya"),
+        "theta",
+    )
+    arms = adj.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.avg("y").alias("my"),
+        F.avg("ya").alias("mya"),
+        F.var_samp("y").alias("vy"),
+        F.var_samp("ya").alias("vya"),
+        F.first("theta").alias("theta"),
+    )
+    w = Window.partitionBy()
+    pooled_vy = F.sum(F.col("vy") * (F.col("n") - 1)).over(w) / F.sum(F.col("n") - 1).over(w)
+    pooled_vya = F.sum(F.col("vya") * (F.col("n") - 1)).over(w) / F.sum(F.col("n") - 1).over(w)
+    return (
+        arms.withColumn("pv", pooled_vy)
+        .withColumn("pva", pooled_vya)
+        .select(
+            "arm",
+            F.col("n").cast("bigint").alias("n_users"),
+            F.round(F.col("my") / 100, 6).alias("mean_value"),
+            F.round(F.col("mya") / 100, 6).alias("mean_cuped"),
+            F.round(F.col("theta"), 6).alias("theta"),
+            F.round((F.lit(1.0) - F.col("pva") / F.col("pv")) * 1e6, 0)
+            .cast("bigint").alias("var_reduction_ppm"),
+        )
+        .orderBy("arm")
+    )
+
+
+_AB_CUPED_SQL = """
+WITH per_user AS (
+  SELECT CAST(user_id % 2 AS INT) AS arm,
+    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS xc,
+    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS yc
+  FROM events GROUP BY user_id),
+m AS (
+  SELECT CAST(SUM(CAST(xc AS DECIMAL(19,0))) AS DOUBLE) / COUNT(*) AS mx,
+    (CAST(SUM(CAST(xc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0))) AS DOUBLE)
+     - CAST(SUM(CAST(xc AS DECIMAL(19,0))) AS DOUBLE)
+       * CAST(SUM(CAST(yc AS DECIMAL(19,0))) AS DOUBLE) / COUNT(*))
+    / (CAST(SUM(CAST(xc AS DECIMAL(19,0)) * CAST(xc AS DECIMAL(19,0))) AS DOUBLE)
+     - CAST(SUM(CAST(xc AS DECIMAL(19,0))) AS DOUBLE)
+       * CAST(SUM(CAST(xc AS DECIMAL(19,0))) AS DOUBLE) / COUNT(*)) AS theta
+  FROM per_user),
+adj AS (
+  SELECT arm, CAST(yc AS DOUBLE) AS y,
+    CAST(yc AS DOUBLE) - theta * (CAST(xc AS DOUBLE) - mx) AS ya, theta
+  FROM per_user CROSS JOIN m),
+arms AS (
+  SELECT arm, COUNT(*) AS n, AVG(y) AS my, AVG(ya) AS mya,
+    VAR_SAMP(y) AS vy, VAR_SAMP(ya) AS vya, ANY_VALUE(theta) AS theta
+  FROM adj GROUP BY arm)
+SELECT arm, CAST(n AS BIGINT) AS n_users,
+  ROUND(my / 100, 6) AS mean_value,
+  ROUND(mya / 100, 6) AS mean_cuped,
+  ROUND(theta, 6) AS theta,
+  CAST(ROUND((1.0 - (SUM(vya * (n - 1)) OVER () / SUM(n - 1) OVER ())
+       / (SUM(vy * (n - 1)) OVER () / SUM(n - 1) OVER ())) * 1e6, 0) AS BIGINT)
+    AS var_reduction_ppm
+FROM arms ORDER BY arm
+"""
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability diagram for the norm-score classifier
+    behind roc_auc_embeddings: scores min-max-normalized to [0,1], cut
+    into 10 equal-width probability bins; per bin the support, mean
+    predicted score, observed positive rate (exact ppm), and the
+    |pred − obs| gap that sums to ECE. Min/max come from one tiny
+    aggregate broadcast back — two passes over a vector table, zero
+    joins beyond the scalar broadcast. Score = first embedding
+    component (unit-normalized fixture vectors make the norm
+    constant)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.round(F.col("embedding").getItem(0).cast("double"), 6).alias("s"),
+        (F.col("label") >= 5).cast("int").alias("pos"),
+    )
+    rng = scored.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    binned = scored.crossJoin(F.broadcast(rng)).select(
+        "pos",
+        F.least(
+            F.floor((F.col("s") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10)
+            .cast("int"),
+            F.lit(9),
+        ).alias("bin"),
+        ((F.col("s") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias("p"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("p"), 6).alias("mean_pred"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+        )
+        .withColumn("obs_ppm", F.expr("n_pos * 1000000 div n").cast("bigint"))
+        .withColumn(
+            "gap_ppm",
+            F.abs(
+                F.round(F.col("mean_pred") * 1e6, 0).cast("bigint") - F.col("obs_ppm")
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+_CALIBRATION_SQL = """
+WITH scored AS (
+  SELECT round(embedding[1]::DOUBLE, 6) AS s,
+    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings),
+rng AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM scored),
+binned AS (
+  SELECT pos,
+    LEAST(CAST(FLOOR((s - lo) / (hi - lo) * 10) AS INT), 9) AS bin,
+    (s - lo) / (hi - lo) AS p
+  FROM scored CROSS JOIN rng)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(AVG(p), 6) AS mean_pred,
+  CAST(SUM(pos) AS BIGINT) AS n_pos,
+  CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS obs_ppm,
+  ABS(CAST(ROUND(ROUND(AVG(p), 6) * 1e6, 0) AS BIGINT)
+      - CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT)) AS gap_ppm
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
+def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE-ish tokens per whitespace word) per
+    language — the multilingual-cost report every tokenizer eval leads
+    with: high fertility = a language pays more compute per word. Both
+    token counts are row-local regex folds (codegen), one 5-key
+    aggregation; fertility in exact ppm."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    per = docs.select(
+        "lang",
+        TX.bpe_token_count(t).alias("bpe"),
+        TX.token_count(t).alias("ws"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("bpe").cast("bigint").alias("bpe_tokens"),
+            F.sum("ws").cast("bigint").alias("ws_tokens"),
+        )
+        .withColumn(
+            "fertility_ppm",
+            F.expr("bpe_tokens * 1000000 div ws_tokens").cast("bigint"),
+        )
+        .orderBy("lang")
+    )
+
+
+_FERTILITY_SQL = f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len(regexp_extract_all(lower(text),
+    '{TX.BPE_SPLIT_RE.replace(chr(39), chr(39) * 2)}'))) AS BIGINT) AS bpe_tokens,
+  CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS ws_tokens,
+  CAST(SUM(len(regexp_extract_all(lower(text),
+    '{TX.BPE_SPLIT_RE.replace(chr(39), chr(39) * 2)}'))) * 1000000
+    // SUM(len({_TOKS_SQL})) AS BIGINT) AS fertility_ppm
+FROM documents GROUP BY lang ORDER BY lang
 """
 
 
@@ -12874,6 +13077,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "woe_information_value": q_woe_information_value,
     "sequence_count_chains": q_sequence_count_chains,
     "roc_auc_embeddings": q_roc_auc_embeddings,
+    "ab_cuped_scorecard": q_ab_cuped_scorecard,
+    "calibration_bins": q_calibration_bins,
+    "tokenizer_fertility_by_lang": q_tokenizer_fertility_by_lang,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -13141,6 +13347,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "woe_information_value": _WOE_SQL,
     "sequence_count_chains": _SEQ_COUNT_SQL,
     "roc_auc_embeddings": _ROC_AUC_SQL,
+    "ab_cuped_scorecard": _AB_CUPED_SQL,
+    "calibration_bins": _CALIBRATION_SQL,
+    "tokenizer_fertility_by_lang": _FERTILITY_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

@@ -341,7 +341,7 @@ def test_roc_auc_matches_sklearn_formula(spark, sf_dir, qs):
     emb = read_table(spark, sf_dir, "embeddings").collect()
     pairs = []
     for e in emb:
-        s = round(sum(float(x) * float(x) for x in e.embedding) ** 0.5, 6)
+        s = round(float(e.embedding[0]), 6)
         pairs.append((s, 1 if e.label >= 5 else 0))
     pos = [s for s, p in pairs if p]
     neg = [s for s, p in pairs if not p]
@@ -350,3 +350,69 @@ def test_roc_auc_matches_sklearn_formula(spark, sf_dir, qs):
     wins = sum((a > b) + 0.5 * (a == b) for a in pos for b in neg)
     assert abs(r.auc - wins / (len(pos) * len(neg))) < 1e-6
     assert 0.0 <= r.auc <= 1.0
+
+
+def test_ab_cuped_matches_python(spark, sf_dir, qs):
+    import datetime as dt
+    import statistics
+
+    rows = {r.arm: r for r in qs["ab_cuped_scorecard"](spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value").collect()
+    t0 = dt.datetime(2024, 1, 16)
+    acc = defaultdict(lambda: [0, 0])  # user -> [x_cents, y_cents]
+    for e in ev:
+        acc[e.user_id][0 if e.ts < t0 else 1] += round(e.value * 100)
+    xs = [v[0] for v in acc.values()]
+    ys = [v[1] for v in acc.values()]
+    mx = statistics.fmean(xs)
+    my = statistics.fmean(ys)
+    theta = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    arms = defaultdict(lambda: ([], []))
+    for uid, (x, y) in acc.items():
+        raw, adj = arms[uid % 2]
+        raw.append(y)
+        adj.append(y - theta * (x - mx))
+    for arm, r in rows.items():
+        raw, adj = arms[arm]
+        assert r.n_users == len(raw)
+        assert abs(r.mean_value - round(statistics.fmean(raw) / 100, 6)) < 1e-6
+        assert abs(r.mean_cuped - round(statistics.fmean(adj) / 100, 6)) < 1e-6
+        assert abs(r.theta - theta) < 1e-5
+        # CUPED can only help (or tie): pooled variance must not grow
+        assert r.var_reduction_ppm >= 0
+
+
+def test_calibration_bins_cover_and_sum(spark, sf_dir, qs):
+    rows = sorted(qs["calibration_bins"](spark, sf_dir).collect(), key=lambda r: r.bin)
+    emb = read_table(spark, sf_dir, "embeddings").collect()
+    n_total = len(emb)
+    assert sum(r.n for r in rows) == n_total
+    assert all(0 <= r.bin <= 9 for r in rows)
+    scores = [round(float(e.embedding[0]), 6) for e in emb]
+    lo, hi = min(scores), max(scores)
+    pos = {round(float(e.embedding[0]), 6): 0 for e in emb}
+    by_bin = defaultdict(lambda: [0, 0, 0.0])
+    for e in emb:
+        s = round(float(e.embedding[0]), 6)
+        p = (s - lo) / (hi - lo)
+        b = min(int(p * 10), 9)
+        by_bin[b][0] += 1
+        by_bin[b][1] += 1 if e.label >= 5 else 0
+        by_bin[b][2] += p
+    for r in rows:
+        n, npos, psum = by_bin[r.bin]
+        assert (r.n, r.n_pos) == (n, npos)
+        assert r.obs_ppm == npos * 1_000_000 // n
+        assert abs(r.mean_pred - round(psum / n, 6)) < 1e-5
+
+
+def test_fertility_is_at_least_one_token_per_word(spark, sf_dir, qs):
+    rows = qs["tokenizer_fertility_by_lang"](spark, sf_dir).collect()
+    langs = {r.lang for r in rows}
+    assert langs == {"en", "de", "fr", "es", "zh"}
+    for r in rows:
+        # BPE-ish splitter can only split words further, never merge
+        assert r.bpe_tokens >= r.ws_tokens
+        assert r.fertility_ppm >= 1_000_000
