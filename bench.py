@@ -123,6 +123,8 @@ EXTENSIONS_R2 = [
     "dedup_incremental_batch",  # rides the shared dedup stages
     "window_funnel_levels",
     "multimodal_video_features",  # real AVI codec round-trip
+    "pii_redaction_report",  # regex detect+redact corpus pass
+    "sequence_count_chains",  # window-only greedy sequence matching
 ]
 
 
