@@ -3986,6 +3986,251 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis (ClickHouse ``minSampleSizeConversion``
+    parity): from the observed signup→purchase conversion baseline,
+    the per-arm sample size needed to detect a −5% relative drop at
+    α=0.05 (two-sided) / 80% power, plus how many users the fixture
+    actually has. (A drop keeps the target rate inside (0,1) even when
+    the observed baseline saturates near 1.) z-quantiles are double
+    literals, so the whole formula is IEEE-identical across engines.
+    One user-grain aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    base = per_user.agg(
+        F.count("*").alias("n_users"), F.sum("conv").alias("n_conv")
+    )
+    p1 = F.col("n_conv").cast("double") / F.col("n_users")
+    p2 = p1 * 0.95
+    pbar = (p1 + p2) / 2.0
+    za, zb = 1.9599639845400545, 0.8416212335729143
+    n_req = (
+        (za * F.sqrt(2.0 * pbar * (1.0 - pbar))
+         + zb * F.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+        / (p2 - p1)
+    )
+    return base.select(
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(p1, 6).alias("baseline_rate"),
+        F.round(p2, 6).alias("target_rate"),
+        F.ceil(n_req * n_req).cast("bigint").alias("n_required_per_arm"),
+        (F.ceil(n_req * n_req) * 2 <= F.col("n_users")).alias("is_powered"),
+    )
+
+
+_AB_POWER_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id),
+base AS (
+  SELECT COUNT(*) AS n_users, SUM(conv) AS n_conv FROM per_user),
+calc AS (
+  SELECT n_users,
+    CAST(n_conv AS DOUBLE) / n_users AS p1,
+    CAST(n_conv AS DOUBLE) / n_users * 0.95 AS p2
+  FROM base)
+SELECT CAST(n_users AS BIGINT) AS n_users,
+  ROUND(p1, 6) AS baseline_rate,
+  ROUND(p2, 6) AS target_rate,
+  CAST(CEIL(POW((1.9599639845400545 * SQRT(2.0 * ((p1 + p2) / 2.0) * (1.0 - (p1 + p2) / 2.0))
+    + 0.8416212335729143 * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+    / (p2 - p1), 2)) AS BIGINT) AS n_required_per_arm,
+  CAST(CEIL(POW((1.9599639845400545 * SQRT(2.0 * ((p1 + p2) / 2.0) * (1.0 - (p1 + p2) / 2.0))
+    + 0.8416212335729143 * SQRT(p1 * (1.0 - p1) + p2 * (1.0 - p2)))
+    / (p2 - p1), 2)) * 2 <= n_users AS BOOLEAN) AS is_powered
+FROM calc
+"""
+
+
+def q_encoding_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-encoding advisor (the lakehouse ops surface behind
+    ClickHouse's column-codec picker): per lineitem column — rows,
+    exact distinct count, adjacent-run count in the (orderkey,
+    linenumber) physical order, then the dictionary-vs-RLE-vs-plain
+    recommendation from distinct-ratio and run-ratio ppm thresholds.
+    One pass computes every column's runs via lag comparisons in a
+    single window; the distinct counts fold in one aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount",
+            "l_suppkey", "l_shipdate"]
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    chg = li.select(
+        *[
+            (~F.col(c).eqNullSafe(F.lag(c).over(w))).cast("int").alias(f"chg_{c}")
+            for c in cols
+        ]
+    )
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(f"chg_{c}").cast("bigint").alias(f"runs_{c}"))
+    runs_wide = chg.agg(*aggs)
+    dist_aggs = [F.count_distinct(F.col(c)).cast("bigint").alias(f"dist_{c}") for c in cols]
+    dist_wide = li.agg(*dist_aggs)
+    wide = runs_wide.crossJoin(F.broadcast(dist_wide))
+    stack = ", ".join(f"'{c}', runs_{c}, dist_{c}" for c in cols)
+    long = wide.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack}) AS (column_name, n_runs, n_distinct)",
+    )
+    return (
+        long.select(
+            "column_name", "n_rows", "n_runs", "n_distinct",
+            F.expr("n_distinct * 1000000 div n_rows").cast("bigint").alias("distinct_ppm"),
+            F.expr("n_runs * 1000000 div n_rows").cast("bigint").alias("run_ppm"),
+        )
+        .withColumn(
+            "recommendation",
+            F.when(F.col("run_ppm") < 500000, F.lit("rle"))
+            .when(F.col("distinct_ppm") < 10000, F.lit("dict"))
+            .otherwise(F.lit("plain")),
+        )
+        .orderBy("column_name")
+    )
+
+
+_ENCODING_SQL = """
+WITH ordered AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+  FROM lineitem),
+chg AS (
+  SELECT
+    CASE WHEN l_returnflag IS DISTINCT FROM LAG(l_returnflag) OVER w THEN 1 ELSE 0 END AS chg_l_returnflag,
+    CASE WHEN l_linestatus IS DISTINCT FROM LAG(l_linestatus) OVER w THEN 1 ELSE 0 END AS chg_l_linestatus,
+    CASE WHEN l_quantity IS DISTINCT FROM LAG(l_quantity) OVER w THEN 1 ELSE 0 END AS chg_l_quantity,
+    CASE WHEN l_discount IS DISTINCT FROM LAG(l_discount) OVER w THEN 1 ELSE 0 END AS chg_l_discount,
+    CASE WHEN l_suppkey IS DISTINCT FROM LAG(l_suppkey) OVER w THEN 1 ELSE 0 END AS chg_l_suppkey,
+    CASE WHEN l_shipdate IS DISTINCT FROM LAG(l_shipdate) OVER w THEN 1 ELSE 0 END AS chg_l_shipdate
+  FROM ordered WINDOW w AS (ORDER BY l_orderkey, l_linenumber)),
+runs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(chg_l_returnflag) AS BIGINT) AS runs_l_returnflag,
+    CAST(SUM(chg_l_linestatus) AS BIGINT) AS runs_l_linestatus,
+    CAST(SUM(chg_l_quantity) AS BIGINT) AS runs_l_quantity,
+    CAST(SUM(chg_l_discount) AS BIGINT) AS runs_l_discount,
+    CAST(SUM(chg_l_suppkey) AS BIGINT) AS runs_l_suppkey,
+    CAST(SUM(chg_l_shipdate) AS BIGINT) AS runs_l_shipdate
+  FROM chg),
+dist AS (
+  SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS dist_l_returnflag,
+    CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS dist_l_linestatus,
+    CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS dist_l_quantity,
+    CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS dist_l_discount,
+    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS dist_l_suppkey,
+    CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) AS dist_l_shipdate
+  FROM lineitem),
+long AS (
+  SELECT n_rows, col AS column_name, n_runs, n_distinct FROM runs, dist,
+  LATERAL (VALUES
+    ('l_discount', runs_l_discount, dist_l_discount),
+    ('l_linestatus', runs_l_linestatus, dist_l_linestatus),
+    ('l_quantity', runs_l_quantity, dist_l_quantity),
+    ('l_returnflag', runs_l_returnflag, dist_l_returnflag),
+    ('l_shipdate', runs_l_shipdate, dist_l_shipdate),
+    ('l_suppkey', runs_l_suppkey, dist_l_suppkey)
+  ) AS v(col, n_runs, n_distinct))
+SELECT column_name, n_rows, n_runs, n_distinct,
+  CAST(n_distinct * 1000000 // n_rows AS BIGINT) AS distinct_ppm,
+  CAST(n_runs * 1000000 // n_rows AS BIGINT) AS run_ppm,
+  CASE WHEN n_runs * 1000000 // n_rows < 500000 THEN 'rle'
+       WHEN n_distinct * 1000000 // n_rows < 10000 THEN 'dict'
+       ELSE 'plain' END AS recommendation
+FROM long ORDER BY column_name
+"""
+
+
+def q_bootstrap_ci_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bootstrap CI for mean daily revenue: B=200 hash-
+    indexed resamples of the day series (resample b picks day
+    md5(b·100000+j) mod n for j=1..n — reproducible on any engine, any
+    partition order), each resample's exact-cents mean, then the 2.5 %
+    / 97.5 % order statistics of the B means. The spine is B·n rows
+    joined back to the tiny daily frame by index — at 100 TB the daily
+    frame is still a rollup, so the bootstrap costs B tiny passes, not
+    B corpus scans."""
+    o = _t(spark, sf_dir, "orders")
+    daily = _daily_cents(o)
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("j"), "cents"
+    ).localCheckpoint(eager=True)
+    n = idx.count()
+    B = 200
+    spine = (
+        spark.range(1, B + 1)
+        .select(F.col("id").alias("b"))
+        .crossJoin(spark.range(1, n + 1).select(F.col("id").alias("k")))
+    )
+    pick = (
+        F.conv(
+            F.substring(
+                F.md5((F.col("b") * 100000 + F.col("k")).cast("string")), 1, 15
+            ),
+            16, 10,
+        ).cast("bigint") % n + 1
+    ).alias("j")
+    resampled = spine.select("b", pick).join(F.broadcast(idx), "j")
+    means = resampled.groupBy("b").agg(
+        (F.sum("cents").cast("double") / F.count("*") / 100.0).alias("m")
+    )
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m")).alias("r")
+    )
+    lo_r, hi_r = int(B * 0.025), int(B * 0.975)
+    observed = idx.agg(
+        (F.sum("cents").cast("double") / F.count("*") / 100.0).alias("obs")
+    )
+    return (
+        ranked.filter(F.col("r").isin(lo_r, hi_r))
+        .groupBy()
+        .agg(
+            F.round(F.min("m"), 6).alias("ci_lo"),
+            F.round(F.max("m"), 6).alias("ci_hi"),
+        )
+        .crossJoin(F.broadcast(observed))
+        .select(
+            F.lit(B).cast("bigint").alias("n_resamples"),
+            F.lit(n).cast("bigint").alias("n_days"),
+            F.round("obs", 6).alias("mean_daily_revenue"),
+            "ci_lo", "ci_hi",
+        )
+    )
+
+
+_BOOTSTRAP_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY d) AS j, cents FROM daily),
+n AS (SELECT COUNT(*) AS n FROM idx),
+spine AS (
+  SELECT b.range AS b, idx.j AS k
+  FROM range(1, 201) b CROSS JOIN idx),
+resampled AS (
+  SELECT b,
+    ('0x' || substr(md5(CAST(b * 100000 + k AS VARCHAR)), 1, 15))::BIGINT
+      % (SELECT n FROM n) + 1 AS j
+  FROM spine),
+means AS (
+  SELECT b, CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS m
+  FROM resampled JOIN idx USING (j) GROUP BY b),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS r FROM means),
+ci AS (
+  SELECT ROUND(MIN(m), 6) AS ci_lo, ROUND(MAX(m), 6) AS ci_hi
+  FROM ranked WHERE r IN (5, 195)),
+obs AS (
+  SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0 AS obs FROM idx)
+SELECT CAST(200 AS BIGINT) AS n_resamples,
+  CAST((SELECT n FROM n) AS BIGINT) AS n_days,
+  ROUND(obs, 6) AS mean_daily_revenue, ci_lo, ci_hi
+FROM ci, obs
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -13080,6 +13325,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ab_cuped_scorecard": q_ab_cuped_scorecard,
     "calibration_bins": q_calibration_bins,
     "tokenizer_fertility_by_lang": q_tokenizer_fertility_by_lang,
+    "ab_power_analysis": q_ab_power_analysis,
+    "encoding_advisor_lineitem": q_encoding_advisor_lineitem,
+    "bootstrap_ci_daily_mean": q_bootstrap_ci_daily_mean,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -13350,6 +13598,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "ab_cuped_scorecard": _AB_CUPED_SQL,
     "calibration_bins": _CALIBRATION_SQL,
     "tokenizer_fertility_by_lang": _FERTILITY_SQL,
+    "ab_power_analysis": _AB_POWER_SQL,
+    "encoding_advisor_lineitem": _ENCODING_SQL,
+    "bootstrap_ci_daily_mean": _BOOTSTRAP_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

@@ -416,3 +416,72 @@ def test_fertility_is_at_least_one_token_per_word(spark, sf_dir, qs):
         # BPE-ish splitter can only split words further, never merge
         assert r.bpe_tokens >= r.ws_tokens
         assert r.fertility_ppm >= 1_000_000
+
+
+def test_ab_power_matches_python(spark, sf_dir, qs):
+    import math
+
+    r = qs["ab_power_analysis"](spark, sf_dir).collect()[0]
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    users = {e.user_id for e in ev}
+    conv = {e.user_id for e in ev if e.event_type == "purchase"}
+    p1 = len(conv) / len(users)
+    p2 = p1 * 0.95
+    pbar = (p1 + p2) / 2
+    za, zb = 1.9599639845400545, 0.8416212335729143
+    nreq = math.ceil(
+        ((za * math.sqrt(2 * pbar * (1 - pbar))
+          + zb * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))) / (p2 - p1)) ** 2
+    )
+    assert r.n_users == len(users)
+    assert abs(r.baseline_rate - round(p1, 6)) < 1e-9
+    assert r.n_required_per_arm == nreq
+    assert r.is_powered == (nreq * 2 <= len(users))
+
+
+def test_encoding_advisor_matches_python(spark, sf_dir, qs):
+    rows = {r.column_name: r for r in
+            qs["encoding_advisor_lineitem"](spark, sf_dir).collect()}
+    li = sorted(
+        read_table(spark, sf_dir, "lineitem").collect(),
+        key=lambda r: (r.l_orderkey, r.l_linenumber),
+    )
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount",
+            "l_suppkey", "l_shipdate"]
+    assert set(rows) == set(cols)
+    for c in cols:
+        vals = [getattr(r, c) for r in li]
+        runs = sum(1 for a, b in zip(vals, vals[1:]) if a != b) + 1
+        r = rows[c]
+        assert r.n_rows == len(vals)
+        # first row has no lag → counted as a change (run start)
+        assert r.n_runs == runs
+        assert r.n_distinct == len(set(vals))
+        assert r.recommendation in ("rle", "dict", "plain")
+        if r.run_ppm < 500_000:
+            assert r.recommendation == "rle"
+
+
+def test_bootstrap_ci_brackets_observed_mean(spark, sf_dir, qs):
+    import hashlib
+
+    r = qs["bootstrap_ci_daily_mean"](spark, sf_dir).collect()[0]
+    daily = sorted(
+        (rr.date, round(rr.total_revenue * 100))
+        for rr in qs["daily_sales_series"](spark, sf_dir).collect()
+    )
+    cents = [c for _, c in daily]
+    n = len(cents)
+    assert (r.n_resamples, r.n_days) == (200, n)
+    assert abs(r.mean_daily_revenue - round(sum(cents) / n / 100, 6)) < 1e-6
+    means = []
+    for b in range(1, 201):
+        tot = 0
+        for k in range(1, n + 1):
+            j = int(hashlib.md5(str(b * 100000 + k).encode()).hexdigest()[:15], 16) % n
+            tot += cents[j]  # j in 0..n-1 here == engine's (j+1)-th row
+        means.append(tot / n / 100)
+    means.sort()
+    assert abs(r.ci_lo - round(means[4], 6)) < 1e-6
+    assert abs(r.ci_hi - round(means[194], 6)) < 1e-6
+    assert r.ci_lo <= r.mean_daily_revenue <= r.ci_hi
