@@ -485,3 +485,53 @@ def test_bootstrap_ci_brackets_observed_mean(spark, sf_dir, qs):
     assert abs(r.ci_lo - round(means[4], 6)) < 1e-6
     assert abs(r.ci_hi - round(means[194], 6)) < 1e-6
     assert r.ci_lo <= r.mean_daily_revenue <= r.ci_hi
+
+
+def test_limit_by_skips_top_and_keeps_two(spark, sf_dir, qs):
+    rows = qs["limit_by_per_group"](spark, sf_dir).collect()
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).collect()
+    by_p = defaultdict(list)
+    for r in o:
+        by_p[r.o_orderpriority].append((-round(r.o_totalprice * 100), r.o_orderkey))
+    got = defaultdict(list)
+    for r in rows:
+        got[r.priority].append((r.rnk, r.o_orderkey, r.cents))
+    assert set(got) == set(by_p)
+    for p, lst in by_p.items():
+        lst.sort()
+        expect = [
+            (i + 2, k, -negc) for i, (negc, k) in enumerate(lst[1:3])
+        ]
+        assert got[p] == expect
+
+
+def test_with_totals_row_is_sum_of_groups(spark, sf_dir, qs):
+    rows = {r.status: r for r in qs["group_by_with_totals"](spark, sf_dir).collect()}
+    tot = rows.pop("__totals__")
+    assert tot.n_orders == sum(r.n_orders for r in rows.values())
+    assert tot.revenue_cents == sum(r.revenue_cents for r in rows.values())
+    assert set(rows) == {"F", "O", "P"}
+
+
+def test_ttl_rollup_is_lossless_and_compacts(spark, sf_dir, qs):
+    import datetime as dt
+
+    rows = qs["ttl_rollup_compaction"](spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events").select(
+        "ts", "event_id", "event_type", "value"
+    ).collect()
+    t0 = dt.datetime(2024, 1, 20)
+    assert sum(r.events_represented for r in rows) == len(ev)
+    assert sum(r.value_cents for r in rows) == sum(round(e.value * 100) for e in ev)
+    for r in rows:
+        if r.granularity == "rollup":
+            assert r.day < t0.date()
+            types = {e.event_type for e in ev if e.ts.date() == r.day and e.ts < t0}
+            assert r.stored_rows == len(types)  # one row per type
+            assert r.compaction_ratio_ppm < 1_000_000 or r.events_represented == r.stored_rows
+        else:
+            assert r.day >= t0.date()
+            assert r.stored_rows == r.events_represented  # raw rows kept 1:1
+            assert r.compaction_ratio_ppm == 1_000_000
