@@ -4364,6 +4364,157 @@ FROM tagged GROUP BY day, granularity ORDER BY day
 """
 
 
+def q_theta_method_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 — the
+    M3-competition winner) for daily revenue: OLS-detrend to the θ=2
+    line, SES(α=0.5) over it, then h=1..14 forecasts
+    s_n + (h−1+1/α)·slope/2. Regression sums are EXACT integers
+    (decimal in SQL) divided once; the SES recurrence replays the
+    identical IEEE sequence in applyInPandas (Spark, one task — the
+    forecaster's per-series partitioning) and a recursive CTE (DuckDB),
+    so the gate is bit-exact with no rounding slack. Reference model
+    family: forecast_script.py:171-177 fits per-series models the same
+    one-task-per-series way."""
+    import pandas as pd
+
+    o = _t(spark, sf_dir, "orders")
+    daily = _daily_cents(o)
+
+    def _theta(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        ys = [int(v) for v in pdf["cents"]]
+        n = len(ys)
+        st = n * (n + 1) // 2
+        stt = n * (n + 1) * (2 * n + 1) // 6
+        sy = sum(ys)
+        sty = sum((t + 1) * y for t, y in enumerate(ys))
+        num, den = n * sty - st * sy, n * stt - st * st
+        a1 = float(num) / float(den)
+        a0 = (sy - a1 * st) / n
+        s = None
+        for t, y in enumerate(ys, start=1):
+            x2 = 2.0 * y - (a0 + a1 * t)
+            s = x2 if s is None else 0.5 * x2 + 0.5 * s
+        rows = {"h": [], "forecast": [], "ses_level": [], "slope_cents": []}
+        for h in range(1, 15):
+            f = s + (h - 1 + 2.0) * (a1 / 2.0)
+            rows["h"].append(h)
+            rows["forecast"].append(f / 100.0)
+            rows["ses_level"].append(s / 100.0)
+            rows["slope_cents"].append(a1)
+        return pd.DataFrame(rows)
+
+    return (
+        daily.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda _, pdf: _theta(pdf),
+            "h int, forecast double, ses_level double, slope_cents double",
+        )
+        .orderBy("h")
+    )
+
+
+_THETA_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+idx AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, y FROM daily),
+reg AS (
+  SELECT COUNT(*) AS n,
+    SUM(CAST(rn AS DECIMAL(38,0))) AS st,
+    SUM(CAST(rn AS DECIMAL(38,0)) * CAST(rn AS DECIMAL(38,0))) AS stt,
+    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+    SUM(CAST(rn AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sty
+  FROM idx),
+coef AS (
+  SELECT n,
+    CAST(n * sty - st * sy AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE) AS a1,
+    (CAST(sy AS DOUBLE)
+     - CAST(n * sty - st * sy AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE)
+       * CAST(st AS DOUBLE)) / n AS a0
+  FROM reg),
+ses(rn, s) AS (
+  SELECT i.rn, 2.0 * i.y - (c.a0 + c.a1 * i.rn)
+  FROM idx i, coef c WHERE i.rn = 1
+  UNION ALL
+  SELECT i.rn, 0.5 * (2.0 * i.y - (c.a0 + c.a1 * i.rn)) + 0.5 * p.s
+  FROM ses p JOIN idx i ON i.rn = p.rn + 1, coef c),
+last AS (SELECT s FROM ses ORDER BY rn DESC LIMIT 1),
+h AS (SELECT UNNEST(generate_series(1, 14)) AS h)
+SELECT CAST(h.h AS INT) AS h,
+  (l.s + (h.h - 1 + 2.0) * (c.a1 / 2.0)) / 100.0 AS forecast,
+  l.s / 100.0 AS ses_level,
+  c.a1 AS slope_cents
+FROM h, last l, coef c ORDER BY h
+"""
+
+
+def q_ql_dirichlet_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001 — the LM complement of BM25, μ=100) for a fixed
+    3-term query: score(d) = Σ_q ln((tf + μ·P(q|C)) / (|d| + μ)).
+    Collection statistics reduce to one broadcast row; per-doc term
+    frequencies are row-local array filters, so the whole scorer is one
+    corpus scan + a 3-ln chain — same shapes at any corpus size.
+    Top-20, doc_id tie-break."""
+    terms = ["stream", "filter", "vector"]
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    mu = F.lit(100.0)
+    def _tf(term: str) -> F.Column:
+        # NB: a `lambda x, t=term` default-arg closure would be seen by
+        # PySpark as the 2-ary (element, index) lambda form — bind via
+        # this factory instead
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = per.agg(
+        F.sum("dl").cast("double").alias("ctot"),
+        *[F.sum(f"tf{i}").cast("double").alias(f"ctf{i}") for i in range(len(terms))],
+    )
+    j = per.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        term_score = F.log(
+            (F.col(f"tf{i}") + mu * (F.col(f"ctf{i}") / F.col("ctot")))
+            / (F.col("dl") + mu)
+        )
+        score = term_score if score is None else score + term_score
+    return (
+        j.select("doc_id", "dl", F.round(score, 6).alias("ql_score"))
+        .orderBy(F.desc("ql_score"), "doc_id")
+        .limit(20)
+    )
+
+
+_QL_SQL = f"""
+WITH per AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS dl,
+    len(list_filter({_TOKS_SQL}, x -> x = 'stream')) AS tf0,
+    len(list_filter({_TOKS_SQL}, x -> x = 'filter')) AS tf1,
+    len(list_filter({_TOKS_SQL}, x -> x = 'vector')) AS tf2
+  FROM documents),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) AS ctot,
+    CAST(SUM(tf0) AS DOUBLE) AS ctf0,
+    CAST(SUM(tf1) AS DOUBLE) AS ctf1,
+    CAST(SUM(tf2) AS DOUBLE) AS ctf2
+  FROM per)
+SELECT doc_id, dl,
+  ROUND(
+    LN((tf0 + 100.0 * (ctf0 / ctot)) / (dl + 100.0))
+    + LN((tf1 + 100.0 * (ctf1 / ctot)) / (dl + 100.0))
+    + LN((tf2 + 100.0 * (ctf2 / ctot)) / (dl + 100.0)), 6) AS ql_score
+FROM per, stats
+ORDER BY ql_score DESC, doc_id LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -13464,6 +13615,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "limit_by_per_group": q_limit_by_per_group,
     "group_by_with_totals": q_group_by_with_totals,
     "ttl_rollup_compaction": q_ttl_rollup_compaction,
+    "theta_method_daily": q_theta_method_daily,
+    "ql_dirichlet_search": q_ql_dirichlet_search,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -13740,6 +13893,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "limit_by_per_group": _LIMIT_BY_SQL,
     "group_by_with_totals": _WITH_TOTALS_SQL,
     "ttl_rollup_compaction": _TTL_ROLLUP_SQL,
+    "theta_method_daily": _THETA_SQL,
+    "ql_dirichlet_search": _QL_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

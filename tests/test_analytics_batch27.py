@@ -535,3 +535,66 @@ def test_ttl_rollup_is_lossless_and_compacts(spark, sf_dir, qs):
             assert r.day >= t0.date()
             assert r.stored_rows == r.events_represented  # raw rows kept 1:1
             assert r.compaction_ratio_ppm == 1_000_000
+
+
+def test_theta_method_matches_independent_recurrence(spark, sf_dir, qs):
+    rows = sorted(qs["theta_method_daily"](spark, sf_dir).collect(), key=lambda r: r.h)
+    daily = sorted(
+        (r.date, round(r.total_revenue * 100))
+        for r in qs["daily_sales_series"](spark, sf_dir).collect()
+    )
+    ys = [c for _, c in daily]
+    n = len(ys)
+    st, stt = n * (n + 1) // 2, n * (n + 1) * (2 * n + 1) // 6
+    sy = sum(ys)
+    sty = sum((t + 1) * y for t, y in enumerate(ys))
+    a1 = float(n * sty - st * sy) / float(n * stt - st * st)
+    a0 = (sy - a1 * st) / n
+    s = None
+    for t, y in enumerate(ys, start=1):
+        x2 = 2.0 * y - (a0 + a1 * t)
+        s = x2 if s is None else 0.5 * x2 + 0.5 * s
+    assert [r.h for r in rows] == list(range(1, 15))
+    for r in rows:
+        assert r.forecast == (s + (r.h - 1 + 2.0) * (a1 / 2.0)) / 100.0  # bit-exact
+        assert r.ses_level == s / 100.0
+        assert r.slope_cents == a1
+    # theta forecasts step by slope/2 per horizon
+    step = rows[1].forecast - rows[0].forecast
+    assert abs(step - a1 / 2.0 / 100.0) < 1e-9
+
+
+def test_ql_dirichlet_matches_python(spark, sf_dir, qs):
+    import math
+
+    rows = qs["ql_dirichlet_search"](spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    terms = ["stream", "filter", "vector"]
+    tok_re = re.compile(r"[^a-z0-9]+")
+    per = {}
+    ctot = 0
+    ctf = [0, 0, 0]
+    for d in docs:
+        toks = [t for t in tok_re.split(d.text.lower()) if t]
+        tfs = [toks.count(t) for t in terms]
+        per[d.doc_id] = (len(toks), tfs)
+        ctot += len(toks)
+        for i in range(3):
+            ctf[i] += tfs[i]
+    scored = sorted(
+        (
+            (
+                round(
+                    sum(
+                        math.log((tfs[i] + 100.0 * (ctf[i] / ctot)) / (dl + 100.0))
+                        for i in range(3)
+                    ),
+                    6,
+                ),
+                doc_id,
+            )
+            for doc_id, (dl, tfs) in per.items()
+        ),
+        key=lambda p: (-p[0], p[1]),
+    )[:20]
+    assert [(r.ql_score, r.doc_id) for r in rows] == scored
