@@ -4515,6 +4515,265 @@ ORDER BY ql_score DESC, doc_id LIMIT 20
 """
 
 
+def q_hurst_exponent_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent via rescaled-range (R/S) analysis of daily revenue
+    — the long-memory diagnostic (H≈0.5 random walk, >0.5 trending)
+    that decides whether momentum features are real. Dyadic scales
+    {8,16,32,64}: blocks of s days each yield R (range of the ordered
+    cumulative deviation — an ORDERED window sum, so the double
+    sequence is identical on both engines) over S (block σ from exact
+    integer power sums); H = OLS slope of ln(mean R/S) on ln(s).
+    Reports per-scale mean R/S plus the fitted H on every row. The
+    series is a day-grain rollup, so all of this is tiny-frame window
+    math regardless of fact size."""
+    o = _t(spark, sf_dir, "orders")
+    daily = _daily_cents(o)
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("d")) - 1).alias("i"), "cents"
+    ).localCheckpoint(eager=True)
+    scales = spark.createDataFrame([(8,), (16,), (32,), (64,)], "s int")
+    blocks = idx.crossJoin(F.broadcast(scales)).select(
+        "s", (F.col("i") / F.col("s")).cast("int").alias("blk"), "i", "cents"
+    )
+    # block moments from exact integer sums
+    wb = Window.partitionBy("s", "blk")
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    withm = (
+        blocks.withColumn("bn", F.count("*").over(wb))
+        .filter(F.col("bn") == F.col("s"))  # full blocks only
+        .withColumn("bsum", F.sum(d19(F.col("cents"))).over(wb).cast("double"))
+        .withColumn("bsumsq", F.sum(d19(F.col("cents")) * d19(F.col("cents"))).over(wb).cast("double"))
+        .withColumn("mean", F.col("bsum") / F.col("s"))
+        .withColumn(
+            "sd",
+            F.sqrt((F.col("bsumsq") - F.col("bsum") * F.col("bsum") / F.col("s"))
+                   / F.col("s")),
+        )
+    )
+    wcum = Window.partitionBy("s", "blk").orderBy("i")
+    dev = withm.withColumn(
+        "cum", F.sum(F.col("cents").cast("double") - F.col("mean")).over(wcum)
+    )
+    per_block = dev.groupBy("s", "blk").agg(
+        # round before the cross-block mean: block R/S values then sum
+        # as decimal, so the scale mean is partition-order-free
+        F.round((F.max("cum") - F.min("cum")) / F.first("sd"), 6).alias("rs")
+    )
+    per_scale = per_block.groupBy("s").agg(
+        F.count("*").alias("n_blocks"),
+        (_dsum(F.col("rs")) / F.count("*")).alias("mean_rs"),
+    ).localCheckpoint(eager=True)
+    # OLS of ln(mean_rs) on ln(s) over the 4 scale points
+    wall = Window.partitionBy()
+    ln_s, ln_r = F.log(F.col("s").cast("double")), F.log("mean_rs")
+    fit = per_scale.select(
+        "s", "n_blocks", "mean_rs", ln_s.alias("lx"), ln_r.alias("ly")
+    ).withColumn(
+        "hurst",
+        (F.count("*").over(wall) * F.sum(F.col("lx") * F.col("ly")).over(wall)
+         - F.sum("lx").over(wall) * F.sum("ly").over(wall))
+        / (F.count("*").over(wall) * F.sum(F.col("lx") * F.col("lx")).over(wall)
+           - F.sum("lx").over(wall) * F.sum("lx").over(wall)),
+    )
+    return fit.select(
+        "s",
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.round("mean_rs", 6).alias("mean_rs"),
+        F.round("hurst", 6).alias("hurst"),
+    ).orderBy("s")
+
+
+_HURST_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY d) - 1 AS i, cents FROM daily),
+scales AS (SELECT UNNEST([8, 16, 32, 64]) AS s),
+blocks AS (
+  SELECT s, CAST(i // s AS INT) AS blk, i, cents
+  FROM idx CROSS JOIN scales),
+withm AS (
+  SELECT * FROM (
+    SELECT s, blk, i, cents,
+      COUNT(*) OVER wb AS bn,
+      CAST(SUM(CAST(cents AS DECIMAL(19,0))) OVER wb AS DOUBLE) AS bsum,
+      CAST(SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+           OVER wb AS DOUBLE) AS bsumsq
+    FROM blocks WINDOW wb AS (PARTITION BY s, blk))
+  WHERE bn = s),
+dev AS (
+  SELECT s, blk,
+    bsum / s AS mean,
+    SQRT((bsumsq - bsum * bsum / s) / s) AS sd,
+    SUM(CAST(cents AS DOUBLE) - bsum / s)
+      OVER (PARTITION BY s, blk ORDER BY i) AS cum
+  FROM withm),
+per_block AS (
+  SELECT s, blk, ROUND((MAX(cum) - MIN(cum)) / ANY_VALUE(sd), 6) AS rs
+  FROM dev GROUP BY s, blk),
+per_scale AS (
+  SELECT s, COUNT(*) AS n_blocks,
+    CAST(SUM(CAST(rs AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*) AS mean_rs
+  FROM per_block GROUP BY s),
+fit AS (
+  SELECT s, n_blocks, mean_rs,
+    LN(CAST(s AS DOUBLE)) AS lx, LN(mean_rs) AS ly
+  FROM per_scale)
+SELECT s, CAST(n_blocks AS BIGINT) AS n_blocks,
+  ROUND(mean_rs, 6) AS mean_rs,
+  ROUND((COUNT(*) OVER () * SUM(lx * ly) OVER ()
+         - SUM(lx) OVER () * SUM(ly) OVER ())
+        / (COUNT(*) OVER () * SUM(lx * lx) OVER ()
+           - SUM(lx) OVER () * SUM(lx) OVER ()), 6) AS hurst
+FROM fit ORDER BY s
+"""
+
+
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user-behavior Markov chain: H = Σ_i π(i)
+    Σ_j −P(i→j)·ln P(i→j), with the stationary weight π estimated as
+    each source state's share of transitions — the single number that
+    says how predictable user journeys are (0 = deterministic). Rides
+    the same lead-window pair counts as markov_transitions; the entropy
+    fold is window algebra over the ≤25-cell transition table."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    wsrc = Window.partitionBy("src")
+    wall = Window.partitionBy()
+    t = (
+        counts.withColumn("nsrc", F.sum("n").over(wsrc))
+        .withColumn("ntot", F.sum("n").over(wall))
+    )
+    p = F.col("n").cast("double") / F.col("nsrc")
+    cell = -(F.col("nsrc").cast("double") / F.col("ntot")) * p * F.log(p)
+    per_src = (
+        t.groupBy("src")
+        .agg(
+            F.first("nsrc").cast("bigint").alias("n_transitions"),
+            F.round(F.sum(-p * F.log(p)), 6).alias("row_entropy"),
+            F.sum(cell).alias("h_part"),
+        )
+    )
+    return (
+        per_src.withColumn(
+            "entropy_rate", F.round(F.sum("h_part").over(Window.partitionBy()), 6)
+        )
+        .select("src", "n_transitions", "row_entropy", "entropy_rate")
+        .orderBy("src")
+    )
+
+
+_MARKOV_ENTROPY_SQL = """
+WITH pairs AS (
+  SELECT event_type AS src,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events),
+counts AS (
+  SELECT src, dst, COUNT(*) AS n FROM pairs
+  WHERE dst IS NOT NULL GROUP BY 1, 2),
+t AS (
+  SELECT src, dst, n,
+    SUM(n) OVER (PARTITION BY src) AS nsrc,
+    SUM(n) OVER () AS ntot
+  FROM counts),
+per_src AS (
+  SELECT src,
+    CAST(ANY_VALUE(nsrc) AS BIGINT) AS n_transitions,
+    ROUND(SUM(-(CAST(n AS DOUBLE) / nsrc) * LN(CAST(n AS DOUBLE) / nsrc)), 6)
+      AS row_entropy,
+    SUM(-(CAST(nsrc AS DOUBLE) / ntot) * (CAST(n AS DOUBLE) / nsrc)
+        * LN(CAST(n AS DOUBLE) / nsrc)) AS h_part
+  FROM t GROUP BY src)
+SELECT src, n_transitions, row_entropy,
+  ROUND(SUM(h_part) OVER (), 6) AS entropy_rate
+FROM per_src ORDER BY src
+"""
+
+
+def q_evt_gumbel_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis: monthly block maxima of daily revenue,
+    Gumbel fit by method of moments (β = σ√6/π, μ = m − γβ with the
+    Euler–Mascheroni constant as a double literal), and the 10/50/100-
+    block return levels μ − β·ln(−ln(1−1/T)) — the tail-risk numbers
+    capacity planning reads. Block maxima are one day-grain rollup +
+    one month aggregation; moments are exact integer power sums of the
+    maxima divided once."""
+    o = _t(spark, sf_dir, "orders")
+    daily = _daily_cents(o)
+    maxima = (
+        daily.groupBy(F.date_trunc("month", "d").cast("date").alias("m"))
+        .agg(F.max("cents").alias("mx"))
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    mom = maxima.agg(
+        F.count("*").alias("n"),
+        F.sum(d19(F.col("mx"))).cast("double").alias("sx"),
+        F.sum(d19(F.col("mx")) * d19(F.col("mx"))).cast("double").alias("sxx"),
+    ).select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+               / (F.col("n") - 1)).alias("sd"),
+    )
+    gamma = 0.5772156649015329
+    pi = 3.141592653589793
+    beta = F.col("sd") * F.sqrt(F.lit(6.0)) / pi
+    mu = F.col("mean") - gamma * beta
+    levels = spark.createDataFrame([(10,), (50,), (100,)], "t int")
+    rl = mu - beta * F.log(-F.log(1.0 - 1.0 / F.col("t").cast("double")))
+    return (
+        mom.crossJoin(F.broadcast(levels))
+        .select(
+            "t",
+            F.col("n").cast("bigint").alias("n_blocks"),
+            F.round(mu / 100.0, 6).alias("gumbel_mu"),
+            F.round(beta / 100.0, 6).alias("gumbel_beta"),
+            F.round(rl / 100.0, 6).alias("return_level"),
+        )
+        .orderBy("t")
+    )
+
+
+_EVT_GUMBEL_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+maxima AS (
+  SELECT date_trunc('month', d) AS m, MAX(cents) AS mx
+  FROM daily GROUP BY 1),
+mom AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(mx AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(mx AS DECIMAL(19,0)) * CAST(mx AS DECIMAL(19,0))) AS DOUBLE)
+      AS sxx
+  FROM maxima),
+fit AS (
+  SELECT n, sx / n AS mean,
+    SQRT((sxx - sx * sx / n) / (n - 1)) AS sd
+  FROM mom),
+levels AS (SELECT UNNEST([10, 50, 100]) AS t)
+SELECT t, CAST(n AS BIGINT) AS n_blocks,
+  ROUND((mean - 0.5772156649015329 * (sd * SQRT(6.0) / 3.141592653589793))
+        / 100.0, 6) AS gumbel_mu,
+  ROUND((sd * SQRT(6.0) / 3.141592653589793) / 100.0, 6) AS gumbel_beta,
+  ROUND(((mean - 0.5772156649015329 * (sd * SQRT(6.0) / 3.141592653589793))
+    - (sd * SQRT(6.0) / 3.141592653589793)
+      * LN(-LN(1.0 - 1.0 / CAST(t AS DOUBLE)))) / 100.0, 6) AS return_level
+FROM fit CROSS JOIN levels ORDER BY t
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -13617,6 +13876,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ttl_rollup_compaction": q_ttl_rollup_compaction,
     "theta_method_daily": q_theta_method_daily,
     "ql_dirichlet_search": q_ql_dirichlet_search,
+    "hurst_exponent_daily": q_hurst_exponent_daily,
+    "markov_entropy_rate": q_markov_entropy_rate,
+    "evt_gumbel_daily_revenue": q_evt_gumbel_daily_revenue,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -13895,6 +14157,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "ttl_rollup_compaction": _TTL_ROLLUP_SQL,
     "theta_method_daily": _THETA_SQL,
     "ql_dirichlet_search": _QL_SQL,
+    "hurst_exponent_daily": _HURST_SQL,
+    "markov_entropy_rate": _MARKOV_ENTROPY_SQL,
+    "evt_gumbel_daily_revenue": _EVT_GUMBEL_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

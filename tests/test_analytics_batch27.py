@@ -598,3 +598,103 @@ def test_ql_dirichlet_matches_python(spark, sf_dir, qs):
         key=lambda p: (-p[0], p[1]),
     )[:20]
     assert [(r.ql_score, r.doc_id) for r in rows] == scored
+
+
+def test_hurst_matches_python(spark, sf_dir, qs):
+    import math
+
+    rows = sorted(qs["hurst_exponent_daily"](spark, sf_dir).collect(), key=lambda r: r.s)
+    daily = sorted(
+        (r.date, round(r.total_revenue * 100))
+        for r in qs["daily_sales_series"](spark, sf_dir).collect()
+    )
+    ys = [c for _, c in daily]
+    pts = []
+    for s in (8, 16, 32, 64):
+        rss = []
+        for b in range(len(ys) // s):
+            blk = ys[b * s:(b + 1) * s]
+            mean = sum(blk) / s
+            sd = math.sqrt(sum(v * v for v in blk) / s - mean * mean)
+            cum, lo, hi = 0.0, float("inf"), float("-inf")
+            for v in blk:
+                cum += v - mean
+                lo, hi = min(lo, cum), max(hi, cum)
+            rss.append(round((hi - lo) / sd, 6))
+        mean_rs = sum(rss) / len(rss)
+        pts.append((math.log(s), math.log(mean_rs), len(rss), mean_rs, s))
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    hurst = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    for r, (_, _, nb, mrs, s) in zip(rows, pts):
+        assert r.s == s and r.n_blocks == nb
+        assert abs(r.mean_rs - mrs) < 1e-4
+        assert abs(r.hurst - hurst) < 1e-4
+    assert 0.0 < rows[0].hurst < 1.0
+
+
+def test_markov_entropy_matches_python(spark, sf_dir, qs):
+    import math
+
+    rows = {r.src: r for r in qs["markov_entropy_rate"](spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    per_user = defaultdict(list)
+    for e in ev:
+        per_user[e.user_id].append((e.ts, e.event_id, e.event_type))
+    counts = defaultdict(int)
+    for u, evs in per_user.items():
+        seq = [t for _, _, t in sorted(evs)]
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    nsrc = defaultdict(int)
+    for (a, _), n in counts.items():
+        nsrc[a] += n
+    ntot = sum(counts.values())
+    h_rate = sum(
+        -(nsrc[a] / ntot) * (n / nsrc[a]) * math.log(n / nsrc[a])
+        for (a, _), n in counts.items()
+    )
+    assert set(rows) == set(nsrc)
+    for a, r in rows.items():
+        assert r.n_transitions == nsrc[a]
+        row_h = sum(
+            -(n / nsrc[a]) * math.log(n / nsrc[a])
+            for (x, _), n in counts.items() if x == a
+        )
+        assert abs(r.row_entropy - row_h) < 1e-5
+        assert abs(r.entropy_rate - h_rate) < 1e-5
+
+
+def test_evt_gumbel_matches_python(spark, sf_dir, qs):
+    import math
+
+    rows = sorted(
+        qs["evt_gumbel_daily_revenue"](spark, sf_dir).collect(), key=lambda r: r.t
+    )
+    daily = sorted(
+        (r.date, round(r.total_revenue * 100))
+        for r in qs["daily_sales_series"](spark, sf_dir).collect()
+    )
+    monthly = defaultdict(int)
+    for d, c in daily:
+        monthly[(d.year, d.month)] = max(monthly[(d.year, d.month)], c)
+    mx = list(monthly.values())
+    n = len(mx)
+    mean = sum(mx) / n
+    sd = math.sqrt((sum(v * v for v in mx) - sum(mx) ** 2 / n) / (n - 1))
+    beta = sd * math.sqrt(6) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    assert [r.t for r in rows] == [10, 50, 100]
+    for r in rows:
+        assert r.n_blocks == n
+        assert abs(r.gumbel_mu - mu / 100) < 1e-4
+        assert abs(r.gumbel_beta - beta / 100) < 1e-4
+        rl = mu - beta * math.log(-math.log(1 - 1 / r.t))
+        assert abs(r.return_level - rl / 100) < 1e-4
+    # return levels grow with rarity
+    assert rows[0].return_level < rows[1].return_level < rows[2].return_level
