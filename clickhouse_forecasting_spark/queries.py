@@ -4774,6 +4774,200 @@ FROM fit CROSS JOIN levels ORDER BY t
 """
 
 
+def q_template_skeleton_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-level dedup — the instruction-data sibling of exact
+    dedup: texts normalize to a SKELETON (digits → '#', whitespace
+    collapsed, lowercase) so docs differing only in numbers/ids
+    collide. Reports per source: docs, distinct skeletons, docs sitting
+    in a collision class (skeleton shared by ≥2 docs), and the rows
+    removable by keep-one-per-skeleton. Skeletonization is row-local
+    regex; the shuffle carries (source, skeleton-md5) pairs only."""
+    docs = _t(spark, sf_dir, "documents")
+    skel = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[0-9]+", "#"), "\\s+", " "
+            )
+        )
+    )
+    per = docs.select("source", skel.alias("sk"))
+    grp = per.groupBy("source", "sk").agg(F.count("*").alias("n"))
+    return (
+        grp.groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_skeletons"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0)))
+            .cast("bigint").alias("docs_in_collisions"),
+            F.sum(F.col("n") - 1).cast("bigint").alias("removable_docs"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.expr("removable_docs * 1000000 div n_docs").cast("bigint"),
+        )
+        .orderBy("source")
+    )
+
+
+_SKELETON_SQL = """
+WITH per AS (
+  SELECT source,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+                            '\\s+', ' ', 'g'))) AS sk
+  FROM documents),
+grp AS (
+  SELECT source, sk, COUNT(*) AS n FROM per GROUP BY 1, 2)
+SELECT source,
+  CAST(SUM(n) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_skeletons,
+  CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS docs_in_collisions,
+  CAST(SUM(n - 1) AS BIGINT) AS removable_docs,
+  CAST(SUM(n - 1) * 1000000 // SUM(n) AS BIGINT) AS dup_ppm
+FROM grp GROUP BY source ORDER BY source
+"""
+
+
+def q_padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batching-efficiency report: token padding waste under (a) global
+    padding to the capped max length vs (b) length-bucketed batching
+    (64-token buckets) — the number that justifies bucketed batching in
+    a training loader. Lengths cap at 512 (the packing contract);
+    per-strategy padded-token totals are exact integers, so waste ppm
+    is hash-exact. One tokenize pass, one bucket aggregation, one tiny
+    global max broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.least(TX.token_count(F.col("text")), F.lit(512))
+    per = docs.select(n_tok.alias("len"))
+    gmax = per.agg(F.max("len").alias("gmax"))
+    bucket = (F.ceil(F.col("len").cast("double") / 64.0) * 64).cast("bigint")
+    # loaders pad to the LONGEST sequence in the bucket, not the cap —
+    # so bucket waste can never exceed global-max padding
+    per_b = (
+        per.withColumn("bucket_cap", F.greatest(bucket, F.lit(64)))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("len").cast("bigint").alias("real_tokens"),
+            F.max("len").cast("bigint").alias("bucket_max"),
+        )
+        .withColumn(
+            "bucket_padded", (F.col("bucket_max") * F.col("n_docs")).cast("bigint")
+        )
+    )
+    return (
+        per_b.crossJoin(F.broadcast(gmax))
+        .select(
+            "bucket_cap", "n_docs", "real_tokens", "bucket_max",
+            (F.col("bucket_padded") - F.col("real_tokens")).alias("bucket_waste"),
+            (F.col("gmax").cast("bigint") * F.col("n_docs") - F.col("real_tokens"))
+            .alias("global_waste"),
+        )
+        .withColumn(
+            "saved_ppm",
+            F.expr(
+                "(global_waste - bucket_waste) * 1000000 div "
+                "greatest(global_waste, 1)"
+            ).cast("bigint"),
+        )
+        .orderBy("bucket_cap")
+    )
+
+
+_PADDING_SQL = f"""
+WITH per AS (
+  SELECT LEAST(len({_TOKS_SQL}), 512) AS len FROM documents),
+gmax AS (SELECT MAX(len) AS gmax FROM per),
+per_b AS (
+  SELECT GREATEST(CAST(CEIL(CAST(len AS DOUBLE) / 64.0) * 64 AS BIGINT), 64)
+      AS bucket_cap,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len) AS BIGINT) AS real_tokens,
+    CAST(MAX(len) AS BIGINT) AS bucket_max
+  FROM per GROUP BY 1)
+SELECT bucket_cap, n_docs, real_tokens, bucket_max,
+  CAST(bucket_max * n_docs - real_tokens AS BIGINT) AS bucket_waste,
+  CAST(gmax * n_docs - real_tokens AS BIGINT) AS global_waste,
+  CAST((gmax * n_docs - real_tokens - (bucket_max * n_docs - real_tokens))
+       * 1000000 // GREATEST(gmax * n_docs - real_tokens, 1) AS BIGINT)
+    AS saved_ppm
+FROM per_b CROSS JOIN gmax ORDER BY bucket_cap
+"""
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (the DPO/RLHF data-prep shape):
+    within each source shard, docs rank by the curriculum quality
+    score; rank i pairs with rank n+1−i (best vs worst, inward) so
+    every pair has the widest available margin without reuse. Emits
+    chosen/rejected ids and the exact margin; pairs with zero margin
+    are dropped (no learning signal). Ranking is one per-source window;
+    the pairing is a per-source self-equi-join on the reflected rank —
+    no cross-source traffic."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n_toks = F.size(toks)
+    stop_share = (
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"])))
+        / F.greatest(n_toks, F.lit(1))
+    )
+    noise = (
+        F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", ""))
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    scored = docs.select(
+        "doc_id", "source",
+        F.round(stop_share - noise, 9).alias("q"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("q"), "doc_id")
+    ranked = scored.select(
+        "source", "doc_id", "q",
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    ).localCheckpoint(eager=True)
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("b.r") == F.col("a.n") + 1 - F.col("a.r"))
+        & (F.col("a.r") < F.col("b.r")),
+    )
+    return (
+        pairs.select(
+            F.col("a.source").alias("source"),
+            F.col("a.doc_id").alias("chosen_id"),
+            F.col("b.doc_id").alias("rejected_id"),
+            F.round(F.col("a.q") - F.col("b.q"), 9).alias("margin"),
+        )
+        .filter(F.col("margin") > 0)
+        .orderBy("source", F.desc("margin"), "chosen_id")
+    )
+
+
+_PREFERENCE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+    ROUND(
+      len(list_filter({_TOKS_SQL},
+        t -> t IN ({",".join(repr(w) for w in STOPWORDS["en"])})))
+        / greatest(len({_TOKS_SQL}), 1)
+      - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+        / greatest(length(text), 1), 9) AS q
+  FROM documents),
+ranked AS (
+  SELECT source, doc_id, q,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS r,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM scored)
+SELECT a.source, a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+  ROUND(a.q - b.q, 9) AS margin
+FROM ranked a JOIN ranked b
+  ON a.source = b.source AND b.r = a.n + 1 - a.r AND a.r < b.r
+WHERE ROUND(a.q - b.q, 9) > 0
+ORDER BY a.source, margin DESC, chosen_id
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -13879,6 +14073,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hurst_exponent_daily": q_hurst_exponent_daily,
     "markov_entropy_rate": q_markov_entropy_rate,
     "evt_gumbel_daily_revenue": q_evt_gumbel_daily_revenue,
+    "template_skeleton_dedup": q_template_skeleton_dedup,
+    "padding_waste_report": q_padding_waste_report,
+    "preference_pairs": q_preference_pairs,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -14160,6 +14357,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "hurst_exponent_daily": _HURST_SQL,
     "markov_entropy_rate": _MARKOV_ENTROPY_SQL,
     "evt_gumbel_daily_revenue": _EVT_GUMBEL_SQL,
+    "template_skeleton_dedup": _SKELETON_SQL,
+    "padding_waste_report": _PADDING_SQL,
+    "preference_pairs": _PREFERENCE_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

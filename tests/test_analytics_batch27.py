@@ -698,3 +698,57 @@ def test_evt_gumbel_matches_python(spark, sf_dir, qs):
         assert abs(r.return_level - rl / 100) < 1e-4
     # return levels grow with rarity
     assert rows[0].return_level < rows[1].return_level < rows[2].return_level
+
+
+def test_template_skeleton_matches_python(spark, sf_dir, qs):
+    rows = {r.source: r for r in
+            qs["template_skeleton_dedup"](spark, sf_dir).collect()}
+    docs = read_table(spark, sf_dir, "documents").select("source", "text").collect()
+    ws_re = re.compile(r"\s+")
+    num_re = re.compile(r"[0-9]+")
+    per = defaultdict(lambda: defaultdict(int))
+    for d in docs:
+        sk = ws_re.sub(" ", num_re.sub("#", d.text.lower())).strip()
+        per[d.source][sk] += 1
+    assert set(rows) == set(per)
+    for src, sks in per.items():
+        r = rows[src]
+        assert r.n_docs == sum(sks.values())
+        assert r.n_skeletons == len(sks)
+        assert r.docs_in_collisions == sum(n for n in sks.values() if n > 1)
+        assert r.removable_docs == sum(n - 1 for n in sks.values())
+        assert r.dup_ppm == r.removable_docs * 1_000_000 // r.n_docs
+
+
+def test_padding_waste_bucketing_never_hurts(spark, sf_dir, qs):
+    rows = qs["padding_waste_report"](spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents").select("text").collect()
+    tok_re = re.compile(r"[^a-z0-9]+")
+    lens = [min(len([t for t in tok_re.split(d.text.lower()) if t]), 512)
+            for d in docs]
+    assert sum(r.n_docs for r in rows) == len(lens)
+    gmax = max(lens)
+    for r in rows:
+        members = [l for l in lens
+                   if max(-(-l // 64) * 64, 64) == r.bucket_cap]
+        assert r.n_docs == len(members)
+        assert r.real_tokens == sum(members)
+        assert r.bucket_max == max(members)
+        assert r.bucket_waste == r.bucket_max * r.n_docs - r.real_tokens
+        assert r.global_waste == gmax * r.n_docs - r.real_tokens
+        assert r.bucket_waste <= r.global_waste  # bucketing never hurts
+        assert 0 <= r.saved_ppm <= 1_000_000
+
+
+def test_preference_pairs_disjoint_and_margin_positive(spark, sf_dir, qs):
+    rows = qs["preference_pairs"](spark, sf_dir).collect()
+    used = defaultdict(set)
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert r.margin > 0
+        # a doc appears in at most one pair per source, one side only
+        assert r.chosen_id not in used[r.source]
+        assert r.rejected_id not in used[r.source]
+        used[r.source].update((r.chosen_id, r.rejected_id))
+    assert sum(len(v) for v in used.values()) <= n_docs
+    assert len(rows) > 0
