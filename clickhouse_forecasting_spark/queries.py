@@ -4968,6 +4968,239 @@ ORDER BY a.source, margin DESC, chosen_id
 """
 
 
+def q_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of user activity (Goh & Barabási 2008): per user, the
+    interarrival-time coefficient stats fold into B = (σ−μ)/(σ+μ)
+    (−1 = periodic, 0 = Poisson, →1 = bursty); the report aggregates
+    the mean B per activity band (users bucketed by event count:
+    <50 / 50-99 / ≥100). Interarrival seconds are exact integers, per-
+    user moments are exact sums, and per-user B rounds to 1e-6 before
+    the decimal cross-user mean — fully order-free. One user-ordered
+    window + two aggregations."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact MICROsecond gaps: unix_timestamp would truncate to seconds
+    # while DuckDB's epoch() keeps fractions — µs integers agree exactly
+    gaps = (
+        ev.select(
+            "user_id",
+            (F.unix_micros("ts")
+             - F.unix_micros(F.lag("ts").over(w))).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    per_user = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(d19(F.col("gap"))).cast("double").alias("sg"),
+        F.sum(d19(F.col("gap")) * d19(F.col("gap"))).cast("double").alias("sgg"),
+    ).filter(F.col("n") >= 2)
+    mu = F.col("sg") / F.col("n")
+    sd = F.sqrt((F.col("sgg") - F.col("sg") * F.col("sg") / F.col("n")) / F.col("n"))
+    b = F.round((sd - mu) / (sd + mu), 6)
+    banded = per_user.select(
+        F.when(F.col("n") < 50, F.lit("a_under_50"))
+        .when(F.col("n") < 100, F.lit("b_50_to_99"))
+        .otherwise(F.lit("c_100_plus")).alias("band"),
+        b.alias("b"),
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.round(_dsum(F.col("b")) / F.count("*"), 6).alias("mean_burstiness"),
+            F.min("b").alias("min_b"),
+            F.max("b").alias("max_b"),
+        )
+        .orderBy("band")
+    )
+
+
+_BURSTINESS_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+    epoch_us(ts)
+      - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      AS gap
+  FROM events),
+per_user AS (
+  SELECT user_id, COUNT(*) AS n,
+    CAST(SUM(CAST(gap AS DECIMAL(19,0))) AS DOUBLE) AS sg,
+    CAST(SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))) AS DOUBLE)
+      AS sgg
+  FROM gaps WHERE gap IS NOT NULL GROUP BY user_id HAVING COUNT(*) >= 2),
+scored AS (
+  SELECT CASE WHEN n < 50 THEN 'a_under_50'
+              WHEN n < 100 THEN 'b_50_to_99'
+              ELSE 'c_100_plus' END AS band,
+    ROUND((SQRT((sgg - sg * sg / n) / n) - sg / n)
+          / (SQRT((sgg - sg * sg / n) / n) + sg / n), 6) AS b
+  FROM per_user)
+SELECT band, CAST(COUNT(*) AS BIGINT) AS n_users,
+  ROUND(CAST(SUM(CAST(b AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6)
+    AS mean_burstiness,
+  MIN(b) AS min_b, MAX(b) AS max_b
+FROM scored GROUP BY band ORDER BY band
+"""
+
+
+def q_capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimator — the dedup-theory tool for
+    'how many users exist that we HAVEN'T seen': treat viewers as
+    capture 1, clickers as capture 2; N̂ = (n1+1)(n2+1)/(m+1) − 1 with
+    the Seber variance for a ±1.96σ interval. One user-grain dedup
+    aggregation; everything after is scalar algebra on one row."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("c1"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("c2"),
+    )
+    base = per_user.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * F.col("c2")).alias("m"),
+        F.count("*").alias("n_observed"),
+    )
+    n1, n2, m = (F.col(c).cast("double") for c in ("n1", "n2", "m"))
+    nhat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+    var = ((n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+           / ((m + 1.0) * (m + 1.0) * (m + 2.0)))
+    half = 1.959963984540054 * F.sqrt(var)
+    return base.select(
+        F.col("n1").cast("bigint").alias("n_viewers"),
+        F.col("n2").cast("bigint").alias("n_clickers"),
+        F.col("m").cast("bigint").alias("n_both"),
+        F.col("n_observed").cast("bigint").alias("n_observed"),
+        F.round(nhat, 3).alias("n_hat"),
+        F.round(nhat - half, 3).alias("ci_lo"),
+        F.round(nhat + half, 3).alias("ci_hi"),
+    )
+
+
+_CAPTURE_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c2
+  FROM events GROUP BY user_id),
+base AS (
+  SELECT SUM(c1) AS n1, SUM(c2) AS n2, SUM(c1 * c2) AS m,
+    COUNT(*) AS n_observed
+  FROM per_user),
+c AS (
+  SELECT CAST(n1 AS DOUBLE) AS n1, CAST(n2 AS DOUBLE) AS n2,
+    CAST(m AS DOUBLE) AS m, n_observed,
+    (CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+      / (CAST(m AS DOUBLE) + 1.0) - 1.0 AS nhat,
+    1.959963984540054 * SQRT(
+      (CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+      * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE))
+      * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
+      / ((CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 1.0)
+         * (CAST(m AS DOUBLE) + 2.0))) AS half
+  FROM base)
+SELECT CAST(n1 AS BIGINT) AS n_viewers, CAST(n2 AS BIGINT) AS n_clickers,
+  CAST(m AS BIGINT) AS n_both, CAST(n_observed AS BIGINT) AS n_observed,
+  ROUND(nhat, 3) AS n_hat,
+  ROUND(nhat - half, 3) AS ci_lo,
+  ROUND(nhat + half, 3) AS ci_hi
+FROM c
+"""
+
+
+def q_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test on daily revenue — the inferential
+    closure of the ACF family: Q = n(n+2)·Σ_{k≤14} r_k²/(n−k) vs the
+    χ²(14) 95% critical value (a double literal), answering 'is this
+    series white noise?' before any forecasting effort. The r_k
+    pipeline is the acf_daily_revenue shape (exact decimal power sums,
+    lag spine join); per-lag Q terms round to 1e-12 and sum as decimal
+    so the 14-term fold is order-free. Two shuffles total."""
+    o = _t(spark, sf_dir, "orders")
+    daily = _daily_cents(o, "x")
+    series = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("i"), "x"
+    ).localCheckpoint(eager=True)
+    n_days = series.count()
+    lags = spark.range(1, 15).select(F.col("id").cast("int").alias("k"))
+    a, b = series.alias("a"), series.alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.i") == F.col("a.i") + F.col("k"))
+        .select("k", F.col("a.x").alias("x"), F.col("b.x").alias("y"))
+    )
+    dsum = lambda col: F.sum(col.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    psum = lambda u, v: F.sum(d19(u) * d19(v)).cast("double")  # noqa: E731
+    sums = pairs.groupBy("k").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        psum(F.col("x"), F.col("y")).alias("sxy"),
+        psum(F.col("x"), F.col("x")).alias("sxx"),
+        psum(F.col("y"), F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    r6 = F.round(num / den, 6)
+    term = F.round(
+        r6 * r6 / (F.lit(float(n_days)) - F.col("k").cast("double")), 12
+    )
+    agg = sums.select("k", term.alias("t")).agg(
+        F.sum(F.col("t").cast("decimal(38,18)")).cast("double").alias("ssum")
+    )
+    crit = 23.684791304840576  # chi2 ppf(0.95, df=14)
+    q = F.lit(float(n_days)) * (F.lit(float(n_days)) + 2.0) * F.col("ssum")
+    return agg.select(
+        F.lit(n_days).cast("bigint").alias("n_days"),
+        F.lit(14).cast("bigint").alias("df"),
+        F.round(q, 6).alias("q_stat"),
+        F.lit(crit).alias("critical_0_95"),
+        (q > crit).alias("reject_white_noise"),
+    )
+
+
+_LJUNG_BOX_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders GROUP BY 1),
+series AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, x FROM daily),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM series),
+lags AS (SELECT CAST(unnest(generate_series(1, 14)) AS INT) AS k),
+pairs AS (
+  SELECT k, a.x AS x, b.x AS y
+  FROM series a CROSS JOIN lags
+  JOIN series b ON b.i = a.i + k),
+sums AS (
+  SELECT k, COUNT(*) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy
+  FROM pairs GROUP BY k),
+terms AS (
+  SELECT ROUND(
+    ROUND((n * sxy - sx * sy)
+          / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+    * ROUND((n * sxy - sx * sy)
+          / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+    / (nd - k), 12) AS t
+  FROM sums, nn),
+agg AS (
+  SELECT CAST(SUM(CAST(t AS DECIMAL(38,18))) AS DOUBLE) AS ssum FROM terms)
+SELECT CAST(nd AS BIGINT) AS n_days, CAST(14 AS BIGINT) AS df,
+  ROUND(nd * (nd + 2.0) * ssum, 6) AS q_stat,
+  23.684791304840576 AS critical_0_95,
+  nd * (nd + 2.0) * ssum > 23.684791304840576 AS reject_white_noise
+FROM agg, nn
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -14076,6 +14309,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "template_skeleton_dedup": q_template_skeleton_dedup,
     "padding_waste_report": q_padding_waste_report,
     "preference_pairs": q_preference_pairs,
+    "burstiness_index": q_burstiness_index,
+    "capture_recapture_users": q_capture_recapture_users,
+    "ljung_box_daily": q_ljung_box_daily,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -14360,6 +14596,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "template_skeleton_dedup": _SKELETON_SQL,
     "padding_waste_report": _PADDING_SQL,
     "preference_pairs": _PREFERENCE_SQL,
+    "burstiness_index": _BURSTINESS_SQL,
+    "capture_recapture_users": _CAPTURE_SQL,
+    "ljung_box_daily": _LJUNG_BOX_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

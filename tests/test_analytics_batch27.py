@@ -752,3 +752,83 @@ def test_preference_pairs_disjoint_and_margin_positive(spark, sf_dir, qs):
         used[r.source].update((r.chosen_id, r.rejected_id))
     assert sum(len(v) for v in used.values()) <= n_docs
     assert len(rows) > 0
+
+
+def test_burstiness_matches_python(spark, sf_dir, qs):
+    import math
+
+    rows = {r.band: r for r in qs["burstiness_index"](spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "event_id").collect()
+    per_user = defaultdict(list)
+    for e in ev:
+        per_user[e.user_id].append((e.ts, e.event_id))
+    by_band = defaultdict(list)
+    for u, evs in per_user.items():
+        ts = [t for t, _ in sorted(evs)]
+        gaps = [
+            round((b - a).total_seconds() * 1_000_000)
+            for a, b in zip(ts, ts[1:])
+        ]
+        if len(gaps) < 2:
+            continue
+        n = len(gaps)
+        mu = sum(gaps) / n
+        sd = math.sqrt(sum(g * g for g in gaps) / n - mu * mu)
+        band = "a_under_50" if n < 50 else ("b_50_to_99" if n < 100 else "c_100_plus")
+        by_band[band].append(round((sd - mu) / (sd + mu), 6))
+    assert set(rows) == set(by_band)
+    for band, bs in by_band.items():
+        r = rows[band]
+        assert r.n_users == len(bs)
+        assert abs(r.mean_burstiness - round(sum(bs) / len(bs), 6)) < 2e-6
+        assert (r.min_b, r.max_b) == (min(bs), max(bs))
+        assert -1.0 <= r.min_b and r.max_b < 1.0
+
+
+def test_capture_recapture_matches_python(spark, sf_dir, qs):
+    import math
+
+    r = qs["capture_recapture_users"](spark, sf_dir).collect()[0]
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    viewers = {e.user_id for e in ev if e.event_type == "view"}
+    clickers = {e.user_id for e in ev if e.event_type == "click"}
+    both = viewers & clickers
+    n1, n2, m = len(viewers), len(clickers), len(both)
+    nhat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    assert (r.n_viewers, r.n_clickers, r.n_both) == (n1, n2, m)
+    assert abs(r.n_hat - nhat) < 1e-3
+    var = (n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m) / ((m + 1) ** 2 * (m + 2))
+    half = 1.959963984540054 * math.sqrt(var)
+    assert abs(r.ci_lo - (nhat - half)) < 1e-3
+    assert abs(r.ci_hi - (nhat + half)) < 1e-3
+    # estimate can't be below what we directly observed in the two samples
+    assert r.n_hat >= n1 + n2 - m - 1
+
+
+def test_ljung_box_matches_python(spark, sf_dir, qs):
+    import math
+
+    r = qs["ljung_box_daily"](spark, sf_dir).collect()[0]
+    daily = sorted(
+        (rr.date, round(rr.total_revenue * 100))
+        for rr in qs["daily_sales_series"](spark, sf_dir).collect()
+    )
+    ys = [c for _, c in daily]
+    n = len(ys)
+    assert r.n_days == n and r.df == 14
+    ssum = 0.0
+    for k in range(1, 15):
+        xs, zs = ys[:-k], ys[k:]
+        m = len(xs)
+        sx, sy = sum(xs), sum(zs)
+        sxy = sum(a * b for a, b in zip(xs, zs))
+        sxx, syy = sum(a * a for a in xs), sum(b * b for b in zs)
+        rk = round(
+            (m * sxy - sx * sy)
+            / math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)),
+            6,
+        )
+        ssum += round(rk * rk / (n - k), 12)
+    q = n * (n + 2.0) * ssum
+    assert abs(r.q_stat - q) < 1e-4
+    assert r.reject_white_noise == (q > 23.684791304840576)
