@@ -5201,6 +5201,152 @@ FROM agg, nn
 """
 
 
+def q_replacing_final_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree + ``FINAL`` semantics with tombstones — the
+    CDC-compaction read path: every event is an upsert of its user's
+    profile (version = event_id); events with event_id % 10 = 0 are
+    DELETE tombstones. FINAL = keep only the max-version row per user,
+    and emit nothing if that row is a tombstone. Reports the upsert/
+    delete/survivor census plus an exact survivors value-checksum. One
+    max_by aggregation per key — no sort, no window, the merge-on-read
+    collapse at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    versioned = ev.select(
+        "user_id",
+        F.col("event_id").alias("version"),
+        (F.col("event_id") % 10 == 0).alias("is_delete"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    final = versioned.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_versions"),
+        F.sum(F.col("is_delete").cast("int")).cast("bigint").alias("n_deletes"),
+        F.max_by("is_delete", "version").alias("last_is_delete"),
+        F.max_by("cents", "version").alias("last_cents"),
+    )
+    return final.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("n_versions").cast("bigint").alias("n_upserts"),
+        F.sum("n_deletes").cast("bigint").alias("n_tombstones"),
+        F.sum((~F.col("last_is_delete")).cast("int")).cast("bigint").alias("n_survivors"),
+        F.sum(F.when(~F.col("last_is_delete"), F.col("last_cents")).otherwise(F.lit(0)))
+        .cast("bigint").alias("survivor_cents"),
+    )
+
+
+_REPLACING_SQL = """
+WITH versioned AS (
+  SELECT user_id, event_id AS version,
+    event_id % 10 = 0 AS is_delete,
+    CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+final AS (
+  SELECT user_id, COUNT(*) AS n_versions,
+    SUM(CASE WHEN is_delete THEN 1 ELSE 0 END) AS n_deletes,
+    arg_max(is_delete, version) AS last_is_delete,
+    arg_max(cents, version) AS last_cents
+  FROM versioned GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(n_versions) AS BIGINT) AS n_upserts,
+  CAST(SUM(n_deletes) AS BIGINT) AS n_tombstones,
+  CAST(SUM(CASE WHEN last_is_delete THEN 0 ELSE 1 END) AS BIGINT) AS n_survivors,
+  CAST(SUM(CASE WHEN last_is_delete THEN 0 ELSE last_cents END) AS BIGINT)
+    AS survivor_cents
+FROM final
+"""
+
+
+def q_collapsing_merge_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapsingMergeTree semantics: views carry sign +1, clicks −1;
+    the merge collapses each user to SUM(sign) — pairs cancel, the
+    residue is the uncollapsed state. Reports the distribution of net
+    sign per user plus how many rows the collapse eliminates
+    (rows_before − |net| summed) — the compaction-benefit census. One
+    user aggregation + one tiny distribution rollup."""
+    ev = _t(spark, sf_dir, "events")
+    signed = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.when(F.col("event_type") == "view", F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+    )
+    per_user = signed.groupBy("user_id").agg(
+        F.count("*").alias("n_rows"), F.sum("sign").alias("net")
+    )
+    return (
+        per_user.groupBy(
+            F.when(F.col("net") > 0, F.lit("views_surplus"))
+            .when(F.col("net") < 0, F.lit("clicks_surplus"))
+            .otherwise(F.lit("balanced")).alias("state")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("n_rows").cast("bigint").alias("rows_before"),
+            F.sum(F.abs("net")).cast("bigint").alias("rows_after"),
+            F.sum(F.col("n_rows") - F.abs("net")).cast("bigint").alias("rows_collapsed"),
+        )
+        .orderBy("state")
+    )
+
+
+_COLLAPSING_SQL = """
+WITH signed AS (
+  SELECT user_id,
+    CASE WHEN event_type = 'view' THEN 1 ELSE -1 END AS sign
+  FROM events WHERE event_type IN ('view', 'click')),
+per_user AS (
+  SELECT user_id, COUNT(*) AS n_rows, SUM(sign) AS net
+  FROM signed GROUP BY user_id)
+SELECT CASE WHEN net > 0 THEN 'views_surplus'
+            WHEN net < 0 THEN 'clicks_surplus'
+            ELSE 'balanced' END AS state,
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(n_rows) AS BIGINT) AS rows_before,
+  CAST(SUM(ABS(net)) AS BIGINT) AS rows_after,
+  CAST(SUM(n_rows - ABS(net)) AS BIGINT) AS rows_collapsed
+FROM per_user GROUP BY 1 ORDER BY state
+"""
+
+
+def q_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling median over the trailing-7-day revenue frame — the
+    robust moving-average alternative Spark has no built-in for (no
+    exact percentile window). The frame's ≤7 cents values collect into
+    a bounded array, sort row-locally, and the median picks middles
+    with even/odd parity handled exactly — integer cents make the .5
+    halves hash-stable. On the day-grain rollup this is O(days·7); the
+    same shape partitions by series key at scale."""
+    o = _t(spark, sf_dir, "orders")
+    daily = _daily_cents(o)
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    arr = F.sort_array(F.collect_list("cents").over(w))
+    mid_hi = ((F.size(arr) + 1) / 2).cast("int")
+    mid_lo = (F.size(arr) / 2).cast("int")
+    med = F.when(
+        F.size(arr) % 2 == 1,
+        F.element_at(arr, mid_hi).cast("double"),
+    ).otherwise(
+        (F.element_at(arr, mid_lo) + F.element_at(arr, mid_lo + 1)) / 2.0
+    )
+    return daily.select(
+        "d",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(med / 100.0, 3).alias("median_7d"),
+        F.size(arr).cast("bigint").alias("frame_days"),
+    ).orderBy("d")
+
+
+_ROLLING_MEDIAN_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1)
+SELECT d, ROUND(cents / 100.0, 2) AS revenue,
+  ROUND(MEDIAN(cents) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        / 100.0, 3) AS median_7d,
+  CAST(COUNT(*) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS frame_days
+FROM daily ORDER BY d
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -14312,6 +14458,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "burstiness_index": q_burstiness_index,
     "capture_recapture_users": q_capture_recapture_users,
     "ljung_box_daily": q_ljung_box_daily,
+    "replacing_final_cdc": q_replacing_final_cdc,
+    "collapsing_merge_balance": q_collapsing_merge_balance,
+    "rolling_median_7d": q_rolling_median_7d,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -14599,6 +14748,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "burstiness_index": _BURSTINESS_SQL,
     "capture_recapture_users": _CAPTURE_SQL,
     "ljung_box_daily": _LJUNG_BOX_SQL,
+    "replacing_final_cdc": _REPLACING_SQL,
+    "collapsing_merge_balance": _COLLAPSING_SQL,
+    "rolling_median_7d": _ROLLING_MEDIAN_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

@@ -832,3 +832,70 @@ def test_ljung_box_matches_python(spark, sf_dir, qs):
     q = n * (n + 2.0) * ssum
     assert abs(r.q_stat - q) < 1e-4
     assert r.reject_white_noise == (q > 23.684791304840576)
+
+
+def test_replacing_final_matches_python(spark, sf_dir, qs):
+    r = qs["replacing_final_cdc"](spark, sf_dir).collect()[0]
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value"
+    ).collect()
+    last = {}
+    deletes = 0
+    for e in ev:
+        is_del = e.event_id % 10 == 0
+        deletes += is_del
+        cur = last.get(e.user_id)
+        if cur is None or e.event_id > cur[0]:
+            last[e.user_id] = (e.event_id, is_del, round(e.value * 100))
+    survivors = {u: v for u, (ver, d, v) in last.items() if not d}
+    assert r.n_keys == len(last)
+    assert r.n_upserts == len(ev)
+    assert r.n_tombstones == deletes
+    assert r.n_survivors == len(survivors)
+    assert r.survivor_cents == sum(survivors.values())
+
+
+def test_collapsing_balance_matches_python(spark, sf_dir, qs):
+    rows = {r.state: r for r in
+            qs["collapsing_merge_balance"](spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    per = defaultdict(lambda: [0, 0])  # rows, net
+    for e in ev:
+        if e.event_type == "view":
+            per[e.user_id][0] += 1
+            per[e.user_id][1] += 1
+        elif e.event_type == "click":
+            per[e.user_id][0] += 1
+            per[e.user_id][1] -= 1
+    agg = defaultdict(lambda: [0, 0, 0])
+    for _, (n, net) in per.items():
+        state = ("views_surplus" if net > 0
+                 else "clicks_surplus" if net < 0 else "balanced")
+        a = agg[state]
+        a[0] += 1
+        a[1] += n
+        a[2] += abs(net)
+    assert set(rows) == set(agg)
+    for state, (nu, rb, ra) in agg.items():
+        r = rows[state]
+        assert (r.n_users, r.rows_before, r.rows_after) == (nu, rb, ra)
+        assert r.rows_collapsed == rb - ra
+        # collapsed rows come in (+1,-1) pairs
+        assert r.rows_collapsed % 2 == 0
+
+
+def test_rolling_median_matches_python(spark, sf_dir, qs):
+    rows = sorted(qs["rolling_median_7d"](spark, sf_dir).collect(), key=lambda r: r.d)
+    daily = sorted(
+        (rr.date, round(rr.total_revenue * 100))
+        for rr in qs["daily_sales_series"](spark, sf_dir).collect()
+    )
+    cents = [c for _, c in daily]
+    assert len(rows) == len(cents)
+    for i, r in enumerate(rows):
+        frame = sorted(cents[max(0, i - 6):i + 1])
+        n = len(frame)
+        assert r.frame_days == n
+        med = (frame[n // 2] if n % 2 == 1
+               else (frame[n // 2 - 1] + frame[n // 2]) / 2)
+        assert abs(r.median_7d - round(med / 100, 3)) < 1e-9
