@@ -5347,6 +5347,315 @@ FROM daily ORDER BY d
 """
 
 
+def q_rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009 — the hybrid-search
+    combiner): BM25 and Dirichlet query-likelihood rank the corpus for
+    the same 3-term query, then fuse via RRF = Σ 1/(60+rank). Both
+    scorers run off ONE row-local tf pass (no explode, no second scan);
+    ranks are integer row_numbers over bit-identical score doubles, so
+    the fused ordering is hash-exact. The shape generalizes: swap QL
+    for an ANN ranking and this is the sparse+dense fusion every
+    retrieval stack ships."""
+    terms = ["stream", "filter", "vector"]
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+
+    def _tf(term: str) -> F.Column:
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
+    ).localCheckpoint(eager=True)
+    stats = per.agg(
+        F.count("*").alias("nd"),
+        F.sum("dl").cast("double").alias("ctot"),
+        *[F.sum(f"tf{i}").cast("double").alias(f"ctf{i}") for i in range(3)],
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}") for i in range(3)],
+    )
+    j = per.crossJoin(F.broadcast(stats))
+    avgdl = F.col("ctot") / F.col("nd")
+    bm25 = None
+    ql = None
+    for i in range(3):
+        tf = F.col(f"tf{i}").cast("double")
+        idf = F.log((F.col("nd") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0)
+        sat = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (F.col("dl") / avgdl)))
+        b_term = idf * sat
+        q_term = F.log(
+            (tf + 100.0 * (F.col(f"ctf{i}") / F.col("ctot"))) / (F.col("dl") + 100.0)
+        )
+        bm25 = b_term if bm25 is None else bm25 + b_term
+        ql = q_term if ql is None else ql + q_term
+    scored = j.select("doc_id", bm25.alias("s_bm25"), ql.alias("s_ql"))
+    w_b = Window.orderBy(F.desc("s_bm25"), "doc_id")
+    w_q = Window.orderBy(F.desc("s_ql"), "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        F.row_number().over(w_b).alias("r_bm25"),
+        F.row_number().over(w_q).alias("r_ql"),
+    )
+    rrf = 1.0 / (60.0 + F.col("r_bm25")) + 1.0 / (60.0 + F.col("r_ql"))
+    return (
+        ranked.select(
+            "doc_id",
+            F.col("r_bm25").cast("bigint").alias("r_bm25"),
+            F.col("r_ql").cast("bigint").alias("r_ql"),
+            F.round(rrf, 9).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(20)
+    )
+
+
+_RRF_SQL = f"""
+WITH per AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS dl,
+    len(list_filter({_TOKS_SQL}, x -> x = 'stream')) AS tf0,
+    len(list_filter({_TOKS_SQL}, x -> x = 'filter')) AS tf1,
+    len(list_filter({_TOKS_SQL}, x -> x = 'vector')) AS tf2
+  FROM documents),
+stats AS (
+  SELECT COUNT(*) AS nd, CAST(SUM(dl) AS DOUBLE) AS ctot,
+    CAST(SUM(tf0) AS DOUBLE) AS ctf0, CAST(SUM(tf1) AS DOUBLE) AS ctf1,
+    CAST(SUM(tf2) AS DOUBLE) AS ctf2,
+    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM per),
+scored AS (
+  SELECT doc_id,
+    LN((nd - df0 + 0.5) / (df0 + 0.5) + 1.0)
+      * (CAST(tf0 AS DOUBLE) * 2.2)
+        / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (dl / (ctot / nd))))
+    + LN((nd - df1 + 0.5) / (df1 + 0.5) + 1.0)
+      * (CAST(tf1 AS DOUBLE) * 2.2)
+        / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (dl / (ctot / nd))))
+    + LN((nd - df2 + 0.5) / (df2 + 0.5) + 1.0)
+      * (CAST(tf2 AS DOUBLE) * 2.2)
+        / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * (dl / (ctot / nd))))
+      AS s_bm25,
+    LN((CAST(tf0 AS DOUBLE) + 100.0 * (ctf0 / ctot)) / (dl + 100.0))
+    + LN((CAST(tf1 AS DOUBLE) + 100.0 * (ctf1 / ctot)) / (dl + 100.0))
+    + LN((CAST(tf2 AS DOUBLE) + 100.0 * (ctf2 / ctot)) / (dl + 100.0))
+      AS s_ql
+  FROM per, stats),
+ranked AS (
+  SELECT doc_id,
+    ROW_NUMBER() OVER (ORDER BY s_bm25 DESC, doc_id) AS r_bm25,
+    ROW_NUMBER() OVER (ORDER BY s_ql DESC, doc_id) AS r_ql
+  FROM scored)
+SELECT doc_id, CAST(r_bm25 AS BIGINT) AS r_bm25, CAST(r_ql AS BIGINT) AS r_ql,
+  ROUND(1.0 / (60.0 + r_bm25) + 1.0 / (60.0 + r_ql), 9) AS rrf_score
+FROM ranked ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+
+def q_lag_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-engineering table for the forecaster: per day — revenue,
+    lags 1/7/14/28, trailing-7-day exact mean, day-of-week, and the
+    weekly-delta target. The supervised-learning matrix every
+    gradient-boosted forecaster trains on; all columns are windows over
+    the day-grain rollup (exact cents; the trailing mean divides a
+    decimal sum once). Emits only rows with a full 28-day history so
+    the matrix is dense — the train-ready contract."""
+    o = _t(spark, sf_dir, "orders")
+    daily = _daily_cents(o)
+    w = Window.orderBy("d")
+    w7 = w.rowsBetween(-6, 0)
+    feat = daily.select(
+        "d",
+        F.col("cents").alias("y"),
+        F.lag("cents", 1).over(w).alias("lag_1"),
+        F.lag("cents", 7).over(w).alias("lag_7"),
+        F.lag("cents", 14).over(w).alias("lag_14"),
+        F.lag("cents", 28).over(w).alias("lag_28"),
+        F.round(
+            F.sum(F.col("cents").cast("decimal(38,10)")).over(w7).cast("double")
+            / F.count("*").over(w7) / 100.0,
+            6,
+        ).alias("mean_7d"),
+        (F.weekday("d") + 1).alias("isodow"),
+    )
+    return (
+        feat.filter(F.col("lag_28").isNotNull())
+        .select(
+            "d",
+            F.round(F.col("y") / 100.0, 2).alias("y"),
+            F.round(F.col("lag_1") / 100.0, 2).alias("lag_1"),
+            F.round(F.col("lag_7") / 100.0, 2).alias("lag_7"),
+            F.round(F.col("lag_14") / 100.0, 2).alias("lag_14"),
+            F.round(F.col("lag_28") / 100.0, 2).alias("lag_28"),
+            "mean_7d",
+            "isodow",
+            F.round((F.col("y") - F.col("lag_7")) / 100.0, 2).alias("target_wow"),
+        )
+        .orderBy("d")
+    )
+
+
+_LAG_FEATURES_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+feat AS (
+  SELECT d, cents AS y,
+    LAG(cents, 1) OVER w AS lag_1,
+    LAG(cents, 7) OVER w AS lag_7,
+    LAG(cents, 14) OVER w AS lag_14,
+    LAG(cents, 28) OVER w AS lag_28,
+    ROUND(CAST(SUM(CAST(cents AS DECIMAL(38,10)))
+        OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      / COUNT(*) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      / 100.0, 6) AS mean_7d,
+    isodow(d) AS isodow
+  FROM daily WINDOW w AS (ORDER BY d))
+SELECT d, ROUND(y / 100.0, 2) AS y,
+  ROUND(lag_1 / 100.0, 2) AS lag_1,
+  ROUND(lag_7 / 100.0, 2) AS lag_7,
+  ROUND(lag_14 / 100.0, 2) AS lag_14,
+  ROUND(lag_28 / 100.0, 2) AS lag_28,
+  mean_7d, isodow,
+  ROUND((y - lag_7) / 100.0, 2) AS target_wow
+FROM feat WHERE lag_28 IS NOT NULL ORDER BY d
+"""
+
+
+def q_bucketed_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-percentile accuracy audit (the quantileTiming
+    trade-off): ship delay (receipt-free proxy: shipdate − orderdate
+    days) p50/p90/p99 computed (a) EXACTLY via order statistics and (b)
+    from a 64-bucket fixed-width histogram with linear interpolation —
+    reporting both and the error in days. The histogram path is the
+    O(64)-state mergeable shape a 100 TB rollup would persist; the
+    exact path costs a sort. Integer day delays make the exact side
+    hash-trivial; the interpolated estimate is a fixed IEEE chain."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    delays = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("delay")
+    ).localCheckpoint(eager=True)
+    n = delays.count()
+    qs_ = [(50, 0.50), (90, 0.90), (99, 0.99)]
+    # exact: k-th order statistic at ceil(q*n)
+    w = Window.orderBy("delay")
+    ranked = delays.withColumn("rn", F.row_number().over(w))
+    exact = None
+    for label, q in qs_:
+        k = int(q * n) if (q * n).is_integer() else int(q * n) + 1
+        pick = ranked.filter(F.col("rn") == max(k, 1)).select(
+            F.lit(label).alias("p"), F.col("delay").alias("exact_days")
+        )
+        exact = pick if exact is None else exact.unionByName(pick)
+    # histogram: 64 buckets over [min, max]
+    rng = delays.agg(
+        F.min("delay").alias("lo"), F.max("delay").alias("hi")
+    )
+    hist = (
+        delays.crossJoin(F.broadcast(rng))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("delay") - F.col("lo")).cast("double")
+                    / (F.col("hi") - F.col("lo")) * 64
+                ).cast("int"),
+                F.lit(63),
+            ).alias("b"),
+            "lo", "hi",
+        )
+        .groupBy("b", "lo", "hi")
+        .agg(F.count("*").alias("c"))
+    )
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(wcum)).localCheckpoint(eager=True)
+    est = None
+    for label, q in qs_:
+        target = q * n
+        first_ge = (
+            cum.filter(F.col("cum") >= F.lit(target))
+            .orderBy("b")
+            .limit(1)
+            .select(
+                F.lit(label).alias("p"),
+                F.round(
+                    F.col("lo")
+                    + (F.col("b")
+                       + (F.lit(target) - (F.col("cum") - F.col("c")))
+                       / F.col("c"))
+                    * (F.col("hi") - F.col("lo")) / 64.0,
+                    6,
+                ).alias("hist_days"),
+            )
+        )
+        est = first_ge if est is None else est.unionByName(first_ge)
+    return (
+        exact.join(est, "p")
+        .select(
+            "p",
+            F.col("exact_days").cast("bigint").alias("exact_days"),
+            "hist_days",
+            F.round(F.abs(F.col("hist_days") - F.col("exact_days")), 6)
+            .alias("abs_err_days"),
+        )
+        .orderBy("p")
+    )
+
+
+_BUCKETED_PCTL_SQL = """
+WITH delays AS (
+  SELECT date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+    AS delay
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+nn AS (SELECT COUNT(*) AS n FROM delays),
+ranked AS (
+  SELECT delay, ROW_NUMBER() OVER (ORDER BY delay) AS rn FROM delays),
+exact AS (
+  SELECT p, delay AS exact_days FROM (
+    SELECT 50 AS p,
+      CAST(CASE WHEN 0.50 * n = FLOOR(0.50 * n) THEN 0.50 * n
+           ELSE FLOOR(0.50 * n) + 1 END AS BIGINT) AS k FROM nn
+    UNION ALL
+    SELECT 90,
+      CAST(CASE WHEN 0.90 * n = FLOOR(0.90 * n) THEN 0.90 * n
+           ELSE FLOOR(0.90 * n) + 1 END AS BIGINT) FROM nn
+    UNION ALL
+    SELECT 99,
+      CAST(CASE WHEN 0.99 * n = FLOOR(0.99 * n) THEN 0.99 * n
+           ELSE FLOOR(0.99 * n) + 1 END AS BIGINT) FROM nn) ks
+  JOIN ranked ON rn = GREATEST(k, 1)),
+rng AS (SELECT MIN(delay) AS lo, MAX(delay) AS hi FROM delays),
+hist AS (
+  SELECT LEAST(CAST(FLOOR(CAST(delay - lo AS DOUBLE) / (hi - lo) * 64) AS INT),
+               63) AS b,
+    lo, hi, COUNT(*) AS c
+  FROM delays CROSS JOIN rng GROUP BY 1, 2, 3),
+cum AS (
+  SELECT *, SUM(c) OVER (ORDER BY b
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist),
+est AS (
+  SELECT p, hist_days FROM (
+    SELECT q.p, q.target,
+      ROUND(lo + (b + (q.target - (cum - c)) / c) * (hi - lo) / 64.0, 6)
+        AS hist_days,
+      ROW_NUMBER() OVER (PARTITION BY q.p ORDER BY b) AS pick
+    FROM cum
+    JOIN (SELECT 50 AS p, 0.50 * n AS target FROM nn
+          UNION ALL SELECT 90, 0.90 * n FROM nn
+          UNION ALL SELECT 99, 0.99 * n FROM nn) q
+      ON cum >= q.target) z
+  WHERE pick = 1)
+SELECT exact.p AS p, CAST(exact_days AS BIGINT) AS exact_days, hist_days,
+  ROUND(ABS(hist_days - exact_days), 6) AS abs_err_days
+FROM exact JOIN est ON exact.p = est.p
+ORDER BY exact.p
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -14461,6 +14770,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "replacing_final_cdc": q_replacing_final_cdc,
     "collapsing_merge_balance": q_collapsing_merge_balance,
     "rolling_median_7d": q_rolling_median_7d,
+    "rrf_fusion_search": q_rrf_fusion_search,
+    "lag_feature_matrix": q_lag_feature_matrix,
+    "bucketed_percentile_error": q_bucketed_percentile_error,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -14751,6 +15063,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "replacing_final_cdc": _REPLACING_SQL,
     "collapsing_merge_balance": _COLLAPSING_SQL,
     "rolling_median_7d": _ROLLING_MEDIAN_SQL,
+    "rrf_fusion_search": _RRF_SQL,
+    "lag_feature_matrix": _LAG_FEATURES_SQL,
+    "bucketed_percentile_error": _BUCKETED_PCTL_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

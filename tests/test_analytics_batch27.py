@@ -899,3 +899,81 @@ def test_rolling_median_matches_python(spark, sf_dir, qs):
         med = (frame[n // 2] if n % 2 == 1
                else (frame[n // 2 - 1] + frame[n // 2]) / 2)
         assert abs(r.median_7d - round(med / 100, 3)) < 1e-9
+
+
+def test_rrf_fusion_matches_python(spark, sf_dir, qs):
+    import math
+
+    rows = qs["rrf_fusion_search"](spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    terms = ["stream", "filter", "vector"]
+    tok_re = re.compile(r"[^a-z0-9]+")
+    per = {}
+    for d in docs:
+        toks = [t for t in tok_re.split(d.text.lower()) if t]
+        per[d.doc_id] = (len(toks), [toks.count(t) for t in terms])
+    nd = len(per)
+    ctot = sum(dl for dl, _ in per.values())
+    ctf = [sum(tfs[i] for _, tfs in per.values()) for i in range(3)]
+    df = [sum(tfs[i] > 0 for _, tfs in per.values()) for i in range(3)]
+    avgdl = ctot / nd
+    bm, ql = {}, {}
+    for did, (dl, tfs) in per.items():
+        bm[did] = sum(
+            math.log((nd - df[i] + 0.5) / (df[i] + 0.5) + 1.0)
+            * (tfs[i] * 2.2) / (tfs[i] + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+            for i in range(3)
+        )
+        ql[did] = sum(
+            math.log((tfs[i] + 100.0 * (ctf[i] / ctot)) / (dl + 100.0))
+            for i in range(3)
+        )
+    r_bm = {d: r + 1 for r, (s, d) in enumerate(
+        sorted(((-s, d) for d, s in bm.items())))}
+    r_ql = {d: r + 1 for r, (s, d) in enumerate(
+        sorted(((-s, d) for d, s in ql.items())))}
+    fused = sorted(
+        ((-(1.0 / (60 + r_bm[d]) + 1.0 / (60 + r_ql[d])), d) for d in per),
+    )[:20]
+    assert [(r.doc_id, r.r_bm25, r.r_ql) for r in rows] == [
+        (d, r_bm[d], r_ql[d]) for _, d in fused
+    ]
+    for r in rows:
+        assert abs(r.rrf_score
+                   - round(1.0 / (60 + r.r_bm25) + 1.0 / (60 + r.r_ql), 9)) < 1e-12
+
+
+def test_lag_feature_matrix_matches_python(spark, sf_dir, qs):
+    rows = sorted(qs["lag_feature_matrix"](spark, sf_dir).collect(), key=lambda r: r.d)
+    daily = sorted(
+        (rr.date, round(rr.total_revenue * 100))
+        for rr in qs["daily_sales_series"](spark, sf_dir).collect()
+    )
+    cents = [c for _, c in daily]
+    dates = [d for d, _ in daily]
+    assert len(rows) == len(daily) - 28
+    for i, r in enumerate(rows, start=28):
+        assert r.d == dates[i]
+        assert r.y == round(cents[i] / 100, 2)
+        assert r.lag_1 == round(cents[i - 1] / 100, 2)
+        assert r.lag_7 == round(cents[i - 7] / 100, 2)
+        assert r.lag_28 == round(cents[i - 28] / 100, 2)
+        frame = cents[i - 6:i + 1]
+        assert abs(r.mean_7d - round(sum(frame) / 7 / 100, 6)) < 1e-9
+        assert r.isodow == dates[i].isoweekday()
+        assert abs(r.target_wow - round((cents[i] - cents[i - 7]) / 100, 2)) < 1e-9
+
+
+def test_bucketed_percentile_error_is_bounded(spark, sf_dir, qs):
+    rows = {r.p: r for r in qs["bucketed_percentile_error"](spark, sf_dir).collect()}
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate").collect()
+    o = {r.o_orderkey: r.o_orderdate for r in
+         read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate").collect()}
+    delays = sorted((r.l_shipdate.date() - o[r.l_orderkey].date()).days for r in li)
+    n = len(delays)
+    span = delays[-1] - delays[0]
+    for p, q in ((50, 0.5), (90, 0.9), (99, 0.99)):
+        k = int(q * n) if (q * n) == int(q * n) else int(q * n) + 1
+        assert rows[p].exact_days == delays[max(k, 1) - 1]
+        # histogram estimate must land within one bucket width of exact
+        assert rows[p].abs_err_days <= span / 64 + 1e-9
