@@ -5656,6 +5656,132 @@ ORDER BY exact.p
 """
 
 
+def q_dp_noise_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release calibration: per-nation customer
+    counts through the Laplace mechanism (ε=1, sensitivity 1), with the
+    noise drawn from a DETERMINISTIC md5-hash uniform (the privacy
+    engineer's repro harness — swap the hash for a CSPRNG in
+    production). Inverse-CDF: noise = −b·sign(u−½)·ln(1−2|u−½|).
+    Reports true vs released counts and the absolute error the ε buys.
+    One aggregation; noise is row-local scalar math on 25 rows."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per = (
+        c.groupBy("c_nationkey")
+        .agg(F.count("*").alias("true_count"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("n_nationkey").cast("string")), 1, 13), 16, 10)
+        .cast("double") / F.lit(float(16 ** 13))
+    )
+    centered = u - 0.5
+    b = 1.0  # sensitivity/epsilon
+    noise = -b * F.signum(centered) * F.log(1.0 - 2.0 * F.abs(centered))
+    released = F.greatest(F.round(F.col("true_count") + noise, 0), F.lit(0.0))
+    return per.select(
+        "n_name",
+        F.col("true_count").cast("bigint").alias("true_count"),
+        F.round(noise, 6).alias("noise"),
+        released.cast("bigint").alias("released_count"),
+        F.abs(released.cast("bigint") - F.col("true_count"))
+        .cast("bigint").alias("abs_err"),
+    ).orderBy("n_name")
+
+
+_DP_NOISE_SQL = """
+WITH per AS (
+  SELECT n_name, n_nationkey, COUNT(*) AS true_count
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+noised AS (
+  SELECT n_name, true_count,
+    -1.0 * SIGN(('0x' || substr(md5(CAST(n_nationkey AS VARCHAR)), 1, 13))::BIGINT
+                / CAST(POWER(16, 13) AS DOUBLE) - 0.5)
+      * LN(1.0 - 2.0 * ABS(('0x' || substr(md5(CAST(n_nationkey AS VARCHAR)), 1, 13))::BIGINT
+                           / CAST(POWER(16, 13) AS DOUBLE) - 0.5)) AS noise
+  FROM per)
+SELECT n_name, CAST(true_count AS BIGINT) AS true_count,
+  ROUND(noise, 6) AS noise,
+  CAST(GREATEST(ROUND(true_count + noise, 0), 0.0) AS BIGINT) AS released_count,
+  CAST(ABS(CAST(GREATEST(ROUND(true_count + noise, 0), 0.0) AS BIGINT)
+           - true_count) AS BIGINT) AS abs_err
+FROM noised ORDER BY n_name
+"""
+
+
+def q_quantile_normalization_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source document-length
+    distributions onto the pooled distribution (the cross-batch
+    harmonization trick from genomics, applied to corpus shards):
+    each doc's length maps to the pooled order statistic at its
+    within-source quantile, idx = ceil(rank·N/n_s). Reports per source
+    the before/after mean lengths — after normalization every shard
+    sees the same distribution. Two rank windows + one index equi-join
+    (never a distribution-wide broadcast)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select("source", "doc_id", TX.token_count(F.col("text")).alias("len"))
+    pooled = per.select(
+        F.row_number().over(Window.orderBy("len", "doc_id")).alias("rn"),
+        F.col("len").alias("pooled_len"),
+    ).localCheckpoint(eager=True)
+    n_total = pooled.count()
+    w_src = Window.partitionBy("source").orderBy("len", "doc_id")
+    ranked = per.select(
+        "source", "len",
+        F.row_number().over(w_src).alias("rs"),
+        F.count("*").over(Window.partitionBy("source")).alias("ns"),
+    )
+    idx = F.ceil(F.col("rs").cast("double") * n_total / F.col("ns")).cast("int")
+    mapped = ranked.withColumn("rn", idx).join(pooled, "rn")
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.col("len").cast("decimal(38,10)")).cast("double")
+                / F.count("*"), 6,
+            ).alias("mean_len_before"),
+            F.round(
+                F.sum(F.col("pooled_len").cast("decimal(38,10)")).cast("double")
+                / F.count("*"), 6,
+            ).alias("mean_len_after"),
+            F.min("pooled_len").cast("bigint").alias("min_after"),
+            F.max("pooled_len").cast("bigint").alias("max_after"),
+        )
+        .orderBy("source")
+    )
+
+
+_QNORM_SQL = f"""
+WITH per AS (
+  SELECT source, doc_id, len({_TOKS_SQL}) AS len FROM documents),
+pooled AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY len, doc_id) AS rn,
+    len AS pooled_len
+  FROM per),
+nn AS (SELECT COUNT(*) AS n FROM per),
+ranked AS (
+  SELECT source, len,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY len, doc_id) AS rs,
+    COUNT(*) OVER (PARTITION BY source) AS ns
+  FROM per),
+mapped AS (
+  SELECT source, len, pooled_len
+  FROM ranked, nn
+  JOIN pooled
+    ON pooled.rn = CAST(CEIL(CAST(rs AS DOUBLE) * n / ns) AS INT))
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(CAST(SUM(CAST(len AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6)
+    AS mean_len_before,
+  ROUND(CAST(SUM(CAST(pooled_len AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6)
+    AS mean_len_after,
+  CAST(MIN(pooled_len) AS BIGINT) AS min_after,
+  CAST(MAX(pooled_len) AS BIGINT) AS max_after
+FROM mapped GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -14773,6 +14899,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rrf_fusion_search": q_rrf_fusion_search,
     "lag_feature_matrix": q_lag_feature_matrix,
     "bucketed_percentile_error": q_bucketed_percentile_error,
+    "dp_noise_report": q_dp_noise_report,
+    "quantile_normalization_sources": q_quantile_normalization_sources,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -15066,6 +15194,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "rrf_fusion_search": _RRF_SQL,
     "lag_feature_matrix": _LAG_FEATURES_SQL,
     "bucketed_percentile_error": _BUCKETED_PCTL_SQL,
+    "dp_noise_report": _DP_NOISE_SQL,
+    "quantile_normalization_sources": _QNORM_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

@@ -977,3 +977,59 @@ def test_bucketed_percentile_error_is_bounded(spark, sf_dir, qs):
         assert rows[p].exact_days == delays[max(k, 1) - 1]
         # histogram estimate must land within one bucket width of exact
         assert rows[p].abs_err_days <= span / 64 + 1e-9
+
+
+def test_dp_noise_matches_python(spark, sf_dir, qs):
+    import hashlib
+    import math
+
+    rows = {r.n_name: r for r in qs["dp_noise_report"](spark, sf_dir).collect()}
+    c = read_table(spark, sf_dir, "customer").select("c_nationkey").collect()
+    n = {r.n_nationkey: r.n_name for r in
+         read_table(spark, sf_dir, "nation").collect()}
+    counts = defaultdict(int)
+    for r in c:
+        counts[r.c_nationkey] += 1
+    assert set(rows) == {n[k] for k in counts}
+    for k, cnt in counts.items():
+        r = rows[n[k]]
+        u = int(hashlib.md5(str(k).encode()).hexdigest()[:13], 16) / 16 ** 13
+        noise = -math.copysign(1, u - 0.5) * math.log(1 - 2 * abs(u - 0.5))
+        assert r.true_count == cnt
+        assert abs(r.noise - noise) < 1e-5
+        assert r.released_count == max(round(cnt + noise), 0)
+        assert r.abs_err == abs(r.released_count - cnt)
+    # epsilon=1 Laplace noise is almost surely small vs count
+    assert all(r.abs_err <= 15 for r in rows.values())
+
+
+def test_quantile_normalization_equalizes_distributions(spark, sf_dir, qs):
+    rows = qs["quantile_normalization_sources"](spark, sf_dir).collect()
+    docs = read_table(spark, sf_dir, "documents").select("source", "doc_id", "text").collect()
+    tok_re = re.compile(r"[^a-z0-9]+")
+    per = [(d.source, d.doc_id, len([t for t in tok_re.split(d.text.lower()) if t]))
+           for d in docs]
+    pooled = sorted((l, did) for _, did, l in per)
+    N = len(pooled)
+    by_src = defaultdict(list)
+    for s, did, l in per:
+        by_src[s].append((l, did))
+    for r in rows:
+        members = sorted(by_src[r.source])
+        ns = len(members)
+        assert r.n_docs == ns
+        mapped = [pooled[math_ceil(rs * N / ns) - 1][0]
+                  for rs in range(1, ns + 1)]
+        assert abs(r.mean_len_before - round(sum(l for l, _ in members) / ns, 6)) < 1e-9
+        assert abs(r.mean_len_after - round(sum(mapped) / ns, 6)) < 1e-9
+    # after normalization, shard means collapse toward the pooled mean:
+    # the spread across sources shrinks
+    before = [r.mean_len_before for r in rows]
+    after = [r.mean_len_after for r in rows]
+    assert max(after) - min(after) <= max(before) - min(before)
+
+
+def math_ceil(x):
+    import math
+
+    return math.ceil(x)  # same IEEE double ceil as both engines
