@@ -5782,6 +5782,255 @@ FROM mapped GROUP BY source ORDER BY source
 """
 
 
+def q_changepoint_binseg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-split binary segmentation changepoint on daily revenue:
+    the split day t* maximizing the scaled mean-shift statistic
+    sqrt(k(n−k)/n)·|mean_left − mean_right| — the complement of CUSUM
+    (which flags drift; this NAMES the break). Prefix sums from one
+    ordered window give every candidate split in one pass; means are
+    exact-decimal sums divided once, so the argmax is hash-stable
+    (ties break on earliest day). Emits the chosen split with both
+    segment means and the statistic."""
+    o = _t(spark, sf_dir, "orders")
+    daily = _daily_cents(o)
+    w = Window.orderBy("d")
+    wall = Window.partitionBy()
+    pre = daily.select(
+        "d",
+        F.row_number().over(w).alias("k"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("double").alias("pk"),
+    ).withColumn("n", F.count("*").over(wall)).withColumn(
+        "tot", F.max(F.col("pk")).over(wall)
+    )
+    k, n = F.col("k").cast("double"), F.col("n").cast("double")
+    mean_l = F.col("pk") / k
+    mean_r = (F.col("tot") - F.col("pk")) / (n - k)
+    stat = F.sqrt(k * (n - k) / n) * F.abs(mean_l - mean_r)
+    cand = pre.filter(F.col("k") < F.col("n")).select(
+        "d",
+        F.col("k").cast("bigint").alias("split_k"),
+        F.round((mean_l / 100.0), 6).alias("mean_before"),
+        F.round((mean_r / 100.0), 6).alias("mean_after"),
+        F.round(stat, 6).alias("stat"),
+    )
+    return cand.orderBy(F.desc("stat"), "d").limit(1)
+
+
+_BINSEG_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+pre AS (
+  SELECT d,
+    ROW_NUMBER() OVER (ORDER BY d) AS k,
+    CAST(SUM(CAST(cents AS DECIMAL(38,0))) OVER (ORDER BY d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS pk
+  FROM daily),
+ext AS (
+  SELECT *, COUNT(*) OVER () AS n, MAX(pk) OVER () AS tot FROM pre),
+cand AS (
+  SELECT d, CAST(k AS BIGINT) AS split_k,
+    ROUND(pk / k / 100.0, 6) AS mean_before,
+    ROUND((tot - pk) / (n - k) / 100.0, 6) AS mean_after,
+    ROUND(SQRT(CAST(k AS DOUBLE) * (n - k) / n)
+          * ABS(pk / k - (tot - pk) / (n - k)), 6) AS stat
+  FROM ext WHERE k < n)
+SELECT * FROM cand ORDER BY stat DESC, d LIMIT 1
+"""
+
+
+def q_seasonal_strength_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength diagnostics (Hyndman's F_s): after the classical
+    decomposition (centered 7-day trend, weekday seasonal, residual),
+    F_s = max(0, 1 − Var(resid)/Var(seasonal+resid)) and the trend
+    twin F_t = max(0, 1 − Var(resid)/Var(trend+resid)) — the two
+    numbers that say whether the forecaster should carry weekly
+    seasonality and trend terms at all. Components round to 1e-6 (the
+    decompose query's contract) and the variances are decimal power
+    sums of those rounded values — order-free and hash-exact."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)")).cast("double"), 2
+        ).alias("y")
+    )
+    wtrend = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.withColumn("n_win", F.count("*").over(wtrend)).withColumn(
+        "trend",
+        F.round(
+            F.sum(F.col("y").cast("decimal(38,10)")).over(wtrend).cast("double")
+            / F.col("n_win"),
+            6,
+        ),
+    )
+    detr = trended.withColumn("dt", F.round(F.col("y") - F.col("trend"), 6))
+    dow_means = (
+        detr.groupBy((F.weekday("day") + F.lit(1)).alias("isodow"))
+        .agg(
+            F.round(
+                F.sum(F.col("dt").cast("decimal(38,10)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("s_raw")
+        )
+    )
+    grand = dow_means.agg(
+        F.round(
+            F.sum(F.col("s_raw").cast("decimal(38,10)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("g")
+    )
+    season = dow_means.crossJoin(F.broadcast(grand)).select(
+        "isodow", F.round(F.col("s_raw") - F.col("g"), 6).alias("seasonal")
+    )
+    full = detr.join(
+        F.broadcast(season), (F.weekday("day") + 1) == F.col("isodow")
+    ).select(
+        "day",
+        "seasonal",
+        F.col("trend"),
+        F.round(F.col("y") - F.col("trend") - F.col("seasonal"), 6).alias("resid"),
+    )
+    d10 = lambda c: c.cast("decimal(38,10)")  # noqa: E731
+    var_of = lambda c: (  # decimal power sums -> double variance  # noqa: E731
+        F.sum(d10(c) * d10(c)).cast("double") / F.count("*")
+        - (F.sum(d10(c)).cast("double") / F.count("*"))
+        * (F.sum(d10(c)).cast("double") / F.count("*"))
+    )
+    agg = full.agg(
+        F.count("*").alias("n_days"),
+        var_of(F.col("resid")).alias("vr"),
+        var_of(F.col("seasonal") + F.col("resid")).alias("vsr"),
+        var_of(F.col("trend") + F.col("resid")).alias("vtr"),
+    )
+    return agg.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vsr")), 6)
+        .alias("seasonal_strength"),
+        F.round(F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vtr")), 6)
+        .alias("trend_strength"),
+    )
+
+
+_SEASONAL_STRENGTH_SQL = """
+WITH daily AS (
+  SELECT o_orderdate AS day,
+    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2) AS y
+  FROM orders GROUP BY 1),
+trended AS (
+  SELECT day, y,
+    ROUND(CAST(SUM(CAST(y AS DECIMAL(38,10))) OVER w AS DOUBLE)
+          / COUNT(*) OVER w, 6) AS trend
+  FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+detr AS (
+  SELECT *, ROUND(y - trend, 6) AS dt FROM trended),
+dow_means AS (
+  SELECT isodow(CAST(day AS DATE)) AS isodow,
+    ROUND(CAST(SUM(CAST(dt AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6) AS s_raw
+  FROM detr GROUP BY 1),
+grand AS (
+  SELECT ROUND(CAST(SUM(CAST(s_raw AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6)
+    AS g
+  FROM dow_means),
+season AS (
+  SELECT isodow, ROUND(s_raw - g, 6) AS seasonal
+  FROM dow_means CROSS JOIN grand),
+full_t AS (
+  SELECT ROUND(y - trend - seasonal, 6) AS resid, seasonal, trend
+  FROM detr JOIN season ON isodow(CAST(day AS DATE)) = season.isodow),
+agg AS (
+  SELECT COUNT(*) AS n_days,
+    CAST(SUM(CAST(resid AS DECIMAL(38,10)) * CAST(resid AS DECIMAL(38,10)))
+         AS DOUBLE) / COUNT(*)
+      - (CAST(SUM(CAST(resid AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*))
+        * (CAST(SUM(CAST(resid AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*)) AS vr,
+    CAST(SUM(CAST(seasonal + resid AS DECIMAL(38,10))
+             * CAST(seasonal + resid AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*)
+      - (CAST(SUM(CAST(seasonal + resid AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*))
+        * (CAST(SUM(CAST(seasonal + resid AS DECIMAL(38,10))) AS DOUBLE)
+           / COUNT(*)) AS vsr,
+    CAST(SUM(CAST(trend + resid AS DECIMAL(38,10))
+             * CAST(trend + resid AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*)
+      - (CAST(SUM(CAST(trend + resid AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*))
+        * (CAST(SUM(CAST(trend + resid AS DECIMAL(38,10))) AS DOUBLE)
+           / COUNT(*)) AS vtr
+  FROM full_t)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+  ROUND(GREATEST(0.0, 1.0 - vr / vsr), 6) AS seasonal_strength,
+  ROUND(GREATEST(0.0, 1.0 - vr / vtr), 6) AS trend_strength
+FROM agg
+"""
+
+
+def q_brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand per part brand: log-log OLS of
+    quantity on effective price factor (1 − discount) over line items —
+    the econometric read of the discount ladder (elasticity < 0 means
+    discounts move volume). Log terms round to 1e-9 and every OLS sum
+    is a decimal accumulation of those rounded values, so the per-brand
+    fold is partition-order-free; the slope algebra runs once per
+    brand. Top-10 brands by support."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    x = F.round(F.log(1.0 - F.col("l_discount")), 9)
+    y = F.round(F.log(F.col("l_quantity")), 9)
+    # (19,9) operands: their product is decimal(38,18) — the widest shape
+    # BOTH engines keep exact (28,12)x(28,12) would overflow 38 digits and
+    # each engine truncates the scale differently (the stats_moments lesson)
+    d18 = lambda c: c.cast("decimal(19,9)")  # noqa: E731
+    per = j.select(F.col("p_brand").alias("brand"), x.alias("x"), y.alias("y"))
+    agg = per.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum(d18(F.col("x"))).cast("double").alias("sx"),
+        F.sum(d18(F.col("y"))).cast("double").alias("sy"),
+        F.sum(d18(F.col("x")) * d18(F.col("x"))).cast("double").alias("sxx"),
+        F.sum(d18(F.col("x")) * d18(F.col("y"))).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return (
+        agg.select(
+            "brand",
+            F.col("n").cast("bigint").alias("n_lines"),
+            F.round(slope, 6).alias("elasticity"),
+            F.round(intercept, 6).alias("log_base_qty"),
+        )
+        .orderBy(F.desc("n_lines"), "brand")
+        .limit(10)
+    )
+
+
+_ELASTICITY_SQL = """
+WITH per AS (
+  SELECT p_brand AS brand,
+    ROUND(LN(1.0 - l_discount), 9) AS x,
+    ROUND(LN(l_quantity), 9) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+agg AS (
+  SELECT brand, COUNT(*) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(19,9))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(19,9))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x AS DECIMAL(19,9)) * CAST(x AS DECIMAL(19,9))) AS DOUBLE)
+      AS sxx,
+    CAST(SUM(CAST(x AS DECIMAL(19,9)) * CAST(y AS DECIMAL(19,9))) AS DOUBLE)
+      AS sxy
+  FROM per GROUP BY brand)
+SELECT brand, CAST(n AS BIGINT) AS n_lines,
+  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS elasticity,
+  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+    AS log_base_qty
+FROM agg ORDER BY n_lines DESC, brand LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -14901,6 +15150,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_percentile_error": q_bucketed_percentile_error,
     "dp_noise_report": q_dp_noise_report,
     "quantile_normalization_sources": q_quantile_normalization_sources,
+    "changepoint_binseg_daily": q_changepoint_binseg_daily,
+    "seasonal_strength_daily": q_seasonal_strength_daily,
+    "brand_price_elasticity": q_brand_price_elasticity,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -15196,6 +15448,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "bucketed_percentile_error": _BUCKETED_PCTL_SQL,
     "dp_noise_report": _DP_NOISE_SQL,
     "quantile_normalization_sources": _QNORM_SQL,
+    "changepoint_binseg_daily": _BINSEG_SQL,
+    "seasonal_strength_daily": _SEASONAL_STRENGTH_SQL,
+    "brand_price_elasticity": _ELASTICITY_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

@@ -1033,3 +1033,64 @@ def math_ceil(x):
     import math
 
     return math.ceil(x)  # same IEEE double ceil as both engines
+
+
+def test_changepoint_binseg_matches_python(spark, sf_dir, qs):
+    import math
+
+    r = qs["changepoint_binseg_daily"](spark, sf_dir).collect()[0]
+    daily = sorted(
+        (rr.date, round(rr.total_revenue * 100))
+        for rr in qs["daily_sales_series"](spark, sf_dir).collect()
+    )
+    cents = [c for _, c in daily]
+    n = len(cents)
+    best = None
+    pk = 0
+    tot = sum(cents)
+    for k in range(1, n):
+        pk += cents[k - 1]
+        ml, mr = pk / k, (tot - pk) / (n - k)
+        stat = math.sqrt(k * (n - k) / n) * abs(ml - mr)
+        if best is None or stat > best[0] + 1e-9:
+            best = (stat, k, daily[k - 1][0], ml, mr)
+    stat, k, d, ml, mr = best
+    assert (r.d, r.split_k) == (d, k)
+    assert abs(r.stat - stat) < 1e-3
+    assert abs(r.mean_before - ml / 100) < 1e-3
+    assert abs(r.mean_after - mr / 100) < 1e-3
+
+
+def test_seasonal_strength_bounds(spark, sf_dir, qs):
+    r = qs["seasonal_strength_daily"](spark, sf_dir).collect()[0]
+    n_days = qs["daily_sales_series"](spark, sf_dir).count()
+    assert r.n_days == n_days
+    assert 0.0 <= r.seasonal_strength <= 1.0
+    assert 0.0 <= r.trend_strength <= 1.0
+
+
+def test_brand_elasticity_matches_numpy(spark, sf_dir, qs):
+    import math
+
+    rows = qs["brand_price_elasticity"](spark, sf_dir).collect()
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_discount"
+    ).collect()
+    brand_of = {r.p_partkey: r.p_brand for r in
+                read_table(spark, sf_dir, "part").collect()}
+    per = defaultdict(list)
+    for x in li:
+        per[brand_of[x.l_partkey]].append(
+            (round(math.log(1.0 - x.l_discount), 9),
+             round(math.log(x.l_quantity), 9))
+        )
+    top = sorted(per.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:10]
+    assert [(r.brand, r.n_lines) for r in rows] == [(b, len(v)) for b, v in top]
+    import numpy as np
+
+    for r, (b, v) in zip(rows, top):
+        xs = np.array([x for x, _ in v])
+        ys = np.array([y for _, y in v])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(r.elasticity - slope) < 1e-4
+        assert abs(r.log_base_qty - intercept) < 1e-4
