@@ -6031,6 +6031,70 @@ FROM agg ORDER BY n_lines DESC, brand LIMIT 10
 """
 
 
+def q_wasserstein_shard_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between each source
+    shard's document-length distribution and the pooled corpus — the
+    drift metric that catches a crawler or filter change shifting a
+    shard's length profile. Exact discrete W1 via quantile alignment:
+    shard rank r maps to pooled order statistic ceil(r·N/n_s) (the
+    quantile-normalization index) and W1 = mean |len − pooled_len| —
+    integer token counts make the metric hash-exact. Two rank windows
+    + one index equi-join; nothing corpus-wide broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select("source", "doc_id", TX.token_count(F.col("text")).alias("len"))
+    pooled = per.select(
+        F.row_number().over(Window.orderBy("len", "doc_id")).alias("rn"),
+        F.col("len").alias("pooled_len"),
+    ).localCheckpoint(eager=True)
+    n_total = pooled.count()
+    w_src = Window.partitionBy("source").orderBy("len", "doc_id")
+    ranked = per.select(
+        "source", "len",
+        F.row_number().over(w_src).alias("rs"),
+        F.count("*").over(Window.partitionBy("source")).alias("ns"),
+    )
+    idx = F.ceil(F.col("rs").cast("double") * n_total / F.col("ns")).cast("int")
+    mapped = ranked.withColumn("rn", idx).join(pooled, "rn")
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.abs(F.col("len") - F.col("pooled_len")))
+            .cast("bigint").alias("total_moved_tokens"),
+        )
+        .withColumn(
+            "w1_ppm_tokens",
+            F.expr("total_moved_tokens * 1000000 div n_docs").cast("bigint"),
+        )
+        .orderBy(F.desc("w1_ppm_tokens"), "source")
+    )
+
+
+_WASSERSTEIN_SQL = f"""
+WITH per AS (
+  SELECT source, doc_id, len({_TOKS_SQL}) AS len FROM documents),
+pooled AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY len, doc_id) AS rn, len AS pooled_len
+  FROM per),
+nn AS (SELECT COUNT(*) AS n FROM per),
+ranked AS (
+  SELECT source, len,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY len, doc_id) AS rs,
+    COUNT(*) OVER (PARTITION BY source) AS ns
+  FROM per),
+mapped AS (
+  SELECT source, len, pooled_len
+  FROM ranked, nn
+  JOIN pooled ON pooled.rn = CAST(CEIL(CAST(rs AS DOUBLE) * n / ns) AS INT))
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(ABS(len - pooled_len)) AS BIGINT) AS total_moved_tokens,
+  CAST(SUM(ABS(len - pooled_len)) * 1000000 // COUNT(*) AS BIGINT)
+    AS w1_ppm_tokens
+FROM mapped GROUP BY source
+ORDER BY w1_ppm_tokens DESC, source
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -15153,6 +15217,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "changepoint_binseg_daily": q_changepoint_binseg_daily,
     "seasonal_strength_daily": q_seasonal_strength_daily,
     "brand_price_elasticity": q_brand_price_elasticity,
+    "wasserstein_shard_drift": q_wasserstein_shard_drift,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -15451,6 +15516,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "changepoint_binseg_daily": _BINSEG_SQL,
     "seasonal_strength_daily": _SEASONAL_STRENGTH_SQL,
     "brand_price_elasticity": _ELASTICITY_SQL,
+    "wasserstein_shard_drift": _WASSERSTEIN_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

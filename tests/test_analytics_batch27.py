@@ -1094,3 +1094,33 @@ def test_brand_elasticity_matches_numpy(spark, sf_dir, qs):
         slope, intercept = np.polyfit(xs, ys, 1)
         assert abs(r.elasticity - slope) < 1e-4
         assert abs(r.log_base_qty - intercept) < 1e-4
+
+
+def test_wasserstein_matches_scipy_quantile_form(spark, sf_dir, qs):
+    import math
+
+    rows = {r.source: r for r in
+            qs["wasserstein_shard_drift"](spark, sf_dir).collect()}
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    ).collect()
+    tok_re = re.compile(r"[^a-z0-9]+")
+    per = [(d.source, d.doc_id, len([t for t in tok_re.split(d.text.lower()) if t]))
+           for d in docs]
+    pooled = sorted((l, did) for _, did, l in per)
+    N = len(pooled)
+    by_src = defaultdict(list)
+    for s, did, l in per:
+        by_src[s].append((l, did))
+    assert set(rows) == set(by_src)
+    for s, members in by_src.items():
+        members.sort()
+        ns = len(members)
+        moved = sum(
+            abs(members[rs - 1][0] - pooled[math.ceil(rs * N / ns) - 1][0])
+            for rs in range(1, ns + 1)
+        )
+        r = rows[s]
+        assert (r.n_docs, r.total_moved_tokens) == (ns, moved)
+        assert r.w1_ppm_tokens == moved * 1_000_000 // ns
+        assert r.total_moved_tokens >= 0
