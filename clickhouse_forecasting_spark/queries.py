@@ -6095,6 +6095,81 @@ ORDER BY w1_ppm_tokens DESC, source
 """
 
 
+def q_kalman_local_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kalman filter, local-level model (random walk + observation
+    noise; q=1e10, r=1e12 cents², fixed) over daily revenue — the
+    probabilistic smoother the forecasting family lacked: predict-var,
+    gain K = P/(P+r), filtered level, posterior variance per step. The
+    recurrence is BIT-EXACT across engines (applyInPandas vs recursive
+    CTE, identical IEEE op order — the croston/theta contract, no
+    rounding slack); output is the last 30 filtered days plus gain and
+    ±95% band. One task per series at scale (the forecaster's
+    partitioning)."""
+    import pandas as pd
+
+    o = _t(spark, sf_dir, "orders")
+    daily = _daily_cents(o)
+    q_var, r_var = 1e10, 1e12
+
+    def _kalman(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        out = {"d": [], "y": [], "level": [], "gain": [], "band": []}
+        level = var = None
+        for i in range(len(pdf)):
+            y = float(pdf["cents"][i])
+            if level is None:
+                level, var = y, r_var
+            else:
+                pvar = var + q_var
+                k = pvar / (pvar + r_var)
+                level = level + k * (y - level)
+                var = (1.0 - k) * pvar
+                out_k = k
+            import math
+
+            out["d"].append(pdf["d"][i])
+            out["y"].append(y / 100.0)
+            out["level"].append(level / 100.0)
+            out["gain"].append(0.0 if i == 0 else out_k)
+            # math.sqrt is IEEE-correctly-rounded like SQL SQRT; x**0.5
+            # routes through pow() and is NOT guaranteed bit-identical
+            out["band"].append(1.959963984540054 * math.sqrt(var) / 100.0)
+        return pd.DataFrame(out).tail(30)
+
+    return (
+        daily.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda _, pdf: _kalman(pdf),
+            "d date, y double, level double, gain double, band double",
+        )
+        .orderBy("d")
+    )
+
+
+_KALMAN_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+idx AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, d, y FROM daily),
+kf(rn, d, y, level, var, gain) AS (
+  SELECT rn, d, CAST(y AS DOUBLE), CAST(y AS DOUBLE), 1e12,
+    CAST(0.0 AS DOUBLE)
+  FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.rn, i.d, CAST(i.y AS DOUBLE),
+    k.level + ((k.var + 1e10) / ((k.var + 1e10) + 1e12))
+      * (CAST(i.y AS DOUBLE) - k.level),
+    (1.0 - (k.var + 1e10) / ((k.var + 1e10) + 1e12)) * (k.var + 1e10),
+    (k.var + 1e10) / ((k.var + 1e10) + 1e12)
+  FROM kf k JOIN idx i ON i.rn = k.rn + 1),
+nn AS (SELECT MAX(rn) AS n FROM idx)
+SELECT d, y / 100.0 AS y, level / 100.0 AS level, gain,
+  1.959963984540054 * SQRT(var) / 100.0 AS band
+FROM kf, nn WHERE rn > n - 30 ORDER BY d
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -15218,6 +15293,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "seasonal_strength_daily": q_seasonal_strength_daily,
     "brand_price_elasticity": q_brand_price_elasticity,
     "wasserstein_shard_drift": q_wasserstein_shard_drift,
+    "kalman_local_level": q_kalman_local_level,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -15517,6 +15593,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "seasonal_strength_daily": _SEASONAL_STRENGTH_SQL,
     "brand_price_elasticity": _ELASTICITY_SQL,
     "wasserstein_shard_drift": _WASSERSTEIN_SQL,
+    "kalman_local_level": _KALMAN_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

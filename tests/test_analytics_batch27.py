@@ -1124,3 +1124,33 @@ def test_wasserstein_matches_scipy_quantile_form(spark, sf_dir, qs):
         assert (r.n_docs, r.total_moved_tokens) == (ns, moved)
         assert r.w1_ppm_tokens == moved * 1_000_000 // ns
         assert r.total_moved_tokens >= 0
+
+
+def test_kalman_matches_independent_recurrence(spark, sf_dir, qs):
+    import math
+
+    rows = sorted(qs["kalman_local_level"](spark, sf_dir).collect(), key=lambda r: r.d)
+    daily = sorted(
+        (rr.date, round(rr.total_revenue * 100))
+        for rr in qs["daily_sales_series"](spark, sf_dir).collect()
+    )
+    level = var = None
+    hist = []
+    for d, c in daily:
+        y = float(c)
+        if level is None:
+            level, var, k = y, 1e12, 0.0
+        else:
+            pvar = var + 1e10
+            k = pvar / (pvar + 1e12)
+            level = level + k * (y - level)
+            var = (1.0 - k) * pvar
+        hist.append((d, y / 100.0, level / 100.0, k,
+                     1.959963984540054 * math.sqrt(var) / 100.0))
+    assert len(rows) == 30
+    for r, (d, y, lv, k, band) in zip(rows, hist[-30:]):
+        assert r.d == d
+        assert r.y == y and r.level == lv  # bit-exact
+        assert r.gain == k and r.band == band
+    # gain converges to the steady state of the local-level model
+    assert abs(rows[-1].gain - 0.09512492197250394) < 1e-12
