@@ -125,6 +125,8 @@ EXTENSIONS_R2 = [
     "multimodal_video_features",  # real AVI codec round-trip
     "pii_redaction_report",  # regex detect+redact corpus pass
     "sequence_count_chains",  # window-only greedy sequence matching
+    "rrf_fusion_search",  # one tf pass feeding two rankers + fusion
+    "kalman_local_level",  # bit-exact recursive filter (applyInPandas)
 ]
 
 
