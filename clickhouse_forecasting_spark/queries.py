@@ -6170,6 +6170,180 @@ FROM kf, nn WHERE rn > n - 30 ORDER BY d
 """
 
 
+def q_lttb_downsample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013 —
+    ClickHouse ships it as ``largestTriangleThreeBuckets``), completing
+    the M4 pair: first/last anchored, 25 interior buckets, each
+    selecting the point maximizing the triangle area with the PREVIOUS
+    selection and the NEXT bucket's average — the perceptually-best
+    27-point rendition of the daily series. The selection chain is
+    inherently sequential, so Spark runs it in one applyInPandas task
+    over the day rollup (the croston/theta contract) while the oracle
+    replays the identical IEEE area argmax in a recursive CTE — exact
+    doubles, exact ties (lowest day wins), no rounding slack in the
+    selection."""
+    import pandas as pd
+
+    o = _t(spark, sf_dir, "orders")
+    daily = _daily_cents(o)
+    B_INNER = 25
+
+    def _lttb(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        xs = list(range(1, len(pdf) + 1))
+        ys = [int(v) for v in pdf["cents"]]
+        n = len(xs)
+        bucket_of = lambda rn: (  # noqa: E731
+            0 if rn == 1 else (B_INNER + 1 if rn == n
+                               else 1 + (rn - 2) * B_INNER // (n - 2))
+        )
+        members = {}
+        for rn in xs:
+            members.setdefault(bucket_of(rn), []).append(rn)
+        avgs = {
+            b: (sum(m) / len(m), sum(ys[rn - 1] for rn in m) / len(m))
+            for b, m in members.items()
+        }
+        sel = [(1, float(xs[0]), float(ys[0]))]
+        for k in range(1, B_INNER + 1):
+            sx, sy = sel[-1][1], sel[-1][2]
+            ax, ay = avgs[k + 1]
+            best = None
+            for rn in members[k]:
+                x, y = float(rn), float(ys[rn - 1])
+                area2 = abs((sx - ax) * (y - sy) - (sx - x) * (ay - sy))
+                if best is None or area2 > best[0]:
+                    best = (area2, rn, x, y)
+            sel.append((best[1], best[2], best[3]))
+        sel.append((n, float(n), float(ys[-1])))
+        out = pd.DataFrame(
+            {
+                "k": list(range(len(sel))),
+                "d": [pdf["d"][rn - 1] for rn, _, _ in sel],
+                "revenue": [round(y / 100.0, 2) for _, _, y in sel],
+            }
+        )
+        return out
+
+    return (
+        daily.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            lambda _, pdf: _lttb(pdf), "k int, d date, revenue double"
+        )
+        .orderBy("k")
+    )
+
+
+def _lttb_area_sql(p: str, a: str) -> str:
+    """Triangle-area×2 between the running selection (s.sx, s.sy), a
+    candidate point alias `p`, and a next-bucket average alias `a` —
+    ONE expression string so the argmax and its MAX twin can't drift."""
+    return (
+        f"ABS((s.sx - {a}.ax) * (CAST({p}.y AS DOUBLE) - s.sy)"
+        f" - (s.sx - CAST({p}.x AS DOUBLE)) * ({a}.ay - s.sy))"
+    )
+
+
+_LTTB_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, d, cents FROM daily),
+nn AS (SELECT COUNT(*) AS n FROM idx),
+bk AS (
+  SELECT rn AS x, cents AS y, d,
+    CASE WHEN rn = 1 THEN 0 WHEN rn = n THEN 26
+         ELSE 1 + (rn - 2) * 25 // (n - 2) END AS b
+  FROM idx, nn),
+avgs AS (
+  SELECT b, CAST(SUM(x) AS DOUBLE) / COUNT(*) AS ax,
+    CAST(SUM(y) AS DOUBLE) / COUNT(*) AS ay
+  FROM bk GROUP BY b),
+sel(k, srn, sx, sy) AS (
+  SELECT 0, x, CAST(x AS DOUBLE), CAST(y AS DOUBLE) FROM bk WHERE b = 0
+  UNION ALL
+  SELECT s.k + 1,
+    (SELECT MIN(p.rn) FROM (SELECT x AS rn, x, y, b FROM bk) p, avgs a
+      WHERE p.b = s.k + 1 AND a.b = s.k + 2
+        AND {_lttb_area_sql('p', 'a')} =
+          (SELECT MAX({_lttb_area_sql('p', 'a')})
+           FROM (SELECT x AS rn, x, y, b FROM bk) p, avgs a
+           WHERE p.b = s.k + 1 AND a.b = s.k + 2)),
+    (SELECT CAST(x AS DOUBLE) FROM bk p2, avgs a2
+      WHERE a2.b = s.k + 2 AND p2.b = s.k + 1
+        AND {_lttb_area_sql('p2', 'a2')} =
+          (SELECT MAX({_lttb_area_sql('p', 'a')})
+           FROM (SELECT x AS rn, x, y, b FROM bk) p, avgs a
+           WHERE p.b = s.k + 1 AND a.b = s.k + 2)
+      ORDER BY p2.x LIMIT 1),
+    (SELECT CAST(y AS DOUBLE) FROM bk p2, avgs a2
+      WHERE a2.b = s.k + 2 AND p2.b = s.k + 1
+        AND {_lttb_area_sql('p2', 'a2')} =
+          (SELECT MAX({_lttb_area_sql('p', 'a')})
+           FROM (SELECT x AS rn, x, y, b FROM bk) p, avgs a
+           WHERE p.b = s.k + 1 AND a.b = s.k + 2)
+      ORDER BY p2.x LIMIT 1)
+  FROM sel s WHERE s.k < 25)
+SELECT k, d, revenue FROM (
+  SELECT s.k AS k, bk.d, ROUND(bk.y / 100.0, 2) AS revenue
+  FROM sel s JOIN bk ON bk.x = s.srn
+  UNION ALL
+  SELECT 26, bk.d, ROUND(bk.y / 100.0, 2) FROM bk WHERE b = 26)
+ORDER BY k
+"""
+
+
+def q_time_decayed_value_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``exponentialTimeDecayedAvg`` parity: per event type,
+    the exponentially time-decayed average of value at the stream's
+    final timestamp (τ = 7 days) — recency-weighted engagement without
+    a window cutoff. Each row's weight exp(−Δt/τ) rounds to 1e-12 and
+    both the weighted-value and weight sums accumulate as decimals, so
+    the fold is partition-order-free; one aggregation after a broadcast
+    of the global max timestamp."""
+    ev = _t(spark, sf_dir, "events")
+    tmax = ev.agg(F.max("ts").alias("tmax"))
+    tau_us = 7.0 * 86400.0 * 1e6
+    j = ev.crossJoin(F.broadcast(tmax))
+    wgt = F.round(
+        F.exp(
+            -(F.unix_micros("tmax") - F.unix_micros("ts")).cast("double") / tau_us
+        ),
+        12,
+    )
+    term = F.round(wgt * F.round(F.col("value"), 6), 12)
+    d = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(d(term)).cast("double") / F.sum(d(wgt)).cast("double"), 6
+            ).alias("decayed_avg"),
+            F.round(F.sum(d(wgt)).cast("double"), 6).alias("effective_n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_EXP_DECAY_SQL = """
+WITH tm AS (SELECT MAX(ts) AS tmax FROM events),
+w AS (
+  SELECT event_type,
+    ROUND(EXP(-CAST(epoch_us(tmax) - epoch_us(ts) AS DOUBLE)
+              / (7.0 * 86400.0 * 1e6)), 12) AS wgt,
+    ROUND(value, 6) AS v
+  FROM events, tm)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  ROUND(CAST(SUM(CAST(ROUND(wgt * v, 12) AS DECIMAL(38,12))) AS DOUBLE)
+        / CAST(SUM(CAST(wgt AS DECIMAL(38,12))) AS DOUBLE), 6) AS decayed_avg,
+  ROUND(CAST(SUM(CAST(wgt AS DECIMAL(38,12))) AS DOUBLE), 6) AS effective_n
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
@@ -15294,6 +15468,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brand_price_elasticity": q_brand_price_elasticity,
     "wasserstein_shard_drift": q_wasserstein_shard_drift,
     "kalman_local_level": q_kalman_local_level,
+    "lttb_downsample_daily": q_lttb_downsample_daily,
+    "time_decayed_value_avg": q_time_decayed_value_avg,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -15594,6 +15770,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "brand_price_elasticity": _ELASTICITY_SQL,
     "wasserstein_shard_drift": _WASSERSTEIN_SQL,
     "kalman_local_level": _KALMAN_SQL,
+    "lttb_downsample_daily": _LTTB_SQL,
+    "time_decayed_value_avg": _EXP_DECAY_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

@@ -1154,3 +1154,65 @@ def test_kalman_matches_independent_recurrence(spark, sf_dir, qs):
         assert r.gain == k and r.band == band
     # gain converges to the steady state of the local-level model
     assert abs(rows[-1].gain - 0.09512492197250394) < 1e-12
+
+
+def test_lttb_matches_independent_implementation(spark, sf_dir, qs):
+    rows = sorted(qs["lttb_downsample_daily"](spark, sf_dir).collect(),
+                  key=lambda r: r.k)
+    daily = sorted(
+        (rr.date, round(rr.total_revenue * 100))
+        for rr in qs["daily_sales_series"](spark, sf_dir).collect()
+    )
+    n = len(daily)
+    ys = [c for _, c in daily]
+    bucket_of = lambda rn: (0 if rn == 1 else
+                            (26 if rn == n else 1 + (rn - 2) * 25 // (n - 2)))
+    members = defaultdict(list)
+    for rn in range(1, n + 1):
+        members[bucket_of(rn)].append(rn)
+    avgs = {b: (sum(m) / len(m), sum(ys[r - 1] for r in m) / len(m))
+            for b, m in members.items()}
+    sel = [1]
+    sx, sy = 1.0, float(ys[0])
+    for k in range(1, 26):
+        ax, ay = avgs[k + 1]
+        best = None
+        for rn in members[k]:
+            x, y = float(rn), float(ys[rn - 1])
+            area2 = abs((sx - ax) * (y - sy) - (sx - x) * (ay - sy))
+            if best is None or area2 > best[0]:
+                best = (area2, rn, x, y)
+        sel.append(best[1])
+        sx, sy = best[2], best[3]
+    sel.append(n)
+    assert [r.k for r in rows] == list(range(27))
+    assert [r.d for r in rows] == [daily[rn - 1][0] for rn in sel]
+    assert [r.revenue for r in rows] == [round(ys[rn - 1] / 100, 2) for rn in sel]
+    # anchors always kept
+    assert rows[0].d == daily[0][0] and rows[-1].d == daily[-1][0]
+
+
+def test_time_decayed_avg_matches_python(spark, sf_dir, qs):
+    import math
+
+    rows = {r.event_type: r for r in
+            qs["time_decayed_value_avg"](spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
+    tmax = max(e.ts for e in ev)
+    tau = 7 * 86400 * 1e6
+    agg = defaultdict(lambda: [0, 0.0, 0.0])
+    for e in ev:
+        dt = (tmax - e.ts).total_seconds() * 1e6
+        w = round(math.exp(-dt / tau), 12)
+        a = agg[e.event_type]
+        a[0] += 1
+        a[1] += round(w * round(e.value, 6), 12)
+        a[2] += w
+    assert set(rows) == set(agg)
+    for et, (ne, sv, sw) in agg.items():
+        r = rows[et]
+        assert r.n_events == ne
+        assert abs(r.decayed_avg - round(sv / sw, 6)) < 2e-6
+        assert abs(r.effective_n - round(sw, 6)) < 2e-6
+        # decay weights are at most 1: effective sample <= raw count
+        assert r.effective_n <= ne
