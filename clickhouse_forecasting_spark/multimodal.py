@@ -291,26 +291,35 @@ def decode_avi(payload: bytes) -> tuple[int, int, "list[bytes]"]:
     width = height = None
     frames: list[bytes] = []
 
-    def walk(pos: int, end: int) -> None:
-        nonlocal width, height
-        while pos + 8 <= end:
-            cid = payload[pos : pos + 4]
-            (size,) = struct.unpack_from("<I", payload, pos + 4)
-            body_start = pos + 8
-            if body_start + size > end:
-                raise ValueError(f"truncated chunk {cid!r}")
-            if cid == b"LIST":
-                walk(body_start + 4, body_start + size)
-            elif cid == b"avih":
-                if size < 40:
-                    raise ValueError("truncated avih header")
-                # dwWidth/dwHeight are the 9th/10th dwords of the body
-                width, height = struct.unpack_from("<II", payload, body_start + 32)
-            elif cid == b"00db":
-                frames.append(payload[body_start : body_start + size])
-            pos = body_start + size + (size % 2)
-
-    walk(12, len(payload))
+    # Iterative chunk-tree walk (explicit stack) so a crafted payload
+    # with deeply nested LIST chunks hits the documented ValueError
+    # contract instead of RecursionError.
+    _MAX_LIST_DEPTH = 16
+    stack: list[tuple[int, int]] = [(12, len(payload))]
+    while stack:
+        if len(stack) > _MAX_LIST_DEPTH:
+            raise ValueError("LIST chunks nested deeper than 16 levels")
+        pos, end = stack.pop()
+        if pos + 8 > end:
+            continue
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body_start = pos + 8
+        if body_start + size > end:
+            raise ValueError(f"truncated chunk {cid!r}")
+        # resume this level after the current chunk, then (for LIST)
+        # descend into the body first — stack order preserves document
+        # order for '00db' frame chunks
+        stack.append((body_start + size + (size % 2), end))
+        if cid == b"LIST":
+            stack.append((body_start + 4, body_start + size))
+        elif cid == b"avih":
+            if size < 40:
+                raise ValueError("truncated avih header")
+            # dwWidth/dwHeight are the 9th/10th dwords of the body
+            width, height = struct.unpack_from("<II", payload, body_start + 32)
+        elif cid == b"00db":
+            frames.append(payload[body_start : body_start + size])
     if width is None or height is None:
         raise ValueError("missing avih header")
     if not frames:

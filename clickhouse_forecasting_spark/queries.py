@@ -2735,12 +2735,13 @@ WITH d AS (
   FROM documents)
 SELECT doc_id,
   CAST(len(l) AS BIGINT) AS n_tokens,
-  CAST(list_sum(l) AS BIGINT) AS total_chars,
+  CAST(COALESCE(list_sum(l), 0) AS BIGINT) AS total_chars,
   CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct_lens,
-  CAST(list_sum(list_transform(generate_series(2, len(l)),
-    i -> CASE WHEN l[i] <> l[i-1] THEN 1 ELSE 0 END)) + 1 AS BIGINT) AS n_runs,
-  CAST(list_sum(list_transform(generate_series(2, len(l)),
-    i -> abs(l[i] - l[i-1]))) AS BIGINT) AS sum_abs_diff,
+  CAST(COALESCE(list_sum(list_transform(generate_series(2, len(l)),
+    i -> CASE WHEN l[i] <> l[i-1] THEN 1 ELSE 0 END)), 0) + 1 AS BIGINT)
+    AS n_runs,
+  CAST(COALESCE(list_sum(list_transform(generate_series(2, len(l)),
+    i -> abs(l[i] - l[i-1]))), 0) AS BIGINT) AS sum_abs_diff,
   CAST(list_max(l) AS BIGINT) AS max_len,
   CAST(list_min(l) AS BIGINT) AS min_len
 FROM d ORDER BY doc_id

@@ -377,3 +377,41 @@ def test_locf_impute_repairs_all_masked_days(spark, sf_dir, qs):
             prev_val = r.rev_imputed
         if not r.was_imputed:
             prev_val = r.rev_imputed
+
+
+def test_ch_array_functions_oracle_parity_on_short_docs(spark, tmp_path):
+    """ADVICE r2: the DuckDB twin must match the guarded Spark semantics
+    for 0- and 1-token docs (empty-list list_sum is NULL in DuckDB;
+    COALESCE keeps n_runs/sum_abs_diff/total_chars at the Spark values)."""
+    import duckdb
+    import pandas as pd
+    from clickhouse_forecasting_spark import queries as Q
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["", "...!!!", "hello", "one two two five", "a-b"],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [0, 6, 5, 16, 3],
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet", index=False)
+    got = {
+        r.doc_id: r for r in Q.q_ch_array_functions(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    oracle = con.execute(Q._CH_ARRAY_SQL).fetchall()
+    cols = [d[0] for d in con.description]
+    assert len(oracle) == len(got) == 5
+    for orow in oracle:
+        o = dict(zip(cols, orow))
+        g = got[o["doc_id"]]
+        for c in cols:
+            assert getattr(g, c) == o[c], (o["doc_id"], c, getattr(g, c), o[c])
+    # the guarded semantics themselves: 0-token docs report 1 run, 0 sums
+    assert got[1].n_tokens == 0 and got[1].n_runs == 1
+    assert got[1].total_chars == 0 and got[1].sum_abs_diff == 0
+    assert got[3].n_tokens == 1 and got[3].n_runs == 1 and got[3].sum_abs_diff == 0

@@ -305,3 +305,32 @@ def test_avi_features_mean_rgb_exact():
     frames = [bytes([10] * 12), bytes([30] * 12)]
     feats = MM._decode_avi_features(MM.encode_avi(2, 2, frames))
     assert feats == [2.0, 2.0, 2.0, 20.0]
+
+
+def test_decode_avi_deep_list_nesting_raises_valueerror():
+    """ADVICE r2: a crafted payload with deeply nested LIST chunks must
+    hit the documented ValueError contract, not RecursionError."""
+    import struct as _s
+
+    body = b"avih" + _s.pack("<I", 40) + b"\x00" * 32 + _s.pack("<II", 1, 1)
+    for _ in range(500):
+        inner = b"nest" + body
+        body = b"LIST" + _s.pack("<I", len(inner)) + inner
+    payload = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"AVI " + body
+    with pytest.raises(ValueError, match="nested"):
+        MM.decode_avi(payload)
+
+
+def test_decode_avi_moderate_list_nesting_ok():
+    """Nesting within the 16-level bound still decodes; frame order is
+    preserved by the iterative walk."""
+    import struct as _s
+
+    good = MM.encode_avi(2, 2, [bytes(range(12)), bytes(range(12, 24))])
+    # wrap the whole chunk sequence in 5 extra LIST levels
+    inner = good[12:]
+    for _ in range(5):
+        wrapped = b"wrap" + inner
+        inner = b"LIST" + _s.pack("<I", len(wrapped)) + wrapped
+    payload = b"RIFF" + _s.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    assert MM.decode_avi(payload) == (2, 2, [bytes(range(12)), bytes(range(12, 24))])
