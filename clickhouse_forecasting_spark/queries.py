@@ -15167,6 +15167,477 @@ WHERE rank <= 20
 
 
 # --------------------------------------------------------------------------
+# ClickHouse function parity — round-3 wave (theilsU / studentTTest /
+# sequenceNextNode / uniqUpTo / deltaSum / sparkbar / geohashEncode)
+# --------------------------------------------------------------------------
+
+
+def q_theils_u_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``theilsU`` + ``contingency`` parity: the uncertainty
+    coefficient U(priority|status) / U(status|priority) and Pearson's
+    contingency coefficient over orders. One shuffle to the bounded
+    (priority x status) cell table (<= 15 cells at any SF); entropies and
+    chi-square accumulate 1e-12-rounded terms as decimals, so every sum is
+    partition-order-free and bit-identical across engines."""
+    o = _t(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    d12 = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    wx = Window.partitionBy("o_orderpriority")
+    wy = Window.partitionBy("o_orderstatus")
+    wall = Window.partitionBy()
+    e = cells.select(
+        "c",
+        F.sum("c").over(wx).alias("cx"),
+        F.sum("c").over(wy).alias("cy"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    px = F.col("cx").cast("double") / F.col("n").cast("double")
+    py = F.col("cy").cast("double") / F.col("n").cast("double")
+    ex = F.col("cx").cast("double") * F.col("cy").cast("double") / F.col("n").cast("double")
+    terms = e.select(
+        "n",
+        d12(F.round(p * F.log(p), 12)).alias("t_xy"),
+        # marginal-entropy terms counted once per cell, weighted by the
+        # cell's share of its marginal -> sums to the marginal entropy
+        d12(F.round(p * F.log(px), 12)).alias("t_x"),
+        d12(F.round(p * F.log(py), 12)).alias("t_y"),
+        d12(
+            F.round(
+                (F.col("c").cast("double") - ex) * (F.col("c").cast("double") - ex) / ex,
+                12,
+            )
+        ).alias("t_chi"),
+    )
+    agg = terms.groupBy("n").agg(
+        (-F.sum("t_xy")).cast("double").alias("h_xy"),
+        (-F.sum("t_x")).cast("double").alias("h_x"),
+        (-F.sum("t_y")).cast("double").alias("h_y"),
+        F.sum("t_chi").cast("double").alias("chi2"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round("h_x", 6).alias("h_priority"),
+        F.round("h_y", 6).alias("h_status"),
+        F.round("h_xy", 6).alias("h_joint"),
+        F.round((F.col("h_x") - (F.col("h_xy") - F.col("h_y"))) / F.col("h_x"), 6)
+        .alias("u_priority_given_status"),
+        F.round((F.col("h_y") - (F.col("h_xy") - F.col("h_x"))) / F.col("h_y"), 6)
+        .alias("u_status_given_priority"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(F.sqrt(F.col("chi2") / (F.col("chi2") + nd)), 6)
+        .alias("contingency_c"),
+    )
+
+
+_THEILS_U_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+e AS (
+  SELECT c,
+    SUM(c) OVER (PARTITION BY o_orderpriority) AS cx,
+    SUM(c) OVER (PARTITION BY o_orderstatus) AS cy,
+    SUM(c) OVER () AS n
+  FROM cells),
+terms AS (
+  SELECT n,
+    CAST(ROUND((c::DOUBLE / n) * ln(c::DOUBLE / n), 12) AS DECIMAL(38,12)) AS t_xy,
+    CAST(ROUND((c::DOUBLE / n) * ln(cx::DOUBLE / n), 12) AS DECIMAL(38,12)) AS t_x,
+    CAST(ROUND((c::DOUBLE / n) * ln(cy::DOUBLE / n), 12) AS DECIMAL(38,12)) AS t_y,
+    CAST(ROUND(
+      (c::DOUBLE - cx::DOUBLE * cy::DOUBLE / n)
+      * (c::DOUBLE - cx::DOUBLE * cy::DOUBLE / n)
+      / (cx::DOUBLE * cy::DOUBLE / n), 12) AS DECIMAL(38,12)) AS t_chi
+  FROM e),
+agg AS (
+  SELECT n,
+    CAST(-SUM(t_xy) AS DOUBLE) AS h_xy,
+    CAST(-SUM(t_x) AS DOUBLE) AS h_x,
+    CAST(-SUM(t_y) AS DOUBLE) AS h_y,
+    CAST(SUM(t_chi) AS DOUBLE) AS chi2
+  FROM terms GROUP BY n)
+SELECT CAST(n AS BIGINT) AS n_orders,
+  ROUND(h_x, 6) AS h_priority,
+  ROUND(h_y, 6) AS h_status,
+  ROUND(h_xy, 6) AS h_joint,
+  ROUND((h_x - (h_xy - h_y)) / h_x, 6) AS u_priority_given_status,
+  ROUND((h_y - (h_xy - h_x)) / h_y, 6) AS u_status_given_priority,
+  ROUND(chi2, 6) AS chi2,
+  ROUND(sqrt(chi2 / (chi2 + n::DOUBLE)), 6) AS contingency_c
+FROM agg
+"""
+
+
+def q_student_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``studentTTest`` parity (the equal-variance companion to
+    the existing ``welch_ttest_segments``): pooled-variance two-sample t on
+    customer account balance, BUILDING vs MACHINERY. Sums and sums of
+    squares accumulate as exact decimals of 1e-2/1e-4-rounded terms (order
+    free); the t statistic and pooled variance divide in double at the
+    end. Single aggregation pass, two groups."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    v = F.round(F.col("c_acctbal"), 2)
+    g = c.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(v.cast("decimal(38,2)")).alias("s"),
+        F.sum(F.round(v * v, 4).cast("decimal(38,4)")).alias("ss"),
+    )
+    wide = (
+        g.groupBy()
+        .pivot("c_mktsegment", ["BUILDING", "MACHINERY"])
+        .agg(F.first("n").alias("n"), F.first("s").alias("s"), F.first("ss").alias("ss"))
+    )
+    n1, n2 = F.col("BUILDING_n").cast("double"), F.col("MACHINERY_n").cast("double")
+    s1, s2 = F.col("BUILDING_s").cast("double"), F.col("MACHINERY_s").cast("double")
+    ss1, ss2 = F.col("BUILDING_ss").cast("double"), F.col("MACHINERY_ss").cast("double")
+    m1, m2 = s1 / n1, s2 / n2
+    pooled = ((ss1 - n1 * m1 * m1) + (ss2 - n2 * m2 * m2)) / (n1 + n2 - 2)
+    t = (m1 - m2) / F.sqrt(pooled * (1 / n1 + 1 / n2))
+    return wide.select(
+        F.col("BUILDING_n").alias("n_building"),
+        F.col("MACHINERY_n").alias("n_machinery"),
+        F.round(m1, 6).alias("mean_building"),
+        F.round(m2, 6).alias("mean_machinery"),
+        F.round(pooled, 6).alias("pooled_var"),
+        F.round(t, 6).alias("t_stat"),
+        (n1 + n2 - 2).cast("bigint").alias("df"),
+        (F.abs(t) > 1.96).cast("int").alias("significant_5pct"),
+    )
+
+
+_STUDENT_T_SQL = """
+WITH g AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(38,2))) AS s,
+    SUM(CAST(ROUND(ROUND(c_acctbal, 2) * ROUND(c_acctbal, 2), 4)
+             AS DECIMAL(38,4))) AS ss
+  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY 1),
+wide AS (
+  SELECT
+    MAX(CASE WHEN c_mktsegment = 'BUILDING' THEN n END) AS n1b,
+    MAX(CASE WHEN c_mktsegment = 'MACHINERY' THEN n END) AS n2b,
+    CAST(MAX(CASE WHEN c_mktsegment = 'BUILDING' THEN s END) AS DOUBLE) AS s1,
+    CAST(MAX(CASE WHEN c_mktsegment = 'MACHINERY' THEN s END) AS DOUBLE) AS s2,
+    CAST(MAX(CASE WHEN c_mktsegment = 'BUILDING' THEN ss END) AS DOUBLE) AS ss1,
+    CAST(MAX(CASE WHEN c_mktsegment = 'MACHINERY' THEN ss END) AS DOUBLE) AS ss2
+  FROM g)
+SELECT n1b AS n_building, n2b AS n_machinery,
+  ROUND(s1 / n1b, 6) AS mean_building,
+  ROUND(s2 / n2b, 6) AS mean_machinery,
+  ROUND(((ss1 - n1b * (s1/n1b) * (s1/n1b)) + (ss2 - n2b * (s2/n2b) * (s2/n2b)))
+        / (n1b + n2b - 2), 6) AS pooled_var,
+  ROUND((s1/n1b - s2/n2b) / sqrt(
+    (((ss1 - n1b * (s1/n1b) * (s1/n1b)) + (ss2 - n2b * (s2/n2b) * (s2/n2b)))
+     / (n1b + n2b - 2)) * (1.0/n1b + 1.0/n2b)), 6) AS t_stat,
+  CAST(n1b + n2b - 2 AS BIGINT) AS df,
+  CAST(abs((s1/n1b - s2/n2b) / sqrt(
+    (((ss1 - n1b * (s1/n1b) * (s1/n1b)) + (ss2 - n2b * (s2/n2b) * (s2/n2b)))
+     / (n1b + n2b - 2)) * (1.0/n1b + 1.0/n2b))) > 1.96 AS INT)
+    AS significant_5pct
+FROM wide
+"""
+
+
+def q_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceNextNode('forward','head')`` parity: for every
+    user, the event immediately following their FIRST 'view' (ties broken
+    by event_id — a total order, so the answer is engine-independent), and
+    the distribution of those next steps. One window pass partitioned by
+    user (scales with users, no global sort); users whose first view is
+    their last event report '(end)'."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.sum((F.col("event_type") == "view").cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("views_so_far"),
+    )
+    first_view = marked.filter(
+        (F.col("event_type") == "view") & (F.col("views_so_far") == 1)
+    )
+    return (
+        first_view.groupBy(
+            F.coalesce("next_type", F.lit("(end)")).alias("next_after_first_view")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("next_after_first_view")
+    )
+
+
+_SEQ_NEXT_SQL = """
+WITH marked AS (
+  SELECT user_id, event_type,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type,
+    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS views_so_far
+  FROM events)
+SELECT COALESCE(next_type, '(end)') AS next_after_first_view,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM marked WHERE event_type = 'view' AND views_so_far = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_uniq_up_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqUpTo(N)`` parity: per event type, the distinct
+    user count reported exactly while <= N and as N+1 once it exceeds N
+    (the CH contract that bounds state at N+1 values per group). Shown at
+    N=10 and N=100 beside the exact count; one aggregation. At scale the
+    capped semantics are what make per-group distinct state bounded —
+    the partial-aggregate state never holds more than N+1 ids."""
+    ev = _t(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            exact.alias("exact_users"),
+            F.least(exact, F.lit(11)).cast("bigint").alias("uniq_up_to_10"),
+            F.least(exact, F.lit(101)).cast("bigint").alias("uniq_up_to_100"),
+            (exact > 100).cast("int").alias("capped_at_100"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_UNIQ_UP_TO_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+  CAST(LEAST(COUNT(DISTINCT user_id), 11) AS BIGINT) AS uniq_up_to_10,
+  CAST(LEAST(COUNT(DISTINCT user_id), 101) AS BIGINT) AS uniq_up_to_100,
+  CAST(COUNT(DISTINCT user_id) > 100 AS INT) AS capped_at_100
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_delta_sum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``deltaSum`` / ``runningDifference`` parity over the
+    daily revenue series, per month: the sum of positive day-over-day
+    increases (deltaSum's monotone-gain semantics), up/down day counts,
+    and the first-to-last net change. Daily revenue aggregates 1e-2-rounded
+    prices as exact decimals, so deltas and their sums are exact and
+    order-free; the lag runs inside month partitions (no global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round("o_totalprice", 2).cast("decimal(38,2)")).alias("rev")
+        )
+    )
+    w = Window.partitionBy(F.date_format("d", "yyyy-MM")).orderBy("d")
+    d = daily.select(
+        F.date_format("d", "yyyy-MM").alias("month"),
+        "d",
+        "rev",
+        (F.col("rev") - F.lag("rev").over(w)).alias("delta"),
+    )
+    return (
+        d.groupBy("month")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("delta_sum"),
+            F.sum(F.when(F.col("delta") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("up_days"),
+            F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("down_days"),
+            (F.max_by("rev", "d") - F.min_by("rev", "d"))
+            .cast("double")
+            .alias("net_change"),
+        )
+        .orderBy("month")
+    )
+
+
+_DELTA_SUM_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(38,2))) AS rev
+  FROM orders GROUP BY 1),
+dd AS (
+  SELECT strftime(d, '%Y-%m') AS month, d, rev,
+    rev - LAG(rev) OVER (PARTITION BY strftime(d, '%Y-%m') ORDER BY d)
+      AS delta
+  FROM daily)
+SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days,
+  CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS DOUBLE) AS delta_sum,
+  CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS up_days,
+  CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS down_days,
+  CAST(arg_max(rev, d) - arg_min(rev, d) AS DOUBLE) AS net_change
+FROM dd GROUP BY month ORDER BY month
+"""
+
+
+_SPARKBAR_PALETTE = "▁▂▃▄▅▆▇█"
+
+
+def q_sparkbar_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sparkbar`` parity: per month, an 8-level unicode bar
+    chart of daily order counts (observed days, in day order). Levels are
+    min-max normalized per month — level = floor((v-min)*7/(max-min)),
+    all-equal months render full bars — using only integer-valued doubles,
+    so floor() is exact in both engines. The per-month array is bounded at
+    31 entries; one shuffle to (month, day), one to month."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month"),
+            F.dayofmonth(F.col("o_orderdate").cast("date")).alias("dom"),
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    m = daily.groupBy("month").agg(
+        F.array_sort(F.collect_list(F.struct("dom", "cnt"))).alias("arr"),
+        F.min("cnt").alias("mn"),
+        F.max("cnt").alias("mx"),
+    )
+    lvl = lambda c: F.when(  # noqa: E731
+        F.col("mx") == F.col("mn"), F.lit(7)
+    ).otherwise(
+        F.floor(
+            (c - F.col("mn")).cast("double") * 7.0
+            / (F.col("mx") - F.col("mn")).cast("double")
+        )
+    )
+    return m.select(
+        "month",
+        F.size("arr").cast("bigint").alias("n_days"),
+        F.col("mn").cast("bigint").alias("min_daily"),
+        F.col("mx").cast("bigint").alias("max_daily"),
+        F.concat_ws(
+            "",
+            F.transform(
+                "arr",
+                lambda s: F.substring(
+                    F.lit(_SPARKBAR_PALETTE),
+                    (lvl(s.getField("cnt")) + 1).cast("int"),
+                    1,
+                ),
+            ),
+        ).alias("sparkbar"),
+    ).orderBy("month")
+
+
+_SPARKBAR_SQL = f"""
+WITH daily AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+    day(CAST(o_orderdate AS DATE)) AS dom,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2),
+m AS (
+  SELECT month, list(cnt ORDER BY dom) AS arr,
+    MIN(cnt) AS mn, MAX(cnt) AS mx
+  FROM daily GROUP BY month)
+SELECT month, CAST(len(arr) AS BIGINT) AS n_days,
+  CAST(mn AS BIGINT) AS min_daily, CAST(mx AS BIGINT) AS max_daily,
+  list_aggregate(list_transform(arr, v -> substr('{_SPARKBAR_PALETTE}',
+    CAST(CASE WHEN mx = mn THEN 7
+         ELSE floor((v - mn)::DOUBLE * 7.0 / (mx - mn)::DOUBLE) END
+         AS INT) + 1, 1)), 'string_agg', '') AS sparkbar
+FROM m ORDER BY month
+"""
+
+
+_GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def q_geohash_grid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``geohashEncode`` parity: customers are placed on a
+    deterministic synthetic lat/lon grid (key-derived, since fixtures have
+    no geography), geohash-encoded at precision 2 with pure integer bit
+    interleaving (5 lon bits + 5 lat bits -> 2 base32 chars — exact, no
+    floating point), then rolled up per cell. The cell space is bounded at
+    1024 rows at ANY scale; row-local encoding plus one aggregation; the
+    encode is a codegen'd expression chain, no UDF."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("bigint")
+    # synthetic coords: lat in [-90,90) on a 0.01-degree grid, lon likewise
+    lat_units = (k * 37) % 18000   # (lat + 90) * 100
+    lon_units = (k * 73) % 36000   # (lon + 180) * 100
+    # geohash cell index at 5 bits per axis: floor(frac * 32)
+    latb = F.floor((lat_units * 32) / F.lit(18000)).cast("bigint")
+    lonb = F.floor((lon_units * 32) / F.lit(36000)).cast("bigint")
+    code = F.lit(0).cast("bigint")
+    for i in range(5):
+        code = (
+            code
+            + F.shiftright(lonb, i).bitwiseAND(F.lit(1)) * F.lit(2 ** (2 * i + 1))
+            + F.shiftright(latb, i).bitwiseAND(F.lit(1)) * F.lit(2 ** (2 * i))
+        )
+    gh = F.concat(
+        *[
+            F.substring(
+                F.lit(_GEOHASH_ALPHABET),
+                (F.shiftright(code, 5 - 5 * j).bitwiseAND(F.lit(31)) + 1).cast(
+                    "int"
+                ),
+                1,
+            )
+            for j in range(2)
+        ]
+    )
+    return (
+        c.select(
+            gh.alias("geohash2"),
+            F.round("c_acctbal", 2).alias("bal"),
+        )
+        .groupBy("geohash2")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.col("bal").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .orderBy("geohash2")
+    )
+
+
+def _geohash_sql() -> str:
+    code_terms = " + ".join(
+        f"(((lonb >> {i}) & 1) * {2 ** (2 * i + 1)})"
+        f" + (((latb >> {i}) & 1) * {2 ** (2 * i)})"
+        for i in range(5)
+    )
+    chars = " || ".join(
+        f"substr('{_GEOHASH_ALPHABET}', CAST(((code >> {5 - 5 * j}) & 31) + 1 AS INT), 1)"
+        for j in range(2)
+    )
+    return f"""
+WITH grid AS (
+  SELECT
+    CAST(floor(((c_custkey * 37) % 18000) * 32 / 18000.0) AS BIGINT) AS latb,
+    CAST(floor(((c_custkey * 73) % 36000) * 32 / 36000.0) AS BIGINT) AS lonb,
+    ROUND(c_acctbal, 2) AS bal
+  FROM customer),
+coded AS (
+  SELECT CAST({code_terms} AS BIGINT) AS code, bal FROM grid)
+SELECT {chars} AS geohash2,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(CAST(bal AS DECIMAL(38,2))) AS DOUBLE) AS sum_acctbal
+FROM coded GROUP BY 1 ORDER BY 1
+"""
+
+
+_GEOHASH_SQL = _geohash_sql()
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -15471,6 +15942,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kalman_local_level": q_kalman_local_level,
     "lttb_downsample_daily": q_lttb_downsample_daily,
     "time_decayed_value_avg": q_time_decayed_value_avg,
+    "theils_u_association": q_theils_u_association,
+    "student_ttest_segments": q_student_ttest_segments,
+    "sequence_next_node": q_sequence_next_node,
+    "uniq_up_to_report": q_uniq_up_to_report,
+    "delta_sum_report": q_delta_sum_report,
+    "sparkbar_monthly_orders": q_sparkbar_monthly_orders,
+    "geohash_grid_rollup": q_geohash_grid_rollup,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -15773,6 +16251,13 @@ ORACLE_QUERIES: dict[str, str] = {
     "kalman_local_level": _KALMAN_SQL,
     "lttb_downsample_daily": _LTTB_SQL,
     "time_decayed_value_avg": _EXP_DECAY_SQL,
+    "theils_u_association": _THEILS_U_SQL,
+    "student_ttest_segments": _STUDENT_T_SQL,
+    "sequence_next_node": _SEQ_NEXT_SQL,
+    "uniq_up_to_report": _UNIQ_UP_TO_SQL,
+    "delta_sum_report": _DELTA_SUM_SQL,
+    "sparkbar_monthly_orders": _SPARKBAR_SQL,
+    "geohash_grid_rollup": _GEOHASH_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
