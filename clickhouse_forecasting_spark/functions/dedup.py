@@ -475,39 +475,48 @@ def connected_components(
     and near-dup clusters have tiny diameters in practice. The driver only
     checks a convergence flag per iteration — labels never leave the
     cluster. Returns (id, component) for every id appearing in pairs."""
+    from pyspark import StorageLevel
+
+    # the edge list is re-joined EVERY iteration — persist it once so the
+    # upstream pair derivation (LSH candidate + verify joins) runs a
+    # single time instead of once per round
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", "component")
-                ).alias("component"),
-                (F.coalesce("nbr_component", "component") < F.col("component")).alias(
-                    "_changed"
-                ),
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_component"))
             )
-        )
-        updated = updated.localCheckpoint(eager=True)  # truncate the lineage per iteration
-        converged = updated.filter(F.col("_changed")).isEmpty()
-        labels = updated.drop("_changed")
-        if converged:
-            break
+            updated = (
+                labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce("nbr_component", "component")
+                    ).alias("component"),
+                    (
+                        F.coalesce("nbr_component", "component") < F.col("component")
+                    ).alias("_changed"),
+                )
+            )
+            updated = updated.localCheckpoint(eager=True)  # truncate lineage per iteration
+            converged = updated.filter(F.col("_changed")).isEmpty()
+            labels = updated.drop("_changed")
+            if converged:
+                break
+    finally:
+        edges.unpersist()
     return labels
 
 

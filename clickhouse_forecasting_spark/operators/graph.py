@@ -108,6 +108,13 @@ def pagerank(
     n_dangling = dangling_nodes.count()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    # rank state is O(nodes): when the node set is small (derived graphs —
+    # nation trade, domain graphs — are bounded by the dimension), hint
+    # both per-iteration joins to broadcast it, turning each round into
+    # one shuffle (the contribution groupBy) instead of three. Large
+    # graphs keep the shuffle-join dataflow.
+    small_state = n <= 100_000
+    hint = F.broadcast if small_state else (lambda df: df)
     try:
         for it in range(iterations):
             # mass sitting on dangling nodes this iteration (scalar;
@@ -120,12 +127,12 @@ def pagerank(
                     .collect()[0][0]
                 )
             contribs = (
-                norm.join(ranks, norm.src == ranks.node)
+                norm.join(hint(ranks), norm.src == ranks.node)
                 .select("dst", (F.col("rank") * F.col("frac")).alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("c"))
             )
-            ranks = nodes.join(contribs, nodes.node == contribs.dst, "left").select(
+            ranks = nodes.join(hint(contribs), nodes.node == contribs.dst, "left").select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
