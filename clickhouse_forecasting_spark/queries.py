@@ -15637,6 +15637,359 @@ FROM coded GROUP BY 1 ORDER BY 1
 _GEOHASH_SQL = _geohash_sql()
 
 
+def q_group_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupBitAnd`` / ``groupBitOr`` / ``groupBitXor``
+    parity: bitwise aggregates of the user-id key per event type (the CH
+    idiom for permission-mask folding and parity checks). Associative +
+    commutative integer folds — partial aggregation is exact, one
+    shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.bit_and("user_id").cast("bigint").alias("bit_and_users"),
+            F.bit_or("user_id").cast("bigint").alias("bit_or_users"),
+            F.bit_xor("user_id").cast("bigint").alias("bit_xor_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_GROUP_BIT_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(bit_and(user_id) AS BIGINT) AS bit_and_users,
+  CAST(bit_or(user_id) AS BIGINT) AS bit_or_users,
+  CAST(bit_xor(user_id) AS BIGINT) AS bit_xor_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_any_heavy_daily_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``anyHeavy`` made deterministic: per ISO week, the
+    Boyer-Moore majority-vote fold over the sequence of daily winning
+    event types (day order; daily winner = max count, ties to the
+    alphabetically first type), verified against the exact mode. The fold
+    is a Catalyst ``aggregate`` over a <=7-element week array — no UDF,
+    no shuffle beyond the two groupBys; the DuckDB twin replays the
+    identical fold with ``list_reduce``. ``bm_is_majority`` certifies the
+    Boyer-Moore invariant: the candidate equals the mode whenever a true
+    majority (> n/2 days) exists."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wd = Window.partitionBy("d").orderBy(F.col("cnt").desc(), "event_type")
+    winners = (
+        daily.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.date_trunc("week", F.col("d")).cast("date").alias("week"),
+            F.dayofyear("d").alias("dom"),
+            F.col("event_type").alias("winner"),
+        )
+    )
+    m = winners.groupBy("week").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dom", "winner"))),
+            lambda s: s.getField("winner"),
+        ).alias("ws")
+    )
+    acc0 = F.struct(F.lit("").alias("cand"), F.lit(0).alias("cnt"))
+    bm = F.aggregate(
+        "ws",
+        acc0,
+        lambda acc, w: F.when(
+            acc.getField("cnt") == 0,
+            F.struct(w.alias("cand"), F.lit(1).alias("cnt")),
+        )
+        .when(
+            w == acc.getField("cand"),
+            F.struct(
+                acc.getField("cand").alias("cand"),
+                (acc.getField("cnt") + 1).alias("cnt"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                acc.getField("cand").alias("cand"),
+                (acc.getField("cnt") - 1).alias("cnt"),
+            )
+        ),
+    )
+    folded = m.select("week", F.size("ws").alias("n_days"), bm.alias("bm"), "ws")
+    modal_days = F.array_max(
+        F.transform(
+            F.array_distinct("ws"),
+            lambda w: F.size(F.filter("ws", lambda x: x == w)),
+        )
+    )
+    # mode with alphabetical tie-break: among winners hitting modal_days,
+    # the smallest string
+    mode_val = F.array_min(
+        F.filter(
+            F.array_distinct("ws"),
+            lambda w: F.size(F.filter("ws", lambda x: x == w)) == modal_days,
+        )
+    )
+    return folded.select(
+        "week",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("bm").getField("cand").alias("bm_candidate"),
+        mode_val.alias("modal_winner"),
+        modal_days.cast("bigint").alias("modal_days"),
+        (modal_days * 2 > F.col("n_days")).cast("int").alias("has_true_majority"),
+        (F.col("bm").getField("cand") == mode_val).cast("int").alias("bm_matches_mode"),
+    ).orderBy("week")
+
+
+_ANY_HEAVY_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+winners AS (
+  SELECT CAST(date_trunc('week', d) AS DATE) AS week, dayofyear(d) AS dom,
+    event_type AS winner
+  FROM (SELECT d, event_type, cnt,
+          ROW_NUMBER() OVER (PARTITION BY d ORDER BY cnt DESC, event_type) AS rn
+        FROM daily)
+  WHERE rn = 1),
+m AS (
+  SELECT week, list(winner ORDER BY dom) AS ws FROM winners GROUP BY week),
+folded AS (
+  SELECT week, len(ws) AS n_days, ws,
+    list_reduce(
+      list_transform(ws, w -> {'cand': w, 'cnt': 1}),
+      (acc, x) -> CASE
+        WHEN acc.cnt = 0 THEN {'cand': x.cand, 'cnt': 1}
+        WHEN x.cand = acc.cand THEN {'cand': acc.cand, 'cnt': acc.cnt + 1}
+        ELSE {'cand': acc.cand, 'cnt': acc.cnt - 1} END).cand AS bm_candidate,
+    list_max(list_transform(list_distinct(ws),
+      w -> len(list_filter(ws, x -> x = w)))) AS modal_days
+  FROM m)
+SELECT week, CAST(n_days AS BIGINT) AS n_days, bm_candidate,
+  list_min(list_filter(list_distinct(ws),
+    w -> len(list_filter(ws, x -> x = w)) = modal_days)) AS modal_winner,
+  CAST(modal_days AS BIGINT) AS modal_days,
+  CAST(modal_days * 2 > n_days AS INT) AS has_true_majority,
+  CAST(bm_candidate = list_min(list_filter(list_distinct(ws),
+    w -> len(list_filter(ws, x -> x = w)) = modal_days)) AS INT)
+    AS bm_matches_mode
+FROM folded ORDER BY week
+"""
+
+
+def q_ngram_distance_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ngramDistance`` parity: Sørensen–Dice complement over
+    character-3-gram MULTISETS for every pair of distinct part names
+    within distance 0.5. The name vocabulary is bounded (64 values at any
+    SF), so the pair space is a bounded self-join over a deduplicated
+    frame — never O(parts²); multiset intersection is an integer array
+    fold, exact in both engines."""
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    grams = lambda c: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.length(c) - 2),
+        lambda i: F.substring(c, i, F.lit(3)),
+    )
+    g = names.select(F.col("p_name").alias("name"), grams(F.col("p_name")).alias("g"))
+    a = g.select(F.col("name").alias("name_a"), F.col("g").alias("ga"))
+    b = g.select(F.col("name").alias("name_b"), F.col("g").alias("gb"))
+    inter = F.aggregate(
+        F.array_distinct("ga"),
+        F.lit(0),
+        lambda acc, gr: acc
+        + F.least(
+            F.size(F.filter("ga", lambda x: x == gr)),
+            F.size(F.filter("gb", lambda x: x == gr)),
+        ),
+    )
+    pairs = (
+        # inequality-only pair join over the 64-name deduplicated frame —
+        # broadcast nested loop (bounded 64² = 4096 pairs at any SF),
+        # same shape as rank_correlation_nations' Kendall stage
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            inter.cast("bigint").alias("shared_grams"),
+            F.round(
+                1.0
+                - 2.0 * inter.cast("double")
+                / (F.size("ga") + F.size("gb")).cast("double"),
+                6,
+            ).alias("ngram_dist"),
+        )
+    )
+    return pairs.filter(F.col("ngram_dist") <= 0.5).orderBy(
+        "ngram_dist", "name_a", "name_b"
+    )
+
+
+_NGRAM_DIST_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+g AS (
+  SELECT p_name AS name,
+    list_transform(generate_series(1, len(p_name) - 2),
+                   i -> substr(p_name, CAST(i AS INT), 3)) AS gr
+  FROM names),
+pairs AS (
+  SELECT a.name AS name_a, b.name AS name_b,
+    list_sum(list_transform(list_distinct(a.gr),
+      x -> least(len(list_filter(a.gr, y -> y = x)),
+                 len(list_filter(b.gr, y -> y = x))))) AS inter,
+    len(a.gr) + len(b.gr) AS total
+  FROM g a JOIN g b ON a.name < b.name)
+SELECT name_a, name_b, CAST(inter AS BIGINT) AS shared_grams,
+  ROUND(1.0 - 2.0 * inter::DOUBLE / total::DOUBLE, 6) AS ngram_dist
+FROM pairs WHERE ROUND(1.0 - 2.0 * inter::DOUBLE / total::DOUBLE, 6) <= 0.5
+ORDER BY ngram_dist, name_a, name_b
+"""
+
+
+def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embedding corpus: assign
+    every vector to its nearest deterministic centroid (the vec_id<16
+    vectors — same data-sampled centroid recipe as similarity_ivf_det),
+    then inside each cluster drop any vector whose cosine to a LOWER-id
+    cluster-mate reaches the threshold (0.35, sized to the synthetic
+    corpus). The pairwise pass runs per cluster — the IVF partition is
+    what keeps it off O(n²) at scale — and every step (assignment argmin,
+    sequential-fold cosine, 1e-6 round) is replayed by the DuckDB twin.
+    Report: per-cluster sizes, drops, and mean pair cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 16).collect()
+    }
+    cent_ids = sorted(cents)
+    d2s = F.array(
+        *[
+            F.lit(sum(v * v for v in cents[c]))
+            - 2.0
+            * F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(v) for v in cents[c]]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in cent_ids
+        ]
+    )
+    # NB: the constant ||c||^2 must match the twin's float fold exactly —
+    # python sum() and list_sum both fold left-to-right over the same
+    # float32->double values, so the literals agree bit-for-bit
+    cluster = F.element_at(
+        F.array(*[F.lit(c) for c in cent_ids]),
+        F.array_position(d2s, F.array_min(d2s)).cast("int"),
+    )
+    # referenced 3x below (pair sides + sizes); the assignment is a cheap
+    # codegen'd expression over one scan, so recompute beats holding a
+    # persisted copy — at real scale the assigned frame would be a
+    # persisted/bucketed table shared by the whole similarity family
+    assigned = emb.select("vec_id", "embedding", cluster.alias("cluster"))
+    a = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster",
+            "id_a",
+            "id_b",
+            F.round(DD.cosine_similarity(F.col("ea"), F.col("eb")), 6).alias("cos"),
+        )
+    )
+    pair_stats = pairs.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("cos").cast("decimal(38,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_pair_cos"),
+    )
+    drops = (
+        pairs.filter(F.col("cos") >= 0.35)
+        .select("cluster", "id_b")
+        .distinct()
+        .groupBy("cluster")
+        .agg(F.count("*").cast("bigint").alias("n_dropped"))
+    )
+    sizes = assigned.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_vectors")
+    )
+    out = (
+        sizes.join(pair_stats, "cluster", "left")
+        .join(drops, "cluster", "left")
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_vectors",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            "mean_pair_cos",
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            (F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+    return out
+
+
+_SEMDEDUP_SQL = """
+WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+d2 AS (
+  SELECT e.vec_id, c.cid,
+    list_sum(list_transform(c.cv, y -> y::DOUBLE * y::DOUBLE))
+    - 2.0 * list_sum(list_transform(generate_series(1, len(e.embedding)),
+             i -> e.embedding[i]::DOUBLE * c.cv[i]::DOUBLE)) AS d2
+  FROM embeddings e CROSS JOIN cent c),
+assigned AS (
+  SELECT vec_id, cluster, embedding FROM (
+    SELECT d.vec_id, d.cid AS cluster, e.embedding,
+      ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d2, d.cid) AS rn
+    FROM d2 d JOIN embeddings e ON e.vec_id = d.vec_id)
+  WHERE rn = 1),
+pairs AS (
+  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+    round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6)
+      AS cos
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+pair_stats AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    ROUND(CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+      AS mean_pair_cos
+  FROM pairs GROUP BY cluster),
+drops AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_dropped
+  FROM (SELECT DISTINCT cluster, id_b FROM pairs WHERE cos >= 0.35)
+  GROUP BY cluster),
+sizes AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM assigned GROUP BY cluster)
+SELECT CAST(s.cluster AS BIGINT) AS cluster, s.n_vectors,
+  CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+  p.mean_pair_cos,
+  CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+  CAST(s.n_vectors - COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept
+FROM sizes s
+LEFT JOIN pair_stats p ON p.cluster = s.cluster
+LEFT JOIN drops d ON d.cluster = s.cluster
+ORDER BY cluster
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -15949,6 +16302,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_sum_report": q_delta_sum_report,
     "sparkbar_monthly_orders": q_sparkbar_monthly_orders,
     "geohash_grid_rollup": q_geohash_grid_rollup,
+    "group_bit_ops": q_group_bit_ops,
+    "any_heavy_daily_majority": q_any_heavy_daily_majority,
+    "ngram_distance_names": q_ngram_distance_names,
+    "semdedup_clusters": q_semdedup_clusters,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -16258,6 +16615,10 @@ ORACLE_QUERIES: dict[str, str] = {
     "delta_sum_report": _DELTA_SUM_SQL,
     "sparkbar_monthly_orders": _SPARKBAR_SQL,
     "geohash_grid_rollup": _GEOHASH_SQL,
+    "group_bit_ops": _GROUP_BIT_SQL,
+    "any_heavy_daily_majority": _ANY_HEAVY_SQL,
+    "ngram_distance_names": _NGRAM_DIST_SQL,
+    "semdedup_clusters": _SEMDEDUP_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
