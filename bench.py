@@ -129,6 +129,17 @@ EXTENSIONS_R2 = [
     "kalman_local_level",  # bit-exact recursive filter (applyInPandas)
 ]
 
+# Round-3 additions, split out as extensions_r3_sec.
+EXTENSIONS_R3 = [
+    "semdedup_clusters",  # IVF assignment + within-cluster pairwise pass
+    "theils_u_association",
+    "sequence_next_node",
+    "geohash_grid_rollup",
+    "any_heavy_daily_majority",
+    "ngram_distance_names",
+    "delta_sum_report",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -147,7 +158,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + EXTENSIONS_R2:
+    for name in HEADLINE + EXTENSIONS_R2 + EXTENSIONS_R3:
         fn = qs[name]
         t0 = time.perf_counter()
         rows = fn(spark, sf_dir).collect()
@@ -207,7 +218,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "suite_r1_sec": suite_r1,
-                "extensions_r2_sec": round(total - suite_r1, 3),
+                "extensions_r2_sec": round(
+                    sum(timings[q] for q in EXTENSIONS_R2), 3
+                ),
+                "extensions_r3_sec": round(
+                    sum(timings[q] for q in EXTENSIONS_R3), 3
+                ),
                 "scale_knobs": scale_knobs,
                 "candidate_pairs": candidate_pairs,
             }
