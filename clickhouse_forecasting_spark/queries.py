@@ -15990,6 +15990,272 @@ ORDER BY cluster
 """
 
 
+def q_edit_distance_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``editDistance`` (Levenshtein) parity over the bounded
+    part-name vocabulary: every distinct-name pair within distance 8,
+    with the normalized similarity 1 - dist/max(len). Both engines ship
+    the exact DP Levenshtein as a builtin (Spark ``levenshtein``, DuckDB
+    ``levenshtein``) — integer result, bit-exact. The pair stage is the
+    same bounded self-join over the deduplicated 64-name frame as
+    ngram_distance_names; the fact table is scanned once for DISTINCT."""
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            dist.cast("bigint").alias("edit_dist"),
+            F.round(
+                1.0
+                - dist.cast("double")
+                / F.greatest(F.length("name_a"), F.length("name_b")).cast("double"),
+                6,
+            ).alias("name_sim"),
+        )
+        .filter(F.col("edit_dist") <= 8)
+        .orderBy("edit_dist", "name_a", "name_b")
+    )
+
+
+_EDIT_DIST_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+  ROUND(1.0 - levenshtein(a.p_name, b.p_name)::DOUBLE
+        / GREATEST(LEN(a.p_name), LEN(b.p_name))::DOUBLE, 6) AS name_sim
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 8
+ORDER BY edit_dist, name_a, name_b
+"""
+
+
+def q_summing_merge_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummingMergeTree FINAL semantics: rows sharing the sort key
+    ``(user_id, day)`` merge into one — numeric measures summed (exact:
+    ``value`` is 1e-6-grid rounded into DECIMAL(38,6) before the sum),
+    the non-summed column resolved deterministically to the latest
+    row's event_type (ClickHouse keeps "any"; ``max_by(event_id)`` pins
+    it). Reports the day-grain compaction census: keys, rows
+    before/after, merged rows, and the day's summed measure. One key
+    aggregation + one day rollup — both partial-aggregate-friendly."""
+    ev = _t(spark, sf_dir, "events")
+    per_key = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            F.round("value", 6).cast("decimal(38,6)").alias("v"),
+            "event_id",
+            "event_type",
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("v").alias("sum_value"),
+            F.max_by("event_type", "event_id").alias("last_type"),
+        )
+    )
+    return (
+        per_key.groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("n_rows").cast("bigint").alias("rows_before"),
+            F.sum(F.col("n_rows") - 1).cast("bigint").alias("rows_merged"),
+            F.round(F.sum("sum_value").cast("double"), 4).alias("day_value"),
+            F.sum(F.when(F.col("last_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("keys_last_purchase"),
+        )
+        .orderBy("day")
+    )
+
+
+_SUMMING_MERGE_SQL = """
+WITH per_key AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_rows,
+    SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS sum_value,
+    arg_max(event_type, event_id) AS last_type
+  FROM events GROUP BY 1, 2)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(n_rows) AS BIGINT) AS rows_before,
+  CAST(SUM(n_rows - 1) AS BIGINT) AS rows_merged,
+  ROUND(CAST(SUM(sum_value) AS DOUBLE), 4) AS day_value,
+  CAST(SUM(CASE WHEN last_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS keys_last_purchase
+FROM per_key GROUP BY day ORDER BY day
+"""
+
+
+def q_versioned_collapsing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VersionedCollapsingMergeTree semantics, write pattern included:
+    each user's event stream (ordered by ts, event_id) is re-expressed
+    as the CDC row pairs an upstream writer would emit — event k
+    cancels version k-1 with sign −1 and inserts version k with sign
+    +1 (the first event inserts only). The merge collapses (user,
+    version) groups whose signs net to zero; exactly the last version
+    survives. Audit, grouped by the surviving state's event_type: user
+    count, CDC rows written, cancelled versions, and the exact write
+    amplification in ppm. The explode is row-local (≤2 rows/event);
+    the collapse shuffles on (user, version) — the real engine's merge
+    key — so it partitions cleanly at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versioned = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("version"),
+    )
+    cdc = versioned.select(
+        "user_id",
+        "event_type",
+        F.explode(
+            F.when(
+                F.col("version") == 1,
+                F.array(F.struct(F.col("version"), F.lit(1).alias("sign"))),
+            ).otherwise(
+                F.array(
+                    F.struct((F.col("version") - 1).alias("version"),
+                             F.lit(-1).alias("sign")),
+                    F.struct(F.col("version"), F.lit(1).alias("sign")),
+                )
+            )
+        ).alias("r"),
+    ).select("user_id", "event_type", F.col("r.version").alias("version"),
+             F.col("r.sign").alias("sign"))
+    collapsed = (
+        cdc.groupBy("user_id", "version")
+        # ≤1 row of each sign per (user, version) — sign alone is a
+        # total order, the +1 insert's type is the state
+        .agg(F.sum("sign").alias("net"), F.count("*").alias("n_rows"),
+             F.max_by("event_type", "sign").alias("state"))
+    )
+    per_user = collapsed.groupBy("user_id").agg(
+        F.sum("n_rows").alias("rows_written"),
+        F.sum(F.when(F.col("net") == 0, 1).otherwise(0)).alias("cancelled"),
+        F.sum(F.when(F.col("net") != 0, 1).otherwise(0)).alias("survivors"),
+        F.max_by("state", F.when(F.col("net") != 0, F.col("version"))).alias(
+            "surviving_type"
+        ),
+    )
+    return (
+        per_user.groupBy("surviving_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("rows_written").cast("bigint").alias("cdc_rows_written"),
+            F.sum("cancelled").cast("bigint").alias("versions_cancelled"),
+            F.sum("survivors").cast("bigint").alias("rows_surviving"),
+            F.floor(F.sum("rows_written") * 1000000 / F.sum("survivors"))
+            .cast("bigint")
+            .alias("write_amp_ppm"),
+        )
+        .orderBy("surviving_type")
+    )
+
+
+_VERSIONED_COLLAPSING_SQL = """
+WITH versioned AS (
+  SELECT user_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS version
+  FROM events),
+cdc AS (
+  SELECT user_id, event_type, version, 1 AS sign FROM versioned
+  UNION ALL
+  SELECT user_id, event_type, version - 1 AS version, -1 AS sign
+  FROM versioned WHERE version > 1),
+collapsed AS (
+  SELECT user_id, version, SUM(sign) AS net, COUNT(*) AS n_rows,
+    arg_max(event_type, sign) AS state
+  FROM cdc GROUP BY 1, 2),
+per_user AS (
+  SELECT user_id, SUM(n_rows) AS rows_written,
+    SUM(CASE WHEN net = 0 THEN 1 ELSE 0 END) AS cancelled,
+    SUM(CASE WHEN net <> 0 THEN 1 ELSE 0 END) AS survivors,
+    arg_max(state, CASE WHEN net <> 0 THEN version ELSE NULL END)
+      AS surviving_type
+  FROM collapsed GROUP BY user_id)
+SELECT surviving_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(rows_written) AS BIGINT) AS cdc_rows_written,
+  CAST(SUM(cancelled) AS BIGINT) AS versions_cancelled,
+  CAST(SUM(survivors) AS BIGINT) AS rows_surviving,
+  CAST(FLOOR(SUM(rows_written) * 1000000 / SUM(survivors)) AS BIGINT)
+    AS write_amp_ppm
+FROM per_user GROUP BY surviving_type ORDER BY surviving_type
+"""
+
+
+def q_anova_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (ClickHouse ``analysisOfVariance`` parity) of order
+    value across the market segments: between/within sums of squares,
+    the F statistic, and eta². Per-segment moments (n, Σcents, Σcents²)
+    come from ONE exact-decimal fact pass — the same bit-identical
+    moment recipe as welch_ttest_segments — and the F assembly runs on
+    the checkpointed 5-row moment table, so cost is one aggregation at
+    any scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(F.col("c_mktsegment").alias("seg"), cents.alias("x"))
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(d19(F.col("x"))).cast("double").alias("sx"),
+            F.sum(d19(F.col("x")) * d19(F.col("x"))).cast("double").alias("sxx"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    g = m.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum(F.col("sx") * F.col("sx") / F.col("n")).alias("sum_gsq"),
+        F.sum("sx").alias("sx_all"),
+        F.sum("sxx").alias("sxx_all"),
+    )
+    ssb = (F.col("sum_gsq") - F.col("sx_all") * F.col("sx_all") / F.col("n_total")) / 10000
+    ssw = (F.col("sxx_all") - F.col("sum_gsq")) / 10000
+    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k")))
+    return g.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.round(ssb / 1000000, 4).alias("ss_between_musd"),
+        F.round(ssw / 1000000, 4).alias("ss_within_musd"),
+        F.round(fstat, 6).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_sq"),
+    )
+
+
+_ANOVA_SQL = """
+WITH m AS (
+  SELECT c_mktsegment AS seg, COUNT(*) AS n,
+    CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+          AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DECIMAL(19,0))
+           * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DECIMAL(19,0)))
+         AS DOUBLE) AS sxx
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1),
+g AS (
+  SELECT COUNT(*) AS k, SUM(n) AS n_total,
+    SUM(sx * sx / n) AS sum_gsq, SUM(sx) AS sx_all, SUM(sxx) AS sxx_all
+  FROM m)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(n_total AS BIGINT) AS n_total,
+  ROUND((sum_gsq - sx_all * sx_all / n_total) / 10000 / 1000000, 4)
+    AS ss_between_musd,
+  ROUND((sxx_all - sum_gsq) / 10000 / 1000000, 4) AS ss_within_musd,
+  ROUND(((sum_gsq - sx_all * sx_all / n_total) / 10000 / (k - 1))
+        / ((sxx_all - sum_gsq) / 10000 / (n_total - k)), 6) AS f_stat,
+  ROUND(((sum_gsq - sx_all * sx_all / n_total) / 10000)
+        / ((sum_gsq - sx_all * sx_all / n_total) / 10000
+           + (sxx_all - sum_gsq) / 10000), 6) AS eta_sq
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16306,6 +16572,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "any_heavy_daily_majority": q_any_heavy_daily_majority,
     "ngram_distance_names": q_ngram_distance_names,
     "semdedup_clusters": q_semdedup_clusters,
+    "edit_distance_names": q_edit_distance_names,
+    "summing_merge_compaction": q_summing_merge_compaction,
+    "versioned_collapsing_audit": q_versioned_collapsing_audit,
+    "anova_price_segments": q_anova_price_segments,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -16619,6 +16889,10 @@ ORACLE_QUERIES: dict[str, str] = {
     "any_heavy_daily_majority": _ANY_HEAVY_SQL,
     "ngram_distance_names": _NGRAM_DIST_SQL,
     "semdedup_clusters": _SEMDEDUP_SQL,
+    "edit_distance_names": _EDIT_DIST_SQL,
+    "summing_merge_compaction": _SUMMING_MERGE_SQL,
+    "versioned_collapsing_audit": _VERSIONED_COLLAPSING_SQL,
+    "anova_price_segments": _ANOVA_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
