@@ -16256,6 +16256,266 @@ FROM g
 """
 
 
+_DSIR_BUCKETS = 64
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, 'Data Selection for Language Models via
+    Importance Resampling'): every document scored by the hashed-n-gram
+    importance log-ratio between a target distribution (here the ``en``
+    slice) and the raw corpus. Unigrams hash into 64 md5 buckets; both
+    distributions are add-one-smoothed bucket frequencies; the per-bucket
+    log-ratio λ_b (rounded to the 1e-6 grid, repo log-determinism rule)
+    is a 64-row broadcast table, and each doc's score is the exact
+    decimal Σ c_b·λ_b — order-free, so hash-stable. Scale shape: one
+    tokenize/explode pass, one 64-row aggregate, one broadcast join —
+    the same single-corpus-pass DSIR runs at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("t")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long") % _DSIR_BUCKETS
+    )
+    bt = tok.select("doc_id", "lang", bucket.alias("b"))
+    counts = bt.groupBy("b").agg(
+        F.count("*").alias("r_b"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_b"),
+    )
+    totals = counts.agg(
+        F.sum("r_b").alias("r_tot"), F.sum("t_b").alias("t_tot")
+    )
+    lam = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.col("t_b") + 1) / (F.col("t_tot") + _DSIR_BUCKETS))
+                    / ((F.col("r_b") + 1) / (F.col("r_tot") + _DSIR_BUCKETS))
+                ),
+                6,
+            ).cast("decimal(20,6)").alias("lam"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    per_doc = bt.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    scored = (
+        per_doc.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            # ROUND on the DECIMAL (half-away both engines) BEFORE the
+            # double cast — a .00005-boundary sum would double-round;
+            # a bare decimal->decimal CAST truncates in DuckDB
+            F.round(F.sum(F.col("c") * F.col("lam")), 4)
+            .cast("double")
+            .alias("dsir_score"),
+        )
+    )
+    meta = docs.select("doc_id", "lang", "source")
+    return (
+        scored.join(meta, "doc_id")
+        .select(
+            "doc_id", "lang", "source", "n_tokens", "dsir_score",
+            (F.col("dsir_score") > 0).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_SQL = f"""
+WITH tok AS (SELECT doc_id, lang, unnest({_TOKS_SQL}) AS t FROM documents),
+bt AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5(t), 1, 15))::BIGINT % {_DSIR_BUCKETS} AS b
+  FROM tok),
+counts AS (
+  SELECT b, COUNT(*) AS r_b,
+    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_b
+  FROM bt GROUP BY b),
+totals AS (SELECT SUM(r_b) AS r_tot, SUM(t_b) AS t_tot FROM counts),
+lam AS (
+  SELECT b,
+    CAST(ROUND(LN(((t_b + 1) / (t_tot + {_DSIR_BUCKETS}))
+               / ((r_b + 1) / (r_tot + {_DSIR_BUCKETS}))), 6)
+         AS DECIMAL(20,6)) AS lam
+  FROM counts, totals),
+per_doc AS (SELECT doc_id, b, COUNT(*) AS c FROM bt GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+    CAST(ROUND(SUM(c * lam), 4) AS DOUBLE) AS dsir_score
+  FROM per_doc JOIN lam USING (b) GROUP BY doc_id)
+SELECT doc_id, lang, source, n_tokens, dsir_score,
+  dsir_score > 0 AS selected
+FROM scored JOIN documents USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_quantiles_exact_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted`` parity: per brand, the
+    quantity-weighted exact {p25, p50, p75} of line extended price. The
+    quantile rule is integer-exact — the smallest value whose cumulative
+    weight w satisfies 4w ≥ W / 2w ≥ W / 4w ≥ 3W (no q·W float ever
+    computed). One (brand, cents) pre-aggregation bounds the window
+    input to distinct values; brand totals ride a checkpointed 25-row
+    aggregate joined broadcast. Partitions by brand at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    per_val = base.groupBy("brand", "cents").agg(F.sum("w").alias("sw"))
+    wtot = (
+        per_val.groupBy("brand")
+        .agg(F.sum("sw").alias("w_total"))
+        .localCheckpoint(eager=True)
+    )
+    cum = per_val.withColumn(
+        "cw",
+        F.sum("sw").over(
+            Window.partitionBy("brand").orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).join(F.broadcast(wtot), "brand")
+    pick = lambda cond: F.min(F.when(cond, F.col("cents")))  # noqa: E731
+    return (
+        cum.groupBy("brand", "w_total")
+        .agg(
+            (pick(4 * F.col("cw") >= F.col("w_total")) / 100.0).alias("p25"),
+            (pick(2 * F.col("cw") >= F.col("w_total")) / 100.0).alias("p50"),
+            (pick(4 * F.col("cw") >= 3 * F.col("w_total")) / 100.0).alias("p75"),
+        )
+        .select("brand", F.col("w_total").cast("bigint").alias("w_total"),
+                "p25", "p50", "p75")
+        .orderBy("brand")
+    )
+
+
+_QUANT_WEIGHTED_SQL = """
+WITH base AS (
+  SELECT p_brand AS brand,
+    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+    CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+per_val AS (
+  SELECT brand, cents, SUM(w) AS sw FROM base GROUP BY 1, 2),
+cum AS (
+  SELECT brand, cents, SUM(sw) OVER (
+      PARTITION BY brand ORDER BY cents
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+    SUM(sw) OVER (PARTITION BY brand) AS w_total
+  FROM per_val)
+SELECT brand, CAST(MAX(w_total) AS BIGINT) AS w_total,
+  MIN(CASE WHEN 4 * cw >= w_total THEN cents END) / 100.0 AS p25,
+  MIN(CASE WHEN 2 * cw >= w_total THEN cents END) / 100.0 AS p50,
+  MIN(CASE WHEN 4 * cw >= 3 * w_total THEN cents END) / 100.0 AS p75
+FROM cum GROUP BY brand ORDER BY brand
+"""
+
+
+def q_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(…, 'strict_order')`` parity: the
+    view → click → purchase chain counts ONLY when the steps are
+    consecutive events in the user's stream (any interleaved event
+    aborts the chain — the mode the relaxed window_funnel_levels can't
+    express) and the whole chain fits in 24h of the anchor view. Two
+    LEADs over the user partition decide every level in one scan; per
+    user the deepest strict chain wins; levels partition the full user
+    base. Exact integers end-to-end."""
+    day_us = 24 * 3600 * 1_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lead1_t, lead2_t = F.lead("event_type", 1).over(w), F.lead("event_type", 2).over(w)
+    lead1_us, lead2_us = F.lead("us", 1).over(w), F.lead("us", 2).over(w)
+    lvl = (
+        F.when(
+            (F.col("event_type") == "view")
+            & (lead1_t == "click")
+            & (lead2_t == "purchase")
+            & (lead2_us <= F.col("us") + day_us),
+            3,
+        )
+        .when(
+            (F.col("event_type") == "view")
+            & (lead1_t == "click")
+            & (lead1_us <= F.col("us") + day_us),
+            2,
+        )
+        .when(F.col("event_type") == "view", 1)
+        .otherwise(0)
+    )
+    per_user = ev.select("user_id", lvl.alias("lvl")).groupBy("user_id").agg(
+        F.max("lvl").alias("funnel_level")
+    )
+    return (
+        per_user.groupBy("funnel_level")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("funnel_level")
+    )
+
+
+_FUNNEL_STRICT_SQL = """
+WITH led AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+    LEAD(event_type, 1) OVER w AS t1, LEAD(event_type, 2) OVER w AS t2,
+    LEAD(epoch_us(ts), 1) OVER w AS us1, LEAD(epoch_us(ts), 2) OVER w AS us2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+lvls AS (
+  SELECT user_id,
+    CASE WHEN event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+              AND us2 <= us + 86400000000 THEN 3
+         WHEN event_type = 'view' AND t1 = 'click'
+              AND us1 <= us + 86400000000 THEN 2
+         WHEN event_type = 'view' THEN 1 ELSE 0 END AS lvl
+  FROM led),
+per_user AS (SELECT user_id, MAX(lvl) AS funnel_level FROM lvls GROUP BY 1)
+SELECT funnel_level, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY funnel_level ORDER BY funnel_level
+"""
+
+
+_MULTI_SEARCH_NEEDLES = ["spark", "join", "merge", "stream"]
+
+
+def q_multi_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``multiSearchAllPositions`` parity: for a fixed needle
+    list, the 1-based byte position of each needle's first occurrence in
+    every document (0 = absent — CH's convention), plus the found count.
+    Pure row-local string scans (``instr`` both engines), zero shuffles
+    beyond the final order; trivially scan-parallel at any corpus
+    size."""
+    docs = _t(spark, sf_dir, "documents")
+    cols = [
+        F.instr(F.col("text"), F.lit(n)).cast("bigint").alias(f"pos_{n}")
+        for n in _MULTI_SEARCH_NEEDLES
+    ]
+    found = sum(
+        (F.when(F.col(f"pos_{n}") > 0, 1).otherwise(0) for n in _MULTI_SEARCH_NEEDLES),
+        F.lit(0),
+    )
+    return (
+        docs.select("doc_id", *cols)
+        .withColumn("n_found", found.cast("bigint"))
+        .orderBy("doc_id")
+    )
+
+
+_MULTI_SEARCH_SQL = f"""
+SELECT doc_id,
+  {", ".join(f"CAST(COALESCE(instr(text, '{n}'), 0) AS BIGINT) AS pos_{n}" for n in _MULTI_SEARCH_NEEDLES)},
+  CAST({" + ".join(f"CASE WHEN instr(text, '{n}') > 0 THEN 1 ELSE 0 END" for n in _MULTI_SEARCH_NEEDLES)}
+    AS BIGINT) AS n_found
+FROM documents ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16576,6 +16836,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "summing_merge_compaction": q_summing_merge_compaction,
     "versioned_collapsing_audit": q_versioned_collapsing_audit,
     "anova_price_segments": q_anova_price_segments,
+    "dsir_importance_weights": q_dsir_importance_weights,
+    "quantiles_exact_weighted": q_quantiles_exact_weighted,
+    "window_funnel_strict": q_window_funnel_strict,
+    "multi_search_positions": q_multi_search_positions,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -16893,6 +17157,10 @@ ORACLE_QUERIES: dict[str, str] = {
     "summing_merge_compaction": _SUMMING_MERGE_SQL,
     "versioned_collapsing_audit": _VERSIONED_COLLAPSING_SQL,
     "anova_price_segments": _ANOVA_SQL,
+    "dsir_importance_weights": _DSIR_SQL,
+    "quantiles_exact_weighted": _QUANT_WEIGHTED_SQL,
+    "window_funnel_strict": _FUNNEL_STRICT_SQL,
+    "multi_search_positions": _MULTI_SEARCH_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
