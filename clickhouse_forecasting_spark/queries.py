@@ -16516,6 +16516,315 @@ FROM documents ORDER BY doc_id
 """
 
 
+# fixed survey polygon in the synthetic centi-degree grid (closed ring,
+# 5 integer vertices) — shared by the Spark literal and the SQL VALUES
+_PIP_POLY = [(2000, 3000), (9000, 1000), (16000, 8000), (12000, 30000),
+             (3000, 20000)]
+_PIP_EDGES = [
+    (_PIP_POLY[i][0], _PIP_POLY[i][1],
+     _PIP_POLY[(i + 1) % len(_PIP_POLY)][0],
+     _PIP_POLY[(i + 1) % len(_PIP_POLY)][1])
+    for i in range(len(_PIP_POLY))
+]
+
+
+def q_point_in_polygon_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``pointInPolygon`` parity: each customer's synthetic
+    site (the geohash query's centi-degree grid — px=(key·37)%18000,
+    py=(key·73)%36000) tested against a fixed 5-vertex polygon by ray
+    casting. The crossing test is ALL-INTEGER (cross-multiplied, no
+    division, products ≤ ~7e8), so both engines agree bit-for-bit even
+    on boundary-adjacent points. Per-nation report: sites inside /
+    total and the inside share in exact ppm. The 5-edge table is a
+    row-local explode — one customer scan, one 25-row rollup."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    pts = c.select(
+        "c_custkey", "c_nationkey",
+        ((F.col("c_custkey") * 37) % 18000).alias("px"),
+        ((F.col("c_custkey") * 73) % 36000).alias("py"),
+    )
+    edges = F.array(*[
+        F.struct(F.lit(x1).alias("x1"), F.lit(y1).alias("y1"),
+                 F.lit(x2).alias("x2"), F.lit(y2).alias("y2"))
+        for x1, y1, x2, y2 in _PIP_EDGES
+    ])
+    e = pts.select("c_custkey", "c_nationkey", "px", "py",
+                   F.explode(edges).alias("e"))
+    straddles = (F.col("e.y1") > F.col("py")) != (F.col("e.y2") > F.col("py"))
+    # px < x-intersect, cross-multiplied by (y2-y1) with sign handled by
+    # comparing against the edge's vertical direction
+    left_of = (
+        (F.col("px") - F.col("e.x1")) * (F.col("e.y2") - F.col("e.y1"))
+        < (F.col("e.x2") - F.col("e.x1")) * (F.col("py") - F.col("e.y1"))
+    ) == (F.col("e.y2") > F.col("e.y1"))
+    crossed = e.groupBy("c_custkey", "c_nationkey").agg(
+        F.sum(F.when(straddles & left_of, 1).otherwise(0)).alias("crossings")
+    )
+    return (
+        crossed.join(F.broadcast(n), crossed.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_sites"),
+            F.sum(F.when(F.col("crossings") % 2 == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inside"),
+        )
+        .withColumn(
+            "inside_ppm",
+            F.floor(F.col("n_inside") * 1000000 / F.col("n_sites")).cast("bigint"),
+        )
+        .orderBy("nation")
+    )
+
+
+_PIP_SQL = f"""
+WITH edges(x1, y1, x2, y2) AS (
+  VALUES {", ".join(f"({x1}, {y1}, {x2}, {y2})" for x1, y1, x2, y2 in _PIP_EDGES)}),
+pts AS (
+  SELECT c_custkey, c_nationkey,
+    (c_custkey * 37) % 18000 AS px, (c_custkey * 73) % 36000 AS py
+  FROM customer),
+crossed AS (
+  SELECT c_custkey, c_nationkey,
+    SUM(CASE WHEN ((y1 > py) <> (y2 > py))
+          AND (((px - x1) * (y2 - y1) < (x2 - x1) * (py - y1)) = (y2 > y1))
+        THEN 1 ELSE 0 END) AS crossings
+  FROM pts CROSS JOIN edges GROUP BY 1, 2)
+SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_sites,
+  CAST(SUM(CASE WHEN crossings % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_inside,
+  CAST(FLOOR(SUM(CASE WHEN crossings % 2 = 1 THEN 1 ELSE 0 END) * 1000000
+             / COUNT(*)) AS BIGINT) AS inside_ppm
+FROM crossed JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY nation
+"""
+
+
+def q_bounding_ratio_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``boundingRatio`` parity: per month, the slope between
+    the first and last observed (day, revenue) points — rise over run on
+    the series' bounding box diagonal. First/last resolve by arg_min/
+    arg_max over the day (exact cents), the slope divides two exact
+    integers in double and rounds to 1e-6. Single-day months are
+    excluded (undefined run). One day-grain rollup, one month rollup."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    m = (
+        daily.groupBy(F.date_format("d", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.min("d").alias("first_d"),
+            F.max("d").alias("last_d"),
+            F.min_by("cents", "d").alias("first_c"),
+            F.max_by("cents", "d").alias("last_c"),
+        )
+        .filter(F.col("n_days") > 1)
+    )
+    return m.select(
+        "month",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(
+            (F.col("last_c") - F.col("first_c")).cast("double")
+            / 100.0
+            / F.datediff("last_d", "first_d").cast("double"),
+            6,
+        ).alias("bounding_ratio"),
+    ).orderBy("month")
+
+
+_BOUNDING_RATIO_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+m AS (
+  SELECT strftime(d, '%Y-%m') AS month, COUNT(*) AS n_days,
+    MIN(d) AS first_d, MAX(d) AS last_d,
+    arg_min(cents, d) AS first_c, arg_max(cents, d) AS last_c
+  FROM daily GROUP BY 1)
+SELECT month, CAST(n_days AS BIGINT) AS n_days,
+  ROUND(CAST(last_c - first_c AS DOUBLE) / 100.0
+        / CAST(date_diff('day', first_d, last_d) AS DOUBLE), 6)
+    AS bounding_ratio
+FROM m WHERE n_days > 1 ORDER BY month
+"""
+
+
+def q_contingency_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of ClickHouse's association family in one pass —
+    ``contingency`` (Pearson's C) and ``cramersVBiasCorrected``
+    (Bergsma 2013) over the (market segment × order priority) table,
+    alongside the raw chi² and phi² they derive from. Cell counts come
+    from one exact integer aggregation; every derived statistic is the
+    same double expression shape on both engines, rounded to 1e-6.
+    The k×r cell table is tiny (5×5) at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count("*").alias("nij"))
+        .localCheckpoint(eager=True)
+    )
+    wseg = Window.partitionBy("seg")
+    wprio = Window.partitionBy("prio")
+    wall = Window.partitionBy()
+    with_m = cells.select(
+        "seg", "prio", "nij",
+        F.sum("nij").over(wseg).alias("ri"),
+        F.sum("nij").over(wprio).alias("cj"),
+        F.sum("nij").over(wall).alias("n"),
+    )
+    chi_term = (
+        (F.col("nij") - F.col("ri") * F.col("cj") / F.col("n"))
+        * (F.col("nij") - F.col("ri") * F.col("cj") / F.col("n"))
+        / (F.col("ri") * F.col("cj") / F.col("n"))
+    )
+    agg = with_m.agg(
+        F.sum(chi_term).alias("chi2"),
+        F.max("n").alias("n"),
+        F.countDistinct("seg").alias("k"),
+        F.countDistinct("prio").alias("r"),
+    )
+    phi2 = F.col("chi2") / F.col("n")
+    phi2c = F.greatest(
+        F.lit(0.0),
+        phi2 - (F.col("k") - 1) * (F.col("r") - 1) / (F.col("n") - 1),
+    )
+    kc = F.col("k") - (F.col("k") - 1) * (F.col("k") - 1) / (F.col("n") - 1)
+    rc = F.col("r") - (F.col("r") - 1) * (F.col("r") - 1) / (F.col("n") - 1)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(phi2, 6).alias("phi2"),
+        F.round(F.sqrt(phi2 / (phi2 + 1)), 6).alias("contingency_c"),
+        F.round(F.sqrt(phi2c / F.least(kc - 1, rc - 1)), 6).alias(
+            "cramers_v_bc"
+        ),
+    )
+
+
+_CONTINGENCY_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS prio, COUNT(*) AS nij
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+m AS (
+  SELECT seg, prio, nij,
+    SUM(nij) OVER (PARTITION BY seg) AS ri,
+    SUM(nij) OVER (PARTITION BY prio) AS cj,
+    SUM(nij) OVER () AS n
+  FROM cells),
+agg AS (
+  SELECT
+    SUM((nij - ri * cj / n) * (nij - ri * cj / n) / (ri * cj / n)) AS chi2,
+    MAX(n) AS n, COUNT(DISTINCT seg) AS k, COUNT(DISTINCT prio) AS r
+  FROM m)
+SELECT CAST(n AS BIGINT) AS n, ROUND(chi2, 6) AS chi2,
+  ROUND(chi2 / n, 6) AS phi2,
+  ROUND(SQRT((chi2 / n) / (chi2 / n + 1)), 6) AS contingency_c,
+  ROUND(SQRT(GREATEST(0.0, chi2 / n - (k - 1) * (r - 1) / (n - 1))
+        / LEAST(k - (k - 1) * (k - 1) / (n - 1) - 1,
+                r - (r - 1) * (r - 1) / (n - 1) - 1)), 6) AS cramers_v_bc
+FROM agg
+"""
+
+
+def q_with_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ORDER BY … WITH FILL INTERPOLATE`` parity: the daily
+    revenue series densified to the full date axis, gap days linearly
+    interpolated between their observed neighbors (leading/trailing gaps
+    clamp to the nearest observation). The interpolation divides exact
+    cent integers and day counts in double — identical on both engines —
+    and rounds to 1e-4. Scale shape: axis explode from one min/max
+    aggregate, two per-series windows (prev/next observed), no global
+    collect; partitions by series key when applied per-series."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    axis = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    grid = axis.join(daily, "d", "left")
+    obs_d = F.when(F.col("cents").isNotNull(), F.col("d"))
+    wp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    g = grid.select(
+        "d", "cents",
+        F.last(obs_d, ignorenulls=True).over(wp).alias("pd"),
+        F.last(F.col("cents"), ignorenulls=True).over(wp).alias("pv"),
+        F.first(obs_d, ignorenulls=True).over(wn).alias("nd"),
+        F.first(F.col("cents"), ignorenulls=True).over(wn).alias("nv"),
+    )
+    # exact-integer interpolation: numerator pv·(g−k) + nv·k over run g,
+    # floored to milli-cents — ONE exactly-rounded IEEE division, no
+    # decimal re-round (ROUND-on-double diverges at .00005 boundaries)
+    k, run = F.datediff("d", "pd"), F.datediff("nd", "pd")
+    num = (
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .when(F.col("pd").isNull(), F.col("nv"))
+        .when(F.col("nd").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") * (run - k) + F.col("nv") * k)
+    )
+    den = (
+        F.when(
+            F.col("cents").isNull() & F.col("pd").isNotNull()
+            & F.col("nd").isNotNull(),
+            run,
+        ).otherwise(F.lit(1))
+    )
+    mcents = F.floor(num * 1000 / den).cast("bigint")
+    return g.select(
+        "d",
+        F.col("cents").isNull().alias("filled"),
+        (mcents / 100000.0).alias("revenue"),
+    ).orderBy("d")
+
+
+_WITH_FILL_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+axis AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds),
+grid AS (
+  SELECT a.d, daily.cents FROM axis a LEFT JOIN daily ON a.d = daily.d),
+g AS (
+  SELECT d, cents,
+    MAX(CASE WHEN cents IS NOT NULL THEN d END) OVER
+      (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    last_value(cents IGNORE NULLS) OVER
+      (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    MIN(CASE WHEN cents IS NOT NULL THEN d END) OVER
+      (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+    first_value(cents IGNORE NULLS) OVER
+      (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM grid)
+SELECT d, cents IS NULL AS filled,
+  CAST(FLOOR(CASE
+    WHEN cents IS NOT NULL THEN cents
+    WHEN pd IS NULL THEN nv
+    WHEN nd IS NULL THEN pv
+    ELSE pv * (date_diff('day', pd, nd) - date_diff('day', pd, d))
+         + nv * date_diff('day', pd, d)
+  END * 1000 / CASE
+    WHEN cents IS NULL AND pd IS NOT NULL AND nd IS NOT NULL
+    THEN date_diff('day', pd, nd) ELSE 1 END) AS BIGINT) / 100000.0
+    AS revenue
+FROM g ORDER BY d
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -16840,6 +17149,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantiles_exact_weighted": q_quantiles_exact_weighted,
     "window_funnel_strict": q_window_funnel_strict,
     "multi_search_positions": q_multi_search_positions,
+    "point_in_polygon_sites": q_point_in_polygon_sites,
+    "bounding_ratio_daily": q_bounding_ratio_daily,
+    "contingency_coefficient": q_contingency_coefficient,
+    "with_fill_interpolate": q_with_fill_interpolate,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -17161,6 +17474,10 @@ ORACLE_QUERIES: dict[str, str] = {
     "quantiles_exact_weighted": _QUANT_WEIGHTED_SQL,
     "window_funnel_strict": _FUNNEL_STRICT_SQL,
     "multi_search_positions": _MULTI_SEARCH_SQL,
+    "point_in_polygon_sites": _PIP_SQL,
+    "bounding_ratio_daily": _BOUNDING_RATIO_SQL,
+    "contingency_coefficient": _CONTINGENCY_SQL,
+    "with_fill_interpolate": _WITH_FILL_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
