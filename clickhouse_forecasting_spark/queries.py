@@ -16825,6 +16825,252 @@ FROM g ORDER BY d
 """
 
 
+def q_url_functions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse URL-function family parity (``domain``,
+    ``topLevelDomain``, ``path``, ``queryString``, ``cutQueryString``,
+    ``URLHierarchy`` depth) over deterministic per-document URLs
+    (https://www.<source>.example.com/corpus/<lang>/<doc_id>?lang=<lang>
+    — synthesized because the corpus carries no native URLs, exactly as
+    a scraping pipeline would emit them). Every extractor is a row-local
+    regexp/substring expression replayed verbatim by the twin; the
+    report aggregates per (domain, tld): page count, distinct paths,
+    query-stripped dedup count, and mean hierarchy depth in exact
+    integer ppm. Zero shuffles beyond the final rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/corpus/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id"),
+        F.lit("?lang="), F.col("lang"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    dom = F.regexp_replace(host, r"^www\.", "")
+    tld = F.regexp_extract(host, r"\.([a-z0-9-]+)$", 1)
+    path = F.regexp_extract("url", r"^https?://[^/]+([^?#]*)", 1)
+    qs = F.regexp_extract("url", r"\?([^#]*)", 1)
+    cut = F.regexp_replace("url", r"\?[^#]*", "")
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    parsed = u.select(
+        "doc_id", dom.alias("domain"), tld.alias("tld"),
+        path.alias("path"), qs.alias("query_string"), cut.alias("cut_url"),
+        depth.alias("depth"),
+    )
+    return (
+        parsed.groupBy("domain", "tld")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.countDistinct("path").cast("bigint").alias("n_paths"),
+            F.countDistinct("cut_url").cast("bigint").alias("n_cut_urls"),
+            F.floor(F.sum("depth") * 1000000 / F.count("*"))
+            .cast("bigint")
+            .alias("mean_depth_ppm"),
+        )
+        .orderBy("domain")
+    )
+
+
+_URL_FUNCS_SQL = """
+WITH u AS (
+  SELECT doc_id,
+    'https://www.' || source || '.example.com/corpus/' || lang || '/'
+      || doc_id || '?lang=' || lang AS url
+  FROM documents),
+parsed AS (
+  SELECT doc_id,
+    regexp_replace(regexp_extract(url, '^https?://([^/]+)', 1),
+                   '^www\\.', '') AS domain,
+    regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+                   '\\.([a-z0-9-]+)$', 1) AS tld,
+    regexp_extract(url, '^https?://[^/]+([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query_string,
+    regexp_replace(url, '\\?[^#]*', '') AS cut_url,
+    len(list_filter(string_split(
+      regexp_extract(url, '^https?://[^/]+([^?#]*)', 1), '/'),
+      x -> x != '')) AS depth
+  FROM u)
+SELECT domain, tld, CAST(COUNT(*) AS BIGINT) AS n_pages,
+  CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+  CAST(COUNT(DISTINCT cut_url) AS BIGINT) AS n_cut_urls,
+  CAST(FLOOR(SUM(depth) * 1000000 / COUNT(*)) AS BIGINT) AS mean_depth_ppm
+FROM parsed GROUP BY domain, tld ORDER BY domain
+"""
+
+
+# ---- topKWeighted: deterministic Space-Saving (k=3) -----------------------
+# The fold's 9 branches (3 hits, 3 empty slots, 3 victim replacements) are
+# generated ONCE from this outcome table, so the Spark aggregate() lambda
+# and the DuckDB recursive-CTE twin replay bit-identical semantics.
+# Branch conditions, in order, over state (i1,c1,i2,c2,i3,c3) and event
+# (t, w); victims are chosen by min (count, item) — a total order.
+
+def _ss_branches(
+    acc: str, t: str, w: str, pair: str = "struct({0}, {1})"
+) -> list[tuple[str, dict[str, str]]]:
+    a = lambda f: f"{acc}{f}"  # noqa: E731
+    pr = lambda c, i: pair.format(a(c), a(i))  # noqa: E731
+    keep = {f: a(f) for f in ("i1", "c1", "i2", "c2", "i3", "c3")}
+    out = []
+    for s in (1, 2, 3):
+        out.append((f"{a(f'i{s}')} = {t}",
+                    {**keep, f"c{s}": f"{a(f'c{s}')} + {w}"}))
+    for s in (1, 2, 3):
+        out.append((f"{a(f'i{s}')} IS NULL",
+                    {**keep, f"i{s}": t, f"c{s}": w}))
+    vic1 = (f"{pr('c1', 'i1')} <= {pr('c2', 'i2')}"
+            f" AND {pr('c1', 'i1')} <= {pr('c3', 'i3')}")
+    vic2 = f"{pr('c2', 'i2')} <= {pr('c3', 'i3')}"
+    out.append((vic1, {**keep, "i1": t, "c1": f"{a('c1')} + {w}"}))
+    out.append((vic2, {**keep, "i2": t, "c2": f"{a('c2')} + {w}"}))
+    out.append(("TRUE", {**keep, "i3": t, "c3": f"{a('c3')} + {w}"}))
+    return out
+
+
+def _ss_spark_case() -> str:
+    branches = _ss_branches("acc.", "x.t", "x.w")
+    whens = "\n".join(
+        f"WHEN {cond} THEN named_struct("
+        + ", ".join(f"'{f}', {vals[f]}" for f in ("i1", "c1", "i2", "c2", "i3", "c3"))
+        + ")"
+        for cond, vals in branches[:-1]
+    )
+    _, last = branches[-1]
+    els = "named_struct(" + ", ".join(
+        f"'{f}', {last[f]}" for f in ("i1", "c1", "i2", "c2", "i3", "c3")) + ")"
+    return f"CASE {whens} ELSE {els} END"
+
+
+def _ss_duck_cols() -> str:
+    branches = _ss_branches("s.", "e.t", "e.w", pair="({0}, {1})")
+    cols = []
+    for f in ("i1", "c1", "i2", "c2", "i3", "c3"):
+        whens = " ".join(f"WHEN {cond} THEN {vals[f]}"
+                         for cond, vals in branches[:-1])
+        cols.append(f"CASE {whens} ELSE {branches[-1][1][f]} END AS {f}")
+    return ",\n    ".join(cols)
+
+
+def q_topk_weighted_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topKWeighted(3)`` parity: the Space-Saving heavy-
+    hitter sketch (Metwally et al. 2005) replayed DETERMINISTICALLY —
+    per month, events fold in (ts, event_id) order through a 3-counter
+    state; on overflow the min-(count, item) counter is evicted and
+    inherits its count (the algorithm's signature overestimate). The
+    month's exact weighted leader rides the same scan, so the report
+    doubles as sketch-accuracy telemetry (``top1_agrees``). The fold is
+    a Spark ``aggregate`` lambda over the month's sorted event array;
+    the DuckDB twin replays the identical branch table in a recursive
+    CTE — both generated from one outcome map, so the engines cannot
+    drift. Scale: state is O(k) per group; the sort/fold partitions by
+    month (the aggregate key), exactly how the real sketch merges."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        F.col("event_type").alias("t"),
+        F.round(F.col("value") * 100).cast("bigint").alias("w"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    folded = (
+        ev.groupBy("day")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("us", "event_id", "t", "w"))
+            ).alias("evs")
+        )
+        .withColumn(
+            "st",
+            F.expr(
+                "aggregate(evs, "
+                "named_struct('i1', CAST(NULL AS STRING), 'c1', CAST(0 AS BIGINT), "
+                "'i2', CAST(NULL AS STRING), 'c2', CAST(0 AS BIGINT), "
+                "'i3', CAST(NULL AS STRING), 'c3', CAST(0 AS BIGINT)), "
+                f"(acc, x) -> {_ss_spark_case()})"
+            ),
+        )
+        .withColumn(
+            "ranked",
+            F.expr(
+                "array_sort(filter(array("
+                "named_struct('negc', -st.c1, 'i', st.i1, 'c', st.c1), "
+                "named_struct('negc', -st.c2, 'i', st.i2, 'c', st.c2), "
+                "named_struct('negc', -st.c3, 'i', st.i3, 'c', st.c3)), "
+                "s -> s.i IS NOT NULL))"
+            ),
+        )
+    )
+    exact = ev.groupBy("day", "t").agg(F.sum("w").alias("sw"))
+    wrk = Window.partitionBy("day").orderBy(F.desc("sw"), "t")
+    leader = (
+        exact.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select("day", F.col("t").alias("exact_top_item"),
+                F.col("sw").alias("exact_top_w"))
+    )
+    return (
+        folded.join(leader, "day")
+        .select(
+            "day",
+            F.expr("try_element_at(ranked, 1).i").alias("top1_item"),
+            F.expr("try_element_at(ranked, 1).c").alias("top1_w"),
+            F.expr("try_element_at(ranked, 2).i").alias("top2_item"),
+            F.expr("try_element_at(ranked, 2).c").alias("top2_w"),
+            F.expr("try_element_at(ranked, 3).i").alias("top3_item"),
+            F.expr("try_element_at(ranked, 3).c").alias("top3_w"),
+            "exact_top_item",
+            "exact_top_w",
+            (F.expr("try_element_at(ranked, 1).i") == F.col("exact_top_item"))
+            .alias("top1_agrees"),
+        )
+        .orderBy("day")
+    )
+
+
+def _topk_ss_sql() -> str:
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT CAST(ts AS DATE) AS m, event_type AS t,
+    CAST(ROUND(value * 100) AS BIGINT) AS w,
+    ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                       ORDER BY ts, event_id) AS rn
+  FROM events),
+mx AS (SELECT m, MAX(rn) AS mx FROM ev GROUP BY m),
+step AS (
+  SELECT m, 0 AS rn, CAST(NULL AS VARCHAR) AS i1, CAST(0 AS BIGINT) AS c1,
+    CAST(NULL AS VARCHAR) AS i2, CAST(0 AS BIGINT) AS c2,
+    CAST(NULL AS VARCHAR) AS i3, CAST(0 AS BIGINT) AS c3
+  FROM mx
+  UNION ALL
+  SELECT s.m, s.rn + 1,
+    {_ss_duck_cols()}
+  FROM step s JOIN ev e ON e.m = s.m AND e.rn = s.rn + 1),
+final AS (
+  SELECT s.* FROM step s JOIN mx ON mx.m = s.m AND s.rn = mx.mx),
+ranked AS (
+  SELECT m, list_sort(list_filter(
+    [{{'negc': -c1, 'i': i1, 'c': c1}},
+     {{'negc': -c2, 'i': i2, 'c': c2}},
+     {{'negc': -c3, 'i': i3, 'c': c3}}], s -> s.i IS NOT NULL)) AS r
+  FROM final),
+exact AS (
+  SELECT m, t, SUM(w) AS sw FROM ev GROUP BY 1, 2),
+leader AS (
+  SELECT m, t AS exact_top_item, sw AS exact_top_w FROM (
+    SELECT m, t, sw,
+      ROW_NUMBER() OVER (PARTITION BY m ORDER BY sw DESC, t) AS rk
+    FROM exact) WHERE rk = 1)
+SELECT ranked.m AS day,
+  r[1].i AS top1_item, CAST(r[1].c AS BIGINT) AS top1_w,
+  r[2].i AS top2_item, CAST(r[2].c AS BIGINT) AS top2_w,
+  r[3].i AS top3_item, CAST(r[3].c AS BIGINT) AS top3_w,
+  exact_top_item, CAST(exact_top_w AS BIGINT) AS exact_top_w,
+  r[1].i = exact_top_item AS top1_agrees
+FROM ranked JOIN leader ON leader.m = ranked.m
+ORDER BY day
+"""
+
+
+_TOPK_SS_SQL = _topk_ss_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -17153,6 +17399,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bounding_ratio_daily": q_bounding_ratio_daily,
     "contingency_coefficient": q_contingency_coefficient,
     "with_fill_interpolate": q_with_fill_interpolate,
+    "url_functions_report": q_url_functions_report,
+    "topk_weighted_spacesaving": q_topk_weighted_spacesaving,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -17478,6 +17726,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "bounding_ratio_daily": _BOUNDING_RATIO_SQL,
     "contingency_coefficient": _CONTINGENCY_SQL,
     "with_fill_interpolate": _WITH_FILL_SQL,
+    "url_functions_report": _URL_FUNCS_SQL,
+    "topk_weighted_spacesaving": _TOPK_SS_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
