@@ -138,6 +138,15 @@ EXTENSIONS_R3 = [
     "any_heavy_daily_majority",
     "ngram_distance_names",
     "delta_sum_report",
+    "edit_distance_names",  # 25x50 levenshtein grid, codegen'd
+    "dsir_importance_weights",  # hashed-ngram importance reweighting pass
+    "quantiles_exact_weighted",
+    "with_fill_interpolate",
+    "url_functions_report",
+    "topk_weighted_spacesaving",  # per-day Space-Saving fold
+    "dedup_paragraph_ccnet",  # cross-doc chunk-hash dedup corpus pass
+    "moments_skew_kurt",
+    "corr_matrix_lineitem",  # 14 sufficient stats in one lineitem pass
 ]
 
 

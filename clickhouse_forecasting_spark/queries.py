@@ -17071,6 +17071,504 @@ ORDER BY day
 _TOPK_SS_SQL = _topk_ss_sql()
 
 
+def q_dedup_paragraph_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document paragraph deduplication (Wenzek et al.
+    2020). The corpus has no newlines, so "paragraphs" are fixed
+    12-token chunks — the same deterministic segmentation a sharded
+    pipeline would apply. Every chunk is fingerprinted with MD5 and
+    deduplicated GLOBALLY: the first occurrence in (doc_id, chunk_idx)
+    order survives, every later copy (across documents or repeated
+    within one) is dropped. The report aggregates per (source, lang):
+    documents, chunk/dup counts, and exact retained-token ppm. Scale:
+    the dedup shuffle carries (16-byte fingerprint, doc_id, idx,
+    n_tokens) — never chunk text — so the exchange is O(corpus
+    fingerprints), the standard CCNet shard-hash layout."""
+    K = 12
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.split("text", " ").alias("toks")
+    )
+    chunked = (
+        docs.withColumn(
+            "idx",
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.size("toks") / K).cast("int") - 1)
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "idx",
+            F.slice("toks", F.col("idx") * K + 1, K).alias("ch"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "idx",
+            F.md5(F.array_join("ch", " ").cast("binary")).alias("fp"),
+            F.size("ch").alias("n_toks"),
+        )
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id", "idx")
+    marked = chunked.withColumn("rn", F.row_number().over(w))
+    per_doc = marked.groupBy("doc_id", "source", "lang").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("dup_chunks"),
+        F.sum("n_toks").alias("toks_total"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_toks")).otherwise(0)).alias(
+            "toks_removed"
+        ),
+    )
+    return (
+        per_doc.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+            F.sum("dup_chunks").cast("bigint").alias("dup_chunks"),
+            F.sum("toks_total").cast("bigint").alias("toks_total"),
+            F.sum("toks_removed").cast("bigint").alias("toks_removed"),
+            F.floor(
+                (F.sum("toks_total") - F.sum("toks_removed"))
+                * 1000000
+                / F.sum("toks_total")
+            )
+            .cast("bigint")
+            .alias("retained_ppm"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+_CCNET_SQL = """
+WITH t AS (
+  SELECT doc_id, source, lang, string_split(text, ' ') AS toks
+  FROM documents),
+ix AS (
+  SELECT doc_id, source, lang, toks,
+    unnest(generate_series(0,
+      CAST(ceil(len(toks) / 12.0) AS BIGINT) - 1)) AS idx
+  FROM t),
+c AS (
+  SELECT doc_id, source, lang, idx,
+    list_slice(toks, idx * 12 + 1, idx * 12 + 12) AS ch
+  FROM ix),
+f AS (
+  SELECT doc_id, source, lang, idx,
+    md5(array_to_string(ch, ' ')) AS fp, len(ch) AS n_toks
+  FROM c),
+m AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, idx) AS rn
+  FROM f),
+per_doc AS (
+  SELECT doc_id, source, lang, COUNT(*) AS n_chunks,
+    SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS dup_chunks,
+    SUM(n_toks) AS toks_total,
+    SUM(CASE WHEN rn > 1 THEN n_toks ELSE 0 END) AS toks_removed
+  FROM m GROUP BY 1, 2, 3)
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+  CAST(SUM(dup_chunks) AS BIGINT) AS dup_chunks,
+  CAST(SUM(toks_total) AS BIGINT) AS toks_total,
+  CAST(SUM(toks_removed) AS BIGINT) AS toks_removed,
+  CAST(FLOOR((SUM(toks_total) - SUM(toks_removed)) * 1000000
+             / SUM(toks_total)) AS BIGINT) AS retained_ppm
+FROM per_doc GROUP BY source, lang ORDER BY source, lang
+"""
+
+
+def q_dict_get_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse external-dictionary parity: ``dictGetOrDefault`` +
+    hierarchical ``dictGet`` (nation → region). The probe key is
+    ``c_custkey % 30`` — keys 25-29 miss the 25-entry nation dictionary
+    and resolve to the defaults ('UNKNOWN' / 'NONE'), exercising the
+    OrDefault contract. Spark expresses the dictionary as a BROADCAST
+    left join (the physical layout ClickHouse's HASHED dictionary uses),
+    so the fact scan never shuffles; the twin replays the same lookups
+    with LEFT JOIN + COALESCE."""
+    cust = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 30).alias("probe"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    looked = (
+        cust.join(F.broadcast(nation), cust.probe == nation.n_nationkey, "left")
+        .join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left"
+        )
+        .select(
+            F.coalesce("n_name", F.lit("UNKNOWN")).alias("nation_name"),
+            F.coalesce("r_name", F.lit("NONE")).alias("region_name"),
+            "bal",
+        )
+    )
+    return (
+        looked.groupBy("region_name", "nation_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("bal").cast("double").alias("sum_bal"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+_DICT_GET_SQL = """
+WITH probe AS (
+  SELECT c_custkey % 30 AS probe,
+    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer)
+SELECT COALESCE(r_name, 'NONE') AS region_name,
+  COALESCE(n_name, 'UNKNOWN') AS nation_name,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(bal) AS DOUBLE) AS sum_bal
+FROM probe
+LEFT JOIN nation ON probe = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2 ORDER BY region_name, nation_name
+"""
+
+
+def q_ipv4_subnet_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse IPv4-function family parity (``IPv4StringToNum``,
+    ``IPv4NumToString`` round-trip, ``isIPAddressInRange`` CIDR test)
+    over deterministic per-event addresses 10.(uid>>16&255).(uid>>8&
+    255).(uid&255) — synthesized because events carry no native IPs,
+    exactly as an access-log pipeline would emit them. Each address is
+    re-PARSED from its string form (split + positional weights, the
+    StringToNum contract), bucketed into its /24, and tested against
+    the fixed CIDR 10.0.32.0/19. The host part is a Knuth
+    multiplicative hash of the user id (raw ids span only one /24);
+    all row-local integer expressions; one rollup shuffle."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    h = (F.col("user_id") * F.lit(2654435761)) % 16777216
+    ip = F.concat_ws(
+        ".",
+        F.lit("10"),
+        (h / 65536).cast("bigint"),
+        ((h / 256).cast("bigint")) % 256,
+        h % 256,
+    )
+    parts = F.split(ip, r"\.")
+    num = (
+        parts.getItem(0).cast("bigint") * 16777216
+        + parts.getItem(1).cast("bigint") * 65536
+        + parts.getItem(2).cast("bigint") * 256
+        + parts.getItem(3).cast("bigint")
+    )
+    cidr_lo = 10 * 16777216 + 32 * 256  # 10.0.32.0
+    cidr_hi = cidr_lo + 8192 - 1  # /19 → 2^13 addresses
+    with_ip = ev.select(
+        "user_id",
+        ip.alias("ip"),
+        num.alias("ipnum"),
+        F.concat_ws(
+            ".", parts.getItem(0), parts.getItem(1), parts.getItem(2), F.lit("0")
+        ).alias("subnet24"),
+        num.between(cidr_lo, cidr_hi).alias("in_cidr"),
+    )
+    return (
+        with_ip.groupBy("subnet24")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("ipnum").cast("bigint").alias("min_num"),
+            F.max("ipnum").cast("bigint").alias("max_num"),
+            F.sum(F.when(F.col("in_cidr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_in_cidr"),
+        )
+        .orderBy("min_num")
+    )
+
+
+_IPV4_SQL = """
+WITH e AS (
+  SELECT user_id,
+    '10.' || (((user_id * 2654435761) % 16777216) // 65536) || '.'
+    || ((((user_id * 2654435761) % 16777216) // 256) % 256) || '.'
+    || ((user_id * 2654435761) % 256) AS ip
+  FROM events),
+p AS (
+  SELECT user_id, ip, string_split(ip, '.') AS parts FROM e),
+n AS (
+  SELECT user_id, ip,
+    CAST(parts[1] AS BIGINT) * 16777216 + CAST(parts[2] AS BIGINT) * 65536
+      + CAST(parts[3] AS BIGINT) * 256 + CAST(parts[4] AS BIGINT) AS ipnum,
+    parts[1] || '.' || parts[2] || '.' || parts[3] || '.0' AS subnet24
+  FROM p)
+SELECT subnet24, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(MIN(ipnum) AS BIGINT) AS min_num,
+  CAST(MAX(ipnum) AS BIGINT) AS max_num,
+  CAST(SUM(CASE WHEN ipnum BETWEEN 167780352 AND 167788543
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_in_cidr
+FROM n GROUP BY subnet24 ORDER BY min_num
+"""
+
+
+def q_moments_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``skewPop`` / ``kurtPop`` parity: population skewness
+    and kurtosis per event type from EXACT raw power sums. Values are
+    fixed-pointed to deci-units (w = round(value*10)) so w..w^4 are
+    exact integers; the four power sums accumulate in DECIMAL (order-
+    independent), and only the final moment algebra runs in doubles —
+    the identical IEEE expression tree on both engines, so the hashes
+    are bit-stable. One map-side-combined rollup shuffle; no window."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 10).cast("bigint").alias("w")
+    )
+    w, w2 = F.col("w"), (F.col("w") * F.col("w"))
+    agg = ev.select(
+        "event_type", w.alias("w1"), w2.alias("w2"),
+        (w2 * w).alias("w3"),
+        (w2.cast("decimal(19,0)") * w2.cast("decimal(19,0)")).alias("w4"),
+    ).groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("w1").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(F.col("w2").cast("decimal(38,0)")).cast("double").alias("s2"),
+        F.sum(F.col("w3").cast("decimal(38,0)")).cast("double").alias("s3"),
+        F.sum(F.col("w4")).cast("double").alias("s4"),
+    )
+    mean = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mean * mean
+    m3 = (F.col("s3") / F.col("n") - mean * (F.col("s2") / F.col("n")) * 3
+          + mean * mean * mean * 2)
+    m4 = (F.col("s4") / F.col("n") - mean * (F.col("s3") / F.col("n")) * 4
+          + mean * mean * (F.col("s2") / F.col("n")) * 6
+          - mean * mean * mean * mean * 3)
+    return (
+        agg.select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            mean.alias("mean_w"),
+            m2.alias("m2"),
+            (m3 / F.sqrt(m2 * m2 * m2)).alias("skew_pop"),
+            (m4 / (m2 * m2)).alias("kurt_pop"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SKEW_KURT_SQL = """
+WITH w AS (
+  SELECT event_type, CAST(ROUND(value * 10) AS BIGINT) AS w FROM events),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(w * w AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+    CAST(SUM(CAST(w * w * w AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+    CAST(SUM(CAST(w * w AS DECIMAL(19,0)) * CAST(w * w AS DECIMAL(19,0)))
+         AS DOUBLE) AS s4
+  FROM w GROUP BY event_type),
+m AS (
+  SELECT event_type, n, s1 / n AS mean_w,
+    s2 / n - (s1 / n) * (s1 / n) AS m2,
+    s3 / n - (s1 / n) * (s2 / n) * 3
+      + (s1 / n) * (s1 / n) * (s1 / n) * 2 AS m3,
+    s4 / n - (s1 / n) * (s3 / n) * 4
+      + (s1 / n) * (s1 / n) * (s2 / n) * 6
+      - (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) * 3 AS m4
+  FROM s)
+SELECT event_type, CAST(n AS BIGINT) AS n, mean_w, m2,
+  m3 / sqrt(m2 * m2 * m2) AS skew_pop,
+  m4 / (m2 * m2) AS kurt_pop
+FROM m ORDER BY event_type
+"""
+
+
+def q_simple_linreg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``simpleLinearRegression(x, y)`` parity: per event
+    type, ordinary least squares of daily total value (cents) against
+    the day index. All five sufficient statistics (n, Σx, Σy, Σxx,
+    Σxy) accumulate as exact integers/decimals; slope and intercept
+    are derived with the identical double expression on both engines.
+    This is the mergeable-sufficient-statistics shape — the only thing
+    a 1000-executor fit ever shuffles is the 5-tuple per group."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .alias("x"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        s.select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            slope.alias("slope_cents_per_day"),
+            ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+                "intercept_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SIMPLE_LINREG_SQL = """
+WITH daily AS (
+  SELECT event_type,
+    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+    SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM daily GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_cents_per_day,
+  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+    AS intercept_cents
+FROM s ORDER BY event_type
+"""
+
+
+def q_group_uniq_array_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupUniqArray`` (+ bounded ``groupUniqArray(3)``)
+    parity: per day, the sorted distinct event-type set, its
+    cardinality, and the 3-element bounded prefix. Arrays are emitted
+    comma-joined so the hash canonicalization is engine-neutral. One
+    rollup shuffle; collect_set is the map-side-combining distinct-set
+    aggregate (state is the bounded distinct set, not the rows)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    )
+    return (
+        ev.groupBy("day")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .select(
+            "day",
+            F.size("types").cast("bigint").alias("n_uniq"),
+            F.array_join("types", ",").alias("uniq_types"),
+            F.array_join(F.slice("types", 1, 3), ",").alias("uniq_types_3"),
+        )
+        .orderBy("day")
+    )
+
+
+_GROUP_UNIQ_SQL = """
+WITH s AS (
+  SELECT CAST(ts AS DATE) AS day,
+    list_sort(list(DISTINCT event_type)) AS types
+  FROM events GROUP BY 1)
+SELECT day, CAST(len(types) AS BIGINT) AS n_uniq,
+  array_to_string(types, ',') AS uniq_types,
+  array_to_string(list_slice(types, 1, 3), ',') AS uniq_types_3
+FROM s ORDER BY day
+"""
+
+
+def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``corrMatrix`` parity: the full Pearson correlation
+    matrix over four lineitem measures (quantity, extendedprice cents,
+    discount bp, tax bp), computed from ONE pass of exact decimal
+    power/cross sums and emitted long-form (upper triangle). The
+    single aggregation produces all 14 sufficient statistics; the 6
+    pair rows are exploded from that 1-row frame, so the fact table is
+    scanned exactly once — the matrix shape CH computes, expressed as
+    sufficient-statistics + explode."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("bigint").alias("t"),
+    )
+    cols = ["q", "p", "d", "t"]
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(38,0)")).cast("double").alias(f"s_{c}")
+        )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+    for a, b in pairs:
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"s_{a}{b}")
+        )
+    s = li.agg(*aggs)
+    names = {"q": "quantity", "p": "extendedprice_cents",
+             "d": "discount_bp", "t": "tax_bp"}
+    rows = []
+    for a, b in pairs:
+        if a == b:
+            continue
+        cov = F.col("n") * F.col(f"s_{a}{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        va = F.col("n") * F.col(f"s_{a}{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        vb = F.col("n") * F.col(f"s_{b}{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        rows.append(
+            F.struct(
+                F.lit(names[a]).alias("col_a"),
+                F.lit(names[b]).alias("col_b"),
+                (cov / F.sqrt(va * vb)).alias("corr"),
+            )
+        )
+    return (
+        s.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.col_a", "r.col_b", "r.corr")
+        .orderBy("col_a", "col_b")
+    )
+
+
+def _corr_matrix_sql() -> str:
+    cols = ["q", "p", "d", "t"]
+    names = {"q": "quantity", "p": "extendedprice_cents",
+             "d": "discount_bp", "t": "tax_bp"}
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+    sums = ",\n    ".join(
+        [f"CAST(SUM(CAST({c} AS DECIMAL(38,0))) AS DOUBLE) AS s_{c}"
+         for c in cols]
+        + [f"CAST(SUM(CAST({a} * {b} AS DECIMAL(38,0))) AS DOUBLE) AS s_{a}{b}"
+           for a, b in pairs]
+    )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT '{names[a]}' AS col_a, '{names[b]}' AS col_b,\n"
+        f"  (n * s_{a}{b} - s_{a} * s_{b})\n"
+        f"  / sqrt((n * s_{a}{a} - s_{a} * s_{a})"
+        f" * (n * s_{b}{b} - s_{b} * s_{b})) AS corr FROM s"
+        for a, b in pairs if a != b
+    )
+    return f"""
+WITH w AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+    CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+    CAST(ROUND(l_tax * 100) AS BIGINT) AS t
+  FROM lineitem),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    {sums}
+  FROM w)
+SELECT * FROM ({sel}) ORDER BY col_a, col_b
+"""
+
+
+_CORR_MATRIX_SQL = _corr_matrix_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -17401,6 +17899,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "with_fill_interpolate": q_with_fill_interpolate,
     "url_functions_report": q_url_functions_report,
     "topk_weighted_spacesaving": q_topk_weighted_spacesaving,
+    "dedup_paragraph_ccnet": q_dedup_paragraph_ccnet,
+    "dict_get_enrichment": q_dict_get_enrichment,
+    "ipv4_subnet_report": q_ipv4_subnet_report,
+    "moments_skew_kurt": q_moments_skew_kurt,
+    "simple_linreg_daily": q_simple_linreg_daily,
+    "group_uniq_array_daily": q_group_uniq_array_daily,
+    "corr_matrix_lineitem": q_corr_matrix_lineitem,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -17728,6 +18233,13 @@ ORACLE_QUERIES: dict[str, str] = {
     "with_fill_interpolate": _WITH_FILL_SQL,
     "url_functions_report": _URL_FUNCS_SQL,
     "topk_weighted_spacesaving": _TOPK_SS_SQL,
+    "dedup_paragraph_ccnet": _CCNET_SQL,
+    "dict_get_enrichment": _DICT_GET_SQL,
+    "ipv4_subnet_report": _IPV4_SQL,
+    "moments_skew_kurt": _SKEW_KURT_SQL,
+    "simple_linreg_daily": _SIMPLE_LINREG_SQL,
+    "group_uniq_array_daily": _GROUP_UNIQ_SQL,
+    "corr_matrix_lineitem": _CORR_MATRIX_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
