@@ -17569,6 +17569,305 @@ SELECT * FROM ({sel}) ORDER BY col_a, col_b
 _CORR_MATRIX_SQL = _corr_matrix_sql()
 
 
+def q_aggregating_merge_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatingMergeTree ``-State``/``-Merge`` semantics: per-day
+    partial aggregate states (count/sum/min/max over 1e-6-grid DECIMAL
+    values) are built first, then MERGED across days per event_type —
+    exactly the two-level shape a materialized view over
+    AggregatingMergeTree produces. The mergeable exact-uniq state is the
+    pre-distinct (event_type, user_id) grain, re-counted at merge time —
+    the scalable exact pattern (HLL sketches are the approximate 100 TB
+    path, covered by sketch_rollup_daily_users). Emits the merged values
+    plus merged==direct verification flags; the partial/merge plan is
+    all map-side combinable and shuffles only (type, day) / (type, user)
+    keys, never raw rows twice."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value"), 6).cast("decimal(38,6)").alias("v"),
+        "user_id",
+    )
+    states = base.groupBy("event_type", "day").agg(
+        F.count("*").alias("p_n"),
+        F.sum("v").alias("p_sum"),
+        F.min("v").alias("p_min"),
+        F.max("v").alias("p_max"),
+    )
+    merged = states.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_states"),
+        F.sum("p_n").cast("bigint").alias("merged_n"),
+        F.round(F.sum("p_sum").cast("double"), 4).alias("merged_sum"),
+        F.min("p_min").cast("double").alias("merged_min"),
+        F.max("p_max").cast("double").alias("merged_max"),
+    )
+    uniq = (
+        base.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("merged_uniq"))
+    )
+    direct = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("d_n"),
+        F.round(F.sum("v").cast("double"), 4).alias("d_sum"),
+        F.countDistinct("user_id").cast("bigint").alias("d_uniq"),
+    )
+    return (
+        merged.join(uniq, "event_type")
+        .join(direct, "event_type")
+        .select(
+            "event_type",
+            "n_states",
+            "merged_n",
+            "merged_sum",
+            "merged_min",
+            "merged_max",
+            "merged_uniq",
+            (F.col("merged_n") == F.col("d_n")).cast("int").alias("n_ok"),
+            (F.col("merged_sum") == F.col("d_sum")).cast("int").alias("sum_ok"),
+            (F.col("merged_uniq") == F.col("d_uniq")).cast("int").alias("uniq_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_AGG_MERGE_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(ROUND(value, 6) AS DECIMAL(38,6)) AS v, user_id
+  FROM events),
+states AS (
+  SELECT event_type, day, COUNT(*) AS p_n, SUM(v) AS p_sum,
+    MIN(v) AS p_min, MAX(v) AS p_max
+  FROM base GROUP BY 1, 2),
+merged AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_states,
+    CAST(SUM(p_n) AS BIGINT) AS merged_n,
+    ROUND(CAST(SUM(p_sum) AS DOUBLE), 4) AS merged_sum,
+    CAST(MIN(p_min) AS DOUBLE) AS merged_min,
+    CAST(MAX(p_max) AS DOUBLE) AS merged_max
+  FROM states GROUP BY 1),
+uniq AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS merged_uniq
+  FROM (SELECT DISTINCT event_type, user_id FROM base) GROUP BY 1),
+direct AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d_n,
+    ROUND(CAST(SUM(v) AS DOUBLE), 4) AS d_sum,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS d_uniq
+  FROM base GROUP BY 1)
+SELECT m.event_type, m.n_states, m.merged_n, m.merged_sum, m.merged_min,
+  m.merged_max, u.merged_uniq,
+  CAST(m.merged_n = d.d_n AS INT) AS n_ok,
+  CAST(m.merged_sum = d.d_sum AS INT) AS sum_ok,
+  CAST(u.merged_uniq = d.d_uniq AS INT) AS uniq_ok
+FROM merged m
+JOIN uniq u ON m.event_type = u.event_type
+JOIN direct d ON m.event_type = d.event_type
+ORDER BY m.event_type
+"""
+
+
+def q_agg_resample_combinator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``-Resample`` combinator
+    (``sumResample(0, 500, 50)(value, value)`` /
+    ``countResample(...)``): fixed value-range buckets per event_type,
+    every bucket emitted even when empty (the combinator returns a
+    fixed-length array; here one row per bucket with zero-fill), rows
+    outside [start, stop) excluded exactly as ClickHouse drops
+    out-of-range keys. The bucket spine is generated by exploding a
+    ``sequence`` per distinct type (5 rows) — no cross join, no driver
+    loop; the aggregation itself shuffles (type, bucket) partials
+    only."""
+    ev = _t(spark, sf_dir, "events")
+    start, stop, step = 0, 500, 50
+    nb = (stop - start) // step
+    b = ev.where((F.col("value") >= start) & (F.col("value") < stop)).select(
+        "event_type",
+        F.round(F.col("value"), 6).cast("decimal(38,6)").alias("v"),
+        F.floor((F.col("value") - F.lit(start)) / F.lit(step))
+        .cast("int")
+        .alias("bucket"),
+    )
+    agg = b.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("bucket"),
+        )
+        .withColumn("bucket", F.col("bucket").cast("int"))
+    )
+    return (
+        spine.join(agg, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * step + start).cast("bigint").alias("bucket_lo"),
+            (F.col("bucket") * step + start + step)
+            .cast("bigint")
+            .alias("bucket_hi"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_rows"),
+            F.round(
+                F.coalesce(F.col("s"), F.lit(0).cast("decimal(38,6)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("sum_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+_AGG_RESAMPLE_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(ROUND(value, 6) AS DECIMAL(38,6)) AS v,
+    CAST(FLOOR((value - 0) / 50) AS INT) AS bucket
+  FROM events WHERE value >= 0 AND value < 500),
+agg AS (
+  SELECT event_type, bucket, COUNT(*) AS n, SUM(v) AS s
+  FROM b GROUP BY 1, 2),
+spine AS (
+  SELECT event_type, CAST(unnest(generate_series(0, 9)) AS INT) AS bucket
+  FROM (SELECT DISTINCT event_type FROM events))
+SELECT sp.event_type, sp.bucket,
+  CAST(sp.bucket * 50 AS BIGINT) AS bucket_lo,
+  CAST(sp.bucket * 50 + 50 AS BIGINT) AS bucket_hi,
+  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_rows,
+  ROUND(CAST(COALESCE(a.s, 0) AS DOUBLE), 4) AS sum_value
+FROM spine sp LEFT JOIN agg a
+  ON sp.event_type = a.event_type AND sp.bucket = a.bucket
+ORDER BY sp.event_type, sp.bucket
+"""
+
+
+def q_graphite_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphiteMergeTree-style age-based precision rollup: points aged
+    ≤7 days from the newest timestamp stay at day grain, ≤21 days roll
+    to ISO-week grain, older to month grain — Graphite's retention
+    ``age:precision`` rules re-expressed declaratively. The rollup
+    function is avg (Graphite's default), computed exactly as decimal
+    sum / count. The reference max-date is a broadcast single-row
+    aggregate (the r5 scalar pattern); everything else is one
+    grain-keyed aggregation with map-side partials."""
+    ev = _t(spark, sf_dir, "events")
+    maxd = ev.agg(F.max(F.col("ts").cast("date")).alias("ref"))
+    d = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value"), 6).cast("decimal(38,6)").alias("v"),
+    ).crossJoin(F.broadcast(maxd))
+    age = F.datediff(F.col("ref"), F.col("day"))
+    grain = (
+        F.when(age <= 7, F.lit("day"))
+        .when(age <= 21, F.lit("week"))
+        .otherwise(F.lit("month"))
+    )
+    bucket = (
+        F.when(age <= 7, F.col("day"))
+        .when(age <= 21, F.date_trunc("week", F.col("day")).cast("date"))
+        .otherwise(F.date_trunc("month", F.col("day")).cast("date"))
+    )
+    return (
+        d.select(
+            "event_type",
+            grain.alias("grain"),
+            bucket.alias("bucket_start"),
+            "v",
+        )
+        .groupBy("event_type", "grain", "bucket_start")
+        .agg(
+            F.count("*").cast("bigint").alias("n_raw"),
+            F.round(
+                (F.sum("v") / F.count("*")).cast("double"), 6
+            ).alias("avg_value"),
+        )
+        .orderBy("event_type", "bucket_start", "grain")
+    )
+
+
+_GRAPHITE_SQL = """
+WITH m AS (SELECT MAX(CAST(ts AS DATE)) AS ref FROM events),
+d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(ROUND(value, 6) AS DECIMAL(38,6)) AS v,
+    date_diff('day', CAST(ts AS DATE), (SELECT ref FROM m)) AS age
+  FROM events),
+g AS (
+  SELECT event_type,
+    CASE WHEN age <= 7 THEN 'day' WHEN age <= 21 THEN 'week'
+         ELSE 'month' END AS grain,
+    CASE WHEN age <= 7 THEN day
+         WHEN age <= 21 THEN CAST(date_trunc('week', day) AS DATE)
+         ELSE CAST(date_trunc('month', day) AS DATE) END AS bucket_start,
+    v
+  FROM d)
+SELECT event_type, grain, bucket_start,
+  CAST(COUNT(*) AS BIGINT) AS n_raw,
+  ROUND(CAST(SUM(v) / COUNT(*) AS DOUBLE), 6) AS avg_value
+FROM g GROUP BY 1, 2, 3
+ORDER BY event_type, bucket_start, grain
+"""
+
+
+def q_paste_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse PASTE JOIN (positional join): two independently
+    ordered sides are glued row-N-to-row-N. Side A is the daily order
+    revenue series date-ascending; side B is the SAME series re-ordered
+    revenue-descending (ties broken by date) — so row k pairs day k
+    with the k-th largest revenue day, a rank-vs-time alignment.
+    Positional joins need a total order; here the sides are daily
+    aggregates (bounded by the date span), so the single-partition
+    row_number window is safe — at raw-fact scale the same shape is a
+    per-range zipWithIndex over pre-sorted buckets."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("date"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+            ).alias("cents")
+        )
+    )
+    wa = Window.orderBy("date")
+    wb = Window.orderBy(F.col("cents").desc(), F.col("date"))
+    a = daily.select(
+        F.row_number().over(wa).alias("rn"),
+        F.col("date").alias("date_asc"),
+        (F.col("cents").cast("double") / 100).alias("rev_asc"),
+    )
+    b = daily.select(
+        F.row_number().over(wb).alias("rn"),
+        F.col("date").alias("date_by_rank"),
+        (F.col("cents").cast("double") / 100).alias("rev_ranked"),
+    )
+    return (
+        a.join(b, "rn")
+        .select("rn", "date_asc", "rev_asc", "date_by_rank", "rev_ranked")
+        .orderBy("rn")
+    )
+
+
+_PASTE_JOIN_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS date,
+    SUM(CAST(ROUND(o_totalprice * 100) AS DECIMAL(38,0))) AS cents
+  FROM orders GROUP BY 1),
+a AS (
+  SELECT row_number() OVER (ORDER BY date) AS rn, date AS date_asc,
+    CAST(cents AS DOUBLE) / 100 AS rev_asc
+  FROM daily),
+b AS (
+  SELECT row_number() OVER (ORDER BY cents DESC, date) AS rn,
+    date AS date_by_rank, CAST(cents AS DOUBLE) / 100 AS rev_ranked
+  FROM daily)
+SELECT a.rn, a.date_asc, a.rev_asc, b.date_by_rank, b.rev_ranked
+FROM a JOIN b ON a.rn = b.rn ORDER BY a.rn
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -17906,6 +18205,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simple_linreg_daily": q_simple_linreg_daily,
     "group_uniq_array_daily": q_group_uniq_array_daily,
     "corr_matrix_lineitem": q_corr_matrix_lineitem,
+    "aggregating_merge_states": q_aggregating_merge_states,
+    "agg_resample_combinator": q_agg_resample_combinator,
+    "graphite_rollup": q_graphite_rollup,
+    "paste_join_daily": q_paste_join_daily,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -18240,6 +18543,10 @@ ORACLE_QUERIES: dict[str, str] = {
     "simple_linreg_daily": _SIMPLE_LINREG_SQL,
     "group_uniq_array_daily": _GROUP_UNIQ_SQL,
     "corr_matrix_lineitem": _CORR_MATRIX_SQL,
+    "aggregating_merge_states": _AGG_MERGE_SQL,
+    "agg_resample_combinator": _AGG_RESAMPLE_SQL,
+    "graphite_rollup": _GRAPHITE_SQL,
+    "paste_join_daily": _PASTE_JOIN_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
