@@ -17868,6 +17868,411 @@ FROM a JOIN b ON a.rn = b.rn ORDER BY a.rn
 """
 
 
+def q_mean_z_test_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``meanZTest`` parity: two-sample z-test on event value
+    between every event_type pair, variances taken as the population
+    variances of each sample (the known-variance contract of the z-test).
+    Moments come from ONE exact-decimal pass over the facts (n, Σmicros,
+    Σmicros² per type); the pair stage is a self-join over the 5-row
+    moment table with a < tie-break, so data volume only ever touches the
+    single aggregation. z is computed with the identical double
+    expression shape on both engines and rounded to 1e-6."""
+    ev = _t(spark, sf_dir, "events")
+    micros = F.round(F.col("value") * 1e6).cast("decimal(38,0)")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(micros).alias("s1"),
+        F.sum(micros * micros).alias("s2"),
+    )
+    mean = (F.col("s1").cast("double") / F.col("n")) / 1e6
+    varp = (
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n") * F.col("n")).cast("double")
+    ) / 1e12
+    stats = m.select(
+        "event_type", "n", mean.alias("mean"), varp.alias("varp")
+    )
+    a = stats.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("varp").alias("var_a"),
+    )
+    b = stats.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("varp").alias("var_b"),
+    )
+    z = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.round("mean_a", 6).alias("mean_a"),
+            F.round("mean_b", 6).alias("mean_b"),
+            F.round(z, 6).alias("z_score"),
+            (F.abs(z) > 1.959964).cast("int").alias("significant_95"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_MEAN_Z_SQL = """
+WITH m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(value * 1e6) AS DECIMAL(38,0))) AS s1,
+    SUM(CAST(ROUND(value * 1e6) AS DECIMAL(38,0))
+        * CAST(ROUND(value * 1e6) AS DECIMAL(38,0))) AS s2
+  FROM events GROUP BY 1),
+stats AS (
+  SELECT event_type, n,
+    (CAST(s1 AS DOUBLE) / n) / 1e6 AS mean,
+    (CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE)) / 1e12
+      AS varp
+  FROM m)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+  a.n AS n_a, b.n AS n_b,
+  ROUND(a.mean, 6) AS mean_a, ROUND(b.mean, 6) AS mean_b,
+  ROUND((a.mean - b.mean)
+        / sqrt(a.varp / a.n + b.varp / b.n), 6) AS z_score,
+  CAST(abs((a.mean - b.mean) / sqrt(a.varp / a.n + b.varp / b.n))
+       > 1.959964 AS INT) AS significant_95
+FROM stats a JOIN stats b ON a.event_type < b.event_type
+ORDER BY type_a, type_b
+"""
+
+
+def q_max_intersections_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``maxIntersections`` / ``maxIntersectionsPosition``:
+    per YEAR, the maximum number of concurrently-open orders and the
+    FIRST day that peak is reached. An order is open from o_orderdate
+    until its last line ships; intervals are clipped to the year so
+    every year's sweep is self-contained (no cross-year carry-in — the
+    same clipping a ClickHouse user applies when grouping the aggregate
+    by year). The sweep is +1/-1 boundary events, a running sum over
+    (year, day), then an argmin-day over the per-year max — one
+    fact-fact aggregation for spans, windows only over the small
+    boundary table."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    spans = (
+        li.groupBy("l_orderkey").agg(
+            F.max(F.col("l_shipdate").cast("date")).alias("close_day")
+        )
+    )
+    iv = (
+        o.select(
+            "o_orderkey", F.col("o_orderdate").cast("date").alias("open_day")
+        )
+        .join(spans, F.col("o_orderkey") == F.col("l_orderkey"))
+        # data noise guard: a last-ship before the order date counts as
+        # open for just the order day (also keeps the year range
+        # non-inverted — Spark's sequence() would DESCEND on y0 > y1
+        # while DuckDB's generate_series returns empty)
+        .select(
+            "open_day",
+            F.greatest("close_day", "open_day").alias("close_day"),
+        )
+        .select("open_day", "close_day", F.year("open_day").alias("y_open"),
+                F.year("close_day").alias("y_close"))
+    )
+    # clip to each covered year: explode the (small, <=2 here) year range
+    iv = iv.select(
+        "open_day",
+        "close_day",
+        F.explode(F.sequence("y_open", "y_close")).alias("yr"),
+    ).select(
+        "yr",
+        F.greatest(
+            F.col("open_day"), F.to_date(F.concat(F.col("yr"), F.lit("-01-01")))
+        ).alias("s"),
+        F.least(
+            F.col("close_day"),
+            F.to_date(F.concat(F.col("yr"), F.lit("-12-31"))),
+        ).alias("e"),
+    )
+    starts = iv.groupBy("yr", F.col("s").alias("day")).agg(
+        F.count("*").alias("d")
+    )
+    ends = iv.groupBy(
+        "yr", F.date_add(F.col("e"), 1).alias("day")
+    ).agg((-F.count("*")).alias("d"))
+    bounds = starts.unionByName(ends).groupBy("yr", "day").agg(
+        F.sum("d").alias("delta")
+    )
+    w = Window.partitionBy("yr").orderBy("day")
+    run = bounds.withColumn(
+        "open_cnt", F.sum("delta").over(w)
+    ).where(F.year("day") == F.col("yr"))
+    wy = Window.partitionBy("yr")
+    peak = (
+        run.withColumn("mx", F.max("open_cnt").over(wy))
+        .where(F.col("open_cnt") == F.col("mx"))
+        .groupBy("yr")
+        .agg(
+            F.max("mx").cast("bigint").alias("max_intersections"),
+            F.min("day").alias("first_peak_day"),
+        )
+    )
+    return peak.orderBy("yr")
+
+
+_MAX_INTERSECT_SQL = """
+WITH spans AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_day
+  FROM lineitem GROUP BY 1),
+iv0 AS (
+  SELECT CAST(o_orderdate AS DATE) AS open_day,
+    greatest(s.close_day, CAST(o_orderdate AS DATE)) AS close_day
+  FROM orders o JOIN spans s ON o.o_orderkey = s.l_orderkey),
+iv AS (
+  SELECT yr,
+    greatest(open_day, CAST(yr || '-01-01' AS DATE)) AS s,
+    least(close_day, CAST(yr || '-12-31' AS DATE)) AS e
+  FROM iv0, unnest(generate_series(CAST(year(open_day) AS INT),
+                                   CAST(year(close_day) AS INT))) AS t(yr)),
+bounds AS (
+  SELECT yr, day, SUM(d) AS delta FROM (
+    SELECT yr, s AS day, COUNT(*) AS d FROM iv GROUP BY 1, 2
+    UNION ALL
+    SELECT yr, e + INTERVAL 1 DAY AS day, -COUNT(*) AS d
+    FROM iv GROUP BY 1, 2)
+  GROUP BY 1, 2),
+run AS (
+  SELECT yr, day,
+    SUM(delta) OVER (PARTITION BY yr ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS open_cnt
+  FROM bounds),
+fy AS (SELECT yr, CAST(day AS DATE) AS day, open_cnt FROM run
+       WHERE year(day) = yr),
+mx AS (SELECT yr, MAX(open_cnt) AS m FROM fy GROUP BY 1)
+SELECT fy.yr, CAST(mx.m AS BIGINT) AS max_intersections,
+  MIN(fy.day) AS first_peak_day
+FROM fy JOIN mx ON fy.yr = mx.yr AND fy.open_cnt = mx.m
+GROUP BY fy.yr, mx.m ORDER BY fy.yr
+"""
+
+
+def q_array_enumerate_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse array-function parity, round 2:
+    ``arrayEnumerateUniq`` (per-element occurrence index; its max is the
+    max term frequency), ``arrayIntersect`` against the English stopword
+    list, and ``arrayRotate``'s first element. The occurrence scan is
+    bounded to the first 50 tokens (quadratic row-local work stays
+    ≤2500 comparisons/row — the unbounded scale path for term
+    frequencies is the explode/groupBy in text_top_tokens). Everything
+    is higher-order array expressions inside codegen; zero shuffles
+    before the output sort."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    d = docs.select("doc_id", toks.alias("t"), F.slice(toks, 1, 50).alias("h"))
+    n = F.size("t")
+    occ = F.transform(
+        F.sequence(F.lit(1), F.size("h")),
+        lambda i: F.size(
+            F.filter(
+                F.slice(F.col("h"), 1, i),
+                lambda x: x == F.element_at(F.col("h"), i),
+            )
+        ),
+    )
+    stop_en = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    rot_first = F.when(
+        n > 0, F.element_at(F.col("t"), ((F.lit(3) % n) + 1).cast("int"))
+    )
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.array_max(occ).cast("bigint").alias("max_occ_head50"),
+        F.size(F.array_intersect(F.array_distinct("t"), stop_en))
+        .cast("bigint")
+        .alias("n_stop_distinct"),
+        rot_first.alias("rot3_first"),
+    ).orderBy("doc_id")
+
+
+_ARRAY_ENUM_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS_SQL} AS t,
+    list_slice({_TOKS_SQL}, 1, 50) AS h
+  FROM documents)
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(list_max(list_transform(generate_series(1, len(h)),
+    i -> len(list_filter(list_slice(h, 1, i), x -> x = h[i]))))
+    AS BIGINT) AS max_occ_head50,
+  CAST(len(list_intersect(list_distinct(t),
+    ['the','and','of','to','in','is','that','it','for','was']))
+    AS BIGINT) AS n_stop_distinct,
+  CASE WHEN len(t) > 0 THEN t[(3 % len(t)) + 1] END AS rot3_first
+FROM d ORDER BY doc_id
+"""
+
+
+def q_string_hamming_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse string-distance parity, round 2:
+    ``byteHammingDistance`` on '#'-padded 12-byte name prefixes and
+    ``stringJaccardIndex`` (distinct-character Jaccard) over every
+    nation-name pair (25 names → 300 a<b pairs; the pair stage runs on
+    a broadcast-size dimension, never facts). Character sets are built
+    with the identical substr-per-position expansion on both engines;
+    DuckDB's built-in ``jaccard`` is the cross-check for the set
+    formula."""
+    nat = _t(spark, sf_dir, "nation").select("n_name")
+    pad = F.rpad(F.substring(F.col("n_name"), 1, 12), 12, "#")
+    chars = F.expr(
+        "transform(sequence(1, length(n_name)), i -> substr(n_name, i, 1))"
+    )
+    base = nat.select(
+        F.col("n_name").alias("name"),
+        pad.alias("pad12"),
+        F.array_distinct(chars).alias("cs"),
+    )
+    a = base.select(
+        F.col("name").alias("name_a"),
+        F.col("pad12").alias("pa"),
+        F.col("cs").alias("ca"),
+    )
+    b = base.select(
+        F.col("name").alias("name_b"),
+        F.col("pad12").alias("pb"),
+        F.col("cs").alias("cb"),
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.expr("transform(sequence(1, 12), i -> substr(pa, i, 1))"),
+            F.expr("transform(sequence(1, 12), i -> substr(pb, i, 1))"),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    inter = F.size(F.array_intersect("ca", "cb"))
+    union = F.size(F.array_union("ca", "cb"))
+    return (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            ham.cast("bigint").alias("hamming12"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard_chars"),
+            (
+                F.substring("name_a", 1, 3) == F.substring("name_b", 1, 3)
+            ).cast("int").alias("same_prefix3"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+_STRING_HAM_JAC_SQL = """
+WITH base AS (
+  SELECT n_name AS name, rpad(substr(n_name, 1, 12), 12, '#') AS pad12,
+    list_distinct(list_transform(generate_series(1, length(n_name)),
+      i -> substr(n_name, i, 1))) AS cs
+  FROM nation)
+SELECT a.name AS name_a, b.name AS name_b,
+  CAST(list_sum(list_transform(generate_series(1, 12),
+    i -> CASE WHEN substr(a.pad12, i, 1) <> substr(b.pad12, i, 1)
+         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming12,
+  ROUND(CAST(len(list_intersect(a.cs, b.cs)) AS DOUBLE)
+        / len(list_distinct(a.cs || b.cs)), 6) AS jaccard_chars,
+  CAST(substr(a.name, 1, 3) = substr(b.name, 1, 3) AS INT) AS same_prefix3
+FROM base a JOIN base b ON a.name < b.name
+ORDER BY name_a, name_b
+"""
+
+
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality filter (Rae et al. 2021 §A1.1) as a per-doc
+    report: word count in [50, 100000], mean word length in [3, 10],
+    ≥80% of words containing an alphabetic character, ≥2 English
+    stopword hits, and the symbol-to-word ratio ('#' or ellipsis) below
+    0.1 — plus the final keep verdict. Every metric is a row-local
+    built-in string/array expression (no UDFs, no shuffles before the
+    sort); at 100 TB the verdict column feeds the same
+    filter-then-write curation pass corpus_curation uses."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    d = docs.select("doc_id", F.col("text"), toks.alias("t"))
+    n = F.size("t")
+    total_len = F.aggregate(
+        F.transform(F.col("t"), lambda x: F.length(x)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    mean_len = total_len.cast("double") / F.greatest(n, F.lit(1))
+    n_alpha = F.size(F.filter(F.col("t"), lambda x: x.rlike("[a-z]")))
+    alpha_frac = n_alpha.cast("double") / F.greatest(n, F.lit(1))
+    stop_en = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    stop_hits = F.size(
+        F.filter(F.col("t"), lambda x: F.array_contains(stop_en, x))
+    )
+    n_symbols = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), r"#|\.\.\.|…", ""))
+    )
+    sym_ratio = n_symbols.cast("double") / F.greatest(n, F.lit(1))
+    f_words = (n >= 50) & (n <= 100000)
+    f_mwl = (mean_len >= 3.0) & (mean_len <= 10.0)
+    f_alpha = alpha_frac >= 0.8
+    f_stop = stop_hits >= 2
+    f_sym = sym_ratio < 0.1
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("bigint").alias("stopword_hits"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        f_words.cast("int").alias("ok_word_count"),
+        f_mwl.cast("int").alias("ok_mean_word_len"),
+        f_alpha.cast("int").alias("ok_alpha_frac"),
+        f_stop.cast("int").alias("ok_stopwords"),
+        f_sym.cast("int").alias("ok_symbol_ratio"),
+        (f_words & f_mwl & f_alpha & f_stop & f_sym)
+        .cast("int")
+        .alias("keep"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents),
+m AS (
+  SELECT doc_id, len(t) AS n,
+    CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+         AS DOUBLE) / greatest(len(t), 1) AS mean_len,
+    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+         AS DOUBLE) / greatest(len(t), 1) AS alpha_frac,
+    len(list_filter(t, x -> list_contains(
+      ['the','and','of','to','in','is','that','it','for','was'], x)))
+      AS stop_hits,
+    CAST(length(text) - length(regexp_replace(text, '#|\\.\\.\\.|…', '',
+      'g')) AS DOUBLE) / greatest(len(t), 1) AS sym_ratio
+  FROM d)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+  ROUND(mean_len, 6) AS mean_word_len,
+  ROUND(alpha_frac, 6) AS alpha_word_frac,
+  CAST(stop_hits AS BIGINT) AS stopword_hits,
+  ROUND(sym_ratio, 6) AS symbol_ratio,
+  CAST(n >= 50 AND n <= 100000 AS INT) AS ok_word_count,
+  CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INT) AS ok_mean_word_len,
+  CAST(alpha_frac >= 0.8 AS INT) AS ok_alpha_frac,
+  CAST(stop_hits >= 2 AS INT) AS ok_stopwords,
+  CAST(sym_ratio < 0.1 AS INT) AS ok_symbol_ratio,
+  CAST(n >= 50 AND n <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+       AND alpha_frac >= 0.8 AND stop_hits >= 2 AND sym_ratio < 0.1
+       AS INT) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -18209,6 +18614,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_resample_combinator": q_agg_resample_combinator,
     "graphite_rollup": q_graphite_rollup,
     "paste_join_daily": q_paste_join_daily,
+    "mean_z_test_pairs": q_mean_z_test_pairs,
+    "max_intersections_yearly": q_max_intersections_yearly,
+    "array_enumerate_uniq": q_array_enumerate_uniq,
+    "string_hamming_jaccard": q_string_hamming_jaccard,
+    "gopher_quality_rules": q_gopher_quality_rules,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -18547,6 +18957,11 @@ ORACLE_QUERIES: dict[str, str] = {
     "agg_resample_combinator": _AGG_RESAMPLE_SQL,
     "graphite_rollup": _GRAPHITE_SQL,
     "paste_join_daily": _PASTE_JOIN_SQL,
+    "mean_z_test_pairs": _MEAN_Z_SQL,
+    "max_intersections_yearly": _MAX_INTERSECT_SQL,
+    "array_enumerate_uniq": _ARRAY_ENUM_SQL,
+    "string_hamming_jaccard": _STRING_HAM_JAC_SQL,
+    "gopher_quality_rules": _GOPHER_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
