@@ -18273,6 +18273,274 @@ FROM m ORDER BY doc_id
 """
 
 
+def q_time_slots_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``timeSlots(StartTime, Duration, Size)`` parity: each
+    event spans [ts, ts + value seconds); the expression expands it into
+    the covered 1800-second slot starts (epoch-grid floor, inclusive on
+    both ends exactly like timeSlots), then a per-slot occupancy rollup:
+    events overlapping the slot and distinct users. The expansion is a
+    row-local sequence/explode (bounded: value < 500 s ⇒ ≤2 slots/row);
+    the rollup shuffles (slot) partials only. Slots are emitted as epoch
+    BIGINTs — timezone-proof across engines."""
+    ev = _t(spark, sf_dir, "events")
+    u = F.unix_timestamp("ts")
+    dur = F.floor(F.col("value")).cast("bigint")
+    s0 = F.floor(u / 1800) * 1800
+    s1 = F.floor((u + dur) / 1800) * 1800
+    slots = ev.select(
+        "user_id",
+        F.explode(F.sequence(s0, s1, F.lit(1800).cast("bigint"))).alias(
+            "slot_epoch"
+        ),
+    )
+    return (
+        slots.groupBy("slot_epoch")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("slot_epoch")
+    )
+
+
+_TIME_SLOTS_SQL = """
+WITH s AS (
+  SELECT user_id,
+    unnest(generate_series(
+      CAST(FLOOR(epoch(ts) / 1800) * 1800 AS BIGINT),
+      CAST(FLOOR((epoch(ts) + CAST(FLOOR(value) AS BIGINT)) / 1800) * 1800
+           AS BIGINT),
+      1800)) AS slot_epoch
+  FROM events)
+SELECT slot_epoch, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_quantile_timing_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileTiming`` parity: timings (here
+    value×100 → ms) are histogrammed at quantileTiming's documented
+    resolution — exact 1 ms buckets below 1024 ms, 16 ms buckets up to
+    30 s, everything beyond clamped to 30000 — and the quantile is the
+    smallest bucket whose cumulative count reaches ceil(q·n). Per
+    event_type: p50/p90/p99 plus the clamp census. The bucket rollup is
+    one aggregation with map-side partials; the quantile scan runs over
+    the tiny (type, bucket) table with a cumulative window — the exact
+    shape a 100 TB timing percentile should have (bounded state, no
+    full sort of raw timings)."""
+    ev = _t(spark, sf_dir, "events")
+    t = F.round(F.col("value") * 100).cast("bigint")
+    bucket = (
+        F.when(t < 1024, t)
+        .when(t <= 30000, t - (t % 16))
+        .otherwise(F.lit(30000))
+    )
+    counts = (
+        ev.select("event_type", bucket.alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("b")
+    wt = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        "b",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wt).alias("n"),
+        F.sum(F.when(F.col("b") == 30000, F.col("c")).otherwise(0))
+        .over(wt)
+        .alias("n_clamped"),
+    )
+    qs = []
+    for q, nm in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        qs.append(
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("b"))
+            ).alias(nm)
+        )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max("n_clamped").cast("bigint").alias("n_clamped"),
+            *qs,
+        )
+        .orderBy("event_type")
+    )
+
+
+_QUANTILE_TIMING_SQL = """
+WITH t AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS ms FROM events),
+b AS (
+  SELECT event_type,
+    CASE WHEN ms < 1024 THEN ms WHEN ms <= 30000 THEN ms - (ms % 16)
+         ELSE 30000 END AS b
+  FROM t),
+c AS (SELECT event_type, b, COUNT(*) AS c FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, b,
+    SUM(c) OVER (PARTITION BY event_type ORDER BY b
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(c) OVER (PARTITION BY event_type) AS n,
+    SUM(CASE WHEN b = 30000 THEN c ELSE 0 END)
+      OVER (PARTITION BY event_type) AS n_clamped
+  FROM c)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+  CAST(MAX(n_clamped) AS BIGINT) AS n_clamped,
+  MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN b END) AS p50,
+  MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN b END) AS p90,
+  MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN b END) AS p99
+FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_top_customers_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``LIMIT n WITH TIES``: the top customers by order
+    count, keeping EVERY row that ties the 10th-place value — rank() ≤
+    10, not row_number() ≤ 10. Order counts are small integers, so the
+    tie group is large and the semantic difference visible. One fact
+    aggregation, then the rank window over the small per-customer
+    table."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    w = Window.orderBy(F.col("n_orders").desc())
+    return (
+        per.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 10)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy(F.col("n_orders").desc(), "custkey")
+    )
+
+
+_WITH_TIES_SQL = """
+WITH per AS (
+  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),
+r AS (
+  SELECT o_custkey, n, rank() OVER (ORDER BY n DESC) AS rnk FROM per)
+SELECT o_custkey AS custkey, CAST(n AS BIGINT) AS n_orders,
+  CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 10 ORDER BY n DESC, custkey
+"""
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION DISTINCT census (ClickHouse set
+    operators) over active-customer sets of two adjacent order years:
+    sizes of both sets, the intersection, each difference, the union,
+    and the symmetric difference, plus min-custkey witnesses of the
+    one-sided sets. Implemented as ONE full-outer join on the
+    pre-distinct (custkey, year-flag) sets with conditional counting —
+    a single shuffle instead of five separate set-op passes; the
+    oracle spells the same flags via FULL JOIN. The two-column set
+    frames are the only shuffled payload."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate"))
+    a = (
+        o.where(yr == 1996).select("o_custkey").distinct()
+        .select(F.col("o_custkey").alias("k"), F.lit(1).alias("in_a"))
+    )
+    b = (
+        o.where(yr == 1997).select("o_custkey").distinct()
+        .select(F.col("o_custkey").alias("k"), F.lit(1).alias("in_b"))
+    )
+    j = a.join(b, "k", "full").select(
+        "k",
+        F.coalesce("in_a", F.lit(0)).alias("ia"),
+        F.coalesce("in_b", F.lit(0)).alias("ib"),
+    )
+    return j.agg(
+        F.sum("ia").cast("bigint").alias("n_1996"),
+        F.sum("ib").cast("bigint").alias("n_1997"),
+        F.sum(F.col("ia") * F.col("ib")).cast("bigint").alias("n_both"),
+        F.sum(F.col("ia") * (1 - F.col("ib"))).cast("bigint").alias("n_only_1996"),
+        F.sum(F.col("ib") * (1 - F.col("ia"))).cast("bigint").alias("n_only_1997"),
+        F.count("*").cast("bigint").alias("n_union"),
+        F.sum(
+            F.when(F.col("ia") != F.col("ib"), 1).otherwise(0)
+        ).cast("bigint").alias("n_symdiff"),
+        F.min(F.when(F.col("ib") == 0, F.col("k"))).alias("min_only_1996"),
+        F.min(F.when(F.col("ia") == 0, F.col("k"))).alias("min_only_1997"),
+    )
+
+
+_SET_OPS_SQL = """
+WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+           WHERE year(o_orderdate) = 1996),
+b AS (SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE year(o_orderdate) = 1997),
+j AS (
+  SELECT COALESCE(a.k, b.k) AS k,
+    CASE WHEN a.k IS NULL THEN 0 ELSE 1 END AS ia,
+    CASE WHEN b.k IS NULL THEN 0 ELSE 1 END AS ib
+  FROM a FULL JOIN b ON a.k = b.k)
+SELECT CAST(SUM(ia) AS BIGINT) AS n_1996,
+  CAST(SUM(ib) AS BIGINT) AS n_1997,
+  CAST(SUM(ia * ib) AS BIGINT) AS n_both,
+  CAST(SUM(ia * (1 - ib)) AS BIGINT) AS n_only_1996,
+  CAST(SUM(ib * (1 - ia)) AS BIGINT) AS n_only_1997,
+  CAST(COUNT(*) AS BIGINT) AS n_union,
+  CAST(SUM(CASE WHEN ia <> ib THEN 1 ELSE 0 END) AS BIGINT) AS n_symdiff,
+  MIN(CASE WHEN ib = 0 THEN k END) AS min_only_1996,
+  MIN(CASE WHEN ia = 0 THEN k END) AS min_only_1997
+FROM j
+"""
+
+
+def q_date_format_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse date-formatting family parity — ``toYYYYMM``,
+    ``dateName('month'|'weekday')``, ``toISOWeek``, and a
+    ``formatDateTime``-style quarter label — reported per order month
+    with the month's order count. Names come from the engines' native
+    formatters (Spark date_format MMMM/EEEE, DuckDB
+    monthname/dayname — both English), ISO weeks from weekofyear; the
+    rollup is a single month-keyed aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    m0 = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    per = (
+        o.select(m0.alias("month_start"))
+        .groupBy("month_start")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+    return per.select(
+        (F.year("month_start") * 100 + F.month("month_start"))
+        .cast("bigint")
+        .alias("yyyymm"),
+        F.col("month_start"),
+        F.date_format("month_start", "MMMM").alias("month_name"),
+        F.date_format("month_start", "EEEE").alias("first_dow_name"),
+        F.weekofyear("month_start").cast("bigint").alias("iso_week_of_first"),
+        F.concat(
+            F.lit("Q"), F.quarter("month_start"), F.lit("-"),
+            F.year("month_start"),
+        ).alias("quarter_label"),
+        "n_orders",
+    ).orderBy("yyyymm")
+
+
+_DATE_FORMAT_SQL = """
+WITH per AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+    COUNT(*) AS n
+  FROM orders GROUP BY 1)
+SELECT CAST(year(month_start) * 100 + month(month_start) AS BIGINT)
+    AS yyyymm,
+  month_start,
+  monthname(month_start) AS month_name,
+  dayname(month_start) AS first_dow_name,
+  CAST(weekofyear(month_start) AS BIGINT) AS iso_week_of_first,
+  'Q' || quarter(month_start) || '-' || year(month_start)
+    AS quarter_label,
+  CAST(n AS BIGINT) AS n_orders
+FROM per ORDER BY yyyymm
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -18619,6 +18887,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_enumerate_uniq": q_array_enumerate_uniq,
     "string_hamming_jaccard": q_string_hamming_jaccard,
     "gopher_quality_rules": q_gopher_quality_rules,
+    "time_slots_expansion": q_time_slots_expansion,
+    "quantile_timing_buckets": q_quantile_timing_buckets,
+    "top_customers_with_ties": q_top_customers_with_ties,
+    "set_ops_customers": q_set_ops_customers,
+    "date_format_family": q_date_format_family,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -18962,6 +19235,11 @@ ORACLE_QUERIES: dict[str, str] = {
     "array_enumerate_uniq": _ARRAY_ENUM_SQL,
     "string_hamming_jaccard": _STRING_HAM_JAC_SQL,
     "gopher_quality_rules": _GOPHER_SQL,
+    "time_slots_expansion": _TIME_SLOTS_SQL,
+    "quantile_timing_buckets": _QUANTILE_TIMING_SQL,
+    "top_customers_with_ties": _WITH_TIES_SQL,
+    "set_ops_customers": _SET_OPS_SQL,
+    "date_format_family": _DATE_FORMAT_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
