@@ -18541,6 +18541,405 @@ FROM per ORDER BY yyyymm
 """
 
 
+def q_vector_distance_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse vector-distance function family parity —
+    ``L1Distance``, ``L2Distance``, ``LinfDistance``, ``dotProduct``,
+    ``cosineDistance`` — every embedding scored against the broadcast
+    vec_id=0 query vector. All folds run left-to-right in array order
+    on both engines (Spark ``aggregate`` ≙ DuckDB ``list_sum`` over
+    ``list_transform``) so doubles are bit-identical; results rounded
+    to 1e-6. Row-local math inside codegen; the only join is the
+    broadcast single-row query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    d = emb.crossJoin(F.broadcast(q))
+    diff = F.zip_with(
+        "embedding", "qvec", lambda a, b: a.cast("double") - b.cast("double")
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    dot = fold(
+        F.zip_with(
+            "embedding",
+            "qvec",
+            lambda a, b: a.cast("double") * b.cast("double"),
+        )
+    )
+    na = F.sqrt(
+        fold(
+            F.transform(
+                "embedding", lambda x: x.cast("double") * x.cast("double")
+            )
+        )
+    )
+    nb = F.sqrt(
+        fold(
+            F.transform("qvec", lambda x: x.cast("double") * x.cast("double"))
+        )
+    )
+    return d.select(
+        "vec_id",
+        F.round(fold(F.transform(diff, F.abs)), 6).alias("l1"),
+        F.round(
+            F.sqrt(fold(F.transform(diff, lambda x: x * x))), 6
+        ).alias("l2"),
+        F.round(F.array_max(F.transform(diff, F.abs)), 6).alias("linf"),
+        F.round(dot, 6).alias("dot"),
+        F.round(F.lit(1.0) - dot / (na * nb), 6).alias("cosine_dist"),
+    ).orderBy("vec_id")
+
+
+_VECTOR_DIST_SQL = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT vec_id,
+    list_transform(generate_series(1, len(embedding)),
+      i -> embedding[i]::DOUBLE - qvec[i]::DOUBLE) AS diff,
+    list_sum(list_transform(generate_series(1, len(embedding)),
+      i -> embedding[i]::DOUBLE * qvec[i]::DOUBLE)) AS dot,
+    sqrt(list_sum(list_transform(embedding,
+      x -> x::DOUBLE * x::DOUBLE))) AS na,
+    sqrt(list_sum(list_transform(qvec,
+      x -> x::DOUBLE * x::DOUBLE))) AS nb
+  FROM embeddings, q)
+SELECT vec_id,
+  ROUND(COALESCE(list_sum(list_transform(diff, x -> abs(x))), 0), 6) AS l1,
+  ROUND(sqrt(COALESCE(list_sum(list_transform(diff, x -> x * x)), 0)), 6)
+    AS l2,
+  ROUND(list_max(list_transform(diff, x -> abs(x))), 6) AS linf,
+  ROUND(dot, 6) AS dot,
+  ROUND(1.0 - dot / (na * nb), 6) AS cosine_dist
+FROM d ORDER BY vec_id
+"""
+
+
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each of the 20
+    lowest-id query vectors, the top-5 most-cosine-similar vectors with
+    a DIFFERENT label (the classic hard negatives — near in embedding
+    space, wrong class). The bounded query set broadcasts against the
+    corpus (20 × N scoring, embarrassingly parallel, zero shuffle
+    before the per-query top-k window); at 100 TB the same mining runs
+    per LSH bucket (similarity_lsh_topk's path) instead of
+    brute-force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("q_label"),
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    dot = fold(
+        F.zip_with(
+            "embedding",
+            "qvec",
+            lambda a, b: a.cast("double") * b.cast("double"),
+        )
+    )
+    na = F.sqrt(
+        fold(
+            F.transform(
+                "embedding", lambda x: x.cast("double") * x.cast("double")
+            )
+        )
+    )
+    nb = F.sqrt(
+        fold(
+            F.transform("qvec", lambda x: x.cast("double") * x.cast("double"))
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qset))
+        .where(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(dot / (na * nb), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            "cosine",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("q_id", "rnk")
+    )
+
+
+_ANN_HARD_NEG_SQL = """
+WITH qset AS (
+  SELECT vec_id AS q_id, embedding AS qvec, label AS q_label
+  FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+    ROUND(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        i -> e.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(e.embedding,
+           x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(q.qvec,
+           x -> x::DOUBLE * x::DOUBLE)))), 6) AS cosine
+  FROM embeddings e, qset q
+  WHERE e.label <> q.q_label),
+r AS (
+  SELECT q_id, q_label, vec_id, label, cosine,
+    ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored)
+SELECT q_id, q_label, vec_id AS neg_id, label AS neg_label, cosine,
+  CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 5 ORDER BY q_id, rnk
+"""
+
+
+def q_min_max_map_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``minMap`` / ``maxMap`` / ``avgMap`` parity (the
+    sumMap siblings): per event type, key-aligned per-bucket (props.k
+    mod 10) minimum, maximum, and exact average of value-cents,
+    emitted as sorted CSV array pairs — the map-aggregate return shape
+    canonicalized identically on both engines. One (type, bucket)
+    partial aggregation (map-side combinable), one per-type fold."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.get_json_object("props", "$.k").cast("long") % 10).alias(
+        "bucket"
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    partial = ev.groupBy("event_type", bucket).agg(
+        F.min(cents).alias("mn"),
+        F.max(cents).alias("mx"),
+        F.sum(cents.cast("decimal(38,0)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    avg_micros = F.floor(
+        (F.col("s") * 1000000 / F.col("n")).cast("decimal(38,6)")
+    ).cast("bigint")
+    folded = (
+        partial.select(
+            "event_type",
+            F.struct("bucket", "mn", "mx", avg_micros.alias("am")).alias("kv"),
+        )
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("kv")).alias("kv"))
+        .select(
+            "event_type",
+            F.concat_ws(
+                ",", F.transform("kv", lambda x: x["bucket"])
+            ).alias("keys_csv"),
+            F.concat_ws(",", F.transform("kv", lambda x: x["mn"])).alias(
+                "mins_csv"
+            ),
+            F.concat_ws(",", F.transform("kv", lambda x: x["mx"])).alias(
+                "maxs_csv"
+            ),
+            F.concat_ws(",", F.transform("kv", lambda x: x["am"])).alias(
+                "avg_micros_csv"
+            ),
+        )
+    )
+    return folded.orderBy("event_type")
+
+
+_MIN_MAX_MAP_SQL = """
+WITH p AS (
+  SELECT event_type,
+    CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS bucket,
+    MIN(CAST(ROUND(value * 100) AS BIGINT)) AS mn,
+    MAX(CAST(ROUND(value * 100) AS BIGINT)) AS mx,
+    CAST(FLOOR(CAST(SUM(CAST(ROUND(value * 100) AS DECIMAL(38,0)))
+      * 1000000 / COUNT(*) AS DECIMAL(38,6))) AS BIGINT) AS am
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+  string_agg(bucket, ',' ORDER BY bucket) AS keys_csv,
+  string_agg(mn, ',' ORDER BY bucket) AS mins_csv,
+  string_agg(mx, ',' ORDER BY bucket) AS maxs_csv,
+  string_agg(am, ',' ORDER BY bucket) AS avg_micros_csv
+FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_gd_linreg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``stochasticLinearRegression`` re-expressed as
+    DETERMINISTIC full-batch gradient descent: daily revenue (dollars)
+    against the normalized day index, 5 unrolled GD steps at lr=0.5
+    from w=(0,0). The loss gradient of linear least squares depends
+    only on sufficient statistics (n, Σt, Σy, Σt², Σty, Σy²), so the
+    facts are read ONCE — every iteration is pure scalar arithmetic on
+    the single stats row, applied with the identical expression shape
+    on both engines (bit-identical doubles; SGD's order-dependence is
+    exactly what this formulation removes, and what makes it the
+    100 TB-safe shape). Emits the per-iteration (w0, w1, mse) trace."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+        ).alias("cents")
+    )
+    b = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    # (19,0)/(10,0) operands keep every product inside DECIMAL(38,0) —
+    # (38,0)×(38,0) silently falls back to DOUBLE in DuckDB (the
+    # decimal-product-overflow trap from NOTES_r2)
+    k = F.datediff(F.col("day"), F.col("d0")).cast("decimal(10,0)")
+    y = F.col("cents").cast("decimal(19,0)")
+    stats = (
+        daily.crossJoin(F.broadcast(b))
+        .select(
+            k.alias("k"),
+            y.alias("y"),
+            F.datediff(F.col("d1"), F.col("d0"))
+            .cast("double")
+            .alias("dd"),
+        )
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.max("dd").alias("dd"),
+            F.sum("k").cast("double").alias("sk"),
+            F.sum(F.col("y")).cast("double").alias("sy_c"),
+            F.sum(F.col("k") * F.col("k")).cast("double").alias("skk"),
+            F.sum(F.col("k") * F.col("y")).cast("double").alias("sky_c"),
+            F.sum(F.col("y") * F.col("y")).cast("double").alias("syy_c"),
+        )
+    )
+    # derived double stats: t = k/dd (normalized), y in dollars
+    s = stats.select(
+        "n",
+        (F.col("sk") / F.col("dd")).alias("st"),
+        (F.col("sy_c") / F.lit(100.0)).alias("sy"),
+        (F.col("skk") / (F.col("dd") * F.col("dd"))).alias("stt"),
+        (F.col("sky_c") / (F.col("dd") * F.lit(100.0))).alias("sty"),
+        (F.col("syy_c") / F.lit(10000.0)).alias("syy"),
+    )
+    # unrolled GD: identical textual updates on both engines
+    for i in range(6):
+        if i == 0:
+            s = s.withColumn("w0", F.expr("0.0")).withColumn(
+                "w1", F.expr("0.0")
+            )
+        else:
+            s = (
+                s.withColumn(
+                    "w0n",
+                    F.expr("w0 - 0.5 * (2.0 * (w0 * n + w1 * st - sy) / n)"),
+                )
+                .withColumn(
+                    "w1n",
+                    F.expr(
+                        "w1 - 0.5 * (2.0 * (w0 * st + w1 * stt - sty) / n)"
+                    ),
+                )
+                .drop("w0", "w1")
+                .withColumnRenamed("w0n", "w0")
+                .withColumnRenamed("w1n", "w1")
+            )
+        s = s.withColumn(
+            f"trace_{i}",
+            F.struct(
+                F.lit(i).alias("iter"),
+                F.col("w0").alias("w0"),
+                F.col("w1").alias("w1"),
+                F.expr(
+                    "(w0 * w0 * n + w1 * w1 * stt + syy + 2.0 * w0 * w1 * st"
+                    " - 2.0 * w0 * sy - 2.0 * w1 * sty) / n"
+                ).alias("mse"),
+            ),
+        )
+    traced = s.select(
+        F.explode(F.array(*[F.col(f"trace_{i}") for i in range(6)])).alias(
+            "t"
+        )
+    )
+    # mse is ~1e14 (dollars²): ROUND(double, 4) is lossy in DuckDB at
+    # that magnitude (×1e4 exceeds exact-integer double range), so the
+    # trace reports FLOOR(mse/1e6) — an exact integer on both engines
+    return traced.select(
+        F.col("t.iter").alias("iter"),
+        F.round("t.w0", 6).alias("w0"),
+        F.round("t.w1", 6).alias("w1"),
+        F.floor(F.col("t.mse") / F.lit(1000000.0))
+        .cast("bigint")
+        .alias("mse_mega"),
+    ).orderBy("iter")
+
+
+_GD_LINREG_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    SUM(CAST(ROUND(o_totalprice * 100) AS DECIMAL(38,0))) AS cents
+  FROM orders GROUP BY 1),
+b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+raw AS (
+  -- (19,0)/(10,0) operands keep every product inside DECIMAL(38,0);
+  -- (38,0)x(38,0) silently degrades to DOUBLE in DuckDB
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(MAX(date_diff('day', d0, d1)) AS DOUBLE) AS dd,
+    CAST(SUM(CAST(date_diff('day', d0, day) AS DECIMAL(10,0))) AS DOUBLE)
+      AS sk,
+    CAST(SUM(CAST(cents AS DECIMAL(19,0))) AS DOUBLE) AS sy_c,
+    CAST(SUM(CAST(date_diff('day', d0, day) AS DECIMAL(10,0))
+             * CAST(date_diff('day', d0, day) AS DECIMAL(10,0)))
+         AS DOUBLE) AS skk,
+    CAST(SUM(CAST(date_diff('day', d0, day) AS DECIMAL(10,0))
+             * CAST(cents AS DECIMAL(19,0)))
+         AS DOUBLE) AS sky_c,
+    CAST(SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+         AS DOUBLE) AS syy_c
+  FROM daily, b),
+s AS (
+  SELECT n, sk / dd AS st, sy_c / 100.0 AS sy,
+    skk / (dd * dd) AS stt, sky_c / (dd * 100.0) AS sty,
+    syy_c / 10000.0 AS syy
+  FROM raw),
+it0 AS (SELECT *, 0.0 AS w0, 0.0 AS w1 FROM s),
+-- nw0/nw1 avoid DuckDB's lateral-alias shadowing: both updates must
+-- read the PREVIOUS iteration's (w0, w1), exactly like the Spark twin
+it1 AS (SELECT n, st, sy, stt, sty, syy,
+  w0 - 0.5 * (2.0 * (w0 * n + w1 * st - sy) / n) AS nw0,
+  w1 - 0.5 * (2.0 * (w0 * st + w1 * stt - sty) / n) AS nw1 FROM it0),
+it1r AS (SELECT n, st, sy, stt, sty, syy, nw0 AS w0, nw1 AS w1 FROM it1),
+it2 AS (SELECT n, st, sy, stt, sty, syy,
+  w0 - 0.5 * (2.0 * (w0 * n + w1 * st - sy) / n) AS nw0,
+  w1 - 0.5 * (2.0 * (w0 * st + w1 * stt - sty) / n) AS nw1 FROM it1r),
+it2r AS (SELECT n, st, sy, stt, sty, syy, nw0 AS w0, nw1 AS w1 FROM it2),
+it3 AS (SELECT n, st, sy, stt, sty, syy,
+  w0 - 0.5 * (2.0 * (w0 * n + w1 * st - sy) / n) AS nw0,
+  w1 - 0.5 * (2.0 * (w0 * st + w1 * stt - sty) / n) AS nw1 FROM it2r),
+it3r AS (SELECT n, st, sy, stt, sty, syy, nw0 AS w0, nw1 AS w1 FROM it3),
+it4 AS (SELECT n, st, sy, stt, sty, syy,
+  w0 - 0.5 * (2.0 * (w0 * n + w1 * st - sy) / n) AS nw0,
+  w1 - 0.5 * (2.0 * (w0 * st + w1 * stt - sty) / n) AS nw1 FROM it3r),
+it4r AS (SELECT n, st, sy, stt, sty, syy, nw0 AS w0, nw1 AS w1 FROM it4),
+it5 AS (SELECT n, st, sy, stt, sty, syy,
+  w0 - 0.5 * (2.0 * (w0 * n + w1 * st - sy) / n) AS nw0,
+  w1 - 0.5 * (2.0 * (w0 * st + w1 * stt - sty) / n) AS nw1 FROM it4r),
+it5r AS (SELECT n, st, sy, stt, sty, syy, nw0 AS w0, nw1 AS w1 FROM it5),
+tr AS (
+  SELECT 0 AS iter, * FROM it0 UNION ALL SELECT 1, * FROM it1r
+  UNION ALL SELECT 2, * FROM it2r UNION ALL SELECT 3, * FROM it3r
+  UNION ALL SELECT 4, * FROM it4r UNION ALL SELECT 5, * FROM it5r)
+SELECT iter, ROUND(w0, 6) AS w0, ROUND(w1, 6) AS w1,
+  CAST(FLOOR((w0 * w0 * n + w1 * w1 * stt + syy + 2.0 * w0 * w1 * st
+         - 2.0 * w0 * sy - 2.0 * w1 * sty) / n / 1000000.0) AS BIGINT)
+    AS mse_mega
+FROM tr ORDER BY iter
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -18892,6 +19291,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_customers_with_ties": q_top_customers_with_ties,
     "set_ops_customers": q_set_ops_customers,
     "date_format_family": q_date_format_family,
+    "vector_distance_family": q_vector_distance_family,
+    "ann_hard_negatives": q_ann_hard_negatives,
+    "min_max_map_rollup": q_min_max_map_rollup,
+    "gd_linreg_daily": q_gd_linreg_daily,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -19240,6 +19643,10 @@ ORACLE_QUERIES: dict[str, str] = {
     "top_customers_with_ties": _WITH_TIES_SQL,
     "set_ops_customers": _SET_OPS_SQL,
     "date_format_family": _DATE_FORMAT_SQL,
+    "vector_distance_family": _VECTOR_DIST_SQL,
+    "ann_hard_negatives": _ANN_HARD_NEG_SQL,
+    "min_max_map_rollup": _MIN_MAX_MAP_SQL,
+    "gd_linreg_daily": _GD_LINREG_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
