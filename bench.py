@@ -147,6 +147,14 @@ EXTENSIONS_R3 = [
     "dedup_paragraph_ccnet",  # cross-doc chunk-hash dedup corpus pass
     "moments_skew_kurt",
     "corr_matrix_lineitem",  # 14 sufficient stats in one lineitem pass
+    "aggregating_merge_states",  # two-level -State/-Merge equivalence
+    "max_intersections_yearly",  # clipped sweep-line concurrency
+    "time_slots_expansion",  # bounded interval explode + slot rollup
+    "quantile_timing_buckets",  # bucketed timing percentiles, no raw sort
+    "gopher_quality_rules",  # row-local quality rule corpus pass
+    "vector_distance_family",  # 5 distance folds per embedding
+    "ann_hard_negatives",  # 20-query broadcast hard-negative mining
+    "gd_linreg_daily",  # one-pass sufficient-stats GD trace
 ]
 
 

@@ -18940,6 +18940,287 @@ FROM tr ORDER BY iter
 """
 
 
+def q_sequence_match_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch`` parity for the three pattern
+    classes: any-order '(?1).*(?2)' (a view EVENTUALLY followed by a
+    purchase), adjacency '(?1)(?2)' (immediately followed), and the
+    time-conditioned '(?1)(?t<=3600)(?2)' (within an hour). Each user's
+    stream is one sorted array (total order ts, event_id — built by a
+    single groupBy; no windows), the matchers are row-local array
+    lambdas, and the report aggregates user counts per pattern. The
+    only shuffle is the per-user collect — the same state shape
+    sessionization uses at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.struct(
+            F.unix_timestamp("ts").alias("s"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("t"),
+        ).alias("kv"),
+    )
+    per = base.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("kv")).alias("kv")
+    )
+    t = F.transform(F.col("kv"), lambda x: x["t"])
+    s = F.transform(F.col("kv"), lambda x: x["s"])
+    n = F.size("kv")
+    d = per.select("user_id", t.alias("t"), s.alias("s"), n.alias("n"))
+    fv = F.array_position(F.col("t"), "view")
+    lp_rev = F.array_position(F.reverse(F.col("t")), "purchase")
+    lp = F.when(lp_rev > 0, F.col("n") + 1 - lp_rev).otherwise(F.lit(0))
+    m_any = (fv > 0) & (lp > fv)
+    idx = F.sequence(F.lit(1), F.greatest(F.col("n") - 1, F.lit(1)))
+    m_adj = F.when(
+        F.col("n") >= 2,
+        F.exists(
+            idx,
+            lambda i: (F.element_at(F.col("t"), i) == "view")
+            & (F.element_at(F.col("t"), i + 1) == "purchase"),
+        ),
+    ).otherwise(F.lit(False))
+    m_time = F.exists(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: (F.element_at(F.col("t"), i) == "view")
+        & F.exists(
+            F.sequence(
+                F.least(i + 1, F.col("n")), F.col("n")
+            ),
+            lambda j: (j > i)
+            & (F.element_at(F.col("t"), j) == "purchase")
+            & (
+                F.element_at(F.col("s"), j) - F.element_at(F.col("s"), i)
+                <= 3600
+            ),
+        ),
+    )
+    flags = d.select(
+        m_any.cast("int").alias("a"),
+        m_adj.cast("int").alias("b"),
+        m_time.cast("int").alias("c"),
+    )
+    return flags.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("a").cast("bigint").alias("n_match_any"),
+        F.sum("b").cast("bigint").alias("n_match_adjacent"),
+        F.sum("c").cast("bigint").alias("n_match_within_1h"),
+    )
+
+
+_SEQ_MATCH_SQL = """
+WITH per AS (
+  -- FLOOR(epoch()) matches Spark's unix_timestamp (second-floored);
+  -- ordering by raw epoch micros would diverge on same-second ties
+  SELECT user_id,
+    list(event_type ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+      AS t,
+    list(CAST(FLOOR(epoch(ts)) AS BIGINT)
+         ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS s,
+    COUNT(*) AS n
+  FROM events GROUP BY 1),
+f AS (
+  SELECT user_id, n,
+    list_position(t, 'view') AS fv,
+    CASE WHEN list_position(list_reverse(t), 'purchase') > 0
+         THEN n + 1 - list_position(list_reverse(t), 'purchase')
+         ELSE 0 END AS lp,
+    CASE WHEN n >= 2 THEN len(list_filter(generate_series(1, n - 1),
+      i -> t[i] = 'view' AND t[i + 1] = 'purchase')) > 0
+      ELSE FALSE END AS m_adj,
+    len(list_filter(generate_series(1, n),
+      i -> t[i] = 'view' AND len(list_filter(generate_series(i + 1, n),
+        j -> t[j] = 'purchase' AND s[j] - s[i] <= 3600)) > 0)) > 0
+      AS m_time
+  FROM per)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(CASE WHEN fv > 0 AND lp > fv THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_match_any,
+  CAST(SUM(CASE WHEN m_adj THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_match_adjacent,
+  CAST(SUM(CASE WHEN m_time THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_match_within_1h
+FROM f
+"""
+
+
+def q_entropy_by_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``entropy()`` aggregate parity over four categorical
+    columns (order priority/status, market segment, return flag):
+    Shannon entropy in bits, the distinct count, and the normalized
+    entropy H/log2(k). Each column is one count-by-value aggregation
+    (map-side combinable; the value domains are tiny), entropies are
+    folded from exact integer counts with the identical -Σ(c/n)·log2
+    expression, rounded to 1e-6. The four per-column frames union into
+    one report."""
+    frames = []
+    specs = [
+        ("orders", "o_orderpriority", "orders.o_orderpriority"),
+        ("orders", "o_orderstatus", "orders.o_orderstatus"),
+        ("customer", "c_mktsegment", "customer.c_mktsegment"),
+        ("lineitem", "l_returnflag", "lineitem.l_returnflag"),
+    ]
+    for tbl, col, label in specs:
+        df = _t(spark, sf_dir, tbl)
+        counts = df.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").alias("c")
+        )
+        agg = counts.agg(
+            F.sum("c").alias("n"),
+            F.count("*").alias("k"),
+            F.collect_list(F.struct("v", "c")).alias("kv"),
+        )
+        p = lambda x: x["c"].cast("double") / F.col("n")  # noqa: E731
+        ent = -F.aggregate(
+            F.sort_array(F.col("kv")),
+            F.lit(0.0),
+            lambda acc, x: acc + p(x) * F.log2(p(x)),
+        )
+        frames.append(
+            agg.select(
+                F.lit(label).alias("column_name"),
+                F.col("n").cast("bigint").alias("n_rows"),
+                F.col("k").cast("bigint").alias("n_distinct"),
+                F.round(ent, 6).alias("entropy_bits"),
+                F.round(ent / F.log2(F.col("k").cast("double")), 6).alias(
+                    "norm_entropy"
+                ),
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.orderBy("column_name")
+
+
+def _column_entropy_sql() -> str:
+    specs = [
+        ("orders", "o_orderpriority", "orders.o_orderpriority"),
+        ("orders", "o_orderstatus", "orders.o_orderstatus"),
+        ("customer", "c_mktsegment", "customer.c_mktsegment"),
+        ("lineitem", "l_returnflag", "lineitem.l_returnflag"),
+    ]
+    parts = []
+    for tbl, col, label in specs:
+        parts.append(f"""
+SELECT '{label}' AS column_name, CAST(n AS BIGINT) AS n_rows,
+  CAST(k AS BIGINT) AS n_distinct,
+  ROUND(-list_sum(list_transform(kv,
+    x -> (x.c::DOUBLE / n) * log2(x.c::DOUBLE / n))), 6) AS entropy_bits,
+  ROUND(-list_sum(list_transform(kv,
+    x -> (x.c::DOUBLE / n) * log2(x.c::DOUBLE / n)))
+    / log2(k::DOUBLE), 6) AS norm_entropy
+FROM (
+  SELECT SUM(c) AS n, COUNT(*) AS k,
+    list(struct_pack(v := v, c := c) ORDER BY v, c) AS kv
+  FROM (SELECT {col} AS v, COUNT(*) AS c FROM {tbl} GROUP BY 1))""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"
+
+
+_COLUMN_ENTROPY_SQL = _column_entropy_sql()
+
+
+def q_substring_search_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse string-search function family — ``position``,
+    ``countSubstrings``, ``hasToken``, ``startsWith`` / ``endsWith`` —
+    per document against fixed needles. Occurrence counting uses the
+    replace-length identity (no regex engine in the hot path except the
+    word-boundary token probe); every expression is row-local inside
+    codegen. The needle set is a compile-time constant, the 100 TB shape
+    of a blocklist/keyword scan."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_data = (
+        (F.length(text) - F.length(F.regexp_replace(text, "data", "")))
+        / F.lit(4)
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        F.locate("data", text).cast("bigint").alias("pos_data"),
+        n_data.alias("n_data"),
+        text.rlike(r"\bspark\b").cast("int").alias("has_token_spark"),
+        F.col("text").startswith("the ").cast("int").alias("starts_the"),
+        F.col("text").endswith("join").cast("int").alias("ends_join"),
+    ).orderBy("doc_id")
+
+
+_SUBSTRING_SEARCH_SQL = r"""
+SELECT doc_id,
+  CAST(strpos(text, 'data') AS BIGINT) AS pos_data,
+  CAST((length(text) - length(replace(text, 'data', ''))) / 4 AS BIGINT)
+    AS n_data,
+  CAST(regexp_matches(text, '\bspark\b') AS INT) AS has_token_spark,
+  CAST(starts_with(text, 'the ') AS INT) AS starts_the,
+  CAST(ends_with(text, 'join') AS INT) AS ends_join
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_transform_mapping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``transform(x, from, to, default)`` + ``multiIf``
+    parity: order priorities map to urgency weights through a literal
+    value map (default 10), order totals tier through a multiIf
+    cascade; the report is the per-month weighted urgency score and
+    tier census. The mapping is a row-local CASE chain (what Catalyst
+    folds transform() to anyway); one month-keyed aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    weight = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 100)
+        .when(F.col("o_orderpriority") == "2-HIGH", 50)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 25)
+        .otherwise(10)
+    )
+    tier = (
+        F.when(F.col("o_totalprice") >= 300000, "jumbo")
+        .when(F.col("o_totalprice") >= 150000, "large")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("small")
+    )
+    return (
+        o.select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("yyyymm"),
+            weight.alias("w"),
+            tier.alias("tier"),
+        )
+        .groupBy("yyyymm")
+        .agg(
+            F.sum("w").cast("bigint").alias("urgency_score"),
+            F.sum(F.when(F.col("tier") == "jumbo", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_jumbo"),
+            F.sum(F.when(F.col("tier") == "large", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_large"),
+            F.sum(F.when(F.col("tier") == "medium", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_medium"),
+            F.sum(F.when(F.col("tier") == "small", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_small"),
+        )
+        .orderBy("yyyymm")
+    )
+
+
+_TRANSFORM_MAP_SQL = """
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+    AS yyyymm,
+  CAST(SUM(CASE o_orderpriority WHEN '1-URGENT' THEN 100
+    WHEN '2-HIGH' THEN 50 WHEN '3-MEDIUM' THEN 25 ELSE 10 END) AS BIGINT)
+    AS urgency_score,
+  CAST(SUM(CASE WHEN o_totalprice >= 300000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_jumbo,
+  CAST(SUM(CASE WHEN o_totalprice >= 150000 AND o_totalprice < 300000
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+  CAST(SUM(CASE WHEN o_totalprice >= 50000 AND o_totalprice < 150000
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+  CAST(SUM(CASE WHEN o_totalprice < 50000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_small
+FROM orders GROUP BY 1 ORDER BY yyyymm
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -19295,6 +19576,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_hard_negatives": q_ann_hard_negatives,
     "min_max_map_rollup": q_min_max_map_rollup,
     "gd_linreg_daily": q_gd_linreg_daily,
+    "sequence_match_flags": q_sequence_match_flags,
+    "entropy_by_column": q_entropy_by_column,
+    "substring_search_family": q_substring_search_family,
+    "transform_mapping_report": q_transform_mapping_report,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -19647,6 +19932,10 @@ ORACLE_QUERIES: dict[str, str] = {
     "ann_hard_negatives": _ANN_HARD_NEG_SQL,
     "min_max_map_rollup": _MIN_MAX_MAP_SQL,
     "gd_linreg_daily": _GD_LINREG_SQL,
+    "sequence_match_flags": _SEQ_MATCH_SQL,
+    "entropy_by_column": _COLUMN_ENTROPY_SQL,
+    "substring_search_family": _SUBSTRING_SEARCH_SQL,
+    "transform_mapping_report": _TRANSFORM_MAP_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
