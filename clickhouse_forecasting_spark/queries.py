@@ -19221,6 +19221,204 @@ FROM orders GROUP BY 1 ORDER BY yyyymm
 """
 
 
+def q_array_join_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``LEFT ARRAY JOIN`` + ``arrayEnumerate`` parity: each
+    document's first-5 token list explodes WITH positions, empty lists
+    keep their row (position NULL — the LEFT variant), then a
+    per-position census: docs reaching that position and the
+    lexicographically-smallest most-frequent token (exact argmin over
+    (−count, token)). posexplode_outer is the Spark spelling of LEFT
+    ARRAY JOIN with arrayEnumerate; the census is two tiny keyed
+    aggregations."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.slice(TX.tokens(F.col("text")), 1, 5)
+    ex = docs.select(
+        "doc_id", F.posexplode_outer(toks).alias("pos0", "tok")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    per_tok = ex.where(F.col("pos").isNotNull()).groupBy("pos", "tok").agg(
+        F.count("*").alias("c")
+    )
+    top = (
+        per_tok.groupBy("pos")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.min_by(
+                F.col("tok"), F.struct((-F.col("c")).alias("nc"), F.col("tok"))
+            ).alias("top_token"),
+            F.max("c").cast("bigint").alias("top_count"),
+        )
+    )
+    null_rows = ex.where(F.col("pos").isNull()).agg(
+        F.count("*").cast("bigint").alias("n_empty_docs")
+    )
+    return (
+        top.crossJoin(F.broadcast(null_rows))
+        .select("pos", "n_docs", "top_token", "top_count", "n_empty_docs")
+        .orderBy("pos")
+    )
+
+
+_ARRAY_JOIN_POS_SQL = f"""
+WITH t AS (SELECT doc_id, list_slice({_TOKS_SQL}, 1, 5) AS toks
+           FROM documents),
+ex AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN NULL ELSE u.i END AS pos,
+    CASE WHEN len(toks) = 0 THEN NULL ELSE toks[u.i] END AS tok
+  FROM t LEFT JOIN LATERAL unnest(generate_series(1, len(toks))) AS u(i)
+    ON TRUE),
+per_tok AS (
+  SELECT pos, tok, COUNT(*) AS c FROM ex WHERE pos IS NOT NULL
+  GROUP BY 1, 2),
+top AS (
+  SELECT pos, CAST(tot AS BIGINT) AS n_docs, tok AS top_token,
+    CAST(c AS BIGINT) AS top_count
+  FROM (
+    SELECT pos, tok, c,
+      SUM(c) OVER (PARTITION BY pos) AS tot,
+      ROW_NUMBER() OVER (PARTITION BY pos ORDER BY c DESC, tok) AS rn
+    FROM per_tok)
+  WHERE rn = 1),
+nulls AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_empty_docs FROM ex
+  WHERE pos IS NULL)
+SELECT pos, n_docs, top_token, top_count, n_empty_docs
+FROM top, nulls ORDER BY pos
+"""
+
+
+def q_avg_weighted_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``avgWeighted`` + ``covarPop``/``covarSamp`` parity
+    per part brand: the quantity-weighted mean extended price (exact:
+    decimal Σ(w·x)/Σw in cents), and the population/sample covariance
+    of (quantity, price-cents) from one exact-decimal sufficient-stats
+    pass — n, Σq, Σp, Σqp in DECIMAL, covariance assembled in double
+    with the identical expression on both engines. One fact aggregation
+    keyed by the ~25-value brand dimension; the broadcast part join is
+    the only other exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity").cast("decimal(19,0)")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("decimal(19,0)")
+    m = j.groupBy("p_brand").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(pc).cast("double").alias("sp"),
+        F.sum(q * pc).cast("double").alias("sqp"),
+        F.sum(q * q).cast("double").alias("sqq"),
+    )
+    covp = (F.col("sqp") / F.col("n")) - (
+        F.col("sq") / F.col("n")
+    ) * (F.col("sp") / F.col("n"))
+    return m.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.round(F.col("sqp") / F.col("sq") / 100.0, 6).alias(
+            "avg_weighted_price"
+        ),
+        F.round(covp / 100.0, 6).alias("covar_pop"),
+        F.round(
+            covp * F.col("n") / (F.col("n") - 1.0) / 100.0, 6
+        ).alias("covar_samp"),
+    ).orderBy("p_brand")
+
+
+_AVG_WEIGHTED_SQL = """
+WITH m AS (
+  SELECT p_brand, CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,0))) AS DOUBLE) AS sq,
+    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(19,0)))
+         AS DOUBLE) AS sp,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,0))
+             * CAST(ROUND(l_extendedprice * 100) AS DECIMAL(19,0)))
+         AS DOUBLE) AS sqp,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,0))
+             * CAST(l_quantity AS DECIMAL(19,0))) AS DOUBLE) AS sqq
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1)
+SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+  ROUND(sqp / sq / 100.0, 6) AS avg_weighted_price,
+  ROUND(((sqp / n) - (sq / n) * (sp / n)) / 100.0, 6) AS covar_pop,
+  ROUND(((sqp / n) - (sq / n) * (sp / n)) * n / (n - 1.0) / 100.0, 6)
+    AS covar_samp
+FROM m ORDER BY p_brand
+"""
+
+
+def q_integer_division_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse integer-arithmetic parity — ``intDiv`` (truncates
+    toward zero), ``modulo`` (sign of the dividend), and
+    ``positiveModulo`` — exercised on a signed value (props.k − 50,
+    divisor 7). Cross-engine division semantics are a classic silent
+    divergence (floor- vs trunc-division); both sides here spell the
+    SAME explicit trunc/pmod formulas, and the report aggregates per
+    event type so any row-level disagreement shifts a sum. Row-local
+    arithmetic, one aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint") - 50
+    d = F.lit(7)
+    # trunc-toward-zero division and C-style remainder (both match
+    # Spark's native `div`/`%`; spelled explicitly for cross-engine
+    # clarity), plus the always-positive modulo
+    # FLOOR(|k|/d) == trunc toward zero for the non-negative numerator;
+    # spelled with explicit FLOOR because DuckDB's double->BIGINT CAST
+    # rounds (Spark's truncates)
+    tdiv = F.floor(F.abs(k) / d).cast("bigint") * F.when(k < 0, -1).otherwise(
+        1
+    )
+    trem = k - tdiv * d
+    pmod = ((k % d) + d) % d
+    b = ev.select(
+        "event_type",
+        k.alias("k"),
+        tdiv.alias("tdiv"),
+        trem.alias("trem"),
+        pmod.alias("pmod"),
+    )
+    return (
+        b.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("k") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_negative"),
+            F.sum("tdiv").cast("bigint").alias("sum_intdiv"),
+            F.sum("trem").cast("bigint").alias("sum_modulo"),
+            F.sum("pmod").cast("bigint").alias("sum_positive_modulo"),
+            F.min("trem").cast("bigint").alias("min_modulo"),
+            F.min("pmod").cast("bigint").alias("min_positive_modulo"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_INT_DIV_SQL = """
+WITH b AS (
+  SELECT event_type,
+    CAST(json_extract(props, '$.k') AS BIGINT) - 50 AS k
+  FROM events),
+c AS (
+  SELECT event_type, k,
+    CAST(FLOOR(abs(k) / 7) AS BIGINT)
+      * (CASE WHEN k < 0 THEN -1 ELSE 1 END) AS tdiv,
+    k - CAST(FLOOR(abs(k) / 7) AS BIGINT)
+      * (CASE WHEN k < 0 THEN -1 ELSE 1 END) * 7 AS trem,
+    ((k % 7) + 7) % 7 AS pmod
+  FROM b)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+  CAST(SUM(tdiv) AS BIGINT) AS sum_intdiv,
+  CAST(SUM(trem) AS BIGINT) AS sum_modulo,
+  CAST(SUM(pmod) AS BIGINT) AS sum_positive_modulo,
+  CAST(MIN(trem) AS BIGINT) AS min_modulo,
+  CAST(MIN(pmod) AS BIGINT) AS min_positive_modulo
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -19580,6 +19778,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entropy_by_column": q_entropy_by_column,
     "substring_search_family": q_substring_search_family,
     "transform_mapping_report": q_transform_mapping_report,
+    "array_join_positions": q_array_join_positions,
+    "avg_weighted_covar": q_avg_weighted_covar,
+    "integer_division_semantics": q_integer_division_semantics,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -19936,6 +20137,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "entropy_by_column": _COLUMN_ENTROPY_SQL,
     "substring_search_family": _SUBSTRING_SEARCH_SQL,
     "transform_mapping_report": _TRANSFORM_MAP_SQL,
+    "array_join_positions": _ARRAY_JOIN_POS_SQL,
+    "avg_weighted_covar": _AVG_WEIGHTED_SQL,
+    "integer_division_semantics": _INT_DIV_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

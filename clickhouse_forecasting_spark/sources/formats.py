@@ -59,6 +59,25 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options: str) -> DataFrame:
+    """ORC lake ingestion (the other columnar format a warehouse feeds
+    in). ORC carries its schema, so no explicit-schema requirement —
+    column pruning and predicate pushdown work exactly as with parquet
+    (Spark's native vectorized ORC reader)."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """ClickHouse ``LineAsString`` input format: one row per line with a
+    single ``value`` string column — the raw-corpus ingestion shape for
+    text pipelines (split downstream with the engine's own expressions,
+    never driver-side)."""
+    return spark.read.text(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     name: str,

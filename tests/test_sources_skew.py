@@ -240,3 +240,35 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from clickhouse_forecasting_spark.sources.formats import read_orc
+
+    nation = read_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    nation.write.orc(path)
+    back = read_orc(spark, path)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in nation.collect()
+    )
+    # predicate pushdown reaches the ORC scan
+    plan = (
+        back.filter(F.col("n_regionkey") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "n_regionkey" in plan
+
+
+def test_text_lines_reader(spark, tmp_path):
+    from clickhouse_forecasting_spark.sources.formats import read_text_lines
+
+    p = tmp_path / "corpus.txt"
+    p.write_text("alpha beta\ngamma\n\ndelta epsilon zeta\n")
+    df = read_text_lines(spark, str(p))
+    rows = [r.value for r in df.collect()]
+    assert sorted(rows) == sorted(["alpha beta", "gamma", "", "delta epsilon zeta"])
+    # LineAsString shape: exactly one string column named `value`
+    assert df.schema.simpleString() == "struct<value:string>"
