@@ -128,3 +128,97 @@ def asof_join(
         .withColumn(out_col, F.coalesce("_in_bucket", "_carry"))
     )
     return out.select("_lrow.*", out_col)
+
+
+def _negate_ts(c: Column) -> Column:
+    # time-axis reflection: backward machinery on the negated axis IS
+    # the forward join (negative epochs are valid pre-1970 timestamps)
+    return F.timestamp_micros(-F.unix_micros(c.cast("timestamp")))
+
+
+def asof_join_directional(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    right_value: str,
+    keys: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+    out_col: str | None = None,
+    out_ts_col: str | None = None,
+    strategy: str = "bucketed",
+) -> DataFrame:
+    """pandas ``merge_asof``-style direction + tolerance on top of the
+    bucketed backward operator.
+
+    direction='backward' (default): latest right row at-or-before;
+    'forward': earliest right row at-or-after (the backward pass run on
+    the time-negated axis — one reflection, same two-pass plan);
+    'nearest': both passes, smaller absolute gap wins, ties go backward.
+    ``tolerance_seconds`` NULLs any match farther than the bound (the
+    merge_asof contract). The matched right timestamp is exposed via
+    ``out_ts_col`` when given. All variants keep the operator's
+    bucket-parallel shape — 'nearest' costs exactly two passes."""
+    keys = keys or []
+    out_col = out_col or f"asof_{right_value}"
+    rp = right.select(
+        *keys,
+        F.col(right_ts).cast("timestamp").alias("_mt"),
+        F.col(right_value).alias("_mv"),
+    ).select(*keys, "_mt", F.struct("_mt", "_mv").alias("_pack"))
+
+    def _gap_ok(match: Column, lts: Column) -> Column:
+        if tolerance_seconds is None:
+            return F.lit(True)
+        gap = F.abs(
+            F.unix_micros(lts.cast("timestamp")) - F.unix_micros(match["_mt"])
+        )
+        return gap <= F.lit(int(tolerance_seconds) * 1_000_000)
+
+    def _backward(ldf: DataFrame, col: str) -> DataFrame:
+        return asof_join(
+            ldf, rp, left_ts=left_ts, right_ts="_mt",
+            right_value="_pack", keys=keys, out_col=col, strategy=strategy,
+        )
+
+    def _forward(ldf: DataFrame, col: str) -> DataFrame:
+        l2 = ldf.withColumn("_neg_lt", _negate_ts(F.col(left_ts)))
+        r2 = rp.withColumn("_neg_rt", _negate_ts(F.col("_mt"))).select(
+            *keys, "_neg_rt", "_pack"
+        )
+        return asof_join(
+            l2, r2, left_ts="_neg_lt", right_ts="_neg_rt",
+            right_value="_pack", keys=keys, out_col=col, strategy=strategy,
+        ).drop("_neg_lt")
+
+    lts = F.col(left_ts)
+    if direction in ("backward", "forward"):
+        j = (_backward if direction == "backward" else _forward)(left, "_m")
+        m = F.when(
+            F.col("_m").isNotNull() & _gap_ok(F.col("_m"), lts), F.col("_m")
+        )
+    elif direction == "nearest":
+        j = _forward(_backward(left, "_mb"), "_mf")
+        gb = F.abs(
+            F.unix_micros(lts.cast("timestamp"))
+            - F.unix_micros(F.col("_mb")["_mt"])
+        )
+        gf = F.abs(
+            F.unix_micros(lts.cast("timestamp"))
+            - F.unix_micros(F.col("_mf")["_mt"])
+        )
+        pick_b = F.col("_mb").isNotNull() & (
+            F.col("_mf").isNull() | (gb <= gf)
+        )
+        m0 = F.when(pick_b, F.col("_mb")).otherwise(F.col("_mf"))
+        m = F.when(m0.isNotNull() & _gap_ok(m0, lts), m0)
+        j = j.withColumn("_m", m).drop("_mb", "_mf")
+        m = F.col("_m")
+    else:
+        raise ValueError(f"unknown direction: {direction!r}")
+
+    out = j.withColumn(out_col, m["_mv"])
+    if out_ts_col:
+        out = out.withColumn(out_ts_col, m["_mt"])
+    return out.drop("_m")

@@ -19419,6 +19419,213 @@ FROM c GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_asof_join_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional as-of joins (pandas merge_asof / QuestDB parity —
+    ClickHouse ASOF JOIN is the backward case): every purchase event is
+    matched to the same user's nearest view event backward, forward,
+    and nearest-with-1h-tolerance, via the bucketed two-pass operator
+    (operators/asof.py — forward is the backward pass on the
+    time-negated axis, nearest is both passes + smaller-gap pick with
+    backward ties). The report is a single checksum row: match counts
+    and exact id sums per direction plus the tie census, so any
+    row-level disagreement shifts a sum. The DuckDB twin uses native
+    ASOF JOIN both ways."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    r = AsOf.asof_join_directional(
+        p, v, "ts", "ts", "view_id", keys=["user_id"],
+        direction="backward", out_col="b_id", out_ts_col="b_ts",
+    )
+    r = AsOf.asof_join_directional(
+        r, v, "ts", "ts", "view_id", keys=["user_id"],
+        direction="forward", out_col="f_id", out_ts_col="f_ts",
+    )
+    r = AsOf.asof_join_directional(
+        r, v, "ts", "ts", "view_id", keys=["user_id"],
+        direction="nearest", tolerance_seconds=3600, out_col="n_id",
+    )
+    return r.agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.count("b_id").cast("bigint").alias("n_backward"),
+        F.count("f_id").cast("bigint").alias("n_forward"),
+        F.count("n_id").cast("bigint").alias("n_nearest_1h"),
+        F.sum("b_id").cast("bigint").alias("sum_backward_ids"),
+        F.sum("f_id").cast("bigint").alias("sum_forward_ids"),
+        F.sum("n_id").cast("bigint").alias("sum_nearest_ids"),
+        F.sum(
+            F.when(
+                F.col("n_id").isNotNull() & (F.col("n_id") == F.col("b_id")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_nearest_took_backward"),
+    )
+
+
+_ASOF_DIRECTIONS_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id, ts AS vts, event_id AS view_id FROM events
+  WHERE event_type = 'view'),
+b AS (
+  SELECT p.event_id, p.ts, v.view_id AS b_id, v.vts AS b_ts
+  FROM p ASOF LEFT JOIN v
+    ON p.user_id = v.user_id AND p.ts >= v.vts),
+f AS (
+  SELECT p.event_id, v.view_id AS f_id, v.vts AS f_ts
+  FROM p ASOF LEFT JOIN v
+    ON p.user_id = v.user_id AND p.ts <= v.vts),
+j AS (
+  SELECT b.event_id, b.ts, b.b_id, b.b_ts, f.f_id, f.f_ts
+  FROM b JOIN f ON b.event_id = f.event_id),
+n AS (
+  SELECT *,
+    CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR
+        epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts))
+      THEN b_id ELSE f_id END AS n0_id,
+    CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR
+        epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts))
+      THEN b_ts ELSE f_ts END AS n0_ts
+  FROM j),
+near AS (
+  SELECT *, CASE WHEN n0_id IS NOT NULL
+      AND abs(epoch_us(ts) - epoch_us(n0_ts)) <= 3600000000
+    THEN n0_id END AS n_id
+  FROM n)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  CAST(COUNT(b_id) AS BIGINT) AS n_backward,
+  CAST(COUNT(f_id) AS BIGINT) AS n_forward,
+  CAST(COUNT(n_id) AS BIGINT) AS n_nearest_1h,
+  CAST(SUM(b_id) AS BIGINT) AS sum_backward_ids,
+  CAST(SUM(f_id) AS BIGINT) AS sum_forward_ids,
+  CAST(SUM(n_id) AS BIGINT) AS sum_nearest_ids,
+  CAST(SUM(CASE WHEN n_id IS NOT NULL AND n_id = b_id THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_nearest_took_backward
+FROM near
+"""
+
+
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the rsync/LBFS boundary trick
+    LLM pipelines use against SHIFTED duplicate text, where fixed-size
+    or paragraph chunking misses): a rolling 3-token md5 picks chunk
+    boundaries (hash % 16 == 0 → expected ~16-token chunks), chunks are
+    re-hashed, and the per-source report counts chunk instances,
+    distinct chunks, the dup ratio (ppm), and chunks shared across ≥2
+    documents. Boundary detection and chunk assembly are row-local
+    array expressions; the only shuffles carry (hash, doc) pairs — the
+    same fingerprint-only-shuffle shape as exact dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    d = docs.select("doc_id", "source", t.alias("t"), F.size(t).alias("n"))
+    tri = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(F.col("t"), i - 2),
+        F.element_at(F.col("t"), i - 1),
+        F.element_at(F.col("t"), i),
+    )
+    is_bnd = (
+        lambda i: F.conv(F.substring(F.md5(tri(i)), 1, 8), 16, 10)  # noqa: E731
+        .cast("bigint")
+        % 16
+        == 0
+    )
+    bnds = F.when(
+        F.col("n") >= 3,
+        F.filter(F.sequence(F.lit(3), F.col("n")), is_bnd),
+    ).otherwise(F.array().cast("array<int>"))
+    d = d.withColumn("bnds", bnds)
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(F.col("bnds"), lambda b: b + 1)
+    )
+    ends = F.concat(F.col("bnds"), F.array(F.col("n")))
+    chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size(starts)),
+            lambda j: F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("t"),
+                    F.element_at(starts, j),
+                    F.greatest(
+                        F.element_at(ends, j) - F.element_at(starts, j) + 1,
+                        F.lit(0),
+                    ),
+                ),
+            ),
+        ),
+        lambda c: c != F.lit(""),
+    )
+    ex = d.select(
+        "doc_id", "source", F.explode(chunks).alias("chunk")
+    ).select("doc_id", "source", F.md5("chunk").alias("h"))
+    multi = (
+        ex.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_multi"))
+    )
+    ex2 = ex.join(F.broadcast(multi), "h", "left")
+    return (
+        ex2.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.countDistinct("h").cast("bigint").alias("n_distinct"),
+            F.expr(
+                "(count(*) - count(distinct h)) * 1000000 div count(*)"
+            )
+            .cast("bigint")
+            .alias("dup_ppm"),
+            F.countDistinct(F.when(F.col("is_multi") == 1, F.col("h")))
+            .cast("bigint")
+            .alias("n_hashes_multi_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+_CDC_CHUNK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS t, len({_TOKS_SQL}) AS n
+  FROM documents),
+b AS (
+  SELECT doc_id, source, t, n,
+    CASE WHEN n >= 3 THEN list_filter(generate_series(3, n),
+      i -> ('0x' || substr(md5(t[i-2] || ' ' || t[i-1] || ' ' || t[i]),
+            1, 8))::BIGINT % 16 = 0)
+    ELSE [] END AS bnds
+  FROM d),
+c AS (
+  SELECT doc_id, source,
+    list_concat([1], list_transform(bnds, x -> x + 1)) AS starts,
+    list_concat(bnds, [n]) AS ends, t
+  FROM b),
+ex AS (
+  SELECT doc_id, source,
+    md5(array_to_string(list_slice(t, starts[j], ends[j]), ' ')) AS h
+  FROM c, unnest(generate_series(1, len(starts))) AS u(j)
+  WHERE array_to_string(list_slice(t, starts[j], ends[j]), ' ') <> ''),
+multi AS (
+  SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ex GROUP BY h)
+  WHERE nd >= 2)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+  CAST((COUNT(*) - COUNT(DISTINCT h)) * 1000000 // COUNT(*) AS BIGINT)
+    AS dup_ppm,
+  CAST(COUNT(DISTINCT CASE WHEN h IN (SELECT h FROM multi) THEN h END)
+       AS BIGINT) AS n_hashes_multi_doc
+FROM ex GROUP BY source ORDER BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -19781,6 +19988,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_join_positions": q_array_join_positions,
     "avg_weighted_covar": q_avg_weighted_covar,
     "integer_division_semantics": q_integer_division_semantics,
+    "asof_join_directions": q_asof_join_directions,
+    "cdc_chunk_dedup": q_cdc_chunk_dedup,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -20140,6 +20349,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "array_join_positions": _ARRAY_JOIN_POS_SQL,
     "avg_weighted_covar": _AVG_WEIGHTED_SQL,
     "integer_division_semantics": _INT_DIV_SQL,
+    "asof_join_directions": _ASOF_DIRECTIONS_SQL,
+    "cdc_chunk_dedup": _CDC_CHUNK_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
