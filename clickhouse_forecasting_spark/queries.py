@@ -19626,6 +19626,55 @@ FROM ex GROUP BY source ORDER BY source
 """
 
 
+def q_streaming_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming sliding-window top-k
+    (streaming/topk.py): 6h windows sliding 3h, top-3 event types per
+    window (count desc, type tie-break) — the same window()/rank
+    expressions the watermarked stream runs, hash-gated here. The
+    DuckDB twin derives each event's two covering windows from the 3h
+    grid explicitly. Stateful count in the engine, bounded rank
+    downstream — the 100 TB/day trending-topics shape."""
+    from .streaming.topk import sliding_type_counts, topk_per_window
+
+    ev = _t(spark, sf_dir, "events")
+    counts = sliding_type_counts(ev)
+    return (
+        topk_per_window(counts, k=3)
+        .select(
+            F.col("window_start").cast("timestamp").alias("window_start"),
+            "rnk",
+            "event_type",
+            "n",
+        )
+        .orderBy("window_start", "rnk")
+    )
+
+
+_STREAM_TOPK_SQL = """
+WITH g AS (
+  SELECT event_type,
+    to_timestamp(CAST(FLOOR(epoch(ts) / 10800) * 10800 AS BIGINT))
+      AT TIME ZONE 'UTC' AS g0,
+    ts
+  FROM events),
+ex AS (
+  SELECT event_type, g0 - INTERVAL 3 HOUR AS window_start FROM g
+  UNION ALL
+  SELECT event_type, g0 AS window_start FROM g),
+c AS (
+  SELECT window_start, event_type, COUNT(*) AS n
+  FROM ex GROUP BY 1, 2),
+r AS (
+  SELECT window_start, event_type, n,
+    ROW_NUMBER() OVER (PARTITION BY window_start
+                       ORDER BY n DESC, event_type) AS rnk
+  FROM c)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+  CAST(rnk AS BIGINT) AS rnk, event_type, CAST(n AS BIGINT) AS n
+FROM r WHERE rnk <= 3 ORDER BY window_start, rnk
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -19990,6 +20039,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "integer_division_semantics": q_integer_division_semantics,
     "asof_join_directions": q_asof_join_directions,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
+    "streaming_window_topk": q_streaming_window_topk,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -20351,6 +20401,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "integer_division_semantics": _INT_DIV_SQL,
     "asof_join_directions": _ASOF_DIRECTIONS_SQL,
     "cdc_chunk_dedup": _CDC_CHUNK_SQL,
+    "streaming_window_topk": _STREAM_TOPK_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

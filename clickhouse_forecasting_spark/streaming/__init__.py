@@ -6,6 +6,7 @@ from .rollup import (
     stream_upsert_daily,
     streaming_daily_events,
 )
+from .topk import sliding_type_counts, topk_per_window
 
 __all__ = [
     "attribution_join",
@@ -13,6 +14,8 @@ __all__ = [
     "dedup_stream",
     "dedup_stream_exact",
     "enrich_with_static_dim",
+    "sliding_type_counts",
     "stream_upsert_daily",
     "streaming_daily_events",
+    "topk_per_window",
 ]
