@@ -161,6 +161,59 @@ def _decode_bmp_features(payload: bytes) -> list[float]:
     return [sum(rgb) / n, float(width), float(height), float(n)]
 
 
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode top-down RGB triples as a binary PPM (P6, maxval 255) —
+    the second real image codec behind the magic-byte registry, proving
+    the decode path is genuinely pluggable (netpbm is the canonical
+    uncompressed interchange format)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"rgb length {len(rgb)} != {width}x{height}x3")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + rgb
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a binary PPM (P6): whitespace/comment-tolerant header parse
+    (the netpbm spec), then raw top-down RGB. Raises ValueError for
+    anything it can't honestly decode."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        try:
+            fields.append(int(payload[start:pos]))
+        except ValueError as exc:
+            raise ValueError("malformed PPM header field") from exc
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (only 255)")
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive PPM dimensions")
+    pos += 1  # exactly one whitespace byte after maxval, per spec
+    rgb = payload[pos : pos + width * height * 3]
+    if len(rgb) != width * height * 3:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, rgb
+
+
+def _decode_ppm_features(payload: bytes) -> list[float]:
+    """Real decode: mean pixel intensity over all RGB samples + geometry."""
+    width, height, rgb = decode_ppm(payload)
+    n = len(rgb)
+    return [sum(rgb) / n, float(width), float(height), float(n)]
+
+
 def encode_wav(sample_rate: int, samples: "list[int]") -> bytes:
     """Encode 16-bit signed mono PCM samples as a canonical RIFF/WAVE file
     (fmt chunk 16 bytes, audio_format=1/PCM, then the data chunk)."""
@@ -378,6 +431,7 @@ def _decode_stub_features(payload: bytes) -> list[float]:
 # RIFF routes through the form-type dispatch (WAVE audio / AVI video).
 _DECODERS: list[tuple[bytes, object]] = [
     (b"BM", _decode_bmp_features),
+    (b"P6", _decode_ppm_features),
     (b"RIFF", _decode_riff_features),
 ]
 

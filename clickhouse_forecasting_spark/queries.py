@@ -19675,6 +19675,151 @@ FROM r WHERE rnk <= 3 ORDER BY window_start, rnk
 """
 
 
+def q_quantiles_exclusive_inclusive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse ``quantileExactInclusive`` / ``quantileExactExclusive``
+    parity (= Excel PERCENTILE.INC/EXC) per market segment on
+    account-balance cents: inclusive ranks at h=(n−1)q+1, exclusive at
+    h=(n+1)q clamped to [1, n], both linearly interpolated between the
+    two bracketing ORDER STATISTICS — computed by element lookup in the
+    per-segment sorted array (segments are bounded dimension groups;
+    the unbounded-group scale path is the KLL sketch in
+    sketch_value_quantiles). Integer cents keep the order statistics
+    exact; the interpolation arithmetic is expression-identical on both
+    engines."""
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    per = cust.groupBy("c_mktsegment").agg(
+        F.sort_array(F.collect_list(cents)).alias("v"),
+        F.count("*").alias("n"),
+    )
+    cols = [F.col("c_mktsegment"), F.col("n").cast("bigint").alias("n")]
+    for q, nm in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+        for excl, tag in ((False, "inc"), (True, "exc")):
+            if excl:
+                h = F.lit(q) * (F.col("n") + 1)
+                h = F.greatest(F.least(h, F.col("n").cast("double")), F.lit(1.0))
+            else:
+                h = F.lit(q) * (F.col("n") - 1) + 1
+            lo = F.floor(h).cast("int")
+            hi = F.ceil(h).cast("int")
+            vlo = F.element_at(F.col("v"), lo).cast("double")
+            vhi = F.element_at(F.col("v"), hi).cast("double")
+            val = (vlo + (h - lo.cast("double")) * (vhi - vlo)) / 100.0
+            cols.append(F.round(val, 6).alias(f"{nm}_{tag}"))
+    return per.select(*cols).orderBy("c_mktsegment")
+
+
+def _quantile_ie_sql() -> str:
+    parts = []
+    for q, nm in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+        for excl, tag in ((False, "inc"), (True, "exc")):
+            if excl:
+                h = f"greatest(least({q} * (n + 1), CAST(n AS DOUBLE)), 1.0)"
+            else:
+                h = f"{q} * (n - 1) + 1"
+            parts.append(
+                f"ROUND((CAST(v[CAST(FLOOR({h}) AS INT)] AS DOUBLE)"
+                f" + ({h} - CAST(CAST(FLOOR({h}) AS INT) AS DOUBLE))"
+                f" * (CAST(v[CAST(CEIL({h}) AS INT)] AS DOUBLE)"
+                f" - CAST(v[CAST(FLOOR({h}) AS INT)] AS DOUBLE))) / 100.0, 6)"
+                f" AS {nm}_{tag}"
+            )
+    sel = ",\n  ".join(parts)
+    return f"""
+WITH per AS (
+  SELECT c_mktsegment,
+    list(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+         ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS v,
+    COUNT(*) AS n
+  FROM customer GROUP BY 1)
+SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+  {sel}
+FROM per ORDER BY c_mktsegment
+"""
+
+
+_QUANTILE_IE_SQL = _quantile_ie_sql()
+
+
+def q_age_unit_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``age(unit, d1, d2)`` parity — FULL elapsed units
+    (unlike dateDiff's boundary-crossing count): per order, the span
+    from order date to its last line's ship date in full days, weeks,
+    and months (months via the calendar rule: 12·Δy + Δm − 1 if the
+    end day-of-month hasn't reached the start's). Reported per order
+    priority: averages scaled to exact integer milli-units plus the
+    max-days witness. One fact-fact span aggregation, one rollup."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    spans = li.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("d2")
+    )
+    j = o.select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("d1"),
+    ).join(spans, F.col("o_orderkey") == F.col("l_orderkey"))
+    j = j.select(
+        "o_orderpriority", "d1", F.greatest("d2", "d1").alias("d2")
+    )
+    days = F.datediff("d2", "d1")
+    months = (
+        (F.year("d2") - F.year("d1")) * 12
+        + (F.month("d2") - F.month("d1"))
+        - F.when(F.dayofmonth("d2") < F.dayofmonth("d1"), 1).otherwise(0)
+    )
+    b = j.select(
+        "o_orderpriority",
+        days.alias("age_days"),
+        F.floor(days / 7).alias("age_weeks"),
+        months.alias("age_months"),
+    )
+    return (
+        b.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.expr("sum(age_days) * 1000 div count(*)")
+            .cast("bigint")
+            .alias("avg_age_days_milli"),
+            F.expr("sum(age_weeks) * 1000 div count(*)")
+            .cast("bigint")
+            .alias("avg_age_weeks_milli"),
+            F.expr("sum(age_months) * 1000 div count(*)")
+            .cast("bigint")
+            .alias("avg_age_months_milli"),
+            F.max("age_days").cast("bigint").alias("max_age_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_AGE_UNIT_SQL = """
+WITH spans AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS d2
+  FROM lineitem GROUP BY 1),
+j AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d1,
+    greatest(s.d2, CAST(o_orderdate AS DATE)) AS d2
+  FROM orders o JOIN spans s ON o.o_orderkey = s.l_orderkey),
+b AS (
+  SELECT o_orderpriority,
+    date_diff('day', d1, d2) AS age_days,
+    CAST(FLOOR(date_diff('day', d1, d2) / 7) AS BIGINT) AS age_weeks,
+    (year(d2) - year(d1)) * 12 + (month(d2) - month(d1))
+      - CASE WHEN day(d2) < day(d1) THEN 1 ELSE 0 END AS age_months
+  FROM j)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(age_days) * 1000 // COUNT(*) AS BIGINT) AS avg_age_days_milli,
+  CAST(SUM(age_weeks) * 1000 // COUNT(*) AS BIGINT)
+    AS avg_age_weeks_milli,
+  CAST(SUM(age_months) * 1000 // COUNT(*) AS BIGINT)
+    AS avg_age_months_milli,
+  CAST(MAX(age_days) AS BIGINT) AS max_age_days
+FROM b GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -20040,6 +20185,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_directions": q_asof_join_directions,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "streaming_window_topk": q_streaming_window_topk,
+    "quantiles_exclusive_inclusive": q_quantiles_exclusive_inclusive,
+    "age_unit_family": q_age_unit_family,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -20402,6 +20549,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "asof_join_directions": _ASOF_DIRECTIONS_SQL,
     "cdc_chunk_dedup": _CDC_CHUNK_SQL,
     "streaming_window_topk": _STREAM_TOPK_SQL,
+    "quantiles_exclusive_inclusive": _QUANTILE_IE_SQL,
+    "age_unit_family": _AGE_UNIT_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT

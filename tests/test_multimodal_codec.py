@@ -334,3 +334,57 @@ def test_decode_avi_moderate_list_nesting_ok():
         inner = b"LIST" + _s.pack("<I", len(wrapped)) + wrapped
     payload = b"RIFF" + _s.pack("<I", 4 + len(inner)) + b"AVI " + inner
     assert MM.decode_avi(payload) == (2, 2, [bytes(range(12)), bytes(range(12, 24))])
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6) codec — the second pluggable real decoder
+# ---------------------------------------------------------------------------
+
+
+def test_ppm_roundtrip_and_pinned_bytes():
+    from clickhouse_forecasting_spark.multimodal import decode_ppm, encode_ppm
+
+    rgb = bytes(range(2 * 2 * 3))
+    payload = encode_ppm(2, 2, rgb)
+    # header pinned byte-for-byte to the canonical P6 form
+    assert payload[:15] == b"P6\n2 2\n255\n" + rgb[:4]
+    assert decode_ppm(payload) == (2, 2, rgb)
+
+
+def test_ppm_header_comments_and_whitespace():
+    from clickhouse_forecasting_spark.multimodal import decode_ppm
+
+    rgb = b"\x01\x02\x03"
+    assert decode_ppm(b"P6 # c\n# comment line\n 1\t1 \n255\n" + rgb) == (
+        1, 1, rgb
+    )
+
+
+def test_ppm_rejects_corrupt():
+    import pytest as _pytest
+
+    from clickhouse_forecasting_spark.multimodal import decode_ppm
+
+    for bad in [
+        b"P5\n1 1\n255\n\x00\x00\x00",        # wrong magic
+        b"P6\n1 1\n65535\n\x00\x00\x00",      # unsupported maxval
+        b"P6\n1 1\n255\n\x00",                # truncated pixels
+        b"P6\n0 1\n255\n",                    # non-positive dims
+        b"P6\nx 1\n255\n\x00\x00\x00",        # malformed field
+    ]:
+        with _pytest.raises(ValueError):
+            decode_ppm(bad)
+
+
+def test_ppm_features_match_bmp_features_on_same_pixels():
+    from clickhouse_forecasting_spark.multimodal import (
+        _decode_payload,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rgb = bytes((i * 7) % 256 for i in range(4 * 3 * 3))
+    f_bmp = _decode_payload(encode_bmp(4, 3, rgb))
+    f_ppm = _decode_payload(encode_ppm(4, 3, rgb))
+    # identical pixels -> identical features regardless of container
+    assert f_bmp == f_ppm
