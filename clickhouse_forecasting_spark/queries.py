@@ -19820,6 +19820,148 @@ FROM b GROUP BY 1 ORDER BY o_orderpriority
 """
 
 
+def q_array_predicates_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse array-predicate family — ``hasAll``, ``hasAny``,
+    ``hasSubstr`` (CONTIGUOUS subsequence), ``indexOf``, ``countEqual``
+    — over each document's token list against fixed probes. hasSubstr
+    is the real algorithm of the five: ∃i such that the length-m slice
+    at i equals the probe (row-local O(n·m), m=2 here). Per-doc flags
+    plus the corpus rollup would be a filter at 100 TB; emitted per doc
+    for the hash gate."""
+    docs = _t(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    d = docs.select("doc_id", t.alias("t"), F.size(t).alias("n"))
+    probe_all = F.array(F.lit("the"), F.lit("data"))
+    probe_any = F.array(F.lit("spark"), F.lit("stream"), F.lit("batch"))
+    sub = ["key", "order"]
+    has_substr = F.when(
+        F.col("n") >= len(sub),
+        F.exists(
+            F.sequence(F.lit(1), F.col("n") - (len(sub) - 1)),
+            lambda i: (F.element_at(F.col("t"), i) == sub[0])
+            & (F.element_at(F.col("t"), i + 1) == sub[1]),
+        ),
+    ).otherwise(F.lit(False))
+    return d.select(
+        "doc_id",
+        (F.size(F.array_intersect(F.array_distinct("t"), probe_all)) == 2)
+        .cast("int")
+        .alias("has_all"),
+        F.arrays_overlap("t", probe_any).cast("int").alias("has_any"),
+        has_substr.cast("int").alias("has_substr_key_order"),
+        F.array_position("t", "join").cast("bigint").alias("index_of_join"),
+        F.size(F.filter("t", lambda x: x == F.lit("merge")))
+        .cast("bigint")
+        .alias("count_equal_merge"),
+    ).orderBy("doc_id")
+
+
+_ARRAY_PRED_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOKS_SQL} AS t, len({_TOKS_SQL}) AS n
+           FROM documents)
+SELECT doc_id,
+  CAST(len(list_intersect(list_distinct(t), ['the', 'data'])) = 2 AS INT)
+    AS has_all,
+  CAST(len(list_intersect(t, ['spark', 'stream', 'batch'])) > 0 AS INT)
+    AS has_any,
+  CAST(CASE WHEN n >= 2 THEN len(list_filter(generate_series(1, n - 1),
+    i -> t[i] = 'key' AND t[i + 1] = 'order')) > 0 ELSE FALSE END AS INT)
+    AS has_substr_key_order,
+  CAST(list_position(t, 'join') AS BIGINT) AS index_of_join,
+  CAST(len(list_filter(t, x -> x = 'merge')) AS BIGINT)
+    AS count_equal_merge
+FROM d ORDER BY doc_id
+"""
+
+
+def q_bit_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``bitCount`` parity: popcount of the props key,
+    histogrammed — per popcount: occurrences, distinct k values, and
+    min/max witnesses. bit_count is a native expression on both engines
+    (Spark ``bit_count``, DuckDB ``bit_count`` over BIT) — spelled here
+    with the same builtin; one tiny keyed aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    b = ev.select(F.bit_count(k).alias("pop"), k.alias("k"))
+    return (
+        b.groupBy("pop")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("k").cast("bigint").alias("n_distinct_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .select(F.col("pop").cast("bigint").alias("pop"), "n",
+                "n_distinct_k", "min_k", "max_k")
+        .orderBy("pop")
+    )
+
+
+_BIT_COUNT_SQL = """
+WITH b AS (
+  SELECT bit_count(CAST(CAST(json_extract(props, '$.k') AS BIGINT)
+                        AS BIT)) AS pop,
+    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT CAST(pop AS BIGINT) AS pop, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k,
+  CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+FROM b GROUP BY pop ORDER BY pop
+"""
+
+
+def q_power_of_two_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``roundToExp2`` parity: order totals (cents) bucketed
+    to their previous power of two — the log-scale histogram that keeps
+    a constant bucket count regardless of value range (the right
+    money/latency histogram at 100 TB: ≤64 buckets, map-side
+    combinable). The exponent comes from integer bit-length, not
+    floating log2 (log2(2^53±ε) rounds wrong at bucket edges); both
+    engines spell FLOOR(LOG2) over an exact small int via a 63-step
+    CASE-free trick: length of the binary representation."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    # bit_length of the value = floor(log2) + 1, exactly, via the
+    # engine's binary formatter — no floating point near bucket edges
+    exp = (F.length(F.conv(cents, 10, 2)) - 1).cast("int")
+    b = o.select(exp.alias("e"), cents.alias("c"))
+    return (
+        b.groupBy("e")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("c").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.min("c").cast("bigint").alias("min_cents"),
+            F.max("c").cast("bigint").alias("max_cents"),
+        )
+        .select(
+            F.col("e").cast("bigint").alias("exp2"),
+            F.pow(F.lit(2.0), F.col("e")).cast("bigint").alias("bucket_lo"),
+            "n",
+            "sum_cents",
+            "min_cents",
+            "max_cents",
+        )
+        .orderBy("exp2")
+    )
+
+
+_POW2_HIST_SQL = """
+WITH b AS (
+  SELECT length(bin(CAST(ROUND(o_totalprice * 100) AS BIGINT))) - 1 AS e,
+    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders)
+SELECT CAST(e AS BIGINT) AS exp2,
+  CAST(power(2.0, e) AS BIGINT) AS bucket_lo,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(c AS DECIMAL(38,0))) AS BIGINT) AS sum_cents,
+  CAST(MIN(c) AS BIGINT) AS min_cents,
+  CAST(MAX(c) AS BIGINT) AS max_cents
+FROM b GROUP BY e ORDER BY exp2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -20187,6 +20329,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_window_topk": q_streaming_window_topk,
     "quantiles_exclusive_inclusive": q_quantiles_exclusive_inclusive,
     "age_unit_family": q_age_unit_family,
+    "array_predicates_report": q_array_predicates_report,
+    "bit_count_distribution": q_bit_count_distribution,
+    "power_of_two_histogram": q_power_of_two_histogram,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -20551,6 +20696,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "streaming_window_topk": _STREAM_TOPK_SQL,
     "quantiles_exclusive_inclusive": _QUANTILE_IE_SQL,
     "age_unit_family": _AGE_UNIT_SQL,
+    "array_predicates_report": _ARRAY_PRED_SQL,
+    "bit_count_distribution": _BIT_COUNT_SQL,
+    "power_of_two_histogram": _POW2_HIST_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
