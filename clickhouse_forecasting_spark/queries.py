@@ -19962,6 +19962,216 @@ FROM b GROUP BY e ORDER BY exp2
 """
 
 
+def q_heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth (V = K·N^β) over the corpus read in
+    doc_id order: cumulative distinct vocabulary is computed WITHOUT a
+    running-distinct scan — each token contributes at its FIRST document
+    (one groupBy-min over exploded (token, doc) pairs), so cum_vocab is
+    a cumulative sum of per-doc first-occurrence counts. Checkpoints
+    every 50 docs carry (N, V) plus the corpus-level log-log OLS fit
+    (β, ln K) attached from the same tiny checkpoint frame. The explode
+    + min shuffle is the only fact-scale work — the classic
+    tokenizer-budget forecasting curve for training corpora."""
+    docs = _t(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    d = docs.select("doc_id", t.alias("t"), F.size(t).alias("n_toks"))
+    first = (
+        d.select("doc_id", F.explode(F.array_distinct("t")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count("*").alias("new_vocab"))
+    )
+    w = Window.orderBy("doc_id")
+    cum = (
+        d.select("doc_id", "n_toks")
+        .join(first, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_toks").over(w).alias("cum_tokens"),
+            F.sum(F.coalesce("new_vocab", F.lit(0))).over(w).alias(
+                "cum_vocab"
+            ),
+        )
+        .where(F.col("doc_id") % 50 == 49)
+    )
+    x = F.log(F.col("cum_tokens").cast("double"))
+    y = F.log(F.col("cum_vocab").cast("double"))
+    wall = Window.rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    fit = cum.select(
+        "doc_id",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
+        F.count("*").over(wall).cast("double").alias("m"),
+        F.sum(x).over(wall).alias("sx"),
+        F.sum(y).over(wall).alias("sy"),
+        F.sum(x * x).over(wall).alias("sxx"),
+        F.sum(x * y).over(wall).alias("sxy"),
+    )
+    beta = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    lnk = (F.col("sy") - beta * F.col("sx")) / F.col("m")
+    return fit.select(
+        "doc_id",
+        "cum_tokens",
+        "cum_vocab",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(lnk, 6).alias("heaps_ln_k"),
+    ).orderBy("doc_id")
+
+
+_HEAPS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS_SQL} AS t, len({_TOKS_SQL}) AS n_toks
+  FROM documents),
+first AS (
+  SELECT first_doc AS doc_id, COUNT(*) AS new_vocab FROM (
+    SELECT tok, MIN(doc_id) AS first_doc FROM (
+      SELECT doc_id, unnest(list_distinct(t)) AS tok FROM d)
+    GROUP BY tok)
+  GROUP BY first_doc),
+cum AS (
+  SELECT d.doc_id,
+    SUM(d.n_toks) OVER (ORDER BY d.doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+    SUM(COALESCE(f.new_vocab, 0)) OVER (ORDER BY d.doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum_vocab
+  FROM d LEFT JOIN first f ON d.doc_id = f.doc_id),
+cp AS (SELECT * FROM cum WHERE doc_id % 50 = 49),
+fit AS (
+  SELECT doc_id, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+    CAST(cum_vocab AS BIGINT) AS cum_vocab,
+    CAST(COUNT(*) OVER () AS DOUBLE) AS m,
+    SUM(ln(CAST(cum_tokens AS DOUBLE))) OVER () AS sx,
+    SUM(ln(CAST(cum_vocab AS DOUBLE))) OVER () AS sy,
+    SUM(ln(CAST(cum_tokens AS DOUBLE)) * ln(CAST(cum_tokens AS DOUBLE)))
+      OVER () AS sxx,
+    SUM(ln(CAST(cum_tokens AS DOUBLE)) * ln(CAST(cum_vocab AS DOUBLE)))
+      OVER () AS sxy
+  FROM cp)
+SELECT doc_id, cum_tokens, cum_vocab,
+  ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS heaps_beta,
+  ROUND((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx) * sx) / m, 6)
+    AS heaps_ln_k
+FROM fit ORDER BY doc_id
+"""
+
+
+def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random-projection distortion report: the
+    64-dim embeddings project to 8 dims through deterministic ±1
+    hyperplanes (sign = parity of md5(plane_i), the same seedless
+    derivation the LSH family uses), and every pair among the 20
+    lowest-id vectors reports original vs projected L2 and the
+    distortion ratio. Projections are row-local ordered folds
+    (bit-identical both engines); the pair stage runs on the broadcast
+    20-row frame. The report quantifies exactly what the 8× cheaper
+    ANN shuffle costs in distance fidelity."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
+    n_planes = 8
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, v: acc + v
+    )
+
+    def proj(p: int):
+        signed = F.transform(
+            F.sequence(F.lit(1), F.size("embedding")),
+            lambda i: F.element_at(F.col("embedding"), i).cast("double")
+            * F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(F.lit(f"jl_{p}_"), i.cast("string"))
+                        ),
+                        1,
+                        2,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+                == 0,
+                1.0,
+            ).otherwise(-1.0),
+        )
+        return fold(signed) / F.lit(float(n_planes) ** 0.5)
+
+    pr = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        F.array(*[proj(p) for p in range(n_planes)]).alias("pr"),
+    )
+    a = pr.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("pr").alias("pa"),
+    )
+    b = pr.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("pr").alias("pb"),
+    )
+    d_orig = F.sqrt(
+        fold(
+            F.zip_with(
+                "ea",
+                "eb",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            )
+        )
+    )
+    d_proj = F.sqrt(
+        fold(F.zip_with("pa", "pb", lambda x, y: (x - y) * (x - y)))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(d_orig, 6).alias("l2_orig"),
+            F.round(d_proj, 6).alias("l2_proj"),
+            F.round(d_proj / d_orig, 4).alias("distortion"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _jl_sql(n_planes: int = 8) -> str:
+    projs = ", ".join(
+        f"""list_sum(list_transform(generate_series(1, len(embedding)),
+      i -> embedding[i]::DOUBLE *
+        (CASE WHEN ('0x' || substr(md5('jl_{p}_' || CAST(i AS VARCHAR)),
+             1, 2))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)))
+      / sqrt(8.0)"""
+        for p in range(n_planes)
+    )
+    return f"""
+WITH pr AS (
+  SELECT vec_id, embedding AS e, [{projs}] AS pr
+  FROM embeddings WHERE vec_id < 20)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(sqrt(list_sum(list_transform(generate_series(1, len(a.e)),
+    i -> (a.e[i]::DOUBLE - b.e[i]::DOUBLE)
+       * (a.e[i]::DOUBLE - b.e[i]::DOUBLE)))), 6) AS l2_orig,
+  ROUND(sqrt(list_sum(list_transform(generate_series(1, 8),
+    i -> (a.pr[i] - b.pr[i]) * (a.pr[i] - b.pr[i])))), 6) AS l2_proj,
+  ROUND(sqrt(list_sum(list_transform(generate_series(1, 8),
+      i -> (a.pr[i] - b.pr[i]) * (a.pr[i] - b.pr[i]))))
+    / sqrt(list_sum(list_transform(generate_series(1, len(a.e)),
+      i -> (a.e[i]::DOUBLE - b.e[i]::DOUBLE)
+         * (a.e[i]::DOUBLE - b.e[i]::DOUBLE)))), 4) AS distortion
+FROM pr a JOIN pr b ON a.vec_id < b.vec_id
+ORDER BY id_a, id_b
+"""
+
+
+_JL_SQL = _jl_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -20332,6 +20542,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_predicates_report": q_array_predicates_report,
     "bit_count_distribution": q_bit_count_distribution,
     "power_of_two_histogram": q_power_of_two_histogram,
+    "heaps_law_vocab_growth": q_heaps_law_vocab_growth,
+    "jl_projection_distortion": q_jl_projection_distortion,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -20699,6 +20911,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "array_predicates_report": _ARRAY_PRED_SQL,
     "bit_count_distribution": _BIT_COUNT_SQL,
     "power_of_two_histogram": _POW2_HIST_SQL,
+    "heaps_law_vocab_growth": _HEAPS_SQL,
+    "jl_projection_distortion": _JL_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
