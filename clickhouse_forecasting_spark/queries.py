@@ -20172,6 +20172,179 @@ ORDER BY id_a, id_b
 _JL_SQL = _jl_sql()
 
 
+def q_bag_set_ops_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operators (``INTERSECT ALL`` / ``EXCEPT ALL`` —
+    the multiplicity-preserving flavors ClickHouse and ANSI SQL define
+    next to the DISTINCT ones): daily order-priority multisets of 1996
+    vs 1997, sized via the standard per-key count identity
+    (∩ALL = Σ min(c₁, c₂); ∖ALL = Σ max(c₁−c₂, 0)) — one count
+    aggregation per side and a tiny 5-row join, never a row-level
+    set-op shuffle. DISTINCT flavors reported alongside for the
+    semantic contrast."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+
+    def side(y):
+        return (
+            o.where(yr == y)
+            .groupBy(F.col("o_orderpriority").alias("p"))
+            .agg(F.count("*").alias("c"))
+        )
+
+    a = side(1996).select("p", F.col("c").alias("ca"))
+    b = side(1997).select("p", F.col("c").alias("cb"))
+    j = a.join(b, "p", "full").select(
+        "p",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    return j.agg(
+        F.sum("ca").cast("bigint").alias("n_1996"),
+        F.sum("cb").cast("bigint").alias("n_1997"),
+        F.sum(F.least("ca", "cb")).cast("bigint").alias("intersect_all"),
+        F.sum(F.greatest(F.col("ca") - F.col("cb"), F.lit(0)))
+        .cast("bigint")
+        .alias("except_all_1996"),
+        F.sum(F.greatest(F.col("cb") - F.col("ca"), F.lit(0)))
+        .cast("bigint")
+        .alias("except_all_1997"),
+        F.sum(((F.col("ca") > 0) & (F.col("cb") > 0)).cast("int"))
+        .cast("bigint")
+        .alias("intersect_distinct"),
+        F.sum(((F.col("ca") > 0) & (F.col("cb") == 0)).cast("int"))
+        .cast("bigint")
+        .alias("except_distinct_1996"),
+    )
+
+
+_BAG_SET_OPS_SQL = """
+WITH a AS (
+  SELECT o_orderpriority AS p, COUNT(*) AS ca FROM orders
+  WHERE year(o_orderdate) = 1996 GROUP BY 1),
+b AS (
+  SELECT o_orderpriority AS p, COUNT(*) AS cb FROM orders
+  WHERE year(o_orderdate) = 1997 GROUP BY 1),
+j AS (
+  SELECT COALESCE(a.p, b.p) AS p, COALESCE(ca, 0) AS ca,
+    COALESCE(cb, 0) AS cb
+  FROM a FULL JOIN b ON a.p = b.p)
+SELECT CAST(SUM(ca) AS BIGINT) AS n_1996,
+  CAST(SUM(cb) AS BIGINT) AS n_1997,
+  CAST(SUM(least(ca, cb)) AS BIGINT) AS intersect_all,
+  CAST(SUM(greatest(ca - cb, 0)) AS BIGINT) AS except_all_1996,
+  CAST(SUM(greatest(cb - ca, 0)) AS BIGINT) AS except_all_1997,
+  CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS intersect_distinct,
+  CAST(SUM(CASE WHEN ca > 0 AND cb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS except_distinct_1996
+FROM j
+"""
+
+
+def q_matryoshka_truncation_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-embedding truncation fidelity: cosine similarity over
+    the first d ∈ {8, 16, 32, 64} dimensions vs the full 64-dim cosine,
+    for every pair among the 20 lowest-id vectors — mean absolute
+    cosine delta and worst-pair delta per d. This is the storage/recall
+    dial of truncation-tolerant embeddings (prefix dims ≙ coarse
+    search, full dims ≙ rerank); folds are ordered and row-local, the
+    pair stage is the broadcast 20-row frame."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 20)
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, v: acc + v
+    )
+
+    def cos(ea, eb, d):
+        sa = F.slice(ea, 1, d)
+        sb = F.slice(eb, 1, d)
+        dot = fold(
+            F.zip_with(
+                sa, sb, lambda x, y: x.cast("double") * y.cast("double")
+            )
+        )
+        na = F.sqrt(
+            fold(F.transform(sa, lambda x: x.cast("double") * x.cast("double")))
+        )
+        nb = F.sqrt(
+            fold(F.transform(sb, lambda x: x.cast("double") * x.cast("double")))
+        )
+        return dot / (na * nb)
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    full = cos(F.col("ea"), F.col("eb"), 64)
+    rows = []
+    for d in (8, 16, 32, 64):
+        delta = F.abs(cos(F.col("ea"), F.col("eb"), d) - full)
+        rows.append(
+            F.struct(
+                F.lit(d).alias("dims"),
+                delta.alias("delta"),
+            )
+        )
+    ex = pairs.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select(F.col("r.dims").alias("dims"), F.col("r.delta").alias("delta"))
+    return (
+        ex.groupBy("dims")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(
+                (
+                    F.sum(F.round(F.col("delta") * 1e9).cast("decimal(38,0)"))
+                    .cast("double")
+                    / F.count("*")
+                )
+                / 1e9,
+                6,
+            ).alias("mean_abs_delta"),
+            F.round(F.max("delta"), 6).alias("max_abs_delta"),
+        )
+        .select(
+            F.col("dims").cast("bigint").alias("dims"),
+            "n_pairs",
+            "mean_abs_delta",
+            "max_abs_delta",
+        )
+        .orderBy("dims")
+    )
+
+
+def _matryoshka_sql() -> str:
+    def cos(d):
+        return f"""(list_sum(list_transform(generate_series(1, {d}),
+      i -> a.ea[i]::DOUBLE * b.eb[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(list_slice(a.ea, 1, {d}),
+           x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(list_slice(b.eb, 1, {d}),
+           x -> x::DOUBLE * x::DOUBLE)))))"""
+
+    branches = "\nUNION ALL\n".join(
+        f"SELECT {d} AS dims, abs({cos(d)} - {cos(64)}) AS delta "
+        f"FROM a JOIN b ON a.id_a < b.id_b"
+        for d in (8, 16, 32, 64)
+    )
+    return f"""
+WITH a AS (SELECT vec_id AS id_a, embedding AS ea FROM embeddings
+           WHERE vec_id < 20),
+b AS (SELECT vec_id AS id_b, embedding AS eb FROM embeddings
+      WHERE vec_id < 20),
+ex AS ({branches})
+SELECT CAST(dims AS BIGINT) AS dims,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  ROUND((CAST(SUM(CAST(ROUND(delta * 1e9) AS DECIMAL(38,0))) AS DOUBLE)
+         / COUNT(*)) / 1e9, 6) AS mean_abs_delta,
+  ROUND(MAX(delta), 6) AS max_abs_delta
+FROM ex GROUP BY dims ORDER BY dims
+"""
+
+
+_MATRYOSHKA_SQL = _matryoshka_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -20544,6 +20717,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "power_of_two_histogram": q_power_of_two_histogram,
     "heaps_law_vocab_growth": q_heaps_law_vocab_growth,
     "jl_projection_distortion": q_jl_projection_distortion,
+    "bag_set_ops_priorities": q_bag_set_ops_priorities,
+    "matryoshka_truncation_report": q_matryoshka_truncation_report,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -20913,6 +21088,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "power_of_two_histogram": _POW2_HIST_SQL,
     "heaps_law_vocab_growth": _HEAPS_SQL,
     "jl_projection_distortion": _JL_SQL,
+    "bag_set_ops_priorities": _BAG_SET_OPS_SQL,
+    "matryoshka_truncation_report": _MATRYOSHKA_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
