@@ -20345,6 +20345,79 @@ FROM ex GROUP BY dims ORDER BY dims
 _MATRYOSHKA_SQL = _matryoshka_sql()
 
 
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI curve: how many near-dup pairs/docs each Jaccard
+    threshold (0.5→0.9) removes, from ONE LSH-candidate + exact-verify
+    pass (rides the shared persisted signature/shingle stages — the
+    corpus is never re-scanned per threshold). Removal follows the
+    min-id-keeper rule (a doc is dropped iff it pairs at ≥t with a
+    smaller id). This is the knob-tuning readout before committing a
+    100 TB dedup run: pair volume and survivor count per threshold,
+    exact."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar for the survivor ratio (bounded read)
+    pairs = DD.lsh_verified_pairs(docs, threshold=0.5, cache_key=sf_dir)
+    aggs = []
+    for t in (50, 60, 70, 80, 90):
+        cond = F.col("jaccard") >= t / 100.0
+        aggs.extend(
+            [
+                F.sum(cond.cast("int")).cast("bigint").alias(f"pairs_{t}"),
+                F.countDistinct(F.when(cond, F.col("id_b")))
+                .cast("bigint")
+                .alias(f"removed_{t}"),
+            ]
+        )
+    wide = pairs.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(t).alias("threshold_pct"),
+            F.coalesce(F.col(f"pairs_{t}"), F.lit(0)).alias("n_pairs"),
+            F.coalesce(F.col(f"removed_{t}"), F.lit(0)).alias(
+                "n_docs_removed"
+            ),
+        )
+        for t in (50, 60, 70, 80, 90)
+    ]
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("r"))
+        .select(
+            F.col("r.threshold_pct").cast("bigint").alias("threshold_pct"),
+            F.col("r.n_pairs").alias("n_pairs"),
+            F.col("r.n_docs_removed").alias("n_docs_removed"),
+            F.lit(n_docs).cast("bigint").alias("n_total_docs"),
+            F.floor(
+                (F.lit(n_docs) - F.col("r.n_docs_removed"))
+                * 1000000
+                / F.lit(n_docs)
+            )
+            .cast("bigint")
+            .alias("survivor_ppm"),
+        )
+        .orderBy("threshold_pct")
+    )
+
+
+def _dedup_sweep_sql() -> str:
+    # reuses the exact candidate/verify chain of _JACCARD_SQL (same
+    # signature constants), swept over thresholds without a re-scan
+    body = _JACCARD_SQL.split("SELECT id_a")[0]
+    return f"""{body}
+SELECT t AS threshold_pct,
+  CAST(SUM(CASE WHEN jaccard >= t / 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_pairs,
+  CAST(COUNT(DISTINCT CASE WHEN jaccard >= t / 100.0 THEN id_b END)
+       AS BIGINT) AS n_docs_removed,
+  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_total_docs,
+  CAST(FLOOR(((SELECT COUNT(*) FROM documents)
+        - COUNT(DISTINCT CASE WHEN jaccard >= t / 100.0 THEN id_b END))
+       * 1000000 / (SELECT COUNT(*) FROM documents)) AS BIGINT)
+    AS survivor_ppm
+FROM verified, unnest([50, 60, 70, 80, 90]) AS u(t)
+GROUP BY t ORDER BY threshold_pct
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -20719,6 +20792,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jl_projection_distortion": q_jl_projection_distortion,
     "bag_set_ops_priorities": q_bag_set_ops_priorities,
     "matryoshka_truncation_report": q_matryoshka_truncation_report,
+    "dedup_threshold_sweep": q_dedup_threshold_sweep,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -21090,6 +21164,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "jl_projection_distortion": _JL_SQL,
     "bag_set_ops_priorities": _BAG_SET_OPS_SQL,
     "matryoshka_truncation_report": _MATRYOSHKA_SQL,
+    "dedup_threshold_sweep": _dedup_sweep_sql(),
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
