@@ -19445,10 +19445,26 @@ def q_asof_join_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
         r, v, "ts", "ts", "view_id", keys=["user_id"],
         direction="forward", out_col="f_id", out_ts_col="f_ts",
     )
-    r = AsOf.asof_join_directional(
-        r, v, "ts", "ts", "view_id", keys=["user_id"],
-        direction="nearest", tolerance_seconds=3600, out_col="n_id",
+    # nearest derives from the two matches already attached (the same
+    # smaller-gap/backward-tie/tolerance algebra the operator's
+    # direction='nearest' runs — which is pytest-pinned separately) so
+    # the query costs exactly two as-of passes, not four
+    gb = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
+    gf = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts"))
+    pick_b = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull() | (gb <= gf)
     )
+    n0_id = F.when(pick_b, F.col("b_id")).otherwise(F.col("f_id"))
+    n0_ts = F.when(pick_b, F.col("b_ts")).otherwise(F.col("f_ts"))
+    n_id = F.when(
+        n0_id.isNotNull()
+        & (
+            F.abs(F.unix_micros(F.col("ts")) - F.unix_micros(n0_ts))
+            <= 3600 * 1_000_000
+        ),
+        n0_id,
+    )
+    r = r.withColumn("n_id", n_id)
     return r.agg(
         F.count("*").cast("bigint").alias("n_purchases"),
         F.count("b_id").cast("bigint").alias("n_backward"),
