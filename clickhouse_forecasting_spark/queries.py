@@ -20434,6 +20434,191 @@ GROUP BY t ORDER BY threshold_pct
 """
 
 
+def q_group_array_sorted_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArraySorted(k)`` parity: per nation, the 5
+    smallest customer account balances (cents) as a CSV array — the
+    bounded-k sorted-aggregate that ships a top/bottom-k LIST per group
+    without materializing the group (at scale the k-bounded heap state
+    is what makes it one map-side-combinable pass). Tie-break is the
+    value itself (duplicates keep multiplicity, exactly k survive)."""
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    return (
+        cust.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.concat_ws(
+                ",",
+                F.slice(F.sort_array(F.collect_list(cents)), 1, 5),
+            ).alias("bottom5_cents_csv"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_GROUP_ARRAY_SORTED_SQL = """
+SELECT c_nationkey AS nationkey,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  array_to_string(list_slice(
+    list(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+         ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT)), 1, 5), ',')
+    AS bottom5_cents_csv
+FROM customer GROUP BY 1 ORDER BY nationkey
+"""
+
+
+def q_deterministic_sample_quantile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse ``quantileDeterministic(x, determinator)`` semantics:
+    a REPRODUCIBLE sampled quantile — the sample is selected by a hash
+    of the determinator column (event_id), never by an RNG, so any
+    engine / partition order / rerun draws the identical sample. Per
+    event type: the exact p50 of value-cents on the full data, the
+    exact p50 on the 1-in-8 hash sample, and the absolute error — the
+    accuracy-vs-cost readout. Both quantiles are discrete order
+    statistics (rank ceil(n/2)) via one window pass each."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    sampled = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+               16, 10).cast("bigint") % 8 == 0
+    )
+    b = ev.select("event_type", cents.alias("c"), sampled.alias("s"))
+
+    def p50(df, tag):
+        # discrete p50: value at rank ceil(n/2) in (c) order — the
+        # SELECTED VALUE is tie-insensitive (row_number among equal c
+        # always lands on the same c), so no tie-break column is needed
+        w = Window.partitionBy("event_type").orderBy("c")
+        wn = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count("*").over(wn))
+            .where(F.col("rn") == F.ceil(F.col("n") / 2))
+            .select("event_type", F.col("c").alias(tag),
+                    F.col("n").cast("bigint").alias(f"n_{tag}"))
+        )
+
+    full = p50(b, "p50_full")
+    samp = p50(b.where("s"), "p50_sample")
+    return (
+        full.join(samp, "event_type")
+        .select(
+            "event_type",
+            "n_p50_full",
+            "n_p50_sample",
+            "p50_full",
+            "p50_sample",
+            F.abs(F.col("p50_full") - F.col("p50_sample")).alias("abs_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_DET_SAMPLE_QUANTILE_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c,
+    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 8 = 0
+      AS s
+  FROM events),
+fq AS (
+  SELECT event_type, c AS p50_full, CAST(n AS BIGINT) AS n_p50_full FROM (
+    SELECT event_type, c,
+      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+      COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM b)
+  WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)),
+sq AS (
+  SELECT event_type, c AS p50_sample, CAST(n AS BIGINT) AS n_p50_sample
+  FROM (
+    SELECT event_type, c,
+      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+      COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM b WHERE s)
+  WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT))
+SELECT f.event_type, f.n_p50_full, s.n_p50_sample, f.p50_full,
+  s.p50_sample, abs(f.p50_full - s.p50_sample) AS abs_err
+FROM fq f JOIN sq s ON f.event_type = s.event_type
+ORDER BY f.event_type
+"""
+
+
+def q_rounding_semantics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse rounding-family parity — ``round`` (half away from
+    zero), ``roundBankers`` (half to even), ``floor``/``ceil``/
+    ``trunc`` — applied to value×10 at one decimal, aggregated per
+    event type so every row's verdict shifts a sum. The half-even and
+    half-away branches are spelled with the SAME explicit integer
+    formulas on both engines (engine-native round() differs silently:
+    Spark HALF_UP, DuckDB half-even on ties — the exact class of bug
+    this report pins). Counts of actual .5 ties where the two
+    semantics diverge included."""
+    ev = _t(spark, sf_dir, "events")
+    # exact tenths: value is micro-grid in fixtures; v10 = value*10
+    # scaled to integer micros-of-tenths to detect exact .5 ties
+    u = F.round(F.col("value") * 1_000_000).cast("bigint")  # micros
+    # tenths position: t = u / 100000 (exact rational); half-tie when
+    # u % 100000 == 50000
+    q_ = F.floor(u / 100000).cast("bigint")
+    r_ = u % 100000
+    half_away = F.when(r_ >= 50000, q_ + 1).otherwise(q_)
+    half_even = (
+        F.when(r_ > 50000, q_ + 1)
+        .when(r_ < 50000, q_)
+        .otherwise(F.when(q_ % 2 == 0, q_).otherwise(q_ + 1))
+    )
+    b = ev.select(
+        "event_type",
+        half_away.alias("ha"),
+        half_even.alias("he"),
+        (r_ == 50000).cast("int").alias("tie"),
+        q_.alias("fl"),
+    )
+    return (
+        b.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("ha").cast("bigint").alias("sum_round_half_away"),
+            F.sum("he").cast("bigint").alias("sum_round_bankers"),
+            F.sum("fl").cast("bigint").alias("sum_floor"),
+            F.sum("tie").cast("bigint").alias("n_exact_ties"),
+            F.sum(F.when(F.col("ha") != F.col("he"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_divergent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ROUNDING_SQL = """
+WITH b AS (
+  SELECT event_type,
+    CAST(ROUND(value * 1000000) AS BIGINT) AS u
+  FROM events),
+c AS (
+  SELECT event_type,
+    CAST(FLOOR(u / 100000) AS BIGINT) AS q,
+    u % 100000 AS r
+  FROM b),
+d AS (
+  SELECT event_type, q AS fl,
+    CASE WHEN r >= 50000 THEN q + 1 ELSE q END AS ha,
+    CASE WHEN r > 50000 THEN q + 1 WHEN r < 50000 THEN q
+         WHEN q % 2 = 0 THEN q ELSE q + 1 END AS he,
+    CASE WHEN r = 50000 THEN 1 ELSE 0 END AS tie
+  FROM c)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(ha) AS BIGINT) AS sum_round_half_away,
+  CAST(SUM(he) AS BIGINT) AS sum_round_bankers,
+  CAST(SUM(fl) AS BIGINT) AS sum_floor,
+  CAST(SUM(tie) AS BIGINT) AS n_exact_ties,
+  CAST(SUM(CASE WHEN ha <> he THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_divergent
+FROM d GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -20809,6 +20994,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bag_set_ops_priorities": q_bag_set_ops_priorities,
     "matryoshka_truncation_report": q_matryoshka_truncation_report,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
+    "group_array_sorted_topn": q_group_array_sorted_topn,
+    "deterministic_sample_quantile": q_deterministic_sample_quantile,
+    "rounding_semantics_report": q_rounding_semantics_report,
 }
 
 ORACLE_QUERIES: dict[str, str] = {
@@ -21181,6 +21369,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "bag_set_ops_priorities": _BAG_SET_OPS_SQL,
     "matryoshka_truncation_report": _MATRYOSHKA_SQL,
     "dedup_threshold_sweep": _dedup_sweep_sql(),
+    "group_array_sorted_topn": _GROUP_ARRAY_SORTED_SQL,
+    "deterministic_sample_quantile": _DET_SAMPLE_QUANTILE_SQL,
+    "rounding_semantics_report": _ROUNDING_SQL,
 }
 
 # DuckDB SUM()/integer-division over integer columns returns HUGEINT
