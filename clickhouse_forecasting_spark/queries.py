@@ -16369,18 +16369,19 @@ def q_quantiles_exact_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("bigint").alias("w"),
     )
     per_val = base.groupBy("brand", "cents").agg(F.sum("w").alias("sw"))
-    wtot = (
-        per_val.groupBy("brand")
-        .agg(F.sum("sw").alias("w_total"))
-        .localCheckpoint(eager=True)
-    )
+    # brand totals via an unordered window over the SAME per-value
+    # frame: one fact pass feeds both the cumulative and the total
+    # (the former join+checkpoint formulation re-ran the fact join to
+    # materialize a totals frame — twice the scans for the same result)
     cum = per_val.withColumn(
         "cw",
         F.sum("sw").over(
             Window.partitionBy("brand").orderBy("cents")
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
-    ).join(F.broadcast(wtot), "brand")
+    ).withColumn(
+        "w_total", F.sum("sw").over(Window.partitionBy("brand"))
+    )
     pick = lambda cond: F.min(F.when(cond, F.col("cents")))  # noqa: E731
     return (
         cum.groupBy("brand", "w_total")
