@@ -20620,6 +20620,160 @@ FROM d GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window exact distinct (ClickHouse ``uniqExact`` over a
+    7-day trailing window): distinct-count is NOT decomposable, so the
+    scalable shape is contribute-to-window — each (user, day) pair
+    explodes into the ≤7 window-end days it affects (bounded fan-out),
+    then one distinct + one count per window key. No per-window rescan,
+    no set-union state; shuffle volume is 7× the (user, day) grain, not
+    the event grain. Trailing windows clipped to the observed day span;
+    DAU reported alongside for the ratio."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("user_id").alias("u"), F.col("ts").cast("date").alias("d")
+    ).distinct()
+    ex = ud.select(
+        "u",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("win_end"),
+    )
+    bounds = ev.agg(
+        F.max(F.col("ts").cast("date")).alias("mx"),
+        F.min(F.col("ts").cast("date")).alias("mn"),
+    )
+    trailing = (
+        ex.crossJoin(F.broadcast(bounds))
+        .where((F.col("win_end") <= F.col("mx")))
+        .groupBy("win_end")
+        .agg(F.countDistinct("u").cast("bigint").alias("users_7d"))
+    )
+    dau = ud.groupBy(F.col("d").alias("win_end")).agg(
+        F.count("*").cast("bigint").alias("users_1d")
+    )
+    return (
+        trailing.join(dau, "win_end", "left")
+        .select(
+            "win_end",
+            F.coalesce("users_1d", F.lit(0)).cast("bigint").alias("users_1d"),
+            "users_7d",
+        )
+        .orderBy("win_end")
+    )
+
+
+_SLIDING_DISTINCT_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+ex AS (
+  SELECT u, CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                        INTERVAL 1 DAY)) AS DATE)
+      AS win_end
+  FROM ud),
+b AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
+tr7 AS (
+  SELECT win_end, CAST(COUNT(DISTINCT u) AS BIGINT) AS users_7d
+  FROM ex, b WHERE win_end <= b.mx GROUP BY win_end),
+dau AS (
+  SELECT d AS win_end, CAST(COUNT(*) AS BIGINT) AS users_1d
+  FROM ud GROUP BY d)
+SELECT t.win_end, CAST(COALESCE(dau.users_1d, 0) AS BIGINT) AS users_1d,
+  t.users_7d
+FROM tr7 t LEFT JOIN dau ON t.win_end = dau.win_end
+ORDER BY t.win_end
+"""
+
+
+def q_sequence_match_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceMatch NEGATION semantics ('view, then purchase, with NO
+    error in between' — the pattern class plain funnels cannot
+    express): per user, a match exists iff some purchase has a view
+    before it with every intervening event non-error. Row-local scan:
+    for each purchase index j, the LAST view index before j and the
+    LAST error index before j — clean iff last_view > last_error. Per
+    event type stream in one sorted per-user array (single groupBy);
+    report counts matched users with and without the negation, plus
+    users rejected ONLY by the error guard."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.struct(
+            F.unix_timestamp("ts").alias("s"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("t"),
+        ).alias("kv"),
+    )
+    per = base.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("kv")).alias("kv")
+    )
+    t = F.transform(F.col("kv"), lambda x: x["t"])
+    d = per.select("user_id", t.alias("t"), F.size("kv").alias("n"))
+    idx = F.sequence(F.lit(1), F.col("n"))
+    last_before = lambda j, what: F.array_max(  # noqa: E731
+        F.filter(
+            idx,
+            lambda i: (i < j) & (F.element_at(F.col("t"), i) == what),
+        )
+    )
+    m_plain = F.exists(
+        idx,
+        lambda j: (F.element_at(F.col("t"), j) == "purchase")
+        & last_before(j, "view").isNotNull(),
+    )
+    m_neg = F.exists(
+        idx,
+        lambda j: (F.element_at(F.col("t"), j) == "purchase")
+        & last_before(j, "view").isNotNull()
+        & (
+            F.coalesce(last_before(j, "error"), F.lit(0))
+            < last_before(j, "view")
+        ),
+    )
+    flags = d.select(
+        m_plain.cast("int").alias("p"), m_neg.cast("int").alias("q")
+    )
+    return flags.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("p").cast("bigint").alias("n_view_then_purchase"),
+        F.sum("q").cast("bigint").alias("n_without_error_between"),
+        F.sum(F.when((F.col("p") == 1) & (F.col("q") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_rejected_by_error_guard"),
+    )
+
+
+_SEQ_NEGATION_SQL = """
+WITH per AS (
+  SELECT user_id,
+    list(event_type ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+      AS t,
+    COUNT(*) AS n
+  FROM events GROUP BY 1),
+f AS (
+  SELECT user_id,
+    len(list_filter(generate_series(1, n), j -> t[j] = 'purchase'
+      AND len(list_filter(generate_series(1, n),
+          i -> i < j AND t[i] = 'view')) > 0)) > 0 AS p,
+    len(list_filter(generate_series(1, n), j -> t[j] = 'purchase'
+      AND len(list_filter(generate_series(1, n),
+          i -> i < j AND t[i] = 'view')) > 0
+      AND COALESCE(list_max(list_filter(generate_series(1, n),
+          i -> i < j AND t[i] = 'error')), 0)
+        < list_max(list_filter(generate_series(1, n),
+          i -> i < j AND t[i] = 'view')))) > 0 AS q
+  FROM per)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_view_then_purchase,
+  CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_without_error_between,
+  CAST(SUM(CASE WHEN p AND NOT q THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_rejected_by_error_guard
+FROM f
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -20996,6 +21150,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "matryoshka_truncation_report": q_matryoshka_truncation_report,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
     "group_array_sorted_topn": q_group_array_sorted_topn,
+    "sliding_distinct_users": q_sliding_distinct_users,
+    "sequence_match_negation": q_sequence_match_negation,
     "deterministic_sample_quantile": q_deterministic_sample_quantile,
     "rounding_semantics_report": q_rounding_semantics_report,
 }
@@ -21371,6 +21527,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "matryoshka_truncation_report": _MATRYOSHKA_SQL,
     "dedup_threshold_sweep": _dedup_sweep_sql(),
     "group_array_sorted_topn": _GROUP_ARRAY_SORTED_SQL,
+    "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
+    "sequence_match_negation": _SEQ_NEGATION_SQL,
     "deterministic_sample_quantile": _DET_SAMPLE_QUANTILE_SQL,
     "rounding_semantics_report": _ROUNDING_SQL,
 }
