@@ -20633,31 +20633,26 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = ev.select(
         F.col("user_id").alias("u"), F.col("ts").cast("date").alias("d")
     ).distinct()
+    # d survives the explode, so the DAU column rides the SAME pass as
+    # the trailing window (win_end == d marks each pair's own day) —
+    # one explode, one aggregation, no separate daily branch or join
     ex = ud.select(
         "u",
+        "d",
         F.explode(
             F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
         ).alias("win_end"),
     )
-    bounds = ev.agg(
-        F.max(F.col("ts").cast("date")).alias("mx"),
-        F.min(F.col("ts").cast("date")).alias("mn"),
-    )
-    trailing = (
-        ex.crossJoin(F.broadcast(bounds))
-        .where((F.col("win_end") <= F.col("mx")))
-        .groupBy("win_end")
-        .agg(F.countDistinct("u").cast("bigint").alias("users_7d"))
-    )
-    dau = ud.groupBy(F.col("d").alias("win_end")).agg(
-        F.count("*").cast("bigint").alias("users_1d")
-    )
+    bounds = ev.agg(F.max(F.col("ts").cast("date")).alias("mx"))
     return (
-        trailing.join(dau, "win_end", "left")
-        .select(
-            "win_end",
-            F.coalesce("users_1d", F.lit(0)).cast("bigint").alias("users_1d"),
-            "users_7d",
+        ex.crossJoin(F.broadcast(bounds))
+        .where(F.col("win_end") <= F.col("mx"))
+        .groupBy("win_end")
+        .agg(
+            F.countDistinct(F.when(F.col("win_end") == F.col("d"), F.col("u")))
+            .cast("bigint")
+            .alias("users_1d"),
+            F.countDistinct("u").cast("bigint").alias("users_7d"),
         )
         .orderBy("win_end")
     )
@@ -20667,21 +20662,17 @@ _SLIDING_DISTINCT_SQL = """
 WITH ud AS (
   SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
 ex AS (
-  SELECT u, CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
-                                        INTERVAL 1 DAY)) AS DATE)
+  SELECT u, d, CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                           INTERVAL 1 DAY)) AS DATE)
       AS win_end
   FROM ud),
-b AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
-tr7 AS (
-  SELECT win_end, CAST(COUNT(DISTINCT u) AS BIGINT) AS users_7d
-  FROM ex, b WHERE win_end <= b.mx GROUP BY win_end),
-dau AS (
-  SELECT d AS win_end, CAST(COUNT(*) AS BIGINT) AS users_1d
-  FROM ud GROUP BY d)
-SELECT t.win_end, CAST(COALESCE(dau.users_1d, 0) AS BIGINT) AS users_1d,
-  t.users_7d
-FROM tr7 t LEFT JOIN dau ON t.win_end = dau.win_end
-ORDER BY t.win_end
+b AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events)
+SELECT win_end,
+  CAST(COUNT(DISTINCT CASE WHEN win_end = d THEN u END) AS BIGINT)
+    AS users_1d,
+  CAST(COUNT(DISTINCT u) AS BIGINT) AS users_7d
+FROM ex, b WHERE win_end <= b.mx
+GROUP BY win_end ORDER BY win_end
 """
 
 
