@@ -20765,6 +20765,235 @@ FROM f
 """
 
 
+def q_window_funnel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(86400, 'strict_dedup')`` parity: the
+    view → click → purchase chain where a REPEAT of an already-matched
+    step between levels aborts the chain (the mode that distinguishes
+    genuine progressions from re-fired anchors). Stateless
+    formulation — no sequential fold: per anchor view, the first
+    in-window click must have no intervening view, and the first
+    purchase after it no intervening view/click; per-user level is the
+    max over anchors. Row-local array scans over the per-user sorted
+    stream (one groupBy — the sessionization state shape); levels
+    partition the user base."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("t"),
+        ).alias("kv"),
+    )
+    per = base.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("kv")).alias("kv")
+    )
+    t = F.transform(F.col("kv"), lambda x: x["t"])
+    us = F.transform(F.col("kv"), lambda x: x["us"])
+    d = per.select("user_id", t.alias("t"), us.alias("us"),
+                   F.size("kv").alias("n"))
+    day_us = 24 * 3600 * 1_000_000
+    idx = F.sequence(F.lit(1), F.col("n"))
+    tt = lambda i: F.element_at(F.col("t"), i)  # noqa: E731
+    uu = lambda i: F.element_at(F.col("us"), i)  # noqa: E731
+
+    def between(a, b, types):
+        return F.exists(
+            idx,
+            lambda k: (k > a)
+            & (k < b)
+            & F.array_contains(F.array(*[F.lit(x) for x in types]), tt(k)),
+        )
+
+    def first_after(a, typ, anchor):
+        return F.array_min(
+            F.filter(
+                idx,
+                lambda j: (j > a)
+                & (tt(j) == typ)
+                & (uu(j) <= uu(anchor) + day_us),
+            )
+        )
+
+    def anchor_level(i):
+        c1 = first_after(i, "click", i)
+        p1 = first_after(c1, "purchase", i)
+        return (
+            F.when(c1.isNull(), 1)
+            .when(between(i, c1, ["view"]), 1)
+            .when(p1.isNull(), 2)
+            .when(between(c1, p1, ["view", "click"]), 2)
+            .otherwise(3)
+        )
+
+    lvl = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.filter(idx, lambda i: tt(i) == "view"),
+                anchor_level,
+            )
+        ),
+        F.lit(0),
+    )
+    return (
+        d.select(lvl.alias("funnel_level"))
+        .groupBy("funnel_level")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("funnel_level")
+    )
+
+
+_FUNNEL_DEDUP_SQL = """
+WITH per AS (
+  SELECT user_id,
+    list(event_type ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id)
+      AS t,
+    list(CAST(epoch_us(ts) AS BIGINT)
+         ORDER BY CAST(epoch_us(ts) AS BIGINT), event_id) AS s,
+    COUNT(*) AS n
+  FROM events GROUP BY 1),
+lv AS (
+  SELECT user_id,
+    COALESCE(list_max(list_transform(
+      list_filter(generate_series(1, n), i -> t[i] = 'view'),
+      i -> CASE
+        WHEN list_min(list_filter(generate_series(1, n),
+            j -> j > i AND t[j] = 'click'
+              AND s[j] <= s[i] + 86400000000)) IS NULL THEN 1
+        WHEN len(list_filter(generate_series(1, n), k -> k > i
+            AND k < list_min(list_filter(generate_series(1, n),
+                j -> j > i AND t[j] = 'click'
+                  AND s[j] <= s[i] + 86400000000))
+            AND t[k] = 'view')) > 0 THEN 1
+        WHEN list_min(list_filter(generate_series(1, n),
+            j -> j > list_min(list_filter(generate_series(1, n),
+                jj -> jj > i AND t[jj] = 'click'
+                  AND s[jj] <= s[i] + 86400000000))
+              AND t[j] = 'purchase'
+              AND s[j] <= s[i] + 86400000000)) IS NULL THEN 2
+        WHEN len(list_filter(generate_series(1, n), k ->
+            k > list_min(list_filter(generate_series(1, n),
+                jj -> jj > i AND t[jj] = 'click'
+                  AND s[jj] <= s[i] + 86400000000))
+            AND k < list_min(list_filter(generate_series(1, n),
+                j -> j > list_min(list_filter(generate_series(1, n),
+                    jj -> jj > i AND t[jj] = 'click'
+                      AND s[jj] <= s[i] + 86400000000))
+                  AND t[j] = 'purchase'
+                  AND s[j] <= s[i] + 86400000000))
+            AND (t[k] = 'view' OR t[k] = 'click'))) > 0 THEN 2
+        ELSE 3 END)), 0) AS funnel_level
+  FROM per)
+SELECT funnel_level, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM lv GROUP BY funnel_level ORDER BY funnel_level
+"""
+
+
+def q_dict_hierarchy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse hierarchical-dictionary parity — ``dictGetHierarchy``
+    (the id chain up to the root) and ``dictIsIn`` (ancestor test) over
+    the nation → region hierarchy: per nation, the name chain, the
+    hierarchy id path as CSV, the region ancestor flag for EUROPE, and
+    the depth. Flat dimension joins (broadcast); at scale the
+    hierarchy dictionary is exactly the broadcast side."""
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    j = nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    return j.select(
+        F.col("n_nationkey").cast("bigint").alias("nationkey"),
+        F.concat_ws(">", F.col("n_name"), F.col("r_name")).alias(
+            "name_chain"
+        ),
+        F.concat_ws(
+            ",",
+            F.col("n_nationkey").cast("string"),
+            (F.col("r_regionkey") + 100).cast("string"),
+        ).alias("id_path"),
+        (F.col("r_name") == "EUROPE").cast("int").alias("is_in_europe"),
+        F.lit(2).cast("bigint").alias("depth"),
+    ).orderBy("nationkey")
+
+
+_DICT_HIERARCHY_SQL = """
+SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+  n_name || '>' || r_name AS name_chain,
+  CAST(n_nationkey AS VARCHAR) || ',' ||
+    CAST(r_regionkey + 100 AS VARCHAR) AS id_path,
+  CAST(r_name = 'EUROPE' AS INT) AS is_in_europe,
+  CAST(2 AS BIGINT) AS depth
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY nationkey
+"""
+
+
+def q_rolling_beta_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day OLS slope (the trading-desk rolling beta /
+    momentum signal): daily revenue regressed on the day index over a
+    ROWS 29-PRECEDING frame. Sufficient statistics (n, Σx, Σy, Σxx,
+    Σxy) accumulate as exact integers inside the window frame and the
+    slope assembles in double with the identical expression on both
+    engines — a windowed version of gd_linreg's one-pass rule. Only
+    full frames emit (rn ≥ 30). Cents-per-day, rounded 1e-6."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("decimal(19,0)")
+        ).alias("cents")
+    )
+    b = daily.select(
+        "day",
+        F.datediff(
+            "day", F.to_date(F.lit("1992-01-01"))
+        ).cast("decimal(10,0)").alias("x"),
+        F.col("cents").cast("decimal(19,0)").alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-29, 0)
+    wo = Window.orderBy("day")
+    f = b.select(
+        "day",
+        F.count("*").over(w).cast("double").alias("n"),
+        F.sum("x").over(w).cast("double").alias("sx"),
+        F.sum("y").over(w).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("double").alias("sxy"),
+        F.row_number().over(wo).alias("rn"),
+    ).where(F.col("rn") >= 30)
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return f.select(
+        "day",
+        F.round(beta, 6).alias("beta_cents_per_day"),
+    ).orderBy("day")
+
+
+_ROLLING_BETA_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    SUM(CAST(ROUND(o_totalprice * 100) AS DECIMAL(19,0))) AS cents
+  FROM orders GROUP BY 1),
+b AS (
+  SELECT day,
+    CAST(date_diff('day', DATE '1992-01-01', day) AS DECIMAL(10,0)) AS x,
+    CAST(cents AS DECIMAL(19,0)) AS y
+  FROM daily),
+f AS (
+  SELECT day,
+    CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+    CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+    CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+    CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
+    CAST(SUM(x * y) OVER w AS DOUBLE) AS sxy,
+    ROW_NUMBER() OVER (ORDER BY day) AS rn
+  FROM b
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+SELECT day,
+  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    AS beta_cents_per_day
+FROM f WHERE rn >= 30 ORDER BY day
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -21143,6 +21372,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "group_array_sorted_topn": q_group_array_sorted_topn,
     "sliding_distinct_users": q_sliding_distinct_users,
     "sequence_match_negation": q_sequence_match_negation,
+    "window_funnel_dedup": q_window_funnel_dedup,
+    "dict_hierarchy_report": q_dict_hierarchy_report,
+    "rolling_beta_30d": q_rolling_beta_30d,
     "deterministic_sample_quantile": q_deterministic_sample_quantile,
     "rounding_semantics_report": q_rounding_semantics_report,
 }
@@ -21520,6 +21752,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "group_array_sorted_topn": _GROUP_ARRAY_SORTED_SQL,
     "sliding_distinct_users": _SLIDING_DISTINCT_SQL,
     "sequence_match_negation": _SEQ_NEGATION_SQL,
+    "window_funnel_dedup": _FUNNEL_DEDUP_SQL,
+    "dict_hierarchy_report": _DICT_HIERARCHY_SQL,
+    "rolling_beta_30d": _ROLLING_BETA_SQL,
     "deterministic_sample_quantile": _DET_SAMPLE_QUANTILE_SQL,
     "rounding_semantics_report": _ROUNDING_SQL,
 }
