@@ -20994,6 +20994,220 @@ FROM f WHERE rn >= 30 ORDER BY day
 """
 
 
+def q_json_roundtrip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON output-format parity (ClickHouse JSONEachRow ↔ Spark
+    to_json ↔ DuckDB to_json emit the identical compact encoding for
+    int/string structs — verified here, not assumed): each order row
+    serializes to a JSON object, re-parses, and the report counts exact
+    string-identity round trips plus field-level re-extraction matches.
+    Row-local serialization inside codegen; one aggregation. The
+    sanity layer under every JSONEachRow export/ingest pipeline."""
+    o = _t(spark, sf_dir, "orders")
+    doc = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("p"),
+            F.year("o_orderdate").alias("y"),
+        )
+    )
+    b = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.year("o_orderdate").alias("y"),
+        doc.alias("j"),
+    )
+    back_k = F.get_json_object("j", "$.k").cast("bigint")
+    back_p = F.get_json_object("j", "$.p")
+    back_y = F.get_json_object("j", "$.y").cast("bigint")
+    rebuilt = F.concat(
+        F.lit('{"k":'), F.col("o_orderkey").cast("string"),
+        F.lit(',"p":"'), F.col("o_orderpriority"),
+        F.lit('","y":'), F.col("y").cast("string"), F.lit("}"),
+    )
+    return b.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("j") == rebuilt).cast("int"))
+        .cast("bigint")
+        .alias("n_exact_encoding"),
+        F.sum((back_k == F.col("o_orderkey")).cast("int"))
+        .cast("bigint")
+        .alias("n_key_roundtrip"),
+        F.sum((back_p == F.col("o_orderpriority")).cast("int"))
+        .cast("bigint")
+        .alias("n_priority_roundtrip"),
+        F.sum((back_y == F.col("y")).cast("int"))
+        .cast("bigint")
+        .alias("n_year_roundtrip"),
+    )
+
+
+_JSON_ROUNDTRIP_SQL = """
+WITH b AS (
+  SELECT o_orderkey, o_orderpriority, year(o_orderdate) AS y,
+    to_json(struct_pack(k := o_orderkey, p := o_orderpriority,
+                        y := year(o_orderdate)))::VARCHAR AS j
+  FROM orders)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN j = '{"k":' || CAST(o_orderkey AS VARCHAR)
+    || ',"p":"' || o_orderpriority || '","y":' || CAST(y AS VARCHAR)
+    || '}' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_encoding,
+  CAST(SUM(CASE WHEN CAST(json_extract(j, '$.k') AS BIGINT)
+    = o_orderkey THEN 1 ELSE 0 END) AS BIGINT) AS n_key_roundtrip,
+  CAST(SUM(CASE WHEN json_extract_string(j, '$.p')
+    = o_orderpriority THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_priority_roundtrip,
+  CAST(SUM(CASE WHEN CAST(json_extract(j, '$.y') AS BIGINT) = y
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_year_roundtrip
+FROM b
+"""
+
+
+def q_binary_encoding_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse binary-encoding family parity — ``base64Encode`` /
+    ``base64Decode`` / ``hex`` / ``unhex`` — over each document's md5
+    digest bytes: the hex and base64 encodings, a decode-identity
+    flag, and the encoded lengths (4·⌈16/3⌉ = 24 with padding; 32 hex
+    chars). Row-local codec expressions; per-doc rows keep the hash
+    gate byte-honest."""
+    docs = _t(spark, sf_dir, "documents")
+    dig = F.unhex(F.md5("text"))
+    b = docs.select("doc_id", dig.alias("d"))
+    return b.select(
+        "doc_id",
+        F.hex("d").alias("hex"),
+        F.base64("d").alias("b64"),
+        (F.unbase64(F.base64("d")) == F.col("d")).cast("int").alias(
+            "b64_roundtrip_ok"
+        ),
+        F.length(F.hex("d")).cast("bigint").alias("hex_len"),
+        F.length(F.base64("d")).cast("bigint").alias("b64_len"),
+    ).orderBy("doc_id")
+
+
+_BINARY_ENCODING_SQL = """
+WITH b AS (
+  SELECT doc_id, from_hex(md5(text)) AS d FROM documents)
+SELECT doc_id,
+  hex(d) AS hex,
+  to_base64(d) AS b64,
+  CAST(from_base64(to_base64(d)) = d AS INT) AS b64_roundtrip_ok,
+  CAST(length(hex(d)) AS BIGINT) AS hex_len,
+  CAST(length(to_base64(d)) AS BIGINT) AS b64_len
+FROM b ORDER BY doc_id
+"""
+
+
+def q_countmin_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch accuracy audit: a deterministic 4×16 CMS (row
+    hashes from md5, no RNG) over event types — per key the exact
+    count, the CMS estimate (min over rows of the hashed cell), and the
+    overestimate in ppm. CMS cells build in ONE map-side-combinable
+    aggregation of (row, col) partials — the fixed-size mergeable-state
+    shape that makes CMS the 100 TB heavy-hitter counter — and the
+    estimate probe joins the 64-cell table broadcast. Overestimates
+    are ≥0 by construction (the test pins the one-sided error
+    guarantee)."""
+    ev = _t(spark, sf_dir, "events")
+    depth, width = 4, 16
+
+    def col_for(r, key):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms{r}_"), key)), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % width
+        )
+
+    rows = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        col_for(r, F.col("event_type")).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc")
+    )
+    cells = rows.groupBy(
+        F.col("rc.r").alias("r"), F.col("rc.c").alias("c")
+    ).agg(F.count("*").alias("cell"))
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact"))
+    probes = exact.select(
+        "event_type",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        col_for(r, F.col("event_type")).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("event_type", "exact", F.col("rc.r").alias("r"),
+             F.col("rc.c").alias("c"))
+    est = (
+        probes.join(F.broadcast(cells), ["r", "c"])
+        .groupBy("event_type", "exact")
+        .agg(F.min("cell").alias("cms_estimate"))
+    )
+    return est.select(
+        "event_type",
+        F.col("exact").cast("bigint").alias("exact"),
+        F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        (F.col("cms_estimate") - F.col("exact"))
+        .cast("bigint")
+        .alias("overestimate"),
+        F.expr("(cms_estimate - exact) * 1000000 div exact")
+        .cast("bigint")
+        .alias("overest_ppm"),
+    ).orderBy("event_type")
+
+
+def _countmin_sql(depth: int = 4, width: int = 16) -> str:
+    def col_for(r, key):
+        return (
+            f"('0x' || substr(md5('cms{r}_' || {key}), 1, 8))::BIGINT"
+            f" % {width}"
+        )
+
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS r, {col_for(r, 'event_type')} AS c FROM events"
+        for r in range(depth)
+    )
+    probe_unions = "\nUNION ALL\n".join(
+        f"SELECT event_type, exact, {r} AS r,"
+        f" {col_for(r, 'event_type')} AS c FROM exact_t"
+        for r in range(depth)
+    )
+    return f"""
+WITH rows_t AS ({unions}),
+cells AS (SELECT r, c, COUNT(*) AS cell FROM rows_t GROUP BY 1, 2),
+exact_t AS (SELECT event_type, COUNT(*) AS exact FROM events GROUP BY 1),
+probes AS ({probe_unions}),
+est AS (
+  SELECT p.event_type, p.exact, MIN(cells.cell) AS cms_estimate
+  FROM probes p JOIN cells ON p.r = cells.r AND p.c = cells.c
+  GROUP BY 1, 2)
+SELECT event_type, CAST(exact AS BIGINT) AS exact,
+  CAST(cms_estimate AS BIGINT) AS cms_estimate,
+  CAST(cms_estimate - exact AS BIGINT) AS overestimate,
+  CAST((cms_estimate - exact) * 1000000 // exact AS BIGINT)
+    AS overest_ppm
+FROM est ORDER BY event_type
+"""
+
+
+_COUNTMIN_SQL = _countmin_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -21375,6 +21589,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_funnel_dedup": q_window_funnel_dedup,
     "dict_hierarchy_report": q_dict_hierarchy_report,
     "rolling_beta_30d": q_rolling_beta_30d,
+    "json_roundtrip_report": q_json_roundtrip_report,
+    "binary_encoding_report": q_binary_encoding_report,
+    "countmin_error_report": q_countmin_error_report,
     "deterministic_sample_quantile": q_deterministic_sample_quantile,
     "rounding_semantics_report": q_rounding_semantics_report,
 }
@@ -21755,6 +21972,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "window_funnel_dedup": _FUNNEL_DEDUP_SQL,
     "dict_hierarchy_report": _DICT_HIERARCHY_SQL,
     "rolling_beta_30d": _ROLLING_BETA_SQL,
+    "json_roundtrip_report": _JSON_ROUNDTRIP_SQL,
+    "binary_encoding_report": _BINARY_ENCODING_SQL,
+    "countmin_error_report": _COUNTMIN_SQL,
     "deterministic_sample_quantile": _DET_SAMPLE_QUANTILE_SQL,
     "rounding_semantics_report": _ROUNDING_SQL,
 }
