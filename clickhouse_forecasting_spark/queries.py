@@ -21208,6 +21208,234 @@ FROM est ORDER BY event_type
 _COUNTMIN_SQL = _countmin_sql()
 
 
+def q_bloom_filter_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive audit from first principles: a
+    deterministic 256-bit / 4-hash filter (md5-derived bit positions,
+    no RNG) built over 1996's active customers, probed with TRUE
+    NEGATIVES (customers active in 1997 but not 1996). Reports bits
+    set, observed false positives, FPR ppm, and the textbook
+    (1−e^(−kn/m))^k expectation — the calibration every
+    bloom-semi-join (bloom_semi_join_audit) relies on. Build and probe
+    are explode→distinct→equi-join shapes; the filter itself is the
+    256-row bit table (broadcast)."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    k, m = 4, 256
+    a = o.where(yr == 1996).select(F.col("o_custkey").alias("c")).distinct()
+    b = o.where(yr == 1997).select(F.col("o_custkey").alias("c")).distinct()
+    probes = b.join(a, "c", "left_anti")
+
+    def bits(df):
+        return df.select(
+            "c",
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(f"bf{r}_"),
+                                            F.col("c").cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    8,
+                                ),
+                                16,
+                                10,
+                            ).cast("bigint")
+                            % m
+                        )
+                        for r in range(k)
+                    ]
+                )
+            ).alias("bit"),
+        )
+
+    filt = bits(a).select("bit").distinct()
+    hit = (
+        bits(probes)
+        .join(F.broadcast(filt.withColumn("present", F.lit(1))), "bit", "left")
+        .groupBy("c")
+        .agg(F.sum(F.coalesce("present", F.lit(0))).alias("n_hit"))
+    )
+    n_ins = a.count()
+    n_bits = filt.count()
+    theory = (
+        1.0 - F.exp(F.lit(-float(k) * n_ins / m))
+    ) ** k
+    return hit.agg(
+        F.lit(n_ins).cast("bigint").alias("n_inserted"),
+        F.lit(n_bits).cast("bigint").alias("n_bits_set"),
+        F.count("*").cast("bigint").alias("n_true_negative_probes"),
+        F.sum((F.col("n_hit") == k).cast("int"))
+        .cast("bigint")
+        .alias("n_false_positives"),
+        F.floor(
+            F.sum((F.col("n_hit") == k).cast("int"))
+            * 1000000
+            / F.count("*")
+        )
+        .cast("bigint")
+        .alias("fpr_ppm"),
+        F.floor(theory * 1000000).cast("bigint").alias("theory_fpr_ppm"),
+    )
+
+
+def _bloom_sql(k: int = 4, m: int = 256) -> str:
+    def bit(r):
+        return (
+            f"('0x' || substr(md5('bf{r}_' || CAST(c AS VARCHAR)), 1, 8))"
+            f"::BIGINT % {m}"
+        )
+
+    a_bits = "\nUNION ALL\n".join(
+        f"SELECT c, {bit(r)} AS bit FROM a" for r in range(k)
+    )
+    p_bits = "\nUNION ALL\n".join(
+        f"SELECT c, {bit(r)} AS bit FROM probes" for r in range(k)
+    )
+    return f"""
+WITH a AS (SELECT DISTINCT o_custkey AS c FROM orders
+           WHERE year(o_orderdate) = 1996),
+b AS (SELECT DISTINCT o_custkey AS c FROM orders
+      WHERE year(o_orderdate) = 1997),
+probes AS (SELECT c FROM b WHERE c NOT IN (SELECT c FROM a)),
+filt AS (SELECT DISTINCT bit FROM ({a_bits})),
+pb AS ({p_bits}),
+hit AS (
+  SELECT pb.c, SUM(CASE WHEN filt.bit IS NOT NULL THEN 1 ELSE 0 END)
+    AS n_hit
+  FROM pb LEFT JOIN filt ON pb.bit = filt.bit GROUP BY pb.c)
+SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_inserted,
+  CAST((SELECT COUNT(*) FROM filt) AS BIGINT) AS n_bits_set,
+  CAST(COUNT(*) AS BIGINT) AS n_true_negative_probes,
+  CAST(SUM(CASE WHEN n_hit = {k} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_positives,
+  CAST(FLOOR(SUM(CASE WHEN n_hit = {k} THEN 1 ELSE 0 END) * 1000000.0
+       / COUNT(*)) AS BIGINT) AS fpr_ppm,
+  CAST(FLOOR(power(1.0 - exp(-{float(k)} * (SELECT COUNT(*) FROM a)
+       / {m}), {k}) * 1000000) AS BIGINT) AS theory_fpr_ppm
+FROM hit
+"""
+
+
+_BLOOM_FPR_SQL = _bloom_sql()
+
+
+def q_hll_manual_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog from first principles, bit-deterministic: 64
+    registers fed by a 60-bit md5 hash (bucket = low 6 bits, rho =
+    leading-zero rank of the remaining 54 bits), per event type. The
+    register sum Σ2^(−Mj) is computed as the EXACT integer Σ2^(55−Mj)
+    (a ≤61-bit sum — no order-dependent float accumulation), so the
+    raw estimate is bit-identical on any engine/partition order. Small-
+    range correction (m·ln(m/V)) applied exactly as the paper says.
+    Reports exact uniques, the HLL estimate, and signed error in ppm —
+    the audit that justifies approx_count_distinct's error envelope."""
+    ev = _t(spark, sf_dir, "events")
+    m = 64
+    x = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    bucket = x % m
+    w = F.floor(x / m).cast("bigint")
+    bitlen = F.when(w > 0, F.length(F.conv(w, 10, 2))).otherwise(F.lit(0))
+    rho = (F.lit(55) - bitlen).cast("int")  # 54-bit field: lz + 1
+    regs = (
+        ev.select("event_type", bucket.alias("b"), rho.alias("rho"))
+        .groupBy("event_type", "b")
+        .agg(F.max("rho").alias("M"))
+    )
+    spine = (
+        ev.select("event_type").distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("b"),
+        )
+    )
+    full = spine.join(regs, ["event_type", "b"], "left").select(
+        "event_type", F.coalesce("M", F.lit(0)).alias("M")
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = full.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(55) - F.col("M")).cast("bigint"))
+        .alias("z_scaled"),
+        F.sum((F.col("M") == 0).cast("int")).alias("v_zero"),
+    )
+    raw = (
+        F.lit(alpha * m * m)
+        * F.lit(float(2**55))
+        / F.col("z_scaled").cast("double")
+    )
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(raw)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    return (
+        agg.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("exact").cast("bigint").alias("exact_uniques"),
+            F.round(est, 4).alias("hll_estimate"),
+            F.floor((est - F.col("exact")) * 1000000 / F.col("exact"))
+            .cast("bigint")
+            .alias("signed_err_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_HLL_MANUAL_SQL = """
+WITH h AS (
+  SELECT event_type,
+    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS x,
+    user_id
+  FROM events),
+r AS (
+  SELECT event_type, x % 64 AS b,
+    CAST(55 - (CASE WHEN CAST(FLOOR(x / 64) AS BIGINT) > 0
+      THEN length(bin(CAST(FLOOR(x / 64) AS BIGINT))) ELSE 0 END)
+      AS INT) AS rho
+  FROM h),
+regs AS (SELECT event_type, b, MAX(rho) AS M FROM r GROUP BY 1, 2),
+spine AS (
+  SELECT event_type, CAST(unnest(generate_series(0, 63)) AS BIGINT) AS b
+  FROM (SELECT DISTINCT event_type FROM events)),
+full_regs AS (
+  SELECT s.event_type, COALESCE(regs.M, 0) AS M
+  FROM spine s LEFT JOIN regs
+    ON s.event_type = regs.event_type AND s.b = regs.b),
+agg AS (
+  SELECT event_type,
+    SUM(CAST(power(2.0, 55 - M) AS BIGINT)) AS z_scaled,
+    SUM(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS v_zero
+  FROM full_regs GROUP BY 1),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact FROM events
+  GROUP BY 1),
+est AS (
+  SELECT a.event_type, e.exact,
+    CASE WHEN (0.7213 / (1.0 + 1.079 / 64) * 64 * 64)
+           * 36028797018963968.0 / CAST(a.z_scaled AS DOUBLE)
+           <= 2.5 * 64 AND a.v_zero > 0
+      THEN 64.0 * ln(64.0 / a.v_zero)
+      ELSE (0.7213 / (1.0 + 1.079 / 64) * 64 * 64)
+           * 36028797018963968.0 / CAST(a.z_scaled AS DOUBLE) END AS est
+  FROM agg a JOIN exact e ON a.event_type = e.event_type)
+SELECT event_type, CAST(exact AS BIGINT) AS exact_uniques,
+  ROUND(est, 4) AS hll_estimate,
+  CAST(FLOOR((est - exact) * 1000000 / exact) AS BIGINT)
+    AS signed_err_ppm
+FROM est ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -21592,6 +21820,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_roundtrip_report": q_json_roundtrip_report,
     "binary_encoding_report": q_binary_encoding_report,
     "countmin_error_report": q_countmin_error_report,
+    "bloom_filter_fpr_audit": q_bloom_filter_fpr_audit,
+    "hll_manual_audit": q_hll_manual_audit,
     "deterministic_sample_quantile": q_deterministic_sample_quantile,
     "rounding_semantics_report": q_rounding_semantics_report,
 }
@@ -21975,6 +22205,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "json_roundtrip_report": _JSON_ROUNDTRIP_SQL,
     "binary_encoding_report": _BINARY_ENCODING_SQL,
     "countmin_error_report": _COUNTMIN_SQL,
+    "bloom_filter_fpr_audit": _BLOOM_FPR_SQL,
+    "hll_manual_audit": _HLL_MANUAL_SQL,
     "deterministic_sample_quantile": _DET_SAMPLE_QUANTILE_SQL,
     "rounding_semantics_report": _ROUNDING_SQL,
 }
