@@ -21436,6 +21436,365 @@ FROM est ORDER BY event_type
 """
 
 
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): every doc
+    scores under an add-one-smoothed corpus bigram LM (one count pass;
+    the LM is the broadcast side), per-token negative log-likelihood
+    becomes the doc's pseudo-perplexity, and docs split into
+    head/middle/tail TERCILES — the quality tiers CCNet keeps/reweights
+    /drops. Tercile cuts use exact rank arithmetic (ntile with total-
+    order tie-break on doc_id). Report per bucket: docs, token mass,
+    and the mean nll (micro-rounded). The filter that decides what a
+    100 TB crawl keeps — one corpus pass for the LM, one for
+    scoring."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    d = docs.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))
+    big = d.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.when(
+                F.col("n") >= 2,
+                F.transform(
+                    F.sequence(F.lit(2), F.col("n")),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i - 1).alias("w1"),
+                        F.element_at(F.col("t"), i).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(
+                "array<struct<w1:string,w2:string>>"
+            ))
+        ).alias("bg"),
+    ).select("doc_id", "n", F.col("bg.w1").alias("w1"),
+             F.col("bg.w2").alias("w2"))
+    bg_counts = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    un_counts = big.groupBy("w1").agg(F.count("*").alias("cu"))
+    vocab = big.select(F.col("w2").alias("w")).union(
+        big.select("w1")
+    ).distinct().count()
+    scored = (
+        big.join(F.broadcast(bg_counts), ["w1", "w2"])
+        .join(F.broadcast(un_counts), "w1")
+        .select(
+            "doc_id",
+            "n",
+            (
+                -F.log(
+                    (F.col("cb") + 1).cast("double")
+                    / (F.col("cu") + vocab).cast("double")
+                )
+            ).alias("nll"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "n").agg(
+        (
+            F.sum(F.round(F.col("nll") * 1e9).cast("decimal(38,0)"))
+            .cast("double")
+            / 1e9
+            / F.greatest(F.col("n") - 1, F.lit(1))
+        ).alias("nll_per_tok")
+    )
+    w = Window.orderBy("nll_per_tok", "doc_id")
+    bucketed = per_doc.withColumn("tercile", F.ntile(3).over(w)).withColumn(
+        "bucket",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.col("tercile"),
+        ),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.round(F.col("nll_per_tok") * 1e6).cast("decimal(38,0)")
+                ).cast("double")
+                / F.count("*")
+                / 1e6,
+                6,
+            ).alias("mean_nll_per_tok"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _ccnet_ppl_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS_SQL} AS t, len({_TOKS_SQL}) AS n FROM documents),
+big AS (
+  SELECT doc_id, n, t[i - 1] AS w1, t[i] AS w2
+  FROM d, unnest(CASE WHEN n >= 2 THEN generate_series(2, n)
+                 ELSE [] END) AS u(i)),
+bg AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+un AS (SELECT w1, COUNT(*) AS cu FROM big GROUP BY 1),
+v AS (SELECT COUNT(*) AS vocab FROM (
+  SELECT DISTINCT w FROM (SELECT w2 AS w FROM big
+                          UNION ALL SELECT w1 FROM big))),
+scored AS (
+  SELECT b.doc_id, b.n,
+    -ln(CAST(bg.cb + 1 AS DOUBLE) / CAST(un.cu + v.vocab AS DOUBLE))
+      AS nll
+  FROM big b JOIN bg ON b.w1 = bg.w1 AND b.w2 = bg.w2
+  JOIN un ON b.w1 = un.w1 CROSS JOIN v),
+per_doc AS (
+  SELECT doc_id, n,
+    CAST(SUM(CAST(ROUND(nll * 1e9) AS DECIMAL(38,0))) AS DOUBLE) / 1e9
+      / greatest(n - 1, 1) AS nll_per_tok
+  FROM scored GROUP BY 1, 2),
+bucketed AS (
+  SELECT *, ntile(3) OVER (ORDER BY nll_per_tok, doc_id) AS tercile
+  FROM per_doc)
+SELECT CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+       ELSE 'tail' END AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n) AS BIGINT) AS n_tokens,
+  ROUND(CAST(SUM(CAST(ROUND(nll_per_tok * 1e6) AS DECIMAL(38,0)))
+        AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_nll_per_tok
+FROM bucketed GROUP BY tercile ORDER BY bucket
+"""
+
+
+_CCNET_PPL_SQL = _ccnet_ppl_sql()
+
+
+def q_conformal_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval calibration on the daily revenue
+    series: the first 70% of days (by date) calibrate — residuals of
+    the seasonal-naive (lag-7) forecast yield the discrete ceil(0.9·
+    (n+1))-rank absolute-residual quantile — and the held-out 30%
+    measure empirical coverage of ±q̂ bands. Everything is exact
+    integer cents and rank arithmetic (no model, no floats until the
+    final ppm), so the coverage guarantee audit is bit-reproducible —
+    the distribution-free uncertainty wrapper any forecast sink
+    (R10's bounds columns) can cite."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("decimal(19,0)")
+        ).cast("bigint").alias("cents")
+    )
+    w = Window.orderBy("day")
+    b = daily.select(
+        "day",
+        "cents",
+        F.lag("cents", 7).over(w).alias("pred"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(
+            Window.rangeBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n_days"),
+    ).where(F.col("pred").isNotNull())
+    split = F.floor(F.col("n_days") * 7 / 10).cast("int")
+    b = b.withColumn("is_cal", (F.col("rn") <= split).cast("int")).withColumn(
+        "abs_res", F.abs(F.col("cents") - F.col("pred"))
+    )
+    cal = b.where("is_cal = 1")
+    wq = Window.orderBy("abs_res", "day")
+    n_cal = cal.count()
+    import math as _math
+
+    q_rank = _math.ceil(0.9 * (n_cal + 1))
+    q_rank = min(q_rank, n_cal)
+    qhat = (
+        cal.withColumn("r", F.row_number().over(wq))
+        .where(F.col("r") == q_rank)
+        .select(F.col("abs_res").alias("qhat"))
+    )
+    test = b.where("is_cal = 0").crossJoin(F.broadcast(qhat))
+    return test.agg(
+        F.lit(n_cal).cast("bigint").alias("n_calibration"),
+        F.count("*").cast("bigint").alias("n_test"),
+        F.max("qhat").cast("bigint").alias("qhat_cents"),
+        F.sum((F.col("abs_res") <= F.col("qhat")).cast("int"))
+        .cast("bigint")
+        .alias("n_covered"),
+        F.floor(
+            F.sum((F.col("abs_res") <= F.col("qhat")).cast("int"))
+            * 1000000
+            / F.count("*")
+        )
+        .cast("bigint")
+        .alias("coverage_ppm"),
+    )
+
+
+_CONFORMAL_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS DECIMAL(19,0)))
+         AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+b0 AS (
+  SELECT day, cents,
+    LAG(cents, 7) OVER (ORDER BY day) AS pred,
+    ROW_NUMBER() OVER (ORDER BY day) AS rn,
+    COUNT(*) OVER () AS n_days
+  FROM daily),
+b AS (
+  SELECT *, CAST(FLOOR(n_days * 7 / 10) AS INT) AS split,
+    abs(cents - pred) AS abs_res
+  FROM b0 WHERE pred IS NOT NULL),
+cal AS (SELECT * FROM b WHERE rn <= split),
+nq AS (SELECT COUNT(*) AS n_cal FROM cal),
+qh AS (
+  SELECT abs_res AS qhat FROM (
+    SELECT abs_res, ROW_NUMBER() OVER (ORDER BY abs_res, day) AS r
+    FROM cal), nq
+  WHERE r = least(CAST(CEIL(0.9 * (n_cal + 1)) AS BIGINT), n_cal)),
+test AS (SELECT * FROM b WHERE rn > split)
+SELECT CAST((SELECT n_cal FROM nq) AS BIGINT) AS n_calibration,
+  CAST(COUNT(*) AS BIGINT) AS n_test,
+  CAST(MAX(qh.qhat) AS BIGINT) AS qhat_cents,
+  CAST(SUM(CASE WHEN test.abs_res <= qh.qhat THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_covered,
+  CAST(FLOOR(SUM(CASE WHEN test.abs_res <= qh.qhat THEN 1 ELSE 0 END)
+       * 1000000.0 / COUNT(*)) AS BIGINT) AS coverage_ppm
+FROM test, qh
+"""
+
+
+def q_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the model-monitoring drift metric —
+    between 1996 (reference) and 1997 (current) order totals: decile
+    breakpoints come from the REFERENCE year's exact discrete deciles
+    (rank arithmetic on cents), both years histogram against those
+    fixed cuts, and PSI = Σ(p−q)·ln(p/q) with Laplace-smoothed shares.
+    One pass per year + a broadcast 9-row cut table; the report also
+    flags the standard 0.1/0.25 thresholds. ln folds on micro-rounded
+    shares keep the statistic cross-engine exact."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    ref = o.where(yr == 1996).select(cents.alias("c"))
+    cur = o.where(yr == 1997).select(cents.alias("c"))
+    wq = Window.orderBy("c")
+    n_ref = ref.count()
+    # the 9 decile cuts are a bounded scalar fetch (the r5 pattern);
+    # bucketing is then a row-local array scan — no join, and duplicate
+    # cent values keep their full multiplicity
+    cut_vals = sorted(
+        {
+            r.c
+            for r in ref.withColumn("r", F.row_number().over(wq))
+            .where(
+                F.col("r").isin(*[(n_ref * d) // 10 for d in range(1, 10)])
+            )
+            .collect()
+        }
+    )
+    cuts_arr = F.array(*[F.lit(int(v)) for v in cut_vals])
+
+    def bucketize(df):
+        b = F.size(F.filter(cuts_arr, lambda cut: cut < F.col("c")))
+        return df.select(b.alias("b")).groupBy("b").agg(
+            F.count("*").alias("n")
+        )
+
+    p = bucketize(ref).select(F.col("b"), F.col("n").alias("np"))
+    q_ = bucketize(cur).select(F.col("b"), F.col("n").alias("nq"))
+    spine = spark.range(0, 10).select(F.col("id").cast("int").alias("b"))
+    j = (
+        spine.join(p, "b", "left")
+        .join(q_, "b", "left")
+        .select(
+            "b",
+            F.coalesce("np", F.lit(0)).alias("np"),
+            F.coalesce("nq", F.lit(0)).alias("nq"),
+        )
+    )
+    tot = Window.rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    shares = j.select(
+        "b",
+        "np",
+        "nq",
+        (
+            (F.col("np") + 1).cast("double")
+            / (F.sum("np").over(tot) + 10).cast("double")
+        ).alias("ps"),
+        (
+            (F.col("nq") + 1).cast("double")
+            / (F.sum("nq").over(tot) + 10).cast("double")
+        ).alias("qs"),
+    )
+    term = (F.col("ps") - F.col("qs")) * F.log(F.col("ps") / F.col("qs"))
+    return shares.agg(
+        F.sum("np").cast("bigint").alias("n_ref"),
+        F.sum("nq").cast("bigint").alias("n_cur"),
+        F.round(
+            F.sum(F.round(term * 1e9).cast("decimal(38,0)")).cast("double")
+            / 1e9,
+            6,
+        ).alias("psi"),
+        (
+            F.sum(F.round(term * 1e9).cast("decimal(38,0)")).cast("double")
+            / 1e9
+            >= 0.1
+        ).cast("int").alias("drift_warning"),
+        (
+            F.sum(F.round(term * 1e9).cast("decimal(38,0)")).cast("double")
+            / 1e9
+            >= 0.25
+        ).cast("int").alias("drift_alert"),
+    )
+
+
+_PSI_SQL = """
+WITH ref AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+  WHERE year(o_orderdate) = 1996),
+cur AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+  WHERE year(o_orderdate) = 1997),
+nref AS (SELECT COUNT(*) AS n FROM ref),
+cuts AS (
+  SELECT list(DISTINCT cut ORDER BY cut) AS cl FROM (
+    SELECT c AS cut FROM (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS r FROM ref), nref
+    WHERE r IN (n * 1 // 10, n * 2 // 10, n * 3 // 10, n * 4 // 10,
+                n * 5 // 10, n * 6 // 10, n * 7 // 10, n * 8 // 10,
+                n * 9 // 10))),
+pb AS (
+  SELECT b, COUNT(*) AS np FROM (
+    SELECT len(list_filter((SELECT cl FROM cuts), x -> x < c)) AS b
+    FROM ref)
+  GROUP BY b),
+qb AS (
+  SELECT b, COUNT(*) AS nq FROM (
+    SELECT len(list_filter((SELECT cl FROM cuts), x -> x < c)) AS b
+    FROM cur)
+  GROUP BY b),
+spine AS (SELECT unnest(generate_series(0, 9)) AS b),
+j AS (
+  SELECT spine.b, COALESCE(pb.np, 0) AS np, COALESCE(qb.nq, 0) AS nq
+  FROM spine LEFT JOIN pb ON spine.b = pb.b
+  LEFT JOIN qb ON spine.b = qb.b),
+shares AS (
+  SELECT b, np, nq,
+    CAST(np + 1 AS DOUBLE) / CAST(SUM(np) OVER () + 10 AS DOUBLE) AS ps,
+    CAST(nq + 1 AS DOUBLE) / CAST(SUM(nq) OVER () + 10 AS DOUBLE) AS qs
+  FROM j)
+SELECT CAST(SUM(np) AS BIGINT) AS n_ref,
+  CAST(SUM(nq) AS BIGINT) AS n_cur,
+  ROUND(CAST(SUM(CAST(ROUND((ps - qs) * ln(ps / qs) * 1e9)
+        AS DECIMAL(38,0))) AS DOUBLE) / 1e9, 6) AS psi,
+  CAST(CAST(SUM(CAST(ROUND((ps - qs) * ln(ps / qs) * 1e9)
+        AS DECIMAL(38,0))) AS DOUBLE) / 1e9 >= 0.1 AS INT)
+    AS drift_warning,
+  CAST(CAST(SUM(CAST(ROUND((ps - qs) * ln(ps / qs) * 1e9)
+        AS DECIMAL(38,0))) AS DOUBLE) / 1e9 >= 0.25 AS INT)
+    AS drift_alert
+FROM shares
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -21822,6 +22181,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "countmin_error_report": q_countmin_error_report,
     "bloom_filter_fpr_audit": q_bloom_filter_fpr_audit,
     "hll_manual_audit": q_hll_manual_audit,
+    "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
+    "conformal_coverage_report": q_conformal_coverage_report,
+    "psi_drift_report": q_psi_drift_report,
     "deterministic_sample_quantile": q_deterministic_sample_quantile,
     "rounding_semantics_report": q_rounding_semantics_report,
 }
@@ -22207,6 +22569,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "countmin_error_report": _COUNTMIN_SQL,
     "bloom_filter_fpr_audit": _BLOOM_FPR_SQL,
     "hll_manual_audit": _HLL_MANUAL_SQL,
+    "ccnet_perplexity_buckets": _CCNET_PPL_SQL,
+    "conformal_coverage_report": _CONFORMAL_SQL,
+    "psi_drift_report": _PSI_SQL,
     "deterministic_sample_quantile": _DET_SAMPLE_QUANTILE_SQL,
     "rounding_semantics_report": _ROUNDING_SQL,
 }
