@@ -155,6 +155,15 @@ EXTENSIONS_R3 = [
     "vector_distance_family",  # 5 distance folds per embedding
     "ann_hard_negatives",  # 20-query broadcast hard-negative mining
     "gd_linreg_daily",  # one-pass sufficient-stats GD trace
+    "asof_join_directions",  # two bucketed as-of passes + inline nearest
+    "cdc_chunk_dedup",  # content-defined chunk fingerprint pass
+    "dedup_threshold_sweep",  # 5-threshold ROI from one LSH verify pass
+    "streaming_window_topk",  # sliding-window count + bounded rank
+    "sliding_distinct_users",  # explode-to-window exact sliding distinct
+    "sequence_match_flags",  # per-user array pattern matchers
+    "hll_manual_audit",  # exact-integer-register HLL estimate
+    "ccnet_perplexity_buckets",  # corpus LM build + doc scoring pass
+    "rolling_beta_30d",  # windowed sufficient-stats OLS
 ]
 
 
