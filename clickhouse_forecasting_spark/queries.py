@@ -21795,6 +21795,228 @@ FROM shares
 """
 
 
+def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling distribution (Mikolov et al. 2013):
+    unigram counts raised to the 3/4 power, normalized to ppm, with the
+    cumulative distribution that an alias/binary-search sampler walks.
+    One token-count pass; the power/normalize/cumsum stages run over
+    the vocabulary table (tiny). Weights are micro-rounded integers
+    before the exact cumulative sum, so the table is bit-identical on
+    both engines — ship it as the broadcast side of the sampler."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w_micro = F.round(F.pow(F.col("c").cast("double"), 0.75) * 1e6).cast(
+        "bigint"
+    )
+    b = counts.select("tok", "c", w_micro.alias("w"))
+    tot = Window.rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = Window.orderBy("tok").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        b.select(
+            "tok",
+            F.col("c").cast("bigint").alias("count"),
+            F.expr(
+                "w * 1000000 div sum(w) over ()"
+            ).cast("bigint").alias("prob_ppm"),
+            F.expr(
+                "sum(w) over (order by tok rows unbounded preceding)"
+                " * 1000000 div sum(w) over ()"
+            ).cast("bigint").alias("cum_ppm"),
+        )
+        .orderBy("tok")
+    )
+
+
+_NEG_SAMPLING_SQL = f"""
+WITH counts AS (
+  SELECT tok, COUNT(*) AS c FROM (
+    SELECT unnest({_TOKS_SQL}) AS tok FROM documents)
+  GROUP BY tok),
+b AS (
+  SELECT tok, c,
+    CAST(ROUND(power(CAST(c AS DOUBLE), 0.75) * 1e6) AS BIGINT) AS w
+  FROM counts)
+SELECT tok, CAST(c AS BIGINT) AS count,
+  CAST(w * 1000000 // SUM(w) OVER () AS BIGINT) AS prob_ppm,
+  CAST(SUM(w) OVER (ORDER BY tok ROWS UNBOUNDED PRECEDING) * 1000000
+       // SUM(w) OVER () AS BIGINT) AS cum_ppm
+FROM b ORDER BY tok
+"""
+
+
+def q_t5_span_corruption_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption, deterministically seeded: a position is
+    a span START iff md5(doc_id, position) lands under the rate
+    threshold (~5%), each span masks 3 tokens (clipped at the doc end),
+    overlaps merge by construction (a position is masked iff ANY of the
+    3 preceding starts fired). Per doc: tokens, span starts, masked
+    tokens, and the corruption ratio in ppm — the exact preprocessing
+    census a masked-LM data pipeline audits before training. All
+    row-local array lambdas; hash-seeded, so any engine/rerun draws the
+    same masks."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    d = docs.select("doc_id", F.size(toks).alias("n"))
+    idx = F.sequence(F.lit(1), F.col("n"))
+    is_start = lambda i: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("_"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        < 5
+    )
+    starts = F.filter(idx, is_start)
+    masked = F.filter(
+        idx,
+        lambda i: F.exists(
+            starts, lambda s: (s <= i) & (i < s + 3)
+        ),
+    )
+    b = d.select(
+        "doc_id",
+        "n",
+        F.size(starts).alias("n_spans"),
+        F.size(masked).alias("n_masked"),
+    )
+    return b.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("n_spans").cast("bigint").alias("n_span_starts"),
+        F.col("n_masked").cast("bigint").alias("n_masked"),
+        F.expr("n_masked * 1000000 div greatest(n, 1)")
+        .cast("bigint")
+        .alias("corruption_ppm"),
+    ).orderBy("doc_id")
+
+
+_T5_SPAN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS n FROM documents),
+b AS (
+  SELECT doc_id, n,
+    list_filter(generate_series(1, n),
+      i -> ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_'
+            || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 100 < 5) AS starts
+  FROM d)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+  CAST(len(starts) AS BIGINT) AS n_span_starts,
+  CAST(len(list_filter(generate_series(1, n),
+    i -> len(list_filter(starts, s -> s <= i AND i < s + 3)) > 0))
+    AS BIGINT) AS n_masked,
+  CAST(len(list_filter(generate_series(1, n),
+    i -> len(list_filter(starts, s -> s <= i AND i < s + 3)) > 0))
+    * 1000000 // greatest(n, 1) AS BIGINT) AS corruption_ppm
+FROM b ORDER BY doc_id
+"""
+
+
+def q_dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper: near-dup components (the iterative
+    min-label operator over the shared LSH pairs) keep the member with
+    the HIGHEST quality score (Gopher-style token count × stopword
+    signal; ties → min doc_id) instead of the naive min-id — the policy
+    real corpora want, since the canonical copy should be the best one.
+    Per component: kept doc, members, dropped count, and whether the
+    quality keeper disagrees with min-id. Components are tiny; the
+    expensive stages (pairs, labels) are the family's shared passes."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.lsh_verified_pairs(docs, threshold=0.8, cache_key=sf_dir)
+    comp = DD.connected_components(pairs)
+    toks = TX.tokens(F.col("text"))
+    stop_en = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    quality = (
+        F.size(toks) * 10
+        + F.size(F.filter(toks, lambda x: F.array_contains(stop_en, x)))
+    )
+    q_ = docs.select(F.col("doc_id").alias("id"), quality.alias("q"))
+    j = comp.join(q_, "id")
+    keeper = (
+        j.groupBy("component")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.max_by(
+                F.col("id"), F.struct(F.col("q").alias("q"),
+                                      (-F.col("id")).alias("nid"))
+            ).alias("kept_id"),
+            F.min("id").alias("min_id"),
+        )
+    )
+    return (
+        keeper.select(
+            F.col("component").cast("bigint").alias("component"),
+            "n_members",
+            F.col("kept_id").cast("bigint").alias("kept_id"),
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+            (F.col("kept_id") != F.col("min_id")).cast("int").alias(
+                "keeper_differs_from_min_id"
+            ),
+        )
+        .orderBy("component")
+    )
+
+
+def _dedup_best_sql() -> str:
+    # reuse the candidate/verify chain from _JACCARD_SQL (the shared
+    # dedup constants), close components with the same reach()
+    # transitive closure the dedup_components twin uses, then take the
+    # quality argmax per component via a rank window
+    body = _JACCARD_SQL.split("SELECT id_a")[0]
+    # body ends after the `verified` CTE; make the whole chain RECURSIVE
+    body = body.replace("WITH s AS", "WITH RECURSIVE s AS", 1)
+    return f"""{body}
+, pairs AS (
+  SELECT id_a, id_b FROM verified WHERE jaccard >= 0.8),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(s2, t2) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.s2, e.dst FROM reach r JOIN edges e ON r.t2 = e.src),
+labels AS (
+  SELECT s2 AS id, MIN(t2) AS component FROM reach GROUP BY s2),
+toks AS (
+  SELECT doc_id AS id,
+    len({_TOKS_SQL}) * 10
+    + len(list_filter({_TOKS_SQL}, x -> list_contains(
+        ['the','and','of','to','in','is','that','it','for','was'], x)))
+      AS q
+  FROM documents),
+j AS (SELECT l.id, l.component, t.q FROM labels l JOIN toks t
+      ON l.id = t.id),
+ranked AS (
+  SELECT component, id, q,
+    ROW_NUMBER() OVER (PARTITION BY component
+                       ORDER BY q DESC, id) AS rnk,
+    COUNT(*) OVER (PARTITION BY component) AS n_members,
+    MIN(id) OVER (PARTITION BY component) AS min_id
+  FROM j)
+SELECT CAST(component AS BIGINT) AS component,
+  CAST(n_members AS BIGINT) AS n_members,
+  CAST(id AS BIGINT) AS kept_id,
+  CAST(n_members - 1 AS BIGINT) AS n_dropped,
+  CAST(id <> min_id AS INT) AS keeper_differs_from_min_id
+FROM ranked WHERE rnk = 1 ORDER BY component
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -22184,6 +22406,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
     "conformal_coverage_report": q_conformal_coverage_report,
     "psi_drift_report": q_psi_drift_report,
+    "negative_sampling_table": q_negative_sampling_table,
+    "t5_span_corruption_report": q_t5_span_corruption_report,
+    "dedup_keep_best_quality": q_dedup_keep_best_quality,
     "deterministic_sample_quantile": q_deterministic_sample_quantile,
     "rounding_semantics_report": q_rounding_semantics_report,
 }
@@ -22572,6 +22797,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "ccnet_perplexity_buckets": _CCNET_PPL_SQL,
     "conformal_coverage_report": _CONFORMAL_SQL,
     "psi_drift_report": _PSI_SQL,
+    "negative_sampling_table": _NEG_SAMPLING_SQL,
+    "t5_span_corruption_report": _T5_SPAN_SQL,
+    "dedup_keep_best_quality": _dedup_best_sql(),
     "deterministic_sample_quantile": _DET_SAMPLE_QUANTILE_SQL,
     "rounding_semantics_report": _ROUNDING_SQL,
 }
