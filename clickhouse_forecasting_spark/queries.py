@@ -22017,6 +22017,154 @@ FROM ranked WHERE rnk = 1 ORDER BY component
 """
 
 
+def q_retrieval_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-evaluation metrics for the similarity stack — NDCG@10,
+    MRR, and recall@10 per query — with binary relevance defined as
+    label agreement (the standard proxy when no judgments exist): each
+    of the 20 lowest-id query vectors ranks the corpus by cosine
+    (self excluded, total-order tie-break), relevant = same label.
+    DCG discounts are Σ rel/log2(rank+1) micro-rounded before
+    summation; ideal DCG uses the query's relevant-count (capped at
+    10). The scoring pass is the broadcast-query brute-force shape —
+    at scale the same metrics run over the LSH/IVF candidate lists to
+    measure THEIR recall (similarity_recall_report's companion)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("q_label"),
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, v: acc + v
+    )
+    dot = fold(
+        F.zip_with(
+            "embedding", "qvec",
+            lambda a, b: a.cast("double") * b.cast("double"),
+        )
+    )
+    na = F.sqrt(
+        fold(F.transform(
+            "embedding", lambda x: x.cast("double") * x.cast("double")))
+    )
+    nb = F.sqrt(
+        fold(F.transform(
+            "qvec", lambda x: x.cast("double") * x.cast("double")))
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qset))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            (F.col("label") == F.col("q_label")).cast("int").alias("rel"),
+            F.round(dot / (na * nb), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    dcg_term = F.when(
+        (F.col("rnk") <= 10) & (F.col("rel") == 1),
+        F.round(
+            F.lit(1e6) / F.log2(F.col("rnk").cast("double") + 1.0)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    per_q = ranked.groupBy("q_id").agg(
+        F.sum("rel").alias("n_relevant"),
+        F.sum(dcg_term).alias("dcg_micro"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+        F.sum(
+            ((F.col("rnk") <= 10) & (F.col("rel") == 1)).cast("int")
+        ).alias("hits_at_10"),
+    )
+    ideal_k = F.least(F.col("n_relevant"), F.lit(10)).cast("int")
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(ideal_k, F.lit(1))),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.when(
+            i <= ideal_k,
+            F.round(F.lit(1e6) / F.log2(i.cast("double") + 1.0)).cast(
+                "bigint"
+            ),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return (
+        per_q.select(
+            "q_id",
+            F.col("n_relevant").cast("bigint").alias("n_relevant"),
+            F.expr("dcg_micro").cast("bigint").alias("dcg_micro"),
+            idcg.alias("idcg_micro"),
+            F.floor(
+                F.col("dcg_micro") * 1000000 / F.greatest(idcg, F.lit(1))
+            )
+            .cast("bigint")
+            .alias("ndcg_ppm"),
+            F.floor(F.lit(1e6) / F.col("first_rel")).cast("bigint").alias(
+                "rr_micro"
+            ),
+            F.col("hits_at_10").cast("bigint").alias("hits_at_10"),
+            F.floor(
+                F.col("hits_at_10")
+                * 1e6
+                / F.least(F.col("n_relevant"), F.lit(10))
+            )
+            .cast("bigint")
+            .alias("recall10_ppm"),
+        )
+        .orderBy("q_id")
+    )
+
+
+_RETRIEVAL_METRICS_SQL = """
+WITH qset AS (
+  SELECT vec_id AS q_id, embedding AS qvec, label AS q_label
+  FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.q_id, q.q_label, e.vec_id,
+    CAST(e.label = q.q_label AS INT) AS rel,
+    ROUND(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        i -> e.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(e.embedding,
+           x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(q.qvec,
+           x -> x::DOUBLE * x::DOUBLE)))), 6) AS cosine
+  FROM embeddings e, qset q WHERE e.vec_id <> q.q_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored),
+per_q AS (
+  SELECT q_id, SUM(rel) AS n_relevant,
+    SUM(CASE WHEN rnk <= 10 AND rel = 1
+        THEN CAST(ROUND(1e6 / log2(CAST(rnk AS DOUBLE) + 1.0)) AS BIGINT)
+        ELSE 0 END) AS dcg_micro,
+    MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+    SUM(CASE WHEN rnk <= 10 AND rel = 1 THEN 1 ELSE 0 END) AS hits_at_10
+  FROM ranked GROUP BY q_id),
+w_idcg AS (
+  SELECT q_id, n_relevant, dcg_micro, first_rel, hits_at_10,
+    COALESCE(list_sum(list_transform(
+      generate_series(1, CAST(least(n_relevant, 10) AS BIGINT)),
+      i -> CAST(ROUND(1e6 / log2(CAST(i AS DOUBLE) + 1.0)) AS BIGINT))), 0)
+      AS idcg_micro
+  FROM per_q)
+SELECT q_id, CAST(n_relevant AS BIGINT) AS n_relevant,
+  CAST(dcg_micro AS BIGINT) AS dcg_micro,
+  CAST(idcg_micro AS BIGINT) AS idcg_micro,
+  CAST(FLOOR(dcg_micro * 1000000 / greatest(idcg_micro, 1)) AS BIGINT)
+    AS ndcg_ppm,
+  CAST(FLOOR(1e6 / first_rel) AS BIGINT) AS rr_micro,
+  CAST(hits_at_10 AS BIGINT) AS hits_at_10,
+  CAST(FLOOR(hits_at_10 * 1e6 / least(n_relevant, 10)) AS BIGINT)
+    AS recall10_ppm
+FROM w_idcg ORDER BY q_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -22409,6 +22557,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "negative_sampling_table": q_negative_sampling_table,
     "t5_span_corruption_report": q_t5_span_corruption_report,
     "dedup_keep_best_quality": q_dedup_keep_best_quality,
+    "retrieval_metrics_report": q_retrieval_metrics_report,
     "deterministic_sample_quantile": q_deterministic_sample_quantile,
     "rounding_semantics_report": q_rounding_semantics_report,
 }
@@ -22800,6 +22949,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "negative_sampling_table": _NEG_SAMPLING_SQL,
     "t5_span_corruption_report": _T5_SPAN_SQL,
     "dedup_keep_best_quality": _dedup_best_sql(),
+    "retrieval_metrics_report": _RETRIEVAL_METRICS_SQL,
     "deterministic_sample_quantile": _DET_SAMPLE_QUANTILE_SQL,
     "rounding_semantics_report": _ROUNDING_SQL,
 }
