@@ -22165,6 +22165,97 @@ FROM w_idcg ORDER BY q_id
 """
 
 
+def q_multimodal_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PPM decode, oracle-gated end-to-end — the registry-dispatch
+    proof: the SAME digest pixels as multimodal_image_features ship in
+    a P6 netpbm container instead of BMP, round-trip through the PPM
+    encoder and the magic-byte decode registry inside mapInPandas, and
+    must produce the IDENTICAL features (the DuckDB twin is the same
+    md5 recompute — container-independence is the contract). A wrong
+    registry dispatch, header parse, or the BMP path's padding logic
+    leaking into PPM breaks the hash. Payload bytes never shuffle."""
+    import hashlib
+    from collections.abc import Iterator as _It
+
+    import pandas as pd  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = "doc_id long, feat_mean double, width int, height int"
+
+    def _gen_and_decode(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(str(text).encode("utf-8")).digest()
+                rgb = (digest * 3)[:48]  # 4*4*3 bytes
+                payload = MM.encode_ppm(4, 4, rgb)
+                feats = MM._decode_payload(payload)  # registry → PPM path
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "feat_mean": round(feats[0], 6),
+                        "width": int(feats[1]),
+                        "height": int(feats[2]),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "feat_mean", "width", "height"]
+            )
+
+    return docs.mapInPandas(_gen_and_decode, schema=schema)
+
+
+# identical twin to _MM_IMAGE_SQL on purpose: features must be
+# container-independent (BMP vs PPM carry the same pixels)
+_MM_PPM_SQL = _MM_IMAGE_SQL
+
+
+def q_topk_by_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k WITHOUT a rank window: per nation, the top-3
+    customers by account balance computed as a bounded sorted-slice
+    AGGREGATE (collect → sort_array desc-by-struct → slice 3) — the
+    map-side-combinable alternative to the window formulation when k is
+    tiny and groups are huge (no per-group sort of the full partition
+    reaches the shuffle; at true scale the same contract is a k-bounded
+    heap UDAF). Emitted as (nation, rank, custkey, cents) rows;
+    total-order tie-breaks on custkey keep both engines exact."""
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    kv = F.struct(
+        (-cents).alias("neg"), F.col("c_custkey").alias("ck")
+    )
+    per = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.slice(F.sort_array(F.collect_list(kv)), 1, 3).alias("top")
+    )
+    ex = per.select(
+        "nationkey",
+        F.posexplode("top").alias("pos0", "kv"),
+    )
+    return ex.select(
+        "nationkey",
+        (F.col("pos0") + 1).cast("bigint").alias("rnk"),
+        F.col("kv.ck").cast("bigint").alias("custkey"),
+        (-F.col("kv.neg")).cast("bigint").alias("cents"),
+    ).orderBy("nationkey", "rnk")
+
+
+_TOPK_AGG_SQL = """
+WITH per AS (
+  SELECT c_nationkey AS nationkey,
+    list_slice(
+      list(struct_pack(neg := -CAST(ROUND(c_acctbal * 100) AS BIGINT),
+                       ck := c_custkey)
+           ORDER BY -CAST(ROUND(c_acctbal * 100) AS BIGINT), c_custkey),
+      1, 3) AS top
+  FROM customer GROUP BY 1)
+SELECT nationkey, CAST(u.i AS BIGINT) AS rnk,
+  CAST(top[u.i].ck AS BIGINT) AS custkey,
+  CAST(-top[u.i].neg AS BIGINT) AS cents
+FROM per, unnest(generate_series(1, len(top))) AS u(i)
+ORDER BY nationkey, rnk
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -22558,6 +22649,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t5_span_corruption_report": q_t5_span_corruption_report,
     "dedup_keep_best_quality": q_dedup_keep_best_quality,
     "retrieval_metrics_report": q_retrieval_metrics_report,
+    "multimodal_ppm_features": q_multimodal_ppm_features,
+    "topk_by_aggregation": q_topk_by_aggregation,
     "deterministic_sample_quantile": q_deterministic_sample_quantile,
     "rounding_semantics_report": q_rounding_semantics_report,
 }
@@ -22950,6 +23043,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "t5_span_corruption_report": _T5_SPAN_SQL,
     "dedup_keep_best_quality": _dedup_best_sql(),
     "retrieval_metrics_report": _RETRIEVAL_METRICS_SQL,
+    "multimodal_ppm_features": _MM_PPM_SQL,
+    "topk_by_aggregation": _TOPK_AGG_SQL,
     "deterministic_sample_quantile": _DET_SAMPLE_QUANTILE_SQL,
     "rounding_semantics_report": _ROUNDING_SQL,
 }
