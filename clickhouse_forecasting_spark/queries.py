@@ -20554,16 +20554,31 @@ def q_rounding_semantics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulas on both engines (engine-native round() differs silently:
     Spark HALF_UP, DuckDB half-even on ties — the exact class of bug
     this report pins). Counts of actual .5 ties where the two
-    semantics diverge included."""
+    semantics diverge included. Signs alternate by event_id parity so
+    the NEGATIVE branches are exercised by the oracle at every SF:
+    the remainder is the floor-consistent pmod (always in [0,1e5)),
+    and the half-away tie direction is sign-aware — for u<0 the tie
+    rounds DOWN to q (away from zero), for u>=0 up to q+1. A
+    dividend-signed % here silently degrades both rounding modes to
+    floor on negative inputs."""
     ev = _t(spark, sf_dir, "events")
-    # exact tenths: value is micro-grid in fixtures; v10 = value*10
-    # scaled to integer micros-of-tenths to detect exact .5 ties
-    u = F.round(F.col("value") * 1_000_000).cast("bigint")  # micros
-    # tenths position: t = u / 100000 (exact rational); half-tie when
-    # u % 100000 == 50000
+    # exact tenths: value is micro-grid in fixtures, scaled to integer
+    # micros-of-tenths to detect exact .5 ties; parity sign makes
+    # roughly half the inputs negative
+    sign = F.when(F.col("event_id") % 2 == 0, F.lit(-1)).otherwise(
+        F.lit(1)
+    ).cast("bigint")
+    u = (F.round(F.col("value") * 1_000_000).cast("bigint") * sign)
+    # floor quotient + floor-consistent remainder: u = q*1e5 + r with
+    # r in [0, 1e5) for ANY sign of u (pmod, not dividend-signed %)
     q_ = F.floor(u / 100000).cast("bigint")
-    r_ = u % 100000
-    half_away = F.when(r_ >= 50000, q_ + 1).otherwise(q_)
+    r_ = F.pmod(u, F.lit(100000).cast("bigint"))
+    half_away = (
+        F.when(r_ > 50000, q_ + 1)
+        .when(r_ < 50000, q_)
+        # exact tie: away-from-zero is q+1 for u>=0, q for u<0
+        .otherwise(F.when(u < 0, q_).otherwise(q_ + 1))
+    )
     half_even = (
         F.when(r_ > 50000, q_ + 1)
         .when(r_ < 50000, q_)
@@ -20595,16 +20610,18 @@ def q_rounding_semantics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROUNDING_SQL = """
 WITH b AS (
   SELECT event_type,
-    CAST(ROUND(value * 1000000) AS BIGINT) AS u
+    CAST(ROUND(value * 1000000) AS BIGINT)
+      * (CASE WHEN event_id % 2 = 0 THEN -1 ELSE 1 END) AS u
   FROM events),
 c AS (
-  SELECT event_type,
-    CAST(FLOOR(u / 100000) AS BIGINT) AS q,
-    u % 100000 AS r
+  SELECT event_type, u,
+    CAST(FLOOR(u / 100000.0) AS BIGINT) AS q,
+    ((u % 100000) + 100000) % 100000 AS r
   FROM b),
 d AS (
   SELECT event_type, q AS fl,
-    CASE WHEN r >= 50000 THEN q + 1 ELSE q END AS ha,
+    CASE WHEN r > 50000 THEN q + 1 WHEN r < 50000 THEN q
+         WHEN u < 0 THEN q ELSE q + 1 END AS ha,
     CASE WHEN r > 50000 THEN q + 1 WHEN r < 50000 THEN q
          WHEN q % 2 = 0 THEN q ELSE q + 1 END AS he,
     CASE WHEN r = 50000 THEN 1 ELSE 0 END AS tie
@@ -22103,17 +22120,24 @@ def q_retrieval_metrics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("ndcg_ppm"),
-            F.floor(F.lit(1e6) / F.col("first_rel")).cast("bigint").alias(
-                "rr_micro"
-            ),
+            # zero-relevant guard: a query with no same-label neighbor
+            # has first_rel NULL and n_relevant 0 — report 0, not a
+            # silently-vanishing NULL row (ADVICE r3)
+            F.coalesce(
+                F.floor(F.lit(1e6) / F.col("first_rel")).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("rr_micro"),
             F.col("hits_at_10").cast("bigint").alias("hits_at_10"),
-            F.floor(
-                F.col("hits_at_10")
-                * 1e6
-                / F.least(F.col("n_relevant"), F.lit(10))
-            )
-            .cast("bigint")
-            .alias("recall10_ppm"),
+            F.coalesce(
+                F.floor(
+                    F.col("hits_at_10")
+                    * 1e6
+                    / F.greatest(
+                        F.least(F.col("n_relevant"), F.lit(10)), F.lit(1)
+                    )
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("recall10_ppm"),
         )
         .orderBy("q_id")
     )
@@ -22157,9 +22181,10 @@ SELECT q_id, CAST(n_relevant AS BIGINT) AS n_relevant,
   CAST(idcg_micro AS BIGINT) AS idcg_micro,
   CAST(FLOOR(dcg_micro * 1000000 / greatest(idcg_micro, 1)) AS BIGINT)
     AS ndcg_ppm,
-  CAST(FLOOR(1e6 / first_rel) AS BIGINT) AS rr_micro,
+  COALESCE(CAST(FLOOR(1e6 / first_rel) AS BIGINT), 0) AS rr_micro,
   CAST(hits_at_10 AS BIGINT) AS hits_at_10,
-  CAST(FLOOR(hits_at_10 * 1e6 / least(n_relevant, 10)) AS BIGINT)
+  COALESCE(CAST(FLOOR(hits_at_10 * 1e6
+    / greatest(least(n_relevant, 10), 1)) AS BIGINT), 0)
     AS recall10_ppm
 FROM w_idcg ORDER BY q_id
 """
@@ -22212,20 +22237,32 @@ _MM_PPM_SQL = _MM_IMAGE_SQL
 
 def q_topk_by_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k WITHOUT a rank window: per nation, the top-3
-    customers by account balance computed as a bounded sorted-slice
-    AGGREGATE (collect → sort_array desc-by-struct → slice 3) — the
-    map-side-combinable alternative to the window formulation when k is
-    tiny and groups are huge (no per-group sort of the full partition
-    reaches the shuffle; at true scale the same contract is a k-bounded
-    heap UDAF). Emitted as (nation, rank, custkey, cents) rows;
-    total-order tie-breaks on custkey keep both engines exact."""
+    customers by account balance via a SALTED two-level sorted-slice
+    aggregate. Level 1 groups on (nation, salt=pmod(custkey,64)) and
+    keeps only its local top-3, so no single aggregation buffer ever
+    holds more than 1/64th of a nation's rows; level 2 re-slices the
+    ≤ 3×64 survivors per nation. Honest bound: collect_list's partial
+    state is still the salted group's rows (Spark has no k-bounded
+    built-in UDAF) — the salt fan-out is the memory dial, and a heap
+    UDAF is the true constant-state shape. Because max salt-group
+    top-3 ⊇ nation top-3, the two-level result is exact. Emitted as
+    (nation, rank, custkey, cents); total-order tie-breaks on custkey
+    keep both engines exact."""
     cust = _t(spark, sf_dir, "customer")
     cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
     kv = F.struct(
         (-cents).alias("neg"), F.col("c_custkey").alias("ck")
     )
-    per = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
-        F.slice(F.sort_array(F.collect_list(kv)), 1, 3).alias("top")
+    lvl1 = (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.pmod(F.col("c_custkey"), F.lit(64)).alias("salt"),
+        )
+        .agg(F.slice(F.sort_array(F.collect_list(kv)), 1, 3).alias("t1"))
+        .select("nationkey", F.explode("t1").alias("kv"))
+    )
+    per = lvl1.groupBy("nationkey").agg(
+        F.slice(F.sort_array(F.collect_list("kv")), 1, 3).alias("top")
     )
     ex = per.select(
         "nationkey",

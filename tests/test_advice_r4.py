@@ -1,0 +1,156 @@
+"""Pins for the round-3 ADVICE fixes, on CRAFTED fixtures the sf
+tables cannot provide (negative rounding inputs; a retrieval query
+with zero same-label neighbors). Each test runs the real registry
+query against a tmp-path parquet layout so the exact shipped plan —
+not a re-derivation — is what gets exercised.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry
+
+
+def _write_events(tmp_path, values, event_ids):
+    pdf = pd.DataFrame(
+        {
+            "event_id": pd.array(event_ids, dtype="int64"),
+            "ts": [datetime.datetime(2024, 1, 1 + i % 28) for i in range(len(values))],
+            "user_id": pd.array([i % 7 for i in range(len(values))], dtype="int64"),
+            "event_type": ["click"] * len(values),
+            "value": pd.array(values, dtype="float64"),
+            "props": ["{}"] * len(values),
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _py_round_tenths(u_micros: int, mode: str) -> int:
+    """Reference rounding of u (integer micros) at the tenths grid,
+    via exact decimal arithmetic — the ground truth the Spark formula
+    must match for ANY sign."""
+    d = decimal.Decimal(u_micros) / decimal.Decimal(100000)
+    rounding = (
+        decimal.ROUND_HALF_UP if mode == "away" else decimal.ROUND_HALF_EVEN
+    )
+    return int(d.quantize(decimal.Decimal(1), rounding=rounding))
+
+
+def test_rounding_semantics_negative_and_tie_branches(spark, tmp_path):
+    # values chosen so that after the query's event_id-parity sign flip
+    # we cover: negative non-tie (both directions), negative exact tie
+    # (odd and even floor), positive ties, and plain positives.
+    # event_id even => sign -1 inside the query.
+    values = [0.12, 0.12, 0.15, 0.15, 0.25, 0.25, 0.17, 0.17, 0.05, 0.05]
+    event_ids = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+    sf = _write_events(tmp_path, values, event_ids)
+    q = entry.queries()["rounding_semantics_report"]
+    rows = q(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+
+    signed_u = [
+        int(round(v * 1_000_000)) * (-1 if eid % 2 == 0 else 1)
+        for v, eid in zip(values, event_ids)
+    ]
+    exp_away = sum(_py_round_tenths(u, "away") for u in signed_u)
+    exp_even = sum(_py_round_tenths(u, "even") for u in signed_u)
+    exp_floor = sum(u // 100000 for u in signed_u)  # python // is floor
+    exp_ties = sum(1 for u in signed_u if u % 100000 == 50000)
+
+    assert r.sum_round_half_away == exp_away
+    assert r.sum_round_bankers == exp_even
+    assert r.sum_floor == exp_floor
+    assert r.n_exact_ties == exp_ties
+    # sanity: the crafted set must actually contain negative ties,
+    # otherwise this test isn't exercising the fixed branch
+    assert any(u < 0 and u % 100000 == 50000 for u in signed_u)
+    assert any(u < 0 and u % 100000 != 50000 for u in signed_u)
+
+
+def test_rounding_duckdb_twin_matches_on_negatives(spark, tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    values = [0.15, 0.25, 0.35, 0.45, 0.12, 0.18, 0.05, 0.95]
+    event_ids = list(range(len(values)))
+    sf = _write_events(tmp_path, values, event_ids)
+    q = entry.queries()["rounding_semantics_report"]
+    spark_row = q(spark, sf).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    sql = entry.oracle_sql()["rounding_semantics_report"]
+    cols = [d[0] for d in con.execute(sql).description]
+    oracle = dict(zip(cols, con.execute(sql).fetchall()[0]))
+    for c in (
+        "sum_round_half_away",
+        "sum_round_bankers",
+        "sum_floor",
+        "n_exact_ties",
+        "n_divergent",
+    ):
+        assert getattr(spark_row, c) == oracle[c], c
+
+
+def test_retrieval_metrics_zero_relevant_guard(spark, tmp_path):
+    # 25 vectors; vec_id 0 gets a label nobody else has -> as a query
+    # it has n_relevant = 0 and must report rr_micro=recall10_ppm=0
+    # (not NULL / not a vanished row).
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 25
+    labels = [99] + [i % 3 for i in range(1, n)]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": pd.array(range(n), dtype="int64"),
+            "embedding": [
+                rng.rand(8).astype("float32").tolist() for _ in range(n)
+            ],
+            "label": pd.array(labels, dtype="int32"),
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "embeddings.parquet"))
+    q = entry.queries()["retrieval_metrics_report"]
+    rows = {r.q_id: r for r in q(spark, str(tmp_path)).collect()}
+    assert 0 in rows, "zero-relevant query row must not vanish"
+    r0 = rows[0]
+    assert r0.n_relevant == 0
+    assert r0.rr_micro == 0
+    assert r0.recall10_ppm == 0
+    assert r0.ndcg_ppm == 0
+    # a normal query still reports non-degenerate metrics
+    assert any(v.n_relevant > 0 and v.rr_micro > 0 for v in rows.values())
+
+
+def test_topk_by_aggregation_matches_window_formulation(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clickhouse_forecasting_spark.sources import read_table
+
+    got = entry.queries()["topk_by_aggregation"](spark, sf_dir).collect()
+    cust = read_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.round(F.col("c_acctbal") * 100).cast("bigint").desc(),
+        F.col("c_custkey"),
+    )
+    exp = (
+        cust.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("rnk").cast("bigint"),
+            F.col("c_custkey").cast("bigint").alias("custkey"),
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        )
+        .orderBy("nationkey", "rnk")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
