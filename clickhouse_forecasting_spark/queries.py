@@ -15847,52 +15847,102 @@ ORDER BY ngram_dist, name_a, name_b
 """
 
 
+# SemDeDup cluster-size hard bound: k(n) targets E[cluster] = 64
+# vectors, so 1024 is 16x headroom. A cluster past the bound means the
+# centroid recipe collapsed for this corpus (near-duplicate centroid
+# sample) — fail LOUDLY before the per-cluster pairwise join goes
+# quadratic, instead of OOMing an executor. Raise k, don't the bound.
+_SEMDEDUP_TARGET_CLUSTER = 64
+_SEMDEDUP_MAX_CLUSTER = 1024
+
+
 def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023) over the embedding corpus: assign
-    every vector to its nearest deterministic centroid (the vec_id<16
-    vectors — same data-sampled centroid recipe as similarity_ivf_det),
-    then inside each cluster drop any vector whose cosine to a LOWER-id
-    cluster-mate reaches the threshold (0.35, sized to the synthetic
-    corpus). The pairwise pass runs per cluster — the IVF partition is
-    what keeps it off O(n²) at scale — and every step (assignment argmin,
-    sequential-fold cosine, 1e-6 round) is replayed by the DuckDB twin.
-    Report: per-cluster sizes, drops, and mean pair cosine."""
+    """SemDeDup (Abbas et al. 2023) over the embedding corpus, scale-
+    parameterized: k(n) = max(16, n // 64) centroids sampled on an even
+    vec_id stride (the deterministic, oracle-replayable surrogate for
+    the learned-KMeans path in similarity.ivf_index — same k ∝ n rule,
+    E[cluster] = 64 vectors at EVERY corpus size, so the per-cluster
+    pairwise pass stays O(n·64) total instead of quadratic-in-corpus).
+    Every vector joins the broadcast centroid frame (O(k) rows — no
+    driver-side vector literals), takes the argmin-d² centroid, and
+    inside each cluster any vector whose cosine to a LOWER-id
+    cluster-mate reaches the threshold (0.35) is dropped. An in-plan
+    assert_true bounds cluster size at 1024 — a degenerate assignment
+    fails loudly before the pairwise join can go quadratic. Assignment
+    argmin, sequential-fold cosine, and 1e-6 rounds are replayed
+    exactly by the DuckDB twin. Report: per-cluster sizes, drops, mean
+    pair cosine."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = {
-        int(r["vec_id"]): [float(x) for x in r["embedding"]]
-        for r in emb.filter(F.col("vec_id") < 16).collect()
-    }
-    cent_ids = sorted(cents)
-    d2s = F.array(
-        *[
-            F.lit(sum(v * v for v in cents[c]))
-            - 2.0
-            * F.aggregate(
-                F.zip_with(
-                    F.col("embedding"),
-                    F.array(*[F.lit(v) for v in cents[c]]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for c in cent_ids
-        ]
+    # k(n) and the sampling stride derive IN-PLAN from a broadcast 1-row
+    # aggregate (no separate driver count job); floor division on
+    # positive counts matches the twin's // exactly
+    kcol = F.greatest(
+        F.lit(16),
+        F.floor(F.col("n") / _SEMDEDUP_TARGET_CLUSTER),
+    ).cast("bigint")
+    par = (
+        emb.agg(F.count("*").alias("n"))
+        .select(
+            kcol.alias("k"),
+            F.greatest(F.lit(1), F.floor(F.col("n") / kcol))
+            .cast("bigint")
+            .alias("stride"),
+        )
     )
-    # NB: the constant ||c||^2 must match the twin's float fold exactly —
-    # python sum() and list_sum both fold left-to-right over the same
-    # float32->double values, so the literals agree bit-for-bit
-    cluster = F.element_at(
-        F.array(*[F.lit(c) for c in cent_ids]),
-        F.array_position(d2s, F.array_min(d2s)).cast("int"),
+    cents = (
+        emb.crossJoin(F.broadcast(par))
+        .filter(
+            (F.col("vec_id") % F.col("stride") == 0)
+            & (F.col("vec_id") < F.col("stride") * F.col("k"))
+        )
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
     )
-    # referenced 3x below (pair sides + sizes); the assignment is a cheap
-    # codegen'd expression over one scan, so recompute beats holding a
-    # persisted copy — at real scale the assigned frame would be a
-    # persisted/bucketed table shared by the whole similarity family
-    assigned = emb.select("vec_id", "embedding", cluster.alias("cluster"))
-    a = assigned.select(
-        F.col("cluster"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+
+    def _fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+    # d² up to the row-constant ||e||²: ||c||² - 2<e,c>, both folds
+    # left-to-right over float32→double values = the twin's list_sum
+    c2 = _fold(F.transform(F.col("cv"), lambda y: y.cast("double") * y.cast("double")))
+    dot = _fold(
+        F.zip_with(
+            F.col("embedding"), F.col("cv"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cid", (c2 - 2.0 * dot).alias("d2")
+    )
+    # argmin with cid tie-break == the twin's ROW_NUMBER(ORDER BY d2, cid);
+    # every centroid is its own nearest (d2_self = -||c||² is the unique
+    # minimum), so no cluster is empty
+    assigned = scored.groupBy("vec_id").agg(
+        F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cluster"),
+        F.first("embedding").alias("embedding"),
+    )
+    # referenced 3x below (pair sides + sizes) and the assignment is now
+    # a real join, so persist the one small (n rows, no pair blowup) frame
+    assigned = assigned.persist()
+    sizes = assigned.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_vectors")
+    )
+    # the hard bound rides a broadcast join against the k-row sizes
+    # frame (no extra window shuffle): the pairwise input itself refuses
+    # to produce rows for an oversized cluster
+    guarded_cluster = F.when(
+        F.assert_true(
+            F.col("n_vectors") <= F.lit(_SEMDEDUP_MAX_CLUSTER),
+            F.lit(
+                "semdedup cluster exceeds the %d-vector bound; raise k"
+                % _SEMDEDUP_MAX_CLUSTER
+            ),
+        ).isNull(),
+        F.col("cluster"),
+    )
+    a = assigned.join(F.broadcast(sizes), "cluster").select(
+        guarded_cluster.alias("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
     )
     b = assigned.select(
         F.col("cluster"), F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
@@ -15922,9 +15972,6 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster")
         .agg(F.count("*").cast("bigint").alias("n_dropped"))
     )
-    sizes = assigned.groupBy("cluster").agg(
-        F.count("*").cast("bigint").alias("n_vectors")
-    )
     out = (
         sizes.join(pair_stats, "cluster", "left")
         .join(drops, "cluster", "left")
@@ -15944,7 +15991,14 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_SQL = """
-WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+WITH par AS (
+  SELECT n, greatest(16, n // 64) AS k,
+         greatest(1, n // greatest(16, n // 64)) AS stride
+  FROM (SELECT COUNT(*) AS n FROM embeddings)),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cv
+  FROM embeddings, par
+  WHERE vec_id % stride = 0 AND vec_id < stride * k),
 d2 AS (
   SELECT e.vec_id, c.cid,
     list_sum(list_transform(c.cv, y -> y::DOUBLE * y::DOUBLE))

@@ -154,3 +154,37 @@ def test_topk_by_aggregation_matches_window_formulation(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+def test_semdedup_cluster_bound_fails_loudly(spark, tmp_path):
+    """A degenerate corpus (all vectors identical -> every vector ties
+    to the lowest centroid id) must trip the in-plan cluster-size
+    bound with a clear error, not silently attempt a quadratic
+    pairwise join."""
+    import numpy as np
+
+    n = 1100  # > _SEMDEDUP_MAX_CLUSTER once they all collapse to cluster 0
+    vec = np.ones(8, dtype="float32").tolist()
+    pdf = pd.DataFrame(
+        {
+            "vec_id": pd.array(range(n), dtype="int64"),
+            "embedding": [vec] * n,
+            "label": pd.array([0] * n, dtype="int32"),
+        }
+    )
+    pdf.to_parquet(str(tmp_path / "embeddings.parquet"))
+    q = entry.queries()["semdedup_clusters"]
+    with pytest.raises(Exception, match="semdedup cluster exceeds"):
+        q(spark, str(tmp_path)).collect()
+
+
+def test_semdedup_k_scales_with_corpus(spark):
+    # the k(n) rule itself: 16 floor, then n/64
+    rows_01 = entry.queries()["semdedup_clusters"](
+        spark, "/root/testdata/sf0.01"
+    ).count()
+    rows_1 = entry.queries()["semdedup_clusters"](
+        spark, "/root/testdata/sf0.1"
+    ).count()
+    assert rows_01 == 16  # 500 vectors -> floor k
+    assert rows_1 == 31  # 2000 vectors -> 2000 // 64

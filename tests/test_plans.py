@@ -262,3 +262,22 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
         F.col("o_orderpriority") == "1-URGENT"
     )
     assert li.join(o, li.l_orderkey == o.o_orderkey).count() == filtered_count
+
+
+def test_semdedup_pairwise_join_is_cluster_keyed_and_bounded(spark, sf_dir, qs):
+    """SemDeDup's pairwise pass must stay an EQUI-join on cluster (the
+    k ∝ n partition is what keeps it off O(n²)), and the in-plan
+    assert_true cluster-size bound must actually be in the plan — a
+    refactor that drops either silently reintroduces the quadratic
+    blowup this query was redesigned to avoid."""
+    df = qs["semdedup_clusters"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    join_lines = [
+        l for l in plan.splitlines()
+        if ("SortMergeJoin" in l or "BroadcastHashJoin" in l
+            or "ShuffledHashJoin" in l)
+    ]
+    assert any("cluster" in l for l in join_lines), plan[:800]
+    # assert_true compiles to an in-plan raise_error branch
+    assert "raise_error" in plan, "cluster-size bound fell out of the plan"
