@@ -8416,6 +8416,29 @@ FROM scored
 """
 
 
+# Driver-local graph materialization bound: the trade-graph queries
+# collect a DERIVED nation-keyed edge list (<= |nations|² = 625 rows by
+# construction). That bound is a DATA property, not a plan property —
+# so it is enforced, not just argued: a future caller pointing the same
+# code at an unbounded key fails loudly instead of OOMing the driver.
+_MAX_DRIVER_EDGES = 10_000
+
+
+def _collect_bounded_edges(df: DataFrame, what: str) -> list:
+    """Fetch at most the bound + 1 rows (LIMIT caps the transfer, so
+    even a violating caller never ships the full edge list to the
+    driver), then fail loudly past the bound."""
+    rows = df.limit(_MAX_DRIVER_EDGES + 1).collect()
+    if len(rows) > _MAX_DRIVER_EDGES:
+        raise ValueError(
+            f"{what}: derived edge list exceeds {_MAX_DRIVER_EDGES} rows; "
+            "driver-local materialization is only sound for bounded "
+            "(nation-keyed) graphs — use the distributed graph operators "
+            "for unbounded keys"
+        )
+    return rows
+
+
 def q_trade_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census on the nation trade graph: nations are vertices; an
     undirected edge joins two nations whose mutual trade volume (either
@@ -8448,11 +8471,11 @@ def q_trade_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_dsum(F.col("v")).alias("volume"))
     )
     mean_vol = vol.select((_dsum(F.col("volume")) / F.count("*")).alias("mv"))
-    edge_rows = (
+    edge_rows = _collect_bounded_edges(
         vol.crossJoin(F.broadcast(mean_vol))
         .filter(F.col("volume") > 1.05 * F.col("mv"))
-        .select("a", "b")
-        .collect()
+        .select("a", "b"),
+        "trade_graph_triangles",
     )
     edges = spark.createDataFrame(
         [(r.a, r.b) for r in edge_rows] or [(None, None)], "a bigint, b bigint"
@@ -9677,11 +9700,11 @@ def q_khop_nation_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (cf. triangles lesson). ≤ |nations|² rows, so the checkpoint is tiny.
     vol = vol.localCheckpoint(eager=True)
     mean_vol = vol.select((_dsum(F.col("volume")) / F.count("*")).alias("mv"))
-    edge_rows = (
+    edge_rows = _collect_bounded_edges(
         vol.crossJoin(F.broadcast(mean_vol))
         .filter(F.col("volume") > 1.05 * F.col("mv"))
-        .select("src", "dst")
-        .collect()
+        .select("src", "dst"),
+        "khop_nation_reachability",
     )
     edges = spark.createDataFrame(
         [(r.src, r.dst) for r in edge_rows] or [(None, None)], "src int, dst int"

@@ -188,3 +188,21 @@ def test_semdedup_k_scales_with_corpus(spark):
     ).count()
     assert rows_01 == 16  # 500 vectors -> floor k
     assert rows_1 == 31  # 2000 vectors -> 2000 // 64
+
+
+def test_driver_edge_collect_guard(spark, sf_dir):
+    """The bounded-collect guard behind the nation-graph queries must
+    (a) pass through small edge lists unchanged and (b) refuse an
+    unbounded one loudly, transferring at most bound+1 rows."""
+    from clickhouse_forecasting_spark import queries as Q
+
+    small = spark.range(100).selectExpr("id AS a", "id + 1 AS b")
+    assert len(Q._collect_bounded_edges(small, "t")) == 100
+    big = spark.range(Q._MAX_DRIVER_EDGES + 500).selectExpr(
+        "id AS a", "id + 1 AS b"
+    )
+    with pytest.raises(ValueError, match="exceeds"):
+        Q._collect_bounded_edges(big, "t")
+    # the graph queries still run green through the guard
+    assert entry.queries()["trade_graph_triangles"](spark, sf_dir).count() >= 0
+    assert entry.queries()["khop_nation_reachability"](spark, sf_dir).count() > 0
