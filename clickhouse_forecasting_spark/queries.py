@@ -110,6 +110,105 @@ _C6_SQL = (
 )
 
 
+def q_c3_exists_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 EXISTS TABLE (forecast_script.py:128-129) as a driver-
+    checkable census: the real filesystem probe (ParquetCatalog.
+    table_exists) over every fixture table plus two names that must
+    NOT exist — a derived-output name and a garbage name. The twin
+    pins the expected flags, so a probe that lies either way breaks
+    the hash."""
+    cat = ParquetCatalog(spark, sf_dir)
+    probes = sorted(TABLES) + ["bucket_forecast_orders", "no_such_table"]
+    return spark.createDataFrame(
+        [(p, cat.table_exists(p)) for p in probes],
+        "table_name string, table_exists boolean",
+    )
+
+
+_C3_SQL = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{t}', true)" for t in sorted(TABLES))
+    + ", ('bucket_forecast_orders', false), ('no_such_table', false)"
+    ") AS t(table_name, table_exists)"
+)
+
+
+def q_c4_drop_create_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 DROP TABLE + C5 CREATE (forecast_script.py:127-145) as a
+    driver-checkable census: the REAL effectful verbs run against a
+    throwaway tempdir database (never the fixture dir), and the row
+    set is the exists-flag trace — absent, created, recreated
+    (overwrite semantics: still exactly one table), dropped. A drop
+    that silently no-ops or a create that lands at the wrong path
+    breaks the trace."""
+    import datetime as _dt
+    import tempfile
+
+    from .schema import forecast_output_schema
+
+    sch = forecast_output_schema(["order_count"])
+    df = spark.createDataFrame(
+        [(_dt.date(2024, 1, 1), 1.0, 0.5, 1.5)], sch
+    )
+    steps: list[tuple[str, bool]] = []
+    with tempfile.TemporaryDirectory() as tmp:
+        cat = ParquetCatalog(spark, tmp)
+        t = "bucket_forecast_daily_orders"
+        steps.append(("1_before_create", cat.table_exists(t)))
+        cat.write_table(df, t)
+        steps.append(("2_after_create", cat.table_exists(t)))
+        cat.write_table(df, t)  # drop+recreate == overwrite, still one
+        steps.append(
+            ("3_after_recreate", cat.table_exists(t) and len(cat.list_tables()) == 1)
+        )
+        cat.drop_table(t)
+        steps.append(("4_after_drop", cat.table_exists(t)))
+    return spark.createDataFrame(steps, "step string, table_exists boolean")
+
+
+_C4_SQL = (
+    "SELECT * FROM (VALUES ('1_before_create', false), "
+    "('2_after_create', true), ('3_after_recreate', true), "
+    "('4_after_drop', false)) AS t(step, table_exists)"
+)
+
+
+def q_c5_created_schema_echo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 typed CREATE (forecast_script.py:134-145) as a driver-
+    checkable census: create a two-metric forecast output table in a
+    tempdir via the real write path, then DESCRIBE the read-back
+    parquet. The twin pins the full (position, name, type) layout —
+    the interleaved (m, m_min, m_max) column rule and the date axis
+    type are what the reference's CREATE TABLE statement encodes."""
+    import datetime as _dt
+    import tempfile
+
+    from .schema import forecast_output_schema
+
+    sch = forecast_output_schema(["order_count", "revenue"])
+    df = spark.createDataFrame(
+        [(_dt.date(2024, 1, 1), 1.0, 0.5, 1.5, 9.0, 8.0, 10.0)], sch
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        cat = ParquetCatalog(spark, tmp)
+        cat.write_table(df, "bucket_forecast_t")
+        pairs = cat.describe("bucket_forecast_t")
+    return spark.createDataFrame(
+        [(i + 1, n, t) for i, (n, t) in enumerate(pairs)],
+        "position int, column_name string, data_type string",
+    )
+
+
+_C5_SQL = (
+    "SELECT * FROM (VALUES "
+    "(1,'date','date'),(2,'order_count','double'),"
+    "(3,'order_count_min','double'),(4,'order_count_max','double'),"
+    "(5,'revenue','double'),(6,'revenue_min','double'),"
+    "(7,'revenue_max','double')"
+    ") AS t(position, column_name, data_type)"
+)
+
+
 def q_r2_type_skip_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R2 as data: which events columns survive the type skip-list
     (event_type/props are string-typed -> skipped)."""
@@ -22378,6 +22477,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c1_list_tables": q_c1_list_tables,
     "c2_describe_lineitem": q_c2_describe_lineitem,
     "c6_forecast_names": q_c6_forecast_names,
+    "c3_exists_census": q_c3_exists_census,
+    "c4_drop_create_census": q_c4_drop_create_census,
+    "c5_created_schema_echo": q_c5_created_schema_echo,
     "r1_scan_project": q_r1_scan_project,
     "r2_type_skip_projection": q_r2_type_skip_projection,
     "r4_cast_to_date": q_r4_cast_to_date,
@@ -22773,6 +22875,9 @@ ORACLE_QUERIES: dict[str, str] = {
     "c1_list_tables": _C1_SQL,
     "c2_describe_lineitem": _C2_SQL,
     "c6_forecast_names": _C6_SQL,
+    "c3_exists_census": _C3_SQL,
+    "c4_drop_create_census": _C4_SQL,
+    "c5_created_schema_echo": _C5_SQL,
     "r1_scan_project": _R1_SQL,
     "r2_type_skip_projection": _R2_SQL,
     "r4_cast_to_date": _R4_SQL,
