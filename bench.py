@@ -179,7 +179,9 @@ EXTENSIONS_R3 = [
 ]
 
 # Round-4 additions, split out as extensions_r4_sec.
-EXTENSIONS_R4: list[str] = []
+EXTENSIONS_R4: list[str] = [
+    "forecast_scale_series",  # 2500-series applyInPandas fan-out, one job
+]
 
 
 def main() -> None:

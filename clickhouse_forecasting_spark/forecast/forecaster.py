@@ -48,6 +48,15 @@ class SeriesForecaster:
     interval: int
     only_future: bool = False
     backend: str = "auto"  # "prophet" | "fourier_ridge" | "auto"
+    # Python-stage fan-out width. AQE's shuffle coalescing is BYTE-based:
+    # a many-series long frame is only a few KB per series, so AQE happily
+    # merges the whole fit stage into ONE partition — one python worker,
+    # serial fits (measured: 32 groups of 1s compute = 33s wall before
+    # this fix). The per-group cost here is model CPU, invisible to a
+    # byte-based coalescer, so the operator pins its own width with an
+    # explicit keyed repartition (which AQE respects). None = the
+    # session's default parallelism at call time.
+    fanout_partitions: int | None = None
 
     def transform_long(self, long_df: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
         """Forecast a long frame (ds, metric, y [, extra group cols]).
@@ -57,6 +66,14 @@ class SeriesForecaster:
         cluster; this is the engine's core scale primitive.
         """
         groups = (group_cols or []) + ["metric"]
+        n_parts = self.fanout_partitions
+        if n_parts is None:
+            n_parts = long_df.sparkSession.sparkContext.defaultParallelism
+        # keyed repartition on the group columns: the downstream groupBy
+        # reuses this exact hash partitioning (no second exchange), and
+        # AQE does not coalesce an explicit user repartition — the fit
+        # stage keeps n_parts-wide parallelism regardless of byte size
+        long_df = long_df.repartition(n_parts, *groups)
         interval, only_fut, backend = self.interval, self.only_future, self.backend
         out_schema = (
             ", ".join(f"{c} string" for c in (group_cols or [])) + ", " if group_cols else ""

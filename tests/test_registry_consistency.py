@@ -23,6 +23,9 @@ ROWS_ONLY_ALLOWED = {
     # MLlib KMeans centroids are engine state (dataflow hash-gated by
     # similarity_ivf_det_topk):
     "similarity_ivf_topk",
+    # 2,500-series fan-out proof (yhat is model output; shape hash-gated
+    # by forecast_scale_contract_audit):
+    "forecast_scale_series",
 }
 
 
@@ -43,6 +46,7 @@ def test_every_rows_only_query_has_a_companion_audit():
         "forecast_backtest": "forecast_backtest_contract_audit",
         "multimodal_frames": "multimodal_frames_audit",
         "similarity_ivf_topk": "similarity_ivf_det_topk",
+        "forecast_scale_series": "forecast_scale_contract_audit",
     }
     assert set(companions) == ROWS_ONLY_ALLOWED
     for rows_only, audit in companions.items():
