@@ -19965,6 +19965,119 @@ FROM r WHERE rnk <= 3 ORDER BY window_start, rnk
 """
 
 
+def _replay_closed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the REAL append-mode Structured Streaming query over the
+    events parquet (availableNow replay) and return the drained memory
+    sink: only windows the final watermark (max event ts - 1 day)
+    closed are emitted — the production sink-mode semantics, not the
+    complete-mode drain the replay tests use."""
+    from .streaming.rollup import EVENTS_SCHEMA
+    from .streaming.topk import sliding_type_counts
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    counts = sliding_type_counts(stream, watermark="1 day")
+    name = "closed_counts_replay"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming replay did not finish in 300s")
+    return spark.table(name)
+
+
+def q_streaming_closed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-closed APPEND-mode output of the sliding-window count
+    stream (streaming/topk.sliding_type_counts), hash-gated against a
+    DuckDB twin (VERDICT r4 #8): a real availableNow replay runs the
+    stateful query, and the emitted subset must equal the batch windows
+    whose end is at or before max(ts) - 1 day — the exact watermark
+    closure rule. A state-store bug, a wrong watermark column, or an
+    eager/late emission changes the row set and breaks the hash."""
+    drained = _replay_closed_counts(spark, sf_dir)
+    return drained.select(
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        F.col("window_end").cast("timestamp").alias("window_end"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+    ).orderBy("window_start", "event_type")
+
+
+_STREAM_CLOSED_COUNTS_SQL = """
+WITH g AS (
+  SELECT event_type,
+    CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 10800) * 10800 AS BIGINT))
+      AT TIME ZONE 'UTC' AS TIMESTAMP) AS g0
+  FROM events),
+ex AS (
+  SELECT event_type, g0 - INTERVAL 3 HOUR AS window_start FROM g
+  UNION ALL
+  SELECT event_type, g0 AS window_start FROM g),
+c AS (
+  SELECT window_start, window_start + INTERVAL 6 HOUR AS window_end,
+    event_type, COUNT(*) AS n
+  FROM ex GROUP BY 1, 2, 3)
+SELECT window_start, window_end, event_type, CAST(n AS BIGINT) AS n
+FROM c
+WHERE window_end <= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events)
+ORDER BY window_start, event_type
+"""
+
+
+def q_streaming_closed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per watermark-closed window over the APPEND-mode stream
+    output (the production foreachBatch ranking stage running on what
+    the engine actually emitted), hash-gated against the DuckDB window
+    twin restricted to the same closed subset."""
+    from .streaming.topk import topk_per_window
+
+    drained = _replay_closed_counts(spark, sf_dir)
+    return (
+        topk_per_window(drained, k=3)
+        .select(
+            F.col("window_start").cast("timestamp").alias("window_start"),
+            "rnk",
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("window_start", "rnk")
+    )
+
+
+_STREAM_CLOSED_TOPK_SQL = """
+WITH g AS (
+  SELECT event_type,
+    CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 10800) * 10800 AS BIGINT))
+      AT TIME ZONE 'UTC' AS TIMESTAMP) AS g0
+  FROM events),
+ex AS (
+  SELECT event_type, g0 - INTERVAL 3 HOUR AS window_start FROM g
+  UNION ALL
+  SELECT event_type, g0 AS window_start FROM g),
+c AS (
+  SELECT window_start, event_type, COUNT(*) AS n
+  FROM ex GROUP BY 1, 2
+  HAVING window_start + INTERVAL 6 HOUR
+    <= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events)),
+r AS (
+  SELECT window_start, event_type, n,
+    ROW_NUMBER() OVER (PARTITION BY window_start
+                       ORDER BY n DESC, event_type) AS rnk
+  FROM c)
+SELECT window_start, CAST(rnk AS BIGINT) AS rnk, event_type,
+  CAST(n AS BIGINT) AS n
+FROM r WHERE rnk <= 3 ORDER BY window_start, rnk
+"""
+
+
 def q_quantiles_exclusive_inclusive(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -22936,6 +23049,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_directions": q_asof_join_directions,
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "streaming_window_topk": q_streaming_window_topk,
+    "streaming_closed_counts": q_streaming_closed_counts,
+    "streaming_closed_topk": q_streaming_closed_topk,
     "quantiles_exclusive_inclusive": q_quantiles_exclusive_inclusive,
     "age_unit_family": q_age_unit_family,
     "array_predicates_report": q_array_predicates_report,
@@ -23334,6 +23449,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "asof_join_directions": _ASOF_DIRECTIONS_SQL,
     "cdc_chunk_dedup": _CDC_CHUNK_SQL,
     "streaming_window_topk": _STREAM_TOPK_SQL,
+    "streaming_closed_counts": _STREAM_CLOSED_COUNTS_SQL,
+    "streaming_closed_topk": _STREAM_CLOSED_TOPK_SQL,
     "quantiles_exclusive_inclusive": _QUANTILE_IE_SQL,
     "age_unit_family": _AGE_UNIT_SQL,
     "array_predicates_report": _ARRAY_PRED_SQL,
