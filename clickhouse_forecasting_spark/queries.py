@@ -19965,6 +19965,118 @@ FROM r WHERE rnk <= 3 ORDER BY window_start, rnk
 """
 
 
+def q_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``intervalLengthSum`` parity: total length of the
+    UNION of per-event intervals per event type (overlaps counted
+    once). Each event spans [ts, ts + clamp(round(value), 1, 3600)]
+    seconds. The classic sweep: sort by start, and each interval
+    contributes max(0, end - max(start, running-max-of-prior-ends)) —
+    one window pass, integer seconds, no interval explode (the naive
+    second-level explode would be 3600x the rows; this is the shape
+    that survives dense coverage at 100 TB). Both engines run the
+    identical sweep."""
+    ev = _t(spark, sf_dir, "events")
+    dur = F.least(
+        F.greatest(F.round("value").cast("bigint"), F.lit(1)), F.lit(3600)
+    )
+    s = F.floor(F.col("ts").cast("double")).cast("bigint")
+    iv = ev.select("event_type", s.alias("s"), (s + dur).alias("e"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.col("e")
+        - F.greatest(F.col("s"), F.coalesce(F.max("e").over(w), F.col("s"))),
+        F.lit(0),
+    )
+    return (
+        iv.select("event_type", contrib.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum("c").cast("bigint").alias("union_len_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_INTERVAL_LEN_SQL = """
+WITH iv AS (
+  SELECT event_type,
+    CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+    CAST(FLOOR(epoch(ts)) AS BIGINT)
+      + least(greatest(CAST(ROUND(value) AS BIGINT), 1), 3600) AS e
+  FROM events),
+c AS (
+  SELECT event_type,
+    greatest(e - greatest(s, COALESCE(MAX(e) OVER (
+      PARTITION BY event_type ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), s)), 0) AS c
+  FROM iv)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+  CAST(SUM(c) AS BIGINT) AS union_len_sec
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_schema_evolution_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift ingestion (the 100 TB reality: datasets gain
+    columns mid-life): two parquet generations are written to a
+    tempdir — gen 1 (even order keys) without, gen 2 (odd keys) WITH a
+    late-added priority column — and read back through ONE
+    mergeSchema scan. The census pins: total rows survive, the merged
+    schema is the union, gen-1 rows surface NULL (not garbage, not
+    dropped) in the late column, and gen-2 values are intact. The twin
+    recomputes every count from orders directly."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        base.where(F.col("o_orderkey") % 2 == 0).write.parquet(tmp + "/gen1")
+        o.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.col("o_orderpriority").alias("priority"),
+        ).write.parquet(tmp + "/gen2")
+        merged = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(tmp + "/gen1", tmp + "/gen2")
+        )
+        out = merged.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.lit(len(merged.columns)).cast("bigint").alias("n_cols_merged"),
+            F.sum(F.col("priority").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_null_priority"),
+            F.countDistinct("priority").cast("bigint").alias("n_priorities"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).collect()[0]
+    return spark.createDataFrame(
+        [tuple(out)],
+        "n_rows bigint, n_cols_merged bigint, n_null_priority bigint, "
+        "n_priorities bigint, sum_cents bigint",
+    )
+
+
+_SCHEMA_EVO_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(3 AS BIGINT) AS n_cols_merged,
+  CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_priority,
+  CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1
+    THEN o_orderpriority END) AS BIGINT) AS n_priorities,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_cents
+FROM orders
+"""
+
+
 def _replay_closed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the REAL append-mode Structured Streaming query over the
     events parquet (availableNow replay) and return the drained memory
@@ -23050,6 +23162,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "streaming_window_topk": q_streaming_window_topk,
     "streaming_closed_counts": q_streaming_closed_counts,
+    "interval_length_sum": q_interval_length_sum,
+    "schema_evolution_census": q_schema_evolution_census,
     "streaming_closed_topk": q_streaming_closed_topk,
     "quantiles_exclusive_inclusive": q_quantiles_exclusive_inclusive,
     "age_unit_family": q_age_unit_family,
@@ -23450,6 +23564,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "cdc_chunk_dedup": _CDC_CHUNK_SQL,
     "streaming_window_topk": _STREAM_TOPK_SQL,
     "streaming_closed_counts": _STREAM_CLOSED_COUNTS_SQL,
+    "interval_length_sum": _INTERVAL_LEN_SQL,
+    "schema_evolution_census": _SCHEMA_EVO_SQL,
     "streaming_closed_topk": _STREAM_CLOSED_TOPK_SQL,
     "quantiles_exclusive_inclusive": _QUANTILE_IE_SQL,
     "age_unit_family": _AGE_UNIT_SQL,

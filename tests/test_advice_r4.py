@@ -206,3 +206,53 @@ def test_driver_edge_collect_guard(spark, sf_dir):
     # the graph queries still run green through the guard
     assert entry.queries()["trade_graph_triangles"](spark, sf_dir).count() >= 0
     assert entry.queries()["khop_nation_reachability"](spark, sf_dir).count() > 0
+
+
+def test_interval_length_sum_union_semantics(spark, tmp_path):
+    """Three crafted cases: disjoint intervals add, nested intervals
+    count once, chained overlaps merge — the union-not-sum contract."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(i, typ, offset_sec, dur):
+        return (i, base + datetime.timedelta(seconds=offset_sec), 1, typ,
+                float(dur), "{}")
+
+    rows = [
+        # disjoint: [0,10) + [20,30) -> 20
+        ev(1, "disjoint", 0, 10), ev(2, "disjoint", 20, 10),
+        # nested: [0,100) contains [10,20) -> 100
+        ev(3, "nested", 0, 100), ev(4, "nested", 10, 10),
+        # chain: [0,10) [5,15) [12,22) -> 22
+        ev(5, "chain", 0, 10), ev(6, "chain", 5, 10), ev(7, "chain", 12, 10),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf.to_parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_type: (r.n_intervals, r.union_len_sec)
+        for r in entry.queries()["interval_length_sum"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {"disjoint": (2, 20), "nested": (2, 100), "chain": (3, 22)}
+
+
+def test_schema_evolution_census_values(spark, sf_dir):
+    import duckdb
+
+    row = entry.queries()["schema_evolution_census"](spark, sf_dir).collect()[0]
+    con = duckdb.connect()
+    n, evens, sum_cents = con.execute(
+        f"""SELECT COUNT(*),
+            SUM(CASE WHEN o_orderkey %2=0 THEN 1 ELSE 0 END),
+            SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+            FROM '{sf_dir}/orders.parquet'"""
+    ).fetchall()[0]
+    assert row.n_rows == n            # no rows lost across generations
+    assert row.n_cols_merged == 3     # merged schema is the union
+    assert row.n_null_priority == evens  # gen-1 rows NULL, not dropped
+    assert row.sum_cents == sum_cents    # gen-2 values intact
