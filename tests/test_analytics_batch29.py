@@ -124,7 +124,16 @@ def test_semdedup_assignment_is_nearest_centroid(spark, sf_dir, qs):
     ||c||^2 - 2<x,c> in-plan assignment (the ||x||^2 term is constant per
     vector, so the argmin is identical)."""
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
-    cents = {e.vec_id: e.embedding for e in emb if e.vec_id < 16}
+    # r4 k(n) recipe: k = max(16, n // 64) centroids on an even vec_id
+    # stride (see q_semdedup_clusters)
+    n = len(emb)
+    k = max(16, n // 64)
+    stride = max(1, n // k)
+    cents = {
+        e.vec_id: e.embedding
+        for e in emb
+        if e.vec_id % stride == 0 and e.vec_id < stride * k
+    }
     sizes = {}
     for e in emb:
         best = min(

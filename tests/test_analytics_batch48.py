@@ -62,10 +62,17 @@ def test_rounding_semantics_matches_python(spark, sf_dir, qs):
            qs["rounding_semantics_report"](spark, sf_dir).collect()}
     agg = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
     for r in read_table(spark, sf_dir, "events").select(
-            "event_type", "value").collect():
-        u = round(r.value * 1_000_000)
-        q, rem = divmod(u, 100000)
-        ha = q + 1 if rem >= 50000 else q
+            "event_id", "event_type", "value").collect():
+        # r4 semantics: sign alternates by event_id parity, remainder is
+        # floor-consistent, half-away ties are sign-aware
+        u = round(r.value * 1_000_000) * (-1 if r.event_id % 2 == 0 else 1)
+        q, rem = divmod(u, 100000)  # python divmod IS floor-consistent
+        if rem > 50000:
+            ha = q + 1
+        elif rem < 50000:
+            ha = q
+        else:
+            ha = q if u < 0 else q + 1
         if rem > 50000:
             he = q + 1
         elif rem < 50000:
