@@ -20082,6 +20082,86 @@ FROM orders
 """
 
 
+def q_json_corrupt_records_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Malformed-input ingestion contract (the 100 TB reality: raw JSON
+    feeds always contain garbage lines): a JSONL dataset is generated
+    from documents with every doc_id % 10 == 0 line deliberately
+    corrupted, read back through ONE PERMISSIVE scan with
+    columnNameOfCorruptRecord, and the census pins: no line vanishes
+    (valid + corrupt == total), corrupt lines surface in the quarantine
+    column with NULL data fields, and valid-line values are intact.
+    The twin recomputes every count from documents. FAILFAST/DROPMALFORMED
+    are the same reader's other modes; PERMISSIVE-with-quarantine is
+    the one that preserves auditability at scale."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.lit("{corrupt "), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.to_json(
+            F.struct(
+                F.col("doc_id"),
+                F.length("text").cast("bigint").alias("n_chars"),
+            )
+        )
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.select(line.alias("value")).write.mode("overwrite").text(
+            tmp + "/feed"
+        )
+        parsed = (
+            spark.read.schema(
+                "doc_id long, n_chars long, _corrupt_record string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(tmp + "/feed")
+        )
+        out = parsed.agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.col("_corrupt_record").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_corrupt"),
+            F.sum(F.col("doc_id").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_valid"),
+            F.sum(
+                (
+                    F.col("_corrupt_record").isNotNull()
+                    & F.col("doc_id").isNull()
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_quarantined_nulled"),
+            F.sum(F.coalesce("n_chars", F.lit(0)))
+            .cast("bigint")
+            .alias("sum_valid_chars"),
+        ).collect()[0]
+    return spark.createDataFrame(
+        [tuple(out)],
+        "n_lines bigint, n_corrupt bigint, n_valid bigint, "
+        "n_quarantined_nulled bigint, sum_valid_chars bigint",
+    )
+
+
+_JSON_CORRUPT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_corrupt,
+  CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_valid,
+  CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_quarantined_nulled,
+  CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN LENGTH(text) ELSE 0 END)
+    AS BIGINT) AS sum_valid_chars
+FROM documents
+"""
+
+
 def _replay_closed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the REAL append-mode Structured Streaming query over the
     events parquet (availableNow replay) and return the drained memory
@@ -23169,6 +23249,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_closed_counts": q_streaming_closed_counts,
     "interval_length_sum": q_interval_length_sum,
     "schema_evolution_census": q_schema_evolution_census,
+    "json_corrupt_records_census": q_json_corrupt_records_census,
     "streaming_closed_topk": q_streaming_closed_topk,
     "quantiles_exclusive_inclusive": q_quantiles_exclusive_inclusive,
     "age_unit_family": q_age_unit_family,
@@ -23571,6 +23652,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "streaming_closed_counts": _STREAM_CLOSED_COUNTS_SQL,
     "interval_length_sum": _INTERVAL_LEN_SQL,
     "schema_evolution_census": _SCHEMA_EVO_SQL,
+    "json_corrupt_records_census": _JSON_CORRUPT_SQL,
     "streaming_closed_topk": _STREAM_CLOSED_TOPK_SQL,
     "quantiles_exclusive_inclusive": _QUANTILE_IE_SQL,
     "age_unit_family": _AGE_UNIT_SQL,

@@ -70,3 +70,72 @@ class RunCounters:
             f"updated: {len(self.updated)}, skipped: {len(self.skipped)}, "
             f"failed: {len(self.failed)}"
         )
+
+
+def _walk_executed_plan(node):
+    """Depth-first walk of an EXECUTED physical plan, descending through
+    the AQE wrappers (AdaptiveSparkPlanExec holds the final plan;
+    QueryStageExec wraps each materialized stage)."""
+    yield node
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _walk_executed_plan(node.executedPlan())
+        return
+    if cls.endswith("QueryStageExec"):
+        yield from _walk_executed_plan(node.plan())
+        return
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_executed_plan(children.apply(i))
+
+
+def query_metrics(df) -> dict:
+    """O-family extension: physical execution metrics for an ALREADY
+    EXECUTED DataFrame (run an action first; metrics are zero before).
+
+    Returns the numbers a 100 TB operator actually watches — scan
+    selectivity (did pruning/pushdown work?), shuffle volume (is the
+    plan moving the narrow projection or the whole row?), and
+    per-operator output rows — summarized from the executed plan's
+    SQLMetrics:
+
+        rows_scanned / files_read / bytes_scanned   (FileSourceScan)
+        shuffle_bytes_written / shuffle_records     (ShuffleExchange)
+        output_rows                                 (root operator)
+        nodes: [{node, metrics}, ...]               (full detail)
+
+    The reference's only observability is wall-clock + run counters in
+    a log (forecast_script.py:67,244-247); this is the engine-native
+    equivalent of its ``Dauer`` line, at per-operator grain.
+    """
+    ep = df._jdf.queryExecution().executedPlan()
+    summary = {
+        "rows_scanned": 0,
+        "files_read": 0,
+        "bytes_scanned": 0,
+        "shuffle_bytes_written": 0,
+        "shuffle_records": 0,
+        "output_rows": None,
+        "nodes": [],
+    }
+    for node in _walk_executed_plan(ep):
+        cls = node.getClass().getSimpleName()
+        vals = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            vals[kv._1()] = kv._2().value()
+        if vals:
+            summary["nodes"].append({"node": cls, "metrics": vals})
+        if cls == "FileSourceScanExec":
+            summary["rows_scanned"] += vals.get("numOutputRows", 0)
+            summary["files_read"] += vals.get("numFiles", 0)
+            summary["bytes_scanned"] += vals.get("filesSize", 0)
+        elif cls == "ShuffleExchangeExec":
+            summary["shuffle_bytes_written"] += vals.get(
+                "shuffleBytesWritten", 0
+            )
+            summary["shuffle_records"] += vals.get("shuffleRecordsWritten", 0)
+        if summary["output_rows"] is None and "numOutputRows" in vals:
+            summary["output_rows"] = vals["numOutputRows"]
+    return summary

@@ -256,3 +256,27 @@ def test_schema_evolution_census_values(spark, sf_dir):
     assert row.n_cols_merged == 3     # merged schema is the union
     assert row.n_null_priority == evens  # gen-1 rows NULL, not dropped
     assert row.sum_cents == sum_cents    # gen-2 values intact
+
+
+def test_query_metrics_reports_scan_and_shuffle(spark, sf_dir):
+    """O-family extension: executed-plan metrics must expose scan
+    selectivity and shuffle volume — and visibly REWARD projection
+    pruning (narrow scan reads fewer bytes than SELECT *)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_forecasting_spark.sources import read_table
+    from clickhouse_forecasting_spark.telemetry import query_metrics
+
+    li = read_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    n_groups = len(agg.collect())  # execute THIS frame so metrics populate
+    m = query_metrics(agg)
+    assert m["rows_scanned"] == li.count()
+    assert m["files_read"] >= 1
+    assert m["bytes_scanned"] > 0
+    assert m["shuffle_records"] >= n_groups  # partials per mapper
+    assert m["shuffle_bytes_written"] > 0
+    # map-side combine: shuffle carries partial aggregates, never the
+    # scan grain
+    assert m["shuffle_records"] < li.count() / 10
+    assert any(n["node"] == "HashAggregateExec" for n in m["nodes"])
