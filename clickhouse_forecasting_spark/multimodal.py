@@ -214,6 +214,137 @@ def _decode_ppm_features(payload: bytes) -> list[float]:
     return [sum(rgb) / n, float(width), float(height), float(n)]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode top-down RGB triples as a real PNG (8-bit truecolor,
+    non-interlaced, filter 0 scanlines, zlib level 6) — the third image
+    codec behind the magic-byte registry and the first COMPRESSED one:
+    the payload round-trips through an actual DEFLATE stream, so a
+    broken inflate, CRC, or filter pass cannot hide."""
+    import struct
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"rgb length {len(rgb)} != {width}x{height}x3")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    raw = b"".join(
+        b"\x00" + rgb[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an 8-bit truecolor non-interlaced PNG into (width, height,
+    top-down RGB). Honest decode: CRC-checked chunks, full inflate, and
+    ALL FIVE standard scanline filters (None/Sub/Up/Average/Paeth) —
+    other encoders' filter choices decode correctly, not just our own
+    filter-0 output. Raises ValueError for anything else (palette,
+    alpha, interlace, bad CRC, truncated stream)."""
+    import struct
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            width, height, depth, ctype_col, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or ctype_col != 2 or comp != 0 or filt != 0:
+                raise ValueError(
+                    "unsupported PNG variant: depth=%d color=%d" % (depth, ctype_col)
+                )
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length
+    if width is None or not seen_iend:
+        raise ValueError("missing IHDR/IEND")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * 3
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG scanline data size mismatch")
+    out = bytearray(stride * height)
+    bpp = 3
+    prior = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _png_paeth(left, prior[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prior = line
+    return width, height, bytes(out)
+
+
+def _decode_png_features(payload: bytes) -> list[float]:
+    """Real decode: mean pixel intensity over all RGB samples + geometry."""
+    width, height, rgb = decode_png(payload)
+    n = len(rgb)
+    return [sum(rgb) / n, float(width), float(height), float(n)]
+
+
 def encode_wav(sample_rate: int, samples: "list[int]") -> bytes:
     """Encode 16-bit signed mono PCM samples as a canonical RIFF/WAVE file
     (fmt chunk 16 bytes, audio_format=1/PCM, then the data chunk)."""
@@ -432,6 +563,7 @@ def _decode_stub_features(payload: bytes) -> list[float]:
 _DECODERS: list[tuple[bytes, object]] = [
     (b"BM", _decode_bmp_features),
     (b"P6", _decode_ppm_features),
+    (_PNG_SIG, _decode_png_features),
     (b"RIFF", _decode_riff_features),
 ]
 

@@ -22818,6 +22818,51 @@ def q_multimodal_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MM_PPM_SQL = _MM_IMAGE_SQL
 
 
+def q_multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, oracle-gated end-to-end: the SAME digest pixels
+    as multimodal_image_features ship in a zlib-COMPRESSED PNG container
+    (8-bit truecolor, CRC-checked chunks, filtered scanlines) through
+    the magic-byte decode registry inside mapInPandas, and must produce
+    IDENTICAL features (twin = the same md5 recompute). Unlike
+    BMP/PPM, the payload round-trips an actual DEFLATE stream — a
+    broken inflate, CRC pass, or scanline de-filter breaks the hash.
+    Payload bytes never shuffle."""
+    import hashlib
+    from collections.abc import Iterator as _It
+
+    import pandas as pd  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = "doc_id long, feat_mean double, width int, height int"
+
+    def _gen_and_decode(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                digest = hashlib.md5(str(text).encode("utf-8")).digest()
+                rgb = (digest * 3)[:48]  # 4*4*3 bytes
+                payload = MM.encode_png(4, 4, rgb)
+                feats = MM._decode_payload(payload)  # registry → PNG path
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "feat_mean": round(feats[0], 6),
+                        "width": int(feats[1]),
+                        "height": int(feats[2]),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "feat_mean", "width", "height"]
+            )
+
+    return docs.mapInPandas(_gen_and_decode, schema=schema)
+
+
+# identical twin again: BMP, PPM and PNG carry the same pixels, so the
+# features are container-independent by contract
+_MM_PNG_SQL = _MM_IMAGE_SQL
+
+
 def q_topk_by_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group top-k WITHOUT a rank window: per nation, the top-3
     customers by account balance via a SALTED two-level sorted-slice
@@ -23280,6 +23325,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best_quality": q_dedup_keep_best_quality,
     "retrieval_metrics_report": q_retrieval_metrics_report,
     "multimodal_ppm_features": q_multimodal_ppm_features,
+    "multimodal_png_features": q_multimodal_png_features,
     "topk_by_aggregation": q_topk_by_aggregation,
     "deterministic_sample_quantile": q_deterministic_sample_quantile,
     "rounding_semantics_report": q_rounding_semantics_report,
@@ -23683,6 +23729,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "dedup_keep_best_quality": _dedup_best_sql(),
     "retrieval_metrics_report": _RETRIEVAL_METRICS_SQL,
     "multimodal_ppm_features": _MM_PPM_SQL,
+    "multimodal_png_features": _MM_PNG_SQL,
     "topk_by_aggregation": _TOPK_AGG_SQL,
     "deterministic_sample_quantile": _DET_SAMPLE_QUANTILE_SQL,
     "rounding_semantics_report": _ROUNDING_SQL,

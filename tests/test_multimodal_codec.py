@@ -388,3 +388,101 @@ def test_ppm_features_match_bmp_features_on_same_pixels():
     f_ppm = _decode_payload(encode_ppm(4, 3, rgb))
     # identical pixels -> identical features regardless of container
     assert f_bmp == f_ppm
+
+
+# ---------------------------------------------------------------- PNG (r4)
+
+
+def test_png_roundtrip_and_registry_dispatch():
+    rgb = bytes(range(48))
+    p = MM.encode_png(4, 4, rgb)
+    assert MM.decode_png(p) == (4, 4, rgb)
+    # registry picks the PNG path and features match the BMP twin on
+    # identical pixels (container independence)
+    assert MM._decode_payload(p) == MM._decode_bmp_features(
+        MM.encode_bmp(4, 4, rgb)
+    )
+
+
+def _png_with_filters(width, height, rgb, ftypes):
+    """Hand-encode a PNG using arbitrary per-row filter types — proving
+    the decoder handles OTHER encoders' filter choices, not just our
+    own filter-0 output."""
+    import struct
+    import zlib
+
+    stride = width * 3
+    raw = bytearray()
+    prior = bytearray(stride)
+    for y, ft in enumerate(ftypes):
+        line = bytearray(rgb[y * stride : (y + 1) * stride])
+        enc = bytearray(line)
+        if ft == 1:
+            for i in range(stride - 1, 2, -1):
+                enc[i] = (line[i] - line[i - 3]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                enc[i] = (line[i] - prior[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                enc[i] = (line[i] - ((left + prior[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                ul = prior[i - 3] if i >= 3 else 0
+                enc[i] = (line[i] - MM._png_paeth(left, prior[i], ul)) & 0xFF
+        raw += bytes([ft]) + bytes(enc)
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + MM._png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_decodes_all_five_scanline_filters():
+    import hashlib
+
+    rgb = (hashlib.md5(b"png-filters").digest() * 6)[: 4 * 5 * 3]
+    for fts in ([1] * 5, [2] * 5, [3] * 5, [4] * 5, [0, 1, 2, 3, 4]):
+        assert MM.decode_png(_png_with_filters(4, 5, rgb, fts)) == (4, 5, rgb), fts
+
+
+def test_png_rejects_corruption_and_unsupported_variants():
+    import struct
+    import zlib
+
+    import pytest
+
+    rgb = bytes(48)
+    good = MM.encode_png(4, 4, rgb)
+    bad_crc = bytearray(good)
+    bad_crc[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        MM.decode_png(bytes(bad_crc))
+    with pytest.raises(ValueError, match="not a PNG"):
+        MM.decode_png(b"\x89PNX" + good[4:])
+    # palette (color type 3) must be refused, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    pal = (
+        MM._PNG_SIG
+        + MM._png_chunk(b"IHDR", ihdr)
+        + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+        + MM._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        MM.decode_png(pal)
+    with pytest.raises(ValueError, match="truncated|missing"):
+        MM.decode_png(good[:-8])
+
+
+def test_png_compression_is_real():
+    # a constant image must compress far below raw size — proof the
+    # DEFLATE path is actually exercised, not a stored-block shim
+    rgb = bytes(32 * 32 * 3)
+    p = MM.encode_png(32, 32, rgb)
+    assert len(p) < len(rgb) // 4
+    assert MM.decode_png(p) == (32, 32, rgb)
