@@ -20162,6 +20162,62 @@ FROM documents
 """
 
 
+def q_gzip_text_ingest_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed text ingestion (ClickHouse reads .gz natively;
+    forecast pipelines inherit logs this way): documents are written as
+    FOUR gzip JSONL files and read back through one scan. The census
+    pins row survival, value integrity, and that all four compressed
+    files were actually opened. The SCALE caveat this query exists to
+    document: gzip is NOT splittable — one task per .gz file regardless
+    of size (pinned with a partition test in test_advice_r4.py), so a
+    100 TB gz-landed feed must arrive as many files (or be transcoded
+    to a splittable layout) before heavy processing."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    line = F.to_json(
+        F.struct(
+            F.col("doc_id"), F.length("text").cast("bigint").alias("n_chars")
+        )
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        (
+            docs.select(line.alias("value"))
+            .repartition(4)
+            .write.option("compression", "gzip")
+            .text(tmp + "/feed")
+        )
+        back = (
+            spark.read.schema("doc_id long, n_chars long")
+            .json(tmp + "/feed")
+            .select("doc_id", "n_chars", F.input_file_name().alias("f"))
+        )
+        out = back.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.countDistinct("f").cast("bigint").alias("n_gz_files"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(
+                F.when(F.col("f").endswith(".gz"), 0).otherwise(1)
+            ).cast("bigint").alias("n_not_gz"),
+        ).collect()[0]
+    return spark.createDataFrame(
+        [tuple(out)],
+        "n_rows bigint, n_docs bigint, n_gz_files bigint, "
+        "sum_chars bigint, n_not_gz bigint",
+    )
+
+
+_GZIP_INGEST_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(4 AS BIGINT) AS n_gz_files,
+  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+  CAST(0 AS BIGINT) AS n_not_gz
+FROM documents
+"""
+
+
 def _replay_closed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the REAL append-mode Structured Streaming query over the
     events parquet (availableNow replay) and return the drained memory
@@ -23295,6 +23351,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_length_sum": q_interval_length_sum,
     "schema_evolution_census": q_schema_evolution_census,
     "json_corrupt_records_census": q_json_corrupt_records_census,
+    "gzip_text_ingest_census": q_gzip_text_ingest_census,
     "streaming_closed_topk": q_streaming_closed_topk,
     "quantiles_exclusive_inclusive": q_quantiles_exclusive_inclusive,
     "age_unit_family": q_age_unit_family,
@@ -23699,6 +23756,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "interval_length_sum": _INTERVAL_LEN_SQL,
     "schema_evolution_census": _SCHEMA_EVO_SQL,
     "json_corrupt_records_census": _JSON_CORRUPT_SQL,
+    "gzip_text_ingest_census": _GZIP_INGEST_SQL,
     "streaming_closed_topk": _STREAM_CLOSED_TOPK_SQL,
     "quantiles_exclusive_inclusive": _QUANTILE_IE_SQL,
     "age_unit_family": _AGE_UNIT_SQL,

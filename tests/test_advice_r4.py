@@ -280,3 +280,32 @@ def test_query_metrics_reports_scan_and_shuffle(spark, sf_dir):
     # scan grain
     assert m["shuffle_records"] < li.count() / 10
     assert any(n["node"] == "HashAggregateExec" for n in m["nodes"])
+
+
+def test_gzip_is_not_splittable_but_parquet_text_is(spark, sf_dir, tmp_path):
+    """The scale caveat behind gzip_text_ingest_census, pinned: with a
+    tiny maxPartitionBytes the UNCOMPRESSED text splits into many scan
+    partitions, while the SAME data in 2 gzip files stays exactly 2
+    tasks — one per file, no matter the split size."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_forecasting_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    lines = docs.select(F.col("text").alias("value")).repartition(2)
+    plain, gz = str(tmp_path / "plain"), str(tmp_path / "gz")
+    lines.write.text(plain)
+    lines.write.option("compression", "gzip").text(gz)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+        n_plain = spark.read.text(plain).rdd.getNumPartitions()
+        n_gz = spark.read.text(gz).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert n_plain > 2, f"uncompressed text should split, got {n_plain}"
+    assert n_gz == 2, f"gzip must be one task per file, got {n_gz}"
+    # and the bytes are identical either way
+    assert (
+        spark.read.text(gz).count() == spark.read.text(plain).count()
+    )
