@@ -470,11 +470,15 @@ def connected_components(
     upgrade of dedup_near's greedy pairwise rule: transitive chains
     (A~B~C where A!~C) all land in one component.
 
-    Each iteration is one join + one groupBy-min (the simplified
-    large-star/small-star pattern); iteration count is O(log(diameter)),
-    and near-dup clusters have tiny diameters in practice. The driver only
-    checks a convergence flag per iteration — labels never leave the
-    cluster. Returns (id, component) for every id appearing in pairs."""
+    Each iteration is one join + one groupBy-min, moving the min label
+    ONE hop per round — iteration count is O(cluster diameter), which is
+    fine for near-dup clusters (tiny diameters in practice) but stalls
+    on pathological long chains; the O(log n)-round scale path for those
+    is operators/graph.connected_components_star (same answer,
+    hash-gated equal by the dedup_components_star registry row). The
+    driver only checks a convergence flag per iteration — labels never
+    leave the cluster. Returns (id, component) for every id appearing
+    in pairs."""
     from pyspark import StorageLevel
 
     # the edge list is re-joined EVERY iteration — persist it once so the
@@ -515,6 +519,17 @@ def connected_components(
             labels = updated.drop("_changed")
             if converged:
                 break
+        else:
+            # r4 hardening (found by the star-CC equivalence test): a
+            # graph whose diameter exceeds the round budget used to
+            # return silently-WRONG unconverged labels. Fail loudly and
+            # name the logarithmic alternative.
+            raise ValueError(
+                f"connected_components did not converge in {max_iterations} "
+                "rounds (cluster diameter exceeds the budget); use "
+                "operators.graph.connected_components_star, which "
+                "converges in O(log n) rounds"
+            )
     finally:
         edges.unpersist()
     return labels

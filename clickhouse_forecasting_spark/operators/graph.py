@@ -154,3 +154,109 @@ def pagerank(
         norm.unpersist()
         dangling_nodes.unpersist()
     return ranks
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> tuple[DataFrame, int]:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round algorithm for graphs whose DIAMETER is too large
+    for per-hop label propagation (functions/dedup.connected_components
+    moves the min ONE hop per round, so a k-long dup chain costs k
+    rounds; the star steps hang whole subtrees under the local min, so
+    chains collapse in ~log2(k) rounds).
+
+    Both steps are pure join + groupBy-min — NO collect_set, so per-key
+    state is a scalar even for hub nodes, and shuffle volume is the
+    edge list:
+
+        large-star(u): every neighbor v > u re-points at
+            m = min(N(u) + {u})
+        small-star(u): every neighbor v <= u (and u itself) re-points
+            at the min over those
+
+    Convergence = the canonical edge multiset stops changing (one
+    scalar signature aggregate per round — labels never reach the
+    driver). Returns ((id, component) with component = min id, rounds).
+    """
+    from pyspark import StorageLevel
+
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def _sym(edges: DataFrame) -> DataFrame:
+        return edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def _large_star(edges: DataFrame) -> DataFrame:
+        s = _sym(edges)
+        mins = s.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            s.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(edges: DataFrame) -> DataFrame:
+        s = _sym(edges).where(F.col("v") <= F.col("u"))
+        mins = s.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        pointed = (
+            s.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        )
+        return pointed.where(F.col("u") != F.col("v")).distinct()
+
+    def _sig(edges: DataFrame):
+        row = edges.agg(
+            F.count("*").alias("n"),
+            # pmod keeps each term < 2^31 so the ANSI-mode sum cannot
+            # overflow for any realistic edge count
+            F.coalesce(
+                F.sum(
+                    F.pmod(
+                        F.xxhash64(F.col("u"), F.col("v")),
+                        F.lit(2_147_483_647).cast("bigint"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    sig = _sig(e)
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_sig = _sig(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # converged: every non-root points straight at its component min
+    comps = nodes.join(e, nodes.id == e.u, "left").select(
+        "id", F.coalesce(F.col("v"), F.col("id")).alias("component")
+    )
+    nodes.unpersist()
+    return comps, rounds

@@ -1952,6 +1952,23 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.connected_components(pairs).orderBy("id")
 
 
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME dup clusters through the O(log n)-round large-star /
+    small-star algorithm (operators/graph.connected_components_star —
+    Kiveris et al.): per-hop label propagation costs one round per hop
+    of cluster diameter, so a pathological million-doc near-dup CHAIN
+    (template families, quoted-reply threads) stalls it at 100 TB; the
+    star steps collapse chains logarithmically with scalar per-key
+    state. Hash-gated against the identical recursive-CTE closure as
+    dedup_components — two independent algorithms, one answer."""
+    from .operators.graph import connected_components_star
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.lsh_verified_pairs(docs, threshold=0.8, cache_key=sf_dir)
+    comps, _rounds = connected_components_star(pairs)
+    return comps.orderBy("id")
+
+
 _CC_SQL = f"""
 WITH RECURSIVE base AS (
   WITH s AS (SELECT doc_id, unnest({_SHINGLES_SQL}) AS shg FROM documents),
@@ -23070,6 +23087,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curation_funnel_report": q_curation_funnel_report,
     "dedup_near_projection": q_dedup_near_projection,
     "dedup_components": q_dedup_components,
+    "dedup_components_star": q_dedup_components_star,
     "corpus_curation": q_corpus_curation,
     "stratified_sample": q_stratified_sample,
     "embedding_near_dup": q_embedding_near_dup,
@@ -23477,6 +23495,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "curation_funnel_report": _CURATION_FUNNEL_SQL,
     "dedup_near_projection": _DEDUP_NEAR_SQL,
     "dedup_components": _CC_SQL,
+    "dedup_components_star": _CC_SQL,
     "corpus_curation": _CURATION_SQL,
     "stratified_sample": _STRATIFIED_SQL,
     "embedding_near_dup": _EMB_DUP_SQL,

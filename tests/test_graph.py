@@ -65,3 +65,83 @@ def test_pagerank_trade_graph_query(spark, sf_dir):
     total = sum(r.rank for r in res)
     assert total == pytest.approx(1.0, abs=1e-4)  # 6dp rounding slack
     assert all(r.rank > 0 for r in res)
+
+
+# --------------------------------------------------- star CC (round 4)
+
+
+def test_star_cc_matches_label_propagation_on_random_graph(spark):
+    """Two independent algorithms, one answer: on a deterministic
+    pseudo-random graph the star components must equal the label-
+    propagation components node-for-node."""
+    import random
+
+    from clickhouse_forecasting_spark.functions.dedup import (
+        connected_components,
+    )
+    from clickhouse_forecasting_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    edges = sorted({
+        tuple(sorted((rng.randrange(200), rng.randrange(200))))
+        for _ in range(150)
+    })
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    star, _ = connected_components_star(pairs)
+    # the graph's giant component has diameter > 20, so LP needs a
+    # bigger round budget (with the default it now FAILS LOUDLY — see
+    # test_label_propagation_refuses_unconverged below)
+    lp = connected_components(pairs, max_iterations=100)
+    got = {r.id: r.component for r in star.collect()}
+    want = {r.id: r.component for r in lp.collect()}
+    assert got == want and len(got) > 50
+
+
+def test_label_propagation_refuses_unconverged(spark):
+    """r4 hardening regression pin: LP on a chain longer than its round
+    budget must raise (it used to return silently-wrong labels), and
+    the error must point at the logarithmic operator."""
+    import pytest
+
+    from clickhouse_forecasting_spark.functions.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="connected_components_star"):
+        connected_components(pairs, max_iterations=10)
+
+
+def test_star_cc_collapses_chains_logarithmically(spark):
+    """THE scale property: a 64-hop chain converges in ~log2 rounds,
+    not one round per hop."""
+    from clickhouse_forecasting_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    comps, rounds = connected_components_star(pairs)
+    assert all(r.component == 0 for r in comps.collect())
+    assert rounds <= 10, f"64-chain took {rounds} rounds (expected ~7)"
+
+
+def test_star_cc_handles_self_loops_and_singletons(spark):
+    from clickhouse_forecasting_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 5), (1, 2), (7, 8), (8, 7)], "id_a long, id_b long"
+    )
+    comps, _ = connected_components_star(pairs)
+    got = {r.id: r.component for r in comps.collect()}
+    # self-loop-only node 5 never enters the edge list -> absent, same
+    # contract as the LP operator (components of PAIRED ids)
+    assert got == {1: 1, 2: 1, 7: 7, 8: 7}
