@@ -20235,6 +20235,107 @@ FROM documents
 """
 
 
+def q_manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase-commit custom sink, driver-gated: orders write through
+    the jsonlsink Python DataSource (staged part files, atomic manifest
+    swap), read back through the manifest, and the census pins row
+    survival, key distinctness, value integrity, and that the manifest
+    total equals what the tasks reported. A torn publish, a lost commit
+    message, or a value-mangling serializer breaks the hash."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from .sources import jsonl_sink
+
+    jsonl_sink.register(spark)
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        target = tmp + "/sink"
+        src.write.format("jsonlsink").option("path", target).mode(
+            "append"
+        ).save()
+        with open(_os.path.join(target, jsonl_sink.MANIFEST)) as fh:
+            man = _json.load(fh)
+        back = jsonl_sink.read_manifest(
+            spark, target, "o_orderkey long, cents long"
+        )
+        out = back.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_keys"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                out.n_rows,
+                out.n_keys,
+                out.sum_cents,
+                int(man["total_rows"]) == out.n_rows,
+            )
+        ],
+        "n_rows bigint, n_keys bigint, sum_cents bigint, "
+        "manifest_consistent boolean",
+    )
+
+
+_MANIFEST_SINK_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_cents,
+  true AS manifest_consistent
+FROM orders
+"""
+
+
+def q_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka wire layer, driver-gated: events encode into the kafka
+    source's fixed wire schema (binary JSON value, user-keyed
+    partitions, event_id offsets) and parse back through the SAME
+    expression layer the format("kafka") binding uses. The census pins
+    lossless round-trip (row count, id set, exact value cents sum,
+    microsecond timestamp fidelity) plus the broker invariants the
+    double must honor (8 partitions, zero malformed)."""
+    from .streaming.kafka_shape import events_to_wire, parse_events_payload
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = parse_events_payload(events_to_wire(ev))
+    return (
+        parsed.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("event_id").cast("bigint").alias("n_ids"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.countDistinct(F.date_format("ts", "SSSSSS"))
+            .cast("bigint")
+            .alias("n_micro_patterns"),
+            F.countDistinct("kafka_partition").cast("bigint").alias(
+                "n_partitions"
+            ),
+            F.sum(F.col("event_id").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_malformed"),
+        )
+    )
+
+
+_KAFKA_WIRE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  CAST(COUNT(DISTINCT lpad(CAST(microsecond(ts) % 1000000 AS VARCHAR),
+    6, '0')) AS BIGINT) AS n_micro_patterns,
+  CAST(COUNT(DISTINCT user_id % 8) AS BIGINT) AS n_partitions,
+  CAST(0 AS BIGINT) AS n_malformed
+FROM events
+"""
+
+
 def _replay_closed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the REAL append-mode Structured Streaming query over the
     events parquet (availableNow replay) and return the drained memory
@@ -23370,6 +23471,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "schema_evolution_census": q_schema_evolution_census,
     "json_corrupt_records_census": q_json_corrupt_records_census,
     "gzip_text_ingest_census": q_gzip_text_ingest_census,
+    "manifest_sink_roundtrip": q_manifest_sink_roundtrip,
+    "kafka_wire_roundtrip": q_kafka_wire_roundtrip,
     "streaming_closed_topk": q_streaming_closed_topk,
     "quantiles_exclusive_inclusive": q_quantiles_exclusive_inclusive,
     "age_unit_family": q_age_unit_family,
@@ -23776,6 +23879,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "schema_evolution_census": _SCHEMA_EVO_SQL,
     "json_corrupt_records_census": _JSON_CORRUPT_SQL,
     "gzip_text_ingest_census": _GZIP_INGEST_SQL,
+    "manifest_sink_roundtrip": _MANIFEST_SINK_SQL,
+    "kafka_wire_roundtrip": _KAFKA_WIRE_SQL,
     "streaming_closed_topk": _STREAM_CLOSED_TOPK_SQL,
     "quantiles_exclusive_inclusive": _QUANTILE_IE_SQL,
     "age_unit_family": _AGE_UNIT_SQL,
