@@ -114,3 +114,27 @@ def test_fit_tasks_are_balanced(scale_out):
         .collect()[0]
     )
     assert spread.mx <= 3 * spread.avg, (spread.mx, spread.avg)
+
+
+def test_poison_series_isolated_at_fanout_scale(spark):
+    """M4 fault isolation AT SCALE: among 300 concurrent fits, the
+    series with <2 observations must contribute zero rows while every
+    healthy series completes — one poison group cannot fail the job or
+    leak into other groups' output."""
+    import datetime
+
+    n_series, days = 300, 20
+    rows = []
+    for sid in range(n_series):
+        n_obs = 1 if sid % 50 == 0 else days  # every 50th series poison
+        for d in range(n_obs):
+            rows.append((datetime.date(2024, 1, 1) + datetime.timedelta(days=d),
+                         str(sid), 100.0 + sid + d))
+    long_df = spark.createDataFrame(rows, "ds date, metric string, y double")
+    fc = SeriesForecaster(interval=INTERVAL, only_future=True)
+    out = fc.transform_long(long_df)
+    per = {r.metric: r.n for r in
+           out.groupBy("metric").agg(F.count("*").alias("n")).collect()}
+    poison = {str(s) for s in range(0, n_series, 50)}
+    assert set(per) == {str(s) for s in range(n_series)} - poison
+    assert all(n == INTERVAL for n in per.values())
