@@ -115,3 +115,58 @@ def test_forecast_name_derivation(name):
     assert out == f"bucket_forecast_{stem}"
     # idempotence on already-derived names is NOT expected; the pipeline's
     # R14 prefix filter keeps derived tables out of the input set
+
+
+# ------------------------------------------------- star CC (round 4)
+
+_CC_SLOW = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_CC_SLOW
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=60),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=0,
+        max_size=80,
+    )
+)
+def test_star_cc_equals_union_find(spark, edges):
+    """connected_components_star == union-find ground truth on ANY
+    graph hypothesis throws at it (self-loops, duplicates, isolated
+    pairs, long chains)."""
+    from clickhouse_forecasting_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[int, list[int]] = {}
+    for x in parent:
+        groups.setdefault(find(x), []).append(x)
+    truth = {x: min(members) for members in groups.values() for x in members}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    comps, _ = connected_components_star(pairs)
+    got = {r.id: r.component for r in comps.collect()}
+    assert got == truth
