@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -219,8 +220,9 @@ def main() -> None:
         per_iter.append(t)
 
     def _median(vals: list[float]) -> float:
-        s = sorted(vals)
-        return round(s[len(s) // 2], 3)
+        # statistics.median averages the two middle values for even n,
+        # so an even SPARK_GRAFT_BENCH_ITERS no longer biases high
+        return round(statistics.median(vals), 3)
 
     timings = {
         name: _median([t[name] for t in per_iter]) for name in bench_set

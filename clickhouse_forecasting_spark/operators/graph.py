@@ -254,6 +254,16 @@ def connected_components_star(
         if new_sig == sig:
             break
         sig = new_sig
+    else:
+        # Same hardening as functions/dedup.connected_components: an
+        # unconverged edge set would leave residual non-star edges and
+        # the join below would emit conflicting (id, component) rows —
+        # silently-wrong labels. Fail loudly instead.
+        raise ValueError(
+            f"connected_components_star did not converge within "
+            f"{max_rounds} rounds (edge signature still changing); "
+            f"raise max_rounds"
+        )
     # converged: every non-root points straight at its component min
     comps = nodes.join(e, nodes.id == e.u, "left").select(
         "id", F.coalesce(F.col("v"), F.col("id")).alias("component")

@@ -84,9 +84,16 @@ class JsonlSinkWriter(DataSourceWriter):
             entries.append({"file": m.filename, "rows": m.n_rows})
         manifest_path = os.path.join(self.path, MANIFEST)
         old_files = []
-        if self.overwrite and os.path.exists(manifest_path):
+        if os.path.exists(manifest_path):
             with open(manifest_path) as fh:
-                old_files = [e["file"] for e in json.load(fh)["files"]]
+                prior = json.load(fh)["files"]
+            if self.overwrite:
+                # old generation becomes invisible, then its files are removed
+                old_files = [e["file"] for e in prior]
+            else:
+                # append mode: the new manifest must keep every previously
+                # committed entry, or earlier rows become invisible orphans
+                entries = prior + entries
         tmp = manifest_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(

@@ -145,3 +145,21 @@ def test_star_cc_handles_self_loops_and_singletons(spark):
     # self-loop-only node 5 never enters the edge list -> absent, same
     # contract as the LP operator (components of PAIRED ids)
     assert got == {1: 1, 2: 1, 7: 7, 8: 7}
+
+
+def test_star_cc_refuses_unconverged(spark):
+    """ADVICE r4: star CC must raise when the edge signature is still
+    changing at round-budget exhaustion — residual non-star edges would
+    otherwise emit conflicting (id, component) rows per id (the same
+    silent-wrong-labels class the LP variant was hardened against)."""
+    import pytest
+
+    from clickhouse_forecasting_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(255)], "id_a long, id_b long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components_star(pairs, max_rounds=2)

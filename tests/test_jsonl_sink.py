@@ -70,3 +70,22 @@ def test_overwrite_swaps_generations_atomically(spark, tmp_path):
     listed = {e["file"] for e in man["files"]}
     on_disk = {f for f in os.listdir(target) if f.endswith(".jsonl")}
     assert on_disk == listed
+
+
+def test_second_append_merges_manifest(spark, tmp_path):
+    """ADVICE r4: a second append to the same path must UNION the
+    manifest, not replace it — otherwise previously committed rows
+    become invisible orphans and the 2PC/append contract is broken."""
+    jsonl_sink.register(spark)
+    target = str(tmp_path / "sink_app2")
+    gen1 = spark.range(5).select(F.col("id").alias("v"))
+    gen2 = spark.range(100, 103).select(F.col("id").alias("v"))
+    gen1.write.format("jsonlsink").option("path", target).mode("append").save()
+    gen2.write.format("jsonlsink").option("path", target).mode("append").save()
+    back = jsonl_sink.read_manifest(spark, target, "v long")
+    assert sorted(r.v for r in back.collect()) == [0, 1, 2, 3, 4, 100, 101, 102]
+    man = json.load(open(os.path.join(target, jsonl_sink.MANIFEST)))
+    assert man["total_rows"] == 8
+    listed = {e["file"] for e in man["files"]}
+    on_disk = {f for f in os.listdir(target) if f.endswith(".jsonl")}
+    assert listed == on_disk
