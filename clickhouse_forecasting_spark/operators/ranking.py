@@ -1,0 +1,322 @@
+"""Distributed total-order primitives: global row_number / ntile / run-length
+without the single-partition WindowExec collapse.
+
+``Window.orderBy(...)`` with no ``partitionBy`` plans an
+``Exchange SinglePartition`` — every row of the input moves to ONE task, the
+first thing that dies at 100 TB.  These helpers express the same total-order
+semantics as:
+
+    repartitionByRange(order keys)            # ranged shuffle, N-way parallel
+      -> sortWithinPartitions(order keys)     # local sort, no merge step
+      -> localCheckpoint                      # pin partition layout + ids
+      -> per-partition local index            # monotonically_increasing_id
+      -> tiny per-partition count frame       # N rows, N = shuffle partitions
+      -> broadcast cumulative offsets         # rn = local index + offset
+
+The ONLY unpartitioned window left is over the per-partition count frame,
+whose size is bounded by ``spark.sql.shuffle.partitions`` (config, not data).
+
+Why the localCheckpoint: the offsets subplan and the main subplan must see
+the SAME range boundaries and partition ids.  RangePartitioner samples its
+boundaries at run time, and AQE may coalesce the two shuffle reads
+differently — so deriving both branches from one plan tree is not a
+correctness guarantee.  Materializing the (projected — callers should select
+only needed columns first) ranged frame freezes both, and the expensive
+ranged sort is paid exactly once even though two jobs read it.  This is the
+same materialize-the-sorted-run cost any external distributed sort pays.
+
+Semantics provenance: these back the rank/ntile surfaces ClickHouse exposes
+as ``row_number() OVER (ORDER BY ...)`` / ``ntile`` — used by the registry's
+curriculum/quantile/drift queries (the reference's forecast_script.py has no
+ranking; this is part of the LLM-data-pipeline extension surface).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__rk_pid"
+_LRN = "__rk_lrn"
+_OFF = "__rk_off"
+_CNT = "__rk_cnt"
+
+# monotonically_increasing_id() = (partition_id << 33) | local_row_index
+_MID_SHIFT = 33
+_MID_MASK = (1 << _MID_SHIFT) - 1
+
+
+def _order_cols(order_by: Sequence) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+
+def ranged_with_local_index(
+    df: DataFrame, order_by: Sequence, num_partitions: int | None = None
+) -> DataFrame:
+    """Range-partition + locally sort ``df`` by ``order_by`` and attach
+    ``__rk_pid`` (partition id) and ``__rk_lrn`` (1-based local row number).
+
+    Materializes via localCheckpoint so every downstream job sees one frozen
+    partition layout (see module docstring).  Global order == (pid, lrn).
+    """
+    spark = df.sparkSession
+    n = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    cols = _order_cols(order_by)
+    ranged = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__rk_mid", F.monotonically_increasing_id())
+        .withColumn(_PID, F.shiftright("__rk_mid", _MID_SHIFT).cast("int"))
+        .withColumn(_LRN, (F.col("__rk_mid").bitwiseAND(_MID_MASK) + 1))
+        .drop("__rk_mid")
+    )
+    return ranged.localCheckpoint(eager=True)
+
+
+def partition_offsets(local: DataFrame, sum_cols: Iterable[str] = ()) -> DataFrame:
+    """Per-partition row counts -> exclusive cumulative offsets.
+
+    Input is the frame from ranged_with_local_index; output is one row per
+    non-empty partition: (__rk_pid, __rk_off[, __rk_cum_<c> ...]).  The
+    cumulative window here runs over <= num_shuffle_partitions rows — bounded
+    by config, the documented exception to the no-global-window rule.
+    """
+    aggs = [F.count("*").alias(_CNT)]
+    for c in sum_cols:
+        aggs.append(F.sum(c).alias(f"__rk_s_{c}"))
+    counts = local.groupBy(_PID).agg(*aggs)
+    w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    out = counts.select(
+        _PID,
+        F.coalesce(F.sum(_CNT).over(w), F.lit(0)).cast("bigint").alias(_OFF),
+        *[
+            F.coalesce(F.sum(f"__rk_s_{c}").over(w), F.lit(0)).alias(f"__rk_cum_{c}")
+            for c in sum_cols
+        ],
+    )
+    return out
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence,
+    col_name: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + a global 1-based row_number over ``order_by`` — the distributed
+    equivalent of ``row_number() OVER (ORDER BY ...)``.  For a deterministic
+    rn pass a total order (unique tie-break); for rank/tie-insensitive
+    consumers (min-rn per group) ties may be left unresolved.
+    """
+    local = ranged_with_local_index(df, order_by, num_partitions)
+    off = partition_offsets(local)
+    return (
+        local.join(F.broadcast(off), _PID)
+        .withColumn(col_name, (F.col(_OFF) + F.col(_LRN)).cast("bigint"))
+        .drop(_PID, _LRN, _OFF)
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: Sequence,
+    n_tiles: int,
+    col_name: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + SQL-exact NTILE(n) over a global order: the first (total % n)
+    tiles get ceil(total/n) rows, the rest floor(total/n) — bit-identical to
+    ANSI/DuckDB NTILE, computed from the distributed row number + one scalar
+    total (broadcast 1-row aggregate), never a single-partition window.
+    """
+    local = ranged_with_local_index(df, order_by, num_partitions)
+    off = partition_offsets(local)
+    # scalar total over the checkpointed frame (cheap count aggregate)
+    total = local.agg(F.count("*").cast("bigint").alias("__rk_total"))
+    rn = (F.col(_OFF) + F.col(_LRN)).cast("bigint")
+    t = F.col("__rk_total")
+    k = F.lit(int(n_tiles)).cast("bigint")
+    base = (t / k).cast("bigint")  # floor: both positive
+    rem = t % k
+    big = base + 1
+    cut = big * rem  # rows covered by the larger tiles
+    tile = (
+        F.when(base == 0, rn)
+        .when(rn <= cut, ((rn + big - 1) / big).cast("bigint"))
+        .otherwise(rem + ((rn - cut + base - 1) / base).cast("bigint"))
+    )
+    return (
+        local.join(F.broadcast(off), _PID)
+        .crossJoin(F.broadcast(total))
+        .withColumn(col_name, tile.cast("int"))
+        .drop(_PID, _LRN, _OFF, "__rk_total")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: Sequence,
+    value_cols: Sequence[str],
+    out_names: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + inclusive running sums of ``value_cols`` over the global
+    ``order_by`` — ``SUM(c) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
+    distributed as: per-partition running sum (+ one narrow hash shuffle on
+    the partition id, parallel across partitions) plus broadcast exclusive
+    prefix totals from the tiny per-partition count frame."""
+    local = ranged_with_local_index(df, order_by, num_partitions)
+    off = partition_offsets(local, sum_cols=value_cols)
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(_LRN)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = local.join(F.broadcast(off), _PID)
+    for c, name in zip(value_cols, out_names):
+        out = out.withColumn(name, F.col(f"__rk_cum_{c}") + F.sum(c).over(w))
+    drop = [_PID, _LRN, _OFF] + [f"__rk_cum_{c}" for c in value_cols]
+    return out.drop(*drop)
+
+
+def global_running_max(
+    df: DataFrame,
+    order_by: Sequence,
+    value_col: str,
+    col_name: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + inclusive running max of ``value_col`` over the global
+    ``order_by`` — max is associative, so the stitch is: per-partition
+    running max + broadcast exclusive prefix max of partition maxima
+    (NULL for the first partition; greatest() skips it)."""
+    local = ranged_with_local_index(df, order_by, num_partitions)
+    pmax = local.groupBy(_PID).agg(F.max(value_col).alias("__rk_pm"))
+    wp = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    pre = pmax.select(_PID, F.max("__rk_pm").over(wp).alias("__rk_prem"))
+    wl = (
+        Window.partitionBy(_PID)
+        .orderBy(_LRN)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        local.join(F.broadcast(pre), _PID)
+        .withColumn(
+            col_name,
+            F.greatest(F.max(value_col).over(wl), F.col("__rk_prem")),
+        )
+        .drop(_PID, _LRN, "__rk_prem")
+    )
+
+
+def top_k(df: DataFrame, order_by: Sequence, k: int) -> DataFrame:
+    """Global top-k: orderBy + limit plans as TakeOrderedAndProject — per
+    partition keeps k rows, then one k-row merge on the driver side of the
+    exchange.  THE scale-safe replacement for rank()<=k global windows."""
+    return df.orderBy(*_order_cols(order_by)).limit(int(k))
+
+
+def partitioned_run_counts(
+    df: DataFrame,
+    order_by: Sequence,
+    value_cols: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Adjacent-run counts of each value column in the global ``order_by``
+    order — ``sum((c != lag(c) OVER (ORDER BY ...))::int)`` with null-safe
+    comparison — WITHOUT a single-partition window.
+
+    Per range partition a vectorized pandas pass counts interior changes and
+    captures the first/last row values; partitions then stitch at their
+    boundaries over a <= num_partitions-row frame (the tiny boundary-row
+    shuffle).  The very first global row counts as a change iff its value is
+    non-null (lag = NULL, null-safe-unequal) — identical to the window form.
+
+    Returns ONE row: n_rows bigint, runs_<c> bigint per value column.
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas batches)
+
+    local = ranged_with_local_index(
+        df.select(*_order_cols(order_by), *value_cols), order_by, num_partitions
+    )
+
+    # the summary frame is one row per partition — bounded by config, not
+    # data; the marker column makes that visible to the plan census
+    # (plans.single_partition_collapses) through the opaque mapInPandas node
+    fields = [f"{_PID} INT", "__bounded_one_row_per_partition INT", "__rk_n BIGINT"]
+    in_schema = dict(zip(local.columns, [f.dataType.simpleString() for f in local.schema]))
+    for c in value_cols:
+        fields.append(f"__rk_runs_{c} BIGINT")
+        fields.append(f"__rk_first_{c} {in_schema[c]}")
+        fields.append(f"__rk_last_{c} {in_schema[c]}")
+    out_schema = ", ".join(fields)
+
+    cols = list(value_cols)
+
+    def summarize(batches):
+        import pandas as pd
+
+        pid = None
+        n = 0
+        runs = {c: 0 for c in cols}
+        first_vals: dict[str, object] = {}
+        last_row = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf[_PID].iloc[0])
+                for c in cols:
+                    first_vals[c] = pdf[c].iloc[0]
+            for c in cols:
+                s = pdf[c]
+                prev = s.shift()
+                if last_row is not None:
+                    prev.iloc[0] = last_row[c]
+                    start = 0
+                else:
+                    start = 1  # row 0 of the partition belongs to stitching
+                eq = (s == prev) | (s.isna() & prev.isna())
+                runs[c] += int((~eq).iloc[start:].sum())
+            n += len(pdf)
+            last_row = pdf.iloc[-1]
+        if pid is None:
+            return
+        out = {_PID: [pid], "__bounded_one_row_per_partition": [1], "__rk_n": [n]}
+        for c in cols:
+            out[f"__rk_runs_{c}"] = [runs[c]]
+            out[f"__rk_first_{c}"] = [first_vals[c]]
+            out[f"__rk_last_{c}"] = [last_row[c]]
+        yield pd.DataFrame(out)
+
+    summaries = local.mapInPandas(summarize, schema=out_schema)
+
+    # boundary stitch over the tiny per-partition frame (<= N rows, N = config)
+    w = Window.orderBy(_PID)
+    stitched = summaries.select(
+        "__bounded_one_row_per_partition",  # keep the marker visible to the census
+        "__rk_n",
+        *[
+            (
+                F.col(f"__rk_runs_{c}")
+                + (
+                    ~F.col(f"__rk_first_{c}").eqNullSafe(
+                        F.lag(f"__rk_last_{c}").over(w)
+                    )
+                ).cast("long")
+            ).alias(f"__rk_tot_{c}")
+            for c in cols
+        ],
+    )
+    return stitched.agg(
+        F.sum("__rk_n").cast("bigint").alias("n_rows"),
+        *[
+            F.sum(f"__rk_tot_{c}").cast("bigint").alias(f"runs_{c}")
+            for c in cols
+        ],
+    )

@@ -41,6 +41,7 @@ from . import multimodal as MM
 from .operators import asof as AsOf
 from .operators import packing as PK
 from .operators import range_join as RJ
+from .operators import ranking as RK
 from .relational import daily_rollup, future_date_axis, gap_fill, only_future
 from .schema import metric_columns
 from .sources import read_table
@@ -1616,16 +1617,16 @@ FROM documents
 def q_text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level word count: explode tokens -> groupBy -> top-20.
     The canonical map-side-combine aggregation (partial counts per
-    partition; the shuffle carries one row per distinct token)."""
+    partition; the shuffle carries one row per distinct token). The
+    top-20 is orderBy+limit — TakeOrderedAndProject, each partition
+    retains 20 rows — and the rank column is a window over the already
+    20-row frame, never over the full vocabulary."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    top = RK.top_k(counts, [F.col("n").desc(), F.col("token")], 20)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    return (
-        tok.groupBy("token")
-        .agg(F.count("*").alias("n"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 _TOP_TOKENS_SQL = f"""
@@ -3567,9 +3568,10 @@ def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipe), cut into 5 NTILE phases (highest quality = phase 1, fed
     first), each phase reporting docs, token budget, cumulative tokens,
     and the quality-score range — the schedule a curriculum loader
-    consumes. Scoring is row-local; the only shuffle is the ntile sort,
-    which at 100 TB becomes a range-partitioned global sort (Spark's
-    TakeOrderedAndProject/RangePartitioner path), then a 5-key fold."""
+    consumes. Scoring is row-local; the ntile is the DISTRIBUTED one
+    (operators/ranking.global_ntile: range-partitioned sort + broadcast
+    partition offsets + SQL-exact tile arithmetic — never a
+    single-partition WindowExec), then a 5-key fold."""
     docs = _t(spark, sf_dir, "documents")
     toks = TX.tokens(F.col("text"))
     n_toks = F.size(toks)
@@ -3586,9 +3588,8 @@ def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_toks.alias("n_toks"),
         F.round(stop_share - noise, 9).alias("q_score"),
     )
-    phased = scored.withColumn(
-        "phase",
-        F.ntile(5).over(Window.orderBy(F.desc("q_score"), "doc_id")),
+    phased = RK.global_ntile(
+        scored, [F.desc("q_score"), "doc_id"], 5, col_name="phase"
     )
     per = (
         phased.groupBy("phase")
@@ -3838,35 +3839,43 @@ FROM per_user GROUP BY 1 ORDER BY n_chains
 
 def q_roc_auc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC-AUC via the tie-corrected rank-sum identity (the exact
-    distributed AUC — no threshold sweep): score = rounded L2 norm of
-    the embedding (the proven cross-engine float recipe), positive
-    class = label ≥ 5. Average ranks come from RANK + (tie_count−1)/2,
-    so ties contribute exactly ½ — bit-reproducible on both engines.
-    One sort-shuffle on the score; everything else is scalar algebra.
-    (Score = first embedding component: the fixture vectors are
-    unit-normalized, so the L2 norm is constant and useless as a
-    discriminator — a projection is the honest scalar probe.)"""
+    distributed AUC — no threshold sweep): score = first embedding
+    component rounded to 6dp (the fixture vectors are unit-normalized,
+    so the L2 norm is constant — a projection is the honest scalar
+    probe), positive class = label ≥ 5. The rank side is DISTRIBUTED:
+    a per-(score) aggregate folds counts + positive counts, a global
+    row_number from operators/ranking (range-partitioned, broadcast
+    offsets — no single-partition window) gives each row a rank, and
+    min(rn) per score group recovers RANK() exactly; the tie-corrected
+    doubled average rank 2·ar = 2·rank + tie_cnt − 1 stays integral, so
+    the rank-sum matches the oracle's half-integer double sum bit-for-bit
+    (every term < 2^53 is exactly representable)."""
     emb = _t(spark, sf_dir, "embeddings")
     scored = emb.select(
         F.round(F.col("embedding").getItem(0).cast("double"), 6).alias("score"),
         (F.col("label") >= 5).cast("int").alias("pos"),
     )
-    w_rank = Window.orderBy("score")
-    avg_rank = (
-        F.rank().over(w_rank)
-        + (F.count("*").over(Window.partitionBy("score")) - 1) / 2.0
+    rn = RK.global_row_number(scored, ["score"], col_name="rn")
+    per_score = rn.groupBy("score").agg(
+        F.min("rn").alias("rnk"),
+        F.count("*").alias("cnt"),
+        F.sum("pos").alias("posc"),
     )
-    r = scored.withColumn("ar", avg_rank)
-    agg = r.agg(
-        F.sum("pos").alias("n_pos"),
-        F.sum(1 - F.col("pos")).alias("n_neg"),
-        F.sum(F.when(F.col("pos") == 1, F.col("ar"))).alias("rank_sum_pos"),
+    # Σ over positive rows of 2·avg_rank, exact integer arithmetic
+    rs2 = F.sum(
+        (F.col("posc") * (2 * F.col("rnk") + F.col("cnt") - 1)).cast("decimal(38,0)")
+    )
+    agg = per_score.agg(
+        F.sum("posc").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("posc")).alias("n_neg"),
+        rs2.alias("rs2"),
     )
     return agg.select(
         F.col("n_pos").cast("bigint").alias("n_pos"),
         F.col("n_neg").cast("bigint").alias("n_neg"),
         F.round(
-            (F.col("rank_sum_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            (F.col("rs2").cast("double") / 2.0
+             - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
             / (F.col("n_pos") * F.col("n_neg")),
             6,
         ).alias("auc"),
@@ -4168,22 +4177,17 @@ def q_encoding_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact distinct count, adjacent-run count in the (orderkey,
     linenumber) physical order, then the dictionary-vs-RLE-vs-plain
     recommendation from distinct-ratio and run-ratio ppm thresholds.
-    One pass computes every column's runs via lag comparisons in a
-    single window; the distinct counts fold in one aggregation."""
+    Run counting is DISTRIBUTED (operators/ranking.partitioned_run_counts):
+    range-partition on the physical order, one vectorized per-partition
+    pass counts interior value changes, and partitions stitch at their
+    boundaries over a <= num_partitions-row frame — exact lag semantics,
+    no single-partition window. Distinct counts fold in one aggregation."""
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount",
             "l_suppkey", "l_shipdate"]
-    w = Window.orderBy("l_orderkey", "l_linenumber")
-    chg = li.select(
-        *[
-            (~F.col(c).eqNullSafe(F.lag(c).over(w))).cast("int").alias(f"chg_{c}")
-            for c in cols
-        ]
+    runs_wide = RK.partitioned_run_counts(
+        li, ["l_orderkey", "l_linenumber"], cols
     )
-    aggs = [F.count("*").cast("bigint").alias("n_rows")]
-    for c in cols:
-        aggs.append(F.sum(f"chg_{c}").cast("bigint").alias(f"runs_{c}"))
-    runs_wide = chg.agg(*aggs)
     dist_aggs = [F.count_distinct(F.col(c)).cast("bigint").alias(f"dist_{c}") for c in cols]
     dist_wide = li.agg(*dist_aggs)
     wide = runs_wide.crossJoin(F.broadcast(dist_wide))
@@ -4679,6 +4683,10 @@ def q_hurst_exponent_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_scale = per_block.groupBy("s").agg(
         F.count("*").alias("n_blocks"),
         (_dsum(F.col("rs")) / F.count("*")).alias("mean_rs"),
+    ).withColumn(
+        # marker: bounded by the 4 literal dyadic scales at every SF
+        # (plans.single_partition_collapses bounded-by-construction leaf)
+        "__bounded_by_4_scales", F.lit(1)
     ).localCheckpoint(eager=True)
     # OLS of ln(mean_rs) on ln(s) over the 4 scale points
     wall = Window.partitionBy()
@@ -5505,25 +5513,30 @@ def q_rrf_fusion_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bm25 = b_term if bm25 is None else bm25 + b_term
         ql = q_term if ql is None else ql + q_term
-    scored = j.select("doc_id", bm25.alias("s_bm25"), ql.alias("s_ql"))
-    w_b = Window.orderBy(F.desc("s_bm25"), "doc_id")
-    w_q = Window.orderBy(F.desc("s_ql"), "doc_id")
-    ranked = scored.select(
-        "doc_id",
-        F.row_number().over(w_b).alias("r_bm25"),
-        F.row_number().over(w_q).alias("r_ql"),
-    )
+    scored = j.select(
+        "doc_id", bm25.alias("s_bm25"), ql.alias("s_ql")
+    ).localCheckpoint(eager=True)
+    # both global ranks are DISTRIBUTED row_numbers (operators/ranking:
+    # range-partitioned sort + broadcast partition offsets — two narrow
+    # ranged shuffles of (doc_id, score), never a single-partition window);
+    # the fused top-20 is orderBy+limit = TakeOrderedAndProject
+    r_b = RK.global_row_number(
+        scored.select("doc_id", "s_bm25"),
+        [F.desc("s_bm25"), "doc_id"], col_name="r_bm25",
+    ).select("doc_id", "r_bm25")
+    r_q = RK.global_row_number(
+        scored.select("doc_id", "s_ql"),
+        [F.desc("s_ql"), "doc_id"], col_name="r_ql",
+    ).select("doc_id", "r_ql")
+    ranked = r_b.join(r_q, "doc_id")
     rrf = 1.0 / (60.0 + F.col("r_bm25")) + 1.0 / (60.0 + F.col("r_ql"))
-    return (
-        ranked.select(
-            "doc_id",
-            F.col("r_bm25").cast("bigint").alias("r_bm25"),
-            F.col("r_ql").cast("bigint").alias("r_ql"),
-            F.round(rrf, 9).alias("rrf_score"),
-        )
-        .orderBy(F.desc("rrf_score"), "doc_id")
-        .limit(20)
+    fused = ranked.select(
+        "doc_id",
+        F.col("r_bm25").cast("bigint").alias("r_bm25"),
+        F.col("r_ql").cast("bigint").alias("r_ql"),
+        F.round(rrf, 9).alias("rrf_score"),
     )
+    return RK.top_k(fused, [F.desc("rrf_score"), "doc_id"], 20)
 
 
 _RRF_SQL = f"""
@@ -5658,14 +5671,22 @@ def q_bucketed_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     n = delays.count()
     qs_ = [(50, 0.50), (90, 0.90), (99, 0.99)]
-    # exact: k-th order statistic at ceil(q*n)
-    w = Window.orderBy("delay")
-    ranked = delays.withColumn("rn", F.row_number().over(w))
+    # exact: k-th order statistic at ceil(q*n), computed DISTRIBUTED as
+    # "min delay whose cumulative count >= k" over the per-value count
+    # aggregate — delays are integer days with a schema-bounded domain
+    # (shipdate − orderdate ∈ [1, 121] in TPC-H), so the cumulative
+    # window rides a <=122-row frame, never the fact table
+    vc = delays.groupBy("delay").agg(F.count("*").alias("c"))
+    wv = Window.orderBy("delay").rowsBetween(Window.unboundedPreceding, 0)
+    cumv = vc.withColumn("cumc", F.sum("c").over(wv)).localCheckpoint(eager=True)
     exact = None
     for label, q in qs_:
         k = int(q * n) if (q * n).is_integer() else int(q * n) + 1
-        pick = ranked.filter(F.col("rn") == max(k, 1)).select(
-            F.lit(label).alias("p"), F.col("delay").alias("exact_days")
+        pick = (
+            cumv.filter(F.col("cumc") >= max(k, 1))
+            .orderBy("delay")
+            .limit(1)
+            .select(F.lit(label).alias("p"), F.col("delay").alias("exact_days"))
         )
         exact = pick if exact is None else exact.unionByName(pick)
     # histogram: 64 buckets over [min, max]
@@ -5834,14 +5855,16 @@ def q_quantile_normalization_sources(spark: SparkSession, sf_dir: str) -> DataFr
     each doc's length maps to the pooled order statistic at its
     within-source quantile, idx = ceil(rank·N/n_s). Reports per source
     the before/after mean lengths — after normalization every shard
-    sees the same distribution. Two rank windows + one index equi-join
+    sees the same distribution. The pooled rank is the DISTRIBUTED
+    global row_number (operators/ranking: range-partitioned sort +
+    broadcast partition offsets — no single-partition window); the
+    per-source rank stays a partitioned window; one index equi-join
     (never a distribution-wide broadcast)."""
     docs = _t(spark, sf_dir, "documents")
     per = docs.select("source", "doc_id", TX.token_count(F.col("text")).alias("len"))
-    pooled = per.select(
-        F.row_number().over(Window.orderBy("len", "doc_id")).alias("rn"),
-        F.col("len").alias("pooled_len"),
-    ).localCheckpoint(eager=True)
+    pooled = RK.global_row_number(
+        per.select("len", "doc_id"), ["len", "doc_id"], col_name="rn"
+    ).select("rn", F.col("len").alias("pooled_len"))
     n_total = pooled.count()
     w_src = Window.partitionBy("source").orderBy("len", "doc_id")
     ranked = per.select(
@@ -6155,14 +6178,15 @@ def q_wasserstein_shard_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard's length profile. Exact discrete W1 via quantile alignment:
     shard rank r maps to pooled order statistic ceil(r·N/n_s) (the
     quantile-normalization index) and W1 = mean |len − pooled_len| —
-    integer token counts make the metric hash-exact. Two rank windows
-    + one index equi-join; nothing corpus-wide broadcasts."""
+    integer token counts make the metric hash-exact. Pooled rank =
+    distributed global row_number (operators/ranking, range-partitioned
+    + broadcast offsets); per-source rank = partitioned window; one
+    index equi-join; nothing corpus-wide broadcasts or single-tasks."""
     docs = _t(spark, sf_dir, "documents")
     per = docs.select("source", "doc_id", TX.token_count(F.col("text")).alias("len"))
-    pooled = per.select(
-        F.row_number().over(Window.orderBy("len", "doc_id")).alias("rn"),
-        F.col("len").alias("pooled_len"),
-    ).localCheckpoint(eager=True)
+    pooled = RK.global_row_number(
+        per.select("len", "doc_id"), ["len", "doc_id"], col_name="rn"
+    ).select("rn", F.col("len").alias("pooled_len"))
     n_total = pooled.count()
     w_src = Window.partitionBy("source").orderBy("len", "doc_id")
     ranked = per.select(
@@ -12165,7 +12189,11 @@ def q_rank_correlation_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
         )
-        .localCheckpoint(eager=True)  # 25 rows; reused by ranks and pairs
+        # marker column: frame is bounded by |nations| = 25 at every SF
+        # (plans.single_partition_collapses treats the checkpoint leaf as
+        # bounded-by-construction); 25 rows, reused by ranks and pairs
+        .withColumn("__bounded_by_25_nations", F.lit(1))
+        .localCheckpoint(eager=True)
     )
     ranked = per_nation.select(
         "n_name",
@@ -13735,41 +13763,40 @@ def q_stream_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     late does each event arrive relative to the max event-time seen so
     far? The p50/p90/p99/max lateness (exact rank picks) and the ppm of
     events later than 60 s are exactly the numbers that choose a
-    Structured Streaming `withWatermark` delay. The global arrival-order
-    window is the profiling cost — at 100 TB this runs on an id-range
-    sample or per shard; the report shape is identical."""
+    Structured Streaming `withWatermark` delay. Both global passes are
+    DISTRIBUTED (operators/ranking): the arrival-order running max
+    stitches per-partition cummax with broadcast prefix maxima, and the
+    exact rank picks ride global_row_number (range-partitioned +
+    broadcast offsets) — no single-partition window at any step."""
     ev = _t(spark, sf_dir, "events").select(
         "event_id", F.unix_micros("ts").alias("us")
     )
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
-    late = ev.select(
-        "event_id", (F.max("us").over(w) - F.col("us")).alias("late_us")
-    )
-    wr = Window.orderBy("late_us", "event_id")
-    ranked = late.select(
-        "late_us",
-        F.row_number().over(wr).alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    cm = RK.global_running_max(ev, ["event_id"], "us", "cummax_us")
+    late = cm.select((F.col("cummax_us") - F.col("us")).alias("late_us"),
+                     "event_id")
+    ranked = RK.global_row_number(late, ["late_us", "event_id"], col_name="rk")
+    n = ranked.count()  # bounded scalar off the internal checkpoint
 
     def pick(q: float) -> F.Column:
+        import math
         return F.max(
-            F.when(
-                F.col("rk") == F.ceil(F.col("n") * F.lit(q)).cast("bigint"),
-                F.col("late_us"),
-            )
+            F.when(F.col("rk") == math.ceil(n * q), F.col("late_us"))
         )
 
-    return ranked.agg(
-        F.max("n").alias("n_events"),
+    agg = ranked.agg(
         pick(0.5).alias("p50_late_us"),
         pick(0.9).alias("p90_late_us"),
         pick(0.99).alias("p99_late_us"),
         F.max("late_us").alias("max_late_us"),
         F.expr(
             "CAST(SUM(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) * 1000000"
-            " div MAX(n) AS BIGINT)"
+            f" div {n} AS BIGINT)"
         ).alias("over_60s_ppm"),
+    )
+    return agg.select(
+        F.lit(n).cast("bigint").alias("n_events"),
+        "p50_late_us", "p90_late_us", "p99_late_us",
+        "max_late_us", "over_60s_ppm",
     )
 
 
@@ -14975,16 +15002,17 @@ def q_adaptive_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals (8 bins) — adaptive boundaries that track the data where
     equal-width bins waste resolution on empty tails. Bin edges come
     from ntile over the cents-exact total (total-order tie-break on the
-    key), then per-bin min/max/count/exact-decimal sum. Two shuffles:
-    the ntile sort and the bin rollup — both scale as an ordinary
-    grouped sort at 100 TB (ntile over a skewless numeric is
-    range-partition-friendly)."""
+    key), then per-bin min/max/count/exact-decimal sum. The ntile is
+    the DISTRIBUTED one (operators/ranking.global_ntile: range-
+    partitioned sort + broadcast partition offsets + SQL-exact tile
+    arithmetic — no single-partition window); two shuffles total, the
+    ranged sort and the bin rollup."""
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    w = Window.orderBy(F.col("cents"), F.col("o_orderkey"))
-    binned = o.select(
-        cents.alias("cents"), F.col("o_orderkey")
-    ).withColumn("bin", F.ntile(8).over(w))
+    binned = RK.global_ntile(
+        o.select(cents.alias("cents"), F.col("o_orderkey")),
+        ["cents", "o_orderkey"], 8, col_name="bin",
+    )
     return (
         binned.groupBy("bin")
         .agg(
@@ -16966,6 +16994,9 @@ def q_contingency_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("prio"),
         )
         .agg(F.count("*").alias("nij"))
+        # marker: bounded by |segments|×|priorities| = 5×5 at every SF
+        # (plans.single_partition_collapses bounded-by-construction leaf)
+        .withColumn("__bounded_by_5x5_categories", F.lit(1))
         .localCheckpoint(eager=True)
     )
     wseg = Window.partitionBy("seg")
@@ -20741,11 +20772,14 @@ def q_heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id order: cumulative distinct vocabulary is computed WITHOUT a
     running-distinct scan — each token contributes at its FIRST document
     (one groupBy-min over exploded (token, doc) pairs), so cum_vocab is
-    a cumulative sum of per-doc first-occurrence counts. Checkpoints
-    every 50 docs carry (N, V) plus the corpus-level log-log OLS fit
-    (β, ln K) attached from the same tiny checkpoint frame. The explode
-    + min shuffle is the only fact-scale work — the classic
-    tokenizer-budget forecasting curve for training corpora."""
+    a cumulative sum of per-doc first-occurrence counts — computed
+    DISTRIBUTED (operators/ranking.global_running_sum: per-partition
+    running sums + broadcast prefix totals, no single-partition window).
+    Checkpoints every 50 docs carry (N, V) plus the corpus-level
+    log-log OLS fit (β, ln K) attached from a broadcast 1-row moment
+    aggregate. The explode + min shuffle is the only fact-scale work —
+    the classic tokenizer-budget forecasting curve for training
+    corpora."""
     docs = _t(spark, sf_dir, "documents")
     t = TX.tokens(F.col("text"))
     d = docs.select("doc_id", t.alias("t"), F.size(t).alias("n_toks"))
@@ -20756,33 +20790,35 @@ def q_heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("first_doc").alias("doc_id"))
         .agg(F.count("*").alias("new_vocab"))
     )
-    w = Window.orderBy("doc_id")
-    cum = (
+    joined = (
         d.select("doc_id", "n_toks")
         .join(first, "doc_id", "left")
         .select(
-            "doc_id",
-            F.sum("n_toks").over(w).alias("cum_tokens"),
-            F.sum(F.coalesce("new_vocab", F.lit(0))).over(w).alias(
-                "cum_vocab"
-            ),
+            "doc_id", "n_toks",
+            F.coalesce("new_vocab", F.lit(0)).alias("new_vocab"),
         )
-        .where(F.col("doc_id") % 50 == 49)
     )
+    cum = RK.global_running_sum(
+        joined, ["doc_id"], ["n_toks", "new_vocab"],
+        ["cum_tokens", "cum_vocab"],
+    ).where(F.col("doc_id") % 50 == 49)
     x = F.log(F.col("cum_tokens").cast("double"))
     y = F.log(F.col("cum_vocab").cast("double"))
-    wall = Window.rangeBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    fit = cum.select(
+    cp = cum.select(
         "doc_id",
         F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
         F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
-        F.count("*").over(wall).cast("double").alias("m"),
-        F.sum(x).over(wall).alias("sx"),
-        F.sum(y).over(wall).alias("sy"),
-        F.sum(x * x).over(wall).alias("sxx"),
-        F.sum(x * y).over(wall).alias("sxy"),
+        x.alias("lx"), y.alias("ly"),
+    )
+    moments = cp.agg(
+        F.count("*").cast("double").alias("m"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    fit = cp.crossJoin(F.broadcast(moments)).select(
+        "doc_id", "cum_tokens", "cum_vocab", "m", "sx", "sy", "sxx", "sxy"
     )
     beta = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -22447,19 +22483,21 @@ def q_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     ref = o.where(yr == 1996).select(cents.alias("c"))
     cur = o.where(yr == 1997).select(cents.alias("c"))
-    wq = Window.orderBy("c")
-    n_ref = ref.count()
-    # the 9 decile cuts are a bounded scalar fetch (the r5 pattern);
-    # bucketing is then a row-local array scan — no join, and duplicate
-    # cent values keep their full multiplicity
+    # decile ranks come from the DISTRIBUTED global row_number
+    # (operators/ranking: range-partitioned + broadcast offsets — no
+    # single-partition window; the value at a given global rank is
+    # deterministic regardless of tie order within equal cents). The 9
+    # cut values are a bounded <= 9-row fetch; bucketing is then a
+    # row-local array scan — no join, and duplicate cent values keep
+    # their full multiplicity
+    ranked_ref = RK.global_row_number(ref, ["c"], col_name="r")
+    n_ref = ranked_ref.count()
     cut_vals = sorted(
         {
             r.c
-            for r in ref.withColumn("r", F.row_number().over(wq))
-            .where(
+            for r in ranked_ref.where(
                 F.col("r").isin(*[(n_ref * d) // 10 for d in range(1, 10)])
-            )
-            .collect()
+            ).collect()
         }
     )
     cuts_arr = F.array(*[F.lit(int(v)) for v in cut_vals])

@@ -345,3 +345,25 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
         j = li.join(o.hint(hint), li.l_orderkey == o.o_orderkey)
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert operator in plan, (hint, plan[:400])
+
+
+def test_no_single_partition_collapse_anywhere(spark, sf_dir, qs):
+    """The round-5 headline pin: NO registered query may plan an
+    Exchange SinglePartition fed by an unbounded frame — the global
+    sort/window shape that lands 100 TB on one task. Bounded feeders
+    (beneath an Aggregate/Limit, literal-sized leaves, checkpoints
+    carrying a __bounded_* marker) are allowed; everything else must go
+    through operators/ranking.py. Walks EVERY query (slow — it builds
+    each plan, executing eager checkpoints); streaming entries without a
+    batch plan are skipped exactly as in tools/gen_plans.py."""
+    from clickhouse_forecasting_spark.plans import single_partition_collapses
+
+    offenders = {}
+    for name, fn in sorted(qs.items()):
+        try:
+            hits = single_partition_collapses(fn(spark, sf_dir))
+        except Exception:
+            continue  # no batch plan (streaming/stateful surface)
+        if hits:
+            offenders[name] = hits
+    assert offenders == {}, f"single-partition collapses: {sorted(offenders)}"

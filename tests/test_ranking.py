@@ -1,0 +1,131 @@
+"""operators/ranking.py — distributed total-order primitives.
+
+Every helper is checked two ways: (1) value-exact against the
+single-partition Window form it replaces, (2) plan-clean — its own physical
+plan must not contain the Exchange SinglePartition collapse it exists to
+remove (the bounded per-partition-count window rides an Aggregate, which the
+detector classifies as bounded).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from clickhouse_forecasting_spark.operators import ranking as RK
+from clickhouse_forecasting_spark.plans import single_partition_collapses
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_global_row_number_matches_window(spark, docs):
+    d = docs.select("doc_id", "n_chars")
+    got = RK.global_row_number(d, ["n_chars", "doc_id"], "rn")
+    ref = d.withColumn(
+        "rn", F.row_number().over(Window.orderBy("n_chars", "doc_id")).cast("bigint")
+    )
+    assert (
+        got.alias("a").join(ref.alias("b"), "doc_id").filter("a.rn <> b.rn").count()
+        == 0
+    )
+    # dense 1..n with no gaps
+    n = d.count()
+    agg = got.agg(F.min("rn"), F.max("rn"), F.count_distinct("rn")).collect()[0]
+    assert tuple(agg) == (1, n, n)
+
+
+def test_global_row_number_plan_is_distributed(spark, docs):
+    got = RK.global_row_number(docs.select("doc_id", "n_chars"), ["n_chars", "doc_id"])
+    assert single_partition_collapses(got) == []
+
+
+@pytest.mark.parametrize("k", [2, 5, 7, 64])
+def test_global_ntile_matches_sql_ntile(spark, docs, k):
+    d = docs.select("doc_id", "n_chars")
+    got = RK.global_ntile(d, [F.desc("n_chars"), "doc_id"], k, "t")
+    ref = d.withColumn(
+        "t", F.ntile(k).over(Window.orderBy(F.desc("n_chars"), "doc_id"))
+    )
+    assert (
+        got.alias("a").join(ref.alias("b"), "doc_id").filter("a.t <> b.t").count()
+        == 0
+    )
+
+
+def test_global_ntile_fewer_rows_than_tiles(spark, docs):
+    tiny = docs.limit(3).select("doc_id")
+    got = sorted((r.doc_id, r.t) for r in RK.global_ntile(tiny, ["doc_id"], 5, "t").collect())
+    # SQL ntile with total < k: every row its own tile, in order
+    assert [t for _, t in got] == [1, 2, 3]
+
+
+def test_global_running_sum_matches_window(spark, docs):
+    d = docs.select("doc_id", "n_chars", (F.col("doc_id") % 7).alias("v"))
+    got = RK.global_running_sum(d, ["doc_id"], ["n_chars", "v"], ["cs", "cv"])
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    ref = d.select(
+        "doc_id", F.sum("n_chars").over(w).alias("cs"), F.sum("v").over(w).alias("cv")
+    )
+    assert (
+        got.alias("a").join(ref.alias("b"), "doc_id")
+        .filter("a.cs <> b.cs OR a.cv <> b.cv").count() == 0
+    )
+
+
+def test_global_running_max_matches_window(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    got = RK.global_running_max(ev, ["event_id"], "us", "cm")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    ref = ev.select("event_id", F.max("us").over(w).alias("cm"))
+    assert (
+        got.alias("a").join(ref.alias("b"), "event_id")
+        .filter("a.cm <> b.cm").count() == 0
+    )
+    assert single_partition_collapses(got) == []
+
+
+def test_partitioned_run_counts_matches_window(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_returnflag", "l_quantity", "l_shipdate"]
+    got = RK.partitioned_run_counts(li, ["l_orderkey", "l_linenumber"], cols)
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    chg = li.select(
+        *[(~F.col(c).eqNullSafe(F.lag(c).over(w))).cast("int").alias(f"c_{c}") for c in cols]
+    )
+    ref = chg.agg(
+        F.count("*").alias("n_rows"),
+        *[F.sum(f"c_{c}").cast("bigint").alias(f"runs_{c}") for c in cols],
+    )
+    assert got.collect()[0].asDict() == ref.collect()[0].asDict()
+
+
+def test_partitioned_run_counts_nulls_and_tiny_partitions(spark):
+    # nulls + more partitions than rows: boundary stitching must use
+    # null-safe compares and tolerate empty range partitions
+    rows = [(1, "a"), (2, None), (3, None), (4, "a"), (5, "a"), (6, "b")]
+    df = spark.createDataFrame(rows, "i int, v string")
+    got = RK.partitioned_run_counts(df, ["i"], ["v"], num_partitions=16).collect()[0]
+    # window semantics: chg = NOT v <=> lag(v): a,None,None,a,a,b ->
+    # 1(a vs NULL lag: null-safe unequal), 1, 0, 1, 0, 1 = 4
+    assert got.n_rows == 6 and got.runs_v == 4
+
+
+def test_top_k_plans_take_ordered(spark, docs):
+    plan = RK.top_k(docs.select("doc_id", "n_chars"), [F.desc("n_chars"), "doc_id"], 5)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in s
+    assert single_partition_collapses(plan) == []
+
+
+def test_primitives_survive_empty_input(spark, docs):
+    empty = docs.select("doc_id", "n_chars").filter(F.lit(False))
+    assert RK.global_row_number(empty, ["doc_id"]).count() == 0
+    assert RK.global_ntile(empty, ["doc_id"], 4).count() == 0
+    got = RK.partitioned_run_counts(empty, ["doc_id"], ["n_chars"]).collect()[0]
+    assert got.n_rows in (0, None) or got.n_rows == 0
