@@ -27,7 +27,7 @@ exact ANSI-SQL twin for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import char_shingles, char_shingles_of_norm, fingerprint, normalize_text, tokens
@@ -288,6 +288,17 @@ def shingle_sets(
     return _cached_stage(df, key, _build)
 
 
+# In-plan hard bound on LSH band-bucket occupancy. One degenerate band key
+# (near-constant docs, a shingle-starved corpus, or a misconfigured r) puts
+# n docs in one bucket and n² rows through the self-join — the quadratic
+# failure LSH exists to avoid. Past this bound the candidate join REFUSES to
+# produce rows (assert_true raises at run time) instead of silently running
+# the blow-up; the remedy is more rows-per-band, a pre-split on an exact
+# fingerprint (exact dups don't need LSH), or sharding the hot bucket.
+# Mirrors the SemDeDup cluster bound (queries.py q_semdedup_clusters).
+MAX_BAND_OCCUPANCY = 10_000
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -296,6 +307,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     cache_key=None,
+    max_band_occupancy: int = MAX_BAND_OCCUPANCY,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
 
@@ -303,11 +315,33 @@ def minhash_lsh_candidates(
     never a cross join; both sides are the same plan, so Spark reuses one
     exchange — or one persisted stage when cache_key is set) -> distinct.
     With b bands of r rows the collision probability of a pair with Jaccard
-    j is 1-(1-j^r)^b (b=4, r=4: ~0.97 at j=0.8, ~0.04 at j=0.3)."""
+    j is 1-(1-j^r)^b (b=4, r=4: ~0.97 at j=0.8, ~0.04 at j=0.3).
+
+    The probe side carries a per-band occupancy count (a window over the
+    same band partitioning the join shuffles on — no extra exchange) and
+    an in-plan assert_true caps it at ``max_band_occupancy``: a degenerate
+    hot bucket fails loudly before emitting its n² candidate rows."""
     banded = banded_signatures(
         df, text_col, id_col, shingle_size, num_hashes, bands, cache_key
     )
-    a, b2 = banded.alias("a"), banded.alias("b")
+    occ = F.count("*").over(Window.partitionBy("band"))
+    guarded_band = F.when(
+        F.assert_true(
+            F.col("__band_occ") <= F.lit(int(max_band_occupancy)),
+            F.lit(
+                "LSH band bucket exceeds the %d-doc occupancy bound "
+                "(degenerate band — raise rows-per-band or pre-split "
+                "exact duplicates)" % int(max_band_occupancy)
+            ),
+        ).isNull(),
+        F.col("band"),
+    )
+    a = (
+        banded.withColumn("__band_occ", occ)
+        .select(guarded_band.alias("band"), F.col(id_col))
+        .alias("a")
+    )
+    b2 = banded.alias("b")
     return (
         a.join(b2, "band")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

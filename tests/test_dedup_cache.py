@@ -29,3 +29,28 @@ def test_shared_stage_results_identical_to_uncached(spark, sf_dir):
     got = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in cached.collect()}
     want = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in fresh.collect()}
     assert got == want and got
+
+
+def test_band_occupancy_guard_fails_loudly_on_degenerate_corpus(spark):
+    """One hot band bucket (near-constant docs) is an in-bucket n² —
+    the candidate join must REFUSE to run it (in-plan assert_true),
+    never silently explode. Mirrors the SemDeDup cluster bound."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from clickhouse_forecasting_spark.functions import dedup as DD
+
+    same = [(i, "the exact same degenerate text repeated verbatim") for i in range(60)]
+    docs = spark.createDataFrame(same, "doc_id long, text string")
+    cand = DD.minhash_lsh_candidates(docs, max_band_occupancy=50)
+    with pytest.raises(Exception) as exc:
+        cand.count()
+    assert "occupancy bound" in str(exc.value)
+
+
+def test_band_occupancy_guard_passes_healthy_corpus(spark, sf_dir):
+    from clickhouse_forecasting_spark.functions import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = DD.minhash_lsh_candidates(docs).count()
+    assert n >= 0  # guard silent on healthy occupancy
