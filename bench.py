@@ -186,6 +186,14 @@ EXTENSIONS_R4: list[str] = [
     "interval_length_sum",  # union-of-intervals sweep, one window pass
 ]
 
+# Round-5 additions, split out as extensions_r5_sec.
+EXTENSIONS_R5: list[str] = [
+    "dedup_scale_audit",  # 60k-doc planted-dup LSH end-to-end scale proof
+    "curriculum_phases",  # distributed global ntile (operators/ranking)
+    "encoding_advisor_lineitem",  # boundary-stitched per-partition lag runs
+    "stream_lateness_profile",  # distributed cummax + rank picks
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -204,7 +212,7 @@ def main() -> None:
     # warm-up: JVM + parquet footer reads, not attributed to any query
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    bench_set = HEADLINE + EXTENSIONS_R2 + EXTENSIONS_R3 + EXTENSIONS_R4
+    bench_set = HEADLINE + EXTENSIONS_R2 + EXTENSIONS_R3 + EXTENSIONS_R4 + EXTENSIONS_R5
     per_iter: list[dict[str, float]] = []
     for it in range(iters):
         t: dict[str, float] = {}
@@ -277,6 +285,7 @@ def main() -> None:
         "extensions_r2_sec": round(sum(timings[q] for q in EXTENSIONS_R2), 3),
         "extensions_r3_sec": round(sum(timings[q] for q in EXTENSIONS_R3), 3),
         "extensions_r4_sec": round(sum(timings[q] for q in EXTENSIONS_R4), 3),
+        "extensions_r5_sec": round(sum(timings[q] for q in EXTENSIONS_R5), 3),
     }
     per_iter_suite_r1 = [
         round(sum(t[q] for q in HEADLINE), 3) for t in per_iter

@@ -1856,6 +1856,146 @@ WHERE GREATEST(common * 1000000 // n_a, common * 1000000 // n_b) >= 600000
 """
 
 
+# --------------------------------------------------------------------------
+# dedup at fan-out scale (r5 VERDICT #3): the forecast_scale treatment
+# applied to the LSH family. A synthetic corpus with a PLANTED duplicate
+# structure — per 10-doc group: ids ..0-..7 unique, ..8 a near-dup of ..0
+# (one of 30 tokens mutated, Jaccard ≈ 0.9), ..9 an exact dup of ..0 — is
+# generated DETERMINISTICALLY from md5 in both engines, so the end-to-end
+# pipeline (shingle → minhash → band join → verify) has exact expected
+# recoveries: every exact pair MUST be found (identical signature ⇒ all
+# bands collide), near pairs follow the banding collision law, and cross-
+# group pairs are hash accidents (≈0). dedup_scale_audit runs 60k docs
+# (rows-only; tests/test_dedup_scale.py pins linear candidate growth and
+# bounded band occupancy across 15k→30k→60k); dedup_scale_contract_audit
+# hash-gates the identical dataflow at 2k docs against a DuckDB twin that
+# replays the whole pipeline on the same generated corpus.
+# --------------------------------------------------------------------------
+
+_DEDUP_SCALE_TOKENS = 30
+
+
+def synth_dedup_corpus(spark: SparkSession, n_docs: int) -> DataFrame:
+    """(doc_id, text) synthetic corpus with the planted-dup structure above.
+    Pure expressions over spark.range — no data files, fully deterministic,
+    reproducible bit-for-bit by the DuckDB twin (_synth_corpus_sql)."""
+    d = F.col("id")
+    src = F.when((d % 10) >= 8, d - (d % 10)).otherwise(d).cast("string")
+    toks = [
+        F.substring(F.md5(F.concat(src, F.lit(f"_{j}"))), 1, 8)
+        for j in range(_DEDUP_SCALE_TOKENS - 1)
+    ]
+    last_seed = F.when(
+        (d % 10) == 8, F.concat(src, F.lit("_mut"))
+    ).otherwise(F.concat(src, F.lit(f"_{_DEDUP_SCALE_TOKENS - 1}")))
+    toks.append(F.substring(F.md5(last_seed), 1, 8))
+    return spark.range(n_docs).select(
+        d.alias("doc_id"), F.concat_ws(" ", *toks).alias("text")
+    )
+
+
+def dedup_scale_audit_frame(spark: SparkSession, n_docs: int) -> DataFrame:
+    """One summary row over the full LSH dedup pipeline on the synthetic
+    corpus: corpus size, candidate volume, verified pairs at 0.8, exact
+    pairs (must equal n_docs/10 — identical docs always collide), intra-
+    vs cross-group split, and the max band-bucket occupancy (the quantity
+    the in-plan guard bounds). All counts are exact integers."""
+    docs = synth_dedup_corpus(spark, n_docs)
+    key = ("dedup_scale", n_docs)
+    cand = DD.minhash_lsh_candidates(docs, cache_key=key)
+    verified = DD.lsh_verified_pairs(docs, threshold=0.8, cache_key=key)
+    banded = DD.banded_signatures(docs, cache_key=key)
+    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    occ = (
+        banded.groupBy("band").agg(F.count("*").alias("c"))
+        .agg(F.max("c").cast("bigint").alias("max_band_occupancy"))
+    )
+    v = verified.agg(
+        F.count("*").cast("bigint").alias("n_verified_08"),
+        F.sum((F.col("jaccard") == 1.0).cast("int")).cast("bigint").alias("n_exact_pairs"),
+        F.sum(
+            (F.expr("id_a div 10") == F.expr("id_b div 10")).cast("int")
+        ).cast("bigint").alias("n_intra_group"),
+        F.sum(
+            (F.expr("id_a div 10") != F.expr("id_b div 10")).cast("int")
+        ).cast("bigint").alias("n_cross_group"),
+    )
+    return (
+        v.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(occ))
+        .select(
+            F.lit(n_docs).cast("bigint").alias("n_docs"),
+            "n_candidates", "n_verified_08", "n_exact_pairs",
+            "n_intra_group", "n_cross_group", "max_band_occupancy",
+        )
+    )
+
+
+def q_dedup_scale_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60k-doc end-to-end LSH scale proof (rows-only; the hash-gated twin
+    is dedup_scale_contract_audit at 2k — identical dataflow, identical
+    generator). Scaling pins live in tests/test_dedup_scale.py."""
+    return dedup_scale_audit_frame(spark, 60_000)
+
+
+def q_dedup_scale_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_scale_audit_frame(spark, 2_000)
+
+
+def _synth_corpus_sql(n_docs: int) -> str:
+    toks = ",\n    ".join(
+        f"substr(md5(concat(CAST(src AS VARCHAR), '_{j}')), 1, 8)"
+        for j in range(_DEDUP_SCALE_TOKENS - 1)
+    )
+    last = (
+        "substr(md5(CASE WHEN doc_id % 10 = 8 THEN concat(CAST(src AS VARCHAR), '_mut') "
+        f"ELSE concat(CAST(src AS VARCHAR), '_{_DEDUP_SCALE_TOKENS - 1}') END), 1, 8)"
+    )
+    return f"""ids AS (
+  SELECT i AS doc_id,
+    CASE WHEN i % 10 >= 8 THEN i - (i % 10) ELSE i END AS src
+  FROM range({n_docs}) t(i)),
+corpus AS (
+  SELECT doc_id, concat_ws(' ',
+    {toks},
+    {last}) AS text
+  FROM ids)"""
+
+
+_SHINGLES_CORPUS_SQL = _SHINGLES_SQL  # generic over any relation with `text`
+
+_DEDUP_SCALE_AUDIT_SQL = f"""
+WITH {_synth_corpus_sql(2_000)},
+s AS (SELECT doc_id, unnest({_SHINGLES_CORPUS_SQL}) AS shg FROM corpus),
+h AS (SELECT doc_id, ('0x' || substr(md5(shg), 1, 15))::BIGINT % {_P} AS x FROM s),
+sig AS (SELECT doc_id, {_SIG_MINS_SQL} FROM h GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, unnest([{_BAND_LIST_SQL}]) AS band
+  FROM sig),
+occ AS (SELECT MAX(c) AS mx FROM (SELECT COUNT(*) AS c FROM banded GROUP BY band)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, {_SHINGLES_CORPUS_SQL} AS sh_set FROM corpus),
+verified AS (
+  SELECT c.id_a, c.id_b,
+    len(list_intersect(sa.sh_set, sb.sh_set))
+      / (len(sa.sh_set) + len(sb.sh_set) - len(list_intersect(sa.sh_set, sb.sh_set))) AS jaccard
+  FROM cand c
+  JOIN sets sa ON sa.doc_id = c.id_a
+  JOIN sets sb ON sb.doc_id = c.id_b),
+v08 AS (SELECT * FROM verified WHERE jaccard >= 0.8)
+SELECT CAST(2000 AS BIGINT) AS n_docs,
+  CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+  CAST(COUNT(*) AS BIGINT) AS n_verified_08,
+  CAST(COALESCE(SUM(CASE WHEN jaccard = 1.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_exact_pairs,
+  CAST(COALESCE(SUM(CASE WHEN id_a // 10 = id_b // 10 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_intra_group,
+  CAST(COALESCE(SUM(CASE WHEN id_a // 10 <> id_b // 10 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross_group,
+  CAST((SELECT mx FROM occ) AS BIGINT) AS max_band_occupancy
+FROM v08
+"""
+
+
 def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filtering, exact-arithmetic edition: a bigram
     model is trained on the corpus itself (count(w1,w2)/count(w1·) as
@@ -23216,6 +23356,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_containment_pairs": q_dedup_containment_pairs,
+    "dedup_scale_audit": q_dedup_scale_audit,
+    "dedup_scale_contract_audit": q_dedup_scale_contract_audit,
     "bigram_lm_quality": q_bigram_lm_quality,
     "boilerplate_prefix_report": q_boilerplate_prefix_report,
     "cross_source_leakage": q_cross_source_leakage,
@@ -23626,6 +23768,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "dedup_simhash": _SIMHASH_SQL,
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_containment_pairs": _CONTAIN_SQL,
+    "dedup_scale_contract_audit": _DEDUP_SCALE_AUDIT_SQL,
     "bigram_lm_quality": _BIGRAM_LM_SQL,
     "boilerplate_prefix_report": _BOILERPLATE_SQL,
     "cross_source_leakage": _LEAKAGE_SQL,

@@ -26,6 +26,10 @@ ROWS_ONLY_ALLOWED = {
     # 2,500-series fan-out proof (yhat is model output; shape hash-gated
     # by forecast_scale_contract_audit):
     "forecast_scale_series",
+    # 60k-doc LSH scale proof (DuckDB's single-threaded replay of the full
+    # minhash pipeline at 60k is gate-hostile; the identical dataflow is
+    # hash-gated at 2k by dedup_scale_contract_audit):
+    "dedup_scale_audit",
 }
 
 
@@ -47,6 +51,7 @@ def test_every_rows_only_query_has_a_companion_audit():
         "multimodal_frames": "multimodal_frames_audit",
         "similarity_ivf_topk": "similarity_ivf_det_topk",
         "forecast_scale_series": "forecast_scale_contract_audit",
+        "dedup_scale_audit": "dedup_scale_contract_audit",
     }
     assert set(companions) == ROWS_ONLY_ALLOWED
     for rows_only, audit in companions.items():
