@@ -6686,6 +6686,86 @@ def q_forecast_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("metric", "ds")
 
 
+def q_forecast_backtest_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest at fan-out scale (r5 VERDICT #5): the 2,500-series
+    seriesgen corpus × 4 rolling cutoffs = 10,000 (series, cutoff) fits
+    in ONE applyInPandas job — the cutoff is just another group key, so
+    a 4-cutoff backtest parallelizes exactly like a 4×-larger corpus.
+    The keyed fan-out repartition lives inside transform_long, so the
+    same AQE serial-collapse defense the plain path got in r4 covers
+    the multiplied key space; tests/test_forecast_scale.py pins the
+    stage width and the single exchange. Rows-only (scores are model
+    output); forecast_backtest_scale_contract_audit is the hash-gated
+    twin. Cutoffs leave ≥7 held-out days inside the 30-day history, so
+    every fit scores exactly `interval` actuals."""
+    from .sources import seriesgen as _sg
+
+    _sg.register(spark)
+    df = (
+        spark.read.format("seriesgen")
+        .option("series", "2500")
+        .option("days", "30")
+        .load()
+    )
+    long_df = df.select(
+        F.col("date").alias("ds"),
+        F.col("series_id").cast("string").alias("metric"),
+        F.col("y"),
+    )
+    fc = SeriesForecaster(interval=7, only_future=True)
+    return fc.backtest(
+        long_df, ["2024-01-16", "2024-01-19", "2024-01-22", "2024-01-23"]
+    )
+
+
+def q_forecast_backtest_scale_contract_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-gated contract for the 10,000-fit backtest: every
+    (series × cutoff) cell present exactly once (n_rows = 2500 × 4),
+    every fit scored on exactly 7 held-out days, coverage a valid
+    fraction, error metrics finite and non-negative — pinned as literal
+    expectations from the generator/cutoff parameters. A dropped
+    series, a double-emit from a serial collapse, or a broken holdout
+    join breaks the hash."""
+    out = q_forecast_backtest_scale(spark, sf_dir)
+    bad_cov = (F.col("coverage") < 0) | (F.col("coverage") > 1)
+    bad_err = (
+        F.col("mae").isNull() | (F.col("mae") < 0)
+        | F.col("rmse").isNull() | (F.col("rmse") < 0)
+        | F.isnan("mae") | F.isnan("rmse")
+    )
+    per_cell = out.groupBy("metric", "cutoff").agg(F.count("*").alias("n"))
+    return (
+        out.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("metric").cast("bigint").alias("n_series"),
+            F.countDistinct("cutoff").cast("bigint").alias("n_cutoffs"),
+            F.min("n_scored").cast("bigint").alias("n_scored_min"),
+            F.max("n_scored").cast("bigint").alias("n_scored_max"),
+            F.sum(bad_cov.cast("bigint")).cast("bigint").alias("n_coverage_violations"),
+            F.sum(bad_err.cast("bigint")).cast("bigint").alias("n_error_violations"),
+        )
+        .crossJoin(
+            F.broadcast(
+                per_cell.agg(F.max("n").cast("bigint").alias("max_rows_per_cell"))
+            )
+        )
+    )
+
+
+_FORECAST_BACKTEST_SCALE_AUDIT_SQL = """
+SELECT CAST(2500 * 4 AS BIGINT) AS n_rows,
+  CAST(2500 AS BIGINT) AS n_series,
+  CAST(4 AS BIGINT) AS n_cutoffs,
+  CAST(7 AS BIGINT) AS n_scored_min,
+  CAST(7 AS BIGINT) AS n_scored_max,
+  CAST(0 AS BIGINT) AS n_coverage_violations,
+  CAST(0 AS BIGINT) AS n_error_violations,
+  CAST(1 AS BIGINT) AS max_rows_per_cell
+"""
+
+
 def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-origin backtest over the orders daily series (rows-only):
     two cutoffs x two metrics fit in ONE distributed job (cutoff is a group
@@ -23491,6 +23571,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast_contract_audit": q_forecast_contract_audit,
     "forecast_scale_series": q_forecast_scale_series,
     "forecast_scale_contract_audit": q_forecast_scale_contract_audit,
+    "forecast_backtest_scale": q_forecast_backtest_scale,
+    "forecast_backtest_scale_contract_audit": q_forecast_backtest_scale_contract_audit,
     "forecast_future_contract_audit": q_forecast_future_contract_audit,
     "forecast_multi_contract_audit": q_forecast_multi_contract_audit,
     "forecast_incremental_contract_audit": q_forecast_incremental_contract_audit,
@@ -23901,6 +23983,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "rebased_revenue_index": _REBASE_SQL,
     "forecast_contract_audit": _FORECAST_AUDIT_SQL,
     "forecast_scale_contract_audit": _FORECAST_SCALE_AUDIT_SQL,
+    "forecast_backtest_scale_contract_audit": _FORECAST_BACKTEST_SCALE_AUDIT_SQL,
     "forecast_future_contract_audit": _FORECAST_FUTURE_AUDIT_SQL,
     "forecast_multi_contract_audit": _FORECAST_MULTI_AUDIT_SQL,
     "forecast_incremental_contract_audit": _FORECAST_INCR_AUDIT_SQL,

@@ -138,3 +138,53 @@ def test_poison_series_isolated_at_fanout_scale(spark):
     poison = {str(s) for s in range(0, n_series, 50)}
     assert set(per) == {str(s) for s in range(n_series)} - poison
     assert all(n == INTERVAL for n in per.values())
+
+
+def test_backtest_fanout_width_survives_aqe(spark):
+    """r5 VERDICT #5: backtest multiplies series × cutoffs through the
+    SAME transform_long keyed repartition — the fit stage must keep the
+    pinned width with the multiplied (cutoff, metric) key space, exactly
+    like the plain path (the AQE serial-collapse defense is inside
+    transform_long, so this proves it covers the backtest entry point)."""
+    seriesgen.register(spark)
+    df = (
+        spark.read.format("seriesgen")
+        .option("series", str(N_SERIES))
+        .option("days", str(DAYS))
+        .load()
+    )
+    long_df = df.select(
+        F.col("date").alias("ds"),
+        F.col("series_id").cast("string").alias("metric"),
+        F.col("y"),
+    )
+    fc = SeriesForecaster(interval=INTERVAL, only_future=True)
+    cutoffs = ["2024-01-16", "2024-01-23"]
+    train = None
+    for c in cutoffs:
+        t = long_df.filter(F.col("ds") <= F.lit(c)).withColumn("cutoff", F.lit(c))
+        train = t if train is None else train.unionByName(t)
+    preds = fc.transform_long(train, group_cols=["cutoff"])
+    assert preds.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    plan = preds._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_backtest_scores_every_cell_once(spark):
+    seriesgen.register(spark)
+    df = (
+        spark.read.format("seriesgen")
+        .option("series", "200")
+        .option("days", str(DAYS))
+        .load()
+    )
+    long_df = df.select(
+        F.col("date").alias("ds"),
+        F.col("series_id").cast("string").alias("metric"),
+        F.col("y"),
+    )
+    fc = SeriesForecaster(interval=INTERVAL, only_future=True)
+    out = fc.backtest(long_df, ["2024-01-16", "2024-01-23"]).collect()
+    assert len(out) == 200 * 2
+    assert all(r.n_scored == INTERVAL for r in out)
+    assert all(0.0 <= r.coverage <= 1.0 for r in out)
