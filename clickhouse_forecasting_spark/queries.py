@@ -5801,7 +5801,9 @@ def q_bucketed_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     reporting both and the error in days. The histogram path is the
     O(64)-state mergeable shape a 100 TB rollup would persist; the
     exact path costs a sort. Integer day delays make the exact side
-    hash-trivial; the interpolated estimate is a fixed IEEE chain."""
+    hash-trivial; the interpolated estimate is a fixed IEEE chain.
+    Sketch dual: ship_delay_quantile_sketch (approx_percentile, the
+    named 100 TB path)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     delays = li.join(o, li.l_orderkey == o.o_orderkey).select(
@@ -22697,7 +22699,9 @@ def q_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed cuts, and PSI = Σ(p−q)·ln(p/q) with Laplace-smoothed shares.
     One pass per year + a broadcast 9-row cut table; the report also
     flags the standard 0.1/0.25 thresholds. ln folds on micro-rounded
-    shares keep the statistic cross-engine exact."""
+    shares keep the statistic cross-engine exact. Sketch dual for the
+    cut table: psi_cuts_sketch_audit (approx_percentile cuts with a
+    rank-error verdict — the one-aggregation 100 TB path)."""
     o = _t(spark, sf_dir, "orders")
     yr = F.year("o_orderdate")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
@@ -22824,6 +22828,144 @@ SELECT CAST(SUM(np) AS BIGINT) AS n_ref,
         AS DECIMAL(38,0))) AS DOUBLE) / 1e9 >= 0.25 AS INT)
     AS drift_alert
 FROM shares
+"""
+
+
+def q_ship_delay_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch dual of bucketed_percentile_error's exact side (r5 VERDICT
+    #6 — the 100 TB path as a NAMED query, not a docstring promise):
+    p50/p90/p99 ship delay via approx_percentile (KLL-class mergeable
+    sketch, fixed state, one pass) judged against the exact order
+    statistic computed distributed (min delay whose cumulative per-value
+    count reaches ceil(q·n) — the bounded-domain recipe the exact query
+    uses). The hashable surface is the exact value plus an in-query
+    tolerance verdict on the sketch (the sketch_rollup_daily_users
+    pattern): accuracy=10000 bounds rank error at n/10000, so a ±2-day
+    drift on integer day delays means the sketch or its merge broke —
+    and the flipped verdict breaks the oracle hash."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    delays = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("delay")
+    ).localCheckpoint(eager=True)
+    qs_ = [(50, 0.50), (90, 0.90), (99, 0.99)]
+    n1 = delays.agg(F.count("*").alias("n"))
+    # exact side: per-value counts (delay domain is schema-bounded,
+    # shipdate − orderdate ∈ [1, 121]) + cumulative over <=122 rows
+    vc = delays.groupBy("delay").agg(F.count("*").alias("c"))
+    wv = Window.orderBy("delay").rowsBetween(Window.unboundedPreceding, 0)
+    cumv = (
+        vc.withColumn("cumc", F.sum("c").over(wv))
+        .crossJoin(F.broadcast(n1))
+    )
+    sk = delays.agg(
+        F.percentile_approx(
+            "delay", [q for _, q in qs_], 10_000
+        ).alias("sk_arr")
+    ).select(
+        F.posexplode("sk_arr").alias("pos", "sketch_days")
+    )
+    exact = None
+    for i, (label, q) in enumerate(qs_):
+        k = F.greatest(F.ceil(F.lit(q) * F.col("n")), F.lit(1))
+        pick = (
+            cumv.filter(F.col("cumc") >= k)
+            .orderBy("delay")
+            .limit(1)
+            .select(
+                F.lit(label).cast("bigint").alias("p"),
+                F.lit(i).alias("pos"),
+                F.col("delay").cast("bigint").alias("exact_days"),
+            )
+        )
+        exact = pick if exact is None else exact.unionByName(pick)
+    return (
+        exact.join(F.broadcast(sk), "pos")
+        .select(
+            "p",
+            "exact_days",
+            (F.abs(F.col("sketch_days") - F.col("exact_days")) <= 2).alias(
+                "sketch_within_2d"
+            ),
+        )
+        .orderBy("p")
+    )
+
+
+_SHIP_DELAY_SKETCH_SQL = """
+WITH delays AS (
+  SELECT datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+    AS delay
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+n AS (SELECT COUNT(*) AS n FROM delays),
+vc AS (SELECT delay, COUNT(*) AS c FROM delays GROUP BY delay),
+cumv AS (
+  SELECT delay, SUM(c) OVER (ORDER BY delay
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+  FROM vc),
+qs AS (SELECT * FROM (VALUES (50, 0.50), (90, 0.90), (99, 0.99)) t(p, q))
+SELECT CAST(p AS BIGINT) AS p,
+  CAST((SELECT MIN(delay) FROM cumv
+        WHERE cumc >= GREATEST(CEIL(q * (SELECT n FROM n)), 1)) AS BIGINT)
+    AS exact_days,
+  TRUE AS sketch_within_2d
+FROM qs ORDER BY p
+"""
+
+
+def q_psi_cuts_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch dual of psi_drift_report's exact decile cuts (r5 VERDICT
+    #6): the reference-year cut table from approx_percentile instead of
+    the distributed exact rank. The sketch guarantees rank error
+    <= n/accuracy, so the audit verifies each sketch cut's REALIZED rank
+    (count of cents strictly below it) lands within n·5e-4 + 1 of the
+    target decile rank — a verdict both engines can hash (DuckDB emits
+    the expected TRUE; a broken sketch flips Spark's side). At 100 TB
+    the sketch path replaces the ranged shuffle with one mergeable-state
+    aggregation — this query IS that path, permanently pinned against
+    the exact one."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    ref = o.where(F.year("o_orderdate") == 1996).select(cents.alias("c"))
+    ref = ref.localCheckpoint(eager=True)
+    n1 = ref.agg(F.count("*").alias("n"))
+    cuts = ref.agg(
+        F.percentile_approx("c", [d / 10.0 for d in range(1, 10)], 10_000).alias(
+            "arr"
+        )
+    ).select(F.posexplode("arr").alias("pos", "cut"))
+    ranks = (
+        ref.crossJoin(F.broadcast(cuts))
+        .groupBy("pos", "cut")
+        .agg(F.sum((F.col("c") < F.col("cut")).cast("long")).alias("realized_rank"))
+        .crossJoin(F.broadcast(n1))
+    )
+    d = F.col("pos") + 1
+    # exact integer division (a double divide could land on x.9999…)
+    target = F.expr("n * (pos + 1) div 10").cast("bigint")
+    tol = F.ceil(F.col("n") * 5e-4) + 1
+    return ranks.select(
+        d.cast("bigint").alias("decile"),
+        F.col("n").cast("bigint").alias("n_ref"),
+        target.alias("target_rank"),
+        (F.abs(F.col("realized_rank") - target) <= tol).alias(
+            "sketch_rank_within_tol"
+        ),
+    ).orderBy("decile")
+
+
+_PSI_CUTS_SKETCH_SQL = """
+WITH ref AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders
+  WHERE year(o_orderdate) = 1996),
+n AS (SELECT COUNT(*) AS n FROM ref)
+SELECT CAST(d AS BIGINT) AS decile,
+  CAST((SELECT n FROM n) AS BIGINT) AS n_ref,
+  CAST((SELECT n FROM n) * d // 10 AS BIGINT) AS target_rank,
+  TRUE AS sketch_rank_within_tol
+FROM unnest(generate_series(1, 9)) t(d) ORDER BY decile
 """
 
 
@@ -23760,6 +23902,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_perplexity_buckets": q_ccnet_perplexity_buckets,
     "conformal_coverage_report": q_conformal_coverage_report,
     "psi_drift_report": q_psi_drift_report,
+    "psi_cuts_sketch_audit": q_psi_cuts_sketch_audit,
+    "ship_delay_quantile_sketch": q_ship_delay_quantile_sketch,
     "negative_sampling_table": q_negative_sampling_table,
     "t5_span_corruption_report": q_t5_span_corruption_report,
     "dedup_keep_best_quality": q_dedup_keep_best_quality,
@@ -24170,6 +24314,8 @@ ORACLE_QUERIES: dict[str, str] = {
     "ccnet_perplexity_buckets": _CCNET_PPL_SQL,
     "conformal_coverage_report": _CONFORMAL_SQL,
     "psi_drift_report": _PSI_SQL,
+    "psi_cuts_sketch_audit": _PSI_CUTS_SKETCH_SQL,
+    "ship_delay_quantile_sketch": _SHIP_DELAY_SKETCH_SQL,
     "negative_sampling_table": _NEG_SAMPLING_SQL,
     "t5_span_corruption_report": _T5_SPAN_SQL,
     "dedup_keep_best_quality": _dedup_best_sql(),
