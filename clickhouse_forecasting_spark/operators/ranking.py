@@ -231,70 +231,59 @@ def partitioned_run_counts(
     order — ``sum((c != lag(c) OVER (ORDER BY ...))::int)`` with null-safe
     comparison — WITHOUT a single-partition window.
 
-    Per range partition a vectorized pandas pass counts interior changes and
-    captures the first/last row values; partitions then stitch at their
-    boundaries over a <= num_partitions-row frame (the tiny boundary-row
-    shuffle).  The very first global row counts as a change iff its value is
-    non-null (lag = NULL, null-safe-unequal) — identical to the window form.
+    Fully JVM-side: range-partition on the order keys, compute interior
+    lag-changes inside a per-partition window (partitioned by the physical
+    partition id — parallel across partitions, whole-stage codegen), fold
+    to one summary row per partition (interior change count + first/last
+    values via min_by/max_by on the local row number), then stitch the
+    partition boundaries over the <= num_partitions-row summary frame.
+    The very first global row counts as a change iff its value is non-null
+    (lag = NULL, null-safe-unequal) — identical to the window form.
+
+    Single-branch consumer (only the summaries read the ranged frame), so
+    no localCheckpoint is needed: one ranged shuffle + one pid-hash shuffle
+    of the projected columns, both JVM (an earlier mapInPandas variant paid
+    ~2x in Arrow transfer of the full fact projection).
 
     Returns ONE row: n_rows bigint, runs_<c> bigint per value column.
     """
-    import pandas as pd  # noqa: F401  (mapInPandas batches)
-
-    local = ranged_with_local_index(
-        df.select(*_order_cols(order_by), *value_cols), order_by, num_partitions
+    spark = df.sparkSession
+    n = int(
+        num_partitions
+        or spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
-
-    # the summary frame is one row per partition — bounded by config, not
-    # data; the marker column makes that visible to the plan census
-    # (plans.single_partition_collapses) through the opaque mapInPandas node
-    fields = [f"{_PID} INT", "__bounded_one_row_per_partition INT", "__rk_n BIGINT"]
-    in_schema = dict(zip(local.columns, [f.dataType.simpleString() for f in local.schema]))
-    for c in value_cols:
-        fields.append(f"__rk_runs_{c} BIGINT")
-        fields.append(f"__rk_first_{c} {in_schema[c]}")
-        fields.append(f"__rk_last_{c} {in_schema[c]}")
-    out_schema = ", ".join(fields)
-
     cols = list(value_cols)
-
-    def summarize(batches):
-        import pandas as pd
-
-        pid = None
-        n = 0
-        runs = {c: 0 for c in cols}
-        first_vals: dict[str, object] = {}
-        last_row = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if pid is None:
-                pid = int(pdf[_PID].iloc[0])
-                for c in cols:
-                    first_vals[c] = pdf[c].iloc[0]
-            for c in cols:
-                s = pdf[c]
-                prev = s.shift()
-                if last_row is not None:
-                    prev.iloc[0] = last_row[c]
-                    start = 0
-                else:
-                    start = 1  # row 0 of the partition belongs to stitching
-                eq = (s == prev) | (s.isna() & prev.isna())
-                runs[c] += int((~eq).iloc[start:].sum())
-            n += len(pdf)
-            last_row = pdf.iloc[-1]
-        if pid is None:
-            return
-        out = {_PID: [pid], "__bounded_one_row_per_partition": [1], "__rk_n": [n]}
-        for c in cols:
-            out[f"__rk_runs_{c}"] = [runs[c]]
-            out[f"__rk_first_{c}"] = [first_vals[c]]
-            out[f"__rk_last_{c}"] = [last_row[c]]
-        yield pd.DataFrame(out)
-
-    summaries = local.mapInPandas(summarize, schema=out_schema)
+    cols_ord = _order_cols(order_by)
+    local = (
+        df.select(*cols_ord, *cols)
+        .repartitionByRange(n, *cols_ord)
+        .withColumn(_PID, F.spark_partition_id())
+    )
+    w = Window.partitionBy(_PID).orderBy(*cols_ord)
+    proj = [F.col(_PID), F.row_number().over(w).alias(_LRN)]
+    for c in value_cols:
+        proj.append(
+            (~F.col(c).eqNullSafe(F.lag(c).over(w))).cast("long").alias(f"__chg_{c}")
+        )
+        proj.append(F.col(c))
+    win = local.select(*proj)
+    aggs = [F.count("*").alias("__rk_n")]
+    for c in value_cols:
+        aggs.append(
+            F.sum(
+                F.when(F.col(_LRN) > 1, F.col(f"__chg_{c}")).otherwise(F.lit(0))
+            ).alias(f"__rk_runs_{c}")
+        )
+        aggs.append(F.min_by(c, _LRN).alias(f"__rk_first_{c}"))
+        aggs.append(F.max_by(c, _LRN).alias(f"__rk_last_{c}"))
+    # one summary row per partition — bounded by config, not data; the
+    # marker column keeps that visible to the plan census
+    # (plans.single_partition_collapses) alongside the Aggregate barrier
+    summaries = (
+        win.groupBy(_PID)
+        .agg(*aggs)
+        .withColumn("__bounded_one_row_per_partition", F.lit(1))
+    )
 
     # boundary stitch over the tiny per-partition frame (<= N rows, N = config)
     w = Window.orderBy(_PID)
