@@ -189,7 +189,6 @@ EXTENSIONS_R4: list[str] = [
 # Round-5 additions, split out as extensions_r5_sec.
 EXTENSIONS_R5: list[str] = [
     "dedup_scale_audit",  # 60k-doc planted-dup LSH end-to-end scale proof
-    "forecast_backtest_scale",  # 2500 series x 4 cutoffs = 10k fits, one job
     "curriculum_phases",  # distributed global ntile (operators/ranking)
     "encoding_advisor_lineitem",  # boundary-stitched per-partition lag runs
     "stream_lateness_profile",  # distributed cummax + rank picks

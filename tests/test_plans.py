@@ -367,3 +367,38 @@ def test_no_single_partition_collapse_anywhere(spark, sf_dir, qs):
         if hits:
             offenders[name] = hits
     assert offenders == {}, f"single-partition collapses: {sorted(offenders)}"
+
+
+def test_window_before_checkpoint_sites_are_reviewed():
+    """plans.single_partition_collapses audits the FINAL plan, so a global
+    window computed BEFORE an eager localCheckpoint is invisible to it
+    (this blind spot hid the old corpus-sized pooled ranks in
+    quantile_normalization/wasserstein until r5). Every function that
+    computes an unpartitioned window ahead of a checkpoint is hand-audited
+    and pinned here — each current entry feeds the window from a
+    calendar-bounded daily aggregate (_daily_cents/_orders_daily), never a
+    fact/corpus frame. Growing this list is a deliberate act of review."""
+    import re
+
+    import clickhouse_forecasting_spark.queries as q
+
+    src = open(q.__file__).read()
+    flagged = set()
+    for f in re.split(r"(?=^def )", src, flags=re.M):
+        name = f.split("(")[0].replace("def ", "").strip()
+        if not name.startswith("q_") or "localCheckpoint" not in f:
+            continue
+        sites = [
+            f.find("Window.orderBy("),
+            f.find("Window.partitionBy()"),
+            f.find("Window.rangeBetween"),
+        ]
+        gw = min((x for x in sites if x >= 0), default=-1)
+        if gw >= 0 and gw < f.find("localCheckpoint"):
+            flagged.add(name)
+    assert flagged == {
+        "q_bootstrap_ci_daily_mean",   # day-grain resample index
+        "q_hurst_exponent_daily",      # day-grain series index
+        "q_ljung_box_daily",           # day-grain series index
+        "q_naive_baseline_scorecard",  # day-grain lag-7 baseline
+    }, flagged
