@@ -158,6 +158,41 @@ def global_ntile(
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_by: Sequence,
+    col_name: str = "rank",
+    dense: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + SQL RANK() (gaps after ties) or DENSE_RANK() over a global
+    order — distributed: global_row_number with an arbitrary tie order,
+    then the tie-insensitive reduction per key group (min rn for RANK; a
+    dense index from the ordered distinct-key frame for DENSE_RANK). The
+    per-key windows are PARTITIONED by the full order tuple — parallel by
+    construction; the dense path re-ranks only the distinct-key frame."""
+    keys = [c for c in order_by if isinstance(c, str)]
+    if len(keys) != len(list(order_by)):
+        # Column expressions (e.g. F.desc) have no stable name to group
+        # back on; callers pass plain column names for rank semantics
+        raise ValueError("global_rank requires plain column names")
+    rn = global_row_number(df, order_by, col_name="__rk_rn",
+                           num_partitions=num_partitions)
+    if not dense:
+        w = Window.partitionBy(*keys)
+        return rn.withColumn(
+            col_name, F.min("__rk_rn").over(w).cast("bigint")
+        ).drop("__rk_rn")
+    # dense: rank the DISTINCT key tuples (a far smaller frame), then map
+    # each row to its key's dense index through an equi-join
+    distinct_keys = df.select(*keys).distinct()
+    dense_idx = global_row_number(
+        distinct_keys, order_by, col_name=col_name,
+        num_partitions=num_partitions,
+    )
+    return rn.drop("__rk_rn").join(dense_idx, keys)
+
+
 def global_running_sum(
     df: DataFrame,
     order_by: Sequence,

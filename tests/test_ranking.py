@@ -129,3 +129,32 @@ def test_primitives_survive_empty_input(spark, docs):
     assert RK.global_ntile(empty, ["doc_id"], 4).count() == 0
     got = RK.partitioned_run_counts(empty, ["doc_id"], ["n_chars"]).collect()[0]
     assert got.n_rows in (0, None) or got.n_rows == 0
+
+
+def test_global_rank_matches_window(spark, docs):
+    d = docs.select("doc_id", (F.col("n_chars") % 50).alias("v"))
+    got = RK.global_rank(d, ["v"], "rank")
+    ref = d.withColumn("rank", F.rank().over(Window.orderBy("v")).cast("bigint"))
+    assert (
+        got.alias("a").join(ref.alias("b"), "doc_id")
+        .filter("a.rank <> b.rank").count() == 0
+    )
+
+
+def test_global_dense_rank_matches_window(spark, docs):
+    d = docs.select("doc_id", (F.col("n_chars") % 50).alias("v"))
+    got = RK.global_rank(d, ["v"], "drank", dense=True)
+    ref = d.withColumn(
+        "drank", F.dense_rank().over(Window.orderBy("v")).cast("bigint")
+    )
+    assert (
+        got.alias("a").join(ref.alias("b"), "doc_id")
+        .filter("a.drank <> b.drank").count() == 0
+    )
+
+
+def test_global_rank_rejects_expression_order(spark, docs):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        RK.global_rank(docs, [F.desc("n_chars")])
