@@ -93,6 +93,7 @@ def partition_offsets(local: DataFrame, sum_cols: Iterable[str] = ()) -> DataFra
     w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     out = counts.select(
         _PID,
+        F.col(_CNT),  # kept so consumers can derive totals without a rescan
         F.coalesce(F.sum(_CNT).over(w), F.lit(0)).cast("bigint").alias(_OFF),
         *[
             F.coalesce(F.sum(f"__rk_s_{c}").over(w), F.lit(0)).alias(f"__rk_cum_{c}")
@@ -118,7 +119,7 @@ def global_row_number(
     return (
         local.join(F.broadcast(off), _PID)
         .withColumn(col_name, (F.col(_OFF) + F.col(_LRN)).cast("bigint"))
-        .drop(_PID, _LRN, _OFF)
+        .drop(_PID, _LRN, _OFF, _CNT)
     )
 
 
@@ -136,8 +137,11 @@ def global_ntile(
     """
     local = ranged_with_local_index(df, order_by, num_partitions)
     off = partition_offsets(local)
-    # scalar total over the checkpointed frame (cheap count aggregate)
-    total = local.agg(F.count("*").cast("bigint").alias("__rk_total"))
+    # scalar total from the tiny offsets frame (last offset + last count) —
+    # no second scan of the checkpointed data
+    total = off.agg(
+        F.max(F.col(_OFF) + F.col(_CNT)).cast("bigint").alias("__rk_total")
+    )
     rn = (F.col(_OFF) + F.col(_LRN)).cast("bigint")
     t = F.col("__rk_total")
     k = F.lit(int(n_tiles)).cast("bigint")
@@ -154,7 +158,7 @@ def global_ntile(
         local.join(F.broadcast(off), _PID)
         .crossJoin(F.broadcast(total))
         .withColumn(col_name, tile.cast("int"))
-        .drop(_PID, _LRN, _OFF, "__rk_total")
+        .drop(_PID, _LRN, _OFF, _CNT, "__rk_total")
     )
 
 
@@ -215,7 +219,7 @@ def global_running_sum(
     out = local.join(F.broadcast(off), _PID)
     for c, name in zip(value_cols, out_names):
         out = out.withColumn(name, F.col(f"__rk_cum_{c}") + F.sum(c).over(w))
-    drop = [_PID, _LRN, _OFF] + [f"__rk_cum_{c}" for c in value_cols]
+    drop = [_PID, _LRN, _OFF, _CNT] + [f"__rk_cum_{c}" for c in value_cols]
     return out.drop(*drop)
 
 
