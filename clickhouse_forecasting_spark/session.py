@@ -61,7 +61,13 @@ def build_session(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver IS the executor. 8g left only ~2.3 GB for
+        # the storage pool, and the persisted family stages (dedup banded/
+        # sets at sf0.1 + the 60k dedup-scale corpus) churned it — r4/r5
+        # bench showed 1-8 s eviction swings on UNRELATED queries. The
+        # container has 128 GiB; on a real cluster you size executors, not
+        # this default.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
