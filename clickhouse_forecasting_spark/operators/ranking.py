@@ -113,6 +113,15 @@ def global_row_number(
     equivalent of ``row_number() OVER (ORDER BY ...)``.  For a deterministic
     rn pass a total order (unique tie-break); for rank/tie-insensitive
     consumers (min-rn per group) ties may be left unresolved.
+
+    SKEW CAVEAT: RangePartitioner cannot split EQUAL key tuples — every row
+    sharing one ``order_by`` value lands in one partition.  A heavily-tied
+    order column (worst case: a constant) therefore quietly recreates the
+    single-task problem.  ALWAYS include a high-cardinality tie-break column
+    (an id) in ``order_by`` even for tie-insensitive consumers: for RANK-like
+    reductions (min rn per key group) the tie order is irrelevant to the
+    result, but it lets the ranged shuffle split the tied run across
+    partitions.  Pinned by test_ranking.test_tied_keys_split_with_tiebreak.
     """
     local = ranged_with_local_index(df, order_by, num_partitions)
     off = partition_offsets(local)

@@ -3994,8 +3994,13 @@ def q_roc_auc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.select(
         F.round(F.col("embedding").getItem(0).cast("double"), 6).alias("score"),
         (F.col("label") >= 5).cast("int").alias("pos"),
+        F.col("vec_id"),
     )
-    rn = RK.global_row_number(scored, ["score"], col_name="rn")
+    # vec_id tie-break: irrelevant to min(rn)-per-score (RANK is
+    # tie-insensitive) but lets the ranged shuffle SPLIT tied scores
+    # across partitions — without it a heavily-tied score column would
+    # collapse back to few tasks (see ranking.global_row_number docstring)
+    rn = RK.global_row_number(scored, ["score", "vec_id"], col_name="rn")
     per_score = rn.groupBy("score").agg(
         F.min("rn").alias("rnk"),
         F.count("*").alias("cnt"),

@@ -158,3 +158,21 @@ def test_global_rank_rejects_expression_order(spark, docs):
 
     with _pt.raises(ValueError):
         RK.global_rank(docs, [F.desc("n_chars")])
+
+
+def test_tied_keys_split_with_tiebreak(spark):
+    """RangePartitioner cannot split equal key tuples: ranking a constant
+    column alone collapses to ONE partition (correct but serial). With a
+    unique tie-break in the order spec the tied run spreads across
+    partitions, and RANK-like reductions are unaffected by the tie order."""
+    df = spark.range(10_000).select(
+        F.lit(1).alias("k"), F.col("id").alias("i")
+    )
+    alone = RK.ranged_with_local_index(df, ["k"], num_partitions=8)
+    with_tb = RK.ranged_with_local_index(df, ["k", "i"], num_partitions=8)
+    used = lambda d: d.select("__rk_pid").distinct().count()  # noqa: E731
+    assert used(alone) == 1  # the documented collapse
+    assert used(with_tb) == 8  # tie-break restores parallelism
+    # and min-rn-per-key (RANK) is identical either way
+    rn = RK.global_row_number(df, ["k", "i"], "rn", num_partitions=8)
+    assert rn.agg(F.min("rn"), F.max("rn")).collect()[0][0:2] == (1, 10_000)
