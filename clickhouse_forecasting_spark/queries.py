@@ -20707,6 +20707,136 @@ FROM r WHERE rnk <= 3 ORDER BY window_start, rnk
 """
 
 
+# --------------------------------------------------------------------------
+# streaming state at scale (r5): the forecast/dedup scale-proof treatment
+# applied to the stateful streaming surface. SCALING.md claims "event-time
+# TTL caps the store at the ACTIVE user population" — this makes the claim
+# an oracle-checkable number: a deterministic 4,000-user corpus (cohort A
+# goes idle on day 1, cohort B keeps streaming through day 6) replays
+# through the real applyInPandasWithState sessionizer with a 1-day TTL, and
+# the FINAL state-store row count (StreamingQueryProgress.stateOperators
+# numRowsTotal) must equal |B| exactly — A's 2,000 states evicted by the
+# watermark, never resident at the end. The emitted totals simultaneously
+# hash-match exact batch sessionization of the same events in DuckDB.
+# --------------------------------------------------------------------------
+
+_SSB_USERS = 4_000          # cohort A = u < 2000 (idle after day 1), B = rest
+_SSB_COHORT = 2_000
+# per-user event epochs (u seconds added per user; relative gaps identical
+# for every user, so session structure is uniform and exactly computable)
+_SSB_DAY1 = [1704103200, 1704103800, 1704110400]   # 2024-01-01 10:00/10:10/12:00 UTC
+_SSB_DAY5 = [1704448800, 1704449400]               # 2024-01-05 10:00/10:10 UTC
+_SSB_DAY6 = [1704535200]                           # 2024-01-06 10:00 UTC
+
+
+def _ssb_events(spark: SparkSession, epochs: list[int], b_only: bool) -> DataFrame:
+    u = spark.range(_SSB_USERS).select(F.col("id").alias("user_id"))
+    if b_only:
+        u = u.filter(F.col("user_id") >= _SSB_COHORT)
+    frames = [
+        u.select(
+            "user_id",
+            F.timestamp_seconds(F.lit(int(e)) + F.col("user_id")).alias("ts"),
+        )
+        for e in epochs
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def q_streaming_state_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-bound scale proof: real availableNow replay of the
+    applyInPandasWithState sessionizer (gap 1800 s, event-time TTL 1 day)
+    over the deterministic two-cohort corpus above, one micro-batch per
+    staged file (mtime-ordered, maxFilesPerTrigger=1) so the watermark
+    advances day1 → day5 → day6 and cohort A's 2,000 idle states are
+    EVICTED in the day-6 batch. Emits one summary row: user/session/event
+    totals recovered from the update-mode sink (per-user running maxima =
+    final totals) plus the final state-store row count — which must equal
+    the active cohort, 2,000, for the DuckDB twin's hash to match. The
+    twin replays the session math exactly (epoch-integer lag-gap rule)."""
+    import os
+    import tempfile
+
+    from .streaming.sessionize import sessionize_stream
+
+    src = tempfile.mkdtemp(prefix="ssb_events_")
+    staged: list[str] = []
+    for i, (epochs, b_only) in enumerate(
+        [(_SSB_DAY1, False), (_SSB_DAY5, True), (_SSB_DAY6, True)]
+    ):
+        before = set(os.listdir(src))
+        _ssb_events(spark, epochs, b_only).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        new = [f for f in os.listdir(src) if f.endswith(".parquet") and f not in before]
+        staged.extend(os.path.join(src, f) for f in new)
+    # deterministic micro-batch order: FileStreamSource sorts by mtime
+    base = 1_700_000_000
+    for i, path in enumerate(staged):
+        os.utime(path, (base + 10 * i, base + 10 * i))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = "state_bound_audit_replay"
+    q = (
+        sessionize_stream(stream, gap_seconds=1800, ttl_seconds=86_400)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("state-bound replay did not finish in 300s")
+    progress = q.lastProgress
+    state_rows = int(progress["stateOperators"][0]["numRowsTotal"])
+    per_user = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),  # update-mode: monotone
+            F.max("n_events").alias("n_events"),
+        )
+    )
+    return per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("n_sessions").cast("bigint").alias("total_sessions"),
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.lit(state_rows).cast("bigint").alias("state_rows_final"),
+        F.lit(_SSB_USERS).cast("bigint").alias("state_rows_all_time"),
+    )
+
+
+_STATE_BOUND_SQL = f"""
+WITH u AS (SELECT i AS u FROM range({_SSB_USERS}) t(i)),
+ev AS (
+  SELECT u, {_SSB_DAY1[0]} + u AS ts FROM u
+  UNION ALL SELECT u, {_SSB_DAY1[1]} + u FROM u
+  UNION ALL SELECT u, {_SSB_DAY1[2]} + u FROM u
+  UNION ALL SELECT u, {_SSB_DAY5[0]} + u FROM u WHERE u >= {_SSB_COHORT}
+  UNION ALL SELECT u, {_SSB_DAY5[1]} + u FROM u WHERE u >= {_SSB_COHORT}
+  UNION ALL SELECT u, {_SSB_DAY6[0]} + u FROM u WHERE u >= {_SSB_COHORT}),
+s AS (
+  SELECT u,
+    CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w > 1800
+         THEN 1 ELSE 0 END AS ns
+  FROM ev WINDOW w AS (PARTITION BY u ORDER BY ts)),
+per AS (SELECT u, SUM(ns) AS n_sessions, COUNT(*) AS n_events FROM s GROUP BY u)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(n_sessions) AS BIGINT) AS total_sessions,
+  CAST(SUM(n_events) AS BIGINT) AS total_events,
+  CAST({_SSB_COHORT} AS BIGINT) AS state_rows_final,
+  CAST({_SSB_USERS} AS BIGINT) AS state_rows_all_time
+FROM per
+"""
+
+
 def q_quantiles_exclusive_inclusive(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -23876,6 +24006,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_chunk_dedup": q_cdc_chunk_dedup,
     "streaming_window_topk": q_streaming_window_topk,
     "streaming_closed_counts": q_streaming_closed_counts,
+    "streaming_state_bound_audit": q_streaming_state_bound_audit,
     "interval_length_sum": q_interval_length_sum,
     "schema_evolution_census": q_schema_evolution_census,
     "json_corrupt_records_census": q_json_corrupt_records_census,
@@ -24288,6 +24419,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "cdc_chunk_dedup": _CDC_CHUNK_SQL,
     "streaming_window_topk": _STREAM_TOPK_SQL,
     "streaming_closed_counts": _STREAM_CLOSED_COUNTS_SQL,
+    "streaming_state_bound_audit": _STATE_BOUND_SQL,
     "interval_length_sum": _INTERVAL_LEN_SQL,
     "schema_evolution_census": _SCHEMA_EVO_SQL,
     "json_corrupt_records_census": _JSON_CORRUPT_SQL,
