@@ -176,3 +176,18 @@ def test_tied_keys_split_with_tiebreak(spark):
     # and min-rn-per-key (RANK) is identical either way
     rn = RK.global_row_number(df, ["k", "i"], "rn", num_partitions=8)
     assert rn.agg(F.min("rn"), F.max("rn")).collect()[0][0:2] == (1, 10_000)
+
+
+def test_global_row_number_null_ordering_matches_window(spark):
+    """NULL order keys: repartitionByRange and Window both sort NULLS
+    FIRST ascending — the distributed rn must agree row-for-row."""
+    rows = [(i, None if i % 5 == 0 else i % 13) for i in range(200)]
+    df = spark.createDataFrame(rows, "i long, v int")
+    got = RK.global_row_number(df, ["v", "i"], "rn", num_partitions=8)
+    ref = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", "i")).cast("bigint")
+    )
+    assert (
+        got.alias("a").join(ref.alias("b"), "i").filter("a.rn <> b.rn").count()
+        == 0
+    )
