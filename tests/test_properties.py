@@ -170,3 +170,81 @@ def test_star_cc_equals_union_find(spark, edges):
     comps, _ = connected_components_star(pairs)
     got = {r.id: r.component for r in comps.collect()}
     assert got == truth
+
+
+# --- ranking primitives under random frames (r5) ---------------------------
+
+_rank_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),  # heavy ties by design
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(_rank_rows, st.integers(min_value=2, max_value=9))
+@_SLOW
+def test_ranking_primitives_match_window_on_random_frames(spark, rows, k):
+    """global_row_number / global_ntile / global_rank agree with the
+    single-partition Window forms on random frames with heavy ties, NULLs,
+    and more partitions than rows — the full tie/null/empty-partition
+    surface in one property."""
+    from pyspark.sql import Window
+
+    from clickhouse_forecasting_spark.operators import ranking as RK
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "i long, a long, b int"
+    )
+    order = ["a", "b", "i"]  # total order: i is unique
+    w = Window.orderBy(*order)
+
+    got_rn = RK.global_row_number(df, order, "rn", num_partitions=7)
+    ref_rn = df.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    assert (
+        got_rn.alias("g").join(ref_rn.alias("r"), "i")
+        .filter("g.rn <> r.rn").count() == 0
+    )
+
+    got_nt = RK.global_ntile(df, order, k, "t", num_partitions=7)
+    ref_nt = df.withColumn("t", F.ntile(k).over(w))
+    assert (
+        got_nt.alias("g").join(ref_nt.alias("r"), "i")
+        .filter("g.t <> r.t").count() == 0
+    )
+
+    got_rk = RK.global_rank(df, ["a", "b"], "rk", num_partitions=7)
+    ref_rk = df.withColumn(
+        "rk", F.rank().over(Window.orderBy("a", "b")).cast("bigint")
+    )
+    assert (
+        got_rk.alias("g").join(ref_rk.alias("r"), "i")
+        .filter("g.rk <> r.rk").count() == 0
+    )
+
+
+@given(_rank_rows)
+@_SLOW
+def test_running_aggregates_match_window_on_random_frames(spark, rows):
+    from pyspark.sql import Window
+
+    from clickhouse_forecasting_spark.operators import ranking as RK
+
+    df = spark.createDataFrame(
+        [(i, a) for i, (a, _b) in enumerate(rows)], "i long, v long"
+    )
+    w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    got = RK.global_running_sum(df, ["i"], ["v"], ["cs"], num_partitions=7)
+    ref = df.select("i", F.sum("v").over(w).alias("cs"))
+    assert (
+        got.alias("g").join(ref.alias("r"), "i").filter("g.cs <> r.cs").count()
+        == 0
+    )
+    gotm = RK.global_running_max(df, ["i"], "v", "cm", num_partitions=7)
+    refm = df.select("i", F.max("v").over(w).alias("cm"))
+    assert (
+        gotm.alias("g").join(refm.alias("r"), "i")
+        .filter("g.cm <> r.cm").count() == 0
+    )
