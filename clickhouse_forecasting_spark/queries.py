@@ -20837,6 +20837,53 @@ FROM per
 """
 
 
+def q_global_rank_price_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL RANK/DENSE_RANK parity through the DISTRIBUTED ranking family
+    (operators/ranking.global_rank): order totals (exact cents) ranked
+    globally with ties — the 15 cheapest distinct price points with their
+    dense index, gapped rank, and multiplicity. RANK reduces tie groups
+    via a partitioned min-row_number (never a single-partition window);
+    DENSE_RANK ranks only the distinct-value frame. Integer outputs keep
+    the hash exact against DuckDB's native window functions."""
+    o = _t(spark, sf_dir, "orders")
+    sel = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+        "o_orderkey",
+    )
+    rnk = RK.global_rank(sel, ["c"], "rnk")
+    drk = RK.global_rank(sel, ["c"], "drk", dense=True)
+    per = (
+        rnk.groupBy("c")
+        .agg(F.min("rnk").alias("rnk"), F.count("*").cast("bigint").alias("n_orders"))
+        .join(drk.select("c", "drk").distinct(), "c")
+    )
+    return (
+        per.filter(F.col("drk") <= 15)
+        .select(
+            F.col("drk").cast("bigint").alias("dense_rank"),
+            F.col("c").alias("cents"),
+            F.col("rnk").cast("bigint").alias("rank"),
+            "n_orders",
+        )
+        .orderBy("dense_rank")
+    )
+
+
+_GLOBAL_RANK_SQL = """
+WITH r AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+    RANK() OVER (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rnk,
+    DENSE_RANK() OVER (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS drk
+  FROM orders),
+per AS (
+  SELECT c, MIN(rnk) AS rnk, MIN(drk) AS drk, COUNT(*) AS n_orders
+  FROM r GROUP BY c)
+SELECT CAST(drk AS BIGINT) AS dense_rank, c AS cents,
+  CAST(rnk AS BIGINT) AS rank, CAST(n_orders AS BIGINT) AS n_orders
+FROM per WHERE drk <= 15 ORDER BY dense_rank
+"""
+
+
 def q_quantiles_exclusive_inclusive(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -24007,6 +24054,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_window_topk": q_streaming_window_topk,
     "streaming_closed_counts": q_streaming_closed_counts,
     "streaming_state_bound_audit": q_streaming_state_bound_audit,
+    "global_rank_price_points": q_global_rank_price_points,
     "interval_length_sum": q_interval_length_sum,
     "schema_evolution_census": q_schema_evolution_census,
     "json_corrupt_records_census": q_json_corrupt_records_census,
@@ -24420,6 +24468,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "streaming_window_topk": _STREAM_TOPK_SQL,
     "streaming_closed_counts": _STREAM_CLOSED_COUNTS_SQL,
     "streaming_state_bound_audit": _STATE_BOUND_SQL,
+    "global_rank_price_points": _GLOBAL_RANK_SQL,
     "interval_length_sum": _INTERVAL_LEN_SQL,
     "schema_evolution_census": _SCHEMA_EVO_SQL,
     "json_corrupt_records_census": _JSON_CORRUPT_SQL,
