@@ -311,15 +311,18 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >=1 LSH band.
 
-    Self-equi-join of banded_signatures on the band key (shuffle-hash;
-    never a cross join; both sides are the same plan, so Spark reuses one
-    exchange — or one persisted stage when cache_key is set) -> distinct.
-    With b bands of r rows the collision probability of a pair with Jaccard
-    j is 1-(1-j^r)^b (b=4, r=4: ~0.97 at j=0.8, ~0.04 at j=0.3).
+    Self-equi-join on the band key (shuffle-hash; never a cross join) of
+    ONE guarded frame: both join sides are the identical plan — the
+    occupancy window plus guard projection — so Spark reuses a single
+    exchange in the uncached path (and a single persisted stage when
+    cache_key is set) rather than computing/shuffling the banded
+    signatures twice.  With b bands of r rows the collision probability of
+    a pair with Jaccard j is 1-(1-j^r)^b (b=4, r=4: ~0.97 at j=0.8,
+    ~0.04 at j=0.3).
 
-    The probe side carries a per-band occupancy count (a window over the
-    same band partitioning the join shuffles on — no extra exchange) and
-    an in-plan assert_true caps it at ``max_band_occupancy``: a degenerate
+    The guard: a per-band occupancy count (a window over the same band
+    partitioning the join shuffles on — no extra exchange) feeds an
+    in-plan assert_true capping it at ``max_band_occupancy``: a degenerate
     hot bucket fails loudly before emitting its n² candidate rows."""
     banded = banded_signatures(
         df, text_col, id_col, shingle_size, num_hashes, bands, cache_key
@@ -336,14 +339,11 @@ def minhash_lsh_candidates(
         ).isNull(),
         F.col("band"),
     )
-    a = (
-        banded.withColumn("__band_occ", occ)
-        .select(guarded_band.alias("band"), F.col(id_col))
-        .alias("a")
+    guarded = banded.withColumn("__band_occ", occ).select(
+        guarded_band.alias("band"), F.col(id_col)
     )
-    b2 = banded.alias("b")
     return (
-        a.join(b2, "band")
+        guarded.alias("a").join(guarded.alias("b"), "band")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")

@@ -314,6 +314,17 @@ def lsh_bucket_assignments(
     )
 
 
+# In-plan hard bound on hyperplane-LSH bucket occupancy for the pair
+# self-join — the embedding twin of functions/dedup.MAX_BAND_OCCUPANCY.
+# Sign-projection buckets follow the DATA distribution: a tight embedding
+# cluster (near-duplicate farm, zero vectors, a collapsed encoder) can put
+# n vectors in ONE bucket and n² rows through the join. Past the bound the
+# join REFUSES to emit rows (assert_true raises at run time); the remedy is
+# more planes, an exact-dup pre-split, or the IVF variant whose learned
+# cells balance occupancy.
+MAX_BUCKET_OCCUPANCY = 10_000
+
+
 def hyperplane_near_dup_pairs(
     df: DataFrame,
     dim: int,
@@ -322,20 +333,46 @@ def hyperplane_near_dup_pairs(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket_occupancy: int = MAX_BUCKET_OCCUPANCY,
 ) -> DataFrame:
     """Full-corpus embedding near-dup pairs, LSH-bucketed — the scale path.
 
     Identical/near-identical vectors land in the same sign-projection
     bucket with probability (1 - theta/pi)^n_planes, so the self-join is an
-    equi-join on bucket (shuffle-hash, exchange reused for both sides) and
-    the cosine verification runs only inside buckets. Expected bucket
-    occupancy n/2^planes controls the quadratic term — size n_planes to
-    data volume. Compare embedding_near_dup_pairs (brute force) for audits."""
+    equi-join on bucket (both sides are ONE guarded plan, so Spark reuses a
+    single exchange) and the cosine verification runs only inside buckets.
+    Expected bucket occupancy n/2^planes controls the quadratic term — size
+    n_planes to data volume; a per-bucket occupancy window (over the same
+    bucket partitioning the join shuffles on — no extra exchange) feeds an
+    in-plan assert_true so one degenerate hot bucket fails loudly instead
+    of silently running its n² join. Compare embedding_near_dup_pairs
+    (brute force) for audits.
+
+    The probe-side top-k paths (lsh_topk / ivf_topk) carry NO guard on
+    purpose: they are scan + TakeOrdered — a hot bucket degrades them
+    toward brute-force COST (linear), never a quadratic blow-up."""
+    from pyspark.sql import Window
+
     bucketed = lsh_bucket_assignments(df, dim, n_planes, seed, vec_col, id_col)
-    a = bucketed.select(
+    occ = F.count("*").over(Window.partitionBy("bucket"))
+    guarded_bucket = F.when(
+        F.assert_true(
+            F.col("__bucket_occ") <= F.lit(int(max_bucket_occupancy)),
+            F.lit(
+                "LSH hyperplane bucket exceeds the %d-vector occupancy bound "
+                "(degenerate bucket — add planes or pre-split exact "
+                "duplicates)" % int(max_bucket_occupancy)
+            ),
+        ).isNull(),
+        F.col("bucket"),
+    )
+    guarded = bucketed.withColumn("__bucket_occ", occ).select(
+        guarded_bucket.alias("bucket"), F.col(id_col), F.col(vec_col)
+    )
+    a = guarded.select(
         F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
-    b = bucketed.select(
+    b = guarded.select(
         F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
     return (

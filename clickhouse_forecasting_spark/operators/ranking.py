@@ -89,6 +89,9 @@ def partition_offsets(local: DataFrame, sum_cols: Iterable[str] = ()) -> DataFra
     aggs = [F.count("*").alias(_CNT)]
     for c in sum_cols:
         aggs.append(F.sum(c).alias(f"__rk_s_{c}"))
+        # non-null count per partition: lets global_running_sum reproduce
+        # SQL's NULL-until-first-non-null running-sum semantics exactly
+        aggs.append(F.count(c).alias(f"__rk_nn_{c}"))
     counts = local.groupBy(_PID).agg(*aggs)
     w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     out = counts.select(
@@ -96,8 +99,19 @@ def partition_offsets(local: DataFrame, sum_cols: Iterable[str] = ()) -> DataFra
         F.col(_CNT),  # kept so consumers can derive totals without a rescan
         F.coalesce(F.sum(_CNT).over(w), F.lit(0)).cast("bigint").alias(_OFF),
         *[
-            F.coalesce(F.sum(f"__rk_s_{c}").over(w), F.lit(0)).alias(f"__rk_cum_{c}")
-            for c in sum_cols
+            c
+            for pair in (
+                (
+                    F.coalesce(F.sum(f"__rk_s_{c}").over(w), F.lit(0)).alias(
+                        f"__rk_cum_{c}"
+                    ),
+                    F.coalesce(F.sum(f"__rk_nn_{c}").over(w), F.lit(0))
+                    .cast("bigint")
+                    .alias(f"__rk_cumn_{c}"),
+                )
+                for c in sum_cols
+            )
+            for c in pair
         ],
     )
     return out
@@ -151,23 +165,40 @@ def global_ntile(
     total = off.agg(
         F.max(F.col(_OFF) + F.col(_CNT)).cast("bigint").alias("__rk_total")
     )
-    rn = (F.col(_OFF) + F.col(_LRN)).cast("bigint")
-    t = F.col("__rk_total")
-    k = F.lit(int(n_tiles)).cast("bigint")
-    base = (t / k).cast("bigint")  # floor: both positive
-    rem = t % k
-    big = base + 1
-    cut = big * rem  # rows covered by the larger tiles
-    tile = (
-        F.when(base == 0, rn)
-        .when(rn <= cut, ((rn + big - 1) / big).cast("bigint"))
-        .otherwise(rem + ((rn - cut + base - 1) / base).cast("bigint"))
-    )
-    return (
+    # all tile arithmetic in bigint `div` (never Column `/`, which is a
+    # DOUBLE divide and can round across an integer boundary near 2^53)
+    k = int(n_tiles)
+    joined = (
         local.join(F.broadcast(off), _PID)
         .crossJoin(F.broadcast(total))
-        .withColumn(col_name, tile.cast("int"))
-        .drop(_PID, _LRN, _OFF, _CNT, "__rk_total")
+        .withColumn("__rk_rn", (F.col(_OFF) + F.col(_LRN)).cast("bigint"))
+        .withColumn("__rk_base", F.expr(f"__rk_total div {k}"))
+        .withColumn("__rk_rem", F.expr(f"__rk_total % {k}"))
+    )
+    big = F.col("__rk_base") + 1  # size of the first `rem` (larger) tiles
+    cut = big * F.col("__rk_rem")  # rows covered by the larger tiles
+    tile = (
+        F.when(F.col("__rk_base") == 0, F.col("__rk_rn"))
+        .when(
+            F.col("__rk_rn") <= cut,
+            # ceil(rn / big) with big = base + 1, all-integer
+            F.expr("(__rk_rn + __rk_base) div (__rk_base + 1)"),
+        )
+        .otherwise(
+            F.col("__rk_rem")
+            + F.expr(
+                "(__rk_rn - (__rk_base + 1) * __rk_rem + __rk_base - 1)"
+                " div __rk_base"
+            )
+        )
+    )
+    # identity clamp: tile ∈ 1..k by construction, so pmod(tile−1, k)+1
+    # == tile — but it makes the 1..k domain VISIBLE to plan analysis
+    # (plans._spc_key_bounded), so an aggregate grouped on the ntile
+    # output is provably bounded in the single-partition census
+    tile = F.pmod(tile - 1, F.lit(int(n_tiles)).cast("bigint")) + 1
+    return joined.withColumn(col_name, tile.cast("int")).drop(
+        _PID, _LRN, _OFF, _CNT, "__rk_total", "__rk_rn", "__rk_base", "__rk_rem"
     )
 
 
@@ -217,7 +248,13 @@ def global_running_sum(
     ``order_by`` — ``SUM(c) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
     distributed as: per-partition running sum (+ one narrow hash shuffle on
     the partition id, parallel across partitions) plus broadcast exclusive
-    prefix totals from the tiny per-partition count frame."""
+    prefix totals from the tiny per-partition count frame.
+
+    NULL semantics match the SQL window form exactly: a row whose global
+    prefix contains no non-null value yields NULL; otherwise NULLs are
+    skipped.  (The prefix totals are coalesced to 0, so a per-partition
+    non-null count — also carried in the offsets frame — decides the
+    NULL-vs-0 edge.)"""
     local = ranged_with_local_index(df, order_by, num_partitions)
     off = partition_offsets(local, sum_cols=value_cols)
     w = (
@@ -227,8 +264,16 @@ def global_running_sum(
     )
     out = local.join(F.broadcast(off), _PID)
     for c, name in zip(value_cols, out_names):
-        out = out.withColumn(name, F.col(f"__rk_cum_{c}") + F.sum(c).over(w))
-    drop = [_PID, _LRN, _OFF, _CNT] + [f"__rk_cum_{c}" for c in value_cols]
+        seen = F.col(f"__rk_cumn_{c}") + F.count(c).over(w)
+        out = out.withColumn(
+            name,
+            F.when(seen == 0, F.lit(None)).otherwise(
+                F.col(f"__rk_cum_{c}") + F.coalesce(F.sum(c).over(w), F.lit(0))
+            ),
+        )
+    drop = [_PID, _LRN, _OFF, _CNT] + [
+        f"__rk_cum_{c}" for c in value_cols
+    ] + [f"__rk_cumn_{c}" for c in value_cols]
     return out.drop(*drop)
 
 
@@ -238,19 +283,27 @@ def global_running_max(
     value_col: str,
     col_name: str,
     num_partitions: int | None = None,
+    exclusive: bool = False,
 ) -> DataFrame:
-    """df + inclusive running max of ``value_col`` over the global
-    ``order_by`` — max is associative, so the stitch is: per-partition
-    running max + broadcast exclusive prefix max of partition maxima
-    (NULL for the first partition; greatest() skips it)."""
+    """df + running max of ``value_col`` over the global ``order_by`` —
+    max is associative, so the stitch is: per-partition running max +
+    broadcast exclusive prefix max of partition maxima (NULL for the
+    first partition; greatest() skips NULLs).
+
+    With ``exclusive=True`` the frame is
+    ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`` (the skyline /
+    strictly-before shape): the local window excludes the current row and
+    the first global row yields NULL — identical to the SQL form's empty
+    frame."""
     local = ranged_with_local_index(df, order_by, num_partitions)
     pmax = local.groupBy(_PID).agg(F.max(value_col).alias("__rk_pm"))
     wp = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     pre = pmax.select(_PID, F.max("__rk_pm").over(wp).alias("__rk_prem"))
+    hi = -1 if exclusive else 0
     wl = (
         Window.partitionBy(_PID)
         .orderBy(_LRN)
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .rowsBetween(Window.unboundedPreceding, hi)
     )
     return (
         local.join(F.broadcast(pre), _PID)

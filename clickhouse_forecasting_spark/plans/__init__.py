@@ -55,23 +55,73 @@ def plan_summary(df: DataFrame, run: bool = False) -> dict[str, int]:
 # An unpartitioned Window / global sort-to-one plans an
 # `Exchange SinglePartition` whose input is the FULL upstream frame — the
 # one operator shape that cannot scale out.  It is legitimate only when the
-# frame feeding it is bounded: beneath an Aggregate (partial aggregates ride
-# the exchange as one row per group of a bounded grain), a Limit /
-# TakeOrderedAndProject, or a literal-sized leaf (Range, LocalTableScan).
+# frame feeding it is bounded: beneath a Limit / TakeOrderedAndProject, a
+# literal-sized leaf (Range, LocalTableScan), or an Aggregate whose EVERY
+# grouping key has a provably bounded domain (a category enum, a calendar
+# grain, the physical partition id, or a __bounded_* marker).  An aggregate
+# keyed by a data-proportional column (doc_id, custkey, token, distinct
+# price) is NOT a barrier — one row per document/customer/term is billions
+# of rows at 100 TB — so the walk recurses into its children instead.
 # single_partition_collapses() walks the physical-plan tree and returns the
 # offending Exchange lines — empty means every global-order operation in the
 # plan is either distributed (operators/ranking.py) or provably bounded.
 
 _SPC_BARRIERS = (
-    "HashAggregate",
-    "SortAggregate",
-    "ObjectHashAggregate",
     "TakeOrderedAndProject",
     "CollectLimit",
     "GlobalLimit",
     "LocalLimit",
     "BroadcastExchange",  # broadcast sides are bounded by the bcast threshold
 )
+
+_SPC_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+
+# Column names whose value domain is bounded by the DATA MODEL, not by the
+# corpus size — the only aggregate grouping keys that bound a frame.  Every
+# entry carries its domain bound; anything not listed is assumed
+# data-proportional.
+_SPC_BOUNDED_COLUMNS = frozenset({
+    # TPC-H dimension keys / enums (fixed small domains at every SF)
+    "r_regionkey", "r_name",                      # 5 regions
+    "n_nationkey", "n_name",                      # 25 nations
+    "c_nationkey", "s_nationkey",                 # 25 nations
+    "l_returnflag", "l_linestatus",               # 3 / 2 values
+    "l_shipmode", "l_shipinstruct",               # 7 / 4 values
+    "l_linenumber",                               # 1..7
+    "l_quantity",                                 # 1..50 (spec)
+    "o_orderstatus", "o_orderpriority",           # 3 / 5 values
+    "c_mktsegment",                               # 5 segments
+    "p_brand", "p_container", "p_mfgr",           # 25 / 40 / 5 values
+    "p_size", "p_type",                           # 1..50 / 150 values
+    # calendar-grain date columns: the fixture spans a fixed date range
+    # (grows with TIME, not with data volume — one row per date at the
+    # finest grain)
+    "o_orderdate", "l_shipdate", "l_commitdate", "l_receiptdate",
+    # documents generator enums (TESTDATA.md: closed source/lang sets)
+    "lang", "source",
+    # naming-convention calendar grains: this repo names derived calendar
+    # columns day/week/month/year (aggregate-output lineage is not
+    # printed in plans, so the convention is the contract — reviewed like
+    # __bounded_ markers)
+    "day", "week", "month", "year",
+    # physical partition id — bounded by spark.sql.shuffle.partitions
+    # (config, not data); operators/ranking.py per-partition summaries
+    "__rk_pid",
+})
+
+# Expression heads that bound ANY argument to a small domain: calendar
+# extractors (year/month/… of anything is calendar-bounded) and the
+# physical partition id.
+_SPC_BOUNDED_EXPR_RE = re.compile(
+    r"^(year|month|quarter|weekofyear|week|dayofweek|dayofmonth|dayofyear|"
+    r"weekday|day|hour|minute|second|isodow|date_trunc|trunc|date_format|"
+    r"to_date|datediff|date_diff|spark_partition_id)\("
+)
+
+# cast(anything AS date) is a calendar coarsening: the result domain is the
+# corpus date span (grows with TIME, not data volume) no matter what the
+# argument is
+_SPC_CAST_DATE_RE = re.compile(r"^cast\(.+ as date\)$")
 
 _SPC_BOUNDED_LEAVES = (
     "Range ",  # spark.range(...) — literal row count
@@ -97,7 +147,19 @@ def _parse_plan_tree(plan: str) -> list[_PlanNode]:
     / `== Initial Plan ==` section headers inline: the headers are
     structural noise (dropped), and the Initial-plan section is the
     pre-adaptive rendering of the SAME subtree — auditing it would
-    double-count, so it is skipped and only the Final plan is walked."""
+    double-count, so it is skipped and only the Final plan is walked.
+
+    InMemoryRelation nodes embed their cached plan's OWN AdaptiveSparkPlan
+    rendering, whose stage-root lines (`ResultQueryStage n`, …) print with
+    NO `+- `/`:- ` connector at an indentation unrelated to the outer tree
+    — naively they'd attach as phantom children of outer nodes (observed:
+    a cached-stage root attaching under an unrelated Exchange
+    SinglePartition, a census false positive). A connector-less line at
+    depth > 0 while an InMemoryRelation is open on the stack is such an
+    embedded root: dropped WITHOUT touching the stack, so its own
+    connector-bearing descendants attach deep inside the cached-relation
+    subtree (which the census treats as an opaque leaf) and the outer
+    tree resumes intact."""
     roots: list[_PlanNode] = []
     stack: list[tuple[int, _PlanNode]] = []
     skip_deeper_than: int | None = None
@@ -105,10 +167,12 @@ def _parse_plan_tree(plan: str) -> list[_PlanNode]:
         if not raw.strip() or raw.lstrip().startswith("=="):
             continue
         i = 0
+        connector = False
         while raw[i : i + 3] in ("   ", ":  ", ":- ", "+- "):
             marker = raw[i : i + 3]
             i += 3
             if marker in (":- ", "+- "):
+                connector = True
                 break
         text = raw[i:]
         depth = i // 3
@@ -119,6 +183,14 @@ def _parse_plan_tree(plan: str) -> list[_PlanNode]:
         if text.startswith("=="):
             if "Initial Plan" in text:
                 skip_deeper_than = depth
+            continue
+        if depth > 0 and not connector:
+            # an embedded-plan root (cached-relation AQE rendering) or an
+            # AQE section root: dropping it WITHOUT touching the stack
+            # splices it out — its connector-bearing children attach to
+            # the node it would have attached to, so real dataflow stays
+            # connected and phantom stage roots never become children of
+            # unrelated outer nodes (see docstring)
             continue
         node = _PlanNode(text)
         while stack and stack[-1][0] >= depth:
@@ -141,8 +213,276 @@ def _parse_plan_tree(plan: str) -> list[_PlanNode]:
 BOUNDED_MARK_PREFIX = "__bounded_"
 
 
-def _spc_unbounded(node: _PlanNode) -> bool:
+def _agg_grouping_keys(text: str) -> list[str] | None:
+    """Parse the keys=[...] list of an Aggregate plan line, splitting on
+    top-level commas only (keys may contain nested function calls)."""
+    m = re.search(r"keys?=\[", text)
+    if m is None:
+        return None
+    keys: list[str] = []
+    buf: list[str] = []
+    depth_sq, depth_par = 0, 0
+    for ch in text[m.end():]:
+        if ch == "]" and depth_sq == 0:
+            break
+        if ch == "[":
+            depth_sq += 1
+        elif ch == "]":
+            depth_sq -= 1
+        elif ch == "(":
+            depth_par += 1
+        elif ch == ")":
+            depth_par -= 1
+        elif ch == "," and depth_sq == 0 and depth_par == 0:
+            keys.append("".join(buf).strip())
+            buf = []
+            continue
+        buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        keys.append(tail)
+    return keys
+
+
+_SPC_CAST_RE = re.compile(r"^cast\((.+) as \w+(\(\d+(,\d+)?\))?\)$")
+_SPC_ATTR_RE = re.compile(r"^(\w+)#\d+[A-Z]*$")
+
+
+def _strip_normalize_wrappers(e: str) -> str:
+    for w in ("knownfloatingpointnormalized(", "normalizenanandzero("):
+        while e.startswith(w) and e.endswith(")"):
+            e = e[len(w):-1]
+    return e
+
+
+def _resolve_alias(ref: str, subtree: str) -> str | None:
+    """Find the defining expression of `name#id` (an alias produced by a
+    Project/Aggregate beneath) by scanning backward from ` AS name#id`,
+    balancing brackets to the start of the aliased expression."""
+    idx = subtree.find(" AS " + ref)
+    if idx < 0:
+        return None
+    depth = 0
+    j = idx - 1
+    while j >= 0:
+        ch = subtree[j]
+        if ch in ")]":
+            depth += 1
+        elif ch in "([":
+            if depth == 0:
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            break
+        j -= 1
+    return subtree[j + 1: idx].strip()
+
+
+def _split_top_level(s: str, sep: str) -> list[str]:
+    """Split on `sep` occurrences at bracket depth 0."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if depth == 0 and s.startswith(sep, i):
+            parts.append("".join(buf))
+            buf = []
+            i += len(sep)
+            continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts]
+
+
+def _strip_outer_parens(e: str) -> str:
+    while e.startswith("(") and e.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(e):
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+                if depth == 0 and i < len(e) - 1:
+                    return e  # the opening paren closes early — not outer
+        e = e[1:-1].strip()
+    return e
+
+
+def _case_result_exprs(e: str) -> list[str] | None:
+    """For a top-level `CASE WHEN … THEN … [ELSE …] END`, the list of
+    result (THEN/ELSE) expressions; None if `e` is not such a CASE."""
+    if not (e.startswith("CASE") and e.endswith("END")):
+        return None
+    results: list[str] = []
+    depth = 0  # bracket depth
+    case_depth = 0  # nesting of CASE…END
+    collect_from: int | None = None
+    i = 0
+
+    def word_at(pos: int, w: str) -> bool:
+        end = pos + len(w)
+        before_ok = pos == 0 or not e[pos - 1].isalnum()
+        after_ok = end >= len(e) or not e[end].isalnum()
+        return e.startswith(w, pos) and before_ok and after_ok
+
+    while i < len(e):
+        ch = e[i]
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if depth == 0:
+            if word_at(i, "CASE"):
+                case_depth += 1
+                i += 4
+                continue
+            if word_at(i, "END"):
+                case_depth -= 1
+                if case_depth == 0:
+                    if collect_from is not None:
+                        results.append(e[collect_from:i].strip())
+                    return results
+                i += 3
+                continue
+            if case_depth == 1:
+                for kw in ("WHEN", "THEN", "ELSE"):
+                    if word_at(i, kw):
+                        if collect_from is not None:
+                            results.append(e[collect_from:i].strip())
+                            collect_from = None
+                        if kw in ("THEN", "ELSE"):
+                            collect_from = i + len(kw)
+                        i += len(kw) - 1
+                        break
+        i += 1
+    return None  # malformed
+
+
+_SPC_AGG_OUT_RE = re.compile(
+    r"keys=\[(?P<keys>.*?)\], functions=\[(?P<fns>.*?)\], output=\[(?P<out>.*?)\]"
+)
+_SPC_BOUNDED_AGG_FNS = ("min", "max", "first", "last", "any_value", "mode")
+
+
+def _resolve_agg_output(ref: str, subtree: str) -> str | None:
+    """Resolve `name#id` when it is an AGGREGATE output attribute (printed
+    in output=[...], never as an AS alias): map it positionally — output =
+    grouping keys ++ function results — and return the function expression
+    if it is a domain-preserving reduction (min/max/first/...) of its
+    argument, whose boundedness the caller then checks."""
+    for m in _SPC_AGG_OUT_RE.finditer(subtree):
+        out = _split_top_level(m.group("out"), ",")
+        if ref not in out:
+            continue
+        keys = [k for k in _split_top_level(m.group("keys"), ",") if k]
+        fns = [f for f in _split_top_level(m.group("fns"), ",") if f]
+        if len(out) != len(keys) + len(fns):
+            # resultExpressions were folded into the aggregate (post-agg
+            # projection) — the positional keys++functions mapping does
+            # not hold, and guessing would mis-resolve
+            continue
+        idx = out.index(ref)
+        if idx < len(keys):
+            if keys[idx] == ref:
+                # ref is this aggregate's own passthrough key — its
+                # definition lives in an earlier (deeper) aggregate or
+                # projection; keep scanning
+                continue
+            return keys[idx]
+        fi = idx - len(keys)
+        fn = fns[fi]
+        fm = re.match(r"^(\w+)\((.*)\)$", fn)
+        if fm and fm.group(1) in _SPC_BOUNDED_AGG_FNS:
+            args = _split_top_level(fm.group(2), ",")
+            if args and args[0] != ref:
+                return args[0]
+        continue
+    return None
+
+
+def _spc_key_bounded(expr: str, subtree: str, depth: int = 0) -> bool:
+    """True iff a grouping expression provably has a bounded value domain.
+    The grammar (each rule is domain arithmetic, not a heuristic):
+    literal | declared bounded column | __bounded_* marker | calendar
+    extractor / spark_partition_id over anything | cast(… as date) |
+    pmod(anything, literal) | anything % literal | bounded ± literal |
+    cast(bounded) | CASE whose every THEN/ELSE result is bounded |
+    alias / aggregate-output chains resolving to one of those (min/max/
+    first/… preserve their argument's domain)."""
+    if depth > 6:
+        return False
+    e = _strip_outer_parens(_strip_normalize_wrappers(expr.strip()))
+    if _SPC_BOUNDED_EXPR_RE.match(e):
+        return True
+    if _SPC_CAST_DATE_RE.match(e):
+        return True
+    if re.match(r"^-?\d+(\.\d+)?L?$|^true$|^false$|^null$", e, re.IGNORECASE):
+        return True  # literal grouping key
+    branches = _case_result_exprs(e)
+    if branches is not None:
+        return bool(branches) and all(
+            _spc_key_bounded(b, subtree, depth + 1) for b in branches
+        )
+    if e.startswith("pmod("):
+        args = _split_top_level(e[5:-1], ",") if e.endswith(")") else []
+        if len(args) == 2 and re.match(r"^-?\d+L?$", args[1]):
+            return True
+    # x % literal — at most 2·k−1 distinct values
+    mod_parts = _split_top_level(e, " % ")
+    if len(mod_parts) == 2 and re.match(r"^-?\d+L?$", mod_parts[1]):
+        return True
+    # bounded ± literal — a shift preserves domain size
+    for op in (" + ", " - "):
+        parts = _split_top_level(e, op)
+        if len(parts) == 2:
+            lit, other = None, None
+            for a, b in ((parts[0], parts[1]), (parts[1], parts[0])):
+                if re.match(r"^-?\d+(\.\d+)?L?$", a):
+                    lit, other = a, b
+            if lit is not None and _spc_key_bounded(other, subtree, depth + 1):
+                return True
+    m = _SPC_CAST_RE.match(e)
+    if m:
+        return _spc_key_bounded(m.group(1), subtree, depth + 1)
+    m = _SPC_ATTR_RE.match(e)
+    if m:
+        name = m.group(1)
+        if name.startswith(BOUNDED_MARK_PREFIX) or name in _SPC_BOUNDED_COLUMNS:
+            return True
+        defn = _resolve_alias(e, subtree)
+        if defn is not None and defn != e:
+            return _spc_key_bounded(defn, subtree, depth + 1)
+        defn = _resolve_agg_output(e, subtree)
+        if defn is not None and defn != e:
+            return _spc_key_bounded(defn, subtree, depth + 1)
+    return False
+
+
+def _subtree_text(node: _PlanNode) -> str:
+    parts = [node.text]
+    stack = list(node.children)
+    while stack:
+        n = stack.pop()
+        parts.append(n.text)
+        stack.extend(n.children)
+    return "\n".join(parts)
+
+
+def _spc_unbounded(node: _PlanNode, ctx: str | None = None) -> bool:
+    """ctx is the FULL plan text: grouping-key aliases may be defined under
+    a ReusedExchange's original subtree elsewhere in the plan, and
+    attribute ids (#N) are plan-global, so resolution searches all of it.
+    Falls back to the node's own subtree when not provided."""
     t = node.text
+    if ctx is None:
+        ctx = _subtree_text(node)
     if BOUNDED_MARK_PREFIX in t:
         # marker column visible in this node's attribute list — the frame
         # flowing through here is bounded by construction (leaf schemas,
@@ -150,9 +490,24 @@ def _spc_unbounded(node: _PlanNode) -> bool:
         return False
     if any(b in t for b in _SPC_BARRIERS):
         return False
+    if "InMemoryTableScan" in t or "InMemoryRelation" in t:
+        # cached frame: an opaque materialization — data-proportional
+        # unless its schema carries a __bounded_* marker (checked above).
+        # Never recurse: the embedded cached-plan rendering is not part
+        # of this plan's dataflow.
+        return True
+    if any(a in t for a in _SPC_AGG_NODES):
+        keys = _agg_grouping_keys(t)
+        if keys is not None:
+            if not keys:
+                return False  # scalar aggregate: exactly one row
+            if all(_spc_key_bounded(k, ctx) for k in keys):
+                return False  # bounded grouping grain: |domain| rows max
+        # data-proportional grain: the aggregate output scales with its
+        # input, so boundedness is the CHILDREN's boundedness
     if not node.children:
         return not any(b in t for b in _SPC_BOUNDED_LEAVES)
-    return any(_spc_unbounded(c) for c in node.children)
+    return any(_spc_unbounded(c, ctx) for c in node.children)
 
 
 def single_partition_collapses(df: DataFrame, run: bool = False) -> list[str]:
@@ -165,7 +520,7 @@ def single_partition_collapses(df: DataFrame, run: bool = False) -> list[str]:
 
     def walk(node: _PlanNode) -> None:
         if node.text.startswith("Exchange SinglePartition") and any(
-            _spc_unbounded(c) for c in node.children
+            _spc_unbounded(c, plan) for c in node.children
         ):
             flagged.append(node.text.split(", [plan_id")[0])
         for c in node.children:

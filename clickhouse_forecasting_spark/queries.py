@@ -2276,14 +2276,18 @@ FROM n GROUP BY label ORDER BY label
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 against the vec_id=0 vector, fully in-plan (the
-    query row is broadcast; no driver collect)."""
+    query row is broadcast; no driver collect). The top-k is
+    TakeOrderedAndProject (each partition retains 10 rows); the rank
+    column is a window over the already-10-row frame, never over the
+    full corpus."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     scored = emb.crossJoin(F.broadcast(q)).select(
         "vec_id", F.round(DD.cosine_similarity(F.col("embedding"), F.col("qvec")), 6).alias("cosine")
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    order = [F.col("cosine").desc(), F.col("vec_id")]
+    top = RK.top_k(scored, order, 10)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
 
 _TOPK_SQL = """
@@ -2339,7 +2343,9 @@ def _lsh_probe_topk(
     """Shared body for the (multi-probe) LSH top-k queries: bucket filter
     via the seed-fixed signature, then the similarity_topk ranking recipe
     (cosine rounded to 6dp BEFORE ranking so the top-k set is
-    deterministic across engines)."""
+    deterministic across engines). Probe buckets are NOT provably bounded
+    (a degenerate corpus can pile into one bucket), so the top-k is
+    TakeOrderedAndProject, never a global window over the candidates."""
     emb = _t(spark, sf_dir, "embeddings")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     planes = SIM.random_hyperplanes(len(query), n_planes, seed=42)
@@ -2356,8 +2362,9 @@ def _lsh_probe_topk(
             ).alias("cosine"),
         )
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    order = [F.col("cosine").desc(), F.col("vec_id")]
+    top = RK.top_k(scored, order, 10)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
 
 def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2520,8 +2527,9 @@ def q_similarity_ivf_det_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    order = [F.col("cosine").desc(), F.col("vec_id")]
+    top = RK.top_k(scored, order, 10)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
 
 _IVF_DET_SQL = """
@@ -3731,6 +3739,9 @@ def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     phased = RK.global_ntile(
         scored, [F.desc("q_score"), "doc_id"], 5, col_name="phase"
     )
+    # phase ∈ 1..5 by NTILE construction — global_ntile's pmod identity
+    # clamp makes that domain visible to the plan census, so the 5-row
+    # aggregate below provably bounds the cumulative window above it
     per = (
         phased.groupBy("phase")
         .agg(
@@ -4006,9 +4017,12 @@ def q_roc_auc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         F.sum("pos").alias("posc"),
     )
-    # Σ over positive rows of 2·avg_rank, exact integer arithmetic
+    # Σ over positive rows of 2·avg_rank, exact integer arithmetic —
+    # factors cast to decimal BEFORE multiplying: posc·(2·rnk+cnt−1) is
+    # O(n²) and would silently wrap past 2^63 in bigint at large scale
     rs2 = F.sum(
-        (F.col("posc") * (2 * F.col("rnk") + F.col("cnt") - 1)).cast("decimal(38,0)")
+        F.col("posc").cast("decimal(38,0)")
+        * (2 * F.col("rnk") + F.col("cnt") - 1).cast("decimal(38,0)")
     )
     agg = per_score.agg(
         F.sum("posc").alias("n_pos"),
@@ -4090,6 +4104,10 @@ def q_ab_cuped_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
          - F.col("theta") * (F.col("xc").cast("double") - F.col("mx"))).alias("ya"),
         "theta",
     )
+    # arm = user_id % 2 ∈ {0, 1}, so arms is 2 rows — checkpointed, and
+    # the pooled variances are a 1-row broadcast aggregate over it instead
+    # of a global window (no single-partition exchange, and the per_user
+    # pipeline runs exactly once)
     arms = adj.groupBy("arm").agg(
         F.count("*").alias("n"),
         F.avg("y").alias("my"),
@@ -4097,13 +4115,17 @@ def q_ab_cuped_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.var_samp("y").alias("vy"),
         F.var_samp("ya").alias("vya"),
         F.first("theta").alias("theta"),
+    ).localCheckpoint(eager=True)
+    pooled = arms.agg(
+        (
+            F.sum(F.col("vy") * (F.col("n") - 1)) / F.sum(F.col("n") - 1)
+        ).alias("pv"),
+        (
+            F.sum(F.col("vya") * (F.col("n") - 1)) / F.sum(F.col("n") - 1)
+        ).alias("pva"),
     )
-    w = Window.partitionBy()
-    pooled_vy = F.sum(F.col("vy") * (F.col("n") - 1)).over(w) / F.sum(F.col("n") - 1).over(w)
-    pooled_vya = F.sum(F.col("vya") * (F.col("n") - 1)).over(w) / F.sum(F.col("n") - 1).over(w)
     return (
-        arms.withColumn("pv", pooled_vy)
-        .withColumn("pva", pooled_vya)
+        arms.crossJoin(F.broadcast(pooled))
         .select(
             "arm",
             F.col("n").cast("bigint").alias("n_users"),
@@ -4906,8 +4928,12 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ_j −P(i→j)·ln P(i→j), with the stationary weight π estimated as
     each source state's share of transitions — the single number that
     says how predictable user journeys are (0 = deterministic). Rides
-    the same lead-window pair counts as markov_transitions; the entropy
-    fold is window algebra over the ≤25-cell transition table."""
+    the same lead-window pair counts as markov_transitions. event_type is
+    not provably a closed enum, so the transition table counts as
+    data-proportional: the total-mass and entropy-rate scalars are 1-row
+    broadcast aggregates (never a global window over the cell table), and
+    the per-source normalizer stays a src-PARTITIONED window (parallel by
+    key). The cell table is checkpointed once — one events scan total."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
@@ -4917,12 +4943,15 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dst").isNotNull())
     )
-    counts = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    counts = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    ntot = counts.agg(F.sum("n").alias("ntot"))
     wsrc = Window.partitionBy("src")
-    wall = Window.partitionBy()
-    t = (
-        counts.withColumn("nsrc", F.sum("n").over(wsrc))
-        .withColumn("ntot", F.sum("n").over(wall))
+    t = counts.withColumn("nsrc", F.sum("n").over(wsrc)).crossJoin(
+        F.broadcast(ntot)
     )
     p = F.col("n").cast("double") / F.col("nsrc")
     cell = -(F.col("nsrc").cast("double") / F.col("ntot")) * p * F.log(p)
@@ -4934,10 +4963,10 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cell).alias("h_part"),
         )
     )
+    hr = per_src.agg(F.sum("h_part").alias("h_sum"))
     return (
-        per_src.withColumn(
-            "entropy_rate", F.round(F.sum("h_part").over(Window.partitionBy()), 6)
-        )
+        per_src.crossJoin(F.broadcast(hr))
+        .withColumn("entropy_rate", F.round(F.col("h_sum"), 6))
         .select("src", "n_transitions", "row_entropy", "entropy_rate")
         .orderBy("src")
     )
@@ -7546,23 +7575,26 @@ def q_argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax-per-group without a self-join: max over a (price, orderkey)
     struct gives each customer's most expensive order (ties -> highest key)
     in ONE aggregation — the scalable alternative to the join-back-on-max
-    idiom the oracle uses. Top 25 customers by that best price."""
+    idiom the oracle uses. Top 25 customers by that best price: the
+    per-customer frame is corpus-proportional, so the top-k is
+    TakeOrderedAndProject, and the rank window runs over 25 rows only."""
     orders = _t(spark, sf_dir, "orders")
     best = orders.groupBy("o_custkey").agg(
         F.max(
             F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
         ).alias("b")
     )
-    w = Window.orderBy(F.col("best_price").desc(), F.col("o_custkey"))
-    return (
+    order = [F.col("best_price").desc(), F.col("o_custkey")]
+    top = RK.top_k(
         best.select(
             "o_custkey",
             F.col("b.p").cast("double").alias("best_price"),
             F.col("b.k").alias("best_orderkey"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 25)
+        ),
+        order,
+        25,
     )
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
 
 _ARGMAX_SQL = """
@@ -7630,14 +7662,16 @@ def q_text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
-    return (
+    counts = (
         docs.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
     )
+    # distinct bigrams grow faster than the unigram vocab — top-k via
+    # TakeOrderedAndProject, rank window over the 20-row result only
+    order = [F.col("n").desc(), F.col("bigram")]
+    top = RK.top_k(counts, order, 20)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
 
 _BIGRAM_SQL = f"""
@@ -7724,17 +7758,15 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.size(F.array_distinct(t)) / F.greatest(n, F.lit(1)).cast("double"),
         6,
     )
-    w = Window.orderBy(F.col("repetition").desc(), F.col("doc_id"))
-    return (
-        docs.select(
-            "doc_id",
-            n.alias("n_tokens"),
-            F.size(F.array_distinct(t)).alias("n_distinct"),
-            rep.alias("repetition"),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+    scored = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        rep.alias("repetition"),
     )
+    order = [F.col("repetition").desc(), F.col("doc_id")]
+    top = RK.top_k(scored, order, 20)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
 
 _REPETITION_SQL = f"""
@@ -7982,6 +8014,9 @@ def q_user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (tiny) daily series. The user-level frames are one row per user /
     per (user, day) — at 100 TB both shuffles carry ids, never events."""
     ev = _t(spark, sf_dir, "events")
+    # day is a calendar grain (bounded by the corpus time span, not data
+    # volume) — the census resolves it through cast-as-date on the active
+    # side and through the domain-preserving MIN on the first_seen side
     active = (
         ev.select(F.to_date("ts").alias("day"), "user_id")
         .distinct()
@@ -8543,20 +8578,24 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     take the running max of size over strictly-cheaper prices (rows frame
     on the per-price rollup = strict because prices are grouped), and keep
     parts whose size matches or exceeds it (dominance needs BOTH strict
-    dims, so equal-size-but-cheaper does not dominate). One small aggregate + one window + one
-    broadcastable join back — O(n log n), no join explosion at 100 TB."""
+    dims, so equal-size-but-cheaper does not dominate). The distinct-price
+    frame grows with the part count, so the strictly-cheaper running max
+    is the distributed exclusive running max (operators/ranking.py), and
+    the join back is a plain equi-join (AQE may still broadcast it at
+    runtime when it IS small) — O(n log n), no join explosion at 100 TB."""
     part = _t(spark, sf_dir, "part")
     per_price = part.groupBy("p_retailprice").agg(
         F.max("p_size").alias("max_size_at_price")
     )
-    w = Window.orderBy("p_retailprice").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cheaper = per_price.withColumn(
-        "cheaper_max_size", F.max("max_size_at_price").over(w)
+    cheaper = RK.global_running_max(
+        per_price,
+        ["p_retailprice"],
+        "max_size_at_price",
+        "cheaper_max_size",
+        exclusive=True,
     ).select("p_retailprice", "cheaper_max_size")
     return (
-        part.join(F.broadcast(cheaper), "p_retailprice")
+        part.join(cheaper, "p_retailprice")
         .filter(
             F.col("cheaper_max_size").isNull()
             | (F.col("p_size") >= F.col("cheaper_max_size"))
@@ -8830,8 +8869,10 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue, cents-rounded) per customer, each scored into quintiles with
     ntile(5). Every ntile ordering carries a custkey tie-break so the
     quintile assignment is a total order — identical across engines. One
-    aggregation over orders + three window passes over the |customers|
-    aggregate (tiny next to the fact table at any scale)."""
+    aggregation over orders (checkpointed once), then three distributed
+    NTILE passes (operators/ranking.py) — the per-customer frame is
+    fact-proportional, so each quintile split is a ranged shuffle +
+    broadcast offsets, never a single-partition window."""
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max(F.to_date("o_orderdate")).alias("last_order"),
@@ -8844,17 +8885,23 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("recency_days", F.datediff("max_d", "last_order"))
         .drop("max_d", "last_order")
     )
-    w_r = Window.orderBy("recency_days", "o_custkey")
-    w_f = Window.orderBy(F.desc("frequency"), "o_custkey")
-    w_m = Window.orderBy(F.desc("monetary"), "o_custkey")
-    return scored.select(
+    out = RK.global_ntile(
+        scored, ["recency_days", "o_custkey"], 5, col_name="r_score"
+    )
+    out = RK.global_ntile(
+        out, [F.desc("frequency"), F.col("o_custkey")], 5, col_name="f_score"
+    )
+    out = RK.global_ntile(
+        out, [F.desc("monetary"), F.col("o_custkey")], 5, col_name="m_score"
+    )
+    return out.select(
         F.col("o_custkey").alias("custkey"),
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(5).over(w_r).alias("r_score"),
-        F.ntile(5).over(w_f).alias("f_score"),
-        F.ntile(5).over(w_m).alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 
@@ -10641,6 +10688,9 @@ def q_survival_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t"),
             F.col("t1").isNotNull().cast("int").alias("converted"),
         )
+        # t is a day offset between two in-corpus dates — bounded by the
+        # calendar span (grows with time, not data volume); the census
+        # proves it through the CASE rule (every branch is a datediff)
         .groupBy("t")
         .agg(
             F.count("*").alias("n_exits"),
@@ -11177,10 +11227,11 @@ def q_ks_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic comparing the order-value
     distributions of the BUILDING vs MACHINERY segments — computed
     EXACTLY: D = max|F1-F2| is evaluated as max|cum1·n2 - cum2·n1| over
-    the merged support (integer cents, integer counts, one ordered
-    window), then emitted both as the exact scaled integer and as ppm.
-    One fact aggregation to (value, per-segment counts); the window runs
-    over the distinct-value table, not the fact. int64-safe: cum·n ≤
+    the merged support (integer cents, integer counts), then emitted both
+    as the exact scaled integer and as ppm. One fact aggregation to
+    (value, per-segment counts); the cumulative counts over the
+    fact-proportional distinct-value table come from the distributed
+    running sum (operators/ranking.py). int64-safe: cum·n ≤
     |orders|² ≈ 2×10¹⁰ at sf1."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -11195,18 +11246,20 @@ def q_ks_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = base.groupBy("v").agg(
         F.sum("is1").alias("c1"), F.sum(1 - F.col("is1")).alias("c2")
     )
-    # cumulative AND total counts from ONE WindowExec (two frames over the
-    # same ordering) — no second scan of the fact, no 600k-row crossJoin
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wt = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    # distinct prices grow with the fact table, so the CDFs come from the
+    # distributed running sum (ranged shuffle + broadcast offsets); the
+    # totals are max(cumulative) off the same checkpointed frame — one
+    # fact scan, no single-partition window
+    cum = RK.global_running_sum(counts, ["v"], ["c1", "c2"], ["cum1", "cum2"])
+    tot = cum.agg(
+        F.max("cum1").cast("bigint").alias("n1"),
+        F.max("cum2").cast("bigint").alias("n2"),
     )
-    diffs = counts.select(
-        F.sum("c1").over(wt).alias("n1"),
-        F.sum("c2").over(wt).alias("n2"),
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
         F.abs(
-            F.sum("c1").over(w) * F.sum("c2").over(wt)
-            - F.sum("c2").over(w) * F.sum("c1").over(wt)
+            F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
         ).alias("d_scaled"),
     )
     return diffs.groupBy("n1", "n2").agg(
@@ -11245,8 +11298,9 @@ def q_mannwhitney_u_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     c values after s predecessors carries doubled-average-rank 2s+c+1,
     so 2·R1 = Σ c1·(2s+c+1) is an integer, and 2·U1 = 2·R1 − n1(n1+1).
     The normal approximation with the tie-correction term Σ(t³−t) (also
-    exact) runs once in double. Same grouped-value + one-window shape as
-    the KS query. 2R1 ≤ n² ≈ 2×10¹⁰ at sf1 — int64-safe."""
+    exact) runs once in double. Same grouped-value + distributed
+    running-sum shape as the KS query. 2R1 ≤ n² ≈ 2×10¹⁰ at sf1 —
+    int64-safe."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     base = (
@@ -11262,19 +11316,22 @@ def q_mannwhitney_u_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("is1")).alias("c2"),
         F.count("*").alias("c"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    terms = counts.select(
-        "c1", "c",
-        (F.sum("c").over(w) - F.col("c")).alias("s"),
+    # distinct prices grow with the fact table: the predecessor count s
+    # comes from the distributed running sum; n1/n2 fold into the SAME
+    # one-row aggregate over the checkpointed frame (the old second fact
+    # scan for totals is gone)
+    cum = RK.global_running_sum(counts, ["v"], ["c"], ["cumc"])
+    terms = cum.select(
+        "c1", "c2", "c",
+        (F.col("cumc") - F.col("c")).alias("s"),
     )
     sums = terms.agg(
         F.sum(F.col("c1") * (2 * F.col("s") + F.col("c") + 1)).alias("r1_2"),
         F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie3"),
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
     )
-    tot = base.agg(
-        F.sum("is1").alias("n1"), F.sum(1 - F.col("is1")).alias("n2")
-    )
-    j = sums.crossJoin(F.broadcast(tot)).select(
+    j = sums.select(
         "n1", "n2",
         (F.col("r1_2") - F.col("n1") * (F.col("n1") + 1)).alias("u1_2"),
         "tie3",
@@ -11990,19 +12047,20 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizing a 100 TB join: per candidate key (order custkey, lineitem
     partkey/suppkey), the row count of the heaviest key, the exact
     discrete p50/p99 of per-key counts, and max/p50 as the skew ratio
-    in exact ppm. All integer; per-key counts aggregate first, the
-    percentile windows run over the key-count table."""
+    in exact ppm. All integer; per-key counts aggregate first, and the
+    percentile ranks over the fact-proportional key-count table come
+    from the distributed row_number (operators/ranking.py) — ranged
+    shuffle + broadcast offsets, never a single-partition window; the
+    key-count total is a broadcast 1-row aggregate off the same
+    checkpointed frame."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
 
     def key_stats(df: DataFrame, col: str, label: str) -> DataFrame:
         per_key = df.groupBy(F.col(col).alias("k")).agg(F.count("*").alias("n"))
-        w = Window.orderBy("n", "k")
-        ranked = per_key.select(
-            "n",
-            F.row_number().over(w).alias("rk"),
-            F.count("*").over(Window.partitionBy()).alias("cnt"),
-        )
+        numbered = RK.global_row_number(per_key, ["n", "k"], col_name="rk")
+        total = numbered.agg(F.count("*").alias("cnt"))
+        ranked = numbered.crossJoin(F.broadcast(total)).select("n", "rk", "cnt")
         picks = ranked.agg(
             F.max("n").alias("max_n"),
             F.max(F.when(F.col("rk") == F.ceil(F.col("cnt") * 50 / 100), F.col("n"))).alias("p50_n"),
@@ -12930,12 +12988,13 @@ def q_session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").alias("total_events"),
         )
     )
-    w_top = Window.orderBy(F.desc("n_sessions"), "path")
-    return (
-        paths.withColumn("rank", F.row_number().over(w_top))
-        .filter(F.col("rank") <= 20)
-        .select("rank", "path", "n_sessions", "total_events")
-    )
+    # distinct paths are only bounded if event_type is a closed enum —
+    # not provable from the data, so top-k via TakeOrderedAndProject
+    order = [F.desc("n_sessions"), F.col("path")]
+    top = RK.top_k(paths, order, 20)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    ).select("rank", "path", "n_sessions", "total_events")
 
 
 _SESSION_PATHS_SQL = """
@@ -12977,19 +13036,20 @@ def q_text_zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf profile of the corpus: global token frequencies, rank-ordered
     (count desc, token asc), top 50 — the vocabulary-concentration signal
     curation dashboards plot log-log. One explode + one aggregation; the
-    rank window runs over the tiny distinct-token table."""
+    vocabulary grows with the corpus (this repo's own
+    heaps_law_vocab_growth query measures it), so the top-50 is
+    TakeOrderedAndProject and the rank window runs over 50 rows only."""
     toks = (
         _t(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
         .filter(F.col("w") != "")
     )
     counts = toks.groupBy("w").agg(F.count("*").alias("n"))
-    w_rank = Window.orderBy(F.desc("n"), "w")
-    return (
-        counts.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= 50)
-        .select("rank", "w", "n")
-    )
+    order = [F.desc("n"), F.col("w")]
+    top = RK.top_k(counts, order, 50)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    ).select("rank", "w", "n")
 
 
 _ZIPF_SQL = r"""
@@ -14191,6 +14251,9 @@ def q_epoch_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         (F.conv(F.substring("k", 1, 8), 16, 10).cast("bigint") % 8).cast("bigint"),
     )
+    # shard = key mod 8 ∈ 0..7 — the %-literal domain rule makes this
+    # 8-row grain visible to the plan census (the share window below runs
+    # over these 8 rows)
     agg = keyed.groupBy("shard").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
@@ -14334,14 +14397,15 @@ def q_dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint"),
         )
     )
-    w_rank = Window.orderBy(
+    # per_doc is one row per document — corpus-proportional, so the
+    # top-20 is TakeOrderedAndProject, rank window over 20 rows only
+    order = [
         F.col("max_dup_span").desc(), F.col("dup_shingles").desc(), F.col("doc_id")
-    )
-    return (
-        per_doc.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= 20)
-        .select("doc_id", "n_shingles", "dup_shingles", "max_dup_span", "rank")
-    )
+    ]
+    top = RK.top_k(per_doc, order, 20)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    ).select("doc_id", "n_shingles", "dup_shingles", "max_dup_span", "rank")
 
 
 _DUP_SPAN_SQL = f"""
@@ -14540,17 +14604,17 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = wf.select("w", "cnt", F.explode(idx).alias("p")).select(
         "w", "cnt", F.col("w").substr(F.col("p"), F.lit(2)).alias("pair")
     )
-    w_rank = Window.orderBy(F.col("weighted_count").desc(), F.col("pair"))
-    return (
-        pairs.groupBy("pair")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("weighted_count"),
-            F.countDistinct("w").cast("bigint").alias("n_word_types"),
-        )
-        .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= 20)
-        .select("pair", "weighted_count", "n_word_types", "rank")
+    agg = pairs.groupBy("pair").agg(
+        F.sum("cnt").cast("bigint").alias("weighted_count"),
+        F.countDistinct("w").cast("bigint").alias("n_word_types"),
     )
+    # distinct character pairs grow with the vocab — top-k via
+    # TakeOrderedAndProject, rank window over the 20-row result only
+    order = [F.col("weighted_count").desc(), F.col("pair")]
+    top = RK.top_k(agg, order, 20)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    ).select("pair", "weighted_count", "n_word_types", "rank")
 
 
 _BPE_MERGE_SQL = f"""
@@ -15632,13 +15696,12 @@ def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.round(
         F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 12
     )
-    w_rank = Window.orderBy(F.col("key").desc(), F.col("doc_id"))
-    return (
-        docs.select("doc_id", "source", "n_chars", key.alias("key"))
-        .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= 20)
-        .select("doc_id", "source", "n_chars", "key", "rank")
-    )
+    keyed = docs.select("doc_id", "source", "n_chars", key.alias("key"))
+    order = [F.col("key").desc(), F.col("doc_id")]
+    top = RK.top_k(keyed, order, 20)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    ).select("doc_id", "source", "n_chars", "key", "rank")
 
 
 _ES_SAMPLE_SQL = """
@@ -18954,15 +19017,30 @@ def q_top_customers_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``LIMIT n WITH TIES``: the top customers by order
     count, keeping EVERY row that ties the 10th-place value — rank() ≤
     10, not row_number() ≤ 10. Order counts are small integers, so the
-    tie group is large and the semantic difference visible. One fact
-    aggregation, then the rank window over the small per-customer
-    table."""
+    tie group is large and the semantic difference visible. Two-pass
+    threshold instead of a global rank window: RANK(v) over a DESC order
+    is 1 + count of strictly-greater rows, so per-value counts (one tiny
+    aggregate over the per-customer frame) + a distributed running sum
+    (operators/ranking.py) give each distinct value's rank; the ≤10
+    surviving values broadcast back onto the per-customer frame. No
+    single-partition pass over the fact-proportional customer table."""
     o = _t(spark, sf_dir, "orders")
-    per = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
-    w = Window.orderBy(F.col("n_orders").desc())
+    # checkpoint: both the per-value branch and the join-back read this
+    # frame — one fact scan, not two
+    per = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .localCheckpoint(eager=True)
+    )
+    vals = per.groupBy("n_orders").agg(F.count("*").alias("cnt"))
+    cum = RK.global_running_sum(
+        vals, [F.desc("n_orders")], ["cnt"], ["cum_cnt"]
+    )
+    kept = cum.select(
+        "n_orders", (F.col("cum_cnt") - F.col("cnt") + 1).alias("rnk")
+    ).where(F.col("rnk") <= 10)
     return (
-        per.withColumn("rnk", F.rank().over(w))
-        .where(F.col("rnk") <= 10)
+        per.join(F.broadcast(kept), "n_orders")
         .select(
             F.col("o_custkey").alias("custkey"),
             F.col("n_orders").cast("bigint").alias("n_orders"),
@@ -20756,61 +20834,71 @@ def q_streaming_state_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     totals recovered from the update-mode sink (per-user running maxima =
     final totals) plus the final state-store row count — which must equal
     the active cohort, 2,000, for the DuckDB twin's hash to match. The
-    twin replays the session math exactly (epoch-integer lag-gap rule)."""
+    twin replays the session math exactly (epoch-integer lag-gap rule).
+    The staged parquet dir and the memory-sink table are ephemeral: the
+    summary is checkpointed, then both are torn down — repeated runs in
+    one long session leak neither disk nor temp-view state."""
     import os
+    import shutil
     import tempfile
 
     from .streaming.sessionize import sessionize_stream
 
     src = tempfile.mkdtemp(prefix="ssb_events_")
-    staged: list[str] = []
-    for i, (epochs, b_only) in enumerate(
-        [(_SSB_DAY1, False), (_SSB_DAY5, True), (_SSB_DAY6, True)]
-    ):
-        before = set(os.listdir(src))
-        _ssb_events(spark, epochs, b_only).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        new = [f for f in os.listdir(src) if f.endswith(".parquet") and f not in before]
-        staged.extend(os.path.join(src, f) for f in new)
-    # deterministic micro-batch order: FileStreamSource sorts by mtime
-    base = 1_700_000_000
-    for i, path in enumerate(staged):
-        os.utime(path, (base + 10 * i, base + 10 * i))
-    stream = (
-        spark.readStream.schema("user_id long, ts timestamp")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
     name = "state_bound_audit_replay"
-    q = (
-        sessionize_stream(stream, gap_seconds=1800, ttl_seconds=86_400)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("state-bound replay did not finish in 300s")
-    progress = q.lastProgress
-    state_rows = int(progress["stateOperators"][0]["numRowsTotal"])
-    per_user = (
-        spark.table(name)
-        .groupBy("user_id")
-        .agg(
-            F.max("n_sessions").alias("n_sessions"),  # update-mode: monotone
-            F.max("n_events").alias("n_events"),
+    try:
+        staged: list[str] = []
+        for i, (epochs, b_only) in enumerate(
+            [(_SSB_DAY1, False), (_SSB_DAY5, True), (_SSB_DAY6, True)]
+        ):
+            before = set(os.listdir(src))
+            _ssb_events(spark, epochs, b_only).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            new = [f for f in os.listdir(src) if f.endswith(".parquet") and f not in before]
+            staged.extend(os.path.join(src, f) for f in new)
+        # deterministic micro-batch order: FileStreamSource sorts by mtime
+        base = 1_700_000_000
+        for i, path in enumerate(staged):
+            os.utime(path, (base + 10 * i, base + 10 * i))
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
         )
-    )
-    return per_user.agg(
-        F.count("*").cast("bigint").alias("n_users"),
-        F.sum("n_sessions").cast("bigint").alias("total_sessions"),
-        F.sum("n_events").cast("bigint").alias("total_events"),
-        F.lit(state_rows).cast("bigint").alias("state_rows_final"),
-        F.lit(_SSB_USERS).cast("bigint").alias("state_rows_all_time"),
-    )
+        q = (
+            sessionize_stream(stream, gap_seconds=1800, ttl_seconds=86_400)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("state-bound replay did not finish in 300s")
+        progress = q.lastProgress
+        state_rows = int(progress["stateOperators"][0]["numRowsTotal"])
+        per_user = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_sessions").alias("n_sessions"),  # update-mode: monotone
+                F.max("n_events").alias("n_events"),
+            )
+        )
+        # materialize the 1-row summary so the sink table + staged files
+        # can be dropped before returning the (lazy) result
+        return per_user.agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("n_sessions").cast("bigint").alias("total_sessions"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+            F.lit(state_rows).cast("bigint").alias("state_rows_final"),
+            F.lit(_SSB_USERS).cast("bigint").alias("state_rows_all_time"),
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(src, ignore_errors=True)
 
 
 _STATE_BOUND_SQL = f"""
@@ -22710,8 +22798,12 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.col("n") - 1, F.lit(1))
         ).alias("nll_per_tok")
     )
-    w = Window.orderBy("nll_per_tok", "doc_id")
-    bucketed = per_doc.withColumn("tercile", F.ntile(3).over(w)).withColumn(
+    # per_doc is one row per document — corpus-proportional, so the
+    # tercile split is the distributed NTILE (ranged shuffle + broadcast
+    # offsets), never a single-partition window
+    bucketed = RK.global_ntile(
+        per_doc, ["nll_per_tok", "doc_id"], 3, col_name="tercile"
+    ).withColumn(
         "bucket",
         F.element_at(
             F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
@@ -23035,8 +23127,17 @@ def q_ship_delay_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs_ = [(50, 0.50), (90, 0.90), (99, 0.99)]
     n1 = delays.agg(F.count("*").alias("n"))
     # exact side: per-value counts (delay domain is schema-bounded,
-    # shipdate − orderdate ∈ [1, 121]) + cumulative over <=122 rows
-    vc = delays.groupBy("delay").agg(F.count("*").alias("c"))
+    # shipdate − orderdate ∈ [1, 121]). The delays checkpoint erased the
+    # datediff lineage, so this ≤122-row frame is checkpointed WITH a
+    # __bounded marker (the documented census convention for provably
+    # tiny checkpoints) — which also means the three quantile picks
+    # reread 122 rows instead of re-aggregating the fact checkpoint
+    vc = (
+        delays.groupBy("delay")
+        .agg(F.count("*").alias("c"))
+        .withColumn("__bounded_delay_domain_1_to_121", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
     wv = Window.orderBy("delay").rowsBetween(Window.unboundedPreceding, 0)
     cumv = (
         vc.withColumn("cumc", F.sum("c").over(wv))
@@ -23155,10 +23256,12 @@ def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """word2vec negative-sampling distribution (Mikolov et al. 2013):
     unigram counts raised to the 3/4 power, normalized to ppm, with the
     cumulative distribution that an alias/binary-search sampler walks.
-    One token-count pass; the power/normalize/cumsum stages run over
-    the vocabulary table (tiny). Weights are micro-rounded integers
-    before the exact cumulative sum, so the table is bit-identical on
-    both engines — ship it as the broadcast side of the sampler."""
+    One token-count pass; the vocabulary grows with the corpus (Heaps'
+    law), so the cumulative sum is the distributed running sum
+    (operators/ranking.py) and the normalizer is max(cumulative) off the
+    same checkpointed frame. Weights are micro-rounded integers before
+    the exact cumulative sum, so the table is bit-identical on both
+    engines."""
     docs = _t(spark, sf_dir, "documents")
     counts = (
         docs.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
@@ -23169,21 +23272,15 @@ def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint"
     )
     b = counts.select("tok", "c", w_micro.alias("w"))
-    tot = Window.rangeBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = Window.orderBy("tok").rowsBetween(Window.unboundedPreceding, 0)
+    cum = RK.global_running_sum(b, ["tok"], ["w"], ["cum_w"])
+    tot = cum.agg(F.max("cum_w").cast("bigint").alias("tot_w"))
     return (
-        b.select(
+        cum.crossJoin(F.broadcast(tot))
+        .select(
             "tok",
             F.col("c").cast("bigint").alias("count"),
-            F.expr(
-                "w * 1000000 div sum(w) over ()"
-            ).cast("bigint").alias("prob_ppm"),
-            F.expr(
-                "sum(w) over (order by tok rows unbounded preceding)"
-                " * 1000000 div sum(w) over ()"
-            ).cast("bigint").alias("cum_ppm"),
+            F.expr("w * 1000000 div tot_w").cast("bigint").alias("prob_ppm"),
+            F.expr("cum_w * 1000000 div tot_w").cast("bigint").alias("cum_ppm"),
         )
         .orderBy("tok")
     )

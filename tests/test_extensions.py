@@ -192,6 +192,30 @@ def test_hyperplane_near_dup_pairs_subset_of_bruteforce(spark, sf_dir):
     assert lsh <= brute  # LSH never invents pairs; it may miss some
 
 
+def test_hyperplane_bucket_occupancy_guard_fails_loudly(spark):
+    """One hot hyperplane bucket (identical vectors — a collapsed encoder
+    or a near-dup farm) is an in-bucket n² through the pair self-join:
+    the join must REFUSE to run it (in-plan assert_true), never silently
+    explode. Mirrors functions/dedup's MinHash band guard."""
+    import pytest
+
+    vecs = [(i, [1.0, 0.5, -0.25, 0.125]) for i in range(40)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pairs = SIM.hyperplane_near_dup_pairs(
+        emb, 4, threshold=0.0, n_planes=4, max_bucket_occupancy=30
+    )
+    with pytest.raises(Exception) as exc:
+        pairs.count()
+    assert "occupancy bound" in str(exc.value)
+
+
+def test_hyperplane_bucket_occupancy_guard_passes_healthy(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    n = SIM.hyperplane_near_dup_pairs(emb, dim, threshold=0.3, n_planes=4).count()
+    assert n >= 0  # guard silent on healthy occupancy
+
+
 def test_ivf_full_probe_equals_bruteforce(spark, sf_dir):
     emb = read_table(spark, sf_dir, "embeddings")
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]

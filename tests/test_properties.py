@@ -238,13 +238,59 @@ def test_running_aggregates_match_window_on_random_frames(spark, rows):
     w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
     got = RK.global_running_sum(df, ["i"], ["v"], ["cs"], num_partitions=7)
     ref = df.select("i", F.sum("v").over(w).alias("cs"))
+    # null-safe compare: v is nullable, and SQL running-sum semantics say a
+    # row whose whole prefix is NULL yields NULL — the distributed form
+    # must reproduce that exactly (a plain <> filter would mask it)
     assert (
-        got.alias("g").join(ref.alias("r"), "i").filter("g.cs <> r.cs").count()
-        == 0
+        got.alias("g").join(ref.alias("r"), "i")
+        .filter("NOT (g.cs <=> r.cs)").count() == 0
     )
     gotm = RK.global_running_max(df, ["i"], "v", "cm", num_partitions=7)
     refm = df.select("i", F.max("v").over(w).alias("cm"))
     assert (
         gotm.alias("g").join(refm.alias("r"), "i")
-        .filter("g.cm <> r.cm").count() == 0
+        .filter("NOT (g.cm <=> r.cm)").count() == 0
+    )
+    # exclusive frame (ROWS ... AND 1 PRECEDING): the skyline shape —
+    # first global row must be NULL (empty frame)
+    wx = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, -1)
+    gotx = RK.global_running_max(
+        df, ["i"], "v", "cm", num_partitions=7, exclusive=True
+    )
+    refx = df.select("i", F.max("v").over(wx).alias("cm"))
+    assert (
+        gotx.alias("g").join(refx.alias("r"), "i")
+        .filter("NOT (g.cm <=> r.cm)").count() == 0
+    )
+
+
+@given(_rank_rows, st.integers(min_value=2, max_value=7))
+@_SLOW
+def test_ntile_composed_with_aggregate_and_filter(spark, rows, k):
+    """The composed shape of the ccnet/rfm rewrites: groupBy-aggregate →
+    global_ntile → filter matches the Window form on random frames with
+    DUPLICATE tile keys (the per-key count collides heavily), including
+    NULL keys."""
+    from pyspark.sql import Window
+
+    from clickhouse_forecasting_spark.operators import ranking as RK
+
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(rows)], "i long, a long, b int"
+    )
+    per = df.groupBy("a").agg(F.count("*").alias("n"), F.sum("b").alias("s"))
+    order = ["n", "a"]  # n duplicates across groups; a unique per group
+    got = (
+        RK.global_ntile(per, order, k, "t", num_partitions=7)
+        .filter("t = 1")
+        .select("a", "n", "s", "t")
+    )
+    ref = (
+        per.withColumn("t", F.ntile(k).over(Window.orderBy(*order)))
+        .filter("t = 1")
+        .select("a", "n", "s", "t")
+    )
+    key = lambda r: tuple((x is None, x) for x in r)  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=key) == sorted(
+        map(tuple, ref.collect()), key=key
     )
