@@ -194,6 +194,16 @@ EXTENSIONS_R5: list[str] = [
     "stream_lateness_profile",  # distributed cummax + rank picks
 ]
 
+# Round-6 additions, split out as extensions_r6_sec: the ANN scale proof
+# plus representative members of the 17 de-collapsed rewrites (distributed
+# ntile ×3, distributed running sums, two-pass rank threshold).
+EXTENSIONS_R6: list[str] = [
+    "ann_scale_audit",  # 30k-vector planted-neighbor LSH end-to-end proof
+    "rfm_segmentation",  # 3× global_ntile off one checkpointed frame
+    "ks_test_segments",  # distributed running-sum CDFs over distinct prices
+    "top_customers_with_ties",  # rank WITH TIES via two-pass threshold
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -211,8 +221,27 @@ def main() -> None:
 
     # warm-up: JVM + parquet footer reads, not attributed to any query
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # ... and the Python/pandas-UDF worker pool: the r5 bench attributed
+    # worker spin-up to forecast_scale_series (per-iteration curve
+    # [11.8, 9.4, 7.4] — the 9.4 median sat mid-warmup while controlled
+    # steady state is ~7.4 s under BOTH 8g and 24g driver memory). A
+    # 32-series mini-fit spins up one worker per core so every iteration
+    # measures the steady state the policy says it should.
+    from clickhouse_forecasting_spark.sources import seriesgen as _sg
+    from clickhouse_forecasting_spark.forecast import SeriesForecaster as _SF
 
-    bench_set = HEADLINE + EXTENSIONS_R2 + EXTENSIONS_R3 + EXTENSIONS_R4 + EXTENSIONS_R5
+    _sg.register(spark)
+    _warm = (
+        spark.read.format("seriesgen")
+        .option("series", "32").option("days", "15").load()
+        .selectExpr("date AS ds", "CAST(series_id AS STRING) AS metric", "y")
+    )
+    _SF(interval=2, only_future=True).transform_long(_warm).collect()
+
+    bench_set = (
+        HEADLINE + EXTENSIONS_R2 + EXTENSIONS_R3 + EXTENSIONS_R4
+        + EXTENSIONS_R5 + EXTENSIONS_R6
+    )
     per_iter: list[dict[str, float]] = []
     for it in range(iters):
         t: dict[str, float] = {}
@@ -286,6 +315,7 @@ def main() -> None:
         "extensions_r3_sec": round(sum(timings[q] for q in EXTENSIONS_R3), 3),
         "extensions_r4_sec": round(sum(timings[q] for q in EXTENSIONS_R4), 3),
         "extensions_r5_sec": round(sum(timings[q] for q in EXTENSIONS_R5), 3),
+        "extensions_r6_sec": round(sum(timings[q] for q in EXTENSIONS_R6), 3),
     }
     per_iter_suite_r1 = [
         round(sum(t[q] for q in HEADLINE), 3) for t in per_iter

@@ -1996,6 +1996,222 @@ FROM v08
 """
 
 
+# --------------------------------------------------------------------------
+# ANN at fan-out scale (r5 VERDICT #5): the dedup_scale treatment applied
+# to the similarity family. A synthetic embedding corpus with PLANTED
+# neighbor structure — per 10-vector group: ids ..0-..7 independent
+# md5-derived vectors (components on the 1e-3 grid in [-1, 1]); ..9 an
+# EXACT duplicate of ..0 (identical bits ⇒ identical sign-projection
+# signature at ANY plane count — recovery must be total); ..8 a NEAR
+# duplicate of ..0 (last coordinate shifted by an md5-derived delta in
+# [-0.1, 0.1], cosine ≈ 0.999) whose bucket-collision rate follows the
+# (1 − θ/π)^planes law. Plane count scales with the corpus
+# (⌈log2 n⌉ + 3): expected random-bucket occupancy n/2^planes stays O(1),
+# so candidate volume grows LINEARLY with n — the documented scale
+# contract for sign-projection LSH (SCALING.md: "size n_planes to data
+# volume"). ann_scale_audit runs 30k vectors (rows-only;
+# tests/test_ann_scale.py pins exact-recovery totality, linear candidate
+# growth and bounded occupancy across 7.5k→15k→30k);
+# ann_scale_contract_audit hash-gates the identical dataflow at 2k
+# vectors against a DuckDB twin that replays corpus generation,
+# signatures, the bucket pair join and the cosine verify with the same
+# sequential-sum float algebra.
+# --------------------------------------------------------------------------
+
+_ANN_SCALE_DIM = 8
+
+
+def _ann_planes(n_vecs: int) -> int:
+    import math
+
+    return max(10, int(math.ceil(math.log2(n_vecs))) + 3)
+
+
+def synth_embedding_corpus(spark: SparkSession, n_vecs: int) -> DataFrame:
+    """(vec_id, embedding) deterministic synthetic corpus with the planted
+    neighbor structure above. Pure expressions over spark.range — no data
+    files; reproduced bit-for-bit by the DuckDB twin (_ann_corpus_sql):
+    components are exact integer arithmetic divided by 1000.0, the near
+    mutation is one IEEE add — identical doubles in both engines."""
+    d = F.col("id")
+    src = F.when((d % 10) >= 8, d - (d % 10)).otherwise(d).cast("string")
+
+    def draw(seed_col, modulus: int, half: int):
+        return (
+            (
+                F.conv(F.substring(F.md5(seed_col), 1, 15), 16, 10).cast("bigint")
+                % modulus
+                - half
+            ).cast("double")
+            / 1000.0
+        )
+
+    comps = [
+        draw(F.concat(src, F.lit(f"_c{j}")), 2001, 1000)
+        for j in range(_ANN_SCALE_DIM)
+    ]
+    delta = draw(F.concat(src, F.lit("_mut")), 201, 100)
+    comps[-1] = F.when((d % 10) == 8, comps[-1] + delta).otherwise(comps[-1])
+    return spark.range(n_vecs).select(
+        d.alias("vec_id"), F.array(*comps).alias("embedding")
+    )
+
+
+def ann_scale_audit_frame(spark: SparkSession, n_vecs: int) -> DataFrame:
+    """One summary row over the full hyperplane-LSH near-dup pipeline on
+    the synthetic corpus: corpus size, plane count, bucket-pair candidate
+    volume, verified pairs at cosine ≥ 0.95 (6dp-rounded BEFORE the
+    filter, both engines), exact pairs (rounded cosine 1.0 — must equal
+    n/10), intra- vs cross-group split, and the max bucket occupancy (the
+    quantity the in-plan guard bounds). Each vector lands in exactly ONE
+    bucket (single signature, no banding), so a pair collides at most
+    once — no distinct pass. The bucketed frame is checkpointed: the
+    occupancy probe and both join sides read one materialization."""
+    n_planes = _ann_planes(n_vecs)
+    emb = synth_embedding_corpus(spark, n_vecs)
+    bucketed = SIM.lsh_bucket_assignments(
+        emb, _ANN_SCALE_DIM, n_planes, seed=42
+    ).localCheckpoint(eager=True)
+    occ = (
+        bucketed.groupBy("bucket")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").cast("bigint").alias("max_bucket_occupancy"))
+    )
+    a = bucketed.select(
+        "bucket", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = bucketed.select(
+        "bucket", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(DD.cosine_similarity(F.col("va"), F.col("vb")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    intra = F.expr("id_a div 10") == F.expr("id_b div 10")
+    ra, rb = F.col("id_a") % 10, F.col("id_b") % 10
+    # the planted structure: (g+0, g+9) exact; (g+0, g+8) and (g+8, g+9)
+    # near (g+9 IS g+0, so both near pairs share the same mutated vector)
+    planted_exact = intra & (ra == 0) & (rb == 9)
+    planted_near = intra & (
+        ((ra == 0) & (rb == 8)) | ((ra == 8) & (rb == 9))
+    )
+    summary = scored.agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.sum((F.col("cosine") >= 0.95).cast("int")).cast("bigint").alias(
+            "n_verified_095"
+        ),
+        F.sum((F.col("cosine") == 1.0).cast("int")).cast("bigint").alias(
+            "n_exact_pairs"
+        ),
+        F.sum(planted_exact.cast("int")).cast("bigint").alias(
+            "n_planted_exact_recovered"
+        ),
+        F.sum(planted_near.cast("int")).cast("bigint").alias(
+            "n_planted_near_recovered"
+        ),
+        F.sum((~intra).cast("int")).cast("bigint").alias("n_cross_group"),
+    )
+    return summary.crossJoin(F.broadcast(occ)).select(
+        F.lit(n_vecs).cast("bigint").alias("n_vecs"),
+        F.lit(n_planes).cast("bigint").alias("n_planes"),
+        "n_candidates",
+        "n_verified_095",
+        "n_exact_pairs",
+        "n_planted_exact_recovered",
+        "n_planted_near_recovered",
+        "n_cross_group",
+        "max_bucket_occupancy",
+    )
+
+
+def q_ann_scale_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30k-vector end-to-end hyperplane-LSH scale proof (rows-only; the
+    hash-gated twin is ann_scale_contract_audit at 2k — identical
+    dataflow, identical generator). Scaling pins live in
+    tests/test_ann_scale.py."""
+    return ann_scale_audit_frame(spark, 30_000)
+
+
+def q_ann_scale_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_scale_audit_frame(spark, 2_000)
+
+
+def _ann_corpus_sql(n_vecs: int) -> str:
+    comps = ",\n      ".join(
+        f"(('0x' || substr(md5(concat(CAST(src AS VARCHAR), '_c{j}')), 1, 15))::BIGINT % 2001 - 1000)::DOUBLE / 1000.0"
+        for j in range(_ANN_SCALE_DIM - 1)
+    )
+    last = (
+        f"(('0x' || substr(md5(concat(CAST(src AS VARCHAR), '_c{_ANN_SCALE_DIM - 1}')), 1, 15))::BIGINT % 2001 - 1000)::DOUBLE / 1000.0"
+        " + CASE WHEN vec_id % 10 = 8 THEN"
+        " (('0x' || substr(md5(concat(CAST(src AS VARCHAR), '_mut')), 1, 15))::BIGINT % 201 - 100)::DOUBLE / 1000.0"
+        " ELSE 0.0 END"
+    )
+    return f"""ids AS (
+  SELECT i AS vec_id,
+    CASE WHEN i % 10 >= 8 THEN i - (i % 10) ELSE i END AS src
+  FROM range({n_vecs}) t(i)),
+corpus AS (
+  SELECT vec_id, [
+      {comps},
+      {last}]::DOUBLE[] AS embedding
+  FROM ids)"""
+
+
+def _ann_scale_audit_sql(n_vecs: int) -> str:
+    n_planes = _ann_planes(n_vecs)
+    return f"""
+WITH {_ann_corpus_sql(n_vecs)},
+{_planes_cte(n_planes, dim=_ANN_SCALE_DIM)},
+dots AS (
+  SELECT e.vec_id, p.i,
+    list_sum(list_transform(generate_series(1, {_ANN_SCALE_DIM}),
+             j -> e.embedding[j] * p.p[j])) AS d
+  FROM corpus e CROSS JOIN planes p),
+sigs AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN d > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id),
+occ AS (SELECT MAX(c) AS mx FROM (SELECT COUNT(*) AS c FROM sigs GROUP BY bucket)),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT p.id_a, p.id_b,
+    round(list_sum(list_transform(generate_series(1, {_ANN_SCALE_DIM}),
+          j -> ea.embedding[j] * eb.embedding[j]))
+    / (sqrt(list_sum(list_transform(ea.embedding, x -> x * x)))
+     * sqrt(list_sum(list_transform(eb.embedding, x -> x * x)))), 6) AS cosine
+  FROM pairs p
+  JOIN corpus ea ON ea.vec_id = p.id_a
+  JOIN corpus eb ON eb.vec_id = p.id_b)
+SELECT CAST({n_vecs} AS BIGINT) AS n_vecs,
+  CAST({n_planes} AS BIGINT) AS n_planes,
+  CAST(COUNT(*) AS BIGINT) AS n_candidates,
+  CAST(COALESCE(SUM(CASE WHEN cosine >= 0.95 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_verified_095,
+  CAST(COALESCE(SUM(CASE WHEN cosine = 1.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_exact_pairs,
+  CAST(COALESCE(SUM(CASE WHEN id_a // 10 = id_b // 10
+    AND id_a % 10 = 0 AND id_b % 10 = 9 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_planted_exact_recovered,
+  CAST(COALESCE(SUM(CASE WHEN id_a // 10 = id_b // 10
+    AND ((id_a % 10 = 0 AND id_b % 10 = 8) OR (id_a % 10 = 8 AND id_b % 10 = 9))
+    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_planted_near_recovered,
+  CAST(COALESCE(SUM(CASE WHEN id_a // 10 <> id_b // 10 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross_group,
+  CAST((SELECT mx FROM occ) AS BIGINT) AS max_bucket_occupancy
+FROM scored
+"""
+
+
+# (_ANN_SCALE_CONTRACT_SQL is materialized after _planes_cte is defined,
+# next to the other LSH oracle constants)
+
+
 def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filtering, exact-arithmetic edition: a bigram
     model is trained on the corpus itself (count(w1,w2)/count(w1·) as
@@ -2382,10 +2598,10 @@ def q_similarity_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_probe_topk(spark, sf_dir, n_planes=6, n_probes=4)
 
 
-def _planes_cte(n_planes: int) -> str:
+def _planes_cte(n_planes: int, dim: int = _EMB_DIM) -> str:
     """VALUES CTE of the seed-42 hyperplanes (repr round-trips doubles
     exactly, so both engines see bit-identical plane constants)."""
-    planes = SIM.random_hyperplanes(_EMB_DIM, n_planes, seed=42)
+    planes = SIM.random_hyperplanes(dim, n_planes, seed=42)
     rows = ",\n    ".join(
         "({}, [{}]::DOUBLE[])".format(
             i, ", ".join(repr(float(v)) for v in plane)
@@ -2441,6 +2657,7 @@ WHERE rank <= 10
 
 _LSH_TOPK_SQL = _lsh_topk_sql(n_planes=6, n_probes=1)
 _LSH_MULTIPROBE_SQL = _lsh_topk_sql(n_planes=6, n_probes=4)
+_ANN_SCALE_CONTRACT_SQL = _ann_scale_audit_sql(2_000)
 
 
 # --------------------------------------------------------------------------
@@ -23859,6 +24076,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment_pairs": q_dedup_containment_pairs,
     "dedup_scale_audit": q_dedup_scale_audit,
     "dedup_scale_contract_audit": q_dedup_scale_contract_audit,
+    "ann_scale_audit": q_ann_scale_audit,
+    "ann_scale_contract_audit": q_ann_scale_contract_audit,
     "bigram_lm_quality": q_bigram_lm_quality,
     "boilerplate_prefix_report": q_boilerplate_prefix_report,
     "cross_source_leakage": q_cross_source_leakage,
@@ -24276,6 +24495,7 @@ ORACLE_QUERIES: dict[str, str] = {
     "dedup_ngram_jaccard": _JACCARD_SQL,
     "dedup_containment_pairs": _CONTAIN_SQL,
     "dedup_scale_contract_audit": _DEDUP_SCALE_AUDIT_SQL,
+    "ann_scale_contract_audit": _ANN_SCALE_CONTRACT_SQL,
     "bigram_lm_quality": _BIGRAM_LM_SQL,
     "boilerplate_prefix_report": _BOILERPLATE_SQL,
     "cross_source_leakage": _LEAKAGE_SQL,

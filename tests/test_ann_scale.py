@@ -1,0 +1,100 @@
+"""ANN at fan-out scale (r5 VERDICT #5) — the dedup_scale treatment applied
+to the similarity family.
+
+A deterministic synthetic embedding corpus with a PLANTED neighbor
+structure (per 10-vector group: 8 independent, 1 near-dup at cosine ≈
+0.999, 1 exact dup) runs the full sign-projection signature → bucket
+pair-join → cosine-verify pipeline at 7.5k/15k/30k vectors with the plane
+count scaled to the corpus (⌈log2 n⌉ + 3). Pinned:
+
+- exact-neighbor recovery is TOTAL (identical vector ⇒ identical
+  signature at any plane count — a must, not a probability);
+- near-neighbor recovery tracks the (1 − θ/π)^planes collision law;
+- candidate volume stays orders of magnitude under brute force BUT grows
+  measurably superlinearly (~n^1.5 here): sign cells over an isotropic-ish
+  corpus are unevenly sized, and adding log-many random planes does not
+  halve the hot cells — the empirical reason SCALING.md routes 100 TB
+  pair mining through learned (IVF) cells and why the in-plan bucket
+  occupancy guard exists. The pin records the measured law so a silent
+  regression TO quadratic (all-pairs) fails loudly.
+
+The same frame at 2k vectors is hash-gated against a DuckDB full-pipeline
+replay (ann_scale_contract_audit in the registry)."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_forecasting_spark.queries import (
+    ann_scale_audit_frame,
+    synth_embedding_corpus,
+)
+
+SIZES = (7_500, 15_000, 30_000)
+
+
+@pytest.fixture(scope="module")
+def audits(spark):
+    return {
+        n: ann_scale_audit_frame(spark, n).collect()[0].asDict()
+        for n in SIZES
+    }
+
+
+def test_planted_exact_recovery_is_total(audits):
+    for n, a in audits.items():
+        assert a["n_planted_exact_recovered"] == n // 10, (n, a)
+
+
+def test_planted_near_recovery_tracks_collision_law(audits):
+    # 2 near pairs per group at cosine ≈ 0.999 (θ ≈ 0.03–0.15 rad over the
+    # md5 delta distribution); (1 − θ/π)^p at p = 16..18 predicts ~0.85.
+    # Pin a generous band: recovery must stay high but CANNOT be total
+    # (that would mean the bucket filter isn't filtering).
+    for n, a in audits.items():
+        planted = 2 * (n // 10)
+        frac = a["n_planted_near_recovered"] / planted
+        assert 0.70 <= frac < 1.0, (n, frac)
+
+
+def test_candidates_orders_of_magnitude_under_bruteforce(audits):
+    for n, a in audits.items():
+        brute = n * (n - 1) // 2
+        assert a["n_candidates"] * 500 <= brute, (n, a["n_candidates"], brute)
+
+
+def test_candidate_growth_law_is_pinned(audits):
+    # measured: ~2.7–3.0× per corpus doubling with log-scaled planes
+    # (n^~1.5 — the hot-sign-cell effect documented in the module
+    # docstring). A regression to all-pairs would show ~4×; a balanced
+    # (IVF-style) partitioner would show ~2×. Pin the band so either
+    # silent change is caught.
+    r1 = audits[15_000]["n_candidates"] / audits[7_500]["n_candidates"]
+    r2 = audits[30_000]["n_candidates"] / audits[15_000]["n_candidates"]
+    assert 1.8 <= r1 <= 3.6 and 1.8 <= r2 <= 3.6, (r1, r2)
+
+
+def test_bucket_occupancy_stays_guardable(audits):
+    # the hot cell grows slowly (≪ linearly); the in-plan guard bound is
+    # 10k — pin an order-of-magnitude margin under it at these sizes
+    for n, a in audits.items():
+        assert a["max_bucket_occupancy"] <= 1_000, (n, a)
+
+
+def test_scale_pipeline_plans_distributed(spark):
+    from clickhouse_forecasting_spark.plans import single_partition_collapses
+
+    df = ann_scale_audit_frame(spark, 7_500)
+    assert single_partition_collapses(df) == []
+
+
+def test_corpus_generator_contract(spark):
+    vecs = synth_embedding_corpus(spark, 100).collect()
+    by_id = {r.vec_id: list(r.embedding) for r in vecs}
+    assert len(by_id) == 100
+    for base in range(0, 100, 10):
+        assert by_id[base + 9] == by_id[base]  # planted exact dup
+        near, orig = by_id[base + 8], by_id[base]
+        assert near[:-1] == orig[:-1]  # only the last coordinate mutated
+        assert near[-1] != orig[-1]
+        assert abs(near[-1] - orig[-1]) <= 0.1 + 1e-12  # bounded delta

@@ -30,6 +30,9 @@ ROWS_ONLY_ALLOWED = {
     # minhash pipeline at 60k is gate-hostile; the identical dataflow is
     # hash-gated at 2k by dedup_scale_contract_audit):
     "dedup_scale_audit",
+    # 30k-vector hyperplane-LSH scale proof (same rationale; identical
+    # dataflow hash-gated at 2k by ann_scale_contract_audit):
+    "ann_scale_audit",
     # 10,000-fit backtest fan-out proof (scores are model output; shape
     # hash-gated by forecast_backtest_scale_contract_audit):
     "forecast_backtest_scale",
@@ -55,6 +58,7 @@ def test_every_rows_only_query_has_a_companion_audit():
         "similarity_ivf_topk": "similarity_ivf_det_topk",
         "forecast_scale_series": "forecast_scale_contract_audit",
         "dedup_scale_audit": "dedup_scale_contract_audit",
+        "ann_scale_audit": "ann_scale_contract_audit",
         "forecast_backtest_scale": "forecast_backtest_scale_contract_audit",
     }
     assert set(companions) == ROWS_ONLY_ALLOWED
