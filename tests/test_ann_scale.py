@@ -26,6 +26,7 @@ from __future__ import annotations
 import pytest
 
 from clickhouse_forecasting_spark.queries import (
+    ann_grid_scale_audit_frame,
     ann_scale_audit_frame,
     synth_embedding_corpus,
 )
@@ -79,6 +80,38 @@ def test_bucket_occupancy_stays_guardable(audits):
     # 10k — pin an order-of-magnitude margin under it at these sizes
     for n, a in audits.items():
         assert a["max_bucket_occupancy"] <= 1_000, (n, a)
+
+
+@pytest.fixture(scope="module")
+def grid_audits(spark):
+    return {
+        n: ann_grid_scale_audit_frame(spark, n).collect()[0].asDict()
+        for n in SIZES
+    }
+
+
+def test_grid_planted_recovery_is_total(grid_audits):
+    # the grid keys on the three UNPERTURBED coordinates, so both exact
+    # and near planted pairs always co-bucket — recovery is structural
+    for n, a in grid_audits.items():
+        assert a["n_planted_exact_recovered"] == n // 10, (n, a)
+        assert a["n_planted_near_recovered"] == 2 * (n // 10), (n, a)
+
+
+def test_grid_candidate_growth_is_linear(grid_audits):
+    # balanced cells (count ∝ n): candidate volume grows ~2× per corpus
+    # doubling (wobble from integer cells-per-axis rounding) — the
+    # contrast to the hyperplane audit's ~2.7–3.0×
+    r1 = grid_audits[15_000]["n_candidates"] / grid_audits[7_500]["n_candidates"]
+    r2 = grid_audits[30_000]["n_candidates"] / grid_audits[15_000]["n_candidates"]
+    assert 1.5 <= r1 <= 2.5 and 1.5 <= r2 <= 2.5, (r1, r2)
+
+
+def test_grid_occupancy_constant(grid_audits):
+    # cells follow the (uniform) data distribution: the hot cell must NOT
+    # grow with the corpus
+    for n, a in grid_audits.items():
+        assert a["max_bucket_occupancy"] <= 40, (n, a)
 
 
 def test_scale_pipeline_plans_distributed(spark):

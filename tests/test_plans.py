@@ -369,6 +369,113 @@ def test_no_single_partition_collapse_anywhere(spark, sf_dir, qs):
     assert offenders == {}, f"single-partition collapses: {sorted(offenders)}"
 
 
+def test_census_flags_genuine_collapses(spark, sf_dir):
+    """Negative controls: the census must be LOUD on the anti-patterns,
+    not just quiet on good plans. Three shapes, in escalating subtlety:
+    a global window straight over the fact scan; a global window over a
+    DATA-PROPORTIONAL aggregate (per-customer grain — the exact
+    false-negative class the r5 Aggregate barrier hid and r6 removed);
+    and the same window over a BOUNDED-grain aggregate, which must NOT
+    flag."""
+    from pyspark.sql import Window
+
+    from clickhouse_forecasting_spark.plans import single_partition_collapses
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    # 1: unpartitioned window over the raw fact — always a collapse
+    w = Window.orderBy("l_orderkey")
+    bad_fact = li.withColumn("rn", F.row_number().over(w))
+    assert single_partition_collapses(bad_fact), "fact-scan collapse missed"
+
+    # 2: unpartitioned window over a per-customer aggregate — the r5
+    # detector called this bounded; it is corpus-proportional
+    per_cust = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    bad_agg = per_cust.withColumn(
+        "rn", F.row_number().over(Window.orderBy("n", "o_custkey"))
+    )
+    assert single_partition_collapses(bad_agg), (
+        "data-proportional aggregate treated as a boundedness barrier"
+    )
+
+    # 3: the same shape over a bounded grain (order status enum: 3
+    # values) — legitimately bounded, must stay quiet
+    per_status = o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    ok_agg = per_status.withColumn(
+        "rn", F.row_number().over(Window.orderBy("n", "o_orderstatus"))
+    )
+    assert single_partition_collapses(ok_agg) == []
+
+    # 3b: calendar grain through a computed cast — bounded
+    per_day = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    ok_day = per_day.withColumn(
+        "rn", F.row_number().over(Window.orderBy("d"))
+    )
+    assert single_partition_collapses(ok_day) == []
+
+
+def test_census_key_grammar_units():
+    """Unit pins for the bounded-grouping-key grammar on literal
+    expression strings (no Spark session): each rule is domain
+    arithmetic and must not drift."""
+    from clickhouse_forecasting_spark.plans import _spc_key_bounded
+
+    ctx = (
+        "Project [cast((user_id#2L % 2) as int) AS arm#8, "
+        "to_date(ts#7) AS day#9, "
+        "CASE WHEN (t1#3 IS NOT NULL) THEN datediff(cast(t1#3 as date), cast(t0#4 as date)) "
+        "ELSE datediff(h#5, cast(t0#4 as date)) END AS t#10, "
+        "floor((cast(n_chars#6 as double) / 50.0)) AS bucket#11]\n"
+        "HashAggregate(keys=[user_id#2L], functions=[min(cast(ts#7 as date))], "
+        "output=[user_id#2L, fday#12])"
+    )
+    # literals / enums / markers
+    assert _spc_key_bounded("5", ctx)
+    assert _spc_key_bounded("o_orderstatus#1", ctx)
+    assert _spc_key_bounded("__bounded_anything#3", ctx)
+    # % literal and pmod
+    assert _spc_key_bounded("(user_id#2L % 8)", ctx)
+    assert _spc_key_bounded("pmod((x#1 - 1), 5)", ctx)
+    assert not _spc_key_bounded("(a#1 % b#2)", ctx)  # non-literal modulus
+    # calendar heads + cast-as-date
+    assert _spc_key_bounded("year(o_orderdate#4)", ctx)
+    assert _spc_key_bounded("cast(ts#7 as date)", ctx)
+    assert _spc_key_bounded("datediff(cast(a#1 as date), cast(b#2 as date))", ctx)
+    # alias resolution chains
+    assert _spc_key_bounded("arm#8", ctx)  # -> cast(% 2) -> bounded
+    assert _spc_key_bounded("day#9", ctx)  # -> to_date
+    assert _spc_key_bounded("t#10", ctx)  # -> CASE of datediffs
+    assert not _spc_key_bounded("bucket#11", ctx)  # floor(chars/50): data-prop
+    # aggregate-output resolution: min() preserves its argument's domain
+    assert _spc_key_bounded("fday#12", ctx)
+    # unknown attribute: unbounded
+    assert not _spc_key_bounded("doc_id#99L", ctx)
+    # bounded ± literal
+    assert _spc_key_bounded("(pmod(x#1, 5) + 1)", ctx)
+
+
+def test_census_agg_output_resolution_refuses_folded_projections():
+    """When Catalyst folds resultExpressions into the aggregate, the
+    positional keys++functions mapping does not hold — resolution must
+    refuse rather than guess (guessing once mapped arm -> user_id)."""
+    from clickhouse_forecasting_spark.plans import _resolve_agg_output
+
+    folded = (
+        "HashAggregate(keys=[user_id#2L, _groupingexpression#115], "
+        "functions=[sum(x#1), sum(y#2)], output=[arm#8, xc#9L, yc#10L])"
+    )
+    assert _resolve_agg_output("arm#8", folded) is None
+    clean = (
+        "HashAggregate(keys=[user_id#2L, _groupingexpression#115], "
+        "functions=[sum(x#1), sum(y#2)], "
+        "output=[user_id#2L, arm#8, xc#9L, yc#10L])"
+    )
+    assert _resolve_agg_output("arm#8", clean) == "_groupingexpression#115"
+
+
 def test_window_before_checkpoint_sites_are_reviewed():
     """plans.single_partition_collapses audits the FINAL plan, so a global
     window computed BEFORE an eager localCheckpoint is invisible to it

@@ -33,6 +33,9 @@ ROWS_ONLY_ALLOWED = {
     # 30k-vector hyperplane-LSH scale proof (same rationale; identical
     # dataflow hash-gated at 2k by ann_scale_contract_audit):
     "ann_scale_audit",
+    # 30k-vector balanced-cell (IVF-style) contrast proof (hash-gated at
+    # 2k by ann_grid_scale_contract_audit):
+    "ann_grid_scale_audit",
     # 10,000-fit backtest fan-out proof (scores are model output; shape
     # hash-gated by forecast_backtest_scale_contract_audit):
     "forecast_backtest_scale",
@@ -59,6 +62,7 @@ def test_every_rows_only_query_has_a_companion_audit():
         "forecast_scale_series": "forecast_scale_contract_audit",
         "dedup_scale_audit": "dedup_scale_contract_audit",
         "ann_scale_audit": "ann_scale_contract_audit",
+        "ann_grid_scale_audit": "ann_grid_scale_contract_audit",
         "forecast_backtest_scale": "forecast_backtest_scale_contract_audit",
     }
     assert set(companions) == ROWS_ONLY_ALLOWED
