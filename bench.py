@@ -255,6 +255,16 @@ def main() -> None:
                 file=sys.stderr,
             )
         per_iter.append(t)
+        # release dead checkpoint/broadcast blocks between iterations:
+        # each pass leaves localCheckpoint RDDs whose cleanup waits on
+        # BOTH the Python GC (py4j weak refs) and a JVM GC cycle feeding
+        # ContextCleaner — forcing them here keeps iteration N+1's
+        # storage pool comparable to iteration N's instead of letting
+        # ~120 queries' worth of dead blocks accumulate
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     def _median(vals: list[float]) -> float:
         # statistics.median averages the two middle values for even n,
