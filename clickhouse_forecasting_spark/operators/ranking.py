@@ -208,19 +208,34 @@ def global_rank(
     col_name: str = "rank",
     dense: bool = False,
     num_partitions: int | None = None,
+    ascending: Sequence[bool] | None = None,
 ) -> DataFrame:
     """df + SQL RANK() (gaps after ties) or DENSE_RANK() over a global
     order — distributed: global_row_number with an arbitrary tie order,
     then the tie-insensitive reduction per key group (min rn for RANK; a
     dense index from the ordered distinct-key frame for DENSE_RANK). The
     per-key windows are PARTITIONED by the full order tuple — parallel by
-    construction; the dense path re-ranks only the distinct-key frame."""
+    construction; the dense path re-ranks only the distinct-key frame.
+
+    ``order_by`` must be plain column names (rank semantics group back on
+    them); per-key direction comes from ``ascending`` (default all-ASC),
+    e.g. ``global_rank(df, ["n"], ascending=[False])`` for
+    ``RANK() OVER (ORDER BY n DESC)``."""
     keys = [c for c in order_by if isinstance(c, str)]
     if len(keys) != len(list(order_by)):
         # Column expressions (e.g. F.desc) have no stable name to group
-        # back on; callers pass plain column names for rank semantics
-        raise ValueError("global_rank requires plain column names")
-    rn = global_row_number(df, order_by, col_name="__rk_rn",
+        # back on; callers pass plain column names + `ascending` flags
+        raise ValueError(
+            "global_rank requires plain column names (pass direction via "
+            "ascending=[...])"
+        )
+    asc = list(ascending) if ascending is not None else [True] * len(keys)
+    if len(asc) != len(keys):
+        raise ValueError("ascending must match order_by length")
+    ordered = [
+        F.col(k) if a else F.col(k).desc() for k, a in zip(keys, asc)
+    ]
+    rn = global_row_number(df, ordered, col_name="__rk_rn",
                            num_partitions=num_partitions)
     if not dense:
         w = Window.partitionBy(*keys)
@@ -231,7 +246,7 @@ def global_rank(
     # each row to its key's dense index through an equi-join
     distinct_keys = df.select(*keys).distinct()
     dense_idx = global_row_number(
-        distinct_keys, order_by, col_name=col_name,
+        distinct_keys, ordered, col_name=col_name,
         num_partitions=num_partitions,
     )
     return rn.drop("__rk_rn").join(dense_idx, keys)

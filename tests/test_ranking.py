@@ -158,6 +158,28 @@ def test_global_rank_rejects_expression_order(spark, docs):
 
     with _pt.raises(ValueError):
         RK.global_rank(docs, [F.desc("n_chars")])
+    with _pt.raises(ValueError):
+        RK.global_rank(docs, ["n_chars"], ascending=[True, False])
+
+
+def test_global_rank_descending_matches_window(spark, docs):
+    d = docs.select("doc_id", (F.col("n_chars") % 50).alias("v"))
+    got = RK.global_rank(d, ["v"], "rank", ascending=[False])
+    ref = d.withColumn(
+        "rank", F.rank().over(Window.orderBy(F.desc("v"))).cast("bigint")
+    )
+    assert (
+        got.alias("a").join(ref.alias("b"), "doc_id")
+        .filter("a.rank <> b.rank").count() == 0
+    )
+    gotd = RK.global_rank(d, ["v"], "drank", dense=True, ascending=[False])
+    refd = d.withColumn(
+        "drank", F.dense_rank().over(Window.orderBy(F.desc("v"))).cast("bigint")
+    )
+    assert (
+        gotd.alias("a").join(refd.alias("b"), "doc_id")
+        .filter("a.drank <> b.drank").count() == 0
+    )
 
 
 def test_tied_keys_split_with_tiebreak(spark):
