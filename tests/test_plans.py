@@ -476,6 +476,38 @@ def test_census_agg_output_resolution_refuses_folded_projections():
     assert _resolve_agg_output("arm#8", clean) == "_groupingexpression#115"
 
 
+def test_calendar_alias_naming_convention_is_honest():
+    """The census trusts columns NAMED day/week/month/year as calendar
+    grains (aggregate-output lineage is not printed in plans, so the
+    naming convention is the contract — plans._SPC_BOUNDED_COLUMNS).
+    This lint keeps the convention honest: every `.alias("day"|"week"|
+    "month"|"year")` in the registry must sit within a few lines of a
+    calendar derivation (to_date / cast-to-date / date_format /
+    date_trunc / date_add / datediff). Naming a doc_id column `day`
+    would silently bound a data-proportional frame — it fails here
+    first."""
+    import re
+
+    import clickhouse_forecasting_spark.queries as q
+
+    src_lines = open(q.__file__).read().splitlines()
+    cal = re.compile(
+        r"to_date|cast\(\"date\"\)|\.cast\('date'\)|cast\(.{0,40} as date\)"
+        r"|date_format|date_trunc|date_add|datediff|weekday|weekofyear"
+    )
+    offenders = []
+    for i, line in enumerate(src_lines):
+        if not re.search(r'alias\("(day|week|month|year)"\)', line):
+            continue
+        window = "\n".join(src_lines[max(0, i - 12): i + 1])
+        if not cal.search(window):
+            offenders.append((i + 1, line.strip()[:80]))
+    assert offenders == [], (
+        "calendar-named aliases without a visible calendar derivation "
+        f"(census naming convention violated): {offenders}"
+    )
+
+
 def test_window_before_checkpoint_sites_are_reviewed():
     """plans.single_partition_collapses audits the FINAL plan, so a global
     window computed BEFORE an eager localCheckpoint is invisible to it
