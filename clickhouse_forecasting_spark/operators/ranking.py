@@ -235,21 +235,51 @@ def global_rank(
     ordered = [
         F.col(k) if a else F.col(k).desc() for k, a in zip(keys, asc)
     ]
-    rn = global_row_number(df, ordered, col_name="__rk_rn",
-                           num_partitions=num_partitions)
     if not dense:
-        w = Window.partitionBy(*keys)
-        return rn.withColumn(
-            col_name, F.min("__rk_rn").over(w).cast("bigint")
-        ).drop("__rk_rn")
+        # RANK is key-grain: rank(v) = 1 + count of strictly-preceding
+        # rows. Aggregate to per-key counts FIRST (the hash shuffle
+        # splits tied rows across partitions), run the distributed
+        # running sum over the DISTINCT-key frame only, and join the
+        # ≤|distinct keys| rank table back. This never range-partitions
+        # tied rows — the old full-frame ranged pass put every row of a
+        # hot key in ONE partition (the documented RangePartitioner
+        # tied-key limit); now only the per-key COUNT row lands there.
+        vals = df.groupBy(*keys).agg(F.count("*").alias("__rk_kc"))
+        cum = global_running_sum(
+            vals, ordered, ["__rk_kc"], ["__rk_kcum"],
+            num_partitions=num_partitions,
+        )
+        ranks = cum.select(
+            *keys,
+            (F.col("__rk_kcum") - F.col("__rk_kc") + 1)
+            .cast("bigint")
+            .alias(col_name),
+        )
+        return _join_back_null_safe(df, ranks, keys)
     # dense: rank the DISTINCT key tuples (a far smaller frame), then map
-    # each row to its key's dense index through an equi-join
+    # each row to its key's dense index through a (null-safe) equi-join
     distinct_keys = df.select(*keys).distinct()
     dense_idx = global_row_number(
         distinct_keys, ordered, col_name=col_name,
         num_partitions=num_partitions,
     )
-    return rn.drop("__rk_rn").join(dense_idx, keys)
+    return _join_back_null_safe(df, dense_idx, keys)
+
+
+def _join_back_null_safe(df: DataFrame, lookup: DataFrame, keys: list[str]) -> DataFrame:
+    """Inner-join `lookup` back onto `df` on `keys` with NULL-SAFE
+    equality: SQL window ranks treat NULL as an ordinary (first) key
+    value, so a plain equi-join (null ≠ null) would silently DROP
+    NULL-keyed rows from the result."""
+    renamed = lookup.select(
+        *[F.col(k).alias(f"__rk_j_{k}") for k in keys],
+        *[c for c in lookup.columns if c not in keys],
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__rk_j_{k}"))
+        cond = c if cond is None else cond & c
+    return df.join(renamed, cond).drop(*[f"__rk_j_{k}" for k in keys])
 
 
 def global_running_sum(

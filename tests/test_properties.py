@@ -219,9 +219,21 @@ def test_ranking_primitives_match_window_on_random_frames(spark, rows, k):
     ref_rk = df.withColumn(
         "rk", F.rank().over(Window.orderBy("a", "b")).cast("bigint")
     )
+    # row-count check first: a NULL-key drop through the join-back would
+    # make the per-row comparison below pass VACUOUSLY
+    assert got_rk.count() == df.count()
     assert (
         got_rk.alias("g").join(ref_rk.alias("r"), "i")
         .filter("g.rk <> r.rk").count() == 0
+    )
+    got_dk = RK.global_rank(df, ["a", "b"], "dk", dense=True, num_partitions=7)
+    ref_dk = df.withColumn(
+        "dk", F.dense_rank().over(Window.orderBy("a", "b")).cast("bigint")
+    )
+    assert got_dk.count() == df.count()
+    assert (
+        got_dk.alias("g").join(ref_dk.alias("r"), "i")
+        .filter("g.dk <> r.dk").count() == 0
     )
 
 
