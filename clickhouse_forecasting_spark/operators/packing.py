@@ -60,16 +60,25 @@ def pack_concat_chunks(
     (straddlers), bin_tokens tokens land in it (== budget except the
     shard's final partial bin). One window cumsum per shard + one
     bounded explode (a doc spans at most n_tokens/budget + 1 bins)."""
+    from . import ranking as _rk
+
     toks = token_lengths(df, text_col, id_col, shard_col)
-    w = (
-        Window.partitionBy(shard_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # per-shard exclusive cumsum via the DISTRIBUTED grouped running sum
+    # (ranged order + broadcast per-shard rebase): a plain
+    # Window.partitionBy(shard) fans each shard's documents into one
+    # task — fine at the documented 10^4-10^5-shard production policy,
+    # a 5-task collapse on enum-sharded fixtures; the grouped form is
+    # scale-safe in BOTH regimes. Exclusive = inclusive − own (n_tokens
+    # is non-null by construction).
+    cum = _rk.grouped_running_sum(
+        toks, [shard_col], [id_col], ["n_tokens"], ["__pk_cs"]
     )
     spans = (
-        toks.withColumn(
-            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+        cum.withColumn(
+            "cum_before",
+            (F.col("__pk_cs") - F.col("n_tokens")).cast("bigint"),
         )
+        .drop("__pk_cs")
         .withColumn("first_bin", F.expr(f"cum_before div {budget}"))
         .withColumn("last_bin", F.expr(f"(cum_before + n_tokens - 1) div {budget}"))
     )

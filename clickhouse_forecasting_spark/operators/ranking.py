@@ -266,7 +266,12 @@ def global_rank(
     return _join_back_null_safe(df, dense_idx, keys)
 
 
-def _join_back_null_safe(df: DataFrame, lookup: DataFrame, keys: list[str]) -> DataFrame:
+def _join_back_null_safe(
+    df: DataFrame,
+    lookup: DataFrame,
+    keys: list[str],
+    broadcast: bool = False,
+) -> DataFrame:
     """Inner-join `lookup` back onto `df` on `keys` with NULL-SAFE
     equality: SQL window ranks treat NULL as an ordinary (first) key
     value, so a plain equi-join (null ≠ null) would silently DROP
@@ -275,11 +280,136 @@ def _join_back_null_safe(df: DataFrame, lookup: DataFrame, keys: list[str]) -> D
         *[F.col(k).alias(f"__rk_j_{k}") for k in keys],
         *[c for c in lookup.columns if c not in keys],
     )
+    if broadcast:
+        renamed = F.broadcast(renamed)
     cond = None
     for k in keys:
         c = F.col(k).eqNullSafe(F.col(f"__rk_j_{k}"))
         cond = c if cond is None else cond & c
     return df.join(renamed, cond).drop(*[f"__rk_j_{k}" for k in keys])
+
+
+# --- per-group (PARTITION BY enum) distributed forms ----------------------
+#
+# `Window.partitionBy(<enum>)` over a fact-grain frame fans the WHOLE input
+# into ≤|domain| tasks (5 market segments = 5 tasks forever, no matter the
+# cluster) — the per-key cousin of the single-partition collapse, flagged
+# by plans.bounded_key_fanins. These helpers express the same semantics on
+# the distributed machinery above: rank the global (group ++ order) total
+# order, then rebase each group by a broadcast per-group offset (a
+# ≤|domain|-row frame). The group key set must be BOUNDED-DOMAIN (that is
+# what makes the rebase frame broadcastable) — which is exactly the case
+# where the plain partitioned window cannot scale.
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_by: Sequence,
+    col_name: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + ``row_number() OVER (PARTITION BY groups ORDER BY order)``
+    for bounded-domain groups, without fanning the fact into ≤|domain|
+    tasks: distributed global row_number over (groups ++ order), then
+    each group rebases by its broadcast min-rn (null-safe join — NULL is
+    an ordinary group value)."""
+    gcols = list(group_by)
+    rn = global_row_number(
+        df, [*gcols, *order_by], col_name="__rk_grn",
+        num_partitions=num_partitions,
+    )
+    off = rn.groupBy(*gcols).agg(F.min("__rk_grn").alias("__rk_gmin"))
+    out = _join_back_null_safe(rn, off, gcols, broadcast=True)
+    return out.withColumn(
+        col_name, (F.col("__rk_grn") - F.col("__rk_gmin") + 1).cast("bigint")
+    ).drop("__rk_grn", "__rk_gmin")
+
+
+def grouped_top_k(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_by: Sequence,
+    k: int,
+    col_name: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Top-k rows PER GROUP (the LIMIT ... BY / lateral-top-k shape)
+    with the per-group row number attached — grouped_row_number +
+    filter."""
+    return grouped_row_number(
+        df, group_by, order_by, col_name=col_name,
+        num_partitions=num_partitions,
+    ).filter(F.col(col_name) <= int(k))
+
+
+def with_ntile_from_rn(
+    df: DataFrame,
+    rn_col: str,
+    total_col: str,
+    n_tiles: int,
+    out_col: str = "tile",
+) -> DataFrame:
+    """SQL-exact NTILE(k) computed from a 1-based row number column and
+    its partition-total column — the same all-bigint `div` tile
+    arithmetic as global_ntile, reusable for grouped forms (attach
+    grouped_row_number + a broadcast per-group total, then this)."""
+    k = int(n_tiles)
+    base = f"({total_col} div {k})"
+    rem = f"({total_col} % {k})"
+    expr = (
+        f"CAST(CASE WHEN {base} = 0 THEN {rn_col} "
+        f"WHEN {rn_col} <= ({base} + 1) * {rem} "
+        f"THEN ({rn_col} + {base}) div ({base} + 1) "
+        f"ELSE {rem} + ({rn_col} - ({base} + 1) * {rem} + {base} - 1) "
+        f"div {base} END AS INT)"
+    )
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_by: Sequence,
+    value_cols: Sequence[str],
+    out_names: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + per-group inclusive running sums —
+    ``SUM(c) OVER (PARTITION BY groups ORDER BY order ROWS UNBOUNDED
+    PRECEDING)`` for bounded-domain groups: the distributed GLOBAL
+    running sum over (groups ++ order) minus each group's broadcast
+    exclusive prefix total (group totals fold off the same checkpointed
+    frame — no second input scan; the prefix window runs over the
+    ≤|domain|-row group-total frame).
+
+    PRECONDITION: non-null value columns (counts/amounts). The global
+    form's NULL semantics do not subtract back into per-group
+    NULL-until-first-non-null semantics; an all-null group prefix would
+    surface 0, not NULL."""
+    gcols = list(group_by)
+    tmp = [f"__rk_gcs_{c}" for c in value_cols]
+    cum = global_running_sum(
+        df, [*gcols, *order_by], value_cols, tmp,
+        num_partitions=num_partitions,
+    )
+    gt = cum.groupBy(*gcols).agg(
+        *[F.sum(c).alias(f"__rk_gt_{c}") for c in value_cols]
+    )
+    w = Window.orderBy(*gcols).rowsBetween(Window.unboundedPreceding, -1)
+    goff = gt.select(
+        *gcols,
+        *[
+            F.coalesce(F.sum(f"__rk_gt_{c}").over(w), F.lit(0)).alias(
+                f"__rk_goff_{c}"
+            )
+            for c in value_cols
+        ],
+    )
+    out = _join_back_null_safe(cum, goff, gcols, broadcast=True)
+    for c, t, name in zip(value_cols, tmp, out_names):
+        out = out.withColumn(name, F.col(t) - F.col(f"__rk_goff_{c}"))
+    return out.drop(*tmp, *[f"__rk_goff_{c}" for c in value_cols])
 
 
 def global_running_sum(

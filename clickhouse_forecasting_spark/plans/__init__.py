@@ -510,6 +510,98 @@ def _spc_unbounded(node: _PlanNode, ctx: str | None = None) -> bool:
     return any(_spc_unbounded(c, ctx) for c in node.children)
 
 
+# Keys whose domain is FIXED-SMALL (an enum that never grows with the
+# cluster or the data): a window PARTITIONED by only these over a
+# fact-proportional frame fans the whole input into ≤|domain| tasks — the
+# per-key cousin of the single-partition collapse, invisible to the
+# SinglePartition census. Config-scaling keys (__rk_pid,
+# spark_partition_id — more tasks on a bigger cluster) and calendar
+# grains (thousands of values) are deliberately NOT here.
+_SPC_SMALL_ENUM_COLUMNS = frozenset({
+    "r_regionkey", "r_name",
+    "n_nationkey", "n_name",
+    "c_nationkey", "s_nationkey",
+    "l_returnflag", "l_linestatus", "l_shipmode", "l_shipinstruct",
+    "l_linenumber",
+    "o_orderstatus", "o_orderpriority",
+    "c_mktsegment",
+    "p_brand", "p_container", "p_mfgr",
+    "lang", "source",
+})
+
+
+def _window_partition_keys(text: str) -> list[str] | None:
+    """Partition columns of a Window plan line: the node prints
+    `Window [exprs], [partition-cols], [order-cols]` — take the
+    second-to-last top-level bracket group (None when the line has fewer
+    than 3 groups, i.e. no partitioning)."""
+    groups: list[str] = []
+    depth = 0
+    start = None
+    for i, ch in enumerate(text):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start is not None:
+                groups.append(text[start:i])
+                start = None
+    if len(groups) < 3:
+        return None
+    part = [k for k in _split_top_level(groups[-2], ",") if k]
+    return part or None
+
+
+def _enum_key(expr: str, ctx: str, depth: int = 0) -> bool:
+    """True iff the expression resolves to a FIXED-SMALL-domain enum
+    column (alias/agg-output chains followed like _spc_key_bounded)."""
+    if depth > 4:
+        return False
+    e = _strip_outer_parens(_strip_normalize_wrappers(expr.strip()))
+    m = _SPC_CAST_RE.match(e)
+    if m:
+        return _enum_key(m.group(1), ctx, depth + 1)
+    m = _SPC_ATTR_RE.match(e)
+    if m:
+        if m.group(1) in _SPC_SMALL_ENUM_COLUMNS:
+            return True
+        defn = _resolve_alias(e, ctx)
+        if defn is not None and defn != e:
+            return _enum_key(defn, ctx, depth + 1)
+        defn = _resolve_agg_output(e, ctx)
+        if defn is not None and defn != e:
+            return _enum_key(defn, ctx, depth + 1)
+    return False
+
+
+def bounded_key_fanins(df: DataFrame, run: bool = False) -> list[str]:
+    """Window nodes whose EVERY partition key is a fixed-small-domain
+    enum while the input frame is data-proportional: the whole fact fans
+    into ≤|domain| tasks (e.g. 5 market segments) no matter how large the
+    cluster — the per-key cousin of the single-partition collapse. Empty
+    means every enum-partitioned window runs over a provably bounded
+    frame (usually an aggregate at that grain)."""
+    plan = physical_plan(df, run=run)
+    flagged: list[str] = []
+
+    def walk(node: _PlanNode) -> None:
+        if node.text.startswith("Window "):
+            keys = _window_partition_keys(node.text)
+            if keys and all(_enum_key(k, plan) for k in keys):
+                if any(_spc_unbounded(c, plan) for c in node.children):
+                    flagged.append(
+                        "Window partitionBy[" + ", ".join(keys) + "]"
+                    )
+        for c in node.children:
+            walk(c)
+
+    for root in _parse_plan_tree(plan):
+        walk(root)
+    return flagged
+
+
 def single_partition_collapses(df: DataFrame, run: bool = False) -> list[str]:
     """Exchange SinglePartition nodes fed by an unbounded frame — the
     global-sort anti-pattern census (must be empty for every registered

@@ -476,6 +476,33 @@ def test_census_agg_output_resolution_refuses_folded_projections():
     assert _resolve_agg_output("arm#8", clean) == "_groupingexpression#115"
 
 
+def test_no_bounded_enum_key_fanins_anywhere(spark, sf_dir, qs):
+    """The r6 follow-on to the single-partition census: NO registered
+    query may run a Window PARTITIONED BY only fixed-small-domain enum
+    keys over a data-proportional frame — ≤|domain| tasks at any cluster
+    size (5 segments = 5 tasks forever). 22 queries were rewritten onto
+    the grouped ranking primitives to make this hold. Allowlisted:
+    lateral_top_balances exists to pin ANSI-LATERAL parity of the SQL
+    front end (the identical SQL string runs through spark.sql and
+    DuckDB) — Catalyst decorrelates it into a nation-partitioned window;
+    rewriting it would defeat the query's purpose, and the same
+    semantics are scale-safe via grouped_top_k elsewhere."""
+    from clickhouse_forecasting_spark.plans import bounded_key_fanins
+
+    allow = {"lateral_top_balances"}
+    offenders = {}
+    for name, fn in sorted(qs.items()):
+        if name in allow:
+            continue
+        try:
+            hits = bounded_key_fanins(fn(spark, sf_dir))
+        except Exception:
+            continue  # no batch plan (streaming/stateful surface)
+        if hits:
+            offenders[name] = hits
+    assert offenders == {}, f"bounded-enum-key window fan-ins: {offenders}"
+
+
 def test_calendar_alias_naming_convention_is_honest():
     """The census trusts columns NAMED day/week/month/year as calendar
     grains (aggregate-output lineage is not printed in plans, so the

@@ -276,6 +276,46 @@ def test_running_aggregates_match_window_on_random_frames(spark, rows):
     )
 
 
+@given(_rank_rows)
+@_SLOW
+def test_grouped_primitives_match_partitioned_window(spark, rows):
+    """grouped_row_number / grouped_running_sum agree with the
+    PARTITION BY window forms on random frames with NULL group keys,
+    heavy ties, and single-row groups — the per-enum-group rewrite
+    surface (plans.bounded_key_fanins) in one property."""
+    from pyspark.sql import Window
+
+    from clickhouse_forecasting_spark.operators import ranking as RK
+
+    df = spark.createDataFrame(
+        [(i, a, b if b is not None else 0) for i, (a, b) in enumerate(rows)],
+        "i long, g long, v int",
+    )
+    w = Window.partitionBy("g").orderBy("i")
+    got = RK.grouped_row_number(df, ["g"], ["i"], "rn", num_partitions=7)
+    ref = df.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    assert got.count() == df.count()  # NULL group keys must survive
+    assert (
+        got.alias("a").join(ref.alias("b"), "i")
+        .filter("a.rn <> b.rn").count() == 0
+    )
+
+    ws = w.rowsBetween(Window.unboundedPreceding, 0)
+    gots = RK.grouped_running_sum(
+        df, ["g"], ["i"], ["v"], ["cs"], num_partitions=7
+    )
+    refs = df.withColumn("cs", F.sum("v").over(ws))
+    assert gots.count() == df.count()
+    assert (
+        gots.alias("a").join(refs.alias("b"), "i")
+        .filter("NOT (a.cs <=> b.cs)").count() == 0
+    )
+
+    topk = RK.grouped_top_k(df, ["g"], ["i"], 2, "rn", num_partitions=7)
+    reft = ref.filter("rn <= 2")
+    assert topk.count() == reft.count()
+
+
 @given(_rank_rows, st.integers(min_value=2, max_value=7))
 @_SLOW
 def test_ntile_composed_with_aggregate_and_filter(spark, rows, k):
