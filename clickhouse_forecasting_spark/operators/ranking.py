@@ -275,7 +275,20 @@ def _join_back_null_safe(
     """Inner-join `lookup` back onto `df` on `keys` with NULL-SAFE
     equality: SQL window ranks treat NULL as an ordinary (first) key
     value, so a plain equi-join (null ≠ null) would silently DROP
-    NULL-keyed rows from the result."""
+    NULL-keyed rows from the result.
+
+    The lookup's payload (non-key) columns must be absent from `df`:
+    a silent duplicate would only explode at a later select, so it is
+    rejected here — matching the error behavior of the withColumn-based
+    predecessors these joins replaced."""
+    clash = [
+        c for c in lookup.columns if c not in keys and c in df.columns
+    ]
+    if clash:
+        raise ValueError(
+            "join-back payload column(s) already exist on the input "
+            f"frame: {clash} — rename the output column"
+        )
     renamed = lookup.select(
         *[F.col(k).alias(f"__rk_j_{k}") for k in keys],
         *[c for c in lookup.columns if c not in keys],
@@ -287,6 +300,41 @@ def _join_back_null_safe(
         c = F.col(k).eqNullSafe(F.col(f"__rk_j_{k}"))
         cond = c if cond is None else cond & c
     return df.join(renamed, cond).drop(*[f"__rk_j_{k}" for k in keys])
+
+
+def _guard_group_cardinality(
+    off: DataFrame, guard_col: str, max_groups: int, caller: str
+) -> DataFrame:
+    """In-plan cardinality guard for the per-group rebase frames the
+    grouped primitives force-broadcast: group count is only
+    policy-bounded (enums / 10⁴–10⁵ shard ids), and a caller feeding a
+    data-proportional key would get a driver-sized broadcast plus an
+    unpartitioned window where the plain per-group window degrades
+    gracefully.  A scalar count of the (already tiny) rebase frame is
+    cross-joined back and an assert_true wraps `guard_col`, which must
+    be a JOIN KEY of the downstream join-back: a payload column is
+    column-pruned under count()-only plans and the assert would vanish
+    with it, but the join key is load-bearing in every consumer plan
+    (same fail-loud idiom as the dedup/ANN occupancy caps)."""
+    cnt = off.groupBy().agg(F.count("*").alias("__rk_ng"))
+    guarded = F.when(
+        F.assert_true(
+            F.col("__rk_ng") <= F.lit(int(max_groups)),
+            F.lit(
+                f"{caller}: group-key cardinality exceeds "
+                f"max_groups={int(max_groups)} — the broadcast rebase "
+                "frame is only safe for policy-bounded group counts; "
+                "use a plain partitioned window for data-proportional "
+                "keys or raise max_groups deliberately"
+            ),
+        ).isNull(),
+        F.col(guard_col),
+    )
+    return (
+        off.crossJoin(F.broadcast(cnt))
+        .withColumn(guard_col, guarded)
+        .drop("__rk_ng")
+    )
 
 
 # --- per-group (PARTITION BY enum) distributed forms ----------------------
@@ -308,18 +356,24 @@ def grouped_row_number(
     order_by: Sequence,
     col_name: str = "rn",
     num_partitions: int | None = None,
+    max_groups: int = 1_000_000,
 ) -> DataFrame:
     """df + ``row_number() OVER (PARTITION BY groups ORDER BY order)``
     for bounded-domain groups, without fanning the fact into ≤|domain|
     tasks: distributed global row_number over (groups ++ order), then
     each group rebases by its broadcast min-rn (null-safe join — NULL is
-    an ordinary group value)."""
+    an ordinary group value).  Group cardinality is enforced in-plan at
+    ``max_groups`` (the rebase frame is force-broadcast — see
+    _guard_group_cardinality)."""
     gcols = list(group_by)
     rn = global_row_number(
         df, [*gcols, *order_by], col_name="__rk_grn",
         num_partitions=num_partitions,
     )
     off = rn.groupBy(*gcols).agg(F.min("__rk_grn").alias("__rk_gmin"))
+    off = _guard_group_cardinality(
+        off, gcols[0], max_groups, "grouped_row_number"
+    )
     out = _join_back_null_safe(rn, off, gcols, broadcast=True)
     return out.withColumn(
         col_name, (F.col("__rk_grn") - F.col("__rk_gmin") + 1).cast("bigint")
@@ -353,8 +407,12 @@ def with_ntile_from_rn(
     """SQL-exact NTILE(k) computed from a 1-based row number column and
     its partition-total column — the same all-bigint `div` tile
     arithmetic as global_ntile, reusable for grouped forms (attach
-    grouped_row_number + a broadcast per-group total, then this)."""
+    grouped_row_number + a broadcast per-group total, then this).
+    Column names are backtick-quoted into the generated expression, so
+    non-identifier names (dots, spaces, hyphens) bind correctly."""
     k = int(n_tiles)
+    rn_col = f"`{rn_col}`"
+    total_col = f"`{total_col}`"
     base = f"({total_col} div {k})"
     rem = f"({total_col} % {k})"
     expr = (
@@ -374,6 +432,7 @@ def grouped_running_sum(
     value_cols: Sequence[str],
     out_names: Sequence[str],
     num_partitions: int | None = None,
+    max_groups: int = 1_000_000,
 ) -> DataFrame:
     """df + per-group inclusive running sums —
     ``SUM(c) OVER (PARTITION BY groups ORDER BY order ROWS UNBOUNDED
@@ -383,18 +442,36 @@ def grouped_running_sum(
     frame — no second input scan; the prefix window runs over the
     ≤|domain|-row group-total frame).
 
-    PRECONDITION: non-null value columns (counts/amounts). The global
-    form's NULL semantics do not subtract back into per-group
-    NULL-until-first-non-null semantics; an all-null group prefix would
-    surface 0, not NULL."""
+    NULL semantics match the SQL window form exactly: alongside each
+    value's running sum, the global pass carries a running NON-NULL
+    count of an always-defined 0/1 indicator; a row whose GROUP prefix
+    holds no non-null value yields NULL (not the 0 the subtraction
+    alone would surface), otherwise NULLs are skipped.
+
+    Group cardinality is enforced in-plan at ``max_groups`` (the rebase
+    frame is force-broadcast — see _guard_group_cardinality)."""
     gcols = list(group_by)
+    ind = {c: f"__rk_gnn_{c}" for c in value_cols}
+    src = df
+    for c in value_cols:
+        # non-null indicator: never NULL itself, so its running sum is
+        # the per-prefix non-null count of c
+        src = src.withColumn(
+            ind[c], F.col(c).isNotNull().cast("bigint")
+        )
     tmp = [f"__rk_gcs_{c}" for c in value_cols]
+    tmpn = [f"__rk_gcn_{c}" for c in value_cols]
     cum = global_running_sum(
-        df, [*gcols, *order_by], value_cols, tmp,
+        src, [*gcols, *order_by],
+        [*value_cols, *ind.values()], [*tmp, *tmpn],
         num_partitions=num_partitions,
     )
     gt = cum.groupBy(*gcols).agg(
-        *[F.sum(c).alias(f"__rk_gt_{c}") for c in value_cols]
+        *[F.sum(c).alias(f"__rk_gt_{c}") for c in value_cols],
+        *[F.sum(ind[c]).alias(f"__rk_gtn_{c}") for c in value_cols],
+    )
+    gt = _guard_group_cardinality(
+        gt, gcols[0], max_groups, "grouped_running_sum"
     )
     w = Window.orderBy(*gcols).rowsBetween(Window.unboundedPreceding, -1)
     goff = gt.select(
@@ -405,11 +482,27 @@ def grouped_running_sum(
             )
             for c in value_cols
         ],
+        *[
+            F.coalesce(F.sum(f"__rk_gtn_{c}").over(w), F.lit(0)).alias(
+                f"__rk_goffn_{c}"
+            )
+            for c in value_cols
+        ],
     )
     out = _join_back_null_safe(cum, goff, gcols, broadcast=True)
-    for c, t, name in zip(value_cols, tmp, out_names):
-        out = out.withColumn(name, F.col(t) - F.col(f"__rk_goff_{c}"))
-    return out.drop(*tmp, *[f"__rk_goff_{c}" for c in value_cols])
+    for c, t, tn, name in zip(value_cols, tmp, tmpn, out_names):
+        grp_nn = F.col(tn) - F.col(f"__rk_goffn_{c}")
+        out = out.withColumn(
+            name,
+            F.when(grp_nn == 0, F.lit(None)).otherwise(
+                F.coalesce(F.col(t), F.lit(0)) - F.col(f"__rk_goff_{c}")
+            ),
+        )
+    return out.drop(
+        *tmp, *tmpn, *ind.values(),
+        *[f"__rk_goff_{c}" for c in value_cols],
+        *[f"__rk_goffn_{c}" for c in value_cols],
+    )
 
 
 def global_running_sum(

@@ -281,14 +281,16 @@ def test_running_aggregates_match_window_on_random_frames(spark, rows):
 def test_grouped_primitives_match_partitioned_window(spark, rows):
     """grouped_row_number / grouped_running_sum agree with the
     PARTITION BY window forms on random frames with NULL group keys,
-    heavy ties, and single-row groups — the per-enum-group rewrite
-    surface (plans.bounded_key_fanins) in one property."""
+    NULL VALUES (the SQL NULL-until-first-non-null running-sum edge,
+    including all-null group prefixes), heavy ties, and single-row
+    groups — the per-enum-group rewrite surface
+    (plans.bounded_key_fanins) in one property."""
     from pyspark.sql import Window
 
     from clickhouse_forecasting_spark.operators import ranking as RK
 
     df = spark.createDataFrame(
-        [(i, a, b if b is not None else 0) for i, (a, b) in enumerate(rows)],
+        [(i, a, b) for i, (a, b) in enumerate(rows)],
         "i long, g long, v int",
     )
     w = Window.partitionBy("g").orderBy("i")

@@ -213,3 +213,77 @@ def test_global_row_number_null_ordering_matches_window(spark):
         got.alias("a").join(ref.alias("b"), "i").filter("a.rn <> b.rn").count()
         == 0
     )
+
+
+def test_grouped_running_sum_null_carry(spark):
+    """SQL running-sum NULL semantics PER GROUP: a row whose group
+    prefix holds no non-null value is NULL (not 0), even when earlier
+    GROUPS contributed non-null values to the global prefix — the exact
+    edge the r6 docstring documented but did not enforce."""
+    rows = [
+        # g=1: values from the start
+        (0, 1, 5), (1, 1, None), (2, 1, 3),
+        # g=2: ALL NULL — every cs must be NULL
+        (3, 2, None), (4, 2, None),
+        # g=3: null prefix, then a value
+        (5, 3, None), (6, 3, 7), (7, 3, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, g long, v int")
+    got = RK.grouped_running_sum(df, ["g"], ["i"], ["v"], ["cs"],
+                                 num_partitions=4)
+    w = Window.partitionBy("g").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ref = df.withColumn("cs", F.sum("v").over(w))
+    assert (
+        got.alias("a").join(ref.alias("b"), "i")
+        .filter("NOT (a.cs <=> b.cs)").count() == 0
+    )
+    # the all-null group really surfaces NULL, not 0
+    assert got.filter("g = 2 AND cs IS NOT NULL").count() == 0
+
+
+def test_grouped_primitives_cardinality_guard_fires(spark):
+    """The rebase frames are force-broadcast, which is only safe for
+    policy-bounded group counts — past max_groups the in-plan
+    assert_true must fail the job loudly instead of OOMing the driver."""
+    df = spark.range(500).select(
+        F.col("id").alias("g"), (F.col("id") % 7).alias("v")
+    )
+    ok = RK.grouped_running_sum(
+        df, ["g"], ["v"], ["v"], ["cs"], num_partitions=4, max_groups=500
+    )
+    assert ok.count() == 500
+    bad = RK.grouped_running_sum(
+        df, ["g"], ["v"], ["v"], ["cs"], num_partitions=4, max_groups=100
+    )
+    with pytest.raises(Exception, match="max_groups"):
+        bad.count()
+    bad_rn = RK.grouped_row_number(
+        df, ["g"], ["v"], "rn", num_partitions=4, max_groups=100
+    )
+    with pytest.raises(Exception, match="max_groups"):
+        bad_rn.count()
+
+
+def test_with_ntile_from_rn_quotes_non_identifier_names(spark):
+    """Backtick quoting: column names with dots/hyphens must bind as
+    single columns in the generated tile expression."""
+    df = spark.range(10).select(
+        (F.col("id") + 1).alias("my.rn"), F.lit(10).alias("total-rows")
+    )
+    got = RK.with_ntile_from_rn(df, "my.rn", "total-rows", 4, "tile")
+    tiles = [r.tile for r in got.orderBy("`my.rn`").collect()]
+    # SQL NTILE(4) over 10 rows: first 2 tiles get 3 rows, rest 2
+    assert tiles == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+
+
+def test_join_back_rejects_payload_collision(spark):
+    """A lookup payload column already on the input frame would produce
+    ambiguous duplicates that only explode at a later select — rejected
+    eagerly with a clear error instead."""
+    df = spark.range(10).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("rank")
+    )
+    with pytest.raises(ValueError, match="rank"):
+        RK.global_rank(df.select("g", "rank"), ["g"], col_name="rank")
