@@ -110,3 +110,37 @@ def test_lateral_top2_per_nation(spark, sf_dir, qs):
     for n, got in by_nation.items():
         expect = sorted(ref[n])[:2]
         assert sorted((-r.bal, r.c_name) for r in got) == expect
+
+
+def test_lateral_sql_text_parity(spark, sf_dir):
+    """ANSI-LATERAL front-end parity: the IDENTICAL SQL string runs
+    through spark.sql() and DuckDB and must produce value-identical
+    results. This pins what the registry entry used to pin before it
+    was rewritten onto grouped_top_k (Catalyst decorrelates the LATERAL
+    LIMIT subquery into an enum-partitioned window — ≤|nation| tasks,
+    the bounded_key_fanins anti-pattern, so the Catalyst-shaped plan is
+    a parity TEST, not the executed query)."""
+    import duckdb
+
+    from clickhouse_forecasting_spark.queries import _LATERAL_SQL
+    from clickhouse_forecasting_spark.sources import read_table
+
+    for t in ["nation", "customer"]:
+        read_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    got = sorted(
+        tuple(r) for r in spark.sql(_LATERAL_SQL).collect()
+    )
+    con = duckdb.connect()
+    for t in ["nation", "customer"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    ref = sorted(tuple(r) for r in con.execute(_LATERAL_SQL).fetchall())
+    assert got == ref
+    # and the SAME semantics from the scale-safe registry entry
+    import __spark_entry__ as e
+
+    reg = sorted(
+        tuple(r) for r in e.queries()["lateral_top_balances"](spark, sf_dir).collect()
+    )
+    assert reg == ref

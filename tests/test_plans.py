@@ -480,20 +480,15 @@ def test_no_bounded_enum_key_fanins_anywhere(spark, sf_dir, qs):
     """The r6 follow-on to the single-partition census: NO registered
     query may run a Window PARTITIONED BY only fixed-small-domain enum
     keys over a data-proportional frame — ≤|domain| tasks at any cluster
-    size (5 segments = 5 tasks forever). 22 queries were rewritten onto
-    the grouped ranking primitives to make this hold. Allowlisted:
-    lateral_top_balances exists to pin ANSI-LATERAL parity of the SQL
-    front end (the identical SQL string runs through spark.sql and
-    DuckDB) — Catalyst decorrelates it into a nation-partitioned window;
-    rewriting it would defeat the query's purpose, and the same
-    semantics are scale-safe via grouped_top_k elsewhere."""
+    size (5 segments = 5 tasks forever). 23 queries are rewritten onto
+    the grouped ranking primitives to make this hold — including
+    lateral_top_balances (r7): its ANSI-LATERAL SQL-text parity moved
+    to tests/test_analytics_batch12.py::test_lateral_sql_text_parity,
+    so the registry executes grouped_top_k and the allowlist is EMPTY."""
     from clickhouse_forecasting_spark.plans import bounded_key_fanins
 
-    allow = {"lateral_top_balances"}
     offenders = {}
     for name, fn in sorted(qs.items()):
-        if name in allow:
-            continue
         try:
             hits = bounded_key_fanins(fn(spark, sf_dir))
         except Exception:
