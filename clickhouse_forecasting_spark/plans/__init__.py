@@ -77,37 +77,52 @@ _SPC_BARRIERS = (
 _SPC_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
 
 # Column names whose value domain is bounded by the DATA MODEL, not by the
-# corpus size — the only aggregate grouping keys that bound a frame.  Every
-# entry carries its domain bound; anything not listed is assumed
-# data-proportional.
-_SPC_BOUNDED_COLUMNS = frozenset({
+# corpus size — the only aggregate grouping keys that bound a frame.
+# Anything not listed is assumed data-proportional.
+#
+# Each PROBEABLE entry maps column -> (source table, documented max
+# distinct count): tests/test_plans.py::test_bounded_column_domains_hold
+# scans the fixture and asserts the observed distinct count stays within
+# the documented bound, so fixture/schema drift cannot silently unbound a
+# "bounded" key (the census's trust surface is measured, not declared).
+# Calendar-grain date columns grow with TIME, not data volume — their
+# bound is the fixture's date span in days (generous: TPC-H spans
+# 1992-01-01..1998-08-02 ≈ 2406 order dates; receipt dates extend ~+4
+# months past that).
+BOUNDED_COLUMN_DOMAINS: dict[str, tuple[str, int]] = {
     # TPC-H dimension keys / enums (fixed small domains at every SF)
-    "r_regionkey", "r_name",                      # 5 regions
-    "n_nationkey", "n_name",                      # 25 nations
-    "c_nationkey", "s_nationkey",                 # 25 nations
-    "l_returnflag", "l_linestatus",               # 3 / 2 values
-    "l_shipmode", "l_shipinstruct",               # 7 / 4 values
-    "l_linenumber",                               # 1..7
-    "l_quantity",                                 # 1..50 (spec)
-    "o_orderstatus", "o_orderpriority",           # 3 / 5 values
-    "c_mktsegment",                               # 5 segments
-    "p_brand", "p_container", "p_mfgr",           # 25 / 40 / 5 values
-    "p_size", "p_type",                           # 1..50 / 150 values
-    # calendar-grain date columns: the fixture spans a fixed date range
-    # (grows with TIME, not with data volume — one row per date at the
-    # finest grain)
-    "o_orderdate", "l_shipdate", "l_commitdate", "l_receiptdate",
-    # documents generator enums (TESTDATA.md: closed source/lang sets)
-    "lang", "source",
-    # naming-convention calendar grains: this repo names derived calendar
-    # columns day/week/month/year (aggregate-output lineage is not
-    # printed in plans, so the convention is the contract — reviewed like
-    # __bounded_ markers)
+    "r_regionkey": ("region", 5), "r_name": ("region", 5),
+    "n_nationkey": ("nation", 25), "n_name": ("nation", 25),
+    "c_nationkey": ("customer", 25), "s_nationkey": ("supplier", 25),
+    "l_returnflag": ("lineitem", 3), "l_linestatus": ("lineitem", 2),
+    "l_linenumber": ("lineitem", 7),
+    "l_quantity": ("lineitem", 50),        # 1..50 (spec)
+    "o_orderstatus": ("orders", 3), "o_orderpriority": ("orders", 5),
+    "c_mktsegment": ("customer", 5),
+    "p_brand": ("part", 25),
+    "p_size": ("part", 50), "p_type": ("part", 150),
+    # calendar-grain date columns (fixture date span, days)
+    "o_orderdate": ("orders", 2500),
+    "l_shipdate": ("lineitem", 2650),
+    # documents generator enums (closed sets: 5 langs, src0..src19)
+    "lang": ("documents", 8), "source": ("documents", 32),
+}
+
+# Convention-bounded names with NO probeable source table:
+# day/week/month/year are the repo's naming convention for DERIVED
+# calendar columns (aggregate-output lineage is not printed in plans, so
+# the convention is the contract — enforced by the cross-module
+# calendar-naming lint in tests/test_plans.py); __rk_pid is the physical
+# partition id, bounded by spark.sql.shuffle.partitions (config, not
+# data; operators/ranking.py per-partition summaries).
+_SPC_CONVENTION_COLUMNS = frozenset({
     "day", "week", "month", "year",
-    # physical partition id — bounded by spark.sql.shuffle.partitions
-    # (config, not data); operators/ranking.py per-partition summaries
     "__rk_pid",
 })
+
+_SPC_BOUNDED_COLUMNS = (
+    frozenset(BOUNDED_COLUMN_DOMAINS) | _SPC_CONVENTION_COLUMNS
+)
 
 # Expression heads that bound ANY argument to a small domain: calendar
 # extractors (year/month/… of anything is calendar-bounded) and the

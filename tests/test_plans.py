@@ -498,36 +498,141 @@ def test_no_bounded_enum_key_fanins_anywhere(spark, sf_dir, qs):
     assert offenders == {}, f"bounded-enum-key window fan-ins: {offenders}"
 
 
+def _package_source_files():
+    import glob
+    import os
+
+    import clickhouse_forecasting_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    return sorted(glob.glob(os.path.join(root, "**", "*.py"), recursive=True))
+
+
 def test_calendar_alias_naming_convention_is_honest():
     """The census trusts columns NAMED day/week/month/year as calendar
     grains (aggregate-output lineage is not printed in plans, so the
-    naming convention is the contract — plans._SPC_BOUNDED_COLUMNS).
-    This lint keeps the convention honest: every `.alias("day"|"week"|
-    "month"|"year")` in the registry must sit within a few lines of a
-    calendar derivation (to_date / cast-to-date / date_format /
-    date_trunc / date_add / datediff). Naming a doc_id column `day`
-    would silently bound a data-proportional frame — it fails here
-    first."""
+    naming convention is the contract — plans._SPC_CONVENTION_COLUMNS).
+    This lint keeps the convention honest ACROSS EVERY PACKAGE MODULE
+    (not just queries.py — a data-proportional column named `week`
+    built in operators/ or sources/ would silently bound an unbounded
+    frame): every `.alias("day"|"week"|"month"|"year")` must sit within
+    a few lines of a calendar derivation (to_date / cast-to-date /
+    date_format / date_trunc / date_add / datediff). Naming a doc_id
+    column `day` would silently bound a data-proportional frame — it
+    fails here first."""
     import re
 
-    import clickhouse_forecasting_spark.queries as q
-
-    src_lines = open(q.__file__).read().splitlines()
     cal = re.compile(
         r"to_date|cast\(\"date\"\)|\.cast\('date'\)|cast\(.{0,40} as date\)"
         r"|date_format|date_trunc|date_add|datediff|weekday|weekofyear"
     )
+    # negative control: the regex pair actually catches a violation
+    assert re.search(r'alias\("(day|week|month|year)"\)',
+                     'F.col("doc_id").alias("week")')
+    assert not cal.search('F.col("doc_id").alias("week")')
     offenders = []
-    for i, line in enumerate(src_lines):
-        if not re.search(r'alias\("(day|week|month|year)"\)', line):
-            continue
-        window = "\n".join(src_lines[max(0, i - 12): i + 1])
-        if not cal.search(window):
-            offenders.append((i + 1, line.strip()[:80]))
+    for path in _package_source_files():
+        src_lines = open(path).read().splitlines()
+        for i, line in enumerate(src_lines):
+            if not re.search(r'alias\("(day|week|month|year)"\)', line):
+                continue
+            window = "\n".join(src_lines[max(0, i - 12): i + 1])
+            if not cal.search(window):
+                offenders.append((path, i + 1, line.strip()[:80]))
     assert offenders == [], (
         "calendar-named aliases without a visible calendar derivation "
         f"(census naming convention violated): {offenders}"
     )
+
+
+def test_enum_alias_naming_convention_is_honest():
+    """The census also trusts columns NAMED lang/source (documents
+    generator enums). The same naming-convention hole applies: aliasing
+    a data-proportional expression to `source` anywhere in the package
+    would silently bound an unbounded frame. Lint: every
+    `.alias("lang"|"source")` / `withColumn("lang"|"source", …)` must
+    be a PASSTHROUGH of the same-named column (a qualified reference
+    like col("a.source") — domain-preserving by construction); any
+    other producer fails here and must use a __bounded_* marker
+    instead."""
+    import re
+
+    # negative control: a non-passthrough producer IS caught
+    bad = 'F.concat("a", "b").alias("source")'
+    assert re.search(r'(?:alias|withColumn)\("(lang|source)"', bad)
+    assert not re.search(r'col\("(?:\w+\.)?source"\)', bad)
+    offenders = []
+    for path in _package_source_files():
+        src_lines = open(path).read().splitlines()
+        for i, line in enumerate(src_lines):
+            m = re.search(
+                r'(?:alias|withColumn)\("(lang|source)"', line
+            )
+            if not m:
+                continue
+            name = m.group(1)
+            # passthrough: a reference to the same-named source column
+            # on the same line (possibly alias-qualified)
+            if re.search(
+                rf'col\("(?:\w+\.)?{name}"\)', line
+            ) or re.search(rf'F\.col\("(?:\w+\.)?{name}"\)', line):
+                continue
+            offenders.append((path, i + 1, line.strip()[:80]))
+    assert offenders == [], (
+        "lang/source aliases that are not same-column passthroughs "
+        f"(census naming convention violated): {offenders}"
+    )
+
+
+def test_bounded_column_domains_hold(spark):
+    """Probe the census's trust surface: every PROBEABLE entry of
+    plans.BOUNDED_COLUMN_DOMAINS is measured against the largest
+    fixture on disk — the observed distinct count must stay within the
+    documented bound, so fixture/schema drift cannot silently unbound a
+    'bounded' grouping key. One scan per table (all countDistinct in a
+    single aggregate)."""
+    import os
+
+    from clickhouse_forecasting_spark.plans import BOUNDED_COLUMN_DOMAINS
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf):  # pragma: no cover - driver always ships it
+        pytest.skip("sf0.1 fixture not present")
+    by_table: dict[str, list[tuple[str, int]]] = {}
+    for col, (table, bound) in BOUNDED_COLUMN_DOMAINS.items():
+        by_table.setdefault(table, []).append((col, bound))
+    violations = []
+    for table, cols in sorted(by_table.items()):
+        df = spark.read.parquet(f"{sf}/{table}.parquet")
+        row = df.agg(
+            *[F.countDistinct(c).alias(c) for c, _ in cols]
+        ).collect()[0]
+        for c, bound in cols:
+            if row[c] > bound:
+                violations.append((table, c, row[c], bound))
+    assert violations == [], (
+        f"declared bounded domains exceeded by the fixture: {violations}"
+    )
+
+
+def test_bounded_column_domains_negative_control(spark):
+    """The probe has teeth: a data-proportional column (o_orderkey) run
+    through the same measurement EXCEEDS every declared bound — i.e.
+    the test above cannot pass vacuously."""
+    import os
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf):  # pragma: no cover - driver always ships it
+        pytest.skip("sf0.1 fixture not present")
+    from clickhouse_forecasting_spark.plans import BOUNDED_COLUMN_DOMAINS
+
+    biggest = max(b for _, b in BOUNDED_COLUMN_DOMAINS.values())
+    n = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .agg(F.countDistinct("o_orderkey"))
+        .collect()[0][0]
+    )
+    assert n > biggest
 
 
 def test_window_before_checkpoint_sites_are_reviewed():
