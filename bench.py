@@ -204,6 +204,14 @@ EXTENSIONS_R6: list[str] = [
     "top_customers_with_ties",  # rank WITH TIES via two-pass threshold
 ]
 
+# Round-7 additions, split out as extensions_r7_sec: the learned-cell
+# (integer-Lloyd IVF) pair-mining default and its 30k scale proof.
+EXTENSIONS_R7: list[str] = [
+    "ann_ivf_scale_audit",  # 30k-vector learned-cell end-to-end proof
+    "ivf_near_dup_pairs",  # embeddings pair mining through learned cells
+    "lateral_top_balances",  # enum top-k now on grouped_top_k (r7 rewrite)
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -240,7 +248,7 @@ def main() -> None:
 
     bench_set = (
         HEADLINE + EXTENSIONS_R2 + EXTENSIONS_R3 + EXTENSIONS_R4
-        + EXTENSIONS_R5 + EXTENSIONS_R6
+        + EXTENSIONS_R5 + EXTENSIONS_R6 + EXTENSIONS_R7
     )
     per_iter: list[dict[str, float]] = []
     for it in range(iters):
@@ -326,6 +334,7 @@ def main() -> None:
         "extensions_r4_sec": round(sum(timings[q] for q in EXTENSIONS_R4), 3),
         "extensions_r5_sec": round(sum(timings[q] for q in EXTENSIONS_R5), 3),
         "extensions_r6_sec": round(sum(timings[q] for q in EXTENSIONS_R6), 3),
+        "extensions_r7_sec": round(sum(timings[q] for q in EXTENSIONS_R7), 3),
     }
     per_iter_suite_r1 = [
         round(sum(t[q] for q in HEADLINE), 3) for t in per_iter

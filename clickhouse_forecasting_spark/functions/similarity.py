@@ -482,6 +482,141 @@ def lsh_topk(
     )
 
 
+def _argmin_cell(iv_col: Column, centroids: list[list[int]]) -> Column:
+    """0-based index of the nearest centroid by EXACT integer squared-L2
+    distance; ties resolve to the lowest cell index (array_position
+    returns the first match — the SQL twin orders by (d, j))."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    iv_col,
+                    F.array(*[F.lit(int(c)).cast("bigint") for c in cent]),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            )
+            for cent in centroids
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def ivf_exact_cells(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+    lloyd_iters: int = 1,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Deterministic learned-centroid cell assignment — the hash-gateable
+    twin of ivf_index (whose MLlib KMeans centroids depend on sampling
+    and parallelism, so its consumers are rows-only).
+
+    Vectors quantize to integers (round(x·scale) — exact for the audit
+    corpora and a pure geometry choice for float embeddings), seeds are
+    the n_cells LOWEST-ID vectors, and each Lloyd iteration is exact
+    integer arithmetic: assignment by integer squared-L2 argmin (ties →
+    lowest cell), centroid update by per-dimension bigint sums with
+    floor-divided means (empty cells keep their previous centroid).
+    Every step is order-independent and bit-identical in the DuckDB
+    twins. The training collects are bounded: n_cells seed rows +
+    n_cells·dim aggregate rows per iteration (the classic
+    train-tiny/apply-everywhere split — quantization_stats precedent);
+    the final assignment is a row-local literal-centroid argmin, no
+    shuffle. At 100 TB: fit on a sample exactly like ivf_index, write
+    partitioned by cell."""
+    iv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+    )
+    base = df.select(F.col(id_col), F.col(vec_col)).withColumn("__iv", iv)
+    seed_rows = (
+        base.orderBy(id_col).limit(int(n_cells)).select(id_col, "__iv").collect()
+    )
+    cents = [
+        [int(v) for v in r["__iv"]]
+        for r in sorted(seed_rows, key=lambda r: r[0])
+    ]
+    if not cents:
+        raise ValueError("ivf_exact_cells: input frame is empty")
+    for _ in range(int(lloyd_iters)):
+        cell = _argmin_cell(F.col("__iv"), cents)
+        stats = (
+            base.select(cell.alias("c"), F.posexplode("__iv").alias("p", "x"))
+            .groupBy("c", "p")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in stats:
+            # exact floor division on Python ints == FLOOR(s/n) in SQL
+            new[r["c"]][r["p"]] = r["s"] // r["n"]
+        cents = new
+    assigned = base.withColumn("cell", _argmin_cell(F.col("__iv"), cents))
+    return assigned.drop("__iv"), cents
+
+
+def ivf_near_dup_pairs(
+    df: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+    max_cell_occupancy: int = MAX_BUCKET_OCCUPANCY,
+) -> DataFrame:
+    """Full-corpus embedding near-dup pairs over LEARNED cells — the
+    DEFAULT 100 TB pair-mining path. The measured scaling laws
+    (tests/test_ann_scale.py) show sign-LSH candidates grow ~n^1.5 on
+    clustered corpora (sign buckets follow the data's angular lumps)
+    while data-adapted cells with n_cells ∝ n hold occupancy ~constant
+    and candidates ~linear — so pair mining routes here;
+    hyperplane_near_dup_pairs remains the index-free fallback.
+
+    Same contract as the hyperplane path: self equi-join on cell (one
+    guarded plan, exchange reused), cosine verification only inside
+    cells, and a per-cell occupancy window feeding an in-plan
+    assert_true so one degenerate hot cell fails loudly instead of
+    silently running its n² join (remedy: more cells, an exact-dup
+    pre-split, or re-training on a fresher sample)."""
+    from pyspark.sql import Window
+
+    assigned, _ = ivf_exact_cells(
+        df, n_cells=n_cells, vec_col=vec_col, id_col=id_col, scale=scale
+    )
+    occ = F.count("*").over(Window.partitionBy("cell"))
+    guarded_cell = F.when(
+        F.assert_true(
+            F.col("__cell_occ") <= F.lit(int(max_cell_occupancy)),
+            F.lit(
+                "IVF cell exceeds the %d-vector occupancy bound "
+                "(degenerate cell — raise n_cells or pre-split exact "
+                "duplicates)" % int(max_cell_occupancy)
+            ),
+        ).isNull(),
+        F.col("cell"),
+    )
+    guarded = assigned.withColumn("__cell_occ", occ).select(
+        guarded_cell.alias("cell"), F.col(id_col), F.col(vec_col)
+    )
+    a = guarded.select(
+        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = guarded.select(
+        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ivf_write_index(
     assigned: DataFrame,
     path: str,

@@ -131,3 +131,83 @@ def test_corpus_generator_contract(spark):
         assert near[:-1] == orig[:-1]  # only the last coordinate mutated
         assert near[-1] != orig[-1]
         assert abs(near[-1] - orig[-1]) <= 0.1 + 1e-12  # bounded delta
+
+
+@pytest.fixture(scope="module")
+def ivf_audits(spark):
+    from clickhouse_forecasting_spark.queries import ann_ivf_scale_audit_frame
+
+    return {
+        n: ann_ivf_scale_audit_frame(spark, n).collect()[0].asDict()
+        for n in SIZES
+    }
+
+
+def test_ivf_planted_exact_recovery_is_total(ivf_audits):
+    # identical vectors quantize to identical integer points, and the
+    # argmin is deterministic — exact dups ALWAYS co-cell (structural)
+    for n, a in ivf_audits.items():
+        assert a["n_planted_exact_recovered"] == n // 10, (n, a)
+
+
+def test_ivf_planted_near_recovery_high(ivf_audits):
+    # near pairs differ by ≤0.1 in one coordinate; learned cells split a
+    # pair only when it straddles a boundary — measured ≈0.95. Must be
+    # high but CANNOT be total (the cells really partition).
+    for n, a in ivf_audits.items():
+        planted = 2 * (n // 10)
+        frac = a["n_planted_near_recovered"] / planted
+        assert 0.88 <= frac < 1.0, (n, frac)
+
+
+def test_ivf_candidate_growth_is_linear(ivf_audits):
+    # THE promotion criterion (r6 VERDICT #5): learned cells with
+    # n_cells ∝ n hold occupancy ~constant, so candidates grow ~2× per
+    # corpus doubling (measured 1.97 / 2.00) — vs the hyperplane path's
+    # measured ~2.7–3.0× (~n^1.5). Band ≤ 2.2 per the promotion bar.
+    r1 = ivf_audits[15_000]["n_candidates"] / ivf_audits[7_500]["n_candidates"]
+    r2 = ivf_audits[30_000]["n_candidates"] / ivf_audits[15_000]["n_candidates"]
+    assert 1.7 <= r1 <= 2.2 and 1.7 <= r2 <= 2.2, (r1, r2)
+
+
+def test_ivf_candidates_orders_of_magnitude_under_bruteforce(ivf_audits):
+    # avg occupancy is pinned at ~125 (n_cells = n/125), so the margin
+    # under brute force is ~n/250 — ×30 at 7.5k, ×200 at 30k: looser
+    # than the hyperplane pin's ×500 at these sizes but GROWING with n
+    # instead of shrinking (linear vs n^1.5)
+    for n, a in ivf_audits.items():
+        brute = n * (n - 1) // 2
+        assert a["n_candidates"] * 20 <= brute, (n, a["n_candidates"], brute)
+
+
+def test_ivf_occupancy_stays_constant(ivf_audits):
+    # data-adaptive cells: the hot cell must NOT grow with the corpus
+    # (measured 240/237/285 at 7.5k/15k/30k — mean occupancy is 125)
+    for n, a in ivf_audits.items():
+        assert a["max_cell_occupancy"] <= 450, (n, a)
+
+
+def test_ivf_scale_pipeline_plans_distributed(spark):
+    from clickhouse_forecasting_spark.plans import single_partition_collapses
+    from clickhouse_forecasting_spark.queries import ann_ivf_scale_audit_frame
+
+    df = ann_ivf_scale_audit_frame(spark, 7_500)
+    assert single_partition_collapses(df) == []
+
+
+def test_ivf_near_dup_pairs_guard_fires_on_hot_cell(spark):
+    # one degenerate cell (all-identical corpus collapses into a single
+    # cell) must fail loudly via the in-plan occupancy assert
+    from pyspark.sql import functions as F
+
+    from clickhouse_forecasting_spark.functions import similarity as SIM
+    from clickhouse_forecasting_spark.queries import synth_embedding_corpus
+
+    corpus = synth_embedding_corpus(spark, 500).select(
+        "vec_id", F.expr("transform(embedding, x -> 0.5d)").alias("embedding")
+    )
+    bad = SIM.ivf_near_dup_pairs(
+        corpus, n_cells=8, threshold=0.9, max_cell_occupancy=100
+    )
+    with pytest.raises(Exception, match="occupancy bound"):
+        bad.count()

@@ -36,6 +36,10 @@ ROWS_ONLY_ALLOWED = {
     # 30k-vector balanced-cell (IVF-style) contrast proof (hash-gated at
     # 2k by ann_grid_scale_contract_audit):
     "ann_grid_scale_audit",
+    # 30k-vector LEARNED-cell scale proof (integer-Lloyd IVF; identical
+    # dataflow hash-gated at 2k by ann_ivf_scale_contract_audit — the
+    # 30k DuckDB replay crosses 240 cells × 30k argmin rows, gate-hostile):
+    "ann_ivf_scale_audit",
     # 10,000-fit backtest fan-out proof (scores are model output; shape
     # hash-gated by forecast_backtest_scale_contract_audit):
     "forecast_backtest_scale",
@@ -63,6 +67,7 @@ def test_every_rows_only_query_has_a_companion_audit():
         "dedup_scale_audit": "dedup_scale_contract_audit",
         "ann_scale_audit": "ann_scale_contract_audit",
         "ann_grid_scale_audit": "ann_grid_scale_contract_audit",
+        "ann_ivf_scale_audit": "ann_ivf_scale_contract_audit",
         "forecast_backtest_scale": "forecast_backtest_scale_contract_audit",
     }
     assert set(companions) == ROWS_ONLY_ALLOWED
