@@ -20,6 +20,7 @@ kept out of round 1 since MLlib KMeans adds an iterative training pass.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -503,33 +504,59 @@ def _cell_dists(iv_col: Column, centroids: list[list[int]]) -> Column:
 def _argmin_cell(iv_col: Column, centroids: list[list[int]]) -> Column:
     """0-based index of the nearest centroid by EXACT integer squared-L2
     distance; ties resolve to the lowest cell index (array_position
-    returns the first match — the SQL twin orders by (d, j))."""
+    returns the first match — the SQL twin orders by (d, j)).
+
+    Interpreted-HOF reference form (the Arrow path below is the hot
+    path); kept because it is trivially auditable against the SQL."""
     dists = _cell_dists(iv_col, centroids)
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
-def _argkmin_cells(
-    iv_col: Column, centroids: list[list[int]], n_assign: int
-) -> Column:
-    """Array of the n_assign nearest cell indices in (distance, index)
-    order — repeated first-occurrence argmin with the taken entry masked
-    to +inf, so ties resolve exactly like ROW_NUMBER ORDER BY (d, j) in
-    the SQL twins."""
-    dists = _cell_dists(iv_col, centroids)
-    picked: list[Column] = []
-    sentinel = F.lit((1 << 62)).cast("bigint")
+def _assign_cells_arrow(
+    centroids: list[list[int]], n_assign: int = 1
+) -> "Column":
+    """Vectorized nearest-cell assignment as a pandas UDF factory — the
+    hot path for the integer-Lloyd pipeline (the zip_with/aggregate HOF
+    argmin is interpreted per element: n·k·dim closure calls; this is
+    one numpy matmul per Arrow batch, ~1000× fewer Python dispatches at
+    30k×240 cells).
 
-    def _mask(arr: Column, taken: Column) -> Column:
-        return F.transform(
-            arr, lambda d, i: F.when(i == taken, sentinel).otherwise(d)
-        )
+    EXACTNESS (what makes this interchangeable with the HOF form and
+    the SQL twins): inputs are integer-valued; ||x−c||² is expanded as
+    ||x||² − 2⟨x,c⟩ + ||c||², every intermediate (≤ dim·scale²·4 ≈
+    2.6e8 ≪ 2^53) is exactly representable in float64, and float64
+    integer arithmetic is exact — so the distances are the SAME
+    integers the bigint fold produces. Ties: np.argmin takes the first
+    occurrence; the n_assign>1 path uses a stable argsort — both equal
+    ROW_NUMBER ORDER BY (d, j)."""
+    from pyspark.sql.functions import pandas_udf
 
-    cur = dists
-    for _ in range(int(n_assign)):
-        nxt = (F.array_position(cur, F.array_min(cur)) - 1).cast("int")
-        picked.append(nxt)
-        cur = _mask(cur, nxt)
-    return F.array(*picked)
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    cnorm = (C * C).sum(axis=1)  # (k,)
+    k = int(n_assign)
+
+    if k == 1:
+
+        @pandas_udf("int")
+        def assign1(iv: pd.Series) -> pd.Series:
+            if len(iv) == 0:
+                return pd.Series([], dtype="int32")
+            X = np.stack(iv.to_numpy()).astype(np.float64)  # (n, dim)
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cnorm[None, :]
+            return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+        return assign1
+
+    @pandas_udf("array<int>")
+    def assignk(iv: pd.Series) -> pd.Series:
+        if len(iv) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(iv.to_numpy()).astype(np.float64)
+        d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cnorm[None, :]
+        order = np.argsort(d, axis=1, kind="stable")[:, :k].astype("int32")
+        return pd.Series(list(order))
+
+    return assignk
 
 
 def ivf_exact_cells(
@@ -572,7 +599,7 @@ def ivf_exact_cells(
     if not cents:
         raise ValueError("ivf_exact_cells: input frame is empty")
     for _ in range(int(lloyd_iters)):
-        cell = _argmin_cell(F.col("__iv"), cents)
+        cell = _assign_cells_arrow(cents)(F.col("__iv"))
         stats = (
             base.select(cell.alias("c"), F.posexplode("__iv").alias("p", "x"))
             .groupBy("c", "p")
@@ -584,7 +611,9 @@ def ivf_exact_cells(
             # exact floor division on Python ints == FLOOR(s/n) in SQL
             new[r["c"]][r["p"]] = r["s"] // r["n"]
         cents = new
-    assigned = base.withColumn("cell", _argmin_cell(F.col("__iv"), cents))
+    assigned = base.withColumn(
+        "cell", _assign_cells_arrow(cents)(F.col("__iv"))
+    )
     return assigned.drop("__iv"), cents
 
 
@@ -633,10 +662,14 @@ def ivf_near_dup_pairs(
         )
         assigned = (
             df.select(F.col(id_col), F.col(vec_col))
+            .withColumn("__iv", iv)
             .withColumn(
                 "cell",
-                F.explode(_argkmin_cells(iv, cents, int(n_assign))),
+                F.explode(
+                    _assign_cells_arrow(cents, int(n_assign))(F.col("__iv"))
+                ),
             )
+            .drop("__iv")
         )
     occ = F.count("*").over(Window.partitionBy("cell"))
     guarded_cell = F.when(
@@ -650,19 +683,48 @@ def ivf_near_dup_pairs(
         ).isNull(),
         F.col("cell"),
     )
+    # per-vector norm computed ONCE before the pair join (the fold is
+    # identical to cosine_similarity's, so dot/(na·nb) is bit-identical
+    # to the inline form — but the O(candidates) verify pays 1 fold per
+    # pair instead of 3)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
     guarded = assigned.withColumn("__cell_occ", occ).select(
-        guarded_cell.alias("cell"), F.col(id_col), F.col(vec_col)
+        guarded_cell.alias("cell"),
+        F.col(id_col),
+        F.col(vec_col),
+        nrm.alias("__nrm"),
     )
     a = guarded.select(
-        "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        "cell",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("__nrm").alias("__na"),
     )
     b = guarded.select(
-        "cell", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        "cell",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("va"),
+            F.col("vb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     out = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn("cosine", dot / (F.col("__na") * F.col("__nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
