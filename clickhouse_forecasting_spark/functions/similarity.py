@@ -367,19 +367,44 @@ def hyperplane_near_dup_pairs(
         ).isNull(),
         F.col("bucket"),
     )
+    # per-vector norm computed ONCE before the pair join — the fold is
+    # identical to cosine_similarity's, so dot/(na·nb) is bit-identical
+    # to the inline form while the O(candidates) verify pays 1 fold per
+    # pair instead of 3 (same treatment as ivf_near_dup_pairs)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
     guarded = bucketed.withColumn("__bucket_occ", occ).select(
-        guarded_bucket.alias("bucket"), F.col(id_col), F.col(vec_col)
+        guarded_bucket.alias("bucket"),
+        F.col(id_col),
+        F.col(vec_col),
+        nrm.alias("__nrm"),
     )
     a = guarded.select(
-        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        F.col("bucket"), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"), F.col("__nrm").alias("__na"),
     )
     b = guarded.select(
-        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        F.col("bucket"), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"), F.col("__nrm").alias("__nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("va"),
+            F.col("vb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn("cosine", dot / (F.col("__na") * F.col("__nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
