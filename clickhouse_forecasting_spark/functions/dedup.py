@@ -712,12 +712,37 @@ def embedding_near_dup_pairs(
     base = df.select(F.col(id_col), F.col(vec_col))
     if block_mod:
         base = base.filter(F.col(id_col) % block_mod == 0)
-    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # per-vector norm computed once before the pair join (identical fold
+    # to cosine_similarity's — dot/(na·nb) is bit-identical, 1 fold per
+    # pair instead of 3)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    base = base.withColumn("__nrm", nrm)
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("__nrm").alias("__nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("va"), F.col("vb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .withColumn("cosine", dot / (F.col("__na") * F.col("__nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
