@@ -470,12 +470,30 @@ def grouped_running_sum(
         *[F.sum(c).alias(f"__rk_gt_{c}") for c in value_cols],
         *[F.sum(ind[c]).alias(f"__rk_gtn_{c}") for c in value_cols],
     )
-    gt = _guard_group_cardinality(
-        gt, gcols[0], max_groups, "grouped_running_sum"
-    )
     w = Window.orderBy(*gcols).rowsBetween(Window.unboundedPreceding, -1)
+    # cardinality guard rides the SAME window pass as the prefix sums
+    # (one more frame over an identical sort spec — no extra exchange,
+    # unlike grouped_row_number's cross-joined scalar count) and wraps
+    # the join key, which every consumer plan keeps
+    w_full = Window.orderBy(*gcols).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    guard_key = F.when(
+        F.assert_true(
+            F.count("*").over(w_full) <= F.lit(int(max_groups)),
+            F.lit(
+                "grouped_running_sum: group-key cardinality exceeds "
+                f"max_groups={int(max_groups)} — the broadcast rebase "
+                "frame is only safe for policy-bounded group counts; "
+                "use a plain partitioned window for data-proportional "
+                "keys or raise max_groups deliberately"
+            ),
+        ).isNull(),
+        F.col(gcols[0]),
+    ).alias(gcols[0])
     goff = gt.select(
-        *gcols,
+        guard_key,
+        *gcols[1:],
         *[
             F.coalesce(F.sum(f"__rk_gt_{c}").over(w), F.lit(0)).alias(
                 f"__rk_goff_{c}"
