@@ -584,6 +584,47 @@ def test_enum_alias_naming_convention_is_honest():
     )
 
 
+def test_tpch_trusted_alias_naming_convention_is_honest():
+    """The census's remaining trusted names are the TPC-H columns in
+    plans.BOUNDED_COLUMN_DOMAINS — aliasing a data-proportional
+    expression to e.g. `p_brand` would bound an unbounded frame just
+    like the lang/source hole. Lint: every alias to a trusted TPC-H
+    name must be a same-column passthrough (col("[q.]name")) or a
+    calendar coarsening of the same column (to_date/date_trunc), both
+    domain-preserving. Current sites: two to_date("o_orderdate") and a
+    qualified n_name passthrough."""
+    import re
+
+    from clickhouse_forecasting_spark.plans import BOUNDED_COLUMN_DOMAINS
+
+    names = "|".join(
+        n for n in BOUNDED_COLUMN_DOMAINS if n not in ("lang", "source")
+    )
+    alias_re = re.compile(rf'(?:alias|withColumn)\("({names})"')
+    # negative control: a non-passthrough producer IS caught
+    assert alias_re.search('F.concat("a","b").alias("p_brand")')
+    assert not re.search(
+        r'(?:col|to_date|date_trunc)\("(?:\w+\.)?p_brand"',
+        'F.concat("a","b").alias("p_brand")',
+    )
+    offenders = []
+    for path in _package_source_files():
+        for i, line in enumerate(open(path).read().splitlines()):
+            m = alias_re.search(line)
+            if not m:
+                continue
+            name = m.group(1)
+            if re.search(
+                rf'(?:col|to_date|date_trunc)\("(?:\w+\.)?{name}"', line
+            ):
+                continue
+            offenders.append((path, i + 1, line.strip()[:80]))
+    assert offenders == [], (
+        "trusted TPC-H-name aliases that are not domain-preserving "
+        f"passthroughs (census naming convention violated): {offenders}"
+    )
+
+
 def test_bounded_column_domains_hold(spark):
     """Probe the census's trust surface: every PROBEABLE entry of
     plans.BOUNDED_COLUMN_DOMAINS is measured against the largest
