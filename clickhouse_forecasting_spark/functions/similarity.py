@@ -526,6 +526,38 @@ def _cell_dists(iv_col: Column, centroids: list[list[int]]) -> Column:
     )
 
 
+def _iv_exactness_bound(dim: int) -> int:
+    """Largest max|iv| for which _assign_cells_arrow's expanded-form
+    float64 distance is EXACT (and hence bit-identical to the bigint
+    HOF fold and the SQL twins): every intermediate of
+    ||x||² − 2⟨x,c⟩ + ||c||² is bounded by 4·dim·M² (|c| ≤ M because
+    centroids are floor-means of assigned vectors), so requiring
+    4·dim·M² ≤ 2^53 ⇒ M ≤ isqrt(2^51/dim) keeps every value exactly
+    representable and every float64 integer op exact."""
+    import math
+
+    return math.isqrt((1 << 51) // max(int(dim), 1))
+
+
+def _exactness_guard(iv_col: Column, dim: int) -> Column:
+    """In-plan assert_true (NULL on success) that |round(x·scale)| stays
+    under the float64 exactness bound — ADVICE r7: the bound was argued
+    for the audit corpora but never checked, so a caller with
+    large-magnitude vectors or a big scale could get silently inexact
+    distances. Row-local (no shuffle); wrap the CELL column (the
+    consumer join key) so Catalyst cannot prune it."""
+    bound = _iv_exactness_bound(dim)
+    return F.assert_true(
+        F.array_max(F.transform(iv_col, lambda v: F.abs(v)))
+        <= F.lit(bound),
+        F.lit(
+            "ivf_exact_cells: |round(x*scale)| exceeds %d, the float64 "
+            "exactness bound for dim %d (4*dim*M^2 must stay under "
+            "2^53) - lower `scale` or rescale the vectors" % (bound, dim)
+        ),
+    )
+
+
 def _argmin_cell(iv_col: Column, centroids: list[list[int]]) -> Column:
     """0-based index of the nearest centroid by EXACT integer squared-L2
     distance; ties resolve to the lowest cell index (array_position
@@ -636,8 +668,13 @@ def ivf_exact_cells(
             # exact floor division on Python ints == FLOOR(s/n) in SQL
             new[r["c"]][r["p"]] = r["s"] // r["n"]
         cents = new
+    dim = len(cents[0])
     assigned = base.withColumn(
-        "cell", _assign_cells_arrow(cents)(F.col("__iv"))
+        "cell",
+        F.when(
+            _exactness_guard(F.col("__iv"), dim).isNull(),
+            _assign_cells_arrow(cents)(F.col("__iv")),
+        ),
     )
     return assigned.drop("__iv"), cents
 
@@ -689,12 +726,18 @@ def ivf_near_dup_pairs(
             df.select(F.col(id_col), F.col(vec_col))
             .withColumn("__iv", iv)
             .withColumn(
-                "cell",
-                F.explode(
-                    _assign_cells_arrow(cents, int(n_assign))(F.col("__iv"))
+                "__cells",
+                F.when(
+                    _exactness_guard(
+                        F.col("__iv"), len(cents[0])
+                    ).isNull(),
+                    _assign_cells_arrow(cents, int(n_assign))(
+                        F.col("__iv")
+                    ),
                 ),
             )
-            .drop("__iv")
+            .withColumn("cell", F.explode("__cells"))
+            .drop("__iv", "__cells")
         )
     occ = F.count("*").over(Window.partitionBy("cell"))
     guarded_cell = F.when(

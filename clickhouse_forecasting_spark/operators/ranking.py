@@ -408,11 +408,13 @@ def with_ntile_from_rn(
     its partition-total column — the same all-bigint `div` tile
     arithmetic as global_ntile, reusable for grouped forms (attach
     grouped_row_number + a broadcast per-group total, then this).
-    Column names are backtick-quoted into the generated expression, so
-    non-identifier names (dots, spaces, hyphens) bind correctly."""
+    Column names are backtick-quoted into the generated expression
+    (embedded backticks doubled, Spark's quoted-identifier escape), so
+    non-identifier names (dots, spaces, hyphens, backticks) bind
+    correctly instead of breaking or injecting into the expression."""
     k = int(n_tiles)
-    rn_col = f"`{rn_col}`"
-    total_col = f"`{total_col}`"
+    rn_col = "`%s`" % rn_col.replace("`", "``")
+    total_col = "`%s`" % total_col.replace("`", "``")
     base = f"({total_col} div {k})"
     rem = f"({total_col} % {k})"
     expr = (
