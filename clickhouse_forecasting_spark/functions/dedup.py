@@ -327,6 +327,29 @@ def minhash_lsh_candidates(
     banded = banded_signatures(
         df, text_col, id_col, shingle_size, num_hashes, bands, cache_key
     )
+
+    def build() -> DataFrame:
+        return _lsh_candidates_from_banded(
+            banded, id_col, max_band_occupancy
+        )
+
+    # r8: the candidate stage itself joins the family cache — the scale
+    # audit (and any consumer pairing a candidate count with verification)
+    # was paying the band self-join + DISTINCT twice per run. O(n) rows by
+    # the measured linear-growth law; at 100 TB this is the materialized
+    # candidate table every dedup pipeline persists anyway.
+    key = None
+    if cache_key is not None:
+        key = (
+            "cand", cache_key, text_col, id_col, shingle_size,
+            num_hashes, bands, int(max_band_occupancy),
+        )
+    return _cached_stage(banded, key, build)
+
+
+def _lsh_candidates_from_banded(
+    banded: DataFrame, id_col: str, max_band_occupancy: int
+) -> DataFrame:
     occ = F.count("*").over(Window.partitionBy("band"))
     guarded_band = F.when(
         F.assert_true(
