@@ -350,6 +350,71 @@ def _guard_group_cardinality(
 # where the plain partitioned window cannot scale.
 
 
+# Default dispatch cap for the plain-window fast path: with |domain|
+# group-tasks each sorting at most this many rows, the worst single task
+# holds ~4M rows (a few hundred MB of sort) — executor-safe on any
+# reasonable config, while the grouped machinery's constant overhead
+# (ranged shuffle + eager localCheckpoint + broadcast rebase, measured
+# median ~4x at 1-8M rows — NOTES_r7.md §7) never amortizes below it.
+FASTPATH_MAX_ROWS = 4_000_000
+
+
+def bounded_rows_row_number(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_by: Sequence,
+    col_name: str = "rn",
+    max_rows: int = FASTPATH_MAX_ROWS,
+    caller: str = "bounded_rows_row_number",
+) -> DataFrame:
+    """Plain ``row_number() OVER (PARTITION BY groups ORDER BY order)``
+    over a frame PROVEN small at execution time — the size-adaptive fast
+    path of the grouped primitives (r7 VERDICT #3).
+
+    The proof is in-plan, not declared: a scalar count of the input is
+    cross-joined back (broadcast) and an assert_true caps it at
+    ``max_rows``, wrapping the FIRST GROUP KEY — the window partition
+    key, so Catalyst cannot prune the assert out of any consumer plan
+    (same fail-loud idiom as _guard_group_cardinality and the dedup/ANN
+    occupancy caps).  The count column is NAMED with the census's
+    ``__bounded_`` marker prefix (``__bounded_rowcap_asserted``): it is
+    referenced by the assert inside the guarded key, so it survives
+    column pruning into the plan text, and the census recognizes the
+    guarded frame as bounded — unlike the checkpoint markers this one
+    is BACKED by the runtime assert: feed it more than max_rows and the
+    query fails loudly instead of fanning a fact into ≤|domain| tasks.
+
+    Use via ``grouped_row_number(..., dispatch_max_rows=...)``, which
+    only takes this path after a driver-side count confirms the bound
+    (metadata-fast for parquet-backed frames); calling it directly on an
+    oversized frame is the negative control — the assert fires."""
+    gcols = list(group_by)
+    cnt = df.groupBy().agg(
+        F.count("*").alias("__bounded_rowcap_asserted")
+    )
+    guarded_key = F.when(
+        F.assert_true(
+            F.col("__bounded_rowcap_asserted") <= F.lit(int(max_rows)),
+            F.lit(
+                f"{caller}: input frame exceeds max_rows={int(max_rows)}"
+                " — the plain-window fast path is only safe for frames "
+                "proven small; use the distributed grouped machinery "
+                "for data-proportional inputs"
+            ),
+        ).isNull(),
+        F.col(gcols[0]),
+    )
+    guarded = (
+        df.crossJoin(F.broadcast(cnt))
+        .withColumn(gcols[0], guarded_key)
+        .drop("__bounded_rowcap_asserted")
+    )
+    w = Window.partitionBy(*gcols).orderBy(*_order_cols(order_by))
+    return guarded.withColumn(
+        col_name, F.row_number().over(w).cast("bigint")
+    )
+
+
 def grouped_row_number(
     df: DataFrame,
     group_by: Sequence[str],
@@ -357,6 +422,7 @@ def grouped_row_number(
     col_name: str = "rn",
     num_partitions: int | None = None,
     max_groups: int = 1_000_000,
+    dispatch_max_rows: int | None = None,
 ) -> DataFrame:
     """df + ``row_number() OVER (PARTITION BY groups ORDER BY order)``
     for bounded-domain groups, without fanning the fact into ≤|domain|
@@ -364,8 +430,24 @@ def grouped_row_number(
     each group rebases by its broadcast min-rn (null-safe join — NULL is
     an ordinary group value).  Group cardinality is enforced in-plan at
     ``max_groups`` (the rebase frame is force-broadcast — see
-    _guard_group_cardinality)."""
+    _guard_group_cardinality).
+
+    ``dispatch_max_rows`` opts into size-adaptive dispatch: a
+    driver-side count of the input (metadata-fast for parquet scans)
+    picks the plain-window fast path when the frame is within the cap —
+    recovering the 1-to-2-task cost the distributed machinery's
+    constant overhead dwarfs at local scale — and this machinery
+    otherwise.  The fast path re-proves the bound IN-PLAN
+    (bounded_rows_row_number's assert), so the census's boundedness
+    claim holds at execution time, not just at dispatch time."""
     gcols = list(group_by)
+    if dispatch_max_rows is not None and df.count() <= int(
+        dispatch_max_rows
+    ):
+        return bounded_rows_row_number(
+            df, gcols, order_by, col_name=col_name,
+            max_rows=int(dispatch_max_rows), caller="grouped_row_number",
+        )
     rn = global_row_number(
         df, [*gcols, *order_by], col_name="__rk_grn",
         num_partitions=num_partitions,
@@ -387,13 +469,16 @@ def grouped_top_k(
     k: int,
     col_name: str = "rn",
     num_partitions: int | None = None,
+    dispatch_max_rows: int | None = None,
 ) -> DataFrame:
     """Top-k rows PER GROUP (the LIMIT ... BY / lateral-top-k shape)
     with the per-group row number attached — grouped_row_number +
-    filter."""
+    filter.  ``dispatch_max_rows`` passes through to the size-adaptive
+    fast-path dispatch."""
     return grouped_row_number(
         df, group_by, order_by, col_name=col_name,
         num_partitions=num_partitions,
+        dispatch_max_rows=dispatch_max_rows,
     ).filter(F.col(col_name) <= int(k))
 
 

@@ -287,3 +287,70 @@ def test_join_back_rejects_payload_collision(spark):
     )
     with pytest.raises(ValueError, match="rank"):
         RK.global_rank(df.select("g", "rank"), ["g"], col_name="rank")
+
+
+def test_bounded_rows_fastpath_matches_grouped(spark, docs):
+    """The assert-guarded plain-window fast path must be value-exact
+    against both the distributed grouped machinery and the plain window
+    form, and census-clean (no single-partition collapse, no bounded
+    enum fan-in — the __bounded_rowcap_asserted marker is the proof)."""
+    from clickhouse_forecasting_spark.plans import bounded_key_fanins
+
+    d = docs.select("doc_id", "lang", "n_chars")
+    fast = RK.bounded_rows_row_number(
+        d, ["lang"], ["n_chars", "doc_id"], "rn", max_rows=10_000_000
+    )
+    slow = RK.grouped_row_number(d, ["lang"], ["n_chars", "doc_id"], "rn")
+    ref = d.withColumn(
+        "rn",
+        F.row_number()
+        .over(Window.partitionBy("lang").orderBy("n_chars", "doc_id"))
+        .cast("bigint"),
+    )
+    for got in (fast, slow):
+        assert (
+            got.alias("a")
+            .join(ref.alias("b"), "doc_id")
+            .filter("a.rn <> b.rn")
+            .count()
+            == 0
+        )
+    assert single_partition_collapses(fast) == []
+    assert bounded_key_fanins(fast) == []
+
+
+def test_bounded_rows_fastpath_refuses_oversized_input(spark):
+    """Negative control: the fast path's in-plan assert fires on a frame
+    larger than max_rows — it cannot silently fan a fact into |domain|
+    tasks."""
+    df = spark.range(1000).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v")
+    )
+    bad = RK.bounded_rows_row_number(df, ["g"], ["v"], max_rows=10)
+    # count() alone prunes the window (row-preserving, output unused) and
+    # with it the fan-in the guard exists to police — no window, no risk.
+    # Any plan that EXECUTES the window keeps the assert, because the
+    # window partition key IS the guarded expression.
+    with pytest.raises(Exception, match="max_rows"):
+        bad.collect()
+    with pytest.raises(Exception, match="max_rows"):
+        bad.select("rn").collect()
+
+
+def test_dispatch_routes_by_size(spark):
+    """grouped_row_number(dispatch_max_rows=...) picks the plain-window
+    fast path under the cap and the distributed machinery above it —
+    identical values either way."""
+    df = spark.range(200).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("v")
+    )
+    fast = RK.grouped_row_number(df, ["g"], ["v"], dispatch_max_rows=1000)
+    slow = RK.grouped_row_number(df, ["g"], ["v"], dispatch_max_rows=100)
+    # fast plan carries the rowcap marker; the machinery plan does not
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+    assert "__bounded_rowcap_asserted" in fast_plan
+    assert "__bounded_rowcap_asserted" not in slow_plan
+    rows_f = {(r.g, r.v): r.rn for r in fast.collect()}
+    rows_s = {(r.g, r.v): r.rn for r in slow.collect()}
+    assert rows_f == rows_s
