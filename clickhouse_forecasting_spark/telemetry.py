@@ -139,3 +139,70 @@ def query_metrics(df) -> dict:
         if summary["output_rows"] is None and "numOutputRows" in vals:
             summary["output_rows"] = vals["numOutputRows"]
     return summary
+
+
+# --- runtime single-partition audit (r7 VERDICT #2) -----------------------
+#
+# The static census (plans.single_partition_collapses + PLANS.md) proves
+# every registered query plans with zero UNBOUNDED single-partition
+# exchanges — but it is static: a `WindowExec: No Partition Defined`
+# warning at bench time is classified bounded by reading the plan, not by
+# measuring the frame. This closes the loop: walk the EXECUTED plan and
+# attribute every SinglePartition shuffle to the rows it actually moved.
+# Every census-bounded class is O(config x enum x calendar x literal) —
+# none exceeds ~1e5 rows at ANY data scale — so a runtime count above the
+# cap means either a census misclassification or a bounded class that
+# stopped being bounded; both must fail loudly.
+
+RUNTIME_SINGLEPART_CAP = 100_000
+
+
+def runtime_single_partition_audit(df, query: str | None = None) -> list[dict]:
+    """Every SinglePartition shuffle in an ALREADY EXECUTED DataFrame's
+    final (AQE) plan, with the record count it actually moved:
+
+        [{"query": ..., "records": n, "ok": n <= cap, "node": <line>}]
+
+    Run an action first — an unexecuted plan has zero metrics and, under
+    AQE, no final stages to walk."""
+    ep = df._jdf.queryExecution().executedPlan()
+    found: list[dict] = []
+    for node in _walk_executed_plan(ep):
+        cls = node.getClass().getSimpleName()
+        if cls != "ShuffleExchangeExec":
+            continue
+        if node.outputPartitioning().toString() != "SinglePartition":
+            continue
+        vals = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            vals[kv._1()] = kv._2().value()
+        recs = int(vals.get("shuffleRecordsWritten", 0))
+        found.append(
+            {
+                "query": query,
+                "records": recs,
+                "ok": recs <= RUNTIME_SINGLEPART_CAP,
+                "node": node.toString().splitlines()[0][:200],
+            }
+        )
+    return found
+
+
+def assert_runtime_single_partitions_bounded(df, query: str | None = None) -> list[dict]:
+    """runtime_single_partition_audit + fail loudly: raises AssertionError
+    naming the query and the record count for any SinglePartition exchange
+    that moved more than RUNTIME_SINGLEPART_CAP rows (i.e. cannot belong
+    to a census-bounded class). Returns the audit rows on success so
+    callers can log the attribution."""
+    rows = runtime_single_partition_audit(df, query=query)
+    bad = [r for r in rows if not r["ok"]]
+    if bad:
+        raise AssertionError(
+            f"query {query!r}: {len(bad)} SinglePartition exchange(s) moved "
+            f"more than {RUNTIME_SINGLEPART_CAP} rows at execution time — "
+            "not census-bounded: "
+            + "; ".join(f"{r['records']} rows via {r['node']}" for r in bad)
+        )
+    return rows
