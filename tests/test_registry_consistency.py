@@ -12,19 +12,25 @@ from clickhouse_forecasting_spark.queries import ORACLE_QUERIES, SPARK_QUERIES
 # Every rows-only query needs BOTH a justification here and a hash-gated
 # companion audit in the registry. Growing this list is a deliberate act.
 ROWS_ONLY_ALLOWED = {
-    # model outputs (each shape paired with a *_contract_audit twin):
+    # yhat/bounds come from the fourier_ridge surrogate's float least
+    # squares (numpy/LAPACK iterative kernels whose summation order is
+    # not SQL-replayable bit-for-bit); every SQL-expressible invariant —
+    # date axis, row counts, column contract, bound ordering — is
+    # hash-gated by the *_contract_audit twin of each shape:
     "forecast_daily_sales",
     "forecast_only_future",
     "forecast_multi_table",
     "forecast_incremental",
     "forecast_backtest",
-    # binary frame payloads (logic hash-gated by multimodal_frames_audit):
+    # output column `frame_payload` is BINARY (raw sampled media frame
+    # bytes): the driver's canonical value-hash stringifies columns, and
+    # Spark/DuckDB render binary differently, so the frame rows cannot
+    # hash cross-engine; the slicing LOGIC is hash-gated by
+    # multimodal_frames_audit (md5 checksum + byte length of the SAME
+    # frames, replayed in DuckDB with substr/md5):
     "multimodal_frames",
-    # MLlib KMeans centroids are engine state (dataflow hash-gated by
-    # similarity_ivf_det_topk):
-    "similarity_ivf_topk",
-    # 2,500-series fan-out proof (yhat is model output; shape hash-gated
-    # by forecast_scale_contract_audit):
+    # 2,500-series fan-out proof (yhat is LAPACK float model output as
+    # above; shape hash-gated by forecast_scale_contract_audit):
     "forecast_scale_series",
     # 60k-doc LSH scale proof (DuckDB's single-threaded replay of the full
     # minhash pipeline at 60k is gate-hostile; the identical dataflow is
@@ -40,8 +46,9 @@ ROWS_ONLY_ALLOWED = {
     # dataflow hash-gated at 2k by ann_ivf_scale_contract_audit — the
     # 30k DuckDB replay crosses 240 cells × 30k argmin rows, gate-hostile):
     "ann_ivf_scale_audit",
-    # 10,000-fit backtest fan-out proof (scores are model output; shape
-    # hash-gated by forecast_backtest_scale_contract_audit):
+    # 10,000-fit backtest fan-out proof (scores are LAPACK float model
+    # output as above; shape hash-gated by
+    # forecast_backtest_scale_contract_audit):
     "forecast_backtest_scale",
 }
 
@@ -62,7 +69,6 @@ def test_every_rows_only_query_has_a_companion_audit():
         "forecast_incremental": "forecast_incremental_contract_audit",
         "forecast_backtest": "forecast_backtest_contract_audit",
         "multimodal_frames": "multimodal_frames_audit",
-        "similarity_ivf_topk": "similarity_ivf_det_topk",
         "forecast_scale_series": "forecast_scale_contract_audit",
         "dedup_scale_audit": "dedup_scale_contract_audit",
         "ann_scale_audit": "ann_scale_contract_audit",
