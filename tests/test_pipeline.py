@@ -80,3 +80,63 @@ def test_rerun_marks_updated_and_only_future(spark, tmp_path):
     out = cat.table("bucket_forecast_daily_orders")
     assert out.count() == 5  # only-future: exactly interval rows
     assert min(r.date for r in out.collect()) == dt.date(2024, 2, 10)
+
+
+def test_concurrent_tables_beat_sum_of_singles(spark, tmp_path):
+    """r7 VERDICT #7: with max_concurrent=2 two independent tables run
+    under concurrent Spark job groups, so wall-clock beats the sum of
+    the two single-table runs (the sequential driver loop leaves the
+    cluster idle between small tables). Counters stay disjoint and
+    identical to the sequential run."""
+    import time
+
+    def db(sub):
+        cat = ParquetCatalog(spark, str(tmp_path / sub))
+        for t in ("t_a", "t_b"):
+            cat.write_table(
+                spark.createDataFrame(
+                    [
+                        Row(
+                            date=dt.date(2024, 1, 1) + dt.timedelta(days=i),
+                            m1=float(100 + i),
+                            m2=float(3 + (i % 7)),
+                        )
+                        for i in range(90)
+                    ]
+                ),
+                t,
+            )
+        return cat
+
+    cat1 = db("singles")
+    t0 = time.time()
+    c_a = run_forecast_pipeline(
+        cat1, interval=7, specific_tables=["t_a"], backend="fourier_ridge"
+    )
+    c_b = run_forecast_pipeline(
+        cat1, interval=7, specific_tables=["t_b"], backend="fourier_ridge"
+    )
+    sum_singles = time.time() - t0
+    assert c_a.successful == ["t_a"] and c_b.successful == ["t_b"]
+
+    cat2 = db("conc")
+    t0 = time.time()
+    conc = run_forecast_pipeline(
+        cat2, interval=7, specific_tables=["t_a", "t_b"],
+        backend="fourier_ridge", max_concurrent=2,
+    )
+    concurrent_wall = time.time() - t0
+
+    # deterministic fold order + disjoint counters, same as sequential
+    assert conc.successful == ["t_a", "t_b"]
+    assert set(conc.new) == {"t_a", "t_b"}
+    assert not conc.failed and not conc.skipped and not conc.failed_metrics
+    assert cat2.table_exists("bucket_forecast_t_a")
+    assert cat2.table_exists("bucket_forecast_t_b")
+    out = cat2.table("bucket_forecast_t_a")
+    assert out.count() == 97
+
+    assert concurrent_wall < sum_singles, (
+        f"concurrent two-table run {concurrent_wall:.2f}s did not beat "
+        f"the sum of singles {sum_singles:.2f}s"
+    )
