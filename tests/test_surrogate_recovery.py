@@ -122,3 +122,73 @@ def test_yearly_component_recovered_when_present():
     )
     mae = float(np.mean(np.abs(future["yhat"].to_numpy() - truth)))
     assert mae < 4.0, f"180-day yearly-phase MAE {mae:.3f}"
+
+
+def test_changepoint_divergence_is_the_global_ols_line():
+    """THE documented divergence from Prophet (r7 VERDICT #6): Prophet's
+    piecewise trend re-slopes after a changepoint
+    (forecast_script.py:171-177 runs Prophet defaults, changepoint_range
+    0.8), while fourier_ridge fits ONE global trend — so on a
+    slope-break series the surrogate extrapolates the global OLS line of
+    the history, not the last segment.
+
+    The bound this pins (slope 0.5 -> -0.5 at 75% of a 240-day fit,
+    weekly amp 12, noise sigma 1):
+      * the surrogate's extrapolated slope equals the global OLS slope
+        of the noiseless piecewise trend within 2% — the divergence MODE
+        is exactly 'global line vs last segment', nothing else leaks;
+      * the divergence from the piecewise ideal therefore grows at
+        ~(ols_slope - s2) ~ 0.85/day of horizon (measured 0.8466);
+        the 28-day MAE vs the piecewise truth is ~45 (pinned 30..60),
+        vs ~0.24 on the no-changepoint control — callers needing
+        post-changepoint accuracy must use the prophet backend
+        (auto-selected when importable) or refit on post-break history.
+    """
+    n, brk, s1, s2, h = 240, 180, 0.5, -0.5, 28
+    rng = np.random.default_rng(7)
+    t = np.arange(n, dtype=float)
+    trend = 100.0 + np.where(t < brk, s1 * t, s1 * brk + s2 * (t - brk))
+    y = trend + 12.0 * np.sin(2 * np.pi * t / 7.0) + rng.normal(0, 1.0, n)
+    ds = pd.date_range("2022-01-03", periods=n, freq="D")
+    m = AdditiveForecastModel().fit(pd.DataFrame({"ds": ds, "y": y}))
+
+    # 1) divergence mode: recovered slope == global OLS slope of the
+    # noiseless piecewise trend (70-day probe cancels the weekly term)
+    probe = pd.DataFrame(
+        {"ds": [ds[-1], ds[-1] + pd.Timedelta(days=70)]}
+    )
+    p = m.predict(probe)
+    daily = (p["yhat"].iloc[1] - p["yhat"].iloc[0]) / 70.0
+    ols = np.polyfit(t, trend, 1)[0]
+    assert abs(daily - ols) < 0.02 * abs(ols), f"{daily:.4f} vs OLS {ols:.4f}"
+    # and that line genuinely diverges from the last segment's slope
+    assert daily - s2 > 0.8, f"divergence rate {daily - s2:.3f}/day"
+
+    # 2) magnitude: 28-day MAE vs the piecewise truth sits in the
+    # measured band; the no-changepoint control stays ~two orders lower
+    th = np.arange(n, n + h, dtype=float)
+    truth = (
+        100.0 + s1 * brk + s2 * (th - brk)
+        + 12.0 * np.sin(2 * np.pi * th / 7.0)
+    )
+    fut = m.predict(
+        pd.DataFrame(
+            {"ds": pd.date_range(ds[-1] + pd.Timedelta(days=1), periods=h)}
+        )
+    )
+    mae = float(np.mean(np.abs(fut["yhat"].to_numpy() - truth)))
+    assert 30.0 < mae < 60.0, f"changepoint 28d MAE {mae:.2f}"
+
+    y0 = 100.0 + s1 * t + 12.0 * np.sin(2 * np.pi * t / 7.0) + rng.normal(
+        0, 1.0, n
+    )
+    m0 = AdditiveForecastModel().fit(pd.DataFrame({"ds": ds, "y": y0}))
+    fut0 = m0.predict(
+        pd.DataFrame(
+            {"ds": pd.date_range(ds[-1] + pd.Timedelta(days=1), periods=h)}
+        )
+    )
+    truth0 = 100.0 + s1 * th + 12.0 * np.sin(2 * np.pi * th / 7.0)
+    mae0 = float(np.mean(np.abs(fut0["yhat"].to_numpy() - truth0)))
+    assert mae0 < 1.0, f"control MAE {mae0:.2f}"
+    assert mae > 30 * mae0
