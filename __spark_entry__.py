@@ -4,7 +4,7 @@ entry(spark)  — flagship query: distributed forecast of the daily sales
                 series derived from orders at sf0.001.
 queries()     — every implemented operator from SURVEY.md §2 + the
                 BASELINE.json extension surface (see
-                clickhouse_forecasting_spark/queries.py).
+                clickhouse_forecasting_spark/queries/).
 oracle_sql()  — DuckDB twins for everything SQL-expressible; forecast /
                 LSH-ANN / Pandas-UDF-decode entries are rows-only.
 """

@@ -389,6 +389,21 @@ def bounded_rows_row_number(
     (metadata-fast for parquet-backed frames); calling it directly on an
     oversized frame is the negative control — the assert fires."""
     gcols = list(group_by)
+    guarded = _rowcap_guarded(df, gcols, max_rows, caller)
+    w = Window.partitionBy(*gcols).orderBy(*_order_cols(order_by))
+    return guarded.withColumn(
+        col_name, F.row_number().over(w).cast("bigint")
+    )
+
+
+def _rowcap_guarded(
+    df: DataFrame, gcols: Sequence[str], max_rows: int, caller: str
+) -> DataFrame:
+    """The in-plan row-count proof behind every bounded_rows_* fast path:
+    broadcast scalar count + assert_true wrapping the first group key
+    (the window partition key — unprunable in any window-executing
+    plan); the count column carries the census's ``__bounded_`` marker
+    prefix so the guarded frame classifies as bounded."""
     cnt = df.groupBy().agg(
         F.count("*").alias("__bounded_rowcap_asserted")
     )
@@ -404,15 +419,38 @@ def bounded_rows_row_number(
         ).isNull(),
         F.col(gcols[0]),
     )
-    guarded = (
+    return (
         df.crossJoin(F.broadcast(cnt))
         .withColumn(gcols[0], guarded_key)
         .drop("__bounded_rowcap_asserted")
     )
-    w = Window.partitionBy(*gcols).orderBy(*_order_cols(order_by))
-    return guarded.withColumn(
-        col_name, F.row_number().over(w).cast("bigint")
+
+
+def bounded_rows_running_sum(
+    df: DataFrame,
+    group_by: Sequence[str],
+    order_by: Sequence,
+    value_cols: Sequence[str],
+    out_names: Sequence[str],
+    max_rows: int = FASTPATH_MAX_ROWS,
+    caller: str = "bounded_rows_running_sum",
+) -> DataFrame:
+    """Plain ``SUM(c) OVER (PARTITION BY groups ORDER BY order ROWS
+    UNBOUNDED PRECEDING)`` over a frame proven small at execution time —
+    the size-adaptive fast path of grouped_running_sum, same proof
+    machinery as bounded_rows_row_number (_rowcap_guarded). The plain
+    window's native NULL semantics ARE the SQL semantics the grouped
+    machinery reproduces with its NULL-carry, so values match exactly."""
+    gcols = list(group_by)
+    guarded = _rowcap_guarded(df, gcols, max_rows, caller)
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(*_order_cols(order_by))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    for c, name in zip(value_cols, out_names):
+        guarded = guarded.withColumn(name, F.sum(c).over(w))
+    return guarded
 
 
 def grouped_row_number(
@@ -520,6 +558,7 @@ def grouped_running_sum(
     out_names: Sequence[str],
     num_partitions: int | None = None,
     max_groups: int = 1_000_000,
+    dispatch_max_rows: int | None = None,
 ) -> DataFrame:
     """df + per-group inclusive running sums —
     ``SUM(c) OVER (PARTITION BY groups ORDER BY order ROWS UNBOUNDED
@@ -536,8 +575,20 @@ def grouped_running_sum(
     alone would surface), otherwise NULLs are skipped.
 
     Group cardinality is enforced in-plan at ``max_groups`` (the rebase
-    frame is force-broadcast — see _guard_group_cardinality)."""
+    frame is force-broadcast — see _guard_group_cardinality).
+
+    ``dispatch_max_rows`` opts into the size-adaptive dispatch (see
+    grouped_row_number): a driver-side count picks the assert-guarded
+    plain-window fast path (bounded_rows_running_sum) under the cap."""
     gcols = list(group_by)
+    if dispatch_max_rows is not None and df.count() <= int(
+        dispatch_max_rows
+    ):
+        return bounded_rows_running_sum(
+            df, gcols, order_by, value_cols, out_names,
+            max_rows=int(dispatch_max_rows),
+            caller="grouped_running_sum",
+        )
     ind = {c: f"__rk_gnn_{c}" for c in value_cols}
     src = df
     for c in value_cols:

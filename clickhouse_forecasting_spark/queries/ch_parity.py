@@ -1,0 +1,5095 @@
+# ClickHouse function-parity waves
+# Part of the clickhouse_forecasting_spark.queries package: executed
+# by __init__.py into ONE shared namespace (the families share
+# helpers and later waves extend earlier ones — the split is for
+# file size and review locality, not for namespace isolation).
+# --------------------------------------------------------------------------
+# ClickHouse function parity — round-3 wave (theilsU / studentTTest /
+# sequenceNextNode / uniqUpTo / deltaSum / sparkbar / geohashEncode)
+# --------------------------------------------------------------------------
+
+
+def q_theils_u_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``theilsU`` + ``contingency`` parity: the uncertainty
+    coefficient U(priority|status) / U(status|priority) and Pearson's
+    contingency coefficient over orders. One shuffle to the bounded
+    (priority x status) cell table (<= 15 cells at any SF); entropies and
+    chi-square accumulate 1e-12-rounded terms as decimals, so every sum is
+    partition-order-free and bit-identical across engines."""
+    o = _t(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    d12 = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    wx = Window.partitionBy("o_orderpriority")
+    wy = Window.partitionBy("o_orderstatus")
+    wall = Window.partitionBy()
+    e = cells.select(
+        "c",
+        F.sum("c").over(wx).alias("cx"),
+        F.sum("c").over(wy).alias("cy"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    px = F.col("cx").cast("double") / F.col("n").cast("double")
+    py = F.col("cy").cast("double") / F.col("n").cast("double")
+    ex = F.col("cx").cast("double") * F.col("cy").cast("double") / F.col("n").cast("double")
+    terms = e.select(
+        "n",
+        d12(F.round(p * F.log(p), 12)).alias("t_xy"),
+        # marginal-entropy terms counted once per cell, weighted by the
+        # cell's share of its marginal -> sums to the marginal entropy
+        d12(F.round(p * F.log(px), 12)).alias("t_x"),
+        d12(F.round(p * F.log(py), 12)).alias("t_y"),
+        d12(
+            F.round(
+                (F.col("c").cast("double") - ex) * (F.col("c").cast("double") - ex) / ex,
+                12,
+            )
+        ).alias("t_chi"),
+    )
+    agg = terms.groupBy("n").agg(
+        (-F.sum("t_xy")).cast("double").alias("h_xy"),
+        (-F.sum("t_x")).cast("double").alias("h_x"),
+        (-F.sum("t_y")).cast("double").alias("h_y"),
+        F.sum("t_chi").cast("double").alias("chi2"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round("h_x", 6).alias("h_priority"),
+        F.round("h_y", 6).alias("h_status"),
+        F.round("h_xy", 6).alias("h_joint"),
+        F.round((F.col("h_x") - (F.col("h_xy") - F.col("h_y"))) / F.col("h_x"), 6)
+        .alias("u_priority_given_status"),
+        F.round((F.col("h_y") - (F.col("h_xy") - F.col("h_x"))) / F.col("h_y"), 6)
+        .alias("u_status_given_priority"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(F.sqrt(F.col("chi2") / (F.col("chi2") + nd)), 6)
+        .alias("contingency_c"),
+    )
+
+
+_THEILS_U_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+e AS (
+  SELECT c,
+    SUM(c) OVER (PARTITION BY o_orderpriority) AS cx,
+    SUM(c) OVER (PARTITION BY o_orderstatus) AS cy,
+    SUM(c) OVER () AS n
+  FROM cells),
+terms AS (
+  SELECT n,
+    CAST(ROUND((c::DOUBLE / n) * ln(c::DOUBLE / n), 12) AS DECIMAL(38,12)) AS t_xy,
+    CAST(ROUND((c::DOUBLE / n) * ln(cx::DOUBLE / n), 12) AS DECIMAL(38,12)) AS t_x,
+    CAST(ROUND((c::DOUBLE / n) * ln(cy::DOUBLE / n), 12) AS DECIMAL(38,12)) AS t_y,
+    CAST(ROUND(
+      (c::DOUBLE - cx::DOUBLE * cy::DOUBLE / n)
+      * (c::DOUBLE - cx::DOUBLE * cy::DOUBLE / n)
+      / (cx::DOUBLE * cy::DOUBLE / n), 12) AS DECIMAL(38,12)) AS t_chi
+  FROM e),
+agg AS (
+  SELECT n,
+    CAST(-SUM(t_xy) AS DOUBLE) AS h_xy,
+    CAST(-SUM(t_x) AS DOUBLE) AS h_x,
+    CAST(-SUM(t_y) AS DOUBLE) AS h_y,
+    CAST(SUM(t_chi) AS DOUBLE) AS chi2
+  FROM terms GROUP BY n)
+SELECT CAST(n AS BIGINT) AS n_orders,
+  ROUND(h_x, 6) AS h_priority,
+  ROUND(h_y, 6) AS h_status,
+  ROUND(h_xy, 6) AS h_joint,
+  ROUND((h_x - (h_xy - h_y)) / h_x, 6) AS u_priority_given_status,
+  ROUND((h_y - (h_xy - h_x)) / h_y, 6) AS u_status_given_priority,
+  ROUND(chi2, 6) AS chi2,
+  ROUND(sqrt(chi2 / (chi2 + n::DOUBLE)), 6) AS contingency_c
+FROM agg
+"""
+
+
+def q_student_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``studentTTest`` parity (the equal-variance companion to
+    the existing ``welch_ttest_segments``): pooled-variance two-sample t on
+    customer account balance, BUILDING vs MACHINERY. Sums and sums of
+    squares accumulate as exact decimals of 1e-2/1e-4-rounded terms (order
+    free); the t statistic and pooled variance divide in double at the
+    end. Single aggregation pass, two groups."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    v = F.round(F.col("c_acctbal"), 2)
+    g = c.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(v.cast("decimal(38,2)")).alias("s"),
+        F.sum(F.round(v * v, 4).cast("decimal(38,4)")).alias("ss"),
+    )
+    wide = (
+        g.groupBy()
+        .pivot("c_mktsegment", ["BUILDING", "MACHINERY"])
+        .agg(F.first("n").alias("n"), F.first("s").alias("s"), F.first("ss").alias("ss"))
+    )
+    n1, n2 = F.col("BUILDING_n").cast("double"), F.col("MACHINERY_n").cast("double")
+    s1, s2 = F.col("BUILDING_s").cast("double"), F.col("MACHINERY_s").cast("double")
+    ss1, ss2 = F.col("BUILDING_ss").cast("double"), F.col("MACHINERY_ss").cast("double")
+    m1, m2 = s1 / n1, s2 / n2
+    pooled = ((ss1 - n1 * m1 * m1) + (ss2 - n2 * m2 * m2)) / (n1 + n2 - 2)
+    t = (m1 - m2) / F.sqrt(pooled * (1 / n1 + 1 / n2))
+    return wide.select(
+        F.col("BUILDING_n").alias("n_building"),
+        F.col("MACHINERY_n").alias("n_machinery"),
+        F.round(m1, 6).alias("mean_building"),
+        F.round(m2, 6).alias("mean_machinery"),
+        F.round(pooled, 6).alias("pooled_var"),
+        F.round(t, 6).alias("t_stat"),
+        (n1 + n2 - 2).cast("bigint").alias("df"),
+        (F.abs(t) > 1.96).cast("int").alias("significant_5pct"),
+    )
+
+
+_STUDENT_T_SQL = """
+WITH g AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(38,2))) AS s,
+    SUM(CAST(ROUND(ROUND(c_acctbal, 2) * ROUND(c_acctbal, 2), 4)
+             AS DECIMAL(38,4))) AS ss
+  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  GROUP BY 1),
+wide AS (
+  SELECT
+    MAX(CASE WHEN c_mktsegment = 'BUILDING' THEN n END) AS n1b,
+    MAX(CASE WHEN c_mktsegment = 'MACHINERY' THEN n END) AS n2b,
+    CAST(MAX(CASE WHEN c_mktsegment = 'BUILDING' THEN s END) AS DOUBLE) AS s1,
+    CAST(MAX(CASE WHEN c_mktsegment = 'MACHINERY' THEN s END) AS DOUBLE) AS s2,
+    CAST(MAX(CASE WHEN c_mktsegment = 'BUILDING' THEN ss END) AS DOUBLE) AS ss1,
+    CAST(MAX(CASE WHEN c_mktsegment = 'MACHINERY' THEN ss END) AS DOUBLE) AS ss2
+  FROM g)
+SELECT n1b AS n_building, n2b AS n_machinery,
+  ROUND(s1 / n1b, 6) AS mean_building,
+  ROUND(s2 / n2b, 6) AS mean_machinery,
+  ROUND(((ss1 - n1b * (s1/n1b) * (s1/n1b)) + (ss2 - n2b * (s2/n2b) * (s2/n2b)))
+        / (n1b + n2b - 2), 6) AS pooled_var,
+  ROUND((s1/n1b - s2/n2b) / sqrt(
+    (((ss1 - n1b * (s1/n1b) * (s1/n1b)) + (ss2 - n2b * (s2/n2b) * (s2/n2b)))
+     / (n1b + n2b - 2)) * (1.0/n1b + 1.0/n2b)), 6) AS t_stat,
+  CAST(n1b + n2b - 2 AS BIGINT) AS df,
+  CAST(abs((s1/n1b - s2/n2b) / sqrt(
+    (((ss1 - n1b * (s1/n1b) * (s1/n1b)) + (ss2 - n2b * (s2/n2b) * (s2/n2b)))
+     / (n1b + n2b - 2)) * (1.0/n1b + 1.0/n2b))) > 1.96 AS INT)
+    AS significant_5pct
+FROM wide
+"""
+
+
+def q_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceNextNode('forward','head')`` parity: for every
+    user, the event immediately following their FIRST 'view' (ties broken
+    by event_id — a total order, so the answer is engine-independent), and
+    the distribution of those next steps. One window pass partitioned by
+    user (scales with users, no global sort); users whose first view is
+    their last event report '(end)'."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.sum((F.col("event_type") == "view").cast("int"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("views_so_far"),
+    )
+    first_view = marked.filter(
+        (F.col("event_type") == "view") & (F.col("views_so_far") == 1)
+    )
+    return (
+        first_view.groupBy(
+            F.coalesce("next_type", F.lit("(end)")).alias("next_after_first_view")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("next_after_first_view")
+    )
+
+
+_SEQ_NEXT_SQL = """
+WITH marked AS (
+  SELECT user_id, event_type,
+    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS next_type,
+    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS views_so_far
+  FROM events)
+SELECT COALESCE(next_type, '(end)') AS next_after_first_view,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM marked WHERE event_type = 'view' AND views_so_far = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_uniq_up_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqUpTo(N)`` parity: per event type, the distinct
+    user count reported exactly while <= N and as N+1 once it exceeds N
+    (the CH contract that bounds state at N+1 values per group). Shown at
+    N=10 and N=100 beside the exact count; one aggregation. At scale the
+    capped semantics are what make per-group distinct state bounded —
+    the partial-aggregate state never holds more than N+1 ids."""
+    ev = _t(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            exact.alias("exact_users"),
+            F.least(exact, F.lit(11)).cast("bigint").alias("uniq_up_to_10"),
+            F.least(exact, F.lit(101)).cast("bigint").alias("uniq_up_to_100"),
+            (exact > 100).cast("int").alias("capped_at_100"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_UNIQ_UP_TO_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+  CAST(LEAST(COUNT(DISTINCT user_id), 11) AS BIGINT) AS uniq_up_to_10,
+  CAST(LEAST(COUNT(DISTINCT user_id), 101) AS BIGINT) AS uniq_up_to_100,
+  CAST(COUNT(DISTINCT user_id) > 100 AS INT) AS capped_at_100
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_delta_sum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``deltaSum`` / ``runningDifference`` parity over the
+    daily revenue series, per month: the sum of positive day-over-day
+    increases (deltaSum's monotone-gain semantics), up/down day counts,
+    and the first-to-last net change. Daily revenue aggregates 1e-2-rounded
+    prices as exact decimals, so deltas and their sums are exact and
+    order-free; the lag runs inside month partitions (no global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round("o_totalprice", 2).cast("decimal(38,2)")).alias("rev")
+        )
+    )
+    w = Window.partitionBy(F.date_format("d", "yyyy-MM")).orderBy("d")
+    d = daily.select(
+        F.date_format("d", "yyyy-MM").alias("month"),
+        "d",
+        "rev",
+        (F.col("rev") - F.lag("rev").over(w)).alias("delta"),
+    )
+    return (
+        d.groupBy("month")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("delta_sum"),
+            F.sum(F.when(F.col("delta") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("up_days"),
+            F.sum(F.when(F.col("delta") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("down_days"),
+            (F.max_by("rev", "d") - F.min_by("rev", "d"))
+            .cast("double")
+            .alias("net_change"),
+        )
+        .orderBy("month")
+    )
+
+
+_DELTA_SUM_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(38,2))) AS rev
+  FROM orders GROUP BY 1),
+dd AS (
+  SELECT strftime(d, '%Y-%m') AS month, d, rev,
+    rev - LAG(rev) OVER (PARTITION BY strftime(d, '%Y-%m') ORDER BY d)
+      AS delta
+  FROM daily)
+SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days,
+  CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE 0 END) AS DOUBLE) AS delta_sum,
+  CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS up_days,
+  CAST(SUM(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS down_days,
+  CAST(arg_max(rev, d) - arg_min(rev, d) AS DOUBLE) AS net_change
+FROM dd GROUP BY month ORDER BY month
+"""
+
+
+_SPARKBAR_PALETTE = "▁▂▃▄▅▆▇█"
+
+
+def q_sparkbar_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sparkbar`` parity: per month, an 8-level unicode bar
+    chart of daily order counts (observed days, in day order). Levels are
+    min-max normalized per month — level = floor((v-min)*7/(max-min)),
+    all-equal months render full bars — using only integer-valued doubles,
+    so floor() is exact in both engines. The per-month array is bounded at
+    31 entries; one shuffle to (month, day), one to month."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month"),
+            F.dayofmonth(F.col("o_orderdate").cast("date")).alias("dom"),
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    m = daily.groupBy("month").agg(
+        F.array_sort(F.collect_list(F.struct("dom", "cnt"))).alias("arr"),
+        F.min("cnt").alias("mn"),
+        F.max("cnt").alias("mx"),
+    )
+    lvl = lambda c: F.when(  # noqa: E731
+        F.col("mx") == F.col("mn"), F.lit(7)
+    ).otherwise(
+        F.floor(
+            (c - F.col("mn")).cast("double") * 7.0
+            / (F.col("mx") - F.col("mn")).cast("double")
+        )
+    )
+    return m.select(
+        "month",
+        F.size("arr").cast("bigint").alias("n_days"),
+        F.col("mn").cast("bigint").alias("min_daily"),
+        F.col("mx").cast("bigint").alias("max_daily"),
+        F.concat_ws(
+            "",
+            F.transform(
+                "arr",
+                lambda s: F.substring(
+                    F.lit(_SPARKBAR_PALETTE),
+                    (lvl(s.getField("cnt")) + 1).cast("int"),
+                    1,
+                ),
+            ),
+        ).alias("sparkbar"),
+    ).orderBy("month")
+
+
+_SPARKBAR_SQL = f"""
+WITH daily AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+    day(CAST(o_orderdate AS DATE)) AS dom,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2),
+m AS (
+  SELECT month, list(cnt ORDER BY dom) AS arr,
+    MIN(cnt) AS mn, MAX(cnt) AS mx
+  FROM daily GROUP BY month)
+SELECT month, CAST(len(arr) AS BIGINT) AS n_days,
+  CAST(mn AS BIGINT) AS min_daily, CAST(mx AS BIGINT) AS max_daily,
+  list_aggregate(list_transform(arr, v -> substr('{_SPARKBAR_PALETTE}',
+    CAST(CASE WHEN mx = mn THEN 7
+         ELSE floor((v - mn)::DOUBLE * 7.0 / (mx - mn)::DOUBLE) END
+         AS INT) + 1, 1)), 'string_agg', '') AS sparkbar
+FROM m ORDER BY month
+"""
+
+
+_GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def q_geohash_grid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``geohashEncode`` parity: customers are placed on a
+    deterministic synthetic lat/lon grid (key-derived, since fixtures have
+    no geography), geohash-encoded at precision 2 with pure integer bit
+    interleaving (5 lon bits + 5 lat bits -> 2 base32 chars — exact, no
+    floating point), then rolled up per cell. The cell space is bounded at
+    1024 rows at ANY scale; row-local encoding plus one aggregation; the
+    encode is a codegen'd expression chain, no UDF."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("bigint")
+    # synthetic coords: lat in [-90,90) on a 0.01-degree grid, lon likewise
+    lat_units = (k * 37) % 18000   # (lat + 90) * 100
+    lon_units = (k * 73) % 36000   # (lon + 180) * 100
+    # geohash cell index at 5 bits per axis: floor(frac * 32)
+    latb = F.floor((lat_units * 32) / F.lit(18000)).cast("bigint")
+    lonb = F.floor((lon_units * 32) / F.lit(36000)).cast("bigint")
+    code = F.lit(0).cast("bigint")
+    for i in range(5):
+        code = (
+            code
+            + F.shiftright(lonb, i).bitwiseAND(F.lit(1)) * F.lit(2 ** (2 * i + 1))
+            + F.shiftright(latb, i).bitwiseAND(F.lit(1)) * F.lit(2 ** (2 * i))
+        )
+    gh = F.concat(
+        *[
+            F.substring(
+                F.lit(_GEOHASH_ALPHABET),
+                (F.shiftright(code, 5 - 5 * j).bitwiseAND(F.lit(31)) + 1).cast(
+                    "int"
+                ),
+                1,
+            )
+            for j in range(2)
+        ]
+    )
+    return (
+        c.select(
+            gh.alias("geohash2"),
+            F.round("c_acctbal", 2).alias("bal"),
+        )
+        .groupBy("geohash2")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.col("bal").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .orderBy("geohash2")
+    )
+
+
+def _geohash_sql() -> str:
+    code_terms = " + ".join(
+        f"(((lonb >> {i}) & 1) * {2 ** (2 * i + 1)})"
+        f" + (((latb >> {i}) & 1) * {2 ** (2 * i)})"
+        for i in range(5)
+    )
+    chars = " || ".join(
+        f"substr('{_GEOHASH_ALPHABET}', CAST(((code >> {5 - 5 * j}) & 31) + 1 AS INT), 1)"
+        for j in range(2)
+    )
+    return f"""
+WITH grid AS (
+  SELECT
+    CAST(floor(((c_custkey * 37) % 18000) * 32 / 18000.0) AS BIGINT) AS latb,
+    CAST(floor(((c_custkey * 73) % 36000) * 32 / 36000.0) AS BIGINT) AS lonb,
+    ROUND(c_acctbal, 2) AS bal
+  FROM customer),
+coded AS (
+  SELECT CAST({code_terms} AS BIGINT) AS code, bal FROM grid)
+SELECT {chars} AS geohash2,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(CAST(bal AS DECIMAL(38,2))) AS DOUBLE) AS sum_acctbal
+FROM coded GROUP BY 1 ORDER BY 1
+"""
+
+
+_GEOHASH_SQL = _geohash_sql()
+
+
+def q_group_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupBitAnd`` / ``groupBitOr`` / ``groupBitXor``
+    parity: bitwise aggregates of the user-id key per event type (the CH
+    idiom for permission-mask folding and parity checks). Associative +
+    commutative integer folds — partial aggregation is exact, one
+    shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.bit_and("user_id").cast("bigint").alias("bit_and_users"),
+            F.bit_or("user_id").cast("bigint").alias("bit_or_users"),
+            F.bit_xor("user_id").cast("bigint").alias("bit_xor_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_GROUP_BIT_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(bit_and(user_id) AS BIGINT) AS bit_and_users,
+  CAST(bit_or(user_id) AS BIGINT) AS bit_or_users,
+  CAST(bit_xor(user_id) AS BIGINT) AS bit_xor_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_any_heavy_daily_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``anyHeavy`` made deterministic: per ISO week, the
+    Boyer-Moore majority-vote fold over the sequence of daily winning
+    event types (day order; daily winner = max count, ties to the
+    alphabetically first type), verified against the exact mode. The fold
+    is a Catalyst ``aggregate`` over a <=7-element week array — no UDF,
+    no shuffle beyond the two groupBys; the DuckDB twin replays the
+    identical fold with ``list_reduce``. ``bm_is_majority`` certifies the
+    Boyer-Moore invariant: the candidate equals the mode whenever a true
+    majority (> n/2 days) exists."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("d"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wd = Window.partitionBy("d").orderBy(F.col("cnt").desc(), "event_type")
+    winners = (
+        daily.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.date_trunc("week", F.col("d")).cast("date").alias("week"),
+            F.dayofyear("d").alias("dom"),
+            F.col("event_type").alias("winner"),
+        )
+    )
+    m = winners.groupBy("week").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dom", "winner"))),
+            lambda s: s.getField("winner"),
+        ).alias("ws")
+    )
+    acc0 = F.struct(F.lit("").alias("cand"), F.lit(0).alias("cnt"))
+    bm = F.aggregate(
+        "ws",
+        acc0,
+        lambda acc, w: F.when(
+            acc.getField("cnt") == 0,
+            F.struct(w.alias("cand"), F.lit(1).alias("cnt")),
+        )
+        .when(
+            w == acc.getField("cand"),
+            F.struct(
+                acc.getField("cand").alias("cand"),
+                (acc.getField("cnt") + 1).alias("cnt"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                acc.getField("cand").alias("cand"),
+                (acc.getField("cnt") - 1).alias("cnt"),
+            )
+        ),
+    )
+    folded = m.select("week", F.size("ws").alias("n_days"), bm.alias("bm"), "ws")
+    modal_days = F.array_max(
+        F.transform(
+            F.array_distinct("ws"),
+            lambda w: F.size(F.filter("ws", lambda x: x == w)),
+        )
+    )
+    # mode with alphabetical tie-break: among winners hitting modal_days,
+    # the smallest string
+    mode_val = F.array_min(
+        F.filter(
+            F.array_distinct("ws"),
+            lambda w: F.size(F.filter("ws", lambda x: x == w)) == modal_days,
+        )
+    )
+    return folded.select(
+        "week",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("bm").getField("cand").alias("bm_candidate"),
+        mode_val.alias("modal_winner"),
+        modal_days.cast("bigint").alias("modal_days"),
+        (modal_days * 2 > F.col("n_days")).cast("int").alias("has_true_majority"),
+        (F.col("bm").getField("cand") == mode_val).cast("int").alias("bm_matches_mode"),
+    ).orderBy("week")
+
+
+_ANY_HEAVY_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2),
+winners AS (
+  SELECT CAST(date_trunc('week', d) AS DATE) AS week, dayofyear(d) AS dom,
+    event_type AS winner
+  FROM (SELECT d, event_type, cnt,
+          ROW_NUMBER() OVER (PARTITION BY d ORDER BY cnt DESC, event_type) AS rn
+        FROM daily)
+  WHERE rn = 1),
+m AS (
+  SELECT week, list(winner ORDER BY dom) AS ws FROM winners GROUP BY week),
+folded AS (
+  SELECT week, len(ws) AS n_days, ws,
+    list_reduce(
+      list_transform(ws, w -> {'cand': w, 'cnt': 1}),
+      (acc, x) -> CASE
+        WHEN acc.cnt = 0 THEN {'cand': x.cand, 'cnt': 1}
+        WHEN x.cand = acc.cand THEN {'cand': acc.cand, 'cnt': acc.cnt + 1}
+        ELSE {'cand': acc.cand, 'cnt': acc.cnt - 1} END).cand AS bm_candidate,
+    list_max(list_transform(list_distinct(ws),
+      w -> len(list_filter(ws, x -> x = w)))) AS modal_days
+  FROM m)
+SELECT week, CAST(n_days AS BIGINT) AS n_days, bm_candidate,
+  list_min(list_filter(list_distinct(ws),
+    w -> len(list_filter(ws, x -> x = w)) = modal_days)) AS modal_winner,
+  CAST(modal_days AS BIGINT) AS modal_days,
+  CAST(modal_days * 2 > n_days AS INT) AS has_true_majority,
+  CAST(bm_candidate = list_min(list_filter(list_distinct(ws),
+    w -> len(list_filter(ws, x -> x = w)) = modal_days)) AS INT)
+    AS bm_matches_mode
+FROM folded ORDER BY week
+"""
+
+
+def q_ngram_distance_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ngramDistance`` parity: Sørensen–Dice complement over
+    character-3-gram MULTISETS for every pair of distinct part names
+    within distance 0.5. The name vocabulary is bounded (64 values at any
+    SF), so the pair space is a bounded self-join over a deduplicated
+    frame — never O(parts²); multiset intersection is an integer array
+    fold, exact in both engines."""
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    grams = lambda c: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.length(c) - 2),
+        lambda i: F.substring(c, i, F.lit(3)),
+    )
+    g = names.select(F.col("p_name").alias("name"), grams(F.col("p_name")).alias("g"))
+    a = g.select(F.col("name").alias("name_a"), F.col("g").alias("ga"))
+    b = g.select(F.col("name").alias("name_b"), F.col("g").alias("gb"))
+    inter = F.aggregate(
+        F.array_distinct("ga"),
+        F.lit(0),
+        lambda acc, gr: acc
+        + F.least(
+            F.size(F.filter("ga", lambda x: x == gr)),
+            F.size(F.filter("gb", lambda x: x == gr)),
+        ),
+    )
+    pairs = (
+        # inequality-only pair join over the 64-name deduplicated frame —
+        # broadcast nested loop (bounded 64² = 4096 pairs at any SF),
+        # same shape as rank_correlation_nations' Kendall stage
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            inter.cast("bigint").alias("shared_grams"),
+            F.round(
+                1.0
+                - 2.0 * inter.cast("double")
+                / (F.size("ga") + F.size("gb")).cast("double"),
+                6,
+            ).alias("ngram_dist"),
+        )
+    )
+    return pairs.filter(F.col("ngram_dist") <= 0.5).orderBy(
+        "ngram_dist", "name_a", "name_b"
+    )
+
+
+_NGRAM_DIST_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+g AS (
+  SELECT p_name AS name,
+    list_transform(generate_series(1, len(p_name) - 2),
+                   i -> substr(p_name, CAST(i AS INT), 3)) AS gr
+  FROM names),
+pairs AS (
+  SELECT a.name AS name_a, b.name AS name_b,
+    list_sum(list_transform(list_distinct(a.gr),
+      x -> least(len(list_filter(a.gr, y -> y = x)),
+                 len(list_filter(b.gr, y -> y = x))))) AS inter,
+    len(a.gr) + len(b.gr) AS total
+  FROM g a JOIN g b ON a.name < b.name)
+SELECT name_a, name_b, CAST(inter AS BIGINT) AS shared_grams,
+  ROUND(1.0 - 2.0 * inter::DOUBLE / total::DOUBLE, 6) AS ngram_dist
+FROM pairs WHERE ROUND(1.0 - 2.0 * inter::DOUBLE / total::DOUBLE, 6) <= 0.5
+ORDER BY ngram_dist, name_a, name_b
+"""
+
+
+# SemDeDup cluster-size hard bound: k(n) targets E[cluster] = 64
+# vectors, so 1024 is 16x headroom. A cluster past the bound means the
+# centroid recipe collapsed for this corpus (near-duplicate centroid
+# sample) — fail LOUDLY before the per-cluster pairwise join goes
+# quadratic, instead of OOMing an executor. Raise k, don't the bound.
+_SEMDEDUP_TARGET_CLUSTER = 64
+_SEMDEDUP_MAX_CLUSTER = 1024
+
+
+def q_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embedding corpus, scale-
+    parameterized: k(n) = max(16, n // 64) centroids sampled on an even
+    vec_id stride (the deterministic, oracle-replayable surrogate for
+    the learned-KMeans path in similarity.ivf_index — same k ∝ n rule,
+    E[cluster] = 64 vectors at EVERY corpus size, so the per-cluster
+    pairwise pass stays O(n·64) total instead of quadratic-in-corpus).
+    Every vector joins the broadcast centroid frame (O(k) rows — no
+    driver-side vector literals), takes the argmin-d² centroid, and
+    inside each cluster any vector whose cosine to a LOWER-id
+    cluster-mate reaches the threshold (0.35) is dropped. An in-plan
+    assert_true bounds cluster size at 1024 — a degenerate assignment
+    fails loudly before the pairwise join can go quadratic. Assignment
+    argmin, sequential-fold cosine, and 1e-6 rounds are replayed
+    exactly by the DuckDB twin. Report: per-cluster sizes, drops, mean
+    pair cosine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # k(n) and the sampling stride derive IN-PLAN from a broadcast 1-row
+    # aggregate (no separate driver count job); floor division on
+    # positive counts matches the twin's // exactly
+    kcol = F.greatest(
+        F.lit(16),
+        F.floor(F.col("n") / _SEMDEDUP_TARGET_CLUSTER),
+    ).cast("bigint")
+    par = (
+        emb.agg(F.count("*").alias("n"))
+        .select(
+            kcol.alias("k"),
+            F.greatest(F.lit(1), F.floor(F.col("n") / kcol))
+            .cast("bigint")
+            .alias("stride"),
+        )
+    )
+    cents = (
+        emb.crossJoin(F.broadcast(par))
+        .filter(
+            (F.col("vec_id") % F.col("stride") == 0)
+            & (F.col("vec_id") < F.col("stride") * F.col("k"))
+        )
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    )
+
+    def _fold(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+    # d² up to the row-constant ||e||²: ||c||² - 2<e,c>, both folds
+    # left-to-right over float32→double values = the twin's list_sum
+    c2 = _fold(F.transform(F.col("cv"), lambda y: y.cast("double") * y.cast("double")))
+    dot = _fold(
+        F.zip_with(
+            F.col("embedding"), F.col("cv"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cid", (c2 - 2.0 * dot).alias("d2")
+    )
+    # argmin with cid tie-break == the twin's ROW_NUMBER(ORDER BY d2, cid);
+    # every centroid is its own nearest (d2_self = -||c||² is the unique
+    # minimum), so no cluster is empty
+    assigned = scored.groupBy("vec_id").agg(
+        F.min_by("cid", F.struct(F.col("d2"), F.col("cid"))).alias("cluster"),
+        F.first("embedding").alias("embedding"),
+    )
+    # per-vector norm computed ONCE into the cached frame — the fold is
+    # identical to cosine_similarity's, so dot/(na·nb) below is
+    # bit-identical while the O(pairs) verify pays 1 fold per pair
+    assigned = assigned.withColumn(
+        "__nrm",
+        F.sqrt(
+            _fold(
+                F.transform(
+                    F.col("embedding"),
+                    lambda v: v.cast("double") * v.cast("double"),
+                )
+            )
+        ),
+    )
+    # referenced 3x below (pair sides + sizes) and the assignment is now
+    # a real join, so persist ONE frame per (app, sf_dir) through the
+    # dedup family's session cache — repeat calls (bench iterations, the
+    # oracle gate) reuse it instead of stacking fresh persists that churn
+    # executor memory (bench showed 1.6-8s swings from eviction)
+    assigned = DD._cached_stage(
+        emb, ("semdedup_assigned", sf_dir), lambda: assigned
+    )
+    sizes = assigned.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_vectors")
+    )
+    # the hard bound rides a broadcast join against the k-row sizes
+    # frame (no extra window shuffle): the pairwise input itself refuses
+    # to produce rows for an oversized cluster
+    guarded_cluster = F.when(
+        F.assert_true(
+            F.col("n_vectors") <= F.lit(_SEMDEDUP_MAX_CLUSTER),
+            F.lit(
+                "semdedup cluster exceeds the %d-vector bound; raise k"
+                % _SEMDEDUP_MAX_CLUSTER
+            ),
+        ).isNull(),
+        F.col("cluster"),
+    )
+    a = assigned.join(F.broadcast(sizes), "cluster").select(
+        guarded_cluster.alias("cluster"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("__nrm").alias("__na"),
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"), F.col("__nrm").alias("__nb"),
+    )
+    pair_dot = _fold(
+        F.zip_with(
+            F.col("ea"), F.col("eb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        )
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster",
+            "id_a",
+            "id_b",
+            F.round(pair_dot / (F.col("__na") * F.col("__nb")), 6).alias("cos"),
+        )
+    )
+    pair_stats = pairs.groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.col("cos").cast("decimal(38,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_pair_cos"),
+    )
+    drops = (
+        pairs.filter(F.col("cos") >= 0.35)
+        .select("cluster", "id_b")
+        .distinct()
+        .groupBy("cluster")
+        .agg(F.count("*").cast("bigint").alias("n_dropped"))
+    )
+    out = (
+        sizes.join(pair_stats, "cluster", "left")
+        .join(drops, "cluster", "left")
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_vectors",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            "mean_pair_cos",
+            F.coalesce("n_dropped", F.lit(0)).cast("bigint").alias("n_dropped"),
+            (F.col("n_vectors") - F.coalesce("n_dropped", F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("cluster")
+    )
+    return out
+
+
+_SEMDEDUP_SQL = """
+WITH par AS (
+  SELECT n, greatest(16, n // 64) AS k,
+         greatest(1, n // greatest(16, n // 64)) AS stride
+  FROM (SELECT COUNT(*) AS n FROM embeddings)),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cv
+  FROM embeddings, par
+  WHERE vec_id % stride = 0 AND vec_id < stride * k),
+d2 AS (
+  SELECT e.vec_id, c.cid,
+    list_sum(list_transform(c.cv, y -> y::DOUBLE * y::DOUBLE))
+    - 2.0 * list_sum(list_transform(generate_series(1, len(e.embedding)),
+             i -> e.embedding[i]::DOUBLE * c.cv[i]::DOUBLE)) AS d2
+  FROM embeddings e CROSS JOIN cent c),
+assigned AS (
+  SELECT vec_id, cluster, embedding FROM (
+    SELECT d.vec_id, d.cid AS cluster, e.embedding,
+      ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d2, d.cid) AS rn
+    FROM d2 d JOIN embeddings e ON e.vec_id = d.vec_id)
+  WHERE rn = 1),
+pairs AS (
+  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+    round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6)
+      AS cos
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+pair_stats AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+    ROUND(CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+      AS mean_pair_cos
+  FROM pairs GROUP BY cluster),
+drops AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_dropped
+  FROM (SELECT DISTINCT cluster, id_b FROM pairs WHERE cos >= 0.35)
+  GROUP BY cluster),
+sizes AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM assigned GROUP BY cluster)
+SELECT CAST(s.cluster AS BIGINT) AS cluster, s.n_vectors,
+  CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+  p.mean_pair_cos,
+  CAST(COALESCE(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+  CAST(s.n_vectors - COALESCE(d.n_dropped, 0) AS BIGINT) AS n_kept
+FROM sizes s
+LEFT JOIN pair_stats p ON p.cluster = s.cluster
+LEFT JOIN drops d ON d.cluster = s.cluster
+ORDER BY cluster
+"""
+
+
+def q_edit_distance_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``editDistance`` (Levenshtein) parity over the bounded
+    part-name vocabulary: every distinct-name pair within distance 8,
+    with the normalized similarity 1 - dist/max(len). Both engines ship
+    the exact DP Levenshtein as a builtin (Spark ``levenshtein``, DuckDB
+    ``levenshtein``) — integer result, bit-exact. The pair stage is the
+    same bounded self-join over the deduplicated 64-name frame as
+    ngram_distance_names; the fact table is scanned once for DISTINCT."""
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(F.broadcast(b), F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            dist.cast("bigint").alias("edit_dist"),
+            F.round(
+                1.0
+                - dist.cast("double")
+                / F.greatest(F.length("name_a"), F.length("name_b")).cast("double"),
+                6,
+            ).alias("name_sim"),
+        )
+        .filter(F.col("edit_dist") <= 8)
+        .orderBy("edit_dist", "name_a", "name_b")
+    )
+
+
+_EDIT_DIST_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+  ROUND(1.0 - levenshtein(a.p_name, b.p_name)::DOUBLE
+        / GREATEST(LEN(a.p_name), LEN(b.p_name))::DOUBLE, 6) AS name_sim
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 8
+ORDER BY edit_dist, name_a, name_b
+"""
+
+
+def q_summing_merge_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummingMergeTree FINAL semantics: rows sharing the sort key
+    ``(user_id, day)`` merge into one — numeric measures summed (exact:
+    ``value`` is 1e-6-grid rounded into DECIMAL(38,6) before the sum),
+    the non-summed column resolved deterministically to the latest
+    row's event_type (ClickHouse keeps "any"; ``max_by(event_id)`` pins
+    it). Reports the day-grain compaction census: keys, rows
+    before/after, merged rows, and the day's summed measure. One key
+    aggregation + one day rollup — both partial-aggregate-friendly."""
+    ev = _t(spark, sf_dir, "events")
+    per_key = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            F.round("value", 6).cast("decimal(38,6)").alias("v"),
+            "event_id",
+            "event_type",
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("v").alias("sum_value"),
+            F.max_by("event_type", "event_id").alias("last_type"),
+        )
+    )
+    return (
+        per_key.groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("n_rows").cast("bigint").alias("rows_before"),
+            F.sum(F.col("n_rows") - 1).cast("bigint").alias("rows_merged"),
+            F.round(F.sum("sum_value").cast("double"), 4).alias("day_value"),
+            F.sum(F.when(F.col("last_type") == "purchase", 1).otherwise(0))
+            .cast("bigint")
+            .alias("keys_last_purchase"),
+        )
+        .orderBy("day")
+    )
+
+
+_SUMMING_MERGE_SQL = """
+WITH per_key AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_rows,
+    SUM(CAST(ROUND(value, 6) AS DECIMAL(38,6))) AS sum_value,
+    arg_max(event_type, event_id) AS last_type
+  FROM events GROUP BY 1, 2)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(n_rows) AS BIGINT) AS rows_before,
+  CAST(SUM(n_rows - 1) AS BIGINT) AS rows_merged,
+  ROUND(CAST(SUM(sum_value) AS DOUBLE), 4) AS day_value,
+  CAST(SUM(CASE WHEN last_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS keys_last_purchase
+FROM per_key GROUP BY day ORDER BY day
+"""
+
+
+def q_versioned_collapsing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VersionedCollapsingMergeTree semantics, write pattern included:
+    each user's event stream (ordered by ts, event_id) is re-expressed
+    as the CDC row pairs an upstream writer would emit — event k
+    cancels version k-1 with sign −1 and inserts version k with sign
+    +1 (the first event inserts only). The merge collapses (user,
+    version) groups whose signs net to zero; exactly the last version
+    survives. Audit, grouped by the surviving state's event_type: user
+    count, CDC rows written, cancelled versions, and the exact write
+    amplification in ppm. The explode is row-local (≤2 rows/event);
+    the collapse shuffles on (user, version) — the real engine's merge
+    key — so it partitions cleanly at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versioned = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("version"),
+    )
+    cdc = versioned.select(
+        "user_id",
+        "event_type",
+        F.explode(
+            F.when(
+                F.col("version") == 1,
+                F.array(F.struct(F.col("version"), F.lit(1).alias("sign"))),
+            ).otherwise(
+                F.array(
+                    F.struct((F.col("version") - 1).alias("version"),
+                             F.lit(-1).alias("sign")),
+                    F.struct(F.col("version"), F.lit(1).alias("sign")),
+                )
+            )
+        ).alias("r"),
+    ).select("user_id", "event_type", F.col("r.version").alias("version"),
+             F.col("r.sign").alias("sign"))
+    collapsed = (
+        cdc.groupBy("user_id", "version")
+        # ≤1 row of each sign per (user, version) — sign alone is a
+        # total order, the +1 insert's type is the state
+        .agg(F.sum("sign").alias("net"), F.count("*").alias("n_rows"),
+             F.max_by("event_type", "sign").alias("state"))
+    )
+    per_user = collapsed.groupBy("user_id").agg(
+        F.sum("n_rows").alias("rows_written"),
+        F.sum(F.when(F.col("net") == 0, 1).otherwise(0)).alias("cancelled"),
+        F.sum(F.when(F.col("net") != 0, 1).otherwise(0)).alias("survivors"),
+        F.max_by("state", F.when(F.col("net") != 0, F.col("version"))).alias(
+            "surviving_type"
+        ),
+    )
+    return (
+        per_user.groupBy("surviving_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("rows_written").cast("bigint").alias("cdc_rows_written"),
+            F.sum("cancelled").cast("bigint").alias("versions_cancelled"),
+            F.sum("survivors").cast("bigint").alias("rows_surviving"),
+            F.floor(F.sum("rows_written") * 1000000 / F.sum("survivors"))
+            .cast("bigint")
+            .alias("write_amp_ppm"),
+        )
+        .orderBy("surviving_type")
+    )
+
+
+_VERSIONED_COLLAPSING_SQL = """
+WITH versioned AS (
+  SELECT user_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS version
+  FROM events),
+cdc AS (
+  SELECT user_id, event_type, version, 1 AS sign FROM versioned
+  UNION ALL
+  SELECT user_id, event_type, version - 1 AS version, -1 AS sign
+  FROM versioned WHERE version > 1),
+collapsed AS (
+  SELECT user_id, version, SUM(sign) AS net, COUNT(*) AS n_rows,
+    arg_max(event_type, sign) AS state
+  FROM cdc GROUP BY 1, 2),
+per_user AS (
+  SELECT user_id, SUM(n_rows) AS rows_written,
+    SUM(CASE WHEN net = 0 THEN 1 ELSE 0 END) AS cancelled,
+    SUM(CASE WHEN net <> 0 THEN 1 ELSE 0 END) AS survivors,
+    arg_max(state, CASE WHEN net <> 0 THEN version ELSE NULL END)
+      AS surviving_type
+  FROM collapsed GROUP BY user_id)
+SELECT surviving_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(rows_written) AS BIGINT) AS cdc_rows_written,
+  CAST(SUM(cancelled) AS BIGINT) AS versions_cancelled,
+  CAST(SUM(survivors) AS BIGINT) AS rows_surviving,
+  CAST(FLOOR(SUM(rows_written) * 1000000 / SUM(survivors)) AS BIGINT)
+    AS write_amp_ppm
+FROM per_user GROUP BY surviving_type ORDER BY surviving_type
+"""
+
+
+def q_anova_price_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (ClickHouse ``analysisOfVariance`` parity) of order
+    value across the market segments: between/within sums of squares,
+    the F statistic, and eta². Per-segment moments (n, Σcents, Σcents²)
+    come from ONE exact-decimal fact pass — the same bit-identical
+    moment recipe as welch_ttest_segments — and the F assembly runs on
+    the checkpointed 5-row moment table, so cost is one aggregation at
+    any scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    m = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(F.col("c_mktsegment").alias("seg"), cents.alias("x"))
+        .groupBy("seg")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(d19(F.col("x"))).cast("double").alias("sx"),
+            F.sum(d19(F.col("x")) * d19(F.col("x"))).cast("double").alias("sxx"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    g = m.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum(F.col("sx") * F.col("sx") / F.col("n")).alias("sum_gsq"),
+        F.sum("sx").alias("sx_all"),
+        F.sum("sxx").alias("sxx_all"),
+    )
+    ssb = (F.col("sum_gsq") - F.col("sx_all") * F.col("sx_all") / F.col("n_total")) / 10000
+    ssw = (F.col("sxx_all") - F.col("sum_gsq")) / 10000
+    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_total") - F.col("k")))
+    return g.select(
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.round(ssb / 1000000, 4).alias("ss_between_musd"),
+        F.round(ssw / 1000000, 4).alias("ss_within_musd"),
+        F.round(fstat, 6).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_sq"),
+    )
+
+
+_ANOVA_SQL = """
+WITH m AS (
+  SELECT c_mktsegment AS seg, COUNT(*) AS n,
+    CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+          AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DECIMAL(19,0))
+           * CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS DECIMAL(19,0)))
+         AS DOUBLE) AS sxx
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1),
+g AS (
+  SELECT COUNT(*) AS k, SUM(n) AS n_total,
+    SUM(sx * sx / n) AS sum_gsq, SUM(sx) AS sx_all, SUM(sxx) AS sxx_all
+  FROM m)
+SELECT CAST(k AS BIGINT) AS k_groups, CAST(n_total AS BIGINT) AS n_total,
+  ROUND((sum_gsq - sx_all * sx_all / n_total) / 10000 / 1000000, 4)
+    AS ss_between_musd,
+  ROUND((sxx_all - sum_gsq) / 10000 / 1000000, 4) AS ss_within_musd,
+  ROUND(((sum_gsq - sx_all * sx_all / n_total) / 10000 / (k - 1))
+        / ((sxx_all - sum_gsq) / 10000 / (n_total - k)), 6) AS f_stat,
+  ROUND(((sum_gsq - sx_all * sx_all / n_total) / 10000)
+        / ((sum_gsq - sx_all * sx_all / n_total) / 10000
+           + (sxx_all - sum_gsq) / 10000), 6) AS eta_sq
+FROM g
+"""
+
+
+_DSIR_BUCKETS = 64
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, 'Data Selection for Language Models via
+    Importance Resampling'): every document scored by the hashed-n-gram
+    importance log-ratio between a target distribution (here the ``en``
+    slice) and the raw corpus. Unigrams hash into 64 md5 buckets; both
+    distributions are add-one-smoothed bucket frequencies; the per-bucket
+    log-ratio λ_b (rounded to the 1e-6 grid, repo log-determinism rule)
+    is a 64-row broadcast table, and each doc's score is the exact
+    decimal Σ c_b·λ_b — order-free, so hash-stable. Scale shape: one
+    tokenize/explode pass, one 64-row aggregate, one broadcast join —
+    the same single-corpus-pass DSIR runs at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("t")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long") % _DSIR_BUCKETS
+    )
+    bt = tok.select("doc_id", "lang", bucket.alias("b"))
+    counts = bt.groupBy("b").agg(
+        F.count("*").alias("r_b"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_b"),
+    )
+    totals = counts.agg(
+        F.sum("r_b").alias("r_tot"), F.sum("t_b").alias("t_tot")
+    )
+    lam = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.col("t_b") + 1) / (F.col("t_tot") + _DSIR_BUCKETS))
+                    / ((F.col("r_b") + 1) / (F.col("r_tot") + _DSIR_BUCKETS))
+                ),
+                6,
+            ).cast("decimal(20,6)").alias("lam"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    per_doc = bt.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    scored = (
+        per_doc.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            # ROUND on the DECIMAL (half-away both engines) BEFORE the
+            # double cast — a .00005-boundary sum would double-round;
+            # a bare decimal->decimal CAST truncates in DuckDB
+            F.round(F.sum(F.col("c") * F.col("lam")), 4)
+            .cast("double")
+            .alias("dsir_score"),
+        )
+    )
+    meta = docs.select("doc_id", "lang", "source")
+    return (
+        scored.join(meta, "doc_id")
+        .select(
+            "doc_id", "lang", "source", "n_tokens", "dsir_score",
+            (F.col("dsir_score") > 0).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_SQL = f"""
+WITH tok AS (SELECT doc_id, lang, unnest({_TOKS_SQL}) AS t FROM documents),
+bt AS (
+  SELECT doc_id, lang,
+    ('0x' || substr(md5(t), 1, 15))::BIGINT % {_DSIR_BUCKETS} AS b
+  FROM tok),
+counts AS (
+  SELECT b, COUNT(*) AS r_b,
+    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_b
+  FROM bt GROUP BY b),
+totals AS (SELECT SUM(r_b) AS r_tot, SUM(t_b) AS t_tot FROM counts),
+lam AS (
+  SELECT b,
+    CAST(ROUND(LN(((t_b + 1) / (t_tot + {_DSIR_BUCKETS}))
+               / ((r_b + 1) / (r_tot + {_DSIR_BUCKETS}))), 6)
+         AS DECIMAL(20,6)) AS lam
+  FROM counts, totals),
+per_doc AS (SELECT doc_id, b, COUNT(*) AS c FROM bt GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+    CAST(ROUND(SUM(c * lam), 4) AS DOUBLE) AS dsir_score
+  FROM per_doc JOIN lam USING (b) GROUP BY doc_id)
+SELECT doc_id, lang, source, n_tokens, dsir_score,
+  dsir_score > 0 AS selected
+FROM scored JOIN documents USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_quantiles_exact_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted`` parity: per brand, the
+    quantity-weighted exact {p25, p50, p75} of line extended price. The
+    quantile rule is integer-exact — the smallest value whose cumulative
+    weight w satisfies 4w ≥ W / 2w ≥ W / 4w ≥ 3W (no q·W float ever
+    computed). One (brand, cents) pre-aggregation bounds the window
+    input to distinct values; brand totals ride a checkpointed 25-row
+    aggregate joined broadcast. Partitions by brand at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    per_val = base.groupBy("p_brand", "cents").agg(F.sum("w").alias("sw"))
+    # distinct prices grow with the fact table, and a brand-partitioned
+    # window fans them into 25 tasks forever — so the cumulative weight
+    # is the distributed GROUPED running sum (ranged order + broadcast
+    # per-brand rebase) and brand totals fold off the same checkpointed
+    # frame (one fact pass total).  The group key keeps its source name
+    # `p_brand` THROUGH the primitive: the checkpoint inside
+    # grouped_running_sum erases alias lineage, so renaming before it
+    # would make the ≤25-row group-totals frame unprovable to the
+    # single-partition census (plans._SPC_BOUNDED_COLUMNS carries
+    # p_brand, not an ad-hoc alias) — the round-6 red-gate finding.
+    cum = RK.grouped_running_sum(
+        per_val, ["p_brand"], ["cents"], ["sw"], ["cw"],
+        dispatch_max_rows=RK.FASTPATH_MAX_ROWS,
+    ).withColumnRenamed("p_brand", "brand")
+    tot = cum.groupBy("brand").agg(F.sum("sw").alias("w_total"))
+    cum = cum.join(F.broadcast(tot), "brand")
+    pick = lambda cond: F.min(F.when(cond, F.col("cents")))  # noqa: E731
+    return (
+        cum.groupBy("brand", "w_total")
+        .agg(
+            (pick(4 * F.col("cw") >= F.col("w_total")) / 100.0).alias("p25"),
+            (pick(2 * F.col("cw") >= F.col("w_total")) / 100.0).alias("p50"),
+            (pick(4 * F.col("cw") >= 3 * F.col("w_total")) / 100.0).alias("p75"),
+        )
+        .select("brand", F.col("w_total").cast("bigint").alias("w_total"),
+                "p25", "p50", "p75")
+        .orderBy("brand")
+    )
+
+
+_QUANT_WEIGHTED_SQL = """
+WITH base AS (
+  SELECT p_brand AS brand,
+    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+    CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+per_val AS (
+  SELECT brand, cents, SUM(w) AS sw FROM base GROUP BY 1, 2),
+cum AS (
+  SELECT brand, cents, SUM(sw) OVER (
+      PARTITION BY brand ORDER BY cents
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+    SUM(sw) OVER (PARTITION BY brand) AS w_total
+  FROM per_val)
+SELECT brand, CAST(MAX(w_total) AS BIGINT) AS w_total,
+  MIN(CASE WHEN 4 * cw >= w_total THEN cents END) / 100.0 AS p25,
+  MIN(CASE WHEN 2 * cw >= w_total THEN cents END) / 100.0 AS p50,
+  MIN(CASE WHEN 4 * cw >= 3 * w_total THEN cents END) / 100.0 AS p75
+FROM cum GROUP BY brand ORDER BY brand
+"""
+
+
+def q_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(…, 'strict_order')`` parity: the
+    view → click → purchase chain counts ONLY when the steps are
+    consecutive events in the user's stream (any interleaved event
+    aborts the chain — the mode the relaxed window_funnel_levels can't
+    express) and the whole chain fits in 24h of the anchor view. Two
+    LEADs over the user partition decide every level in one scan; per
+    user the deepest strict chain wins; levels partition the full user
+    base. Exact integers end-to-end."""
+    day_us = 24 * 3600 * 1_000_000
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lead1_t, lead2_t = F.lead("event_type", 1).over(w), F.lead("event_type", 2).over(w)
+    lead1_us, lead2_us = F.lead("us", 1).over(w), F.lead("us", 2).over(w)
+    lvl = (
+        F.when(
+            (F.col("event_type") == "view")
+            & (lead1_t == "click")
+            & (lead2_t == "purchase")
+            & (lead2_us <= F.col("us") + day_us),
+            3,
+        )
+        .when(
+            (F.col("event_type") == "view")
+            & (lead1_t == "click")
+            & (lead1_us <= F.col("us") + day_us),
+            2,
+        )
+        .when(F.col("event_type") == "view", 1)
+        .otherwise(0)
+    )
+    per_user = ev.select("user_id", lvl.alias("lvl")).groupBy("user_id").agg(
+        F.max("lvl").alias("funnel_level")
+    )
+    return (
+        per_user.groupBy("funnel_level")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("funnel_level")
+    )
+
+
+_FUNNEL_STRICT_SQL = """
+WITH led AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+    LEAD(event_type, 1) OVER w AS t1, LEAD(event_type, 2) OVER w AS t2,
+    LEAD(epoch_us(ts), 1) OVER w AS us1, LEAD(epoch_us(ts), 2) OVER w AS us2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+lvls AS (
+  SELECT user_id,
+    CASE WHEN event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+              AND us2 <= us + 86400000000 THEN 3
+         WHEN event_type = 'view' AND t1 = 'click'
+              AND us1 <= us + 86400000000 THEN 2
+         WHEN event_type = 'view' THEN 1 ELSE 0 END AS lvl
+  FROM led),
+per_user AS (SELECT user_id, MAX(lvl) AS funnel_level FROM lvls GROUP BY 1)
+SELECT funnel_level, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY funnel_level ORDER BY funnel_level
+"""
+
+
+_MULTI_SEARCH_NEEDLES = ["spark", "join", "merge", "stream"]
+
+
+def q_multi_search_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``multiSearchAllPositions`` parity: for a fixed needle
+    list, the 1-based byte position of each needle's first occurrence in
+    every document (0 = absent — CH's convention), plus the found count.
+    Pure row-local string scans (``instr`` both engines), zero shuffles
+    beyond the final order; trivially scan-parallel at any corpus
+    size."""
+    docs = _t(spark, sf_dir, "documents")
+    cols = [
+        F.instr(F.col("text"), F.lit(n)).cast("bigint").alias(f"pos_{n}")
+        for n in _MULTI_SEARCH_NEEDLES
+    ]
+    found = sum(
+        (F.when(F.col(f"pos_{n}") > 0, 1).otherwise(0) for n in _MULTI_SEARCH_NEEDLES),
+        F.lit(0),
+    )
+    return (
+        docs.select("doc_id", *cols)
+        .withColumn("n_found", found.cast("bigint"))
+        .orderBy("doc_id")
+    )
+
+
+_MULTI_SEARCH_SQL = f"""
+SELECT doc_id,
+  {", ".join(f"CAST(COALESCE(instr(text, '{n}'), 0) AS BIGINT) AS pos_{n}" for n in _MULTI_SEARCH_NEEDLES)},
+  CAST({" + ".join(f"CASE WHEN instr(text, '{n}') > 0 THEN 1 ELSE 0 END" for n in _MULTI_SEARCH_NEEDLES)}
+    AS BIGINT) AS n_found
+FROM documents ORDER BY doc_id
+"""
+
+
+# fixed survey polygon in the synthetic centi-degree grid (closed ring,
+# 5 integer vertices) — shared by the Spark literal and the SQL VALUES
+_PIP_POLY = [(2000, 3000), (9000, 1000), (16000, 8000), (12000, 30000),
+             (3000, 20000)]
+_PIP_EDGES = [
+    (_PIP_POLY[i][0], _PIP_POLY[i][1],
+     _PIP_POLY[(i + 1) % len(_PIP_POLY)][0],
+     _PIP_POLY[(i + 1) % len(_PIP_POLY)][1])
+    for i in range(len(_PIP_POLY))
+]
+
+
+def q_point_in_polygon_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``pointInPolygon`` parity: each customer's synthetic
+    site (the geohash query's centi-degree grid — px=(key·37)%18000,
+    py=(key·73)%36000) tested against a fixed 5-vertex polygon by ray
+    casting. The crossing test is ALL-INTEGER (cross-multiplied, no
+    division, products ≤ ~7e8), so both engines agree bit-for-bit even
+    on boundary-adjacent points. Per-nation report: sites inside /
+    total and the inside share in exact ppm. The 5-edge table is a
+    row-local explode — one customer scan, one 25-row rollup."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    pts = c.select(
+        "c_custkey", "c_nationkey",
+        ((F.col("c_custkey") * 37) % 18000).alias("px"),
+        ((F.col("c_custkey") * 73) % 36000).alias("py"),
+    )
+    edges = F.array(*[
+        F.struct(F.lit(x1).alias("x1"), F.lit(y1).alias("y1"),
+                 F.lit(x2).alias("x2"), F.lit(y2).alias("y2"))
+        for x1, y1, x2, y2 in _PIP_EDGES
+    ])
+    e = pts.select("c_custkey", "c_nationkey", "px", "py",
+                   F.explode(edges).alias("e"))
+    straddles = (F.col("e.y1") > F.col("py")) != (F.col("e.y2") > F.col("py"))
+    # px < x-intersect, cross-multiplied by (y2-y1) with sign handled by
+    # comparing against the edge's vertical direction
+    left_of = (
+        (F.col("px") - F.col("e.x1")) * (F.col("e.y2") - F.col("e.y1"))
+        < (F.col("e.x2") - F.col("e.x1")) * (F.col("py") - F.col("e.y1"))
+    ) == (F.col("e.y2") > F.col("e.y1"))
+    crossed = e.groupBy("c_custkey", "c_nationkey").agg(
+        F.sum(F.when(straddles & left_of, 1).otherwise(0)).alias("crossings")
+    )
+    return (
+        crossed.join(F.broadcast(n), crossed.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_sites"),
+            F.sum(F.when(F.col("crossings") % 2 == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inside"),
+        )
+        .withColumn(
+            "inside_ppm",
+            F.floor(F.col("n_inside") * 1000000 / F.col("n_sites")).cast("bigint"),
+        )
+        .orderBy("nation")
+    )
+
+
+_PIP_SQL = f"""
+WITH edges(x1, y1, x2, y2) AS (
+  VALUES {", ".join(f"({x1}, {y1}, {x2}, {y2})" for x1, y1, x2, y2 in _PIP_EDGES)}),
+pts AS (
+  SELECT c_custkey, c_nationkey,
+    (c_custkey * 37) % 18000 AS px, (c_custkey * 73) % 36000 AS py
+  FROM customer),
+crossed AS (
+  SELECT c_custkey, c_nationkey,
+    SUM(CASE WHEN ((y1 > py) <> (y2 > py))
+          AND (((px - x1) * (y2 - y1) < (x2 - x1) * (py - y1)) = (y2 > y1))
+        THEN 1 ELSE 0 END) AS crossings
+  FROM pts CROSS JOIN edges GROUP BY 1, 2)
+SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_sites,
+  CAST(SUM(CASE WHEN crossings % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_inside,
+  CAST(FLOOR(SUM(CASE WHEN crossings % 2 = 1 THEN 1 ELSE 0 END) * 1000000
+             / COUNT(*)) AS BIGINT) AS inside_ppm
+FROM crossed JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY nation
+"""
+
+
+def q_bounding_ratio_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``boundingRatio`` parity: per month, the slope between
+    the first and last observed (day, revenue) points — rise over run on
+    the series' bounding box diagonal. First/last resolve by arg_min/
+    arg_max over the day (exact cents), the slope divides two exact
+    integers in double and rounds to 1e-6. Single-day months are
+    excluded (undefined run). One day-grain rollup, one month rollup."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    m = (
+        daily.groupBy(F.date_format("d", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_days"),
+            F.min("d").alias("first_d"),
+            F.max("d").alias("last_d"),
+            F.min_by("cents", "d").alias("first_c"),
+            F.max_by("cents", "d").alias("last_c"),
+        )
+        .filter(F.col("n_days") > 1)
+    )
+    return m.select(
+        "month",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(
+            (F.col("last_c") - F.col("first_c")).cast("double")
+            / 100.0
+            / F.datediff("last_d", "first_d").cast("double"),
+            6,
+        ).alias("bounding_ratio"),
+    ).orderBy("month")
+
+
+_BOUNDING_RATIO_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+m AS (
+  SELECT strftime(d, '%Y-%m') AS month, COUNT(*) AS n_days,
+    MIN(d) AS first_d, MAX(d) AS last_d,
+    arg_min(cents, d) AS first_c, arg_max(cents, d) AS last_c
+  FROM daily GROUP BY 1)
+SELECT month, CAST(n_days AS BIGINT) AS n_days,
+  ROUND(CAST(last_c - first_c AS DOUBLE) / 100.0
+        / CAST(date_diff('day', first_d, last_d) AS DOUBLE), 6)
+    AS bounding_ratio
+FROM m WHERE n_days > 1 ORDER BY month
+"""
+
+
+def q_contingency_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of ClickHouse's association family in one pass —
+    ``contingency`` (Pearson's C) and ``cramersVBiasCorrected``
+    (Bergsma 2013) over the (market segment × order priority) table,
+    alongside the raw chi² and phi² they derive from. Cell counts come
+    from one exact integer aggregation; every derived statistic is the
+    same double expression shape on both engines, rounded to 1e-6.
+    The k×r cell table is tiny (5×5) at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(F.count("*").alias("nij"))
+        # marker: bounded by |segments|×|priorities| = 5×5 at every SF
+        # (plans.single_partition_collapses bounded-by-construction leaf)
+        .withColumn("__bounded_by_5x5_categories", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    wseg = Window.partitionBy("seg")
+    wprio = Window.partitionBy("prio")
+    wall = Window.partitionBy()
+    with_m = cells.select(
+        "seg", "prio", "nij",
+        F.sum("nij").over(wseg).alias("ri"),
+        F.sum("nij").over(wprio).alias("cj"),
+        F.sum("nij").over(wall).alias("n"),
+    )
+    chi_term = (
+        (F.col("nij") - F.col("ri") * F.col("cj") / F.col("n"))
+        * (F.col("nij") - F.col("ri") * F.col("cj") / F.col("n"))
+        / (F.col("ri") * F.col("cj") / F.col("n"))
+    )
+    agg = with_m.agg(
+        F.sum(chi_term).alias("chi2"),
+        F.max("n").alias("n"),
+        F.countDistinct("seg").alias("k"),
+        F.countDistinct("prio").alias("r"),
+    )
+    phi2 = F.col("chi2") / F.col("n")
+    phi2c = F.greatest(
+        F.lit(0.0),
+        phi2 - (F.col("k") - 1) * (F.col("r") - 1) / (F.col("n") - 1),
+    )
+    kc = F.col("k") - (F.col("k") - 1) * (F.col("k") - 1) / (F.col("n") - 1)
+    rc = F.col("r") - (F.col("r") - 1) * (F.col("r") - 1) / (F.col("n") - 1)
+    return agg.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(phi2, 6).alias("phi2"),
+        F.round(F.sqrt(phi2 / (phi2 + 1)), 6).alias("contingency_c"),
+        F.round(F.sqrt(phi2c / F.least(kc - 1, rc - 1)), 6).alias(
+            "cramers_v_bc"
+        ),
+    )
+
+
+_CONTINGENCY_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment AS seg, o_orderpriority AS prio, COUNT(*) AS nij
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+m AS (
+  SELECT seg, prio, nij,
+    SUM(nij) OVER (PARTITION BY seg) AS ri,
+    SUM(nij) OVER (PARTITION BY prio) AS cj,
+    SUM(nij) OVER () AS n
+  FROM cells),
+agg AS (
+  SELECT
+    SUM((nij - ri * cj / n) * (nij - ri * cj / n) / (ri * cj / n)) AS chi2,
+    MAX(n) AS n, COUNT(DISTINCT seg) AS k, COUNT(DISTINCT prio) AS r
+  FROM m)
+SELECT CAST(n AS BIGINT) AS n, ROUND(chi2, 6) AS chi2,
+  ROUND(chi2 / n, 6) AS phi2,
+  ROUND(SQRT((chi2 / n) / (chi2 / n + 1)), 6) AS contingency_c,
+  ROUND(SQRT(GREATEST(0.0, chi2 / n - (k - 1) * (r - 1) / (n - 1))
+        / LEAST(k - (k - 1) * (k - 1) / (n - 1) - 1,
+                r - (r - 1) * (r - 1) / (n - 1) - 1)), 6) AS cramers_v_bc
+FROM agg
+"""
+
+
+def q_with_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``ORDER BY … WITH FILL INTERPOLATE`` parity: the daily
+    revenue series densified to the full date axis, gap days linearly
+    interpolated between their observed neighbors (leading/trailing gaps
+    clamp to the nearest observation). The interpolation divides exact
+    cent integers and day counts in double — identical on both engines —
+    and rounds to 1e-4. Scale shape: axis explode from one min/max
+    aggregate, two per-series windows (prev/next observed), no global
+    collect; partitions by series key when applied per-series."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    axis = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    grid = axis.join(daily, "d", "left")
+    obs_d = F.when(F.col("cents").isNotNull(), F.col("d"))
+    wp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    g = grid.select(
+        "d", "cents",
+        F.last(obs_d, ignorenulls=True).over(wp).alias("pd"),
+        F.last(F.col("cents"), ignorenulls=True).over(wp).alias("pv"),
+        F.first(obs_d, ignorenulls=True).over(wn).alias("nd"),
+        F.first(F.col("cents"), ignorenulls=True).over(wn).alias("nv"),
+    )
+    # exact-integer interpolation: numerator pv·(g−k) + nv·k over run g,
+    # floored to milli-cents — ONE exactly-rounded IEEE division, no
+    # decimal re-round (ROUND-on-double diverges at .00005 boundaries)
+    k, run = F.datediff("d", "pd"), F.datediff("nd", "pd")
+    num = (
+        F.when(F.col("cents").isNotNull(), F.col("cents"))
+        .when(F.col("pd").isNull(), F.col("nv"))
+        .when(F.col("nd").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") * (run - k) + F.col("nv") * k)
+    )
+    den = (
+        F.when(
+            F.col("cents").isNull() & F.col("pd").isNotNull()
+            & F.col("nd").isNotNull(),
+            run,
+        ).otherwise(F.lit(1))
+    )
+    mcents = F.floor(num * 1000 / den).cast("bigint")
+    return g.select(
+        "d",
+        F.col("cents").isNull().alias("filled"),
+        (mcents / 100000.0).alias("revenue"),
+    ).orderBy("d")
+
+
+_WITH_FILL_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+    SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+axis AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds),
+grid AS (
+  SELECT a.d, daily.cents FROM axis a LEFT JOIN daily ON a.d = daily.d),
+g AS (
+  SELECT d, cents,
+    MAX(CASE WHEN cents IS NOT NULL THEN d END) OVER
+      (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    last_value(cents IGNORE NULLS) OVER
+      (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    MIN(CASE WHEN cents IS NOT NULL THEN d END) OVER
+      (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+    first_value(cents IGNORE NULLS) OVER
+      (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM grid)
+SELECT d, cents IS NULL AS filled,
+  CAST(FLOOR(CASE
+    WHEN cents IS NOT NULL THEN cents
+    WHEN pd IS NULL THEN nv
+    WHEN nd IS NULL THEN pv
+    ELSE pv * (date_diff('day', pd, nd) - date_diff('day', pd, d))
+         + nv * date_diff('day', pd, d)
+  END * 1000 / CASE
+    WHEN cents IS NULL AND pd IS NOT NULL AND nd IS NOT NULL
+    THEN date_diff('day', pd, nd) ELSE 1 END) AS BIGINT) / 100000.0
+    AS revenue
+FROM g ORDER BY d
+"""
+
+
+def q_url_functions_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse URL-function family parity (``domain``,
+    ``topLevelDomain``, ``path``, ``queryString``, ``cutQueryString``,
+    ``URLHierarchy`` depth) over deterministic per-document URLs
+    (https://www.<source>.example.com/corpus/<lang>/<doc_id>?lang=<lang>
+    — synthesized because the corpus carries no native URLs, exactly as
+    a scraping pipeline would emit them). Every extractor is a row-local
+    regexp/substring expression replayed verbatim by the twin; the
+    report aggregates per (domain, tld): page count, distinct paths,
+    query-stripped dedup count, and mean hierarchy depth in exact
+    integer ppm. Zero shuffles beyond the final rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/corpus/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id"),
+        F.lit("?lang="), F.col("lang"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    host = F.regexp_extract("url", r"^https?://([^/]+)", 1)
+    dom = F.regexp_replace(host, r"^www\.", "")
+    tld = F.regexp_extract(host, r"\.([a-z0-9-]+)$", 1)
+    path = F.regexp_extract("url", r"^https?://[^/]+([^?#]*)", 1)
+    qs = F.regexp_extract("url", r"\?([^#]*)", 1)
+    cut = F.regexp_replace("url", r"\?[^#]*", "")
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    parsed = u.select(
+        "doc_id", dom.alias("domain"), tld.alias("tld"),
+        path.alias("path"), qs.alias("query_string"), cut.alias("cut_url"),
+        depth.alias("depth"),
+    )
+    return (
+        parsed.groupBy("domain", "tld")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.countDistinct("path").cast("bigint").alias("n_paths"),
+            F.countDistinct("cut_url").cast("bigint").alias("n_cut_urls"),
+            F.floor(F.sum("depth") * 1000000 / F.count("*"))
+            .cast("bigint")
+            .alias("mean_depth_ppm"),
+        )
+        .orderBy("domain")
+    )
+
+
+_URL_FUNCS_SQL = """
+WITH u AS (
+  SELECT doc_id,
+    'https://www.' || source || '.example.com/corpus/' || lang || '/'
+      || doc_id || '?lang=' || lang AS url
+  FROM documents),
+parsed AS (
+  SELECT doc_id,
+    regexp_replace(regexp_extract(url, '^https?://([^/]+)', 1),
+                   '^www\\.', '') AS domain,
+    regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+                   '\\.([a-z0-9-]+)$', 1) AS tld,
+    regexp_extract(url, '^https?://[^/]+([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query_string,
+    regexp_replace(url, '\\?[^#]*', '') AS cut_url,
+    len(list_filter(string_split(
+      regexp_extract(url, '^https?://[^/]+([^?#]*)', 1), '/'),
+      x -> x != '')) AS depth
+  FROM u)
+SELECT domain, tld, CAST(COUNT(*) AS BIGINT) AS n_pages,
+  CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+  CAST(COUNT(DISTINCT cut_url) AS BIGINT) AS n_cut_urls,
+  CAST(FLOOR(SUM(depth) * 1000000 / COUNT(*)) AS BIGINT) AS mean_depth_ppm
+FROM parsed GROUP BY domain, tld ORDER BY domain
+"""
+
+
+# ---- topKWeighted: deterministic Space-Saving (k=3) -----------------------
+# The fold's 9 branches (3 hits, 3 empty slots, 3 victim replacements) are
+# generated ONCE from this outcome table, so the Spark aggregate() lambda
+# and the DuckDB recursive-CTE twin replay bit-identical semantics.
+# Branch conditions, in order, over state (i1,c1,i2,c2,i3,c3) and event
+# (t, w); victims are chosen by min (count, item) — a total order.
+
+def _ss_branches(
+    acc: str, t: str, w: str, pair: str = "struct({0}, {1})"
+) -> list[tuple[str, dict[str, str]]]:
+    a = lambda f: f"{acc}{f}"  # noqa: E731
+    pr = lambda c, i: pair.format(a(c), a(i))  # noqa: E731
+    keep = {f: a(f) for f in ("i1", "c1", "i2", "c2", "i3", "c3")}
+    out = []
+    for s in (1, 2, 3):
+        out.append((f"{a(f'i{s}')} = {t}",
+                    {**keep, f"c{s}": f"{a(f'c{s}')} + {w}"}))
+    for s in (1, 2, 3):
+        out.append((f"{a(f'i{s}')} IS NULL",
+                    {**keep, f"i{s}": t, f"c{s}": w}))
+    vic1 = (f"{pr('c1', 'i1')} <= {pr('c2', 'i2')}"
+            f" AND {pr('c1', 'i1')} <= {pr('c3', 'i3')}")
+    vic2 = f"{pr('c2', 'i2')} <= {pr('c3', 'i3')}"
+    out.append((vic1, {**keep, "i1": t, "c1": f"{a('c1')} + {w}"}))
+    out.append((vic2, {**keep, "i2": t, "c2": f"{a('c2')} + {w}"}))
+    out.append(("TRUE", {**keep, "i3": t, "c3": f"{a('c3')} + {w}"}))
+    return out
+
+
+def _ss_spark_case() -> str:
+    branches = _ss_branches("acc.", "x.t", "x.w")
+    whens = "\n".join(
+        f"WHEN {cond} THEN named_struct("
+        + ", ".join(f"'{f}', {vals[f]}" for f in ("i1", "c1", "i2", "c2", "i3", "c3"))
+        + ")"
+        for cond, vals in branches[:-1]
+    )
+    _, last = branches[-1]
+    els = "named_struct(" + ", ".join(
+        f"'{f}', {last[f]}" for f in ("i1", "c1", "i2", "c2", "i3", "c3")) + ")"
+    return f"CASE {whens} ELSE {els} END"
+
+
+def _ss_duck_cols() -> str:
+    branches = _ss_branches("s.", "e.t", "e.w", pair="({0}, {1})")
+    cols = []
+    for f in ("i1", "c1", "i2", "c2", "i3", "c3"):
+        whens = " ".join(f"WHEN {cond} THEN {vals[f]}"
+                         for cond, vals in branches[:-1])
+        cols.append(f"CASE {whens} ELSE {branches[-1][1][f]} END AS {f}")
+    return ",\n    ".join(cols)
+
+
+def q_topk_weighted_spacesaving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topKWeighted(3)`` parity: the Space-Saving heavy-
+    hitter sketch (Metwally et al. 2005) replayed DETERMINISTICALLY —
+    per month, events fold in (ts, event_id) order through a 3-counter
+    state; on overflow the min-(count, item) counter is evicted and
+    inherits its count (the algorithm's signature overestimate). The
+    month's exact weighted leader rides the same scan, so the report
+    doubles as sketch-accuracy telemetry (``top1_agrees``). The fold is
+    a Spark ``aggregate`` lambda over the month's sorted event array;
+    the DuckDB twin replays the identical branch table in a recursive
+    CTE — both generated from one outcome map, so the engines cannot
+    drift. Scale: state is O(k) per group; the sort/fold partitions by
+    month (the aggregate key), exactly how the real sketch merges."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        F.col("event_type").alias("t"),
+        F.round(F.col("value") * 100).cast("bigint").alias("w"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    folded = (
+        ev.groupBy("day")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("us", "event_id", "t", "w"))
+            ).alias("evs")
+        )
+        .withColumn(
+            "st",
+            F.expr(
+                "aggregate(evs, "
+                "named_struct('i1', CAST(NULL AS STRING), 'c1', CAST(0 AS BIGINT), "
+                "'i2', CAST(NULL AS STRING), 'c2', CAST(0 AS BIGINT), "
+                "'i3', CAST(NULL AS STRING), 'c3', CAST(0 AS BIGINT)), "
+                f"(acc, x) -> {_ss_spark_case()})"
+            ),
+        )
+        .withColumn(
+            "ranked",
+            F.expr(
+                "array_sort(filter(array("
+                "named_struct('negc', -st.c1, 'i', st.i1, 'c', st.c1), "
+                "named_struct('negc', -st.c2, 'i', st.i2, 'c', st.c2), "
+                "named_struct('negc', -st.c3, 'i', st.i3, 'c', st.c3)), "
+                "s -> s.i IS NOT NULL))"
+            ),
+        )
+    )
+    exact = ev.groupBy("day", "t").agg(F.sum("w").alias("sw"))
+    wrk = Window.partitionBy("day").orderBy(F.desc("sw"), "t")
+    leader = (
+        exact.withColumn("rk", F.row_number().over(wrk))
+        .filter(F.col("rk") == 1)
+        .select("day", F.col("t").alias("exact_top_item"),
+                F.col("sw").alias("exact_top_w"))
+    )
+    return (
+        folded.join(leader, "day")
+        .select(
+            "day",
+            F.expr("try_element_at(ranked, 1).i").alias("top1_item"),
+            F.expr("try_element_at(ranked, 1).c").alias("top1_w"),
+            F.expr("try_element_at(ranked, 2).i").alias("top2_item"),
+            F.expr("try_element_at(ranked, 2).c").alias("top2_w"),
+            F.expr("try_element_at(ranked, 3).i").alias("top3_item"),
+            F.expr("try_element_at(ranked, 3).c").alias("top3_w"),
+            "exact_top_item",
+            "exact_top_w",
+            (F.expr("try_element_at(ranked, 1).i") == F.col("exact_top_item"))
+            .alias("top1_agrees"),
+        )
+        .orderBy("day")
+    )
+
+
+def _topk_ss_sql() -> str:
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT CAST(ts AS DATE) AS m, event_type AS t,
+    CAST(ROUND(value * 100) AS BIGINT) AS w,
+    ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                       ORDER BY ts, event_id) AS rn
+  FROM events),
+mx AS (SELECT m, MAX(rn) AS mx FROM ev GROUP BY m),
+step AS (
+  SELECT m, 0 AS rn, CAST(NULL AS VARCHAR) AS i1, CAST(0 AS BIGINT) AS c1,
+    CAST(NULL AS VARCHAR) AS i2, CAST(0 AS BIGINT) AS c2,
+    CAST(NULL AS VARCHAR) AS i3, CAST(0 AS BIGINT) AS c3
+  FROM mx
+  UNION ALL
+  SELECT s.m, s.rn + 1,
+    {_ss_duck_cols()}
+  FROM step s JOIN ev e ON e.m = s.m AND e.rn = s.rn + 1),
+final AS (
+  SELECT s.* FROM step s JOIN mx ON mx.m = s.m AND s.rn = mx.mx),
+ranked AS (
+  SELECT m, list_sort(list_filter(
+    [{{'negc': -c1, 'i': i1, 'c': c1}},
+     {{'negc': -c2, 'i': i2, 'c': c2}},
+     {{'negc': -c3, 'i': i3, 'c': c3}}], s -> s.i IS NOT NULL)) AS r
+  FROM final),
+exact AS (
+  SELECT m, t, SUM(w) AS sw FROM ev GROUP BY 1, 2),
+leader AS (
+  SELECT m, t AS exact_top_item, sw AS exact_top_w FROM (
+    SELECT m, t, sw,
+      ROW_NUMBER() OVER (PARTITION BY m ORDER BY sw DESC, t) AS rk
+    FROM exact) WHERE rk = 1)
+SELECT ranked.m AS day,
+  r[1].i AS top1_item, CAST(r[1].c AS BIGINT) AS top1_w,
+  r[2].i AS top2_item, CAST(r[2].c AS BIGINT) AS top2_w,
+  r[3].i AS top3_item, CAST(r[3].c AS BIGINT) AS top3_w,
+  exact_top_item, CAST(exact_top_w AS BIGINT) AS exact_top_w,
+  r[1].i = exact_top_item AS top1_agrees
+FROM ranked JOIN leader ON leader.m = ranked.m
+ORDER BY day
+"""
+
+
+_TOPK_SS_SQL = _topk_ss_sql()
+
+
+def q_dedup_paragraph_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document paragraph deduplication (Wenzek et al.
+    2020). The corpus has no newlines, so "paragraphs" are fixed
+    12-token chunks — the same deterministic segmentation a sharded
+    pipeline would apply. Every chunk is fingerprinted with MD5 and
+    deduplicated GLOBALLY: the first occurrence in (doc_id, chunk_idx)
+    order survives, every later copy (across documents or repeated
+    within one) is dropped. The report aggregates per (source, lang):
+    documents, chunk/dup counts, and exact retained-token ppm. Scale:
+    the dedup shuffle carries (16-byte fingerprint, doc_id, idx,
+    n_tokens) — never chunk text — so the exchange is O(corpus
+    fingerprints), the standard CCNet shard-hash layout."""
+    K = 12
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.split("text", " ").alias("toks")
+    )
+    chunked = (
+        docs.withColumn(
+            "idx",
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.size("toks") / K).cast("int") - 1)
+            ),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "idx",
+            F.slice("toks", F.col("idx") * K + 1, K).alias("ch"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "idx",
+            F.md5(F.array_join("ch", " ").cast("binary")).alias("fp"),
+            F.size("ch").alias("n_toks"),
+        )
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id", "idx")
+    marked = chunked.withColumn("rn", F.row_number().over(w))
+    per_doc = marked.groupBy("doc_id", "source", "lang").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("dup_chunks"),
+        F.sum("n_toks").alias("toks_total"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_toks")).otherwise(0)).alias(
+            "toks_removed"
+        ),
+    )
+    return (
+        per_doc.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chunks").cast("bigint").alias("n_chunks"),
+            F.sum("dup_chunks").cast("bigint").alias("dup_chunks"),
+            F.sum("toks_total").cast("bigint").alias("toks_total"),
+            F.sum("toks_removed").cast("bigint").alias("toks_removed"),
+            F.floor(
+                (F.sum("toks_total") - F.sum("toks_removed"))
+                * 1000000
+                / F.sum("toks_total")
+            )
+            .cast("bigint")
+            .alias("retained_ppm"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+_CCNET_SQL = """
+WITH t AS (
+  SELECT doc_id, source, lang, string_split(text, ' ') AS toks
+  FROM documents),
+ix AS (
+  SELECT doc_id, source, lang, toks,
+    unnest(generate_series(0,
+      CAST(ceil(len(toks) / 12.0) AS BIGINT) - 1)) AS idx
+  FROM t),
+c AS (
+  SELECT doc_id, source, lang, idx,
+    list_slice(toks, idx * 12 + 1, idx * 12 + 12) AS ch
+  FROM ix),
+f AS (
+  SELECT doc_id, source, lang, idx,
+    md5(array_to_string(ch, ' ')) AS fp, len(ch) AS n_toks
+  FROM c),
+m AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, idx) AS rn
+  FROM f),
+per_doc AS (
+  SELECT doc_id, source, lang, COUNT(*) AS n_chunks,
+    SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS dup_chunks,
+    SUM(n_toks) AS toks_total,
+    SUM(CASE WHEN rn > 1 THEN n_toks ELSE 0 END) AS toks_removed
+  FROM m GROUP BY 1, 2, 3)
+SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+  CAST(SUM(dup_chunks) AS BIGINT) AS dup_chunks,
+  CAST(SUM(toks_total) AS BIGINT) AS toks_total,
+  CAST(SUM(toks_removed) AS BIGINT) AS toks_removed,
+  CAST(FLOOR((SUM(toks_total) - SUM(toks_removed)) * 1000000
+             / SUM(toks_total)) AS BIGINT) AS retained_ppm
+FROM per_doc GROUP BY source, lang ORDER BY source, lang
+"""
+
+
+def q_dict_get_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse external-dictionary parity: ``dictGetOrDefault`` +
+    hierarchical ``dictGet`` (nation → region). The probe key is
+    ``c_custkey % 30`` — keys 25-29 miss the 25-entry nation dictionary
+    and resolve to the defaults ('UNKNOWN' / 'NONE'), exercising the
+    OrDefault contract. Spark expresses the dictionary as a BROADCAST
+    left join (the physical layout ClickHouse's HASHED dictionary uses),
+    so the fact scan never shuffles; the twin replays the same lookups
+    with LEFT JOIN + COALESCE."""
+    cust = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 30).alias("probe"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    looked = (
+        cust.join(F.broadcast(nation), cust.probe == nation.n_nationkey, "left")
+        .join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left"
+        )
+        .select(
+            F.coalesce("n_name", F.lit("UNKNOWN")).alias("nation_name"),
+            F.coalesce("r_name", F.lit("NONE")).alias("region_name"),
+            "bal",
+        )
+    )
+    return (
+        looked.groupBy("region_name", "nation_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("bal").cast("double").alias("sum_bal"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+_DICT_GET_SQL = """
+WITH probe AS (
+  SELECT c_custkey % 30 AS probe,
+    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer)
+SELECT COALESCE(r_name, 'NONE') AS region_name,
+  COALESCE(n_name, 'UNKNOWN') AS nation_name,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(SUM(bal) AS DOUBLE) AS sum_bal
+FROM probe
+LEFT JOIN nation ON probe = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2 ORDER BY region_name, nation_name
+"""
+
+
+def q_ipv4_subnet_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse IPv4-function family parity (``IPv4StringToNum``,
+    ``IPv4NumToString`` round-trip, ``isIPAddressInRange`` CIDR test)
+    over deterministic per-event addresses 10.(uid>>16&255).(uid>>8&
+    255).(uid&255) — synthesized because events carry no native IPs,
+    exactly as an access-log pipeline would emit them. Each address is
+    re-PARSED from its string form (split + positional weights, the
+    StringToNum contract), bucketed into its /24, and tested against
+    the fixed CIDR 10.0.32.0/19. The host part is a Knuth
+    multiplicative hash of the user id (raw ids span only one /24);
+    all row-local integer expressions; one rollup shuffle."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    h = (F.col("user_id") * F.lit(2654435761)) % 16777216
+    ip = F.concat_ws(
+        ".",
+        F.lit("10"),
+        (h / 65536).cast("bigint"),
+        ((h / 256).cast("bigint")) % 256,
+        h % 256,
+    )
+    parts = F.split(ip, r"\.")
+    num = (
+        parts.getItem(0).cast("bigint") * 16777216
+        + parts.getItem(1).cast("bigint") * 65536
+        + parts.getItem(2).cast("bigint") * 256
+        + parts.getItem(3).cast("bigint")
+    )
+    cidr_lo = 10 * 16777216 + 32 * 256  # 10.0.32.0
+    cidr_hi = cidr_lo + 8192 - 1  # /19 → 2^13 addresses
+    with_ip = ev.select(
+        "user_id",
+        ip.alias("ip"),
+        num.alias("ipnum"),
+        F.concat_ws(
+            ".", parts.getItem(0), parts.getItem(1), parts.getItem(2), F.lit("0")
+        ).alias("subnet24"),
+        num.between(cidr_lo, cidr_hi).alias("in_cidr"),
+    )
+    return (
+        with_ip.groupBy("subnet24")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("ipnum").cast("bigint").alias("min_num"),
+            F.max("ipnum").cast("bigint").alias("max_num"),
+            F.sum(F.when(F.col("in_cidr"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_in_cidr"),
+        )
+        .orderBy("min_num")
+    )
+
+
+_IPV4_SQL = """
+WITH e AS (
+  SELECT user_id,
+    '10.' || (((user_id * 2654435761) % 16777216) // 65536) || '.'
+    || ((((user_id * 2654435761) % 16777216) // 256) % 256) || '.'
+    || ((user_id * 2654435761) % 256) AS ip
+  FROM events),
+p AS (
+  SELECT user_id, ip, string_split(ip, '.') AS parts FROM e),
+n AS (
+  SELECT user_id, ip,
+    CAST(parts[1] AS BIGINT) * 16777216 + CAST(parts[2] AS BIGINT) * 65536
+      + CAST(parts[3] AS BIGINT) * 256 + CAST(parts[4] AS BIGINT) AS ipnum,
+    parts[1] || '.' || parts[2] || '.' || parts[3] || '.0' AS subnet24
+  FROM p)
+SELECT subnet24, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(MIN(ipnum) AS BIGINT) AS min_num,
+  CAST(MAX(ipnum) AS BIGINT) AS max_num,
+  CAST(SUM(CASE WHEN ipnum BETWEEN 167780352 AND 167788543
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_in_cidr
+FROM n GROUP BY subnet24 ORDER BY min_num
+"""
+
+
+def q_moments_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``skewPop`` / ``kurtPop`` parity: population skewness
+    and kurtosis per event type from EXACT raw power sums. Values are
+    fixed-pointed to deci-units (w = round(value*10)) so w..w^4 are
+    exact integers; the four power sums accumulate in DECIMAL (order-
+    independent), and only the final moment algebra runs in doubles —
+    the identical IEEE expression tree on both engines, so the hashes
+    are bit-stable. One map-side-combined rollup shuffle; no window."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 10).cast("bigint").alias("w")
+    )
+    w, w2 = F.col("w"), (F.col("w") * F.col("w"))
+    agg = ev.select(
+        "event_type", w.alias("w1"), w2.alias("w2"),
+        (w2 * w).alias("w3"),
+        (w2.cast("decimal(19,0)") * w2.cast("decimal(19,0)")).alias("w4"),
+    ).groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("w1").cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(F.col("w2").cast("decimal(38,0)")).cast("double").alias("s2"),
+        F.sum(F.col("w3").cast("decimal(38,0)")).cast("double").alias("s3"),
+        F.sum(F.col("w4")).cast("double").alias("s4"),
+    )
+    mean = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mean * mean
+    m3 = (F.col("s3") / F.col("n") - mean * (F.col("s2") / F.col("n")) * 3
+          + mean * mean * mean * 2)
+    m4 = (F.col("s4") / F.col("n") - mean * (F.col("s3") / F.col("n")) * 4
+          + mean * mean * (F.col("s2") / F.col("n")) * 6
+          - mean * mean * mean * mean * 3)
+    return (
+        agg.select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            mean.alias("mean_w"),
+            m2.alias("m2"),
+            (m3 / F.sqrt(m2 * m2 * m2)).alias("skew_pop"),
+            (m4 / (m2 * m2)).alias("kurt_pop"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SKEW_KURT_SQL = """
+WITH w AS (
+  SELECT event_type, CAST(ROUND(value * 10) AS BIGINT) AS w FROM events),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(w * w AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+    CAST(SUM(CAST(w * w * w AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+    CAST(SUM(CAST(w * w AS DECIMAL(19,0)) * CAST(w * w AS DECIMAL(19,0)))
+         AS DOUBLE) AS s4
+  FROM w GROUP BY event_type),
+m AS (
+  SELECT event_type, n, s1 / n AS mean_w,
+    s2 / n - (s1 / n) * (s1 / n) AS m2,
+    s3 / n - (s1 / n) * (s2 / n) * 3
+      + (s1 / n) * (s1 / n) * (s1 / n) * 2 AS m3,
+    s4 / n - (s1 / n) * (s3 / n) * 4
+      + (s1 / n) * (s1 / n) * (s2 / n) * 6
+      - (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) * 3 AS m4
+  FROM s)
+SELECT event_type, CAST(n AS BIGINT) AS n, mean_w, m2,
+  m3 / sqrt(m2 * m2 * m2) AS skew_pop,
+  m4 / (m2 * m2) AS kurt_pop
+FROM m ORDER BY event_type
+"""
+
+
+def q_simple_linreg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``simpleLinearRegression(x, y)`` parity: per event
+    type, ordinary least squares of daily total value (cents) against
+    the day index. All five sufficient statistics (n, Σx, Σy, Σxx,
+    Σxy) accumulate as exact integers/decimals; slope and intercept
+    are derived with the identical double expression on both engines.
+    This is the mergeable-sufficient-statistics shape — the only thing
+    a 1000-executor fit ever shuffles is the 5-tuple per group."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .alias("x"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        s.select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            slope.alias("slope_cents_per_day"),
+            ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+                "intercept_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SIMPLE_LINREG_SQL = """
+WITH daily AS (
+  SELECT event_type,
+    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+    SUM(CAST(ROUND(value * 100) AS BIGINT)) AS y
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+  FROM daily GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_cents_per_day,
+  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+    AS intercept_cents
+FROM s ORDER BY event_type
+"""
+
+
+def q_group_uniq_array_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupUniqArray`` (+ bounded ``groupUniqArray(3)``)
+    parity: per day, the sorted distinct event-type set, its
+    cardinality, and the 3-element bounded prefix. Arrays are emitted
+    comma-joined so the hash canonicalization is engine-neutral. One
+    rollup shuffle; collect_set is the map-side-combining distinct-set
+    aggregate (state is the bounded distinct set, not the rows)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    )
+    return (
+        ev.groupBy("day")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .select(
+            "day",
+            F.size("types").cast("bigint").alias("n_uniq"),
+            F.array_join("types", ",").alias("uniq_types"),
+            F.array_join(F.slice("types", 1, 3), ",").alias("uniq_types_3"),
+        )
+        .orderBy("day")
+    )
+
+
+_GROUP_UNIQ_SQL = """
+WITH s AS (
+  SELECT CAST(ts AS DATE) AS day,
+    list_sort(list(DISTINCT event_type)) AS types
+  FROM events GROUP BY 1)
+SELECT day, CAST(len(types) AS BIGINT) AS n_uniq,
+  array_to_string(types, ',') AS uniq_types,
+  array_to_string(list_slice(types, 1, 3), ',') AS uniq_types_3
+FROM s ORDER BY day
+"""
+
+
+def q_corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``corrMatrix`` parity: the full Pearson correlation
+    matrix over four lineitem measures (quantity, extendedprice cents,
+    discount bp, tax bp), computed from ONE pass of exact decimal
+    power/cross sums and emitted long-form (upper triangle). The
+    single aggregation produces all 14 sufficient statistics; the 6
+    pair rows are exploded from that 1-row frame, so the fact table is
+    scanned exactly once — the matrix shape CH computes, expressed as
+    sufficient-statistics + explode."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("d"),
+        F.round(F.col("l_tax") * 100).cast("bigint").alias("t"),
+    )
+    cols = ["q", "p", "d", "t"]
+    aggs = [F.count("*").cast("double").alias("n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(38,0)")).cast("double").alias(f"s_{c}")
+        )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+    for a, b in pairs:
+        aggs.append(
+            F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"s_{a}{b}")
+        )
+    s = li.agg(*aggs)
+    names = {"q": "quantity", "p": "extendedprice_cents",
+             "d": "discount_bp", "t": "tax_bp"}
+    rows = []
+    for a, b in pairs:
+        if a == b:
+            continue
+        cov = F.col("n") * F.col(f"s_{a}{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        va = F.col("n") * F.col(f"s_{a}{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        vb = F.col("n") * F.col(f"s_{b}{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        rows.append(
+            F.struct(
+                F.lit(names[a]).alias("col_a"),
+                F.lit(names[b]).alias("col_b"),
+                (cov / F.sqrt(va * vb)).alias("corr"),
+            )
+        )
+    return (
+        s.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.col_a", "r.col_b", "r.corr")
+        .orderBy("col_a", "col_b")
+    )
+
+
+def _corr_matrix_sql() -> str:
+    cols = ["q", "p", "d", "t"]
+    names = {"q": "quantity", "p": "extendedprice_cents",
+             "d": "discount_bp", "t": "tax_bp"}
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+    sums = ",\n    ".join(
+        [f"CAST(SUM(CAST({c} AS DECIMAL(38,0))) AS DOUBLE) AS s_{c}"
+         for c in cols]
+        + [f"CAST(SUM(CAST({a} * {b} AS DECIMAL(38,0))) AS DOUBLE) AS s_{a}{b}"
+           for a, b in pairs]
+    )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT '{names[a]}' AS col_a, '{names[b]}' AS col_b,\n"
+        f"  (n * s_{a}{b} - s_{a} * s_{b})\n"
+        f"  / sqrt((n * s_{a}{a} - s_{a} * s_{a})"
+        f" * (n * s_{b}{b} - s_{b} * s_{b})) AS corr FROM s"
+        for a, b in pairs if a != b
+    )
+    return f"""
+WITH w AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p,
+    CAST(ROUND(l_discount * 100) AS BIGINT) AS d,
+    CAST(ROUND(l_tax * 100) AS BIGINT) AS t
+  FROM lineitem),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    {sums}
+  FROM w)
+SELECT * FROM ({sel}) ORDER BY col_a, col_b
+"""
+
+
+_CORR_MATRIX_SQL = _corr_matrix_sql()
+
+
+def q_aggregating_merge_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregatingMergeTree ``-State``/``-Merge`` semantics: per-day
+    partial aggregate states (count/sum/min/max over 1e-6-grid DECIMAL
+    values) are built first, then MERGED across days per event_type —
+    exactly the two-level shape a materialized view over
+    AggregatingMergeTree produces. The mergeable exact-uniq state is the
+    pre-distinct (event_type, user_id) grain, re-counted at merge time —
+    the scalable exact pattern (HLL sketches are the approximate 100 TB
+    path, covered by sketch_rollup_daily_users). Emits the merged values
+    plus merged==direct verification flags; the partial/merge plan is
+    all map-side combinable and shuffles only (type, day) / (type, user)
+    keys, never raw rows twice."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value"), 6).cast("decimal(38,6)").alias("v"),
+        "user_id",
+    )
+    states = base.groupBy("event_type", "day").agg(
+        F.count("*").alias("p_n"),
+        F.sum("v").alias("p_sum"),
+        F.min("v").alias("p_min"),
+        F.max("v").alias("p_max"),
+    )
+    merged = states.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_states"),
+        F.sum("p_n").cast("bigint").alias("merged_n"),
+        F.round(F.sum("p_sum").cast("double"), 4).alias("merged_sum"),
+        F.min("p_min").cast("double").alias("merged_min"),
+        F.max("p_max").cast("double").alias("merged_max"),
+    )
+    uniq = (
+        base.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("merged_uniq"))
+    )
+    direct = base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("d_n"),
+        F.round(F.sum("v").cast("double"), 4).alias("d_sum"),
+        F.countDistinct("user_id").cast("bigint").alias("d_uniq"),
+    )
+    return (
+        merged.join(uniq, "event_type")
+        .join(direct, "event_type")
+        .select(
+            "event_type",
+            "n_states",
+            "merged_n",
+            "merged_sum",
+            "merged_min",
+            "merged_max",
+            "merged_uniq",
+            (F.col("merged_n") == F.col("d_n")).cast("int").alias("n_ok"),
+            (F.col("merged_sum") == F.col("d_sum")).cast("int").alias("sum_ok"),
+            (F.col("merged_uniq") == F.col("d_uniq")).cast("int").alias("uniq_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_AGG_MERGE_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(ROUND(value, 6) AS DECIMAL(38,6)) AS v, user_id
+  FROM events),
+states AS (
+  SELECT event_type, day, COUNT(*) AS p_n, SUM(v) AS p_sum,
+    MIN(v) AS p_min, MAX(v) AS p_max
+  FROM base GROUP BY 1, 2),
+merged AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_states,
+    CAST(SUM(p_n) AS BIGINT) AS merged_n,
+    ROUND(CAST(SUM(p_sum) AS DOUBLE), 4) AS merged_sum,
+    CAST(MIN(p_min) AS DOUBLE) AS merged_min,
+    CAST(MAX(p_max) AS DOUBLE) AS merged_max
+  FROM states GROUP BY 1),
+uniq AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS merged_uniq
+  FROM (SELECT DISTINCT event_type, user_id FROM base) GROUP BY 1),
+direct AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d_n,
+    ROUND(CAST(SUM(v) AS DOUBLE), 4) AS d_sum,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS d_uniq
+  FROM base GROUP BY 1)
+SELECT m.event_type, m.n_states, m.merged_n, m.merged_sum, m.merged_min,
+  m.merged_max, u.merged_uniq,
+  CAST(m.merged_n = d.d_n AS INT) AS n_ok,
+  CAST(m.merged_sum = d.d_sum AS INT) AS sum_ok,
+  CAST(u.merged_uniq = d.d_uniq AS INT) AS uniq_ok
+FROM merged m
+JOIN uniq u ON m.event_type = u.event_type
+JOIN direct d ON m.event_type = d.event_type
+ORDER BY m.event_type
+"""
+
+
+def q_agg_resample_combinator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``-Resample`` combinator
+    (``sumResample(0, 500, 50)(value, value)`` /
+    ``countResample(...)``): fixed value-range buckets per event_type,
+    every bucket emitted even when empty (the combinator returns a
+    fixed-length array; here one row per bucket with zero-fill), rows
+    outside [start, stop) excluded exactly as ClickHouse drops
+    out-of-range keys. The bucket spine is generated by exploding a
+    ``sequence`` per distinct type (5 rows) — no cross join, no driver
+    loop; the aggregation itself shuffles (type, bucket) partials
+    only."""
+    ev = _t(spark, sf_dir, "events")
+    start, stop, step = 0, 500, 50
+    nb = (stop - start) // step
+    b = ev.where((F.col("value") >= start) & (F.col("value") < stop)).select(
+        "event_type",
+        F.round(F.col("value"), 6).cast("decimal(38,6)").alias("v"),
+        F.floor((F.col("value") - F.lit(start)) / F.lit(step))
+        .cast("int")
+        .alias("bucket"),
+    )
+    agg = b.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("bucket"),
+        )
+        .withColumn("bucket", F.col("bucket").cast("int"))
+    )
+    return (
+        spine.join(agg, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * step + start).cast("bigint").alias("bucket_lo"),
+            (F.col("bucket") * step + start + step)
+            .cast("bigint")
+            .alias("bucket_hi"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_rows"),
+            F.round(
+                F.coalesce(F.col("s"), F.lit(0).cast("decimal(38,6)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("sum_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+_AGG_RESAMPLE_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(ROUND(value, 6) AS DECIMAL(38,6)) AS v,
+    CAST(FLOOR((value - 0) / 50) AS INT) AS bucket
+  FROM events WHERE value >= 0 AND value < 500),
+agg AS (
+  SELECT event_type, bucket, COUNT(*) AS n, SUM(v) AS s
+  FROM b GROUP BY 1, 2),
+spine AS (
+  SELECT event_type, CAST(unnest(generate_series(0, 9)) AS INT) AS bucket
+  FROM (SELECT DISTINCT event_type FROM events))
+SELECT sp.event_type, sp.bucket,
+  CAST(sp.bucket * 50 AS BIGINT) AS bucket_lo,
+  CAST(sp.bucket * 50 + 50 AS BIGINT) AS bucket_hi,
+  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_rows,
+  ROUND(CAST(COALESCE(a.s, 0) AS DOUBLE), 4) AS sum_value
+FROM spine sp LEFT JOIN agg a
+  ON sp.event_type = a.event_type AND sp.bucket = a.bucket
+ORDER BY sp.event_type, sp.bucket
+"""
+
+
+def q_graphite_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphiteMergeTree-style age-based precision rollup: points aged
+    ≤7 days from the newest timestamp stay at day grain, ≤21 days roll
+    to ISO-week grain, older to month grain — Graphite's retention
+    ``age:precision`` rules re-expressed declaratively. The rollup
+    function is avg (Graphite's default), computed exactly as decimal
+    sum / count. The reference max-date is a broadcast single-row
+    aggregate (the r5 scalar pattern); everything else is one
+    grain-keyed aggregation with map-side partials."""
+    ev = _t(spark, sf_dir, "events")
+    maxd = ev.agg(F.max(F.col("ts").cast("date")).alias("ref"))
+    d = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value"), 6).cast("decimal(38,6)").alias("v"),
+    ).crossJoin(F.broadcast(maxd))
+    age = F.datediff(F.col("ref"), F.col("day"))
+    grain = (
+        F.when(age <= 7, F.lit("day"))
+        .when(age <= 21, F.lit("week"))
+        .otherwise(F.lit("month"))
+    )
+    bucket = (
+        F.when(age <= 7, F.col("day"))
+        .when(age <= 21, F.date_trunc("week", F.col("day")).cast("date"))
+        .otherwise(F.date_trunc("month", F.col("day")).cast("date"))
+    )
+    return (
+        d.select(
+            "event_type",
+            grain.alias("grain"),
+            bucket.alias("bucket_start"),
+            "v",
+        )
+        .groupBy("event_type", "grain", "bucket_start")
+        .agg(
+            F.count("*").cast("bigint").alias("n_raw"),
+            F.round(
+                (F.sum("v") / F.count("*")).cast("double"), 6
+            ).alias("avg_value"),
+        )
+        .orderBy("event_type", "bucket_start", "grain")
+    )
+
+
+_GRAPHITE_SQL = """
+WITH m AS (SELECT MAX(CAST(ts AS DATE)) AS ref FROM events),
+d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(ROUND(value, 6) AS DECIMAL(38,6)) AS v,
+    date_diff('day', CAST(ts AS DATE), (SELECT ref FROM m)) AS age
+  FROM events),
+g AS (
+  SELECT event_type,
+    CASE WHEN age <= 7 THEN 'day' WHEN age <= 21 THEN 'week'
+         ELSE 'month' END AS grain,
+    CASE WHEN age <= 7 THEN day
+         WHEN age <= 21 THEN CAST(date_trunc('week', day) AS DATE)
+         ELSE CAST(date_trunc('month', day) AS DATE) END AS bucket_start,
+    v
+  FROM d)
+SELECT event_type, grain, bucket_start,
+  CAST(COUNT(*) AS BIGINT) AS n_raw,
+  ROUND(CAST(SUM(v) / COUNT(*) AS DOUBLE), 6) AS avg_value
+FROM g GROUP BY 1, 2, 3
+ORDER BY event_type, bucket_start, grain
+"""
+
+
+def q_paste_join_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse PASTE JOIN (positional join): two independently
+    ordered sides are glued row-N-to-row-N. Side A is the daily order
+    revenue series date-ascending; side B is the SAME series re-ordered
+    revenue-descending (ties broken by date) — so row k pairs day k
+    with the k-th largest revenue day, a rank-vs-time alignment.
+    Positional joins need a total order; here the sides are daily
+    aggregates (bounded by the date span), so the single-partition
+    row_number window is safe — at raw-fact scale the same shape is a
+    per-range zipWithIndex over pre-sorted buckets."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("date"))
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+            ).alias("cents")
+        )
+    )
+    wa = Window.orderBy("date")
+    wb = Window.orderBy(F.col("cents").desc(), F.col("date"))
+    a = daily.select(
+        F.row_number().over(wa).alias("rn"),
+        F.col("date").alias("date_asc"),
+        (F.col("cents").cast("double") / 100).alias("rev_asc"),
+    )
+    b = daily.select(
+        F.row_number().over(wb).alias("rn"),
+        F.col("date").alias("date_by_rank"),
+        (F.col("cents").cast("double") / 100).alias("rev_ranked"),
+    )
+    return (
+        a.join(b, "rn")
+        .select("rn", "date_asc", "rev_asc", "date_by_rank", "rev_ranked")
+        .orderBy("rn")
+    )
+
+
+_PASTE_JOIN_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS date,
+    SUM(CAST(ROUND(o_totalprice * 100) AS DECIMAL(38,0))) AS cents
+  FROM orders GROUP BY 1),
+a AS (
+  SELECT row_number() OVER (ORDER BY date) AS rn, date AS date_asc,
+    CAST(cents AS DOUBLE) / 100 AS rev_asc
+  FROM daily),
+b AS (
+  SELECT row_number() OVER (ORDER BY cents DESC, date) AS rn,
+    date AS date_by_rank, CAST(cents AS DOUBLE) / 100 AS rev_ranked
+  FROM daily)
+SELECT a.rn, a.date_asc, a.rev_asc, b.date_by_rank, b.rev_ranked
+FROM a JOIN b ON a.rn = b.rn ORDER BY a.rn
+"""
+
+
+def q_mean_z_test_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``meanZTest`` parity: two-sample z-test on event value
+    between every event_type pair, variances taken as the population
+    variances of each sample (the known-variance contract of the z-test).
+    Moments come from ONE exact-decimal pass over the facts (n, Σmicros,
+    Σmicros² per type); the pair stage is a self-join over the 5-row
+    moment table with a < tie-break, so data volume only ever touches the
+    single aggregation. z is computed with the identical double
+    expression shape on both engines and rounded to 1e-6."""
+    ev = _t(spark, sf_dir, "events")
+    micros = F.round(F.col("value") * 1e6).cast("decimal(38,0)")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(micros).alias("s1"),
+        F.sum(micros * micros).alias("s2"),
+    )
+    mean = (F.col("s1").cast("double") / F.col("n")) / 1e6
+    varp = (
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n") * F.col("n")).cast("double")
+    ) / 1e12
+    stats = m.select(
+        "event_type", "n", mean.alias("mean"), varp.alias("varp")
+    )
+    a = stats.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("varp").alias("var_a"),
+    )
+    b = stats.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("varp").alias("var_b"),
+    )
+    z = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            F.round("mean_a", 6).alias("mean_a"),
+            F.round("mean_b", 6).alias("mean_b"),
+            F.round(z, 6).alias("z_score"),
+            (F.abs(z) > 1.959964).cast("int").alias("significant_95"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_MEAN_Z_SQL = """
+WITH m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(value * 1e6) AS DECIMAL(38,0))) AS s1,
+    SUM(CAST(ROUND(value * 1e6) AS DECIMAL(38,0))
+        * CAST(ROUND(value * 1e6) AS DECIMAL(38,0))) AS s2
+  FROM events GROUP BY 1),
+stats AS (
+  SELECT event_type, n,
+    (CAST(s1 AS DOUBLE) / n) / 1e6 AS mean,
+    (CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(n * n AS DOUBLE)) / 1e12
+      AS varp
+  FROM m)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+  a.n AS n_a, b.n AS n_b,
+  ROUND(a.mean, 6) AS mean_a, ROUND(b.mean, 6) AS mean_b,
+  ROUND((a.mean - b.mean)
+        / sqrt(a.varp / a.n + b.varp / b.n), 6) AS z_score,
+  CAST(abs((a.mean - b.mean) / sqrt(a.varp / a.n + b.varp / b.n))
+       > 1.959964 AS INT) AS significant_95
+FROM stats a JOIN stats b ON a.event_type < b.event_type
+ORDER BY type_a, type_b
+"""
+
+
+def q_max_intersections_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``maxIntersections`` / ``maxIntersectionsPosition``:
+    per YEAR, the maximum number of concurrently-open orders and the
+    FIRST day that peak is reached. An order is open from o_orderdate
+    until its last line ships; intervals are clipped to the year so
+    every year's sweep is self-contained (no cross-year carry-in — the
+    same clipping a ClickHouse user applies when grouping the aggregate
+    by year). The sweep is +1/-1 boundary events, a running sum over
+    (year, day), then an argmin-day over the per-year max — one
+    fact-fact aggregation for spans, windows only over the small
+    boundary table."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    spans = (
+        li.groupBy("l_orderkey").agg(
+            F.max(F.col("l_shipdate").cast("date")).alias("close_day")
+        )
+    )
+    iv = (
+        o.select(
+            "o_orderkey", F.col("o_orderdate").cast("date").alias("open_day")
+        )
+        .join(spans, F.col("o_orderkey") == F.col("l_orderkey"))
+        # data noise guard: a last-ship before the order date counts as
+        # open for just the order day (also keeps the year range
+        # non-inverted — Spark's sequence() would DESCEND on y0 > y1
+        # while DuckDB's generate_series returns empty)
+        .select(
+            "open_day",
+            F.greatest("close_day", "open_day").alias("close_day"),
+        )
+        .select("open_day", "close_day", F.year("open_day").alias("y_open"),
+                F.year("close_day").alias("y_close"))
+    )
+    # clip to each covered year: explode the (small, <=2 here) year range
+    iv = iv.select(
+        "open_day",
+        "close_day",
+        F.explode(F.sequence("y_open", "y_close")).alias("yr"),
+    ).select(
+        "yr",
+        F.greatest(
+            F.col("open_day"), F.to_date(F.concat(F.col("yr"), F.lit("-01-01")))
+        ).alias("s"),
+        F.least(
+            F.col("close_day"),
+            F.to_date(F.concat(F.col("yr"), F.lit("-12-31"))),
+        ).alias("e"),
+    )
+    starts = iv.groupBy("yr", F.col("s").alias("day")).agg(
+        F.count("*").alias("d")
+    )
+    ends = iv.groupBy(
+        "yr", F.date_add(F.col("e"), 1).alias("day")
+    ).agg((-F.count("*")).alias("d"))
+    bounds = starts.unionByName(ends).groupBy("yr", "day").agg(
+        F.sum("d").alias("delta")
+    )
+    w = Window.partitionBy("yr").orderBy("day")
+    run = bounds.withColumn(
+        "open_cnt", F.sum("delta").over(w)
+    ).where(F.year("day") == F.col("yr"))
+    wy = Window.partitionBy("yr")
+    peak = (
+        run.withColumn("mx", F.max("open_cnt").over(wy))
+        .where(F.col("open_cnt") == F.col("mx"))
+        .groupBy("yr")
+        .agg(
+            F.max("mx").cast("bigint").alias("max_intersections"),
+            F.min("day").alias("first_peak_day"),
+        )
+    )
+    return peak.orderBy("yr")
+
+
+_MAX_INTERSECT_SQL = """
+WITH spans AS (
+  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_day
+  FROM lineitem GROUP BY 1),
+iv0 AS (
+  SELECT CAST(o_orderdate AS DATE) AS open_day,
+    greatest(s.close_day, CAST(o_orderdate AS DATE)) AS close_day
+  FROM orders o JOIN spans s ON o.o_orderkey = s.l_orderkey),
+iv AS (
+  SELECT yr,
+    greatest(open_day, CAST(yr || '-01-01' AS DATE)) AS s,
+    least(close_day, CAST(yr || '-12-31' AS DATE)) AS e
+  FROM iv0, unnest(generate_series(CAST(year(open_day) AS INT),
+                                   CAST(year(close_day) AS INT))) AS t(yr)),
+bounds AS (
+  SELECT yr, day, SUM(d) AS delta FROM (
+    SELECT yr, s AS day, COUNT(*) AS d FROM iv GROUP BY 1, 2
+    UNION ALL
+    SELECT yr, e + INTERVAL 1 DAY AS day, -COUNT(*) AS d
+    FROM iv GROUP BY 1, 2)
+  GROUP BY 1, 2),
+run AS (
+  SELECT yr, day,
+    SUM(delta) OVER (PARTITION BY yr ORDER BY day
+                     ROWS UNBOUNDED PRECEDING) AS open_cnt
+  FROM bounds),
+fy AS (SELECT yr, CAST(day AS DATE) AS day, open_cnt FROM run
+       WHERE year(day) = yr),
+mx AS (SELECT yr, MAX(open_cnt) AS m FROM fy GROUP BY 1)
+SELECT fy.yr, CAST(mx.m AS BIGINT) AS max_intersections,
+  MIN(fy.day) AS first_peak_day
+FROM fy JOIN mx ON fy.yr = mx.yr AND fy.open_cnt = mx.m
+GROUP BY fy.yr, mx.m ORDER BY fy.yr
+"""
+
+
+def q_array_enumerate_uniq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse array-function parity, round 2:
+    ``arrayEnumerateUniq`` (per-element occurrence index; its max is the
+    max term frequency), ``arrayIntersect`` against the English stopword
+    list, and ``arrayRotate``'s first element. The occurrence scan is
+    bounded to the first 50 tokens (quadratic row-local work stays
+    ≤2500 comparisons/row — the unbounded scale path for term
+    frequencies is the explode/groupBy in text_top_tokens). Everything
+    is higher-order array expressions inside codegen; zero shuffles
+    before the output sort."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    d = docs.select("doc_id", toks.alias("t"), F.slice(toks, 1, 50).alias("h"))
+    n = F.size("t")
+    occ = F.transform(
+        F.sequence(F.lit(1), F.size("h")),
+        lambda i: F.size(
+            F.filter(
+                F.slice(F.col("h"), 1, i),
+                lambda x: x == F.element_at(F.col("h"), i),
+            )
+        ),
+    )
+    stop_en = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    rot_first = F.when(
+        n > 0, F.element_at(F.col("t"), ((F.lit(3) % n) + 1).cast("int"))
+    )
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.array_max(occ).cast("bigint").alias("max_occ_head50"),
+        F.size(F.array_intersect(F.array_distinct("t"), stop_en))
+        .cast("bigint")
+        .alias("n_stop_distinct"),
+        rot_first.alias("rot3_first"),
+    ).orderBy("doc_id")
+
+
+_ARRAY_ENUM_SQL = f"""
+WITH d AS (
+  SELECT doc_id, {_TOKS_SQL} AS t,
+    list_slice({_TOKS_SQL}, 1, 50) AS h
+  FROM documents)
+SELECT doc_id,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(list_max(list_transform(generate_series(1, len(h)),
+    i -> len(list_filter(list_slice(h, 1, i), x -> x = h[i]))))
+    AS BIGINT) AS max_occ_head50,
+  CAST(len(list_intersect(list_distinct(t),
+    ['the','and','of','to','in','is','that','it','for','was']))
+    AS BIGINT) AS n_stop_distinct,
+  CASE WHEN len(t) > 0 THEN t[(3 % len(t)) + 1] END AS rot3_first
+FROM d ORDER BY doc_id
+"""
+
+
+def q_string_hamming_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse string-distance parity, round 2:
+    ``byteHammingDistance`` on '#'-padded 12-byte name prefixes and
+    ``stringJaccardIndex`` (distinct-character Jaccard) over every
+    nation-name pair (25 names → 300 a<b pairs; the pair stage runs on
+    a broadcast-size dimension, never facts). Character sets are built
+    with the identical substr-per-position expansion on both engines;
+    DuckDB's built-in ``jaccard`` is the cross-check for the set
+    formula."""
+    nat = _t(spark, sf_dir, "nation").select("n_name")
+    pad = F.rpad(F.substring(F.col("n_name"), 1, 12), 12, "#")
+    chars = F.expr(
+        "transform(sequence(1, length(n_name)), i -> substr(n_name, i, 1))"
+    )
+    base = nat.select(
+        F.col("n_name").alias("name"),
+        pad.alias("pad12"),
+        F.array_distinct(chars).alias("cs"),
+    )
+    a = base.select(
+        F.col("name").alias("name_a"),
+        F.col("pad12").alias("pa"),
+        F.col("cs").alias("ca"),
+    )
+    b = base.select(
+        F.col("name").alias("name_b"),
+        F.col("pad12").alias("pb"),
+        F.col("cs").alias("cb"),
+    )
+    ham = F.aggregate(
+        F.zip_with(
+            F.expr("transform(sequence(1, 12), i -> substr(pa, i, 1))"),
+            F.expr("transform(sequence(1, 12), i -> substr(pb, i, 1))"),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    inter = F.size(F.array_intersect("ca", "cb"))
+    union = F.size(F.array_union("ca", "cb"))
+    return (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            ham.cast("bigint").alias("hamming12"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard_chars"),
+            (
+                F.substring("name_a", 1, 3) == F.substring("name_b", 1, 3)
+            ).cast("int").alias("same_prefix3"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+_STRING_HAM_JAC_SQL = """
+WITH base AS (
+  SELECT n_name AS name, rpad(substr(n_name, 1, 12), 12, '#') AS pad12,
+    list_distinct(list_transform(generate_series(1, length(n_name)),
+      i -> substr(n_name, i, 1))) AS cs
+  FROM nation)
+SELECT a.name AS name_a, b.name AS name_b,
+  CAST(list_sum(list_transform(generate_series(1, 12),
+    i -> CASE WHEN substr(a.pad12, i, 1) <> substr(b.pad12, i, 1)
+         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming12,
+  ROUND(CAST(len(list_intersect(a.cs, b.cs)) AS DOUBLE)
+        / len(list_distinct(a.cs || b.cs)), 6) AS jaccard_chars,
+  CAST(substr(a.name, 1, 3) = substr(b.name, 1, 3) AS INT) AS same_prefix3
+FROM base a JOIN base b ON a.name < b.name
+ORDER BY name_a, name_b
+"""
+
+
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules quality filter (Rae et al. 2021 §A1.1) as a per-doc
+    report: word count in [50, 100000], mean word length in [3, 10],
+    ≥80% of words containing an alphabetic character, ≥2 English
+    stopword hits, and the symbol-to-word ratio ('#' or ellipsis) below
+    0.1 — plus the final keep verdict. Every metric is a row-local
+    built-in string/array expression (no UDFs, no shuffles before the
+    sort); at 100 TB the verdict column feeds the same
+    filter-then-write curation pass corpus_curation uses."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    d = docs.select("doc_id", F.col("text"), toks.alias("t"))
+    n = F.size("t")
+    total_len = F.aggregate(
+        F.transform(F.col("t"), lambda x: F.length(x)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    mean_len = total_len.cast("double") / F.greatest(n, F.lit(1))
+    n_alpha = F.size(F.filter(F.col("t"), lambda x: x.rlike("[a-z]")))
+    alpha_frac = n_alpha.cast("double") / F.greatest(n, F.lit(1))
+    stop_en = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    stop_hits = F.size(
+        F.filter(F.col("t"), lambda x: F.array_contains(stop_en, x))
+    )
+    n_symbols = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), r"#|\.\.\.|…", ""))
+    )
+    sym_ratio = n_symbols.cast("double") / F.greatest(n, F.lit(1))
+    f_words = (n >= 50) & (n <= 100000)
+    f_mwl = (mean_len >= 3.0) & (mean_len <= 10.0)
+    f_alpha = alpha_frac >= 0.8
+    f_stop = stop_hits >= 2
+    f_sym = sym_ratio < 0.1
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("bigint").alias("stopword_hits"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        f_words.cast("int").alias("ok_word_count"),
+        f_mwl.cast("int").alias("ok_mean_word_len"),
+        f_alpha.cast("int").alias("ok_alpha_frac"),
+        f_stop.cast("int").alias("ok_stopwords"),
+        f_sym.cast("int").alias("ok_symbol_ratio"),
+        (f_words & f_mwl & f_alpha & f_stop & f_sym)
+        .cast("int")
+        .alias("keep"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS t FROM documents),
+m AS (
+  SELECT doc_id, len(t) AS n,
+    CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+         AS DOUBLE) / greatest(len(t), 1) AS mean_len,
+    CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+         AS DOUBLE) / greatest(len(t), 1) AS alpha_frac,
+    len(list_filter(t, x -> list_contains(
+      ['the','and','of','to','in','is','that','it','for','was'], x)))
+      AS stop_hits,
+    CAST(length(text) - length(regexp_replace(text, '#|\\.\\.\\.|…', '',
+      'g')) AS DOUBLE) / greatest(len(t), 1) AS sym_ratio
+  FROM d)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+  ROUND(mean_len, 6) AS mean_word_len,
+  ROUND(alpha_frac, 6) AS alpha_word_frac,
+  CAST(stop_hits AS BIGINT) AS stopword_hits,
+  ROUND(sym_ratio, 6) AS symbol_ratio,
+  CAST(n >= 50 AND n <= 100000 AS INT) AS ok_word_count,
+  CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INT) AS ok_mean_word_len,
+  CAST(alpha_frac >= 0.8 AS INT) AS ok_alpha_frac,
+  CAST(stop_hits >= 2 AS INT) AS ok_stopwords,
+  CAST(sym_ratio < 0.1 AS INT) AS ok_symbol_ratio,
+  CAST(n >= 50 AND n <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+       AND alpha_frac >= 0.8 AND stop_hits >= 2 AND sym_ratio < 0.1
+       AS INT) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+def q_time_slots_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``timeSlots(StartTime, Duration, Size)`` parity: each
+    event spans [ts, ts + value seconds); the expression expands it into
+    the covered 1800-second slot starts (epoch-grid floor, inclusive on
+    both ends exactly like timeSlots), then a per-slot occupancy rollup:
+    events overlapping the slot and distinct users. The expansion is a
+    row-local sequence/explode (bounded: value < 500 s ⇒ ≤2 slots/row);
+    the rollup shuffles (slot) partials only. Slots are emitted as epoch
+    BIGINTs — timezone-proof across engines."""
+    ev = _t(spark, sf_dir, "events")
+    u = F.unix_timestamp("ts")
+    dur = F.floor(F.col("value")).cast("bigint")
+    s0 = F.floor(u / 1800) * 1800
+    s1 = F.floor((u + dur) / 1800) * 1800
+    slots = ev.select(
+        "user_id",
+        F.explode(F.sequence(s0, s1, F.lit(1800).cast("bigint"))).alias(
+            "slot_epoch"
+        ),
+    )
+    return (
+        slots.groupBy("slot_epoch")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("slot_epoch")
+    )
+
+
+_TIME_SLOTS_SQL = """
+WITH s AS (
+  SELECT user_id,
+    unnest(generate_series(
+      CAST(FLOOR(epoch(ts) / 1800) * 1800 AS BIGINT),
+      CAST(FLOOR((epoch(ts) + CAST(FLOOR(value) AS BIGINT)) / 1800) * 1800
+           AS BIGINT),
+      1800)) AS slot_epoch
+  FROM events)
+SELECT slot_epoch, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_quantile_timing_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileTiming`` parity: timings (here
+    value×100 → ms) are histogrammed at quantileTiming's documented
+    resolution — exact 1 ms buckets below 1024 ms, 16 ms buckets up to
+    30 s, everything beyond clamped to 30000 — and the quantile is the
+    smallest bucket whose cumulative count reaches ceil(q·n). Per
+    event_type: p50/p90/p99 plus the clamp census. The bucket rollup is
+    one aggregation with map-side partials; the quantile scan runs over
+    the tiny (type, bucket) table with a cumulative window — the exact
+    shape a 100 TB timing percentile should have (bounded state, no
+    full sort of raw timings)."""
+    ev = _t(spark, sf_dir, "events")
+    t = F.round(F.col("value") * 100).cast("bigint")
+    bucket = (
+        F.when(t < 1024, t)
+        .when(t <= 30000, t - (t % 16))
+        .otherwise(F.lit(30000))
+    )
+    counts = (
+        ev.select("event_type", bucket.alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("b")
+    wt = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        "b",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wt).alias("n"),
+        F.sum(F.when(F.col("b") == 30000, F.col("c")).otherwise(0))
+        .over(wt)
+        .alias("n_clamped"),
+    )
+    qs = []
+    for q, nm in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        qs.append(
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("b"))
+            ).alias(nm)
+        )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.max("n_clamped").cast("bigint").alias("n_clamped"),
+            *qs,
+        )
+        .orderBy("event_type")
+    )
+
+
+_QUANTILE_TIMING_SQL = """
+WITH t AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS ms FROM events),
+b AS (
+  SELECT event_type,
+    CASE WHEN ms < 1024 THEN ms WHEN ms <= 30000 THEN ms - (ms % 16)
+         ELSE 30000 END AS b
+  FROM t),
+c AS (SELECT event_type, b, COUNT(*) AS c FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, b,
+    SUM(c) OVER (PARTITION BY event_type ORDER BY b
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(c) OVER (PARTITION BY event_type) AS n,
+    SUM(CASE WHEN b = 30000 THEN c ELSE 0 END)
+      OVER (PARTITION BY event_type) AS n_clamped
+  FROM c)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+  CAST(MAX(n_clamped) AS BIGINT) AS n_clamped,
+  MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN b END) AS p50,
+  MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN b END) AS p90,
+  MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN b END) AS p99
+FROM cum GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_top_customers_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``LIMIT n WITH TIES``: the top customers by order
+    count, keeping EVERY row that ties the 10th-place value — rank() ≤
+    10, not row_number() ≤ 10. Order counts are small integers, so the
+    tie group is large and the semantic difference visible. Two-pass
+    threshold instead of a global rank window: RANK(v) over a DESC order
+    is 1 + count of strictly-greater rows, so per-value counts (one tiny
+    aggregate over the per-customer frame) + a distributed running sum
+    (operators/ranking.py) give each distinct value's rank; the ≤10
+    surviving values broadcast back onto the per-customer frame. No
+    single-partition pass over the fact-proportional customer table."""
+    o = _t(spark, sf_dir, "orders")
+    # checkpoint: both the per-value branch and the join-back read this
+    # frame — one fact scan, not two
+    per = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .localCheckpoint(eager=True)
+    )
+    vals = per.groupBy("n_orders").agg(F.count("*").alias("cnt"))
+    cum = RK.global_running_sum(
+        vals, [F.desc("n_orders")], ["cnt"], ["cum_cnt"]
+    )
+    kept = cum.select(
+        "n_orders", (F.col("cum_cnt") - F.col("cnt") + 1).alias("rnk")
+    ).where(F.col("rnk") <= 10)
+    return (
+        per.join(F.broadcast(kept), "n_orders")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy(F.col("n_orders").desc(), "custkey")
+    )
+
+
+_WITH_TIES_SQL = """
+WITH per AS (
+  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY 1),
+r AS (
+  SELECT o_custkey, n, rank() OVER (ORDER BY n DESC) AS rnk FROM per)
+SELECT o_custkey AS custkey, CAST(n AS BIGINT) AS n_orders,
+  CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 10 ORDER BY n DESC, custkey
+"""
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION DISTINCT census (ClickHouse set
+    operators) over active-customer sets of two adjacent order years:
+    sizes of both sets, the intersection, each difference, the union,
+    and the symmetric difference, plus min-custkey witnesses of the
+    one-sided sets. Implemented as ONE full-outer join on the
+    pre-distinct (custkey, year-flag) sets with conditional counting —
+    a single shuffle instead of five separate set-op passes; the
+    oracle spells the same flags via FULL JOIN. The two-column set
+    frames are the only shuffled payload."""
+    o = _t(spark, sf_dir, "orders")
+    yr = F.year(F.col("o_orderdate"))
+    a = (
+        o.where(yr == 1996).select("o_custkey").distinct()
+        .select(F.col("o_custkey").alias("k"), F.lit(1).alias("in_a"))
+    )
+    b = (
+        o.where(yr == 1997).select("o_custkey").distinct()
+        .select(F.col("o_custkey").alias("k"), F.lit(1).alias("in_b"))
+    )
+    j = a.join(b, "k", "full").select(
+        "k",
+        F.coalesce("in_a", F.lit(0)).alias("ia"),
+        F.coalesce("in_b", F.lit(0)).alias("ib"),
+    )
+    return j.agg(
+        F.sum("ia").cast("bigint").alias("n_1996"),
+        F.sum("ib").cast("bigint").alias("n_1997"),
+        F.sum(F.col("ia") * F.col("ib")).cast("bigint").alias("n_both"),
+        F.sum(F.col("ia") * (1 - F.col("ib"))).cast("bigint").alias("n_only_1996"),
+        F.sum(F.col("ib") * (1 - F.col("ia"))).cast("bigint").alias("n_only_1997"),
+        F.count("*").cast("bigint").alias("n_union"),
+        F.sum(
+            F.when(F.col("ia") != F.col("ib"), 1).otherwise(0)
+        ).cast("bigint").alias("n_symdiff"),
+        F.min(F.when(F.col("ib") == 0, F.col("k"))).alias("min_only_1996"),
+        F.min(F.when(F.col("ia") == 0, F.col("k"))).alias("min_only_1997"),
+    )
+
+
+_SET_OPS_SQL = """
+WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+           WHERE year(o_orderdate) = 1996),
+b AS (SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE year(o_orderdate) = 1997),
+j AS (
+  SELECT COALESCE(a.k, b.k) AS k,
+    CASE WHEN a.k IS NULL THEN 0 ELSE 1 END AS ia,
+    CASE WHEN b.k IS NULL THEN 0 ELSE 1 END AS ib
+  FROM a FULL JOIN b ON a.k = b.k)
+SELECT CAST(SUM(ia) AS BIGINT) AS n_1996,
+  CAST(SUM(ib) AS BIGINT) AS n_1997,
+  CAST(SUM(ia * ib) AS BIGINT) AS n_both,
+  CAST(SUM(ia * (1 - ib)) AS BIGINT) AS n_only_1996,
+  CAST(SUM(ib * (1 - ia)) AS BIGINT) AS n_only_1997,
+  CAST(COUNT(*) AS BIGINT) AS n_union,
+  CAST(SUM(CASE WHEN ia <> ib THEN 1 ELSE 0 END) AS BIGINT) AS n_symdiff,
+  MIN(CASE WHEN ib = 0 THEN k END) AS min_only_1996,
+  MIN(CASE WHEN ia = 0 THEN k END) AS min_only_1997
+FROM j
+"""
+
+
+def q_date_format_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse date-formatting family parity — ``toYYYYMM``,
+    ``dateName('month'|'weekday')``, ``toISOWeek``, and a
+    ``formatDateTime``-style quarter label — reported per order month
+    with the month's order count. Names come from the engines' native
+    formatters (Spark date_format MMMM/EEEE, DuckDB
+    monthname/dayname — both English), ISO weeks from weekofyear; the
+    rollup is a single month-keyed aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    m0 = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    per = (
+        o.select(m0.alias("month_start"))
+        .groupBy("month_start")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+    return per.select(
+        (F.year("month_start") * 100 + F.month("month_start"))
+        .cast("bigint")
+        .alias("yyyymm"),
+        F.col("month_start"),
+        F.date_format("month_start", "MMMM").alias("month_name"),
+        F.date_format("month_start", "EEEE").alias("first_dow_name"),
+        F.weekofyear("month_start").cast("bigint").alias("iso_week_of_first"),
+        F.concat(
+            F.lit("Q"), F.quarter("month_start"), F.lit("-"),
+            F.year("month_start"),
+        ).alias("quarter_label"),
+        "n_orders",
+    ).orderBy("yyyymm")
+
+
+_DATE_FORMAT_SQL = """
+WITH per AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+    COUNT(*) AS n
+  FROM orders GROUP BY 1)
+SELECT CAST(year(month_start) * 100 + month(month_start) AS BIGINT)
+    AS yyyymm,
+  month_start,
+  monthname(month_start) AS month_name,
+  dayname(month_start) AS first_dow_name,
+  CAST(weekofyear(month_start) AS BIGINT) AS iso_week_of_first,
+  'Q' || quarter(month_start) || '-' || year(month_start)
+    AS quarter_label,
+  CAST(n AS BIGINT) AS n_orders
+FROM per ORDER BY yyyymm
+"""
+
+
+def q_vector_distance_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse vector-distance function family parity —
+    ``L1Distance``, ``L2Distance``, ``LinfDistance``, ``dotProduct``,
+    ``cosineDistance`` — every embedding scored against the broadcast
+    vec_id=0 query vector. All folds run left-to-right in array order
+    on both engines (Spark ``aggregate`` ≙ DuckDB ``list_sum`` over
+    ``list_transform``) so doubles are bit-identical; results rounded
+    to 1e-6. Row-local math inside codegen; the only join is the
+    broadcast single-row query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    d = emb.crossJoin(F.broadcast(q))
+    diff = F.zip_with(
+        "embedding", "qvec", lambda a, b: a.cast("double") - b.cast("double")
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    dot = fold(
+        F.zip_with(
+            "embedding",
+            "qvec",
+            lambda a, b: a.cast("double") * b.cast("double"),
+        )
+    )
+    na = F.sqrt(
+        fold(
+            F.transform(
+                "embedding", lambda x: x.cast("double") * x.cast("double")
+            )
+        )
+    )
+    nb = F.sqrt(
+        fold(
+            F.transform("qvec", lambda x: x.cast("double") * x.cast("double"))
+        )
+    )
+    return d.select(
+        "vec_id",
+        F.round(fold(F.transform(diff, F.abs)), 6).alias("l1"),
+        F.round(
+            F.sqrt(fold(F.transform(diff, lambda x: x * x))), 6
+        ).alias("l2"),
+        F.round(F.array_max(F.transform(diff, F.abs)), 6).alias("linf"),
+        F.round(dot, 6).alias("dot"),
+        F.round(F.lit(1.0) - dot / (na * nb), 6).alias("cosine_dist"),
+    ).orderBy("vec_id")
+
+
+_VECTOR_DIST_SQL = """
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+d AS (
+  SELECT vec_id,
+    list_transform(generate_series(1, len(embedding)),
+      i -> embedding[i]::DOUBLE - qvec[i]::DOUBLE) AS diff,
+    list_sum(list_transform(generate_series(1, len(embedding)),
+      i -> embedding[i]::DOUBLE * qvec[i]::DOUBLE)) AS dot,
+    sqrt(list_sum(list_transform(embedding,
+      x -> x::DOUBLE * x::DOUBLE))) AS na,
+    sqrt(list_sum(list_transform(qvec,
+      x -> x::DOUBLE * x::DOUBLE))) AS nb
+  FROM embeddings, q)
+SELECT vec_id,
+  ROUND(COALESCE(list_sum(list_transform(diff, x -> abs(x))), 0), 6) AS l1,
+  ROUND(sqrt(COALESCE(list_sum(list_transform(diff, x -> x * x)), 0)), 6)
+    AS l2,
+  ROUND(list_max(list_transform(diff, x -> abs(x))), 6) AS linf,
+  ROUND(dot, 6) AS dot,
+  ROUND(1.0 - dot / (na * nb), 6) AS cosine_dist
+FROM d ORDER BY vec_id
+"""
+
+
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each of the 20
+    lowest-id query vectors, the top-5 most-cosine-similar vectors with
+    a DIFFERENT label (the classic hard negatives — near in embedding
+    space, wrong class). The bounded query set broadcasts against the
+    corpus (20 × N scoring, embarrassingly parallel, zero shuffle
+    before the per-query top-k window); at 100 TB the same mining runs
+    per LSH bucket (similarity_lsh_topk's path) instead of
+    brute-force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("q_label"),
+    )
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    dot = fold(
+        F.zip_with(
+            "embedding",
+            "qvec",
+            lambda a, b: a.cast("double") * b.cast("double"),
+        )
+    )
+    na = F.sqrt(
+        fold(
+            F.transform(
+                "embedding", lambda x: x.cast("double") * x.cast("double")
+            )
+        )
+    )
+    nb = F.sqrt(
+        fold(
+            F.transform("qvec", lambda x: x.cast("double") * x.cast("double"))
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qset))
+        .where(F.col("label") != F.col("q_label"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(dot / (na * nb), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "q_id",
+            "q_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            "cosine",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+        .orderBy("q_id", "rnk")
+    )
+
+
+_ANN_HARD_NEG_SQL = """
+WITH qset AS (
+  SELECT vec_id AS q_id, embedding AS qvec, label AS q_label
+  FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+    ROUND(list_sum(list_transform(generate_series(1, len(e.embedding)),
+        i -> e.embedding[i]::DOUBLE * q.qvec[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(e.embedding,
+           x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(q.qvec,
+           x -> x::DOUBLE * x::DOUBLE)))), 6) AS cosine
+  FROM embeddings e, qset q
+  WHERE e.label <> q.q_label),
+r AS (
+  SELECT q_id, q_label, vec_id, label, cosine,
+    ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored)
+SELECT q_id, q_label, vec_id AS neg_id, label AS neg_label, cosine,
+  CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 5 ORDER BY q_id, rnk
+"""
+
+
+def q_min_max_map_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``minMap`` / ``maxMap`` / ``avgMap`` parity (the
+    sumMap siblings): per event type, key-aligned per-bucket (props.k
+    mod 10) minimum, maximum, and exact average of value-cents,
+    emitted as sorted CSV array pairs — the map-aggregate return shape
+    canonicalized identically on both engines. One (type, bucket)
+    partial aggregation (map-side combinable), one per-type fold."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.get_json_object("props", "$.k").cast("long") % 10).alias(
+        "bucket"
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    partial = ev.groupBy("event_type", bucket).agg(
+        F.min(cents).alias("mn"),
+        F.max(cents).alias("mx"),
+        F.sum(cents.cast("decimal(38,0)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    avg_micros = F.floor(
+        (F.col("s") * 1000000 / F.col("n")).cast("decimal(38,6)")
+    ).cast("bigint")
+    folded = (
+        partial.select(
+            "event_type",
+            F.struct("bucket", "mn", "mx", avg_micros.alias("am")).alias("kv"),
+        )
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("kv")).alias("kv"))
+        .select(
+            "event_type",
+            F.concat_ws(
+                ",", F.transform("kv", lambda x: x["bucket"])
+            ).alias("keys_csv"),
+            F.concat_ws(",", F.transform("kv", lambda x: x["mn"])).alias(
+                "mins_csv"
+            ),
+            F.concat_ws(",", F.transform("kv", lambda x: x["mx"])).alias(
+                "maxs_csv"
+            ),
+            F.concat_ws(",", F.transform("kv", lambda x: x["am"])).alias(
+                "avg_micros_csv"
+            ),
+        )
+    )
+    return folded.orderBy("event_type")
+
+
+_MIN_MAX_MAP_SQL = """
+WITH p AS (
+  SELECT event_type,
+    CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS bucket,
+    MIN(CAST(ROUND(value * 100) AS BIGINT)) AS mn,
+    MAX(CAST(ROUND(value * 100) AS BIGINT)) AS mx,
+    CAST(FLOOR(CAST(SUM(CAST(ROUND(value * 100) AS DECIMAL(38,0)))
+      * 1000000 / COUNT(*) AS DECIMAL(38,6))) AS BIGINT) AS am
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+  string_agg(bucket, ',' ORDER BY bucket) AS keys_csv,
+  string_agg(mn, ',' ORDER BY bucket) AS mins_csv,
+  string_agg(mx, ',' ORDER BY bucket) AS maxs_csv,
+  string_agg(am, ',' ORDER BY bucket) AS avg_micros_csv
+FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_gd_linreg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``stochasticLinearRegression`` re-expressed as
+    DETERMINISTIC full-batch gradient descent: daily revenue (dollars)
+    against the normalized day index, 5 unrolled GD steps at lr=0.5
+    from w=(0,0). The loss gradient of linear least squares depends
+    only on sufficient statistics (n, Σt, Σy, Σt², Σty, Σy²), so the
+    facts are read ONCE — every iteration is pure scalar arithmetic on
+    the single stats row, applied with the identical expression shape
+    on both engines (bit-identical doubles; SGD's order-dependence is
+    exactly what this formulation removes, and what makes it the
+    100 TB-safe shape). Emits the per-iteration (w0, w1, mse) trace."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+        ).alias("cents")
+    )
+    b = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    # (19,0)/(10,0) operands keep every product inside DECIMAL(38,0) —
+    # (38,0)×(38,0) silently falls back to DOUBLE in DuckDB (the
+    # decimal-product-overflow trap from NOTES_r2)
+    k = F.datediff(F.col("day"), F.col("d0")).cast("decimal(10,0)")
+    y = F.col("cents").cast("decimal(19,0)")
+    stats = (
+        daily.crossJoin(F.broadcast(b))
+        .select(
+            k.alias("k"),
+            y.alias("y"),
+            F.datediff(F.col("d1"), F.col("d0"))
+            .cast("double")
+            .alias("dd"),
+        )
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.max("dd").alias("dd"),
+            F.sum("k").cast("double").alias("sk"),
+            F.sum(F.col("y")).cast("double").alias("sy_c"),
+            F.sum(F.col("k") * F.col("k")).cast("double").alias("skk"),
+            F.sum(F.col("k") * F.col("y")).cast("double").alias("sky_c"),
+            F.sum(F.col("y") * F.col("y")).cast("double").alias("syy_c"),
+        )
+    )
+    # derived double stats: t = k/dd (normalized), y in dollars
+    s = stats.select(
+        "n",
+        (F.col("sk") / F.col("dd")).alias("st"),
+        (F.col("sy_c") / F.lit(100.0)).alias("sy"),
+        (F.col("skk") / (F.col("dd") * F.col("dd"))).alias("stt"),
+        (F.col("sky_c") / (F.col("dd") * F.lit(100.0))).alias("sty"),
+        (F.col("syy_c") / F.lit(10000.0)).alias("syy"),
+    )
+    # unrolled GD: identical textual updates on both engines
+    for i in range(6):
+        if i == 0:
+            s = s.withColumn("w0", F.expr("0.0")).withColumn(
+                "w1", F.expr("0.0")
+            )
+        else:
+            s = (
+                s.withColumn(
+                    "w0n",
+                    F.expr("w0 - 0.5 * (2.0 * (w0 * n + w1 * st - sy) / n)"),
+                )
+                .withColumn(
+                    "w1n",
+                    F.expr(
+                        "w1 - 0.5 * (2.0 * (w0 * st + w1 * stt - sty) / n)"
+                    ),
+                )
+                .drop("w0", "w1")
+                .withColumnRenamed("w0n", "w0")
+                .withColumnRenamed("w1n", "w1")
+            )
+        s = s.withColumn(
+            f"trace_{i}",
+            F.struct(
+                F.lit(i).alias("iter"),
+                F.col("w0").alias("w0"),
+                F.col("w1").alias("w1"),
+                F.expr(
+                    "(w0 * w0 * n + w1 * w1 * stt + syy + 2.0 * w0 * w1 * st"
+                    " - 2.0 * w0 * sy - 2.0 * w1 * sty) / n"
+                ).alias("mse"),
+            ),
+        )
+    traced = s.select(
+        F.explode(F.array(*[F.col(f"trace_{i}") for i in range(6)])).alias(
+            "t"
+        )
+    )
+    # mse is ~1e14 (dollars²): ROUND(double, 4) is lossy in DuckDB at
+    # that magnitude (×1e4 exceeds exact-integer double range), so the
+    # trace reports FLOOR(mse/1e6) — an exact integer on both engines
+    return traced.select(
+        F.col("t.iter").alias("iter"),
+        F.round("t.w0", 6).alias("w0"),
+        F.round("t.w1", 6).alias("w1"),
+        F.floor(F.col("t.mse") / F.lit(1000000.0))
+        .cast("bigint")
+        .alias("mse_mega"),
+    ).orderBy("iter")
+
+
+_GD_LINREG_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    SUM(CAST(ROUND(o_totalprice * 100) AS DECIMAL(38,0))) AS cents
+  FROM orders GROUP BY 1),
+b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+raw AS (
+  -- (19,0)/(10,0) operands keep every product inside DECIMAL(38,0);
+  -- (38,0)x(38,0) silently degrades to DOUBLE in DuckDB
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(MAX(date_diff('day', d0, d1)) AS DOUBLE) AS dd,
+    CAST(SUM(CAST(date_diff('day', d0, day) AS DECIMAL(10,0))) AS DOUBLE)
+      AS sk,
+    CAST(SUM(CAST(cents AS DECIMAL(19,0))) AS DOUBLE) AS sy_c,
+    CAST(SUM(CAST(date_diff('day', d0, day) AS DECIMAL(10,0))
+             * CAST(date_diff('day', d0, day) AS DECIMAL(10,0)))
+         AS DOUBLE) AS skk,
+    CAST(SUM(CAST(date_diff('day', d0, day) AS DECIMAL(10,0))
+             * CAST(cents AS DECIMAL(19,0)))
+         AS DOUBLE) AS sky_c,
+    CAST(SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0)))
+         AS DOUBLE) AS syy_c
+  FROM daily, b),
+s AS (
+  SELECT n, sk / dd AS st, sy_c / 100.0 AS sy,
+    skk / (dd * dd) AS stt, sky_c / (dd * 100.0) AS sty,
+    syy_c / 10000.0 AS syy
+  FROM raw),
+it0 AS (SELECT *, 0.0 AS w0, 0.0 AS w1 FROM s),
+-- nw0/nw1 avoid DuckDB's lateral-alias shadowing: both updates must
+-- read the PREVIOUS iteration's (w0, w1), exactly like the Spark twin
+it1 AS (SELECT n, st, sy, stt, sty, syy,
+  w0 - 0.5 * (2.0 * (w0 * n + w1 * st - sy) / n) AS nw0,
+  w1 - 0.5 * (2.0 * (w0 * st + w1 * stt - sty) / n) AS nw1 FROM it0),
+it1r AS (SELECT n, st, sy, stt, sty, syy, nw0 AS w0, nw1 AS w1 FROM it1),
+it2 AS (SELECT n, st, sy, stt, sty, syy,
+  w0 - 0.5 * (2.0 * (w0 * n + w1 * st - sy) / n) AS nw0,
+  w1 - 0.5 * (2.0 * (w0 * st + w1 * stt - sty) / n) AS nw1 FROM it1r),
+it2r AS (SELECT n, st, sy, stt, sty, syy, nw0 AS w0, nw1 AS w1 FROM it2),
+it3 AS (SELECT n, st, sy, stt, sty, syy,
+  w0 - 0.5 * (2.0 * (w0 * n + w1 * st - sy) / n) AS nw0,
+  w1 - 0.5 * (2.0 * (w0 * st + w1 * stt - sty) / n) AS nw1 FROM it2r),
+it3r AS (SELECT n, st, sy, stt, sty, syy, nw0 AS w0, nw1 AS w1 FROM it3),
+it4 AS (SELECT n, st, sy, stt, sty, syy,
+  w0 - 0.5 * (2.0 * (w0 * n + w1 * st - sy) / n) AS nw0,
+  w1 - 0.5 * (2.0 * (w0 * st + w1 * stt - sty) / n) AS nw1 FROM it3r),
+it4r AS (SELECT n, st, sy, stt, sty, syy, nw0 AS w0, nw1 AS w1 FROM it4),
+it5 AS (SELECT n, st, sy, stt, sty, syy,
+  w0 - 0.5 * (2.0 * (w0 * n + w1 * st - sy) / n) AS nw0,
+  w1 - 0.5 * (2.0 * (w0 * st + w1 * stt - sty) / n) AS nw1 FROM it4r),
+it5r AS (SELECT n, st, sy, stt, sty, syy, nw0 AS w0, nw1 AS w1 FROM it5),
+tr AS (
+  SELECT 0 AS iter, * FROM it0 UNION ALL SELECT 1, * FROM it1r
+  UNION ALL SELECT 2, * FROM it2r UNION ALL SELECT 3, * FROM it3r
+  UNION ALL SELECT 4, * FROM it4r UNION ALL SELECT 5, * FROM it5r)
+SELECT iter, ROUND(w0, 6) AS w0, ROUND(w1, 6) AS w1,
+  CAST(FLOOR((w0 * w0 * n + w1 * w1 * stt + syy + 2.0 * w0 * w1 * st
+         - 2.0 * w0 * sy - 2.0 * w1 * sty) / n / 1000000.0) AS BIGINT)
+    AS mse_mega
+FROM tr ORDER BY iter
+"""
+
+
+def q_sequence_match_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch`` parity for the three pattern
+    classes: any-order '(?1).*(?2)' (a view EVENTUALLY followed by a
+    purchase), adjacency '(?1)(?2)' (immediately followed), and the
+    time-conditioned '(?1)(?t<=3600)(?2)' (within an hour). Each user's
+    stream is one sorted array (total order ts, event_id — built by a
+    single groupBy; no windows), the matchers are row-local array
+    lambdas, and the report aggregates user counts per pattern. The
+    only shuffle is the per-user collect — the same state shape
+    sessionization uses at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.struct(
+            F.unix_timestamp("ts").alias("s"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("t"),
+        ).alias("kv"),
+    )
+    per = base.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("kv")).alias("kv")
+    )
+    t = F.transform(F.col("kv"), lambda x: x["t"])
+    s = F.transform(F.col("kv"), lambda x: x["s"])
+    n = F.size("kv")
+    d = per.select("user_id", t.alias("t"), s.alias("s"), n.alias("n"))
+    fv = F.array_position(F.col("t"), "view")
+    lp_rev = F.array_position(F.reverse(F.col("t")), "purchase")
+    lp = F.when(lp_rev > 0, F.col("n") + 1 - lp_rev).otherwise(F.lit(0))
+    m_any = (fv > 0) & (lp > fv)
+    idx = F.sequence(F.lit(1), F.greatest(F.col("n") - 1, F.lit(1)))
+    m_adj = F.when(
+        F.col("n") >= 2,
+        F.exists(
+            idx,
+            lambda i: (F.element_at(F.col("t"), i) == "view")
+            & (F.element_at(F.col("t"), i + 1) == "purchase"),
+        ),
+    ).otherwise(F.lit(False))
+    m_time = F.exists(
+        F.sequence(F.lit(1), F.col("n")),
+        lambda i: (F.element_at(F.col("t"), i) == "view")
+        & F.exists(
+            F.sequence(
+                F.least(i + 1, F.col("n")), F.col("n")
+            ),
+            lambda j: (j > i)
+            & (F.element_at(F.col("t"), j) == "purchase")
+            & (
+                F.element_at(F.col("s"), j) - F.element_at(F.col("s"), i)
+                <= 3600
+            ),
+        ),
+    )
+    flags = d.select(
+        m_any.cast("int").alias("a"),
+        m_adj.cast("int").alias("b"),
+        m_time.cast("int").alias("c"),
+    )
+    return flags.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("a").cast("bigint").alias("n_match_any"),
+        F.sum("b").cast("bigint").alias("n_match_adjacent"),
+        F.sum("c").cast("bigint").alias("n_match_within_1h"),
+    )
+
+
+_SEQ_MATCH_SQL = """
+WITH per AS (
+  -- FLOOR(epoch()) matches Spark's unix_timestamp (second-floored);
+  -- ordering by raw epoch micros would diverge on same-second ties
+  SELECT user_id,
+    list(event_type ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+      AS t,
+    list(CAST(FLOOR(epoch(ts)) AS BIGINT)
+         ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS s,
+    COUNT(*) AS n
+  FROM events GROUP BY 1),
+f AS (
+  SELECT user_id, n,
+    list_position(t, 'view') AS fv,
+    CASE WHEN list_position(list_reverse(t), 'purchase') > 0
+         THEN n + 1 - list_position(list_reverse(t), 'purchase')
+         ELSE 0 END AS lp,
+    CASE WHEN n >= 2 THEN len(list_filter(generate_series(1, n - 1),
+      i -> t[i] = 'view' AND t[i + 1] = 'purchase')) > 0
+      ELSE FALSE END AS m_adj,
+    len(list_filter(generate_series(1, n),
+      i -> t[i] = 'view' AND len(list_filter(generate_series(i + 1, n),
+        j -> t[j] = 'purchase' AND s[j] - s[i] <= 3600)) > 0)) > 0
+      AS m_time
+  FROM per)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(CASE WHEN fv > 0 AND lp > fv THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_match_any,
+  CAST(SUM(CASE WHEN m_adj THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_match_adjacent,
+  CAST(SUM(CASE WHEN m_time THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_match_within_1h
+FROM f
+"""
+
+
+def q_entropy_by_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``entropy()`` aggregate parity over four categorical
+    columns (order priority/status, market segment, return flag):
+    Shannon entropy in bits, the distinct count, and the normalized
+    entropy H/log2(k). Each column is one count-by-value aggregation
+    (map-side combinable; the value domains are tiny), entropies are
+    folded from exact integer counts with the identical -Σ(c/n)·log2
+    expression, rounded to 1e-6. The four per-column frames union into
+    one report."""
+    frames = []
+    specs = [
+        ("orders", "o_orderpriority", "orders.o_orderpriority"),
+        ("orders", "o_orderstatus", "orders.o_orderstatus"),
+        ("customer", "c_mktsegment", "customer.c_mktsegment"),
+        ("lineitem", "l_returnflag", "lineitem.l_returnflag"),
+    ]
+    for tbl, col, label in specs:
+        df = _t(spark, sf_dir, tbl)
+        counts = df.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").alias("c")
+        )
+        agg = counts.agg(
+            F.sum("c").alias("n"),
+            F.count("*").alias("k"),
+            F.collect_list(F.struct("v", "c")).alias("kv"),
+        )
+        p = lambda x: x["c"].cast("double") / F.col("n")  # noqa: E731
+        ent = -F.aggregate(
+            F.sort_array(F.col("kv")),
+            F.lit(0.0),
+            lambda acc, x: acc + p(x) * F.log2(p(x)),
+        )
+        frames.append(
+            agg.select(
+                F.lit(label).alias("column_name"),
+                F.col("n").cast("bigint").alias("n_rows"),
+                F.col("k").cast("bigint").alias("n_distinct"),
+                F.round(ent, 6).alias("entropy_bits"),
+                F.round(ent / F.log2(F.col("k").cast("double")), 6).alias(
+                    "norm_entropy"
+                ),
+            )
+        )
+    out = frames[0]
+    for fdf in frames[1:]:
+        out = out.unionByName(fdf)
+    return out.orderBy("column_name")
+
+
+def _column_entropy_sql() -> str:
+    specs = [
+        ("orders", "o_orderpriority", "orders.o_orderpriority"),
+        ("orders", "o_orderstatus", "orders.o_orderstatus"),
+        ("customer", "c_mktsegment", "customer.c_mktsegment"),
+        ("lineitem", "l_returnflag", "lineitem.l_returnflag"),
+    ]
+    parts = []
+    for tbl, col, label in specs:
+        parts.append(f"""
+SELECT '{label}' AS column_name, CAST(n AS BIGINT) AS n_rows,
+  CAST(k AS BIGINT) AS n_distinct,
+  ROUND(-list_sum(list_transform(kv,
+    x -> (x.c::DOUBLE / n) * log2(x.c::DOUBLE / n))), 6) AS entropy_bits,
+  ROUND(-list_sum(list_transform(kv,
+    x -> (x.c::DOUBLE / n) * log2(x.c::DOUBLE / n)))
+    / log2(k::DOUBLE), 6) AS norm_entropy
+FROM (
+  SELECT SUM(c) AS n, COUNT(*) AS k,
+    list(struct_pack(v := v, c := c) ORDER BY v, c) AS kv
+  FROM (SELECT {col} AS v, COUNT(*) AS c FROM {tbl} GROUP BY 1))""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY column_name"
+
+
+_COLUMN_ENTROPY_SQL = _column_entropy_sql()
+
+
+def q_substring_search_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse string-search function family — ``position``,
+    ``countSubstrings``, ``hasToken``, ``startsWith`` / ``endsWith`` —
+    per document against fixed needles. Occurrence counting uses the
+    replace-length identity (no regex engine in the hot path except the
+    word-boundary token probe); every expression is row-local inside
+    codegen. The needle set is a compile-time constant, the 100 TB shape
+    of a blocklist/keyword scan."""
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_data = (
+        (F.length(text) - F.length(F.regexp_replace(text, "data", "")))
+        / F.lit(4)
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        F.locate("data", text).cast("bigint").alias("pos_data"),
+        n_data.alias("n_data"),
+        text.rlike(r"\bspark\b").cast("int").alias("has_token_spark"),
+        F.col("text").startswith("the ").cast("int").alias("starts_the"),
+        F.col("text").endswith("join").cast("int").alias("ends_join"),
+    ).orderBy("doc_id")
+
+
+_SUBSTRING_SEARCH_SQL = r"""
+SELECT doc_id,
+  CAST(strpos(text, 'data') AS BIGINT) AS pos_data,
+  CAST((length(text) - length(replace(text, 'data', ''))) / 4 AS BIGINT)
+    AS n_data,
+  CAST(regexp_matches(text, '\bspark\b') AS INT) AS has_token_spark,
+  CAST(starts_with(text, 'the ') AS INT) AS starts_the,
+  CAST(ends_with(text, 'join') AS INT) AS ends_join
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_transform_mapping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``transform(x, from, to, default)`` + ``multiIf``
+    parity: order priorities map to urgency weights through a literal
+    value map (default 10), order totals tier through a multiIf
+    cascade; the report is the per-month weighted urgency score and
+    tier census. The mapping is a row-local CASE chain (what Catalyst
+    folds transform() to anyway); one month-keyed aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    weight = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 100)
+        .when(F.col("o_orderpriority") == "2-HIGH", 50)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 25)
+        .otherwise(10)
+    )
+    tier = (
+        F.when(F.col("o_totalprice") >= 300000, "jumbo")
+        .when(F.col("o_totalprice") >= 150000, "large")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("small")
+    )
+    return (
+        o.select(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("yyyymm"),
+            weight.alias("w"),
+            tier.alias("tier"),
+        )
+        .groupBy("yyyymm")
+        .agg(
+            F.sum("w").cast("bigint").alias("urgency_score"),
+            F.sum(F.when(F.col("tier") == "jumbo", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_jumbo"),
+            F.sum(F.when(F.col("tier") == "large", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_large"),
+            F.sum(F.when(F.col("tier") == "medium", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_medium"),
+            F.sum(F.when(F.col("tier") == "small", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_small"),
+        )
+        .orderBy("yyyymm")
+    )
+
+
+_TRANSFORM_MAP_SQL = """
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+    AS yyyymm,
+  CAST(SUM(CASE o_orderpriority WHEN '1-URGENT' THEN 100
+    WHEN '2-HIGH' THEN 50 WHEN '3-MEDIUM' THEN 25 ELSE 10 END) AS BIGINT)
+    AS urgency_score,
+  CAST(SUM(CASE WHEN o_totalprice >= 300000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_jumbo,
+  CAST(SUM(CASE WHEN o_totalprice >= 150000 AND o_totalprice < 300000
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+  CAST(SUM(CASE WHEN o_totalprice >= 50000 AND o_totalprice < 150000
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+  CAST(SUM(CASE WHEN o_totalprice < 50000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_small
+FROM orders GROUP BY 1 ORDER BY yyyymm
+"""
+
+
+def q_array_join_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``LEFT ARRAY JOIN`` + ``arrayEnumerate`` parity: each
+    document's first-5 token list explodes WITH positions, empty lists
+    keep their row (position NULL — the LEFT variant), then a
+    per-position census: docs reaching that position and the
+    lexicographically-smallest most-frequent token (exact argmin over
+    (−count, token)). posexplode_outer is the Spark spelling of LEFT
+    ARRAY JOIN with arrayEnumerate; the census is two tiny keyed
+    aggregations."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.slice(TX.tokens(F.col("text")), 1, 5)
+    ex = docs.select(
+        "doc_id", F.posexplode_outer(toks).alias("pos0", "tok")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    per_tok = ex.where(F.col("pos").isNotNull()).groupBy("pos", "tok").agg(
+        F.count("*").alias("c")
+    )
+    top = (
+        per_tok.groupBy("pos")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.min_by(
+                F.col("tok"), F.struct((-F.col("c")).alias("nc"), F.col("tok"))
+            ).alias("top_token"),
+            F.max("c").cast("bigint").alias("top_count"),
+        )
+    )
+    null_rows = ex.where(F.col("pos").isNull()).agg(
+        F.count("*").cast("bigint").alias("n_empty_docs")
+    )
+    return (
+        top.crossJoin(F.broadcast(null_rows))
+        .select("pos", "n_docs", "top_token", "top_count", "n_empty_docs")
+        .orderBy("pos")
+    )
+
+
+_ARRAY_JOIN_POS_SQL = f"""
+WITH t AS (SELECT doc_id, list_slice({_TOKS_SQL}, 1, 5) AS toks
+           FROM documents),
+ex AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN NULL ELSE u.i END AS pos,
+    CASE WHEN len(toks) = 0 THEN NULL ELSE toks[u.i] END AS tok
+  FROM t LEFT JOIN LATERAL unnest(generate_series(1, len(toks))) AS u(i)
+    ON TRUE),
+per_tok AS (
+  SELECT pos, tok, COUNT(*) AS c FROM ex WHERE pos IS NOT NULL
+  GROUP BY 1, 2),
+top AS (
+  SELECT pos, CAST(tot AS BIGINT) AS n_docs, tok AS top_token,
+    CAST(c AS BIGINT) AS top_count
+  FROM (
+    SELECT pos, tok, c,
+      SUM(c) OVER (PARTITION BY pos) AS tot,
+      ROW_NUMBER() OVER (PARTITION BY pos ORDER BY c DESC, tok) AS rn
+    FROM per_tok)
+  WHERE rn = 1),
+nulls AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_empty_docs FROM ex
+  WHERE pos IS NULL)
+SELECT pos, n_docs, top_token, top_count, n_empty_docs
+FROM top, nulls ORDER BY pos
+"""
+
+
+def q_avg_weighted_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``avgWeighted`` + ``covarPop``/``covarSamp`` parity
+    per part brand: the quantity-weighted mean extended price (exact:
+    decimal Σ(w·x)/Σw in cents), and the population/sample covariance
+    of (quantity, price-cents) from one exact-decimal sufficient-stats
+    pass — n, Σq, Σp, Σqp in DECIMAL, covariance assembled in double
+    with the identical expression on both engines. One fact aggregation
+    keyed by the ~25-value brand dimension; the broadcast part join is
+    the only other exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    q = F.col("l_quantity").cast("decimal(19,0)")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("decimal(19,0)")
+    m = j.groupBy("p_brand").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(pc).cast("double").alias("sp"),
+        F.sum(q * pc).cast("double").alias("sqp"),
+        F.sum(q * q).cast("double").alias("sqq"),
+    )
+    covp = (F.col("sqp") / F.col("n")) - (
+        F.col("sq") / F.col("n")
+    ) * (F.col("sp") / F.col("n"))
+    return m.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n_lines"),
+        F.round(F.col("sqp") / F.col("sq") / 100.0, 6).alias(
+            "avg_weighted_price"
+        ),
+        F.round(covp / 100.0, 6).alias("covar_pop"),
+        F.round(
+            covp * F.col("n") / (F.col("n") - 1.0) / 100.0, 6
+        ).alias("covar_samp"),
+    ).orderBy("p_brand")
+
+
+_AVG_WEIGHTED_SQL = """
+WITH m AS (
+  SELECT p_brand, CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,0))) AS DOUBLE) AS sq,
+    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS DECIMAL(19,0)))
+         AS DOUBLE) AS sp,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,0))
+             * CAST(ROUND(l_extendedprice * 100) AS DECIMAL(19,0)))
+         AS DOUBLE) AS sqp,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(19,0))
+             * CAST(l_quantity AS DECIMAL(19,0))) AS DOUBLE) AS sqq
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1)
+SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+  ROUND(sqp / sq / 100.0, 6) AS avg_weighted_price,
+  ROUND(((sqp / n) - (sq / n) * (sp / n)) / 100.0, 6) AS covar_pop,
+  ROUND(((sqp / n) - (sq / n) * (sp / n)) * n / (n - 1.0) / 100.0, 6)
+    AS covar_samp
+FROM m ORDER BY p_brand
+"""
+
+
+def q_integer_division_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse integer-arithmetic parity — ``intDiv`` (truncates
+    toward zero), ``modulo`` (sign of the dividend), and
+    ``positiveModulo`` — exercised on a signed value (props.k − 50,
+    divisor 7). Cross-engine division semantics are a classic silent
+    divergence (floor- vs trunc-division); both sides here spell the
+    SAME explicit trunc/pmod formulas, and the report aggregates per
+    event type so any row-level disagreement shifts a sum. Row-local
+    arithmetic, one aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint") - 50
+    d = F.lit(7)
+    # trunc-toward-zero division and C-style remainder (both match
+    # Spark's native `div`/`%`; spelled explicitly for cross-engine
+    # clarity), plus the always-positive modulo
+    # FLOOR(|k|/d) == trunc toward zero for the non-negative numerator;
+    # spelled with explicit FLOOR because DuckDB's double->BIGINT CAST
+    # rounds (Spark's truncates)
+    tdiv = F.floor(F.abs(k) / d).cast("bigint") * F.when(k < 0, -1).otherwise(
+        1
+    )
+    trem = k - tdiv * d
+    pmod = ((k % d) + d) % d
+    b = ev.select(
+        "event_type",
+        k.alias("k"),
+        tdiv.alias("tdiv"),
+        trem.alias("trem"),
+        pmod.alias("pmod"),
+    )
+    return (
+        b.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("k") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_negative"),
+            F.sum("tdiv").cast("bigint").alias("sum_intdiv"),
+            F.sum("trem").cast("bigint").alias("sum_modulo"),
+            F.sum("pmod").cast("bigint").alias("sum_positive_modulo"),
+            F.min("trem").cast("bigint").alias("min_modulo"),
+            F.min("pmod").cast("bigint").alias("min_positive_modulo"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_INT_DIV_SQL = """
+WITH b AS (
+  SELECT event_type,
+    CAST(json_extract(props, '$.k') AS BIGINT) - 50 AS k
+  FROM events),
+c AS (
+  SELECT event_type, k,
+    CAST(FLOOR(abs(k) / 7) AS BIGINT)
+      * (CASE WHEN k < 0 THEN -1 ELSE 1 END) AS tdiv,
+    k - CAST(FLOOR(abs(k) / 7) AS BIGINT)
+      * (CASE WHEN k < 0 THEN -1 ELSE 1 END) * 7 AS trem,
+    ((k % 7) + 7) % 7 AS pmod
+  FROM b)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+  CAST(SUM(tdiv) AS BIGINT) AS sum_intdiv,
+  CAST(SUM(trem) AS BIGINT) AS sum_modulo,
+  CAST(SUM(pmod) AS BIGINT) AS sum_positive_modulo,
+  CAST(MIN(trem) AS BIGINT) AS min_modulo,
+  CAST(MIN(pmod) AS BIGINT) AS min_positive_modulo
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_asof_join_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional as-of joins (pandas merge_asof / QuestDB parity —
+    ClickHouse ASOF JOIN is the backward case): every purchase event is
+    matched to the same user's nearest view event backward, forward,
+    and nearest-with-1h-tolerance, via the bucketed two-pass operator
+    (operators/asof.py — forward is the backward pass on the
+    time-negated axis, nearest is both passes + smaller-gap pick with
+    backward ties). The report is a single checksum row: match counts
+    and exact id sums per direction plus the tie census, so any
+    row-level disagreement shifts a sum. The DuckDB twin uses native
+    ASOF JOIN both ways."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    r = AsOf.asof_join_directional(
+        p, v, "ts", "ts", "view_id", keys=["user_id"],
+        direction="backward", out_col="b_id", out_ts_col="b_ts",
+    )
+    r = AsOf.asof_join_directional(
+        r, v, "ts", "ts", "view_id", keys=["user_id"],
+        direction="forward", out_col="f_id", out_ts_col="f_ts",
+    )
+    # nearest derives from the two matches already attached (the same
+    # smaller-gap/backward-tie/tolerance algebra the operator's
+    # direction='nearest' runs — which is pytest-pinned separately) so
+    # the query costs exactly two as-of passes, not four
+    gb = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("b_ts"))
+    gf = F.unix_micros(F.col("f_ts")) - F.unix_micros(F.col("ts"))
+    pick_b = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull() | (gb <= gf)
+    )
+    n0_id = F.when(pick_b, F.col("b_id")).otherwise(F.col("f_id"))
+    n0_ts = F.when(pick_b, F.col("b_ts")).otherwise(F.col("f_ts"))
+    n_id = F.when(
+        n0_id.isNotNull()
+        & (
+            F.abs(F.unix_micros(F.col("ts")) - F.unix_micros(n0_ts))
+            <= 3600 * 1_000_000
+        ),
+        n0_id,
+    )
+    r = r.withColumn("n_id", n_id)
+    return r.agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.count("b_id").cast("bigint").alias("n_backward"),
+        F.count("f_id").cast("bigint").alias("n_forward"),
+        F.count("n_id").cast("bigint").alias("n_nearest_1h"),
+        F.sum("b_id").cast("bigint").alias("sum_backward_ids"),
+        F.sum("f_id").cast("bigint").alias("sum_forward_ids"),
+        F.sum("n_id").cast("bigint").alias("sum_nearest_ids"),
+        F.sum(
+            F.when(
+                F.col("n_id").isNotNull() & (F.col("n_id") == F.col("b_id")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_nearest_took_backward"),
+    )
+
+
+_ASOF_DIRECTIONS_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id, ts AS vts, event_id AS view_id FROM events
+  WHERE event_type = 'view'),
+b AS (
+  SELECT p.event_id, p.ts, v.view_id AS b_id, v.vts AS b_ts
+  FROM p ASOF LEFT JOIN v
+    ON p.user_id = v.user_id AND p.ts >= v.vts),
+f AS (
+  SELECT p.event_id, v.view_id AS f_id, v.vts AS f_ts
+  FROM p ASOF LEFT JOIN v
+    ON p.user_id = v.user_id AND p.ts <= v.vts),
+j AS (
+  SELECT b.event_id, b.ts, b.b_id, b.b_ts, f.f_id, f.f_ts
+  FROM b JOIN f ON b.event_id = f.event_id),
+n AS (
+  SELECT *,
+    CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR
+        epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts))
+      THEN b_id ELSE f_id END AS n0_id,
+    CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR
+        epoch_us(ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ts))
+      THEN b_ts ELSE f_ts END AS n0_ts
+  FROM j),
+near AS (
+  SELECT *, CASE WHEN n0_id IS NOT NULL
+      AND abs(epoch_us(ts) - epoch_us(n0_ts)) <= 3600000000
+    THEN n0_id END AS n_id
+  FROM n)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+  CAST(COUNT(b_id) AS BIGINT) AS n_backward,
+  CAST(COUNT(f_id) AS BIGINT) AS n_forward,
+  CAST(COUNT(n_id) AS BIGINT) AS n_nearest_1h,
+  CAST(SUM(b_id) AS BIGINT) AS sum_backward_ids,
+  CAST(SUM(f_id) AS BIGINT) AS sum_forward_ids,
+  CAST(SUM(n_id) AS BIGINT) AS sum_nearest_ids,
+  CAST(SUM(CASE WHEN n_id IS NOT NULL AND n_id = b_id THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_nearest_took_backward
+FROM near
+"""
+
+
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the rsync/LBFS boundary trick
+    LLM pipelines use against SHIFTED duplicate text, where fixed-size
+    or paragraph chunking misses): a rolling 3-token md5 picks chunk
+    boundaries (hash % 16 == 0 → expected ~16-token chunks), chunks are
+    re-hashed, and the per-source report counts chunk instances,
+    distinct chunks, the dup ratio (ppm), and chunks shared across ≥2
+    documents. Boundary detection and chunk assembly are row-local
+    array expressions; the only shuffles carry (hash, doc) pairs — the
+    same fingerprint-only-shuffle shape as exact dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    d = docs.select("doc_id", "source", t.alias("t"), F.size(t).alias("n"))
+    tri = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(F.col("t"), i - 2),
+        F.element_at(F.col("t"), i - 1),
+        F.element_at(F.col("t"), i),
+    )
+    is_bnd = (
+        lambda i: F.conv(F.substring(F.md5(tri(i)), 1, 8), 16, 10)  # noqa: E731
+        .cast("bigint")
+        % 16
+        == 0
+    )
+    bnds = F.when(
+        F.col("n") >= 3,
+        F.filter(F.sequence(F.lit(3), F.col("n")), is_bnd),
+    ).otherwise(F.array().cast("array<int>"))
+    d = d.withColumn("bnds", bnds)
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(F.col("bnds"), lambda b: b + 1)
+    )
+    ends = F.concat(F.col("bnds"), F.array(F.col("n")))
+    chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size(starts)),
+            lambda j: F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("t"),
+                    F.element_at(starts, j),
+                    F.greatest(
+                        F.element_at(ends, j) - F.element_at(starts, j) + 1,
+                        F.lit(0),
+                    ),
+                ),
+            ),
+        ),
+        lambda c: c != F.lit(""),
+    )
+    ex = d.select(
+        "doc_id", "source", F.explode(chunks).alias("chunk")
+    ).select("doc_id", "source", F.md5("chunk").alias("h"))
+    multi = (
+        ex.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_multi"))
+    )
+    ex2 = ex.join(F.broadcast(multi), "h", "left")
+    return (
+        ex2.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.countDistinct("h").cast("bigint").alias("n_distinct"),
+            F.expr(
+                "(count(*) - count(distinct h)) * 1000000 div count(*)"
+            )
+            .cast("bigint")
+            .alias("dup_ppm"),
+            F.countDistinct(F.when(F.col("is_multi") == 1, F.col("h")))
+            .cast("bigint")
+            .alias("n_hashes_multi_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+_CDC_CHUNK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOKS_SQL} AS t, len({_TOKS_SQL}) AS n
+  FROM documents),
+b AS (
+  SELECT doc_id, source, t, n,
+    CASE WHEN n >= 3 THEN list_filter(generate_series(3, n),
+      i -> ('0x' || substr(md5(t[i-2] || ' ' || t[i-1] || ' ' || t[i]),
+            1, 8))::BIGINT % 16 = 0)
+    ELSE [] END AS bnds
+  FROM d),
+c AS (
+  SELECT doc_id, source,
+    list_concat([1], list_transform(bnds, x -> x + 1)) AS starts,
+    list_concat(bnds, [n]) AS ends, t
+  FROM b),
+ex AS (
+  SELECT doc_id, source,
+    md5(array_to_string(list_slice(t, starts[j], ends[j]), ' ')) AS h
+  FROM c, unnest(generate_series(1, len(starts))) AS u(j)
+  WHERE array_to_string(list_slice(t, starts[j], ends[j]), ' ') <> ''),
+multi AS (
+  SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ex GROUP BY h)
+  WHERE nd >= 2)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+  CAST((COUNT(*) - COUNT(DISTINCT h)) * 1000000 // COUNT(*) AS BIGINT)
+    AS dup_ppm,
+  CAST(COUNT(DISTINCT CASE WHEN h IN (SELECT h FROM multi) THEN h END)
+       AS BIGINT) AS n_hashes_multi_doc
+FROM ex GROUP BY source ORDER BY source
+"""
+
+
+def q_streaming_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming sliding-window top-k
+    (streaming/topk.py): 6h windows sliding 3h, top-3 event types per
+    window (count desc, type tie-break) — the same window()/rank
+    expressions the watermarked stream runs, hash-gated here. The
+    DuckDB twin derives each event's two covering windows from the 3h
+    grid explicitly. Stateful count in the engine, bounded rank
+    downstream — the 100 TB/day trending-topics shape."""
+    from ..streaming.topk import sliding_type_counts, topk_per_window
+
+    ev = _t(spark, sf_dir, "events")
+    counts = sliding_type_counts(ev)
+    return (
+        topk_per_window(counts, k=3)
+        .select(
+            F.col("window_start").cast("timestamp").alias("window_start"),
+            "rnk",
+            "event_type",
+            "n",
+        )
+        .orderBy("window_start", "rnk")
+    )
+
+
+_STREAM_TOPK_SQL = """
+WITH g AS (
+  SELECT event_type,
+    to_timestamp(CAST(FLOOR(epoch(ts) / 10800) * 10800 AS BIGINT))
+      AT TIME ZONE 'UTC' AS g0,
+    ts
+  FROM events),
+ex AS (
+  SELECT event_type, g0 - INTERVAL 3 HOUR AS window_start FROM g
+  UNION ALL
+  SELECT event_type, g0 AS window_start FROM g),
+c AS (
+  SELECT window_start, event_type, COUNT(*) AS n
+  FROM ex GROUP BY 1, 2),
+r AS (
+  SELECT window_start, event_type, n,
+    ROW_NUMBER() OVER (PARTITION BY window_start
+                       ORDER BY n DESC, event_type) AS rnk
+  FROM c)
+SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+  CAST(rnk AS BIGINT) AS rnk, event_type, CAST(n AS BIGINT) AS n
+FROM r WHERE rnk <= 3 ORDER BY window_start, rnk
+"""
+
+
+def q_interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``intervalLengthSum`` parity: total length of the
+    UNION of per-event intervals per event type (overlaps counted
+    once). Each event spans [ts, ts + clamp(round(value), 1, 3600)]
+    seconds. The classic sweep: sort by start, and each interval
+    contributes max(0, end - max(start, running-max-of-prior-ends)) —
+    one window pass, integer seconds, no interval explode (the naive
+    second-level explode would be 3600x the rows; this is the shape
+    that survives dense coverage at 100 TB). Both engines run the
+    identical sweep."""
+    ev = _t(spark, sf_dir, "events")
+    dur = F.least(
+        F.greatest(F.round("value").cast("bigint"), F.lit(1)), F.lit(3600)
+    )
+    s = F.floor(F.col("ts").cast("double")).cast("bigint")
+    iv = ev.select("event_type", s.alias("s"), (s + dur).alias("e"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.col("e")
+        - F.greatest(F.col("s"), F.coalesce(F.max("e").over(w), F.col("s"))),
+        F.lit(0),
+    )
+    return (
+        iv.select("event_type", contrib.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum("c").cast("bigint").alias("union_len_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_INTERVAL_LEN_SQL = """
+WITH iv AS (
+  SELECT event_type,
+    CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+    CAST(FLOOR(epoch(ts)) AS BIGINT)
+      + least(greatest(CAST(ROUND(value) AS BIGINT), 1), 3600) AS e
+  FROM events),
+c AS (
+  SELECT event_type,
+    greatest(e - greatest(s, COALESCE(MAX(e) OVER (
+      PARTITION BY event_type ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), s)), 0) AS c
+  FROM iv)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+  CAST(SUM(c) AS BIGINT) AS union_len_sec
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_schema_evolution_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift ingestion (the 100 TB reality: datasets gain
+    columns mid-life): two parquet generations are written to a
+    tempdir — gen 1 (even order keys) without, gen 2 (odd keys) WITH a
+    late-added priority column — and read back through ONE
+    mergeSchema scan. The census pins: total rows survive, the merged
+    schema is the union, gen-1 rows surface NULL (not garbage, not
+    dropped) in the late column, and gen-2 values are intact. The twin
+    recomputes every count from orders directly."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        base.where(F.col("o_orderkey") % 2 == 0).write.parquet(tmp + "/gen1")
+        o.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.col("o_orderpriority").alias("priority"),
+        ).write.parquet(tmp + "/gen2")
+        merged = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(tmp + "/gen1", tmp + "/gen2")
+        )
+        out = merged.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.lit(len(merged.columns)).cast("bigint").alias("n_cols_merged"),
+            F.sum(F.col("priority").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_null_priority"),
+            F.countDistinct("priority").cast("bigint").alias("n_priorities"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).collect()[0]
+    return spark.createDataFrame(
+        [tuple(out)],
+        "n_rows bigint, n_cols_merged bigint, n_null_priority bigint, "
+        "n_priorities bigint, sum_cents bigint",
+    )
+
+
+_SCHEMA_EVO_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(3 AS BIGINT) AS n_cols_merged,
+  CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_priority,
+  CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1
+    THEN o_orderpriority END) AS BIGINT) AS n_priorities,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_cents
+FROM orders
+"""
+
+
+def q_json_corrupt_records_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Malformed-input ingestion contract (the 100 TB reality: raw JSON
+    feeds always contain garbage lines): a JSONL dataset is generated
+    from documents with every doc_id % 10 == 0 line deliberately
+    corrupted, read back through ONE PERMISSIVE scan with
+    columnNameOfCorruptRecord, and the census pins: no line vanishes
+    (valid + corrupt == total), corrupt lines surface in the quarantine
+    column with NULL data fields, and valid-line values are intact.
+    The twin recomputes every count from documents. FAILFAST/DROPMALFORMED
+    are the same reader's other modes; PERMISSIVE-with-quarantine is
+    the one that preserves auditability at scale."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    line = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.lit("{corrupt "), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.to_json(
+            F.struct(
+                F.col("doc_id"),
+                F.length("text").cast("bigint").alias("n_chars"),
+            )
+        )
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.select(line.alias("value")).write.mode("overwrite").text(
+            tmp + "/feed"
+        )
+        parsed = (
+            spark.read.schema(
+                "doc_id long, n_chars long, _corrupt_record string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(tmp + "/feed")
+        )
+        out = parsed.agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.col("_corrupt_record").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_corrupt"),
+            F.sum(F.col("doc_id").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_valid"),
+            F.sum(
+                (
+                    F.col("_corrupt_record").isNotNull()
+                    & F.col("doc_id").isNull()
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_quarantined_nulled"),
+            F.sum(F.coalesce("n_chars", F.lit(0)))
+            .cast("bigint")
+            .alias("sum_valid_chars"),
+        ).collect()[0]
+    return spark.createDataFrame(
+        [tuple(out)],
+        "n_lines bigint, n_corrupt bigint, n_valid bigint, "
+        "n_quarantined_nulled bigint, sum_valid_chars bigint",
+    )
+
+
+_JSON_CORRUPT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_corrupt,
+  CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_valid,
+  CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_quarantined_nulled,
+  CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN LENGTH(text) ELSE 0 END)
+    AS BIGINT) AS sum_valid_chars
+FROM documents
+"""
+
+
+def q_gzip_text_ingest_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed text ingestion (ClickHouse reads .gz natively;
+    forecast pipelines inherit logs this way): documents are written as
+    FOUR gzip JSONL files and read back through one scan. The census
+    pins row survival, value integrity, and that all four compressed
+    files were actually opened. The SCALE caveat this query exists to
+    document: gzip is NOT splittable — one task per .gz file regardless
+    of size (pinned with a partition test in test_advice_r4.py), so a
+    100 TB gz-landed feed must arrive as many files (or be transcoded
+    to a splittable layout) before heavy processing."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    line = F.to_json(
+        F.struct(
+            F.col("doc_id"), F.length("text").cast("bigint").alias("n_chars")
+        )
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        (
+            docs.select(line.alias("value"))
+            .repartition(4)
+            .write.option("compression", "gzip")
+            .text(tmp + "/feed")
+        )
+        back = (
+            spark.read.schema("doc_id long, n_chars long")
+            .json(tmp + "/feed")
+            .select("doc_id", "n_chars", F.input_file_name().alias("f"))
+        )
+        out = back.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.countDistinct("f").cast("bigint").alias("n_gz_files"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum(
+                F.when(F.col("f").endswith(".gz"), 0).otherwise(1)
+            ).cast("bigint").alias("n_not_gz"),
+        ).collect()[0]
+    return spark.createDataFrame(
+        [tuple(out)],
+        "n_rows bigint, n_docs bigint, n_gz_files bigint, "
+        "sum_chars bigint, n_not_gz bigint",
+    )
+
+
+_GZIP_INGEST_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(4 AS BIGINT) AS n_gz_files,
+  CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+  CAST(0 AS BIGINT) AS n_not_gz
+FROM documents
+"""
+
+
+def q_manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase-commit custom sink, driver-gated: orders write through
+    the jsonlsink Python DataSource (staged part files, atomic manifest
+    swap), read back through the manifest, and the census pins row
+    survival, key distinctness, value integrity, and that the manifest
+    total equals what the tasks reported. A torn publish, a lost commit
+    message, or a value-mangling serializer breaks the hash."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from ..sources import jsonl_sink
+
+    jsonl_sink.register(spark)
+    src = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        target = tmp + "/sink"
+        src.write.format("jsonlsink").option("path", target).mode(
+            "append"
+        ).save()
+        with open(_os.path.join(target, jsonl_sink.MANIFEST)) as fh:
+            man = _json.load(fh)
+        back = jsonl_sink.read_manifest(
+            spark, target, "o_orderkey long, cents long"
+        )
+        out = back.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("o_orderkey").cast("bigint").alias("n_keys"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                out.n_rows,
+                out.n_keys,
+                out.sum_cents,
+                int(man["total_rows"]) == out.n_rows,
+            )
+        ],
+        "n_rows bigint, n_keys bigint, sum_cents bigint, "
+        "manifest_consistent boolean",
+    )
+
+
+_MANIFEST_SINK_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_cents,
+  true AS manifest_consistent
+FROM orders
+"""
+
+
+def q_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka wire layer, driver-gated: events encode into the kafka
+    source's fixed wire schema (binary JSON value, user-keyed
+    partitions, event_id offsets) and parse back through the SAME
+    expression layer the format("kafka") binding uses. The census pins
+    lossless round-trip (row count, id set, exact value cents sum,
+    microsecond timestamp fidelity) plus the broker invariants the
+    double must honor (8 partitions, zero malformed)."""
+    from ..streaming.kafka_shape import events_to_wire, parse_events_payload
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = parse_events_payload(events_to_wire(ev))
+    return (
+        parsed.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("event_id").cast("bigint").alias("n_ids"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+            F.countDistinct(F.date_format("ts", "SSSSSS"))
+            .cast("bigint")
+            .alias("n_micro_patterns"),
+            F.countDistinct("kafka_partition").cast("bigint").alias(
+                "n_partitions"
+            ),
+            F.sum(F.col("event_id").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_malformed"),
+        )
+    )
+
+
+_KAFKA_WIRE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  CAST(COUNT(DISTINCT lpad(CAST(microsecond(ts) % 1000000 AS VARCHAR),
+    6, '0')) AS BIGINT) AS n_micro_patterns,
+  CAST(COUNT(DISTINCT user_id % 8) AS BIGINT) AS n_partitions,
+  CAST(0 AS BIGINT) AS n_malformed
+FROM events
+"""
+
+
+def _replay_closed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the REAL append-mode Structured Streaming query over the
+    events parquet (availableNow replay) and return the drained memory
+    sink: only windows the final watermark (max event ts - 1 day)
+    closed are emitted — the production sink-mode semantics, not the
+    complete-mode drain the replay tests use."""
+    from ..streaming.rollup import EVENTS_SCHEMA
+    from ..streaming.topk import sliding_type_counts
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    counts = sliding_type_counts(stream, watermark="1 day")
+    name = "closed_counts_replay"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming replay did not finish in 300s")
+    return spark.table(name)
+
+
+def q_streaming_closed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-closed APPEND-mode output of the sliding-window count
+    stream (streaming/topk.sliding_type_counts), hash-gated against a
+    DuckDB twin (VERDICT r4 #8): a real availableNow replay runs the
+    stateful query, and the emitted subset must equal the batch windows
+    whose end is at or before max(ts) - 1 day — the exact watermark
+    closure rule. A state-store bug, a wrong watermark column, or an
+    eager/late emission changes the row set and breaks the hash."""
+    drained = _replay_closed_counts(spark, sf_dir)
+    return drained.select(
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        F.col("window_end").cast("timestamp").alias("window_end"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+    ).orderBy("window_start", "event_type")
+
+
+_STREAM_CLOSED_COUNTS_SQL = """
+WITH g AS (
+  SELECT event_type,
+    CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 10800) * 10800 AS BIGINT))
+      AT TIME ZONE 'UTC' AS TIMESTAMP) AS g0
+  FROM events),
+ex AS (
+  SELECT event_type, g0 - INTERVAL 3 HOUR AS window_start FROM g
+  UNION ALL
+  SELECT event_type, g0 AS window_start FROM g),
+c AS (
+  SELECT window_start, window_start + INTERVAL 6 HOUR AS window_end,
+    event_type, COUNT(*) AS n
+  FROM ex GROUP BY 1, 2, 3)
+SELECT window_start, window_end, event_type, CAST(n AS BIGINT) AS n
+FROM c
+WHERE window_end <= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events)
+ORDER BY window_start, event_type
+"""
+
+
+def q_streaming_closed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per watermark-closed window over the APPEND-mode stream
+    output (the production foreachBatch ranking stage running on what
+    the engine actually emitted), hash-gated against the DuckDB window
+    twin restricted to the same closed subset."""
+    from ..streaming.topk import topk_per_window
+
+    drained = _replay_closed_counts(spark, sf_dir)
+    return (
+        topk_per_window(drained, k=3)
+        .select(
+            F.col("window_start").cast("timestamp").alias("window_start"),
+            "rnk",
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("window_start", "rnk")
+    )
+
+
+_STREAM_CLOSED_TOPK_SQL = """
+WITH g AS (
+  SELECT event_type,
+    CAST(to_timestamp(CAST(FLOOR(epoch(ts) / 10800) * 10800 AS BIGINT))
+      AT TIME ZONE 'UTC' AS TIMESTAMP) AS g0
+  FROM events),
+ex AS (
+  SELECT event_type, g0 - INTERVAL 3 HOUR AS window_start FROM g
+  UNION ALL
+  SELECT event_type, g0 AS window_start FROM g),
+c AS (
+  SELECT window_start, event_type, COUNT(*) AS n
+  FROM ex GROUP BY 1, 2
+  HAVING window_start + INTERVAL 6 HOUR
+    <= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events)),
+r AS (
+  SELECT window_start, event_type, n,
+    ROW_NUMBER() OVER (PARTITION BY window_start
+                       ORDER BY n DESC, event_type) AS rnk
+  FROM c)
+SELECT window_start, CAST(rnk AS BIGINT) AS rnk, event_type,
+  CAST(n AS BIGINT) AS n
+FROM r WHERE rnk <= 3 ORDER BY window_start, rnk
+"""
+
+

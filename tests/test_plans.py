@@ -685,11 +685,15 @@ def test_window_before_checkpoint_sites_are_reviewed():
     and pinned here — each current entry feeds the window from a
     calendar-bounded daily aggregate (_daily_cents/_orders_daily), never a
     fact/corpus frame. Growing this list is a deliberate act of review."""
+    import os
     import re
 
     import clickhouse_forecasting_spark.queries as q
 
-    src = open(q.__file__).read()
+    qdir = os.path.dirname(q.__file__)
+    src = "".join(
+        open(os.path.join(qdir, p + ".py")).read() for p in q._PARTS
+    )
     flagged = set()
     for f in re.split(r"(?=^def )", src, flags=re.M):
         name = f.split("(")[0].replace("def ", "").strip()

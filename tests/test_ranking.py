@@ -354,3 +354,63 @@ def test_dispatch_routes_by_size(spark):
     rows_f = {(r.g, r.v): r.rn for r in fast.collect()}
     rows_s = {(r.g, r.v): r.rn for r in slow.collect()}
     assert rows_f == rows_s
+
+
+def test_bounded_rows_running_sum_matches_grouped_and_window(spark):
+    """The running-sum fast path must reproduce the SQL window's exact
+    NULL semantics (NULL until the group's first non-null value, NULLs
+    skipped after) — the same property grouped_running_sum's NULL-carry
+    machinery is pinned to."""
+    rows = []
+    for i in range(200):
+        g = i % 4
+        v = None if (g == 1 or i % 7 == 3) else i * 1.0
+        rows.append((g, i, v))
+    df = spark.createDataFrame(rows, "g int, o int, v double")
+    fast = RK.bounded_rows_running_sum(
+        df, ["g"], ["o"], ["v"], ["cum"], max_rows=10_000
+    )
+    slow = RK.grouped_running_sum(df, ["g"], ["o"], ["v"], ["cum"])
+    ref = df.withColumn(
+        "cum",
+        F.sum("v").over(
+            Window.partitionBy("g").orderBy("o")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    want = {(r.g, r.o): r.cum for r in ref.collect()}
+    for got in (fast, slow):
+        have = {(r.g, r.o): r.cum for r in got.collect()}
+        assert have == want
+
+
+def test_bounded_rows_running_sum_refuses_oversized_input(spark):
+    df = spark.range(500).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("o"),
+        F.col("id").cast("double").alias("v"),
+    )
+    bad = RK.bounded_rows_running_sum(
+        df, ["g"], ["o"], ["v"], ["cum"], max_rows=50
+    )
+    with pytest.raises(Exception, match="max_rows"):
+        bad.collect()
+
+
+def test_grouped_running_sum_dispatch_routes_by_size(spark):
+    df = spark.range(300).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("o"),
+        F.col("id").cast("double").alias("v"),
+    )
+    fast = RK.grouped_running_sum(
+        df, ["g"], ["o"], ["v"], ["cum"], dispatch_max_rows=1000
+    )
+    slow = RK.grouped_running_sum(
+        df, ["g"], ["o"], ["v"], ["cum"], dispatch_max_rows=100
+    )
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+    assert "__bounded_rowcap_asserted" in fast_plan
+    assert "__bounded_rowcap_asserted" not in slow_plan
+    a = {(r.g, r.o): r.cum for r in fast.collect()}
+    b = {(r.g, r.o): r.cum for r in slow.collect()}
+    assert a == b

@@ -97,15 +97,31 @@ def test_plans_census_covers_registry():
 def test_no_shadowed_oracle_sql_definitions():
     """A second module-level `_X_SQL = ` definition silently rewires every
     registry entry bound to the first (this bit funnel_conversion when a
-    curation query reused the `_FUNNEL_SQL` name) — pin uniqueness."""
+    curation query reused the `_FUNNEL_SQL` name) — pin uniqueness. Since
+    the r8 split, the queries package executes every part file into ONE
+    shared namespace, so the scan covers the parts' CONCATENATION in
+    execution order (a duplicate across two part files shadows exactly
+    like a duplicate within one), plus duplicate module-level `def`s —
+    the same last-wins hazard for helpers and q_ functions."""
     import re
 
-    import clickhouse_forecasting_spark.queries as q
+    from clickhouse_forecasting_spark.queries import _PARTS
 
-    src = open(q.__file__).read()
+    src = "".join(
+        open(os.path.join(_queries_dir(), p + ".py")).read() for p in _PARTS
+    )
     names = re.findall(r"^(_[A-Z0-9_]+_SQL) = ", src, re.M)
     dups = sorted({n for n in names if names.count(n) > 1})
     assert dups == [], f"shadowed oracle SQL variables: {dups}"
+    defs = re.findall(r"^def ([A-Za-z_][A-Za-z0-9_]*)\(", src, re.M)
+    ddups = sorted({n for n in defs if defs.count(n) > 1})
+    assert ddups == [], f"shadowed module-level defs: {ddups}"
+
+
+def _queries_dir() -> str:
+    import clickhouse_forecasting_spark.queries as q
+
+    return os.path.dirname(q.__file__)
 
 
 def test_profile_columns_match_fixture_schema():
