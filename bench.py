@@ -251,17 +251,35 @@ def main() -> None:
         + EXTENSIONS_R5 + EXTENSIONS_R6 + EXTENSIONS_R7
     )
     per_iter: list[dict[str, float]] = []
+    singlepart: dict[str, list[int]] = {}
     for it in range(iters):
         t: dict[str, float] = {}
         for name in bench_set:
             fn = qs[name]
             t0 = time.perf_counter()
-            rows = fn(spark, sf_dir).collect()
+            df = fn(spark, sf_dir)
+            rows = df.collect()
             t[name] = round(time.perf_counter() - t0, 3)
             print(
                 f"# iter{it} {name}: {t[name]:.2f}s ({len(rows)} rows)",
                 file=sys.stderr,
             )
+            if it == iters - 1:
+                # census→runtime loop (r8): attribute every SinglePartition
+                # shuffle in the executed plan to this query and the rows
+                # it actually moved — the attribution the bare WindowExec
+                # warnings in the bench tail lack. Audit only; the
+                # fail-loud variant runs in tests/test_runtime_singlepart.
+                try:
+                    from clickhouse_forecasting_spark.telemetry import (
+                        runtime_single_partition_audit,
+                    )
+
+                    found = runtime_single_partition_audit(df, query=name)
+                    if found:
+                        singlepart[name] = [r["records"] for r in found]
+                except Exception as exc:  # never fail the bench on audit
+                    print(f"# audit {name}: {exc}", file=sys.stderr)
         per_iter.append(t)
         # release dead checkpoint/broadcast blocks between iterations:
         # each pass leaves localCheckpoint RDDs whose cleanup waits on
@@ -356,6 +374,7 @@ def main() -> None:
                 "per_iteration": per_iter,
                 "scale_knobs": scale_knobs,
                 "candidate_pairs": candidate_pairs,
+                "runtime_singlepart": singlepart,
             },
             fh,
             indent=1,
@@ -376,6 +395,13 @@ def main() -> None:
                 **subtotals,
                 "suite_r1_per_iter": per_iter_suite_r1,
                 "queries": top20,
+                "runtime_singlepart": {
+                    "queries_with_singlepart": len(singlepart),
+                    "max_records": max(
+                        (r for v in singlepart.values() for r in v),
+                        default=0,
+                    ),
+                },
                 "full": "BENCH_FULL.json",
             }
         )
