@@ -212,6 +212,14 @@ EXTENSIONS_R7: list[str] = [
     "lateral_top_balances",  # enum top-k now on grouped_top_k (r7 rewrite)
 ]
 
+# Round-8 additions, split out as extensions_r8_sec: the frozen-index
+# incremental admission path and the re-expressed (now hash-gated)
+# Lloyd-trained IVF probe.
+EXTENSIONS_R8: list[str] = [
+    "ann_incremental_batch",  # batch admission against a frozen IVF index
+    "similarity_ivf_topk",  # Lloyd-trained 4-probe top-10 (r8 rewrite)
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -248,7 +256,7 @@ def main() -> None:
 
     bench_set = (
         HEADLINE + EXTENSIONS_R2 + EXTENSIONS_R3 + EXTENSIONS_R4
-        + EXTENSIONS_R5 + EXTENSIONS_R6 + EXTENSIONS_R7
+        + EXTENSIONS_R5 + EXTENSIONS_R6 + EXTENSIONS_R7 + EXTENSIONS_R8
     )
     per_iter: list[dict[str, float]] = []
     singlepart: dict[str, list[int]] = {}
@@ -353,6 +361,7 @@ def main() -> None:
         "extensions_r5_sec": round(sum(timings[q] for q in EXTENSIONS_R5), 3),
         "extensions_r6_sec": round(sum(timings[q] for q in EXTENSIONS_R6), 3),
         "extensions_r7_sec": round(sum(timings[q] for q in EXTENSIONS_R7), 3),
+        "extensions_r8_sec": round(sum(timings[q] for q in EXTENSIONS_R8), 3),
     }
     per_iter_suite_r1 = [
         round(sum(t[q] for q in HEADLINE), 3) for t in per_iter

@@ -679,6 +679,34 @@ def ivf_exact_cells(
     return assigned.drop("__iv"), cents
 
 
+def assign_to_cells(
+    df: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Assign vectors to FROZEN learned cells (the centroids from a prior
+    ivf_exact_cells fit) — the incremental-admission primitive: a new
+    batch quantizes and argmin-assigns against the trained index without
+    touching or re-training it. Row-local (literal centroids travel in
+    the plan), deterministic, and SQL-replayable like the trainer; the
+    same float64-exactness guard wraps the cell column."""
+    iv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+    )
+    dim = len(centroids[0])
+    base = df.select(F.col(id_col), F.col(vec_col)).withColumn("__iv", iv)
+    return base.withColumn(
+        "cell",
+        F.when(
+            _exactness_guard(F.col("__iv"), dim).isNull(),
+            _assign_cells_arrow(centroids)(F.col("__iv")),
+        ),
+    ).drop("__iv")
+
+
 def ivf_near_dup_pairs(
     df: DataFrame,
     n_cells: int = 16,

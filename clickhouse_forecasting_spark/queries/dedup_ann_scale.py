@@ -817,7 +817,7 @@ def q_ann_ivf_scale_contract_audit(
     return ann_ivf_scale_audit_frame(spark, 2_000)
 
 
-def _ivf_assign_sql(dim: int, k: int, n_assign: int = 1) -> str:
+def _ivf_assign_sql(dim: int, k: int, n_assign: int = 1, rel: str = "icorpus") -> str:
     """CTE chain replaying similarity.ivf_exact_cells bit-for-bit:
     icorpus(vec_id, iv BIGINT[]) -> a2(vec_id, cell). Seeds are the k
     lowest-id vectors (cell index = id rank), assignment is exact
@@ -833,12 +833,12 @@ def _ivf_assign_sql(dim: int, k: int, n_assign: int = 1) -> str:
     the SINGLE nearest assignment."""
     return f"""seeds AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, iv AS siv
-  FROM (SELECT vec_id, iv FROM icorpus ORDER BY vec_id LIMIT {k})),
+  FROM (SELECT vec_id, iv FROM {rel} ORDER BY vec_id LIMIT {k})),
 d1 AS (
   SELECT v.vec_id, s.j,
     list_sum(list_transform(generate_series(1, {dim}),
       i -> (v.iv[i] - s.siv[i]) * (v.iv[i] - s.siv[i]))) AS d
-  FROM icorpus v CROSS JOIN seeds s),
+  FROM {rel} v CROSS JOIN seeds s),
 a1 AS (
   SELECT vec_id, j AS c FROM (
     SELECT vec_id, j,
@@ -846,7 +846,7 @@ a1 AS (
     FROM d1) WHERE rn = 1),
 sums AS (
   SELECT a1.c, t.p, SUM(v.iv[t.p]) AS s, COUNT(*) AS n
-  FROM a1 JOIN icorpus v USING (vec_id)
+  FROM a1 JOIN {rel} v USING (vec_id)
   CROSS JOIN generate_series(1, {dim}) t(p)
   GROUP BY a1.c, t.p),
 cents AS (
@@ -861,7 +861,7 @@ d2 AS (
   SELECT v.vec_id, c.j,
     list_sum(list_transform(generate_series(1, {dim}),
       i -> (v.iv[i] - c.civ[i]) * (v.iv[i] - c.civ[i]))) AS d
-  FROM icorpus v CROSS JOIN cents c),
+  FROM {rel} v CROSS JOIN cents c),
 a2 AS (
   SELECT vec_id, j AS cell FROM (
     SELECT vec_id, j,
@@ -990,6 +990,123 @@ def q_ivf_near_dup_pairs_probe2(
         emb, n_cells=16, threshold=0.3, scale=1000, n_assign=2
     )
     return pairs.withColumn("cosine", F.round("cosine", 6))
+
+
+def q_ann_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN admission against a FROZEN index — the embedding
+    counterpart of dedup_incremental_batch: the IVF index trains on the
+    base corpus only (vec_id % 5 != 0, deterministic integer Lloyd), an
+    incoming batch (vec_id % 5 == 0) assigns to the trained cells
+    without re-training (similarity.assign_to_cells — literal centroids,
+    row-local), and each batch vector is verified ONLY against base
+    vectors in its cell. Per batch vector: its cell, how many base
+    near-dups it hit at cosine ≥ 0.3, the best match, and the admission
+    verdict. The production property this pins: admission cost is
+    O(batch × cell occupancy) — base-base pairs are never re-mined, the
+    index is never touched. Fully hash-gated: training, assignment,
+    and verification all replay in DuckDB (train rel = base via
+    _ivf_assign_sql(rel=...), batch assignment against the cents CTE)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    assigned_base, cents = SIM.ivf_exact_cells(base, n_cells=16, scale=1000)
+    assigned_batch = SIM.assign_to_cells(batch, cents, scale=1000)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    b = assigned_base.select(
+        "cell", F.col("vec_id").alias("base_id"),
+        F.col("embedding").alias("bv"), nrm.alias("__nb"),
+    )
+    q = assigned_batch.select(
+        "cell", F.col("vec_id").alias("batch_id"),
+        F.col("embedding").alias("qv"), nrm.alias("__nq"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("bv"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    hits = (
+        q.join(b, "cell")
+        .withColumn("cosine", dot / (F.col("__nq") * F.col("__nb")))
+        .filter(F.col("cosine") >= 0.3)
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_base_matches"),
+            F.round(F.max("cosine"), 6).alias("max_cosine"),
+        )
+    )
+    return (
+        assigned_batch.select(
+            F.col("vec_id"), F.col("cell").cast("int").alias("cell")
+        )
+        .join(hits, F.col("vec_id") == hits.batch_id, "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("n_base_matches", F.lit(0).cast("bigint")).alias(
+                "n_base_matches"
+            ),
+            "max_cosine",
+            (F.coalesce("n_base_matches", F.lit(0)) == 0).alias("admitted"),
+        )
+    )
+
+
+_ANN_INCREMENTAL_SQL = f"""
+WITH ibase AS (
+  SELECT vec_id,
+    list_transform(embedding,
+                   x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS iv
+  FROM embeddings WHERE vec_id % 5 <> 0),
+ibatch AS (
+  SELECT vec_id,
+    list_transform(embedding,
+                   x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS iv
+  FROM embeddings WHERE vec_id % 5 = 0),
+{_ivf_assign_sql(64, 16, rel="ibase")},
+d3 AS (
+  SELECT v.vec_id, c.j,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> (v.iv[i] - c.civ[i]) * (v.iv[i] - c.civ[i]))) AS d
+  FROM ibatch v CROSS JOIN cents c),
+a3 AS (
+  SELECT vec_id, j AS cell FROM (
+    SELECT vec_id, j,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+    FROM d3) WHERE rn = 1),
+hits AS (
+  SELECT q.vec_id AS batch_id,
+    CAST(COUNT(*) AS BIGINT) AS n_base_matches,
+    round(MAX(
+      list_sum(list_transform(generate_series(1, 64),
+            i -> eq.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(eq.embedding, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE))))
+    ), 6) AS max_cosine
+  FROM a3 q JOIN a2 b ON q.cell = b.cell
+  JOIN embeddings eq ON eq.vec_id = q.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE list_sum(list_transform(generate_series(1, 64),
+          i -> eq.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(eq.embedding, x -> x::DOUBLE * x::DOUBLE)))
+     * sqrt(list_sum(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE)))) >= 0.3
+  GROUP BY q.vec_id)
+SELECT a3.vec_id,
+  CAST(a3.cell AS INT) AS cell,
+  COALESCE(h.n_base_matches, 0) AS n_base_matches,
+  h.max_cosine,
+  COALESCE(h.n_base_matches, 0) = 0 AS admitted
+FROM a3 LEFT JOIN hits h ON h.batch_id = a3.vec_id
+"""
 
 
 def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -246,3 +246,55 @@ def test_ivf_multi_assign_recall_knob(spark):
     assert got[1]["near"] < 2 * (n // 10)  # single-assign really misses some
     assert got[2]["near"] == 2 * (n // 10)  # multi-assign recovers them all
     assert got[2]["cand"] <= 4 * got[1]["cand"]  # ≤ n_assign² candidate cost
+
+
+def test_ann_incremental_admission_semantics(spark):
+    """assign_to_cells + frozen-index admission: an exact duplicate of a
+    base vector must land in the same cell (identical quantization,
+    deterministic argmin) and be rejected with cosine 1.0; a far vector
+    must be admitted. The index is trained on the base only."""
+    from clickhouse_forecasting_spark.functions import similarity as SIM
+    from pyspark.sql import functions as F
+
+    base_rows = [
+        (i, [1.0 if j == (i % 4) else 0.05 * ((i + j) % 3) for j in range(8)])
+        for i in range(1, 41)
+    ]
+    base = spark.createDataFrame(
+        base_rows, "vec_id long, embedding array<double>"
+    )
+    assigned, cents = SIM.ivf_exact_cells(base, n_cells=4, scale=1000)
+    # batch: vec 100 duplicates base vec 1; vec 101 points far away
+    dup_of_1 = base_rows[0][1]
+    far = [-1.0] * 8
+    batch = spark.createDataFrame(
+        [(100, dup_of_1), (101, far)],
+        "vec_id long, embedding array<double>",
+    )
+    ab = SIM.assign_to_cells(batch, cents, scale=1000)
+    cell_of_1 = {
+        r.vec_id: r.cell for r in assigned.filter("vec_id = 1").collect()
+    }[1]
+    got = {r.vec_id: r.cell for r in ab.collect()}
+    assert got[100] == cell_of_1  # identical vectors share a cell
+
+    # cosine verify against base members of the assigned cell only
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")
+    )
+    q = ab.select(
+        "cell", F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    from clickhouse_forecasting_spark.functions.dedup import cosine_similarity
+
+    hits = (
+        q.join(b, "cell")
+        .withColumn("cos", cosine_similarity(F.col("qv"), F.col("bv")))
+        .filter(F.col("cos") >= 0.95)
+        .groupBy("qid")
+        .agg(F.max("cos").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    )
+    by_q = {r.qid: (r.n, r.mx) for r in hits}
+    assert 100 in by_q and by_q[100][1] == 1.0  # exact dup rejected
+    assert 101 not in by_q  # far vector admitted
