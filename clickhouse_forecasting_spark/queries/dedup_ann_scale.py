@@ -720,7 +720,9 @@ def ann_ivf_scale_audit_frame(spark: SparkSession, n_vecs: int) -> DataFrame:
     assignment feeds the occupancy probe and both join sides."""
     k = _ivf_cells_for(n_vecs)
     emb = synth_embedding_corpus(spark, n_vecs)
-    assigned, _ = SIM.ivf_exact_cells(emb, n_cells=k, scale=1000)
+    assigned, _ = SIM.ivf_exact_cells(
+        emb, n_cells=k, scale=1000, cache_key=("ann_ivf_scale", n_vecs)
+    )
     # per-vector norm BEFORE the checkpoint: the fold is identical to
     # cosine_similarity's, so dot/(na·nb) is bit-identical to the
     # inline form while the O(candidates) verify pays 1 fold per pair
@@ -930,7 +932,7 @@ def q_ivf_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_extensions.py instead)."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = SIM.ivf_near_dup_pairs(
-        emb, n_cells=16, threshold=0.3, scale=1000
+        emb, n_cells=16, threshold=0.3, scale=1000, cache_key=sf_dir
     )
     return pairs.withColumn("cosine", F.round("cosine", 6))
 
@@ -987,7 +989,8 @@ def q_ivf_near_dup_pairs_probe2(
     ROW_NUMBER ORDER BY (d, j) ≤ 2."""
     emb = _t(spark, sf_dir, "embeddings")
     pairs = SIM.ivf_near_dup_pairs(
-        emb, n_cells=16, threshold=0.3, scale=1000, n_assign=2
+        emb, n_cells=16, threshold=0.3, scale=1000, n_assign=2,
+        cache_key=sf_dir,
     )
     return pairs.withColumn("cosine", F.round("cosine", 6))
 
@@ -1009,7 +1012,9 @@ def q_ann_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % 5 != 0)
     batch = emb.filter(F.col("vec_id") % 5 == 0)
-    assigned_base, cents = SIM.ivf_exact_cells(base, n_cells=16, scale=1000)
+    assigned_base, cents = SIM.ivf_exact_cells(
+        base, n_cells=16, scale=1000, cache_key=("incr_base", sf_dir)
+    )
     assigned_batch = SIM.assign_to_cells(batch, cents, scale=1000)
     nrm = F.sqrt(
         F.aggregate(

@@ -25,7 +25,9 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned, cents = SIM.ivf_exact_cells(emb, n_cells=16, scale=1000)
+    assigned, cents = SIM.ivf_exact_cells(
+        emb, n_cells=16, scale=1000, cache_key=sf_dir
+    )
     query = [
         float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
