@@ -217,6 +217,7 @@ EXTENSIONS_R7: list[str] = [
 # Lloyd-trained IVF probe.
 EXTENSIONS_R8: list[str] = [
     "ann_incremental_batch",  # batch admission against a frozen IVF index
+    "stream_ann_admission",  # the same semantics as a stream-static replay
     "similarity_ivf_topk",  # Lloyd-trained 4-probe top-10 (r8 rewrite)
 ]
 

@@ -1066,6 +1066,100 @@ def q_ann_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ann_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ann_incremental_batch — the 100 TB/day ingest
+    shape: the IVF index is frozen batch-side (trained on the base
+    corpus, broadcast as literal centroids), and the incoming embedding
+    stream assigns + verifies per micro-batch with ZERO streaming state:
+    `assign_to_cells` is a row-local pandas UDF (stream-safe), and the
+    in-cell verification is a stream-STATIC inner join against the
+    assigned base — no watermark, no state store, admission latency is
+    one micro-batch. A REAL availableNow replay runs the streaming
+    query; the drained hit rows aggregate to the identical per-vector
+    verdicts as the batch path, so the row shares the batch twin's
+    oracle SQL verbatim — one semantics, two execution modes."""
+
+    emb_static = _t(spark, sf_dir, "embeddings")
+    base = emb_static.filter(F.col("vec_id") % 5 != 0)
+    assigned_base, cents = SIM.ivf_exact_cells(
+        base, n_cells=16, scale=1000, cache_key=("incr_base", sf_dir)
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    b = assigned_base.select(
+        "cell", F.col("vec_id").alias("base_id"),
+        F.col("embedding").alias("bv"), nrm.alias("__nb"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "vec_id bigint, embedding array<float>, label int"
+        )
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .filter(F.col("vec_id") % 5 == 0)
+    )
+    q = SIM.assign_to_cells(stream, cents, scale=1000).select(
+        "cell", F.col("vec_id").alias("batch_id"),
+        F.col("embedding").alias("qv"), nrm.alias("__nq"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qv"), F.col("bv"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    hits_stream = (
+        q.join(b, "cell")
+        .withColumn("cosine", dot / (F.col("__nq") * F.col("__nb")))
+        .filter(F.col("cosine") >= 0.3)
+        .select("batch_id", "cosine")
+    )
+    name = "ann_admission_replay"
+    sq = (
+        hits_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not sq.awaitTermination(300):
+        sq.stop()
+        raise RuntimeError("streaming replay did not finish in 300s")
+    hits = (
+        spark.table(name)
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_base_matches"),
+            F.round(F.max("cosine"), 6).alias("max_cosine"),
+        )
+    )
+    batch_static = SIM.assign_to_cells(
+        emb_static.filter(F.col("vec_id") % 5 == 0), cents, scale=1000
+    )
+    return (
+        batch_static.select(
+            F.col("vec_id"), F.col("cell").cast("int").alias("cell")
+        )
+        .join(hits, F.col("vec_id") == hits.batch_id, "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("n_base_matches", F.lit(0).cast("bigint")).alias(
+                "n_base_matches"
+            ),
+            "max_cosine",
+            (F.coalesce("n_base_matches", F.lit(0)) == 0).alias("admitted"),
+        )
+    )
+
+
 _ANN_INCREMENTAL_SQL = f"""
 WITH ibase AS (
   SELECT vec_id,
