@@ -140,3 +140,28 @@ def test_profile_columns_match_fixture_schema():
     )
     assert files, f"no orders fixture under {sf_dir}"
     assert list(pq.read_schema(files[0]).names) == _PROFILE_COLUMNS
+
+
+def test_no_direct_part_module_imports():
+    """The queries part files execute into __init__'s shared namespace
+    and are NOT standalone modules (a later part's names resolve only
+    after the whole chain runs) — importing one directly would execute
+    it in isolation and NameError on any cross-part helper. Pin the
+    convention: nothing in the repo imports `queries.<part>` directly."""
+    import glob
+    import re as _re
+
+    from clickhouse_forecasting_spark.queries import _PARTS
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    offenders = []
+    pat = _re.compile(
+        r"queries\.(" + "|".join(_re.escape(p) for p in _PARTS) + r")\b"
+    )
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        if os.sep + "queries" + os.sep in path:
+            continue  # the loader itself names its parts
+        for i, line in enumerate(open(path).read().splitlines(), 1):
+            if ("import" in line) and pat.search(line):
+                offenders.append(f"{path}:{i}: {line.strip()}")
+    assert offenders == [], offenders
