@@ -2748,7 +2748,7 @@ def q_pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFram
     # one driver-side count routes BOTH primitives (row_number preserves
     # the row count, so the proof extends; each fast path still re-proves
     # its bound in-plan via the rowcap assert)
-    if per_cust.count() <= RK.FASTPATH_MAX_ROWS:
+    if RK.dispatch_small(per_cust, RK.FASTPATH_MAX_ROWS):
         rked = RK.bounded_rows_row_number(
             per_cust, ["n_name"], order, "rk",
             caller="pareto_revenue_concentration",
@@ -4038,7 +4038,7 @@ def q_lorenz_curve_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back off the same frame (≤5 rows)
     order = ["cents", "c_custkey"]
     # single count routes both primitives (see pareto_revenue_concentration)
-    if per_cust.count() <= RK.FASTPATH_MAX_ROWS:
+    if RK.dispatch_small(per_cust, RK.FASTPATH_MAX_ROWS):
         rked = RK.bounded_rows_row_number(
             per_cust, ["r_name"], order, "rk", caller="lorenz_curve_points"
         )
