@@ -63,19 +63,48 @@ class SeriesGenReader(DataSourceReader):
         return [InputPartition(i) for i in range(max(1, self.n_parts))]
 
     def read(self, partition):
+        """Yields ONE Arrow RecordBatch per partition (the vectorized
+        Python-DataSource path — r9: the row-tuple form paid per-row
+        Arrow conversion and dominated the 2,500-series scale query).
+        Values are bit-identical to the original per-row formula: the
+        weekly sine has only 7 distinct arguments (precomputed with
+        math.sin), the trend/base terms are the same left-associated
+        float64 ops elementwise, and the md5 noise loop is unchanged."""
+        import numpy as np
+        import pyarrow as pa
+
         pid = partition.value
         n_parts = max(1, self.n_parts)
-        for sid in range(pid, self.series, n_parts):  # strided: balanced
-            base = 100.0 + 10.0 * sid
-            for d in range(self.days):
-                day = self.start + _dt.timedelta(days=d)
-                y = (
-                    base
-                    + 0.05 * d  # linear trend
-                    + self.amplitude * math.sin(2 * math.pi * (d % 7) / 7.0)
-                    + 2.0 * _noise(sid, d)
-                )
-                yield (day, sid, y)
+        sids = np.arange(pid, self.series, n_parts, dtype=np.int64)  # strided: balanced
+        if len(sids) == 0:
+            return
+        days = np.arange(self.days, dtype=np.int64)
+        sid_rep = np.repeat(sids, self.days)
+        d_rep = np.tile(days, len(sids))
+        sin_tab = np.array(
+            [math.sin(2 * math.pi * (d % 7) / 7.0) for d in range(7)]
+        )
+        noise = np.fromiter(
+            (_noise(int(s), int(d)) for s, d in zip(sid_rep, d_rep)),
+            dtype=np.float64,
+            count=len(sid_rep),
+        )
+        y = (
+            (100.0 + 10.0 * sid_rep)
+            + 0.05 * d_rep  # linear trend
+            + self.amplitude * sin_tab[d_rep % 7]
+            + 2.0 * noise
+        )
+        epoch_day = self.start.toordinal() - _dt.date(1970, 1, 1).toordinal()
+        batch = pa.RecordBatch.from_arrays(
+            [
+                pa.array((epoch_day + d_rep).astype(np.int32), type=pa.date32()),
+                pa.array(sid_rep.astype(np.int32), type=pa.int32()),
+                pa.array(y, type=pa.float64()),
+            ],
+            names=["date", "series_id", "y"],
+        )
+        yield batch
 
 
 class SeriesGenStreamReader(SimpleDataSourceStreamReader):

@@ -61,6 +61,78 @@ def test_single_point_series_raises():
         AdditiveForecastModel().fit(pd.DataFrame({"ds": [pd.Timestamp("2024-01-01")], "y": [1.0]}))
 
 
+def test_batched_matches_per_series_bit_for_bit():
+    """The partition-level batched fitter (r9: shared design matrix /
+    future axis per date-axis bucket) must emit EXACTLY the bytes of the
+    per-series fit_predict_frame path — not allclose: bit equality, so
+    the rows-only registry hashes cannot move. The mix covers: two
+    distinct axis buckets, a NaN-gapped series (lands in its own bucket),
+    a >370-day series (yearly Fourier terms on), a constant series, a
+    single-point series (fails alone), an all-NaN series, and an
+    inf-poisoned series (fallback path, fails alone — M4)."""
+    from clickhouse_forecasting_spark.forecast.model import batched_fit_predict_long
+
+    rng = np.random.RandomState(7)
+    parts = []
+
+    def add(metric, n, start, y):
+        ds = pd.date_range(start, periods=n, freq="D")
+        parts.append(pd.DataFrame({"metric": metric, "ds": ds, "y": y}))
+
+    for i in range(6):  # bucket 1: shared 40-day axis
+        add(f"a{i}", 40, "2024-01-01", rng.randn(40) * 10 + 50 * i)
+    for i in range(4):  # bucket 2: shared 30-day axis, different start
+        add(f"b{i}", 30, "2023-06-01", rng.randn(30) + i)
+    gap = rng.randn(40) * 5
+    gap[7] = np.nan
+    gap[22] = np.nan
+    add("gapped", 40, "2024-01-01", gap)  # own bucket (axis differs)
+    add("yearly", 400, "2022-01-01", 5 + 0.1 * np.arange(400.0))
+    add("const", 20, "2024-03-01", np.full(20, 42.0))
+    add("single", 1, "2024-01-01", [3.0])  # <2 obs: no rows
+    add("allnan", 10, "2024-01-01", np.full(10, np.nan))  # no rows
+    poison = rng.randn(40)
+    poison[3] = np.inf
+    add("poison", 40, "2024-01-01", poison)  # fallback, fails alone
+    pdf = pd.concat(parts, ignore_index=True)
+
+    for only_future, periods in [(True, 7), (False, 5)]:
+        batched = batched_fit_predict_long(
+            pdf, ["metric"], periods, only_future=only_future,
+            backend="fourier_ridge",
+        )
+        refs = []
+        for m, sub in pdf.groupby("metric", sort=False):
+            try:
+                r = fit_predict_frame(
+                    sub[["ds", "y"]], periods, only_future=only_future,
+                    backend="fourier_ridge",
+                )
+            except Exception:
+                continue
+            r["metric"] = m
+            r["ds"] = pd.to_datetime(r["ds"]).dt.date
+            refs.append(r[["metric", "ds", "yhat", "yhat_lower", "yhat_upper"]])
+        ref = pd.concat(refs, ignore_index=True)
+
+        key = ["metric", "ds"]
+        b = batched.sort_values(key, ignore_index=True)
+        r = ref.sort_values(key, ignore_index=True)
+        assert list(b["metric"]) == list(r["metric"])
+        assert list(b["ds"]) == list(r["ds"])
+        for col in ("yhat", "yhat_lower", "yhat_upper"):
+            # equal_nan: the inf-poisoned series does NOT raise in the
+            # reference path — lstsq yields NaNs — and the batched
+            # fallback must reproduce those NaN rows at the same spots
+            assert np.array_equal(
+                b[col].to_numpy(), r[col].to_numpy(), equal_nan=True
+            ), f"{col} not bit-identical (only_future={only_future})"
+        # the failure modes really exercised their branches
+        got = set(b["metric"])
+        assert {"single", "allnan"}.isdisjoint(got)
+        assert {"gapped", "yearly", "const", "poison"}.issubset(got)
+
+
 def test_distributed_matches_local(spark):
     """Distributed applyInPandas output == single-machine model run (SURVEY §5.2c):
     the local fit of the same series IS the oracle for M1/M2."""

@@ -85,9 +85,10 @@ def test_single_exchange_feeds_the_fit(spark):
         long_df
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
-    # exactly one exchange: the keyed repartition IS the groupBy
-    # partitioning (no second shuffle between repartition and fit)
+    # r9: the batched partition fitter replaced per-group applyInPandas
+    assert "MapInPandas" in plan
+    # exactly one exchange: the keyed repartition co-locates each series'
+    # rows; the batched fitter is a narrow map over that partitioning
     assert plan.count("Exchange") == 1, plan[:600]
 
 
@@ -167,7 +168,7 @@ def test_backtest_fanout_width_survives_aqe(spark):
     preds = fc.transform_long(train, group_cols=["cutoff"])
     assert preds.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     plan = preds._jdf.queryExecution().executedPlan().toString()
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
 
 
 def test_backtest_scores_every_cell_once(spark):
