@@ -71,7 +71,7 @@ def pagerank(
     weight: str | None = None,
     iterations: int = 10,
     damping: float = 0.85,
-    checkpoint_interval: int = 3,
+    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge list.
 
@@ -117,36 +117,42 @@ def pagerank(
     hint = F.broadcast if small_state else (lambda df: df)
     try:
         for it in range(iterations):
-            # mass sitting on dangling nodes this iteration (scalar;
-            # skipped entirely when the graph has no sinks)
-            dangling = 0.0
-            if n_dangling:
-                dangling = (
-                    ranks.join(dangling_nodes, "node", "left_semi")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                    .collect()[0][0]
-                )
             contribs = (
                 norm.join(hint(ranks), norm.src == ranks.node)
                 .select("dst", (F.col("rank") * F.col("frac")).alias("c"))
                 .groupBy("dst")
                 .agg(F.sum("c").alias("c"))
             )
-            ranks = nodes.join(hint(contribs), nodes.node == contribs.dst, "left").select(
+            joined = nodes.join(hint(contribs), nodes.node == contribs.dst, "left")
+            # mass sitting on dangling nodes rides IN-PLAN as a broadcast
+            # one-row aggregate (r8 VERDICT task #2): the previous
+            # driver-side collect of this scalar forced a materialization
+            # every round, defeating the checkpoint cadence on any graph
+            # with sinks. Same aggregation, same IEEE division by n — the
+            # redistributed value is numerically identical; the loop is
+            # now pure plan-building between cuts for ALL graphs.
+            if n_dangling:
+                dm = (
+                    ranks.join(dangling_nodes, "node", "left_semi")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+                )
+                joined = joined.crossJoin(F.broadcast(dm))
+                dangling_term = F.col("__dm") / F.lit(float(n))
+            else:
+                dangling_term = F.lit(0.0)
+            ranks = joined.select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + dangling_term)
                 ).alias("rank"),
             )
             # lineage cut every `checkpoint_interval` rounds (and on the
-            # last): plan depth stays bounded while avoiding one full job
-            # per round — with no sinks the loop is pure plan-building
-            # between cuts. Interval 1 = the original per-round cut; any
-            # interval with a dangling probe forces a cut each round
-            # anyway because the probe collects.
-            if n_dangling or (it + 1) % checkpoint_interval == 0 or it == iterations - 1:
+            # last): plan depth stays bounded while paying one
+            # materialization job per `checkpoint_interval` rounds instead
+            # of one per round. Interval 1 = the original per-round cut.
+            if (it + 1) % checkpoint_interval == 0 or it == iterations - 1:
                 ranks = ranks.localCheckpoint(eager=True)
     finally:
         e.unpersist()
