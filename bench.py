@@ -16,7 +16,10 @@ $SPARK_GRAFT_BENCH_ITERS (default 3) full passes run back-to-back; the
 reported value is the per-query MEDIAN (iteration 1 includes the
 shared-stage cache builds, so suite_r1_per_iter[0] is the
 cold-comparable number vs rounds 1-3, and the median is the
-load-robust number the judge asked for). Each query is forced with a
+load-robust number the judge asked for). `queries_min` /
+`suite_r1_min_sec` carry the per-query MIN-of-iterations — the stable
+statistic for cross-round deltas on a shared host, where medians can
+land on load spikes (r8 VERDICT #3). Each query is forced with a
 full collect() (the driver-side hash gate does the same), timed after
 a session warm-up query so JVM spin-up is not attributed to the first
 query.
@@ -309,6 +312,15 @@ def main() -> None:
     timings = {
         name: _median([t[name] for t in per_iter]) for name in bench_set
     }
+    # per-query MINIMA alongside medians (r8 VERDICT #3): on a shared
+    # host the median lands on load-spiked iterations and manufactures
+    # phantom regressions (r8: semdedup_clusters per-iter [4.76, 10.51,
+    # 1.73] read as a 2x regression while its minimum improved); min-of-
+    # iters is the stable cross-round statistic. Medians stay the
+    # headline for baseline comparability.
+    timings_min = {
+        name: round(min(t[name] for t in per_iter), 3) for name in bench_set
+    }
 
     # Scale-knob telemetry: candidate-pair volume is the real 100 TB cost
     # driver of the dedup/ANN families — a knob regression that doubles
@@ -356,6 +368,7 @@ def main() -> None:
     suite_r1 = round(sum(timings[q] for q in HEADLINE), 3)
     subtotals = {
         "suite_r1_sec": suite_r1,
+        "suite_r1_min_sec": round(sum(timings_min[q] for q in HEADLINE), 3),
         "extensions_r2_sec": round(sum(timings[q] for q in EXTENSIONS_R2), 3),
         "extensions_r3_sec": round(sum(timings[q] for q in EXTENSIONS_R3), 3),
         "extensions_r4_sec": round(sum(timings[q] for q in EXTENSIONS_R4), 3),
@@ -381,6 +394,7 @@ def main() -> None:
                 **subtotals,
                 "suite_r1_per_iter": per_iter_suite_r1,
                 "queries": timings,
+                "queries_min": timings_min,
                 "per_iteration": per_iter,
                 "scale_knobs": scale_knobs,
                 "candidate_pairs": candidate_pairs,
@@ -405,6 +419,7 @@ def main() -> None:
                 **subtotals,
                 "suite_r1_per_iter": per_iter_suite_r1,
                 "queries": top20,
+                "queries_min": {k: timings_min[k] for k in top20},
                 "runtime_singlepart": {
                     "queries_with_singlepart": len(singlepart),
                     "max_records": max(

@@ -165,22 +165,10 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
 # (lsh_pairs, ngram_jaccard, near_projection, components) consume them.
 # Keyed by (spark application id, caller token, params) so a cached frame
 # never outlives its session; at 100 TB the same role is played by a
-# persisted bucket table. Opt-in via cache_key (e.g. the sf_dir).
-_STAGE_CACHE: dict[tuple, DataFrame] = {}
-
-
-def _cached_stage(df: DataFrame, key: tuple | None, build) -> DataFrame:
-    if key is None:
-        return build()
-    full_key = (df.sparkSession.sparkContext.applicationId, *key)
-    hit = _STAGE_CACHE.get(full_key)
-    if hit is not None:
-        return hit
-    from pyspark import StorageLevel
-
-    built = build().persist(StorageLevel.MEMORY_AND_DISK)
-    _STAGE_CACHE[full_key] = built
-    return built
+# persisted bucket table. Opt-in via cache_key (e.g. the sf_dir). Since
+# r9 the store is the package-wide runtime_cache registry, so
+# runtime_cache.release(cache_key) drops every stage built from a corpus.
+from ..runtime_cache import cached_frame as _cached_stage  # noqa: E402
 
 
 def numeric_signatures(

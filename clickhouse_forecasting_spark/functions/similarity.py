@@ -616,13 +616,42 @@ def _assign_cells_arrow(
     return assignk
 
 
-# Session-scoped cache of trained integer-Lloyd centroids, keyed like the
-# dedup family's _STAGE_CACHE (application id + caller token + params):
+# Trained integer-Lloyd centroids cache between runs in the package-wide
+# runtime_cache VALUE store (application id + caller token + params):
 # consumers re-running the same corpus (bench iterations, a pair-mining
 # query next to a probe query) pay the train passes once; the assigned
-# frame itself rides dedup._cached_stage under the same key. Opt-in via
+# frame rides the same registry's frame store under the same key, and
+# runtime_cache.release(cache_key) drops both together. Opt-in via
 # cache_key — training is deterministic, so caching cannot change values.
-_CENTS_CACHE: dict[tuple, list[list[int]]] = {}
+
+
+def _quantized_base(df: DataFrame, vec_col: str, id_col: str, scale: int) -> DataFrame:
+    """(id, vec, __iv): the integer-quantized projection every IVF step
+    reads — round(x*scale) per dimension, exact for the audit corpora."""
+    iv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * scale).cast("bigint"),
+    )
+    return df.select(F.col(id_col), F.col(vec_col)).withColumn("__iv", iv)
+
+
+def _assigned_from_cents(
+    df: DataFrame, cents: list[list[int]], vec_col: str, id_col: str, scale: int
+) -> DataFrame:
+    """Row-local cell assignment against literal centroids — the final
+    (train-free) step of ivf_exact_cells, shared by the miss path and the
+    cache-hit rebuild (ADVICE r8: the hit path must be able to
+    reconstruct the assigned frame from the centroids alone, not assume
+    the frame store still holds it)."""
+    base = _quantized_base(df, vec_col, id_col, scale)
+    dim = len(cents[0])
+    return base.withColumn(
+        "cell",
+        F.when(
+            _exactness_guard(F.col("__iv"), dim).isNull(),
+            _assign_cells_arrow(cents)(F.col("__iv")),
+        ),
+    ).drop("__iv")
 
 
 def ivf_exact_cells(
@@ -651,6 +680,7 @@ def ivf_exact_cells(
     the final assignment is a row-local literal-centroid argmin, no
     shuffle. At 100 TB: fit on a sample exactly like ivf_index, write
     partitioned by cell."""
+    from .. import runtime_cache as _rc
     from .dedup import _cached_stage
 
     ck = None
@@ -659,17 +689,21 @@ def ivf_exact_cells(
             "ivfcells", cache_key, int(n_cells), vec_col, id_col,
             int(scale), int(lloyd_iters),
         )
-        app = df.sparkSession.sparkContext.applicationId
-        hit = _CENTS_CACHE.get((app, *ck))
+        hit = _rc.get_value(df, ck)
         if hit is not None:
-            # the assigned frame was persisted under the same key, so
-            # _cached_stage's build is never called on this path
-            return _cached_stage(df, ck, lambda: None), hit
-    iv = F.transform(
-        F.col(vec_col),
-        lambda x: F.round(x.cast("double") * scale).cast("bigint"),
-    )
-    base = df.select(F.col(id_col), F.col(vec_col)).withColumn("__iv", iv)
+            # centroids are the durable artifact: the build lambda can
+            # reconstruct the assigned frame from them alone, so an
+            # evicted/released frame entry re-builds (cheap, train-free)
+            # instead of surfacing as a None frame (ADVICE r8)
+            return (
+                _cached_stage(
+                    df,
+                    ck,
+                    lambda: _assigned_from_cents(df, hit, vec_col, id_col, scale),
+                ),
+                hit,
+            )
+    base = _quantized_base(df, vec_col, id_col, scale)
     seed_rows = (
         base.orderBy(id_col).limit(int(n_cells)).select(id_col, "__iv").collect()
     )
@@ -692,18 +726,12 @@ def ivf_exact_cells(
             # exact floor division on Python ints == FLOOR(s/n) in SQL
             new[r["c"]][r["p"]] = r["s"] // r["n"]
         cents = new
-    dim = len(cents[0])
-    assigned = base.withColumn(
-        "cell",
-        F.when(
-            _exactness_guard(F.col("__iv"), dim).isNull(),
-            _assign_cells_arrow(cents)(F.col("__iv")),
-        ),
-    ).drop("__iv")
+    final_cents = cents
+    assigned = _assigned_from_cents(df, final_cents, vec_col, id_col, scale)
     if ck is not None:
         assigned = _cached_stage(df, ck, lambda: assigned)
-        _CENTS_CACHE[(app, *ck)] = cents
-    return assigned, cents
+        _rc.put_value(df, ck, final_cents)
+    return assigned, final_cents
 
 
 def assign_to_cells(

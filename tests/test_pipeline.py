@@ -82,20 +82,33 @@ def test_rerun_marks_updated_and_only_future(spark, tmp_path):
     assert min(r.date for r in out.collect()) == dt.date(2024, 2, 10)
 
 
-def test_concurrent_tables_beat_sum_of_singles(spark, tmp_path):
+def test_concurrent_tables_beat_sum_of_singles(spark, tmp_path, monkeypatch):
     """r7 VERDICT #7: with max_concurrent=3 three independent tables run
-    under concurrent Spark job groups, so wall-clock beats the sum of
-    the single-table runs (the sequential driver loop leaves the cluster
-    idle between small tables). Counters stay disjoint and identical to
-    the sequential fold order.
+    under concurrent Spark job groups. Counters stay disjoint and
+    identical to the sequential fold order.
 
-    Timing robustness: each table carries 365 days x 6 metrics so the
-    parallelizable fit work dominates per-call scheduling overhead (the
-    original 90x2 workload lost to thread overhead on a loaded machine),
-    a throwaway warm-up run removes first-call bias from the singles
-    leg, and the concurrent leg runs FIRST so any residual cache warmth
-    favors the side that must lose."""
+    Concurrency is asserted STRUCTURALLY (ADVICE r8: the previous
+    wall-clock inequality vs the sum of single-table runs stayed
+    scheduling-sensitive on loaded hosts no matter how the workload was
+    sized): the per-table _process_table spans are recorded and at least
+    one pair must overlap in time — the property the wall-clock race was
+    a proxy for, flake-free because three pool threads each spend
+    seconds inside their span."""
     import time
+
+    import clickhouse_forecasting_spark.pipeline as pl
+
+    spans: dict[str, tuple[float, float]] = {}
+    orig_process = pl._process_table
+
+    def timed_process(catalog, forecaster, table):
+        t0 = time.time()
+        try:
+            return orig_process(catalog, forecaster, table)
+        finally:
+            spans[table] = (t0, time.time())
+
+    monkeypatch.setattr(pl, "_process_table", timed_process)
 
     tables = ("t_a", "t_b", "t_c")
 
@@ -123,24 +136,22 @@ def test_concurrent_tables_beat_sum_of_singles(spark, tmp_path):
     run_forecast_pipeline(
         warm, interval=7, specific_tables=["t_a"], backend="fourier_ridge"
     )
+    spans.clear()  # keep only the concurrent run's spans
 
     cat2 = db("conc")
-    t0 = time.time()
     conc = run_forecast_pipeline(
         cat2, interval=7, specific_tables=list(tables),
         backend="fourier_ridge", max_concurrent=3,
     )
-    concurrent_wall = time.time() - t0
+    conc_spans = dict(spans)  # snapshot before the singles overwrite them
 
     cat1 = db("singles")
-    t0 = time.time()
     singles = [
         run_forecast_pipeline(
             cat1, interval=7, specific_tables=[t], backend="fourier_ridge"
         )
         for t in tables
     ]
-    sum_singles = time.time() - t0
     assert [c.successful for c in singles] == [[t] for t in tables]
 
     # deterministic fold order + disjoint counters, same as sequential
@@ -152,7 +163,13 @@ def test_concurrent_tables_beat_sum_of_singles(spark, tmp_path):
     out = cat2.table("bucket_forecast_t_a")
     assert out.count() == 372
 
-    assert concurrent_wall < sum_singles, (
-        f"concurrent three-table run {concurrent_wall:.2f}s did not beat "
-        f"the sum of singles {sum_singles:.2f}s"
-    )
+    # structural concurrency proof: some pair of table spans overlapped
+    overlaps = [
+        (a, b)
+        for a in tables
+        for b in tables
+        if a < b
+        and conc_spans[a][0] < conc_spans[b][1]
+        and conc_spans[b][0] < conc_spans[a][1]
+    ]
+    assert overlaps, f"no overlapping table spans: {conc_spans}"
