@@ -1,8 +1,20 @@
 # forecasting shapes + fan-out scale proofs (M1-M4)
-# Part of the clickhouse_forecasting_spark.queries package: executed
-# by __init__.py into ONE shared namespace (the families share
-# helpers and later waves extend earlier ones — the split is for
-# file size and review locality, not for namespace isolation).
+# Part of the clickhouse_forecasting_spark.queries package. Since r9
+# this is a REAL importable module (r8 VERDICT task #5): it imports its
+# dependencies explicitly instead of resolving them through the
+# package's shared exec namespace. __init__.py still merges its names
+# into that namespace so later (exec-loaded) parts and the registry see
+# them exactly as before.
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..forecast import SeriesForecaster
+from ..relational import daily_rollup
+from .catalog_relational import _dsum, _orders_daily, _t
+
 # --------------------------------------------------------------------------
 # forecasting (core capability; structurally checked, not SQL-expressible)
 # --------------------------------------------------------------------------
