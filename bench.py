@@ -224,6 +224,12 @@ EXTENSIONS_R8: list[str] = [
     "similarity_ivf_topk",  # Lloyd-trained 4-probe top-10 (r8 rewrite)
 ]
 
+# Round-9 additions, split out as extensions_r9_sec: the hash-gated
+# (value-exact, not just shape-gated) production-fit forecast row.
+EXTENSIONS_R9: list[str] = [
+    "forecast_constant_series_exact",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -261,6 +267,7 @@ def main() -> None:
     bench_set = (
         HEADLINE + EXTENSIONS_R2 + EXTENSIONS_R3 + EXTENSIONS_R4
         + EXTENSIONS_R5 + EXTENSIONS_R6 + EXTENSIONS_R7 + EXTENSIONS_R8
+        + EXTENSIONS_R9
     )
     per_iter: list[dict[str, float]] = []
     singlepart: dict[str, list[int]] = {}
@@ -376,6 +383,7 @@ def main() -> None:
         "extensions_r6_sec": round(sum(timings[q] for q in EXTENSIONS_R6), 3),
         "extensions_r7_sec": round(sum(timings[q] for q in EXTENSIONS_R7), 3),
         "extensions_r8_sec": round(sum(timings[q] for q in EXTENSIONS_R8), 3),
+        "extensions_r9_sec": round(sum(timings[q] for q in EXTENSIONS_R9), 3),
     }
     per_iter_suite_r1 = [
         round(sum(t[q] for q in HEADLINE), 3) for t in per_iter

@@ -309,6 +309,58 @@ def q_forecast_scale_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fc.transform_long(long_df).orderBy("metric", "ds")
 
 
+def q_forecast_constant_series_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The forecast family's fully HASH-GATED row (r8 VERDICT task #6):
+    the real production fit path — SeriesForecaster.transform_long, the
+    keyed repartition + batched mapInPandas + augmented-lstsq solve that
+    every forecast query runs — on a corpus whose exact output is
+    provable, so the yhat values themselves (not just the shape contract)
+    hash against DuckDB.
+
+    The corpus: one 10-day constant series (y = 1000), 5-day horizon,
+    history ∪ future. Span < 14 days keeps the design trend-only
+    ([1, t]); for constant y the exact minimizer of the ridge objective
+    ||Xb - y||² + α·b₁² is b = (1000, 0) with residual EXACTLY zero (zero
+    loss, zero penalty, strictly convex). LAPACK's computed solution
+    differs from it by ≤ cond(X)·eps·‖y‖ ≈ 1e-11, and the residual
+    quantiles are ~1e-12 — both orders of magnitude inside the driver
+    canon's %.6f float quantum, and 1000.0 sits nowhere near a rounding
+    boundary, so yhat = yhat_lower = yhat_upper = 1000.000000 on both
+    engines, deterministically.
+
+    Why only this subset can be exact (the documented boundary for the
+    remaining rows-only forecast rows): the production solve is DEFINED
+    as float64 LAPACK gelsd; on a general series the oracle would need a
+    different algorithm (closed-form normal equations in SQL), which
+    agrees only to ~1e-9 relative — at revenue-scale magnitudes (1e6)
+    that is 1e-3 absolute, far outside %.6f. Exactness needs a zero-
+    residual design, which constant-y (or exactly-linear-y over a
+    trend-only axis) provides and real data never does."""
+    axis = spark.sql(
+        "SELECT explode(sequence(DATE'2024-01-01', DATE'2024-01-10')) AS ds"
+    )
+    long_df = axis.select(
+        F.lit("const").alias("metric"), F.col("ds"), F.lit(1000.0).alias("y")
+    )
+    fc = SeriesForecaster(interval=5, backend="fourier_ridge")
+    return (
+        fc.transform_long(long_df)
+        .select("metric", "ds", "yhat", "yhat_lower", "yhat_upper")
+        .orderBy("ds")
+    )
+
+
+_FORECAST_CONSTANT_EXACT_SQL = """
+SELECT 'const' AS metric,
+       DATE '2024-01-01' + CAST(i AS INTEGER) AS ds,
+       CAST(1000.0 AS DOUBLE) AS yhat,
+       CAST(1000.0 AS DOUBLE) AS yhat_lower,
+       CAST(1000.0 AS DOUBLE) AS yhat_upper
+FROM range(0, 15) t(i)
+ORDER BY ds
+"""
+
+
 def q_forecast_scale_contract_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

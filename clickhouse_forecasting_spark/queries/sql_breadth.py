@@ -1,8 +1,25 @@
 # aggregation / join / window / sessionization / as-of breadth
-# Part of the clickhouse_forecasting_spark.queries package: executed
-# by __init__.py into ONE shared namespace (the families share
-# helpers and later waves extend earlier ones — the split is for
-# file size and review locality, not for namespace isolation).
+# Part of the clickhouse_forecasting_spark.queries package. Since r9
+# this is a REAL importable module (r8 VERDICT task #5, incremental):
+# it imports its dependencies explicitly; __init__.py merges its names
+# into the shared exec namespace so later parts see them as before.
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import asof as AsOf
+from ..operators import range_join as RJ
+from ..operators import ranking as RK
+from ..relational import gap_fill
+from .catalog_relational import (
+    _ORDERS_DAILY_SQL,
+    _dsum,
+    _dsum_cents,
+    _orders_daily,
+    _t,
+)
 # --------------------------------------------------------------------------
 # SQL breadth: aggregation / join / window / sessionization / as-of
 # (capabilities the engine gets from Spark SQL, SURVEY §2.6)

@@ -1,8 +1,18 @@
 # text analysis: lang-id, quality, tokens, fingerprints
-# Part of the clickhouse_forecasting_spark.queries package: executed
-# by __init__.py into ONE shared namespace (the families share
-# helpers and later waves extend earlier ones — the split is for
-# file size and review locality, not for namespace isolation).
+# Part of the clickhouse_forecasting_spark.queries package. Since r9
+# this is a REAL importable module (r8 VERDICT task #5, incremental):
+# it imports its dependencies explicitly; __init__.py merges its names
+# into the shared exec namespace so later parts see them as before.
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.text import STOPWORDS
+from ..operators import ranking as RK
+from .catalog_relational import _t
 # --------------------------------------------------------------------------
 # text analysis (extension)
 # --------------------------------------------------------------------------
