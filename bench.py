@@ -184,7 +184,7 @@ EXTENSIONS_R3 = [
 
 # Round-4 additions, split out as extensions_r4_sec.
 EXTENSIONS_R4: list[str] = [
-    "forecast_scale_series",  # 2500-series applyInPandas fan-out, one job
+    "forecast_scale_series",  # 2500-series batched-mapInPandas fan-out, one job
     "streaming_closed_counts",  # real availableNow append-mode replay
     "interval_length_sum",  # union-of-intervals sweep, one window pass
 ]

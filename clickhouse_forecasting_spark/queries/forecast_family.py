@@ -28,8 +28,8 @@ def q_forecast_daily_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_forecast_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The architecture headline: EVERY daily series of EVERY source table
     forecast in ONE distributed job. Wide tables unpivot into one long
-    frame tagged (table, metric); groupBy(table, metric).applyInPandas
-    fits all series concurrently — the reference's nested per-table,
+    frame tagged (table, metric); the keyed repartition + batched
+    mapInPandas fitter runs all series concurrently — the reference's nested per-table,
     per-column loop (forecast_script.py:229,169) collapsed into a single
     shuffle. Output: long forecasts keyed (table, metric, ds)."""
     from ..relational import unpivot_metrics
@@ -79,7 +79,7 @@ def q_forecast_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_forecast_backtest_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backtest at fan-out scale (r5 VERDICT #5): the 2,500-series
     seriesgen corpus × 4 rolling cutoffs = 10,000 (series, cutoff) fits
-    in ONE applyInPandas job — the cutoff is just another group key, so
+    in ONE batched-mapInPandas job — the cutoff is just another group key, so
     a 4-cutoff backtest parallelizes exactly like a 4×-larger corpus.
     The keyed fan-out repartition lives inside transform_long, so the
     same AQE serial-collapse defense the plain path got in r4 covers
@@ -284,7 +284,7 @@ def q_forecast_scale_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise merge the tiny-by-bytes/heavy-by-CPU Python stage into
     one serial worker (measured 24s -> 8s at 2,500 series on
     local[32]; the r9 batching + vectorized scan took the query from
-    ~8.7s to ~1.5s). Rows-only (yhat is model output);
+    ~8.7s to ~2.5s). Rows-only (yhat is model output);
     forecast_scale_contract_audit is the hash-gated twin. At 100 TB
     this exact plan is the engine's core primitive: per-partition cost
     is constant, width is the cluster."""
