@@ -1,8 +1,21 @@
 # analytics widening wave 1: stats, encodings, eval reports
-# Part of the clickhouse_forecasting_spark.queries package: executed
-# by __init__.py into ONE shared namespace (the families share
-# helpers and later waves extend earlier ones — the split is for
-# file size and review locality, not for namespace isolation).
+# Part of the clickhouse_forecasting_spark.queries package. Since r9
+# this is a REAL importable module (r8 VERDICT task #5, completed): it
+# imports its dependencies explicitly; __init__.py merges its names
+# into the shared package namespace so the registry and cross-family
+# consumers see them exactly as before.
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.text import STOPWORDS
+from ..operators import ranking as RK
+from .catalog_relational import _dsum, _orders_daily, _t
+from .sketches_analytics import _daily_cents
+from .text_analysis import _TOKS_SQL
 def q_ch_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse array-function parity pack over each doc's token-length
     sequence: arraySum (total chars), arrayDistinct (distinct lengths),

@@ -1,8 +1,23 @@
 # curation reporting, path analysis, corpus statistics
-# Part of the clickhouse_forecasting_spark.queries package: executed
-# by __init__.py into ONE shared namespace (the families share
-# helpers and later waves extend earlier ones — the split is for
-# file size and review locality, not for namespace isolation).
+# Part of the clickhouse_forecasting_spark.queries package. Since r9
+# this is a REAL importable module (r8 VERDICT task #5, completed): it
+# imports its dependencies explicitly; __init__.py merges its names
+# into the shared package namespace so the registry and cross-family
+# consumers see them exactly as before.
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import dedup as DD
+from ..functions import lm as LM
+from ..functions import text as TX
+from ..operators import packing as PK
+from ..operators import ranking as RK
+from .catalog_relational import _dsum, _orders_daily, _t
+from .dedup_ann_scale import _BAND_LIST_SQL, _P, _SHINGLES_SQL, _SIG_MINS_SQL
+from .text_analysis import _NORM_SQL, _TOKS_SQL, _lang_case
 # --------------------------------------------------------------------------
 # round-2 additions: curation reporting, path analysis, corpus statistics
 # --------------------------------------------------------------------------

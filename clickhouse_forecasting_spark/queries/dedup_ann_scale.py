@@ -1,8 +1,23 @@
 # dedup family + LSH/ANN fan-out scale audits
-# Part of the clickhouse_forecasting_spark.queries package: executed
-# by __init__.py into ONE shared namespace (the families share
-# helpers and later waves extend earlier ones — the split is for
-# file size and review locality, not for namespace isolation).
+# Part of the clickhouse_forecasting_spark.queries package. Since r9
+# this is a REAL importable module (r8 VERDICT task #5, completed): it
+# imports its dependencies explicitly; __init__.py merges its names
+# into the shared package namespace so the registry and cross-family
+# consumers see them exactly as before.
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dedup as DD
+from ..functions import lm as LM
+from ..functions import similarity as SIM
+from ..functions import text as TX
+from ..functions.text import STOPWORDS
+from .catalog_relational import _t
+from .shared_fragments import _planes_cte
+from .text_analysis import _NORM_SQL, _TOKS_SQL, _lang_case
 # --------------------------------------------------------------------------
 # dedup (extension)
 # --------------------------------------------------------------------------

@@ -1,8 +1,31 @@
 # IVF probe variants + multimodal media features/frames
-# Part of the clickhouse_forecasting_spark.queries package: executed
-# by __init__.py into ONE shared namespace (the families share
-# helpers and later waves extend earlier ones — the split is for
-# file size and review locality, not for namespace isolation).
+# Part of the clickhouse_forecasting_spark.queries package. Since r9
+# this is a REAL importable module (r8 VERDICT task #5, completed): it
+# imports its dependencies explicitly; __init__.py merges its names
+# into the shared package namespace so the registry and cross-family
+# consumers see them exactly as before.
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import multimodal as MM
+from ..functions import dedup as DD
+from ..functions import similarity as SIM
+from ..operators import ranking as RK
+from .catalog_relational import _t
+from .dedup_ann_scale import _ivf_assign_sql
+from .shared_fragments import _planes_cte
+from .similarity_search import (
+    _LSH_MULTIPROBE_SQL,
+    _LSH_SIGS_SQL,
+    _LSH_TOPK_SQL,
+    _TOPK_SQL,
+    q_similarity_lsh_topk,
+    q_similarity_multiprobe_topk,
+    q_similarity_topk,
+)
 # --------------------------------------------------------------------------
 # multimodal (extension)
 # --------------------------------------------------------------------------

@@ -1,8 +1,21 @@
 # similarity search: brute-force / LSH / quantized top-k
-# Part of the clickhouse_forecasting_spark.queries package: executed
-# by __init__.py into ONE shared namespace (the families share
-# helpers and later waves extend earlier ones — the split is for
-# file size and review locality, not for namespace isolation).
+# Part of the clickhouse_forecasting_spark.queries package. Since r9
+# this is a REAL importable module (r8 VERDICT task #5, completed): it
+# imports its dependencies explicitly; __init__.py merges its names
+# into the shared package namespace so the registry and cross-family
+# consumers see them exactly as before.
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import dedup as DD
+from ..functions import similarity as SIM
+from ..operators import ranking as RK
+from .catalog_relational import _dsum, _t
+from .dedup_ann_scale import _ann_scale_audit_sql
+from .shared_fragments import _EMB_DIM, _planes_cte
 # --------------------------------------------------------------------------
 # similarity search (extension)
 # --------------------------------------------------------------------------
@@ -106,10 +119,10 @@ WHERE rank <= 3
 """
 
 
-# Fixture embedding dimensionality: the hyperplane constants baked into
-# the LSH oracle SQL below depend on it (pinned to the parquet schema by
-# tests/test_oracle_dtypes.py::test_embedding_dim_matches_fixture).
-_EMB_DIM = 64
+# _EMB_DIM / _planes_cte moved to shared_fragments (r9): dedup_ann_scale
+# needs _planes_cte too, and the import must not be circular. The fixture
+# pin (tests/test_oracle_dtypes.py::test_embedding_dim_matches_fixture)
+# reads it through the package namespace, unchanged.
 
 
 def _lsh_probe_topk(
@@ -155,19 +168,6 @@ def q_similarity_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-flip neighbors; hash-gated against a DuckDB twin that derives the
     probe set from the same plane constants."""
     return _lsh_probe_topk(spark, sf_dir, n_planes=6, n_probes=4)
-
-
-def _planes_cte(n_planes: int, dim: int = _EMB_DIM) -> str:
-    """VALUES CTE of the seed-42 hyperplanes (repr round-trips doubles
-    exactly, so both engines see bit-identical plane constants)."""
-    planes = SIM.random_hyperplanes(dim, n_planes, seed=42)
-    rows = ",\n    ".join(
-        "({}, [{}]::DOUBLE[])".format(
-            i, ", ".join(repr(float(v)) for v in plane)
-        )
-        for i, plane in enumerate(planes)
-    )
-    return f"planes(i, p) AS (VALUES {rows})"
 
 
 _LSH_SIGS_SQL = """

@@ -1,8 +1,21 @@
 # sketch rollups + analytics waves (graph, drift, eval)
-# Part of the clickhouse_forecasting_spark.queries package: executed
-# by __init__.py into ONE shared namespace (the families share
-# helpers and later waves extend earlier ones — the split is for
-# file size and review locality, not for namespace isolation).
+# Part of the clickhouse_forecasting_spark.queries package. Since r9
+# this is a REAL importable module (r8 VERDICT task #5, completed): it
+# imports its dependencies explicitly; __init__.py merges its names
+# into the shared package namespace so the registry and cross-family
+# consumers see them exactly as before.
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import similarity as SIM
+from ..functions import text as TX
+from ..operators import ranking as RK
+from .catalog_relational import _dsum, _dsum_cents, _t
+from .shared_fragments import _EMB_DIM
+from .text_analysis import _TOKS_SQL
 # --------------------------------------------------------------------------
 # mergeable-sketch rollups (Apache DataSketches built-ins, Spark 3.5+/4.x)
 #

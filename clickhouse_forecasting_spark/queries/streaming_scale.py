@@ -1,8 +1,24 @@
 # streaming state at scale + wire-schema twins
-# Part of the clickhouse_forecasting_spark.queries package: executed
-# by __init__.py into ONE shared namespace (the families share
-# helpers and later waves extend earlier ones — the split is for
-# file size and review locality, not for namespace isolation).
+# Part of the clickhouse_forecasting_spark.queries package. Since r9
+# this is a REAL importable module (r8 VERDICT task #5, completed): it
+# imports its dependencies explicitly; __init__.py merges its names
+# into the shared package namespace so the registry and cross-family
+# consumers see them exactly as before.
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import multimodal as MM
+from ..functions import dedup as DD
+from ..functions import text as TX
+from ..functions.text import STOPWORDS
+from ..operators import ranking as RK
+from .catalog_relational import _t
+from .dedup_ann_scale import _JACCARD_SQL
+from .multimodal_similarity import _MM_IMAGE_SQL
+from .text_analysis import _TOKS_SQL
 # --------------------------------------------------------------------------
 # streaming state at scale (r5): the forecast/dedup scale-proof treatment
 # applied to the stateful streaming surface. SCALING.md claims "event-time
