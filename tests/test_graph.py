@@ -51,6 +51,81 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+def test_pagerank_distributed_path_matches_numpy(spark):
+    """The distributed loop (forced: max_driver_nodes=0), including the
+    dangling-mass branch and its per-round persist (ADVICE r9), against
+    the numpy reference — the bounded-dispatch rewrite must not change
+    the in-plan algebra."""
+    edges = [
+        (0, 1, 2.0),
+        (0, 2, 1.0),
+        (1, 2, 1.0),
+        (2, 0, 1.0),
+        (3, 2, 5.0),
+        (2, 4, 1.0),  # node 4 dangling
+    ]
+    df = spark.createDataFrame(edges, "src int, dst int, volume double")
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            df, weight="volume", iterations=12, max_driver_nodes=0
+        ).collect()
+    }
+    want = _numpy_pagerank(edges, {0, 1, 2, 3, 4}, 12, 0.85)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_bounded_dispatch_matches_distributed(spark):
+    """Fast path vs distributed loop on the SAME dangling-bearing graph:
+    values agree to 1e-12 (cross-row sum reassociation only — far inside
+    the 6dp rounding every consumer applies), and the fast path's result
+    is a local relation (no iterative jobs behind it)."""
+    edges = [(i % 7, (i * 3) % 7, float(1 + i % 5)) for i in range(25)]
+    edges.append((8, 0, 1.0))
+    edges.append((0, 9, 1.0))  # 9 is dangling (never a src)
+    df = spark.createDataFrame(edges, "src int, dst int, volume double")
+    fast = {
+        r.node: r.rank for r in pagerank(df, weight="volume", iterations=10).collect()
+    }
+    dist = {
+        r.node: r.rank
+        for r in pagerank(
+            df, weight="volume", iterations=10, max_driver_nodes=0
+        ).collect()
+    }
+    assert set(fast) == set(dist)
+    for v in dist:
+        assert fast[v] == pytest.approx(dist[v], abs=1e-12)
+
+
+def test_pagerank_bounded_dispatch_routes_by_size(spark, monkeypatch):
+    """Routing probe: under the caps the driver power iteration runs;
+    over either cap (edge count here) the distributed loop runs instead.
+    Both give the same values."""
+    from clickhouse_forecasting_spark.operators import graph as G
+
+    calls: list[int] = []
+    orig = G._pagerank_bounded
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(G, "_pagerank_bounded", spy)
+    edges = [(i, (i + 1) % 6, 1.0) for i in range(6)]
+    df = spark.createDataFrame(edges, "src int, dst int, volume double")
+    fast = pagerank(df, weight="volume", iterations=3)
+    assert len(calls) == 1
+    slow = pagerank(df, weight="volume", iterations=3, max_driver_edges=2)
+    assert len(calls) == 1  # over the edge cap: bounded path NOT taken
+    got_f = {r.node: r.rank for r in fast.collect()}
+    got_s = {r.node: r.rank for r in slow.collect()}
+    for v in got_s:
+        assert got_f[v] == pytest.approx(got_s[v], abs=1e-12)
+
+
 def test_pagerank_uniform_on_symmetric_cycle(spark):
     cyc = [(i, (i + 1) % 4, 1.0) for i in range(4)]
     df = spark.createDataFrame(cyc, "src int, dst int, volume double")
