@@ -230,11 +230,29 @@ def batched_fit_predict_long(
     # whole-partition vectorized prep, sliced per group with numpy (a
     # per-group pandas .iloc/.notna/.to_numpy round was ~0.5 ms/series —
     # the overhead this batching exists to remove)
-    ds64_np = pd.to_datetime(pdf["ds"]).to_numpy()  # ONE parse per partition
-    notna_np = pdf["y"].notna().to_numpy()  # == dropna(subset=["y"]) mask
-    # pandas astype maps None->NaN like the reference's post-dropna
-    # to_numpy(float64); for float64 input it is the values array itself
-    y_np = pdf["y"].astype("float64", copy=False).to_numpy()
+    try:
+        ds64_np = pd.to_datetime(pdf["ds"]).to_numpy()  # ONE parse per partition
+        notna_np = pdf["y"].notna().to_numpy()  # == dropna(subset=["y"]) mask
+        # pandas astype maps None->NaN like the reference's post-dropna
+        # to_numpy(float64); for float64 input it is the values array itself
+        y_np = pdf["y"].astype("float64", copy=False).to_numpy()
+    except Exception:
+        # the whole-partition parse/cast is poisoned by ONE series
+        # (unreachable through transform_long — Spark types ds/y — but a
+        # direct caller can hand an object-dtype frame with one bad
+        # series); fall back to per-series fits for the PARTITION so the
+        # M4 contract holds: the bad series fails ALONE, its co-located
+        # neighbors still forecast (ADVICE r9).
+        grouped = pdf.groupby(list(key_cols), sort=False, dropna=False)
+        for key_vals, ix in grouped.indices.items():
+            if not isinstance(key_vals, tuple):
+                key_vals = (key_vals,)
+            res = _per_series(pdf.iloc[ix], key_vals)
+            if res is not None and len(res):
+                frames.append(res)
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)[out_cols]
     # axis-bytes -> (hist ds64 array, [(key_vals, y array), ...])
     buckets: dict[bytes, tuple[np.ndarray, list[tuple[tuple, np.ndarray]]]] = {}
     grouped = pdf.groupby(list(key_cols), sort=False, dropna=False)

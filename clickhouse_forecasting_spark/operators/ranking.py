@@ -358,6 +358,11 @@ def _guard_group_cardinality(
 # median ~4x at 1-8M rows — NOTES_r7.md §7) never amortizes below it.
 FASTPATH_MAX_ROWS = 4_000_000
 
+# Upper bound on live dispatch probe persists (one per distinct plan
+# semanticHash): enough that every dispatch-enabled query in a bench/suite
+# run keeps its hit, small enough that a long-lived session stays bounded.
+DISPATCH_CACHE_MAX = 64
+
 
 def dispatch_small(df: DataFrame, max_rows: int) -> bool:
     """Routing probe for the size-adaptive dispatch. The driver-side
@@ -386,8 +391,16 @@ def dispatch_small(df: DataFrame, max_rows: int) -> bool:
     key = ("dispatch", h)
     cached = _rc.cached_frame(df, key, lambda: df)
     if cached.count() <= int(max_rows):
+        # production bound on the family (ADVICE r9): a long session
+        # running many distinct dispatch-enabled plans previously accreted
+        # one persisted probe frame per plan forever; FIFO-cap it here so
+        # the registry stays bounded without any caller discipline.
+        _rc.cap_family("dispatch", DISPATCH_CACHE_MAX)
         return True
-    _rc.release(h)
+    # release THIS entry precisely (ADVICE r9: releasing by the bare int
+    # token matched the hash at any key position and could drop an
+    # unrelated family's stage whose key embeds the same integer)
+    _rc.release_exact(df, key)
     return False
 
 

@@ -95,6 +95,7 @@ def run_forecast_pipeline(
     only_future: bool = False,
     backend: str = "auto",
     max_concurrent: int = 1,
+    release_caches: bool = False,
 ) -> RunCounters:
     """``max_concurrent`` > 1 submits that many tables at once, each from
     its own thread under its own Spark job group (Spark job submission is
@@ -102,10 +103,24 @@ def run_forecast_pipeline(
     the UI stay per-table). Results fold into the counters in INPUT
     order, so counter contents and the summary line match the sequential
     run exactly — only wall-clock changes. Table-level log lines may
-    interleave across tables under concurrency."""
+    interleave across tables under concurrency.
+
+    ``release_caches=True`` drops every ``runtime_cache`` entry keyed by a
+    table's name as that table finishes — the unpersist-after-consume hook
+    for long-lived sessions whose operators registered per-table stages
+    (r9 VERDICT #6). Default off: a session that re-runs tables (bench
+    iterations, incremental refits) wants the cache hits."""
     counters = RunCounters()
     tables = specific_tables if specific_tables else catalog.list_tables()
     forecaster = SeriesForecaster(interval=interval, only_future=only_future, backend=backend)
+
+    def _maybe_release(table: str) -> None:
+        if release_caches:
+            from . import runtime_cache
+
+            n = runtime_cache.release(table)
+            if n:
+                logger.info("released %d cached stage(s) for %s", n, table)
 
     # R15 exact-membership selection happens in the `tables` assignment
     # above (the reference's substring-membership quirk at :231 is a
@@ -123,11 +138,15 @@ def run_forecast_pipeline(
                 return _process_table(catalog, forecaster, table)
             finally:
                 sc.setJobGroup("", "")
+                _maybe_release(table)
 
         with ThreadPoolExecutor(max_workers=int(max_concurrent)) as pool:
             results = list(pool.map(_run, tables))
     else:
-        results = [_process_table(catalog, forecaster, t) for t in tables]
+        results = []
+        for t in tables:
+            results.append(_process_table(catalog, forecaster, t))
+            _maybe_release(t)
 
     for r in results:
         if r["status"] == "skipped":

@@ -79,6 +79,47 @@ def release(token=None) -> int:
     return n
 
 
+def release_exact(df: DataFrame, key: tuple) -> int:
+    """Drop exactly ``(applicationId, *key)`` — the precise-release twin
+    of ``release(token)`` for callers that hold the full key (ADVICE r9:
+    releasing by a bare int token matches that int at ANY key position,
+    so a semanticHash equal to, say, an ivfcells n_cells parameter would
+    unpersist an unrelated family's stage)."""
+    full = (df.sparkSession.sparkContext.applicationId, *key)
+    n = 0
+    frame = _FRAMES.pop(full, None)
+    if frame is not None:
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
+        n += 1
+    if full in _VALUES:
+        del _VALUES[full]
+        n += 1
+    return n
+
+
+def cap_family(token, max_entries: int) -> int:
+    """Bound a cache family: unpersist+drop the OLDEST frames whose key
+    contains ``token`` until at most ``max_entries`` remain (registration
+    order — dict insertion — is the age; re-probing a seen key reuses the
+    entry without refreshing it, so this is FIFO, not LRU). The
+    production bound for families that register per distinct plan
+    (ADVICE r9: dispatch persists accreted unbounded in long sessions
+    because only tests ever called release)."""
+    keys = [k for k in _FRAMES if token in k]
+    n = 0
+    for k in keys[: max(0, len(keys) - max_entries)]:
+        frame = _FRAMES.pop(k)
+        try:
+            frame.unpersist()
+        except Exception:
+            pass
+        n += 1
+    return n
+
+
 def entries() -> list[tuple]:
     """Registry introspection: the live cache keys (frames then values)."""
     return [*_FRAMES.keys(), *_VALUES.keys()]
