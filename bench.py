@@ -230,6 +230,14 @@ EXTENSIONS_R9: list[str] = [
     "forecast_constant_series_exact",
 ]
 
+# Round-10 additions, split out as extensions_r10_sec: the fused-scoring
+# backtest at fan-out scale (now one shuffle, cutoffs fanned out inside
+# the worker) and its value-exact constant-series oracle row.
+EXTENSIONS_R10: list[str] = [
+    "forecast_backtest_scale",
+    "forecast_backtest_constant_exact",
+]
+
 # Queries re-run in a FRESH session each (subprocess, clean JVM/storage)
 # after the in-suite passes — the rows whose in-suite numbers drift with
 # suite-position state (r9 VERDICT #2: the ANN family's recurring
@@ -281,7 +289,7 @@ def main() -> None:
     bench_set = (
         HEADLINE + EXTENSIONS_R2 + EXTENSIONS_R3 + EXTENSIONS_R4
         + EXTENSIONS_R5 + EXTENSIONS_R6 + EXTENSIONS_R7 + EXTENSIONS_R8
-        + EXTENSIONS_R9
+        + EXTENSIONS_R9 + EXTENSIONS_R10
     )
     per_iter: list[dict[str, float]] = []
     singlepart: dict[str, list[int]] = {}
@@ -412,6 +420,7 @@ def main() -> None:
         "extensions_r7_sec": round(sum(timings[q] for q in EXTENSIONS_R7), 3),
         "extensions_r8_sec": round(sum(timings[q] for q in EXTENSIONS_R8), 3),
         "extensions_r9_sec": round(sum(timings[q] for q in EXTENSIONS_R9), 3),
+        "extensions_r10_sec": round(sum(timings[q] for q in EXTENSIONS_R10), 3),
     }
     per_iter_suite_r1 = [
         round(sum(t[q] for q in HEADLINE), 3) for t in per_iter

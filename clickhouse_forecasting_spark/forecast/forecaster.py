@@ -167,56 +167,115 @@ class SeriesForecaster:
         <= cutoff, predict the next `interval` days, and score predictions
         against the held-out actuals.
 
-        Spark-first shape: the cutoff is just another GROUP KEY — the
-        training sets for all cutoffs are unioned (each tagged with its
-        cutoff) and every (cutoff x series) fit is one applyInPandas task
-        in a single job, so a 10-cutoff backtest parallelizes exactly like
-        a 10x-larger corpus instead of running 10 sequential jobs.
+        Spark-first shape (r9 VERDICT #3): ONE keyed repartition of the
+        raw history; the cutoff axis fans out INSIDE the batched worker,
+        which also scores against the co-located holdout actuals — a
+        k-cutoff backtest shuffles the history ONCE (not k×) and emits
+        only the (series × cutoff) metric rows, no prediction shuffle, no
+        scoring join. A 10-cutoff backtest costs one extra in-worker pass
+        per cutoff over already-local data.
 
         Returns one row per (group..., metric, cutoff): n_scored, mae,
         rmse, mape (zero-actual days excluded), and interval coverage
         (fraction of actuals inside [yhat_lower, yhat_upper]).
         """
         groups = (group_cols or []) + ["metric"]
-        # ONE scan of the history: the cutoff axis rides a broadcast
-        # cross-join + filter instead of a union of k filtered scans
-        # (k scans = k× source/task-launch overhead; the row multiplication
-        # is identical either way and the fit stage is unchanged)
-        spark = long_df.sparkSession
-        cuts = spark.createDataFrame(
-            [(str(c),) for c in cutoffs], "cutoff string"
+        # ONE keyed repartition of the RAW history — the cutoff axis fans
+        # out INSIDE the worker (r9 VERDICT #3). Each partition holds
+        # whole series (the same hash repartition transform_long uses),
+        # which means it also holds every cutoff's training prefix AND the
+        # holdout actuals, so per cutoff the worker slices the prefix,
+        # fits it through the SAME batched machinery (bit-for-bit equal to
+        # the per-series reference path — the transform_long pin covers
+        # it), and scores the predictions against the co-located actuals
+        # in pandas. vs the previous plan (broadcast cutoff cross-join →
+        # fit → shuffle preds → join actuals → aggregate) this removes the
+        # k× train-row shuffle and the whole scoring join: shuffle volume
+        # is now INDEPENDENT of the cutoff count — one pass of the history
+        # in, one metrics row per (series, cutoff) out.
+        #
+        # NULL/NaN holdout actuals (never produced by this engine's
+        # sources) are treated as missing: counted in n_scored (a row
+        # existed), excluded from the error means. The previous plan-side
+        # scoring treated SQL NULL the same way but let a literal NaN
+        # poison the means (NaN > x is true in Spark SQL) — through Arrow
+        # the NULL/NaN distinction does not survive, so the fused scorer
+        # standardizes on the NULL semantics.
+        n_parts = self.fanout_partitions
+        if n_parts is None:
+            n_parts = long_df.sparkSession.sparkContext.defaultParallelism
+        part = long_df.repartition(n_parts, *groups)
+        interval, backend = self.interval, self.backend
+        cutoffs_str = [str(c) for c in cutoffs]
+        out_schema = (
+            ", ".join(f"{c} string" for c in groups)
+            + ", cutoff string, n_scored bigint, mae double, rmse double,"
+            " mape double, coverage double"
         )
-        train = long_df.crossJoin(F.broadcast(cuts)).filter(
-            F.col("ds") <= F.col("cutoff")
-        )
-        scorer = SeriesForecaster(
-            interval=self.interval, only_future=True, backend=self.backend
-        )
-        preds = scorer.transform_long(
-            train, group_cols=(group_cols or []) + ["cutoff"]
-        )
-        actual = long_df.select(*groups, "ds", F.col("y").alias("actual"))
-        err = F.col("yhat") - F.col("actual")
-        covered = (
-            (F.col("actual") >= F.col("yhat_lower"))
-            & (F.col("actual") <= F.col("yhat_upper"))
-        ).cast("double")
-        return (
-            preds.join(actual, [*groups, "ds"])
-            .groupBy(*groups, "cutoff")
-            .agg(
-                F.count("*").alias("n_scored"),
-                F.avg(F.abs(err)).alias("mae"),
-                F.sqrt(F.avg(err * err)).alias("rmse"),
-                F.avg(
-                    F.when(
-                        F.abs(F.col("actual")) > 1e-9,
-                        F.abs(err / F.col("actual")),
+
+        def _backtest_partition(batches):
+            import numpy as np
+
+            chunks = list(batches)
+            if not chunks:
+                return
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            ds_dt = pd.to_datetime(pdf["ds"])
+            for cutoff in cutoffs_str:
+                sub = pdf[ds_dt <= pd.Timestamp(cutoff)]
+                if not len(sub):
+                    continue
+                preds = batched_fit_predict_long(
+                    sub, groups, periods=interval, only_future=True, backend=backend
+                )
+                if not len(preds):
+                    continue
+                merged = preds.merge(
+                    pdf[[*groups, "ds", "y"]].rename(columns={"y": "actual"}),
+                    on=[*groups, "ds"],
+                    how="inner",
+                )
+                if not len(merged):
+                    continue
+                err = (merged["yhat"] - merged["actual"]).to_numpy()
+                actual = merged["actual"].to_numpy(dtype="float64", na_value=np.nan)
+                covered = (
+                    (actual >= merged["yhat_lower"].to_numpy())
+                    & (actual <= merged["yhat_upper"].to_numpy())
+                ).astype("float64")
+                mape_term = np.where(
+                    np.abs(actual) > 1e-9, np.abs(err / actual), np.nan
+                )
+                g = merged.groupby(groups, sort=False, dropna=False)
+                rows = []
+                for key_vals, ix in g.indices.items():
+                    if not isinstance(key_vals, tuple):
+                        key_vals = (key_vals,)
+                    e = err[ix]
+                    ok = ~np.isnan(e)
+                    mt = mape_term[ix]
+                    mt_ok = ~np.isnan(mt)
+                    rows.append(
+                        (
+                            *key_vals,
+                            cutoff,
+                            len(ix),
+                            float(np.mean(np.abs(e[ok]))) if ok.any() else None,
+                            float(np.sqrt(np.mean(e[ok] * e[ok]))) if ok.any() else None,
+                            float(np.mean(mt[mt_ok])) if mt_ok.any() else None,
+                            float(np.mean(covered[ix][ok])) if ok.any() else None,
+                        )
                     )
-                ).alias("mape"),
-                F.avg(covered).alias("coverage"),
-            )
-            .orderBy(*groups, "cutoff")
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        *groups, "cutoff", "n_scored",
+                        "mae", "rmse", "mape", "coverage",
+                    ],
+                )
+
+        return part.mapInPandas(_backtest_partition, schema=out_schema).orderBy(
+            *groups, "cutoff"
         )
 
     def transform(self, df: DataFrame, axis: str = DATE_AXIS_COLUMN) -> DataFrame:

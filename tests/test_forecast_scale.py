@@ -189,3 +189,144 @@ def test_backtest_scores_every_cell_once(spark):
     assert len(out) == 200 * 2
     assert all(r.n_scored == INTERVAL for r in out)
     assert all(0.0 <= r.coverage <= 1.0 for r in out)
+
+
+def test_backtest_fused_matches_plan_side_scoring(spark):
+    """r9 VERDICT #3 parity pin: the fused worker-side backtest (one
+    history shuffle, in-worker cutoff fan-out + scoring) against an
+    inline reconstruction of the r9 plan-side pipeline (broadcast cutoff
+    cross-join -> transform_long -> join actuals -> aggregate). Counts
+    and coverage exact; error means within float-reassociation noise."""
+    seriesgen.register(spark)
+    df = (
+        spark.read.format("seriesgen")
+        .option("series", "60")
+        .option("days", str(DAYS))
+        .load()
+    )
+    long_df = df.select(
+        F.col("date").alias("ds"),
+        F.col("series_id").cast("string").alias("metric"),
+        F.col("y"),
+    )
+    cutoffs = ["2024-01-16", "2024-01-23"]
+    fc = SeriesForecaster(interval=INTERVAL, only_future=True)
+    fused = {
+        (r.metric, r.cutoff): r for r in fc.backtest(long_df, cutoffs).collect()
+    }
+
+    # the r9 plan-side pipeline, reconstructed from the same public parts
+    cuts = spark.createDataFrame([(c,) for c in cutoffs], "cutoff string")
+    train = long_df.crossJoin(F.broadcast(cuts)).filter(
+        F.col("ds") <= F.col("cutoff")
+    )
+    preds = SeriesForecaster(interval=INTERVAL, only_future=True).transform_long(
+        train, group_cols=["cutoff"]
+    )
+    actual = long_df.select("metric", "ds", F.col("y").alias("actual"))
+    err = F.col("yhat") - F.col("actual")
+    covered = (
+        (F.col("actual") >= F.col("yhat_lower"))
+        & (F.col("actual") <= F.col("yhat_upper"))
+    ).cast("double")
+    plan_side = {
+        (r.metric, r.cutoff): r
+        for r in preds.join(actual, ["metric", "ds"])
+        .groupBy("metric", "cutoff")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.avg(F.abs(err)).alias("mae"),
+            F.sqrt(F.avg(err * err)).alias("rmse"),
+            F.avg(
+                F.when(F.abs(F.col("actual")) > 1e-9, F.abs(err / F.col("actual")))
+            ).alias("mape"),
+            F.avg(covered).alias("coverage"),
+        )
+        .collect()
+    }
+    assert set(fused) == set(plan_side) and len(fused) == 60 * 2
+    for k, f in fused.items():
+        p = plan_side[k]
+        assert f.n_scored == p.n_scored
+        assert f.coverage == p.coverage  # indicator means: exact
+        for c in ("mae", "rmse", "mape"):
+            assert getattr(f, c) == pytest.approx(getattr(p, c), abs=1e-12)
+
+
+def test_backtest_fused_matches_reference_per_series_exact(spark):
+    """Bit-for-bit extension of the batched==per-series pin to the
+    backtest path: for every (series, cutoff) cell, metrics computed by
+    the fused worker EQUAL (==, no tolerance) metrics recomputed from
+    the per-series reference path (fit_predict_frame) in numpy — same
+    value order, same float ops. Includes a series too short at the
+    first cutoff (M4: that cell is absent, the later cell present)."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from clickhouse_forecasting_spark.forecast.model import fit_predict_frame
+
+    d0 = dt.date(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        rows.append(("a", d0 + dt.timedelta(days=i), float(i) + 0.25 * (i % 5)))
+        rows.append(("b", d0 + dt.timedelta(days=i), 50.0 - 1.5 * i + (i % 3)))
+        if i >= 9:  # series c starts day 10: <2 obs at the day-1 cutoff
+            rows.append(("c", d0 + dt.timedelta(days=i), 5.0 + 0.1 * i))
+    long_df = spark.createDataFrame(rows, "metric string, ds date, y double")
+    cutoffs = ["2024-01-02", "2024-01-13"]
+    interval = 5
+    fc = SeriesForecaster(interval=interval, only_future=True)
+    fused = {
+        (r.metric, r.cutoff): r for r in fc.backtest(long_df, cutoffs).collect()
+    }
+    assert ("c", "2024-01-02") not in fused  # M4: fails alone
+    assert ("a", "2024-01-02") in fused
+
+    pdf = pd.DataFrame(rows, columns=["metric", "ds", "y"])
+    for (m, cutoff), got in fused.items():
+        hist = pdf[(pdf.metric == m) & (pdf.ds <= dt.date.fromisoformat(cutoff))]
+        preds = fit_predict_frame(
+            hist[["ds", "y"]], periods=interval, only_future=True,
+            backend="fourier_ridge",
+        )
+        preds = preds.assign(ds=pd.to_datetime(preds["ds"]).dt.date)
+        merged = preds.merge(
+            pdf[pdf.metric == m][["ds", "y"]].rename(columns={"y": "actual"}),
+            on="ds", how="inner",
+        )
+        e = (merged["yhat"] - merged["actual"]).to_numpy()
+        act = merged["actual"].to_numpy()
+        cov = (
+            (act >= merged["yhat_lower"].to_numpy())
+            & (act <= merged["yhat_upper"].to_numpy())
+        ).astype("float64")
+        mape_t = np.where(np.abs(act) > 1e-9, np.abs(e / act), np.nan)
+        assert got.n_scored == len(merged)
+        assert got.mae == float(np.mean(np.abs(e)))
+        assert got.rmse == float(np.sqrt(np.mean(e * e)))
+        assert got.mape == float(np.mean(mape_t[~np.isnan(mape_t)]))
+        assert got.coverage == float(np.mean(cov))
+
+
+def test_backtest_null_holdout_actuals_counted_not_poisoning(spark):
+    """Documented NULL semantics of the fused scorer: a holdout day whose
+    actual is NULL counts in n_scored (the row exists) but is excluded
+    from the error means and coverage."""
+    import datetime as dt
+
+    d0 = dt.date(2024, 1, 1)
+    rows = [("m", d0 + dt.timedelta(days=i), float(10 + i)) for i in range(10)]
+    # holdout days 10..12; day 11 has a NULL actual
+    rows.append(("m", d0 + dt.timedelta(days=10), 20.0))
+    rows.append(("m", d0 + dt.timedelta(days=11), None))
+    rows.append(("m", d0 + dt.timedelta(days=12), 22.0))
+    long_df = spark.createDataFrame(rows, "metric string, ds date, y double")
+    fc = SeriesForecaster(interval=3, only_future=True)
+    out = fc.backtest(long_df, ["2024-01-10"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_scored == 3  # the NULL-actual row is still a scored cell
+    assert r.mae is not None and not (r.mae != r.mae)  # finite, not NaN
+    assert 0.0 <= r.coverage <= 1.0
