@@ -299,8 +299,10 @@ def q_forecast_scale_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import seriesgen as _sg
 
     _sg.register(spark)
-    # scan width = 2x parallelism (see q_forecast_backtest_scale note)
-    n_scan = 2 * spark.sparkContext.defaultParallelism
+    # scan width = 1x parallelism (see q_forecast_backtest_scale note:
+    # the generator's tasks are deterministic and uniform, so 2x width
+    # bought only task launches)
+    n_scan = spark.sparkContext.defaultParallelism
     df = (
         spark.read.format("seriesgen")
         .option("series", "2500")
