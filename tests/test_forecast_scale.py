@@ -191,6 +191,29 @@ def test_backtest_scores_every_cell_once(spark):
     assert all(0.0 <= r.coverage <= 1.0 for r in out)
 
 
+def test_backtest_fused_width_pinned(spark):
+    """The fused backtest keeps transform_long's AQE serial-collapse
+    defense: the fit/score MapInPandas stage is fed by an explicit
+    REPARTITION_BY_NUM exchange at defaultParallelism width — a
+    byte-based coalescer must not merge the CPU-heavy python stage."""
+    import datetime as dt
+
+    rows = [
+        (f"m{s}", dt.date(2024, 1, 1) + dt.timedelta(days=i), float(i + s))
+        for s in range(8)
+        for i in range(20)
+    ]
+    long_df = spark.createDataFrame(rows, "metric string, ds date, y double")
+    fc = SeriesForecaster(interval=3, only_future=True)
+    out = fc.backtest(long_df, ["2024-01-10", "2024-01-15"])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    width = spark.sparkContext.defaultParallelism
+    assert "MapInPandas" in plan
+    assert f"hashpartitioning(metric#" in plan and "REPARTITION_BY_NUM" in plan
+    assert f", {width}), REPARTITION_BY_NUM" in plan
+
+
 def test_backtest_fused_matches_plan_side_scoring(spark):
     """r9 VERDICT #3 parity pin: the fused worker-side backtest (one
     history shuffle, in-worker cutoff fan-out + scoring) against an
