@@ -243,9 +243,12 @@ class SeriesForecaster:
                     (actual >= merged["yhat_lower"].to_numpy())
                     & (actual <= merged["yhat_upper"].to_numpy())
                 ).astype("float64")
-                mape_term = np.where(
-                    np.abs(actual) > 1e-9, np.abs(err / actual), np.nan
-                )
+                # np.where evaluates both branches: silence the 0-actual
+                # divide (those rows are masked out by the threshold)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    mape_term = np.where(
+                        np.abs(actual) > 1e-9, np.abs(err / actual), np.nan
+                    )
                 g = merged.groupby(groups, sort=False, dropna=False)
                 rows = []
                 for key_vals, ix in g.indices.items():
