@@ -250,6 +250,7 @@ ISOLATE_DEFAULT: list[str] = [
     "ann_ivf_scale_audit",
     "rfm_segmentation",
     "pagerank_trade_graph",
+    "stream_lateness_profile",  # the other r9-verdict drift row
 ]
 
 
