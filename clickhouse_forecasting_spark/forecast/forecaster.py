@@ -221,6 +221,15 @@ class SeriesForecaster:
                 return
             pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             ds_dt = pd.to_datetime(pdf["ds"])
+            # Normalized-key actuals frame, built ONCE outside the cutoff
+            # loop (ADVICE r10): predictions come back with datetime.date
+            # ds (object dtype), so merging on a raw string-ds frame
+            # silently matched nothing (zero metric rows) and a
+            # timestamp-ds frame raised ValueError in the worker — the
+            # pre-fusion Spark-side scoring join coerced both implicitly.
+            # Both merge keys are normalized to datetime64 below.
+            actuals = pdf[[*groups, "y"]].rename(columns={"y": "actual"})
+            actuals = actuals.assign(ds=ds_dt)
             for cutoff in cutoffs_str:
                 sub = pdf[ds_dt <= pd.Timestamp(cutoff)]
                 if not len(sub):
@@ -230,10 +239,8 @@ class SeriesForecaster:
                 )
                 if not len(preds):
                     continue
-                merged = preds.merge(
-                    pdf[[*groups, "ds", "y"]].rename(columns={"y": "actual"}),
-                    on=[*groups, "ds"],
-                    how="inner",
+                merged = preds.assign(ds=pd.to_datetime(preds["ds"])).merge(
+                    actuals, on=[*groups, "ds"], how="inner"
                 )
                 if not len(merged):
                     continue

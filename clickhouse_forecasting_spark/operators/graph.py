@@ -142,8 +142,10 @@ def pagerank(
             e.unpersist()
             return result
 
-    # distributed loop: (re-)derive the scalars it needs in one job
-    nodes = nodes.persist()
+    # distributed loop: (re-)derive the scalars it needs in one job.
+    # The empty-graph early return happens BEFORE the persist (ADVICE
+    # r10: with max_driver_nodes=0 it used to leak the persisted
+    # empty-nodes frame for the session).
     stats = flagged.agg(
         F.count("*").alias("n"),
         F.sum(F.when(F.col("__dangling"), 1).otherwise(0)).alias("nd"),
@@ -152,14 +154,22 @@ def pagerank(
     if n == 0:
         e.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
+    nodes = nodes.persist()
 
     norm = norm.persist()
     # dangling (sink) node set: computed ONCE and persisted — the per-
     # iteration mass probe must not re-derive it (that would re-run the
-    # upstream edge aggregation every round)
-    dangling_nodes = nodes.join(
-        out_w.select(F.col("src").alias("node")), "node", "left_anti"
-    ).persist()
+    # upstream edge aggregation every round). Derived from the SAME
+    # ``out_w IS NULL`` flag the dispatch probe uses (ADVICE r11): a src
+    # whose weights are ALL NULL has out_w NULL — its contributions are
+    # NULL-dropped by the sum below, so it is effectively a sink and its
+    # mass must be redistributed; the previous left_anti on out_w srcs
+    # kept such nodes out of the dangling set and silently leaked their
+    # mass (ranks no longer summed to 1), diverging from the bounded
+    # driver path.
+    dangling_nodes = (
+        flagged.where(F.col("__dangling")).select("node").persist()
+    )
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     # rank state is O(nodes): when the node set is small (but over the
@@ -259,6 +269,11 @@ def _pagerank_bounded(
     n = len(node_vals)
     n_dangling = int(dangling_mask.sum())
     idx = {v: i for i, v in enumerate(node_vals)}
+    # NULL frac (a src whose weights sum to zero: w/out_w divides by zero
+    # → SQL NULL) — the distributed loop's sum() silently drops those
+    # contributions, so the driver path must match that degrade semantics
+    # instead of crashing on float(None) (ADVICE r10).
+    edge_rows = [r for r in edge_rows if r.frac is not None]
     m = len(edge_rows)
     src_i = np.fromiter((idx[r.src] for r in edge_rows), dtype=np.int64, count=m)
     dst_i = np.fromiter((idx[r.dst] for r in edge_rows), dtype=np.int64, count=m)

@@ -25,6 +25,7 @@ consume hook that keeps the executor storage pool bounded and observable
 
 from __future__ import annotations
 
+import threading
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -33,6 +34,13 @@ from pyspark.sql import DataFrame
 _FRAMES: dict[tuple, DataFrame] = {}
 # small driver-side artifacts (e.g. trained centroids), same key shape
 _VALUES: dict[tuple, object] = {}
+# Registry mutations come from worker threads too (pipeline
+# max_concurrent>1 with release_caches=True releases per-table tokens
+# while sibling threads register via cached_frame — ADVICE r10: unlocked
+# iterate-and-mutate risks "dictionary changed size during iteration" /
+# lost entries). One module lock guards every _FRAMES/_VALUES touch;
+# build() runs OUTSIDE it (it triggers Spark jobs and may re-enter).
+_LOCK = threading.Lock()
 
 
 def cached_frame(df: DataFrame, key: tuple | None, build: Callable[[], DataFrame]) -> DataFrame:
@@ -42,22 +50,35 @@ def cached_frame(df: DataFrame, key: tuple | None, build: Callable[[], DataFrame
     if key is None:
         return build()
     full_key = (df.sparkSession.sparkContext.applicationId, *key)
-    hit = _FRAMES.get(full_key)
+    with _LOCK:
+        hit = _FRAMES.get(full_key)
     if hit is not None:
         return hit
     from pyspark import StorageLevel
 
     built = build().persist(StorageLevel.MEMORY_AND_DISK)
-    _FRAMES[full_key] = built
-    return built
+    with _LOCK:
+        racing = _FRAMES.get(full_key)
+        if racing is None:
+            _FRAMES[full_key] = built
+            return built
+    # lost a concurrent-build race: keep ONE persisted frame per key —
+    # drop ours (nothing materialized yet; unpersist is metadata-only)
+    try:
+        built.unpersist()
+    except Exception:
+        pass
+    return racing
 
 
 def put_value(df: DataFrame, key: tuple, value: object) -> None:
-    _VALUES[(df.sparkSession.sparkContext.applicationId, *key)] = value
+    with _LOCK:
+        _VALUES[(df.sparkSession.sparkContext.applicationId, *key)] = value
 
 
 def get_value(df: DataFrame, key: tuple):
-    return _VALUES.get((df.sparkSession.sparkContext.applicationId, *key))
+    with _LOCK:
+        return _VALUES.get((df.sparkSession.sparkContext.applicationId, *key))
 
 
 def release(token=None) -> int:
@@ -66,15 +87,19 @@ def release(token=None) -> int:
     ``"dispatch"``, or a specific plan hash); ``None`` releases
     everything. Returns the number of entries dropped."""
     n = 0
-    for k in [k for k in _FRAMES if token is None or token in k]:
-        frame = _FRAMES.pop(k)
+    with _LOCK:
+        frames = [
+            _FRAMES.pop(k)
+            for k in [k for k in _FRAMES if token is None or token in k]
+        ]
+        for k in [k for k in _VALUES if token is None or token in k]:
+            del _VALUES[k]
+            n += 1
+    for frame in frames:
         try:
             frame.unpersist()
         except Exception:
             pass  # session already stopped: the JVM cache died with it
-        n += 1
-    for k in [k for k in _VALUES if token is None or token in k]:
-        del _VALUES[k]
         n += 1
     return n
 
@@ -87,15 +112,16 @@ def release_exact(df: DataFrame, key: tuple) -> int:
     unpersist an unrelated family's stage)."""
     full = (df.sparkSession.sparkContext.applicationId, *key)
     n = 0
-    frame = _FRAMES.pop(full, None)
+    with _LOCK:
+        frame = _FRAMES.pop(full, None)
+        if full in _VALUES:
+            del _VALUES[full]
+            n += 1
     if frame is not None:
         try:
             frame.unpersist()
         except Exception:
             pass
-        n += 1
-    if full in _VALUES:
-        del _VALUES[full]
         n += 1
     return n
 
@@ -108,10 +134,13 @@ def cap_family(token, max_entries: int) -> int:
     production bound for families that register per distinct plan
     (ADVICE r9: dispatch persists accreted unbounded in long sessions
     because only tests ever called release)."""
-    keys = [k for k in _FRAMES if token in k]
     n = 0
-    for k in keys[: max(0, len(keys) - max_entries)]:
-        frame = _FRAMES.pop(k)
+    with _LOCK:
+        keys = [k for k in _FRAMES if token in k]
+        frames = [
+            _FRAMES.pop(k) for k in keys[: max(0, len(keys) - max_entries)]
+        ]
+    for frame in frames:
         try:
             frame.unpersist()
         except Exception:
@@ -122,4 +151,5 @@ def cap_family(token, max_entries: int) -> int:
 
 def entries() -> list[tuple]:
     """Registry introspection: the live cache keys (frames then values)."""
-    return [*_FRAMES.keys(), *_VALUES.keys()]
+    with _LOCK:
+        return [*_FRAMES.keys(), *_VALUES.keys()]
