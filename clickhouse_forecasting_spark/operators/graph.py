@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .ranking import probe_rows
+
 
 def bfs_distances(
     edges: DataFrame,
@@ -115,14 +117,11 @@ def pagerank(
     # node values in ONE job — ≤ cap rows means we hold the COMPLETE node
     # set and can route to the driver iteration without any further
     # driver-side state (out_w is unique per src, so the join is 1:≤1).
+    # probe_rows is the ONE shared limit-guarded probe (r10 VERDICT #6).
     flagged = nodes.join(
         out_w.withColumnRenamed("src", "node"), "node", "left"
     ).select("node", F.col("out_w").isNull().alias("__dangling"))
-    probe = (
-        flagged.limit(max_driver_nodes + 1).collect()
-        if max_driver_nodes > 0
-        else None
-    )
+    probe = probe_rows(flagged, max_driver_nodes)
     if probe is not None and len(probe) == 0:
         e.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
@@ -131,11 +130,11 @@ def pagerank(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("frac")
     )
 
-    if probe is not None and len(probe) <= max_driver_nodes:
-        # same limit-guarded collect for the edges: ≤ cap rows back means
+    if probe is not None:
+        # same limit-guarded probe for the edges: a row list back means
         # the complete normalized edge list is on the driver
-        edge_rows = norm.limit(max_driver_edges + 1).collect()
-        if len(edge_rows) <= max_driver_edges:
+        edge_rows = probe_rows(norm, max_driver_edges)
+        if edge_rows is not None:
             result = _pagerank_bounded(
                 nodes, probe, edge_rows, iterations=iterations, damping=damping
             )

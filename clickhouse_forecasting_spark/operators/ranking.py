@@ -364,6 +364,24 @@ FASTPATH_MAX_ROWS = 4_000_000
 DISPATCH_CACHE_MAX = 64
 
 
+def probe_rows(df: DataFrame, cap: int) -> list | None:
+    """Limit-guarded dispatch probe (r10 VERDICT #6: one shared helper
+    instead of hand-rolled copies at every size-adaptive call site).
+
+    Collects ``df`` under ``limit(cap + 1)`` — ONE job that either proves
+    the frame bounded (returns the COMPLETE row list, ``len(rows) <=
+    cap``) or overflows (returns ``None``: route to the distributed
+    path). ``cap <= 0`` disables the probe (returns ``None`` without
+    running a job) — the forced-distributed escape hatch. CollectLimit on
+    a multi-partition frame runs incremental partial jobs (~0.35 s
+    overhead locally) — cheaper than a separate count job and, unlike a
+    plain collect, safe against an unexpectedly huge input."""
+    if cap <= 0:
+        return None
+    rows = df.limit(int(cap) + 1).collect()
+    return rows if len(rows) <= cap else None
+
+
 def dispatch_small(df: DataFrame, max_rows: int) -> bool:
     """Routing probe for the size-adaptive dispatch. The driver-side
     count would otherwise recompute the (often aggregate) input once for

@@ -414,3 +414,16 @@ def test_grouped_running_sum_dispatch_routes_by_size(spark):
     a = {(r.g, r.o): r.cum for r in fast.collect()}
     b = {(r.g, r.o): r.cum for r in slow.collect()}
     assert a == b
+
+
+def test_probe_rows_routing(spark):
+    """r10 VERDICT #6: the ONE shared limit-guarded probe — complete row
+    list under the cap, None on overflow, None (no job) when disabled."""
+    from clickhouse_forecasting_spark.operators.ranking import probe_rows
+
+    df = spark.range(10).selectExpr("id AS v")
+    under = probe_rows(df, 10)
+    assert under is not None and sorted(r.v for r in under) == list(range(10))
+    assert probe_rows(df, 9) is None  # overflow -> distributed route
+    assert probe_rows(df, 0) is None  # disabled -> forced distributed
+    assert probe_rows(df.where("v < 0"), 5) == []  # empty is NOT overflow
