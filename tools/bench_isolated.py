@@ -6,8 +6,11 @@ particular) drift 1.2-1.3x round-over-round from SUITE-POSITION state —
 land in their historical band. This tool makes the isolated number a
 reproducible gate artifact instead of ad-hoc NOTES forensics: each query
 runs in its OWN subprocess (clean JVM, clean runtime_cache, clean
-storage pool) with the same warm-ups bench.py applies, and reports
-per-iteration wall-clock + min + median.
+storage pool) with the same warm-ups bench.py applies PLUS one
+discarded warm run of the query itself (r10 VERDICT #2: without it the
+first timed iteration carries 7-12 s of fresh-JVM cold cost on a loaded
+host and the median is noise), and reports per-iteration wall-clock +
+min + median.
 
 Usage:
     python tools/bench_isolated.py [--sf-dir D] [--iters N] query...
@@ -59,6 +62,16 @@ def run_single(name: str, sf_dir: str, iters: int) -> dict:
     _SF(interval=2, only_future=True).transform_long(_warm).collect()
 
     fn = qs[name]
+    # one discarded warm run of the QUERY ITSELF before the timed loop
+    # (r10 VERDICT #2): the generic warm-ups above don't fully warm a
+    # fresh JVM on a loaded host — the driver's r10 isolated iterations
+    # showed 7-12 s cold first iters (ann_scale_audit [9.84, 8.30, 2.88]),
+    # making the reported median noise. With the query's own code paths
+    # (codegen, shuffle machinery, any family stage build) warmed once,
+    # every timed iteration measures steady state and median ~= min.
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).collect()
+    warm_sec = round(time.perf_counter() - t0, 3)
     times: list[float] = []
     for _ in range(max(1, iters)):
         t0 = time.perf_counter()
@@ -66,6 +79,7 @@ def run_single(name: str, sf_dir: str, iters: int) -> dict:
         times.append(round(time.perf_counter() - t0, 3))
     return {
         "iters": times,
+        "warm_discarded": warm_sec,
         "min": round(min(times), 3),
         "median": round(statistics.median(times), 3),
     }
