@@ -308,6 +308,7 @@ def main() -> None:
 
     per_iter: list[dict[str, float]] = []
     singlepart: dict[str, list[int]] = {}
+    volumes: dict[str, dict] = {}
     for it in range(iters):
         t: dict[str, float] = {}
         for name in bench_set:
@@ -324,16 +325,20 @@ def main() -> None:
                 # census→runtime loop (r8): attribute every SinglePartition
                 # shuffle in the executed plan to this query and the rows
                 # it actually moved — the attribution the bare WindowExec
-                # warnings in the bench tail lack. Audit only; the
-                # fail-loud variant runs in tests/test_runtime_singlepart.
+                # warnings in the bench tail lack — and (r11) the
+                # scan/shuffle VOLUME the query executed, the measured
+                # answer to "what does this plan move at scale". One
+                # fused walk; audit only — the fail-loud singlepart
+                # variant runs in tests/test_runtime_singlepart.
                 try:
                     from clickhouse_forecasting_spark.telemetry import (
-                        runtime_single_partition_audit,
+                        runtime_plan_audit,
                     )
 
-                    found = runtime_single_partition_audit(df, query=name)
+                    found, vol = runtime_plan_audit(df, query=name)
                     if found:
                         singlepart[name] = [r["records"] for r in found]
+                    volumes[name] = vol
                 except Exception as exc:  # never fail the bench on audit
                     print(f"# audit {name}: {exc}", file=sys.stderr)
         per_iter.append(t)
@@ -474,6 +479,7 @@ def main() -> None:
                 "scale_knobs": scale_knobs,
                 "candidate_pairs": candidate_pairs,
                 "runtime_singlepart": singlepart,
+                "runtime_volume": volumes,
             },
             fh,
             indent=1,
@@ -507,6 +513,17 @@ def main() -> None:
                     "max_records": max(
                         (r for v in singlepart.values() for r in v),
                         default=0,
+                    ),
+                },
+                "runtime_volume": {
+                    "shuffle_mb_total": round(
+                        sum(v["shuffle_bytes_written"] for v in volumes.values())
+                        / 1e6,
+                        1,
+                    ),
+                    "scanned_mb_total": round(
+                        sum(v["bytes_scanned"] for v in volumes.values()) / 1e6,
+                        1,
                     ),
                 },
                 "full": "BENCH_FULL.json",

@@ -190,6 +190,60 @@ def runtime_single_partition_audit(df, query: str | None = None) -> list[dict]:
     return found
 
 
+def runtime_plan_audit(df, query: str | None = None) -> tuple[list[dict], dict]:
+    """One executed-plan walk returning BOTH bench telemetry reads:
+
+        (singlepart_rows, volume)
+
+    ``singlepart_rows`` is exactly runtime_single_partition_audit's
+    output; ``volume`` is query_metrics' scan/shuffle summary WITHOUT
+    the per-node detail — the numbers that answer "is there a shuffle
+    here that becomes the bottleneck at 100x" with measurements instead
+    of plan reading. Shuffle metric caveat: AQE reused exchanges report
+    under the stage that materialized them, so a query riding a
+    session-cached stage shows ~zero shuffle (it read InMemoryTableScan)
+    — attribution follows execution, which is the number that matters.
+    Fused here because each walk costs one py4j round-trip per metric
+    (~100ms on a deep plan); the bench runs it for every query."""
+    ep = df._jdf.queryExecution().executedPlan()
+    singlepart_rows: list[dict] = []
+    volume = {
+        "rows_scanned": 0,
+        "files_read": 0,
+        "bytes_scanned": 0,
+        "shuffle_bytes_written": 0,
+        "shuffle_records": 0,
+        "output_rows": None,
+    }
+    for node in _walk_executed_plan(ep):
+        cls = node.getClass().getSimpleName()
+        vals = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            vals[kv._1()] = kv._2().value()
+        if cls == "FileSourceScanExec":
+            volume["rows_scanned"] += vals.get("numOutputRows", 0)
+            volume["files_read"] += vals.get("numFiles", 0)
+            volume["bytes_scanned"] += vals.get("filesSize", 0)
+        elif cls == "ShuffleExchangeExec":
+            volume["shuffle_bytes_written"] += vals.get("shuffleBytesWritten", 0)
+            volume["shuffle_records"] += vals.get("shuffleRecordsWritten", 0)
+            if node.outputPartitioning().toString() == "SinglePartition":
+                recs = int(vals.get("shuffleRecordsWritten", 0))
+                singlepart_rows.append(
+                    {
+                        "query": query,
+                        "records": recs,
+                        "ok": recs <= RUNTIME_SINGLEPART_CAP,
+                        "node": node.toString().splitlines()[0][:200],
+                    }
+                )
+        if volume["output_rows"] is None and "numOutputRows" in vals:
+            volume["output_rows"] = vals["numOutputRows"]
+    return singlepart_rows, volume
+
+
 def assert_runtime_single_partitions_bounded(df, query: str | None = None) -> list[dict]:
     """runtime_single_partition_audit + fail loudly: raises AssertionError
     naming the query and the record count for any SinglePartition exchange

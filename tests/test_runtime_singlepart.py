@@ -82,3 +82,28 @@ def test_runtime_audit_attributes_records(spark):
     audit = runtime_single_partition_audit(small, query="attr_check")
     assert [r["records"] for r in audit] == [777]
     assert audit[0]["ok"] and audit[0]["query"] == "attr_check"
+
+
+def test_runtime_plan_audit_matches_both_reads(spark, sf_dir):
+    """r11: the fused one-walk audit returns exactly what the two
+    separate walks return — singlepart rows identical to
+    runtime_single_partition_audit, volume identical to query_metrics
+    minus the per-node detail — on a real scan+shuffle query."""
+    from clickhouse_forecasting_spark.telemetry import (
+        query_metrics,
+        runtime_plan_audit,
+    )
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .count()
+    )
+    df.collect()
+    sp, vol = runtime_plan_audit(df, query="fused_check")
+    assert sp == runtime_single_partition_audit(df, query="fused_check")
+    qm = query_metrics(df)
+    qm.pop("nodes")
+    assert vol == qm
+    assert vol["bytes_scanned"] > 0 and vol["rows_scanned"] > 0
+    assert vol["shuffle_records"] > 0  # the groupBy exchange
