@@ -47,9 +47,66 @@ _CNT = "__rk_cnt"
 _MID_SHIFT = 33
 _MID_MASK = (1 << _MID_SHIFT) - 1
 
+# Default dispatch cap for the plain-window fast path: with |domain|
+# group-tasks each sorting at most this many rows, the worst single task
+# holds ~4M rows (a few hundred MB of sort) — executor-safe on any
+# reasonable config, while the grouped machinery's constant overhead
+# (ranged shuffle + eager localCheckpoint + broadcast rebase, measured
+# median ~4x at 1-8M rows — NOTES_r7.md §7) never amortizes below it.
+FASTPATH_MAX_ROWS = 4_000_000
+
+# Upper bound on live dispatch probe persists (one per distinct plan
+# semanticHash): enough that every dispatch-enabled query in a bench/suite
+# run keeps its hit, small enough that a long-lived session stays bounded.
+DISPATCH_CACHE_MAX = 64
+
 
 def _order_cols(order_by: Sequence) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+
+def _ordered_cols_with_asc(
+    order_by: Sequence, ascending: Sequence[bool] | None
+) -> list[Column]:
+    """Order columns with optional per-key direction flags (the
+    global_rank convention, extended to the other global primitives so
+    dispatch call sites can stay plain-name + flags): with ``ascending``
+    every entry must be a plain column name; without it, entries pass
+    through ``_order_cols`` untouched (str -> asc, Column -> as built)."""
+    if ascending is None:
+        return _order_cols(order_by)
+    keys = list(order_by)
+    if not all(isinstance(k, str) for k in keys):
+        raise ValueError(
+            "ascending requires plain column names in order_by"
+        )
+    if len(list(ascending)) != len(keys):
+        raise ValueError("ascending must match order_by length")
+    return [
+        F.col(k) if a else F.col(k).desc() for k, a in zip(keys, ascending)
+    ]
+
+
+def _first_str_key(order_by: Sequence) -> str | None:
+    """First plain-string order key — the rowcap guard's wrap target for
+    the global fast paths (the guard must replace a LOAD-BEARING column
+    the window evaluates; an order key qualifies, an expression does
+    not, because _rowcap_guarded rewrites columns by name)."""
+    for k in order_by:
+        if isinstance(k, str):
+            return k
+    return None
+
+
+def _global_dispatch_key(order_by: Sequence, caller: str) -> str:
+    key = _first_str_key(order_by)
+    if key is None:
+        raise ValueError(
+            f"{caller}: dispatch_max_rows requires at least one plain "
+            "column name in order_by (the in-plan rowcap guard wraps it);"
+            " pass names + ascending=[...] instead of Column expressions"
+        )
+    return key
 
 
 def ranged_with_local_index(
@@ -122,6 +179,8 @@ def global_row_number(
     order_by: Sequence,
     col_name: str = "rn",
     num_partitions: int | None = None,
+    dispatch_max_rows: int | None = None,
+    ascending: Sequence[bool] | None = None,
 ) -> DataFrame:
     """df + a global 1-based row_number over ``order_by`` — the distributed
     equivalent of ``row_number() OVER (ORDER BY ...)``.  For a deterministic
@@ -136,13 +195,58 @@ def global_row_number(
     reductions (min rn per key group) the tie order is irrelevant to the
     result, but it lets the ranged shuffle split the tied run across
     partitions.  Pinned by test_ranking.test_tied_keys_split_with_tiebreak.
-    """
-    local = ranged_with_local_index(df, order_by, num_partitions)
+
+    ``dispatch_max_rows`` opts into the size-adaptive dispatch the grouped
+    primitives have had since r7 (see grouped_row_number / dispatch_small's
+    persist-then-count cost model: enable only where the input is an
+    AGGREGATE of the fact, never on fact-grain frames — an over-cap probe
+    pays one full cache write of the input): under the cap the plain
+    single-partition window runs, re-proving the bound IN-PLAN
+    (bounded_global_row_number's rowcap assert — the census recognizes the
+    ``__bounded_`` marker feeding the Exchange SinglePartition); over it,
+    this distributed machinery.  Per-key direction for the dispatch form
+    comes from ``ascending`` (plain names only), the global_rank
+    convention."""
+    if dispatch_max_rows is not None:
+        _global_dispatch_key(order_by, "global_row_number")
+        if dispatch_small(df, dispatch_max_rows):
+            return bounded_global_row_number(
+                df, order_by, col_name=col_name,
+                max_rows=int(dispatch_max_rows), ascending=ascending,
+                caller="global_row_number",
+            )
+    local = ranged_with_local_index(
+        df, _ordered_cols_with_asc(order_by, ascending), num_partitions
+    )
     off = partition_offsets(local)
     return (
         local.join(F.broadcast(off), _PID)
         .withColumn(col_name, (F.col(_OFF) + F.col(_LRN)).cast("bigint"))
         .drop(_PID, _LRN, _OFF, _CNT)
+    )
+
+
+def bounded_global_row_number(
+    df: DataFrame,
+    order_by: Sequence,
+    col_name: str = "rn",
+    max_rows: int = FASTPATH_MAX_ROWS,
+    ascending: Sequence[bool] | None = None,
+    caller: str = "bounded_global_row_number",
+) -> DataFrame:
+    """Plain ``row_number() OVER (ORDER BY ...)`` over a frame PROVEN
+    small at execution time — the size-adaptive fast path of
+    global_row_number, guarded by the same in-plan rowcap assert as the
+    bounded_rows_* forms (_rowcap_guarded wraps the first plain-string
+    order key, so the ``__bounded_rowcap_asserted`` marker survives into
+    the plan feeding the single-partition exchange and the census
+    classifies it bounded — backed by the runtime assert, which fails
+    loudly on any oversized input)."""
+    key = _global_dispatch_key(order_by, caller)
+    guarded = _rowcap_guarded(df, [key], max_rows, caller)
+    w = Window.orderBy(*_ordered_cols_with_asc(order_by, ascending))
+    return guarded.withColumn(
+        col_name, F.row_number().over(w).cast("bigint")
     )
 
 
@@ -152,13 +256,30 @@ def global_ntile(
     n_tiles: int,
     col_name: str = "tile",
     num_partitions: int | None = None,
+    dispatch_max_rows: int | None = None,
+    ascending: Sequence[bool] | None = None,
 ) -> DataFrame:
     """df + SQL-exact NTILE(n) over a global order: the first (total % n)
     tiles get ceil(total/n) rows, the rest floor(total/n) — bit-identical to
     ANSI/DuckDB NTILE, computed from the distributed row number + one scalar
     total (broadcast 1-row aggregate), never a single-partition window.
-    """
-    local = ranged_with_local_index(df, order_by, num_partitions)
+
+    ``dispatch_max_rows`` opts into the size-adaptive dispatch (see
+    global_row_number: aggregate-grain inputs only): under the cap the
+    assert-guarded plain NTILE window runs (bounded_global_ntile —
+    native ``F.ntile`` IS the same ANSI NTILE the arithmetic here
+    reproduces), over it this distributed machinery."""
+    if dispatch_max_rows is not None:
+        _global_dispatch_key(order_by, "global_ntile")
+        if dispatch_small(df, dispatch_max_rows):
+            return bounded_global_ntile(
+                df, order_by, n_tiles, col_name=col_name,
+                max_rows=int(dispatch_max_rows), ascending=ascending,
+                caller="global_ntile",
+            )
+    local = ranged_with_local_index(
+        df, _ordered_cols_with_asc(order_by, ascending), num_partitions
+    )
     off = partition_offsets(local)
     # scalar total from the tiny offsets frame (last offset + last count) —
     # no second scan of the checkpointed data
@@ -202,6 +323,35 @@ def global_ntile(
     )
 
 
+def bounded_global_ntile(
+    df: DataFrame,
+    order_by: Sequence,
+    n_tiles: int,
+    col_name: str = "tile",
+    max_rows: int = FASTPATH_MAX_ROWS,
+    ascending: Sequence[bool] | None = None,
+    caller: str = "bounded_global_ntile",
+) -> DataFrame:
+    """Plain ``NTILE(n) OVER (ORDER BY ...)`` over a frame proven small
+    at execution time — the size-adaptive fast path of global_ntile
+    (same rowcap-assert proof machinery as bounded_global_row_number).
+    Keeps global_ntile's pmod identity clamp so the 1..n tile domain
+    stays visible to the plan census (downstream aggregates grouped on
+    the tile remain provably bounded)."""
+    key = _global_dispatch_key(order_by, caller)
+    guarded = _rowcap_guarded(df, [key], max_rows, caller)
+    w = Window.orderBy(*_ordered_cols_with_asc(order_by, ascending))
+    k = int(n_tiles)
+    tile = (
+        F.pmod(
+            F.ntile(k).over(w).cast("bigint") - 1,
+            F.lit(k).cast("bigint"),
+        )
+        + 1
+    )
+    return guarded.withColumn(col_name, tile.cast("int"))
+
+
 def global_rank(
     df: DataFrame,
     order_by: Sequence,
@@ -209,6 +359,7 @@ def global_rank(
     dense: bool = False,
     num_partitions: int | None = None,
     ascending: Sequence[bool] | None = None,
+    dispatch_max_rows: int | None = None,
 ) -> DataFrame:
     """df + SQL RANK() (gaps after ties) or DENSE_RANK() over a global
     order — distributed: global_row_number with an arbitrary tie order,
@@ -220,7 +371,13 @@ def global_rank(
     ``order_by`` must be plain column names (rank semantics group back on
     them); per-key direction comes from ``ascending`` (default all-ASC),
     e.g. ``global_rank(df, ["n"], ascending=[False])`` for
-    ``RANK() OVER (ORDER BY n DESC)``."""
+    ``RANK() OVER (ORDER BY n DESC)``.
+
+    ``dispatch_max_rows`` passes through to the internal per-key frames
+    (the per-key count aggregate / the distinct-key frame — both
+    aggregate-grain by construction, the documented dispatch cost-model
+    fit): under the cap they take the assert-guarded plain-window fast
+    path instead of the ranged machinery."""
     keys = [c for c in order_by if isinstance(c, str)]
     if len(keys) != len(list(order_by)):
         # Column expressions (e.g. F.desc) have no stable name to group
@@ -246,8 +403,9 @@ def global_rank(
         # tied-key limit); now only the per-key COUNT row lands there.
         vals = df.groupBy(*keys).agg(F.count("*").alias("__rk_kc"))
         cum = global_running_sum(
-            vals, ordered, ["__rk_kc"], ["__rk_kcum"],
-            num_partitions=num_partitions,
+            vals, keys, ["__rk_kc"], ["__rk_kcum"],
+            num_partitions=num_partitions, ascending=asc,
+            dispatch_max_rows=dispatch_max_rows,
         )
         ranks = cum.select(
             *keys,
@@ -260,8 +418,9 @@ def global_rank(
     # each row to its key's dense index through a (null-safe) equi-join
     distinct_keys = df.select(*keys).distinct()
     dense_idx = global_row_number(
-        distinct_keys, ordered, col_name=col_name,
-        num_partitions=num_partitions,
+        distinct_keys, keys, col_name=col_name,
+        num_partitions=num_partitions, ascending=asc,
+        dispatch_max_rows=dispatch_max_rows,
     )
     return _join_back_null_safe(df, dense_idx, keys)
 
@@ -348,20 +507,6 @@ def _guard_group_cardinality(
 # ≤|domain|-row frame). The group key set must be BOUNDED-DOMAIN (that is
 # what makes the rebase frame broadcastable) — which is exactly the case
 # where the plain partitioned window cannot scale.
-
-
-# Default dispatch cap for the plain-window fast path: with |domain|
-# group-tasks each sorting at most this many rows, the worst single task
-# holds ~4M rows (a few hundred MB of sort) — executor-safe on any
-# reasonable config, while the grouped machinery's constant overhead
-# (ranged shuffle + eager localCheckpoint + broadcast rebase, measured
-# median ~4x at 1-8M rows — NOTES_r7.md §7) never amortizes below it.
-FASTPATH_MAX_ROWS = 4_000_000
-
-# Upper bound on live dispatch probe persists (one per distinct plan
-# semanticHash): enough that every dispatch-enabled query in a bench/suite
-# run keeps its hit, small enough that a long-lived session stays bounded.
-DISPATCH_CACHE_MAX = 64
 
 
 def probe_rows(df: DataFrame, cap: int) -> list | None:
@@ -732,6 +877,8 @@ def global_running_sum(
     value_cols: Sequence[str],
     out_names: Sequence[str],
     num_partitions: int | None = None,
+    dispatch_max_rows: int | None = None,
+    ascending: Sequence[bool] | None = None,
 ) -> DataFrame:
     """df + inclusive running sums of ``value_cols`` over the global
     ``order_by`` — ``SUM(c) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
@@ -743,8 +890,24 @@ def global_running_sum(
     prefix contains no non-null value yields NULL; otherwise NULLs are
     skipped.  (The prefix totals are coalesced to 0, so a per-partition
     non-null count — also carried in the offsets frame — decides the
-    NULL-vs-0 edge.)"""
-    local = ranged_with_local_index(df, order_by, num_partitions)
+    NULL-vs-0 edge.)
+
+    ``dispatch_max_rows`` opts into the size-adaptive dispatch (see
+    global_row_number: aggregate-grain inputs only): under the cap the
+    assert-guarded plain window runs (bounded_global_running_sum — the
+    native window's NULL semantics ARE the semantics above), over it
+    this distributed machinery."""
+    if dispatch_max_rows is not None:
+        _global_dispatch_key(order_by, "global_running_sum")
+        if dispatch_small(df, dispatch_max_rows):
+            return bounded_global_running_sum(
+                df, order_by, value_cols, out_names,
+                max_rows=int(dispatch_max_rows), ascending=ascending,
+                caller="global_running_sum",
+            )
+    local = ranged_with_local_index(
+        df, _ordered_cols_with_asc(order_by, ascending), num_partitions
+    )
     off = partition_offsets(local, sum_cols=value_cols)
     w = (
         Window.partitionBy(_PID)
@@ -766,6 +929,32 @@ def global_running_sum(
     return out.drop(*drop)
 
 
+def bounded_global_running_sum(
+    df: DataFrame,
+    order_by: Sequence,
+    value_cols: Sequence[str],
+    out_names: Sequence[str],
+    max_rows: int = FASTPATH_MAX_ROWS,
+    ascending: Sequence[bool] | None = None,
+    caller: str = "bounded_global_running_sum",
+) -> DataFrame:
+    """Plain global ``SUM(c) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` over a frame proven small at execution time — the
+    size-adaptive fast path of global_running_sum (same rowcap-assert
+    proof machinery as bounded_global_row_number; the native window's
+    NULL semantics are exactly the SQL semantics the distributed
+    machinery reproduces with its NULL-carry)."""
+    key = _global_dispatch_key(order_by, caller)
+    guarded = _rowcap_guarded(df, [key], max_rows, caller)
+    w = (
+        Window.orderBy(*_ordered_cols_with_asc(order_by, ascending))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c, name in zip(value_cols, out_names):
+        guarded = guarded.withColumn(name, F.sum(c).over(w))
+    return guarded
+
+
 def global_running_max(
     df: DataFrame,
     order_by: Sequence,
@@ -773,6 +962,8 @@ def global_running_max(
     col_name: str,
     num_partitions: int | None = None,
     exclusive: bool = False,
+    dispatch_max_rows: int | None = None,
+    ascending: Sequence[bool] | None = None,
 ) -> DataFrame:
     """df + running max of ``value_col`` over the global ``order_by`` —
     max is associative, so the stitch is: per-partition running max +
@@ -783,8 +974,21 @@ def global_running_max(
     ``ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`` (the skyline /
     strictly-before shape): the local window excludes the current row and
     the first global row yields NULL — identical to the SQL form's empty
-    frame."""
-    local = ranged_with_local_index(df, order_by, num_partitions)
+    frame.
+
+    ``dispatch_max_rows`` opts into the size-adaptive dispatch (see
+    global_row_number: aggregate-grain inputs only)."""
+    if dispatch_max_rows is not None:
+        _global_dispatch_key(order_by, "global_running_max")
+        if dispatch_small(df, dispatch_max_rows):
+            return bounded_global_running_max(
+                df, order_by, value_col, col_name,
+                max_rows=int(dispatch_max_rows), ascending=ascending,
+                exclusive=exclusive, caller="global_running_max",
+            )
+    local = ranged_with_local_index(
+        df, _ordered_cols_with_asc(order_by, ascending), num_partitions
+    )
     pmax = local.groupBy(_PID).agg(F.max(value_col).alias("__rk_pm"))
     wp = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     pre = pmax.select(_PID, F.max("__rk_pm").over(wp).alias("__rk_prem"))
@@ -802,6 +1006,31 @@ def global_running_max(
         )
         .drop(_PID, _LRN, "__rk_prem")
     )
+
+
+def bounded_global_running_max(
+    df: DataFrame,
+    order_by: Sequence,
+    value_col: str,
+    col_name: str,
+    max_rows: int = FASTPATH_MAX_ROWS,
+    ascending: Sequence[bool] | None = None,
+    exclusive: bool = False,
+    caller: str = "bounded_global_running_max",
+) -> DataFrame:
+    """Plain global running max over a frame proven small at execution
+    time — the size-adaptive fast path of global_running_max (same
+    rowcap-assert proof machinery as bounded_global_row_number; the
+    exclusive form's empty first frame yields NULL, identical to the
+    stitched form's NULL prefix)."""
+    key = _global_dispatch_key(order_by, caller)
+    guarded = _rowcap_guarded(df, [key], max_rows, caller)
+    hi = -1 if exclusive else 0
+    w = (
+        Window.orderBy(*_ordered_cols_with_asc(order_by, ascending))
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    return guarded.withColumn(col_name, F.max(value_col).over(w))
 
 
 def top_k(df: DataFrame, order_by: Sequence, k: int) -> DataFrame:

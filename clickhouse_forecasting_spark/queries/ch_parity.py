@@ -3356,7 +3356,8 @@ def q_top_customers_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vals = per.groupBy("n_orders").agg(F.count("*").alias("cnt"))
     cum = RK.global_running_sum(
-        vals, [F.desc("n_orders")], ["cnt"], ["cum_cnt"]
+        vals, ["n_orders"], ["cnt"], ["cum_cnt"], ascending=[False],
+        dispatch_max_rows=RK.FASTPATH_MAX_ROWS,
     )
     kept = cum.select(
         "n_orders", (F.col("cum_cnt") - F.col("cnt") + 1).alias("rnk")

@@ -837,6 +837,7 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_size_at_price",
         "cheaper_max_size",
         exclusive=True,
+        dispatch_max_rows=RK.FASTPATH_MAX_ROWS,
     ).select("p_retailprice", "cheaper_max_size")
     return (
         part.join(cheaper, "p_retailprice")
@@ -1130,13 +1131,16 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("max_d", "last_order")
     )
     out = RK.global_ntile(
-        scored, ["recency_days", "o_custkey"], 5, col_name="r_score"
+        scored, ["recency_days", "o_custkey"], 5, col_name="r_score",
+        dispatch_max_rows=RK.FASTPATH_MAX_ROWS,
     )
     out = RK.global_ntile(
-        out, [F.desc("frequency"), F.col("o_custkey")], 5, col_name="f_score"
+        out, ["frequency", "o_custkey"], 5, col_name="f_score",
+        ascending=[False, True], dispatch_max_rows=RK.FASTPATH_MAX_ROWS,
     )
     out = RK.global_ntile(
-        out, [F.desc("monetary"), F.col("o_custkey")], 5, col_name="m_score"
+        out, ["monetary", "o_custkey"], 5, col_name="m_score",
+        ascending=[False, True], dispatch_max_rows=RK.FASTPATH_MAX_ROWS,
     )
     return out.select(
         F.col("o_custkey").alias("custkey"),
@@ -3593,7 +3597,10 @@ def q_ks_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact scan, no single-partition window. max(cum)-as-total requires
     # NON-NEGATIVE summands (c1/c2 are counts); on signed values take
     # the last row's cumulative by order instead.
-    cum = RK.global_running_sum(counts, ["v"], ["c1", "c2"], ["cum1", "cum2"])
+    cum = RK.global_running_sum(
+        counts, ["v"], ["c1", "c2"], ["cum1", "cum2"],
+        dispatch_max_rows=RK.FASTPATH_MAX_ROWS,
+    )
     tot = cum.agg(
         F.max("cum1").cast("bigint").alias("n1"),
         F.max("cum2").cast("bigint").alias("n2"),
@@ -3663,7 +3670,10 @@ def q_mannwhitney_u_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # comes from the distributed running sum; n1/n2 fold into the SAME
     # one-row aggregate over the checkpointed frame (the old second fact
     # scan for totals is gone)
-    cum = RK.global_running_sum(counts, ["v"], ["c"], ["cumc"])
+    cum = RK.global_running_sum(
+        counts, ["v"], ["c"], ["cumc"],
+        dispatch_max_rows=RK.FASTPATH_MAX_ROWS,
+    )
     terms = cum.select(
         "c1", "c2", "c",
         (F.col("cumc") - F.col("c")).alias("s"),
@@ -4424,7 +4434,10 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def key_stats(df: DataFrame, col: str, label: str) -> DataFrame:
         per_key = df.groupBy(F.col(col).alias("k")).agg(F.count("*").alias("n"))
-        numbered = RK.global_row_number(per_key, ["n", "k"], col_name="rk")
+        numbered = RK.global_row_number(
+            per_key, ["n", "k"], col_name="rk",
+            dispatch_max_rows=RK.FASTPATH_MAX_ROWS,
+        )
         total = numbered.agg(F.count("*").alias("cnt"))
         ranked = numbered.crossJoin(F.broadcast(total)).select("n", "rk", "cnt")
         picks = ranked.agg(

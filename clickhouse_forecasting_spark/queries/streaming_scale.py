@@ -172,6 +172,11 @@ def q_global_rank_price_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
         "o_orderkey",
     )
+    # NO dispatch here: the rank keys are near-unique price cents, so the
+    # per-key aggregate global_rank probes is itself fact-proportional —
+    # the probe would pay a full cache write of a fact-grain frame (the
+    # dispatch_small anti-case), and the r11 isolated A/B measured the
+    # dispatched form as a wash-to-regression (3.10 -> 3.52 s min).
     rnk = RK.global_rank(sel, ["c"], "rnk")
     drk = RK.global_rank(sel, ["c"], "drk", dense=True)
     per = (
@@ -2514,7 +2519,10 @@ def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint"
     )
     b = counts.select("tok", "c", w_micro.alias("w"))
-    cum = RK.global_running_sum(b, ["tok"], ["w"], ["cum_w"])
+    cum = RK.global_running_sum(
+        b, ["tok"], ["w"], ["cum_w"],
+        dispatch_max_rows=RK.FASTPATH_MAX_ROWS,
+    )
     tot = cum.agg(F.max("cum_w").cast("bigint").alias("tot_w"))
     return (
         cum.crossJoin(F.broadcast(tot))

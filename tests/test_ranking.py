@@ -427,3 +427,106 @@ def test_probe_rows_routing(spark):
     assert probe_rows(df, 9) is None  # overflow -> distributed route
     assert probe_rows(df, 0) is None  # disabled -> forced distributed
     assert probe_rows(df.where("v < 0"), 5) == []  # empty is NOT overflow
+
+
+def test_global_primitives_dispatch_route_by_size(spark):
+    """r11: the global total-order primitives gained the same
+    size-adaptive dispatch the grouped forms have had since r7 — under
+    the cap the assert-guarded plain window runs (rowcap marker in
+    plan), over it the ranged machinery — identical values either way,
+    including mixed-direction orders via ``ascending``."""
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    cases = [
+        (
+            lambda cap: RK.global_row_number(
+                df, ["v", "k"], "rn", ascending=[False, True],
+                dispatch_max_rows=cap,
+            ),
+            "rn",
+        ),
+        (
+            lambda cap: RK.global_ntile(
+                df, ["v", "k"], 5, col_name="t",
+                ascending=[False, True], dispatch_max_rows=cap,
+            ),
+            "t",
+        ),
+        (
+            lambda cap: RK.global_running_sum(
+                df, ["k"], ["v"], ["cum"], dispatch_max_rows=cap
+            ),
+            "cum",
+        ),
+        (
+            lambda cap: RK.global_running_max(
+                df, ["k"], "v", "m", exclusive=True, dispatch_max_rows=cap
+            ),
+            "m",
+        ),
+    ]
+    for build, out in cases:
+        fast, slow = build(1000), build(100)
+        fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+        slow_plan = slow._jdf.queryExecution().executedPlan().toString()
+        assert "__bounded_rowcap_asserted" in fast_plan, out
+        assert "__bounded_rowcap_asserted" not in slow_plan, out
+        a = {r.k: r[out] for r in fast.collect()}
+        b = {r.k: r[out] for r in slow.collect()}
+        assert a == b, out
+
+
+def test_bounded_global_fastpath_refuses_oversized_input(spark):
+    df = spark.range(500).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    bad = RK.bounded_global_row_number(df, ["k"], "rn", max_rows=50)
+    with pytest.raises(Exception, match="max_rows"):
+        bad.collect()
+
+
+def test_bounded_global_running_sum_null_semantics(spark):
+    """NULL until the first non-null value in order, NULLs skipped after
+    — the fast path must reproduce the distributed NULL-carry exactly."""
+    rows = [(0, None), (1, None), (2, 2.0), (3, None), (4, 4.0)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    fast = RK.global_running_sum(
+        df, ["k"], ["v"], ["cum"], dispatch_max_rows=1000
+    )
+    slow = RK.global_running_sum(df, ["k"], ["v"], ["cum"])
+    want = {0: None, 1: None, 2: 2.0, 3: 2.0, 4: 6.0}
+    for got in (fast, slow):
+        assert {r.k: r.cum for r in got.collect()} == want
+
+
+def test_global_rank_dispatch_matches_window(spark):
+    """global_rank(dispatch_max_rows=...) threads dispatch into its
+    internal per-key aggregate frames — values identical to the
+    undispatched form and to the SQL window, both rank flavors, DESC."""
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("n")
+    )
+    for dense in (False, True):
+        disp = RK.global_rank(
+            df, ["n"], "r", dense=dense, ascending=[False],
+            dispatch_max_rows=100_000,
+        )
+        ref = df.withColumn(
+            "r",
+            (F.dense_rank() if dense else F.rank())
+            .over(Window.orderBy(F.desc("n")))
+            .cast("bigint"),
+        )
+        a = {r.k: r.r for r in disp.collect()}
+        b = {r.k: r.r for r in ref.collect()}
+        assert a == b, dense
+
+
+def test_global_dispatch_rejects_expression_only_order(spark):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="plain"):
+        RK.global_row_number(
+            df, [F.desc("k")], "rn", dispatch_max_rows=100
+        )

@@ -1,0 +1,47 @@
+"""Dump .explain('formatted') for named queries to plans/<tag>/<q>_<suffix>.txt.
+
+Usage: python tools/dump_plans.py <tag> <suffix> <query> [query ...]
+       (sf_dir from $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    tag, suffix = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans", tag,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+
+    import __spark_entry__ as entrymod
+    from clickhouse_forecasting_spark.session import build_session
+
+    spark = build_session(
+        "dump_plans", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    qs = entrymod.queries()
+    for name in names:
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        try:
+            df = qs[name](spark, sf_dir)
+            txt = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # streaming/batch-plan-less queries
+            txt = f"<no batch plan: {exc}>\n"
+        with open(path, "w") as fh:
+            fh.write(f"# {name} @ {sf_dir} ({suffix})\n{txt}")
+        print(f"wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
