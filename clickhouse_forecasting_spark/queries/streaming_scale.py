@@ -2011,30 +2011,43 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bg"),
     ).select("doc_id", "n", F.col("bg.w1").alias("w1"),
              F.col("bg.w2").alias("w2"))
-    bg_counts = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    un_counts = big.groupBy("w1").agg(F.count("*").alias("cu"))
-    vocab = big.select(F.col("w2").alias("w")).union(
-        big.select("w1")
-    ).distinct().count()
-    # the LM tables are bigram-/vocabulary-grain — they GROW with the
-    # crawl, so they join as plain equi-joins on the token keys (AQE
-    # broadcasts them when small, shuffles at 100 TB); forcing a
-    # broadcast here would ship a corpus-proportional table to every
-    # executor
-    scored = (
-        big.join(bg_counts, ["w1", "w2"])
-        .join(un_counts, "w1")
-        .select(
-            "doc_id",
-            "n",
-            (
-                -F.log(
-                    (F.col("cb") + 1).cast("double")
-                    / (F.col("cu") + vocab).cast("double")
-                )
-            ).alias("nll"),
-        )
+    # r11 optimization (guide §2.2/§5: shuffle fewer bytes, never scan
+    # the corpus twice for derivable aggregates): the exploded-bigram
+    # frame used to be derived FOUR times (bg_counts, un_counts, the
+    # vocab count action, and the scored join spine). Everything the LM
+    # needs is derivable from bg_counts alone — cu = SUM(cb) per w1
+    # (exact integers), vocab = |distinct(w1 union w2)| over the distinct
+    # bigram set (identical sets by construction) — so ONE corpus pass
+    # builds the LM (checkpointed at bigram grain, sublinear in the
+    # crawl) and the only other corpus pass is the scoring join. The
+    # docstring's "one pass for the LM, one for scoring" is now the
+    # measured plan, not just the design.
+    bg_counts = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .localCheckpoint(eager=True)
     )
+    un_counts = bg_counts.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    vocab = bg_counts.select(F.col("w2").alias("w")).union(
+        bg_counts.select("w1")
+    ).distinct().count()
+    # per-bigram nll computed at LM grain (bigram rows, NOT corpus
+    # rows), then ONE equi-join onto the exploded corpus — the LM
+    # tables GROW with the crawl, so they join as plain equi-joins on
+    # the token keys (AQE broadcasts them when small, shuffles at
+    # 100 TB); forcing a broadcast here would ship a corpus-
+    # proportional table to every executor
+    lm = bg_counts.join(un_counts, "w1").select(
+        "w1",
+        "w2",
+        (
+            -F.log(
+                (F.col("cb") + 1).cast("double")
+                / (F.col("cu") + vocab).cast("double")
+            )
+        ).alias("nll"),
+    )
+    scored = big.join(lm, ["w1", "w2"]).select("doc_id", "n", "nll")
     per_doc = scored.groupBy("doc_id", "n").agg(
         (
             F.sum(F.round(F.col("nll") * 1e9).cast("decimal(38,0)"))
