@@ -70,3 +70,33 @@ def test_streaming_topk_watermark_bounds_state(spark, sf_dir, tmp_path):
         "window_start").distinct().count()
     closed = emitted.select("window_start").distinct().count()
     assert 0 < closed <= all_windows
+
+
+def test_replay_closed_counts_state_parts_invariant(
+    spark, sf_dir, monkeypatch
+):
+    """r11: the closed-counts replay pins the stream's shuffle width to
+    the watermark-bounded state scale (SPARK_GRAFT_STREAM_STATE_PARTS,
+    default 8) — the partition count must not change WHAT is emitted,
+    and the session-wide setting must be restored for batch plans."""
+    from clickhouse_forecasting_spark.queries.ch_parity import (
+        _replay_closed_counts,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    base = {
+        (r.window_start, r.event_type): r.n
+        for r in _replay_closed_counts(spark, sf_dir).collect()
+    }
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    spark.catalog.dropTempView("closed_counts_replay")
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTS", "3")
+    alt = {
+        (r.window_start, r.event_type): r.n
+        for r in _replay_closed_counts(spark, sf_dir).collect()
+    }
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    spark.catalog.dropTempView("closed_counts_replay")
+
+    assert base and alt == base
