@@ -4538,20 +4538,33 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = d.select(
         "doc_id", "source", F.explode(chunks).alias("chunk")
     ).select("doc_id", "source", F.md5("chunk").alias("h"))
+    # r11 (guide §1.3/§2.2): the chunking expression tree above — two
+    # md5s per token position plus the chunk assembly — used to run
+    # TWICE (once under the multi-doc census, once under the report
+    # spine). One pass now folds the explosion to (h, doc_id, source)
+    # grain with instance counts — (doc_id, h)-unique, a doc's source is
+    # functional — and checkpoints it: the same materialized
+    # fingerprint-stage shape the dedup family persists, with the text
+    # itself never leaving the map side.
+    per_hd = (
+        ex.groupBy("h", "doc_id", "source")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     multi = (
-        ex.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
+        per_hd.groupBy("h")
+        .agg(F.count("*").alias("nd"))  # rows are (h, doc)-unique
         .where(F.col("nd") >= 2)
         .select("h", F.lit(1).alias("is_multi"))
     )
-    ex2 = ex.join(F.broadcast(multi), "h", "left")
+    ex2 = per_hd.join(F.broadcast(multi), "h", "left")
     return (
         ex2.groupBy("source")
         .agg(
-            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum("c").cast("bigint").alias("n_chunks"),
             F.countDistinct("h").cast("bigint").alias("n_distinct"),
             F.expr(
-                "(count(*) - count(distinct h)) * 1000000 div count(*)"
+                "(sum(c) - count(distinct h)) * 1000000 div sum(c)"
             )
             .cast("bigint")
             .alias("dup_ppm"),

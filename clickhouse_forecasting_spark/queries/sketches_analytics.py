@@ -4434,10 +4434,10 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def key_stats(df: DataFrame, col: str, label: str) -> DataFrame:
         per_key = df.groupBy(F.col(col).alias("k")).agg(F.count("*").alias("n"))
-        numbered = RK.global_row_number(
-            per_key, ["n", "k"], col_name="rk",
-            dispatch_max_rows=RK.FASTPATH_MAX_ROWS,
-        )
+        # no dispatch: per-key counts are dimension-grain (customers/
+        # parts/suppliers scale with the warehouse) and the r11 isolated
+        # A/B measured the dispatched form as a wash (2.13 -> 2.07 s min)
+        numbered = RK.global_row_number(per_key, ["n", "k"], col_name="rk")
         total = numbered.agg(F.count("*").alias("cnt"))
         ranked = numbered.crossJoin(F.broadcast(total)).select("n", "rk", "cnt")
         picks = ranked.agg(

@@ -2532,10 +2532,10 @@ def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bigint"
     )
     b = counts.select("tok", "c", w_micro.alias("w"))
-    cum = RK.global_running_sum(
-        b, ["tok"], ["w"], ["cum_w"],
-        dispatch_max_rows=RK.FASTPATH_MAX_ROWS,
-    )
+    # no dispatch: the frame is vocabulary-grain (grows with the crawl)
+    # and the r11 isolated A/B measured the dispatched form as a wash
+    # (1.23 -> 1.29 s min) — the probe's cache write buys nothing here
+    cum = RK.global_running_sum(b, ["tok"], ["w"], ["cum_w"])
     tot = cum.agg(F.max("cum_w").cast("bigint").alias("tot_w"))
     return (
         cum.crossJoin(F.broadcast(tot))
