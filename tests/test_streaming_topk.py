@@ -79,9 +79,11 @@ def test_replay_closed_counts_state_parts_invariant(
     the watermark-bounded state scale (SPARK_GRAFT_STREAM_STATE_PARTS,
     default 8) — the partition count must not change WHAT is emitted,
     and the session-wide setting must be restored for batch plans."""
-    from clickhouse_forecasting_spark.queries.ch_parity import (
-        _replay_closed_counts,
-    )
+    # parts execute into the queries package namespace (pinned by
+    # test_registry_consistency::test_no_direct_part_module_imports)
+    from clickhouse_forecasting_spark import queries as _q
+
+    _replay_closed_counts = _q._replay_closed_counts
 
     before = spark.conf.get("spark.sql.shuffle.partitions")
     base = {
