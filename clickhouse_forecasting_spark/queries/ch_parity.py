@@ -1210,9 +1210,24 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long") % _DSIR_BUCKETS
     )
     bt = tok.select("doc_id", "lang", bucket.alias("b"))
-    counts = bt.groupBy("b").agg(
-        F.count("*").alias("r_b"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_b"),
+    # r11 (guide §1.3/§2.2): the tokenize + explode + md5-bucket stream
+    # used to be derived twice (bucket distribution counts AND the
+    # per-doc score counts). The (doc, lang, bucket) fold — lang is
+    # functional on doc, and the grain is bounded at 64 buckets per doc,
+    # a real reduction of the token stream — already paid its shuffle
+    # for the scoring side, so the distribution counts now derive from
+    # the checkpointed fold as exact integer re-aggregates: one corpus
+    # pass total, the shape the docstring promises.
+    per_db = (
+        bt.groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    counts = per_db.groupBy("b").agg(
+        F.sum("c").alias("r_b"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.col("c")).otherwise(F.lit(0))
+        ).alias("t_b"),
     )
     totals = counts.agg(
         F.sum("r_b").alias("r_tot"), F.sum("t_b").alias("t_tot")
@@ -1231,7 +1246,7 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    per_doc = bt.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    per_doc = per_db.select("doc_id", "b", "c")
     scored = (
         per_doc.join(F.broadcast(lam), "b")
         .groupBy("doc_id")
