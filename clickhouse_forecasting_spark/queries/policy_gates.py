@@ -818,13 +818,29 @@ def q_label_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.first()["embedding"])
     pairs = SIM.hyperplane_near_dup_pairs(emb, dim, threshold=-1.0, n_planes=6)
-    directed = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "cosine"
-    ).unionByName(
+    # r11 (guide §1.3): symmetrize via ONE explode instead of a union of
+    # two selects — the union form derived the bucketed-pair pipeline
+    # twice (everything downstream of the persisted family stages)
+    directed = (
         pairs.select(
-            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "cosine"
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"),
+                        F.col("id_b").alias("dst"),
+                        F.col("cosine"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"),
+                        F.col("id_a").alias("dst"),
+                        F.col("cosine"),
+                    ),
+                )
+            ).alias("e")
         )
-    ).withColumn("cos_r", F.round("cosine", 6))
+        .select("e.src", "e.dst", "e.cosine")
+        .withColumn("cos_r", F.round("cosine", 6))
+    )
     w_nn = Window.partitionBy("src").orderBy(F.col("cos_r").desc(), F.col("dst"))
     nn = directed.withColumn("rn", F.row_number().over(w_nn)).filter("rn = 1")
     lab = emb.select("vec_id", "label")

@@ -4033,13 +4033,25 @@ def q_peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == o.o_orderkey)
         .select(F.col("o_orderdate").cast("date").alias("open_d"), "close_d")
     )
+    # r11 (guide §1.3): the union form derived spans — a fact-fact
+    # aggregation plus a join — TWICE (once per boundary side; this was
+    # the suite's largest scan volume). One explode emits both sweep
+    # events per interval from a single derivation.
     deltas = (
-        spans.select(F.col("open_d").alias("d"), F.lit(1).alias("delta"))
-        .unionByName(
-            spans.select(
-                F.date_add(F.col("close_d"), 1).alias("d"), F.lit(-1).alias("delta")
-            )
+        spans.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("open_d").alias("d"), F.lit(1).alias("delta")
+                    ),
+                    F.struct(
+                        F.date_add(F.col("close_d"), 1).alias("d"),
+                        F.lit(-1).alias("delta"),
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.d", "e.delta")
         .groupBy("d")
         .agg(F.sum("delta").alias("net"))
     )
