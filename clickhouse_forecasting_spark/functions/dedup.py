@@ -529,9 +529,23 @@ def connected_components(
     # the edge list is re-joined EVERY iteration — persist it once so the
     # upstream pair derivation (LSH candidate + verify joins) runs a
     # single time instead of once per round
+    # symmetrize via ONE explode (r11, guide §1.3): the union-of-two-
+    # selects form executed the upstream pair derivation (LSH candidate
+    # + verify joins) twice inside the persist's materialization job
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

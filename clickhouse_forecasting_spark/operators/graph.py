@@ -347,8 +347,21 @@ def connected_components_star(
     )
 
     def _sym(edges: DataFrame) -> DataFrame:
-        return edges.union(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        # r11 (guide §1.3): explode emits both directions from ONE read
+        # of the input — the union-of-two-selects form executed the
+        # (unmaterialized) upstream star pipeline twice per reference
+        return (
+            edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u"), F.col("v")),
+                        F.struct(
+                            F.col("v").alias("u"), F.col("u").alias("v")
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select("p.u", "p.v")
         )
 
     def _large_star(edges: DataFrame) -> DataFrame:
@@ -396,7 +409,12 @@ def connected_components_star(
     sig = _sig(e)
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # cut between the stars: _small_star references its input 3x
+        # (the mins aggregate, the re-point join, and the mins union) —
+        # un-checkpointed, each reference re-executed the whole
+        # large-star join+groupBy+distinct (r11, guide §1.3)
+        half = _large_star(e).localCheckpoint(eager=True)
+        e = _small_star(half).localCheckpoint(eager=True)
         new_sig = _sig(e)
         if new_sig == sig:
             break

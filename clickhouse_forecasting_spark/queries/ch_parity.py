@@ -2951,14 +2951,24 @@ def q_max_intersections_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date(F.concat(F.col("yr"), F.lit("-12-31"))),
         ).alias("e"),
     )
-    starts = iv.groupBy("yr", F.col("s").alias("day")).agg(
-        F.count("*").alias("d")
-    )
-    ends = iv.groupBy(
-        "yr", F.date_add(F.col("e"), 1).alias("day")
-    ).agg((-F.count("*")).alias("d"))
-    bounds = starts.unionByName(ends).groupBy("yr", "day").agg(
-        F.sum("d").alias("delta")
+    # r11 (guide §1.3): one explode emits both sweep events per clipped
+    # interval — the starts/ends union derived iv (the fact-fact spans
+    # aggregation + join + year explode) twice
+    bounds = (
+        iv.select(
+            "yr",
+            F.explode(
+                F.array(
+                    F.struct(F.col("s").alias("day"), F.lit(1).alias("d")),
+                    F.struct(
+                        F.date_add(F.col("e"), 1).alias("day"),
+                        F.lit(-1).alias("d"),
+                    ),
+                )
+            ).alias("ev"),
+        )
+        .groupBy("yr", F.col("ev.day").alias("day"))
+        .agg(F.sum("ev.d").alias("delta"))
     )
     w = Window.partitionBy("yr").orderBy("day")
     run = bounds.withColumn(
