@@ -492,6 +492,12 @@ def main() -> None:
     # BENCH_FULL.json; the isolated MINS stay (7 short keys) because the
     # judge cites them for suite-position-sensitive rows.
     ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    # top-N MINIMA on the compact line too (r11 VERDICT #9): the repo's
+    # documented stable cross-round statistic is min-of-iters; without it
+    # on the line the driver's PERF comparison can only use load-spiked
+    # medians. Ranked by the MEDIAN ordering so the two maps cover the
+    # same queries and prev/now rows align.
+    ranked_min = [(name, timings_min[name]) for name, _ in ranked]
 
     def _compact_line(top_n: int) -> str:
         return json.dumps(
@@ -504,6 +510,7 @@ def main() -> None:
                 **subtotals,
                 "suite_r1_per_iter": per_iter_suite_r1,
                 "queries": dict(ranked[:top_n]),
+                "queries_min": dict(ranked_min[:top_n]),
                 "queries_isolated": {
                     k: v.get("min", v.get("error", "err"))
                     for k, v in queries_isolated.items()
