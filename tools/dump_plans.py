@@ -29,18 +29,38 @@ def main() -> None:
         "dump_plans", extra_conf={"spark.ui.showConsoleProgress": "false"}
     )
     qs = entrymod.queries()
+    failures: list[str] = []
     for name in names:
+        if name not in qs:
+            # ADVICE r11: an unknown query name must fail the tool, not
+            # write a plausible-looking "<no batch plan>" file
+            print(f"ERROR: unknown query {name!r}", file=sys.stderr)
+            failures.append(name)
+            continue
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         try:
             df = qs[name](spark, sf_dir)
             txt = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
-        except Exception as exc:  # streaming/batch-plan-less queries
+        except Exception as exc:
+            # Only a genuinely plan-less result (streaming replays whose
+            # memory-sink frame outlived the query, Py4J explain errors on
+            # non-batch plans) gets the placeholder; an ANALYSIS failure
+            # means the query itself is broken and the tool must say so
+            # (ADVICE r11: the bare except swallowed real query bugs).
+            from pyspark.errors import AnalysisException
+
+            if isinstance(exc, AnalysisException):
+                print(f"ERROR: {name} failed analysis: {exc}", file=sys.stderr)
+                failures.append(name)
+                continue
             txt = f"<no batch plan: {exc}>\n"
         with open(path, "w") as fh:
             fh.write(f"# {name} @ {sf_dir} ({suffix})\n{txt}")
         print(f"wrote {path}", file=sys.stderr)
+    if failures:
+        sys.exit(f"dump_plans: {len(failures)} query(ies) failed: {failures}")
 
 
 if __name__ == "__main__":
