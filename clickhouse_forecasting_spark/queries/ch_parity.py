@@ -5050,11 +5050,11 @@ def _replay_closed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stores (delta + snapshot + commit files each). Pinning the stream's
     shuffle width to the state's own scale cut the replay 17-30 s ->
     2.4-8.5 s across repeats at sf0.1 (32 vs 4-8 partitions, measured).
-    ``SPARK_GRAFT_STREAM_STATE_PARTS`` overrides for state-heavy
-    deployments; the session-wide setting is restored immediately —
-    batch plans built after this function are untouched."""
-    import os
-
+    The pin is scoped through streaming.replay.pinned_state_partitions
+    (r12, ADVICE r11: the conf save/restore is session-global — the
+    single-threaded-session assumption lives in that helper's
+    contract)."""
+    from ..streaming.replay import pinned_state_partitions
     from ..streaming.rollup import EVENTS_SCHEMA
     from ..streaming.topk import sliding_type_counts
 
@@ -5065,10 +5065,7 @@ def _replay_closed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = sliding_type_counts(stream, watermark="1 day")
     name = "closed_counts_replay"
-    state_parts = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "8")
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", state_parts)
-    try:
+    with pinned_state_partitions(spark):
         q = (
             counts.writeStream.format("memory")
             .queryName(name)
@@ -5076,10 +5073,6 @@ def _replay_closed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-    finally:
-        # the streaming query captured the value at .start(); the
-        # session setting must not leak into subsequent batch plans
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("streaming replay did not finish in 300s")

@@ -100,14 +100,24 @@ def q_streaming_state_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        q = (
-            sessionize_stream(stream, gap_seconds=1800, ttl_seconds=86_400)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
+        # r12 (VERDICT r11 #6): same state-shuffle sizing as the
+        # closed-counts replay — the sessionizer's state is TTL-bounded
+        # at the active-user population (≤4,000 rows here, the claim this
+        # query audits), so each of the 3 micro-batches previously
+        # committed 32 near-empty state stores where ≤8 carry it all.
+        from ..streaming.replay import pinned_state_partitions
+
+        with pinned_state_partitions(spark):
+            q = (
+                sessionize_stream(
+                    stream, gap_seconds=1800, ttl_seconds=86_400
+                )
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("state-bound replay did not finish in 300s")
