@@ -303,6 +303,21 @@ def _pagerank_bounded(
     )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Synchronously release the storage blocks behind an eagerly
+    localCheckpointed frame that is PROVABLY dead (nothing will ever
+    execute it again — a localCheckpoint has no lineage to recompute
+    from, so freeing a live one would crash its next action). The
+    checkpointed plan is a LogicalRDD wrapping the materialized RDD;
+    unpersisting that RDD drops the blocks and deregisters it now,
+    instead of after the py4j finalizer + ContextCleaner round-trip.
+    Best-effort: an unexpected plan shape falls back to the GC path."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components_star(
     pairs: DataFrame,
     *,
@@ -407,14 +422,32 @@ def connected_components_star(
         return (row.n, row.h)
 
     sig = _sig(e)
+    initial_e = e  # backs `nodes` recomputation in the returned frame
     rounds = 0
     for rounds in range(1, max_rounds + 1):
         # cut between the stars: _small_star references its input 3x
         # (the mins aggregate, the re-point join, and the mins union) —
         # un-checkpointed, each reference re-executed the whole
-        # large-star join+groupBy+distinct (r11, guide §1.3)
-        half = _large_star(e).localCheckpoint(eager=True)
-        e = _small_star(half).localCheckpoint(eager=True)
+        # large-star join+groupBy+distinct (r11, guide §1.3). persist
+        # (not a second localCheckpoint) so the round's intermediate can
+        # be DROPPED once `e` is materialized — the r11 form left every
+        # round's half-step blocks resident until JVM GC reclaimed the
+        # frame (ADVICE r11), doubling executor storage per round. The
+        # lineage behind `half` is one star step over the previous
+        # round's checkpoint, so skipping the lineage cut is free.
+        half = _large_star(e).persist(StorageLevel.MEMORY_AND_DISK)
+        new_e = _small_star(half).localCheckpoint(eager=True)
+        half.unpersist()
+        if e is not initial_e:
+            # the superseded round's checkpoint blocks are provably dead:
+            # new_e is itself checkpointed (no lineage back), the round's
+            # signature was already collected, and nothing else holds the
+            # frame — free them now instead of waiting for GC +
+            # ContextCleaner (ADVICE r11). initial_e stays: the returned
+            # comps frame recomputes `nodes` from it after the unpersist
+            # below.
+            _free_local_checkpoint(e)
+        e = new_e
         new_sig = _sig(e)
         if new_sig == sig:
             break
