@@ -221,6 +221,13 @@ class SeriesForecaster:
                 return
             pdf = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
             ds_dt = pd.to_datetime(pdf["ds"])
+            # r12 (guide §4.5 pattern): rewrite pdf's ds as the parsed
+            # datetime64 ONCE — every per-cutoff batched_fit_predict_long
+            # call re-runs pd.to_datetime over its slice (k parses of the
+            # partition instead of 1); on already-datetime64 input that
+            # inner parse is a no-op view. Values are identical by
+            # construction (same parse), so fits are bit-for-bit.
+            pdf = pdf.assign(ds=ds_dt)
             # Normalized-key actuals frame, built ONCE outside the cutoff
             # loop (ADVICE r10): predictions come back with datetime.date
             # ds (object dtype), so merging on a raw string-ds frame
@@ -231,7 +238,7 @@ class SeriesForecaster:
             actuals = pdf[[*groups, "y"]].rename(columns={"y": "actual"})
             actuals = actuals.assign(ds=ds_dt)
             for cutoff in cutoffs_str:
-                sub = pdf[ds_dt <= pd.Timestamp(cutoff)]
+                sub = pdf[ds_dt.values <= pd.Timestamp(cutoff).to_datetime64()]
                 if not len(sub):
                     continue
                 preds = batched_fit_predict_long(
