@@ -532,18 +532,30 @@ def dispatch_small(df: DataFrame, max_rows: int) -> bool:
     count would otherwise recompute the (often aggregate) input once for
     routing and once for the query — so the frame persists FIRST, the
     count materializes the cache, and the fast path reads it back
-    (measured ~2x on quantiles_exact_weighted at sf0.1). Over the cap
-    the cache is dropped immediately and the distributed machinery
-    recomputes from lineage — the rare path pays one full cache write
-    of a data-proportional input (the persist-first cost model: right
-    when most dispatch-enabled inputs are small aggregates, which they
-    are; a caller expecting mostly-oversized inputs should not enable
-    dispatch), the common small-frame path pays zero extra passes.
+    (measured ~2x on quantiles_exact_weighted at sf0.1).
+
+    Over the cap the entry is KEPT too (r12, ADVICE r11): the
+    distributed machinery the caller falls back to starts with
+    ``repartitionByRange``, whose RangePartitioner sampling job plus the
+    shuffle itself execute the input plan TWICE — Catalyst's plan-cache
+    substitution points both at the materialized probe frame instead, so
+    the over-cap probe's cache write now BUYS back the sampler recompute
+    rather than being thrown away (the r11 form released it and paid one
+    full extra recompute of the input). The residual over-cap cost is
+    the cache write itself plus transient MEMORY_AND_DISK residency of
+    one input-sized frame — which the ranged machinery's eager
+    localCheckpoint was about to duplicate anyway. Enable dispatch only
+    on aggregate-grain inputs all the same: on a fact-grain frame the
+    cache WRITE is the dominant cost (the r11-documented reverts at
+    q_global_rank_price_points / q_negative_sampling_table /
+    q_key_skew_report measured exactly that) and keeping it does not
+    amortize a write that should never happen.
 
     The persist registers in the package-wide runtime_cache under the
     plan's semanticHash (r9, ADVICE r8: the persists previously
     accumulated unobserved for the session lifetime) — one entry per
-    distinct plan, re-probing a seen plan reuses the entry, and
+    distinct plan, re-probing a seen plan reuses the entry, the family
+    is FIFO-capped at DISPATCH_CACHE_MAX (ADVICE r9), and
     ``runtime_cache.release("dispatch")`` drops them all. A 32-bit
     semanticHash collision could at worst misroute (return a wrong
     count); the fast path's in-plan rowcap assert still fails loudly on
@@ -553,18 +565,9 @@ def dispatch_small(df: DataFrame, max_rows: int) -> bool:
     h = int(df._jdf.queryExecution().analyzed().semanticHash())
     key = ("dispatch", h)
     cached = _rc.cached_frame(df, key, lambda: df)
-    if cached.count() <= int(max_rows):
-        # production bound on the family (ADVICE r9): a long session
-        # running many distinct dispatch-enabled plans previously accreted
-        # one persisted probe frame per plan forever; FIFO-cap it here so
-        # the registry stays bounded without any caller discipline.
-        _rc.cap_family("dispatch", DISPATCH_CACHE_MAX)
-        return True
-    # release THIS entry precisely (ADVICE r9: releasing by the bare int
-    # token matched the hash at any key position and could drop an
-    # unrelated family's stage whose key embeds the same integer)
-    _rc.release_exact(df, key)
-    return False
+    small = cached.count() <= int(max_rows)
+    _rc.cap_family("dispatch", DISPATCH_CACHE_MAX)
+    return small
 
 
 def bounded_rows_row_number(
@@ -1045,6 +1048,7 @@ def partitioned_run_counts(
     order_by: Sequence,
     value_cols: Sequence[str],
     num_partitions: int | None = None,
+    bucket_by: Column | None = None,
 ) -> DataFrame:
     """Adjacent-run counts of each value column in the global ``order_by``
     order — ``sum((c != lag(c) OVER (ORDER BY ...))::int)`` with null-safe
@@ -1064,6 +1068,20 @@ def partitioned_run_counts(
     of the projected columns, both JVM (an earlier mapInPandas variant paid
     ~2x in Arrow transfer of the full fact projection).
 
+    ``bucket_by`` (r12, guide §2.5/§6): RangePartitioner SAMPLES its
+    boundaries — ``repartitionByRange`` runs a whole extra pass over the
+    projected input before the shuffle.  When the caller can supply a
+    deterministic bucket expression that is (a) monotone non-decreasing
+    in the ``order_by`` prefix and (b) constant within every tied
+    order-key group (e.g. ``(key - min_key) div span`` over an integer
+    key whose min/max came from pushed-down parquet footer stats), the
+    sampling pass is unnecessary: rows hash-partition on the bucket (use
+    20-100x more buckets than partitions so the hash spreads evenly —
+    guide §2.5), the lag window partitions BY BUCKET, and the stitch
+    orders the per-BUCKET summary frame by the bucket value itself, so
+    the physical partition order never matters.  Exact same run counts,
+    one fewer input pass, no sampler.
+
     Returns ONE row: n_rows bigint, runs_<c> bigint per value column.
     """
     spark = df.sparkSession
@@ -1073,11 +1091,17 @@ def partitioned_run_counts(
     )
     cols = list(value_cols)
     cols_ord = _order_cols(order_by)
-    local = (
-        df.select(*cols_ord, *cols)
-        .repartitionByRange(n, *cols_ord)
-        .withColumn(_PID, F.spark_partition_id())
-    )
+    if bucket_by is not None:
+        local = (
+            df.select(bucket_by.alias(_PID), *cols_ord, *cols)
+            .repartition(n, F.col(_PID))
+        )
+    else:
+        local = (
+            df.select(*cols_ord, *cols)
+            .repartitionByRange(n, *cols_ord)
+            .withColumn(_PID, F.spark_partition_id())
+        )
     w = Window.partitionBy(_PID).orderBy(*cols_ord)
     proj = [F.col(_PID), F.row_number().over(w).alias(_LRN)]
     for c in value_cols:

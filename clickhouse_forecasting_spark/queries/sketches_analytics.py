@@ -3597,6 +3597,15 @@ def q_ks_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact scan, no single-partition window. max(cum)-as-total requires
     # NON-NEGATIVE summands (c1/c2 are counts); on signed values take
     # the last row's cumulative by order instead.
+    #
+    # dispatch justification (ADVICE r11): `counts` is an AGGREGATE of
+    # the fact (grouped cents), not the fact itself — the probe's cache
+    # write is of the aggregate output, and since r12 an over-cap probe
+    # entry is kept for the distributed path, whose repartitionByRange
+    # sampler+shuffle would otherwise recompute the whole fact
+    # aggregation twice; the write is repaid either way. This is NOT the
+    # declined q_global_rank_price_points shape, where the probed frame
+    # was fact-grain and the write itself was the measured regression.
     cum = RK.global_running_sum(
         counts, ["v"], ["c1", "c2"], ["cum1", "cum2"],
         dispatch_max_rows=RK.FASTPATH_MAX_ROWS,
@@ -3669,7 +3678,10 @@ def q_mannwhitney_u_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct prices grow with the fact table: the predecessor count s
     # comes from the distributed running sum; n1/n2 fold into the SAME
     # one-row aggregate over the checkpointed frame (the old second fact
-    # scan for totals is gone)
+    # scan for totals is gone). Dispatch on the aggregate-grain counts
+    # frame is justified as in q_ks_test_segments (ADVICE r11): the
+    # over-cap probe entry is kept and feeds the distributed sampler +
+    # shuffle, so the cache write of the aggregate is repaid either way.
     cum = RK.global_running_sum(
         counts, ["v"], ["c"], ["cumc"],
         dispatch_max_rows=RK.FASTPATH_MAX_ROWS,

@@ -29,10 +29,14 @@ def _app_entries(spark):
     return [k for k in runtime_cache.entries() if k[0] == app]
 
 
-def test_dispatch_overcap_release_spares_same_int_in_other_family(spark):
-    """Register a foreign-family frame whose key embeds the SAME integer
-    as the dispatch probe's semanticHash; an over-cap dispatch must drop
-    only its own entry."""
+def test_dispatch_overcap_keeps_own_entry_spares_other_family(spark):
+    """A foreign-family frame whose key embeds the SAME integer as the
+    dispatch probe's semanticHash must survive an over-cap dispatch
+    (ADVICE r9: bare-token release matched the hash at any position).
+    Since r12 (ADVICE r11) the over-cap probe entry is KEPT as well: the
+    distributed fallback's repartitionByRange executes the input twice
+    (sampler + shuffle) and the materialized probe frame feeds both via
+    plan-cache substitution instead of being thrown away."""
     from clickhouse_forecasting_spark.operators.ranking import dispatch_small
 
     df = spark.range(100).withColumnRenamed("id", "v")
@@ -44,9 +48,13 @@ def test_dispatch_overcap_release_spares_same_int_in_other_family(spark):
         app = spark.sparkContext.applicationId
         keys = _app_entries(spark)
         assert (app, *foreign_key) in keys, "foreign entry was dropped"
-        assert (app, "dispatch", h) not in keys, "own entry not dropped"
+        assert (app, "dispatch", h) in keys, (
+            "over-cap probe entry must be kept for the distributed "
+            "fallback's sampler+shuffle reuse"
+        )
     finally:
         runtime_cache.release_exact(df, foreign_key)
+        runtime_cache.release_exact(df, ("dispatch", h))
 
 
 def test_dispatch_family_capped_fifo(spark):

@@ -97,5 +97,10 @@ def test_dispatch_persists_are_registered_and_releasable(spark):
 
     big = spark.range(5000)
     assert dispatch_small(big, max_rows=10) is False
-    # over-cap: the probe entry was dropped immediately
+    # over-cap (r12, ADVICE r11): the probe entry is KEPT — the
+    # distributed fallback's repartitionByRange runs the input through
+    # a sampler job AND the shuffle, and both read the materialized
+    # probe frame via plan-cache substitution; it remains releasable
+    assert sum(1 for k in rc.entries() if "dispatch" in k) == 1
+    assert rc.release("dispatch") >= 1
     assert sum(1 for k in rc.entries() if "dispatch" in k) == 0
