@@ -453,6 +453,18 @@ def _spc_key_bounded(expr: str, subtree: str, depth: int = 0) -> bool:
     mod_parts = _split_top_level(e, " % ")
     if len(mod_parts) == 2 and re.match(r"^-?\d+L?$", mod_parts[1]):
         return True
+    # date_add/date_sub(bounded, literal) — the calendar twin of the
+    # "bounded ± literal" shift below: a literal day offset preserves
+    # the domain size of a calendar-bounded argument
+    for head in ("date_add(", "date_sub("):
+        if e.startswith(head) and e.endswith(")"):
+            args = _split_top_level(e[len(head):-1], ",")
+            if (
+                len(args) == 2
+                and re.match(r"^-?\d+$", args[1].strip())
+                and _spc_key_bounded(args[0], subtree, depth + 1)
+            ):
+                return True
     # bounded ± literal — a shift preserves domain size
     for op in (" + ", " - "):
         parts = _split_top_level(e, op)

@@ -4048,22 +4048,24 @@ def q_peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r11 (guide §1.3): the union form derived spans — a fact-fact
     # aggregation plus a join — TWICE (once per boundary side; this was
     # the suite's largest scan volume). One explode emits both sweep
-    # events per interval from a single derivation.
+    # events per interval from a single derivation. r12: the explode
+    # fans out the ±1 DELTA and the day is a CASE over the two boundary
+    # columns — the r11 struct-array form hid the day behind a
+    # struct-field access the single-partition census cannot resolve,
+    # so the bounded (calendar-grain) sweep frame read as unbounded
+    # (caught by test_no_single_partition_collapse_anywhere).
     deltas = (
         spans.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("open_d").alias("d"), F.lit(1).alias("delta")
-                    ),
-                    F.struct(
-                        F.date_add(F.col("close_d"), 1).alias("d"),
-                        F.lit(-1).alias("delta"),
-                    ),
-                )
-            ).alias("e")
+            "open_d",
+            "close_d",
+            F.explode(F.array(F.lit(1), F.lit(-1))).alias("delta"),
         )
-        .select("e.d", "e.delta")
+        .select(
+            F.when(F.col("delta") == 1, F.col("open_d"))
+            .otherwise(F.date_add(F.col("close_d"), 1))
+            .alias("d"),
+            "delta",
+        )
         .groupBy("d")
         .agg(F.sum("delta").alias("net"))
     )
