@@ -1246,36 +1246,51 @@ def q_stream_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Structured Streaming `withWatermark` delay. Both global passes are
     DISTRIBUTED (operators/ranking): the arrival-order running max
     stitches per-partition cummax with broadcast prefix maxima, and the
-    exact rank picks ride global_row_number (range-partitioned +
-    broadcast offsets) — no single-partition window at any step."""
+    exact rank picks fold to the CDF over DISTINCT lateness values
+    (r12, guide §2.3 "aggregate before you shuffle"): the quantile rank
+    r's value in (late_us, tiebreak) order is min{v : cum_count(v) >= r}
+    — tie order never reaches the picked VALUE — so only the per-value
+    count frame rides the distributed running sum, not the fact. vs the
+    r11 shape this drops one fact-grain ranged shuffle + eager
+    localCheckpoint + a separate count() job + the offsets join-back;
+    the dispatch opt-in follows the ks_test cost model (over-cap probe
+    feeds the ranged fallback's two passes — ranking.dispatch_small)."""
     ev = _t(spark, sf_dir, "events").select(
         "event_id", F.unix_micros("ts").alias("us")
     )
     cm = RK.global_running_max(ev, ["event_id"], "us", "cummax_us")
-    late = cm.select((F.col("cummax_us") - F.col("us")).alias("late_us"),
-                     "event_id")
-    ranked = RK.global_row_number(late, ["late_us", "event_id"], col_name="rk")
-    n = ranked.count()  # bounded scalar off the internal checkpoint
+    late = cm.select((F.col("cummax_us") - F.col("us")).alias("late_us"))
+    cnt = late.groupBy("late_us").agg(F.count("*").alias("__lc"))
+    cum = RK.global_running_sum(
+        cnt, ["late_us"], ["__lc"], ["__lcum"],
+        dispatch_max_rows=RK.FASTPATH_MAX_ROWS,
+    )
+    total = cum.agg(F.max("__lcum").cast("bigint").alias("__ln"))
 
     def pick(q: float) -> F.Column:
-        import math
-        return F.max(
-            F.when(F.col("rk") == math.ceil(n * q), F.col("late_us"))
+        # value at global rank ceil(n*q): first distinct late_us whose
+        # inclusive cumulative count reaches the rank (CEIL on the same
+        # double product the rk== form ceiled, so picks are identical)
+        return F.min(
+            F.when(
+                F.col("__lcum") >= F.ceil(F.col("__ln") * F.lit(q)),
+                F.col("late_us"),
+            )
         )
 
-    agg = ranked.agg(
+    agg = cum.crossJoin(F.broadcast(total)).agg(
+        F.max("__ln").cast("bigint").alias("n_events"),
         pick(0.5).alias("p50_late_us"),
         pick(0.9).alias("p90_late_us"),
         pick(0.99).alias("p99_late_us"),
         F.max("late_us").alias("max_late_us"),
         F.expr(
-            "CAST(SUM(CASE WHEN late_us > 60000000 THEN 1 ELSE 0 END) * 1000000"
-            f" div {n} AS BIGINT)"
+            "CAST(SUM(CASE WHEN late_us > 60000000 THEN __lc ELSE 0 END)"
+            " * 1000000 div MAX(__ln) AS BIGINT)"
         ).alias("over_60s_ppm"),
     )
     return agg.select(
-        F.lit(n).cast("bigint").alias("n_events"),
-        "p50_late_us", "p90_late_us", "p99_late_us",
+        "n_events", "p50_late_us", "p90_late_us", "p99_late_us",
         "max_late_us", "over_60s_ppm",
     )
 
