@@ -1404,6 +1404,32 @@ FROM calc
 """
 
 
+def _parquet_key_bounds(path: str, column: str) -> tuple[int, int] | None:
+    """(min, max) of an integer column from the parquet FOOTER statistics
+    — the same row-group stats predicate pushdown reads, folded across
+    row groups in the driver with no Spark job. None when the file or
+    its statistics are unavailable (caller falls back to sampling)."""
+    try:
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+        idx = {
+            meta.schema.column(i).name: i for i in range(meta.num_columns)
+        }[column]
+        mn = mx = None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        if mn is None:
+            return None
+        return int(mn), int(mx)
+    except Exception:
+        return None
+
+
 def q_encoding_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-encoding advisor (the lakehouse ops surface behind
     ClickHouse's column-codec picker): per lineitem column — rows,
@@ -1411,16 +1437,54 @@ def q_encoding_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     linenumber) physical order, then the dictionary-vs-RLE-vs-plain
     recommendation from distinct-ratio and run-ratio ppm thresholds.
     Run counting is DISTRIBUTED (operators/ranking.partitioned_run_counts):
-    range-partition on the physical order, one vectorized per-partition
+    partition on the physical order, one vectorized per-partition
     pass counts interior value changes, and partitions stitch at their
-    boundaries over a <= num_partitions-row frame — exact lag semantics,
-    no single-partition window. Distinct counts fold in one aggregation."""
+    boundaries over a bounded summary frame — exact lag semantics,
+    no single-partition window. Distinct counts fold in one aggregation.
+
+    r12 (guide §2.4/§6 — remove the sampler pass): the run pass's
+    ``repartitionByRange`` paid a RangePartitioner SAMPLING job — a
+    whole extra execution of the projected fact — before the shuffle.
+    The physical-order key's min/max come from the parquet FOOTER
+    statistics instead (one driver-side pyarrow metadata read, no Spark
+    job), and feed partitioned_run_counts' sampler-free ``bucket_by``
+    route: rows hash-partition on a bucket that is pure arithmetic on
+    the footer bounds, so the fact is read TWICE (distinct agg + run
+    shuffle, independent subtrees that overlap in one job) instead of
+    three times. Run-pass width stays INPUT-proportional (compressed
+    source bytes / SPARK_GRAFT_RUNPASS_MB, default 2 MB — ~6 partitions
+    at sf0.1, thousands at cluster scale where 2 MB of zstd parquet is
+    tens of MB of shuffled rows; the r11 session-width inherit gave 32
+    near-empty partitions whose per-task overhead made the pass SLOWER
+    on 32 cores than 8 — PERF_r11 scaling 0.84). Footers without
+    l_orderkey statistics fall back to the r11 ranged route unchanged."""
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount",
             "l_suppkey", "l_shipdate"]
-    runs_wide = RK.partitioned_run_counts(
-        li, ["l_orderkey", "l_linenumber"], cols
-    )
+    bounds = _parquet_key_bounds(f"{sf_dir}/lineitem.parquet", "l_orderkey")
+    if bounds is not None:
+        import os as _os
+
+        mn, mx = bounds
+        mb = float(_os.environ.get("SPARK_GRAFT_RUNPASS_MB", "2"))
+        try:
+            src_bytes = _os.path.getsize(f"{sf_dir}/lineitem.parquet")
+        except OSError:
+            src_bytes = 0
+        n_parts = max(4, int(src_bytes / (mb * 1024 * 1024)) + 1)
+        # 64 buckets per partition so the hash spreads evenly (guide
+        # §2.5); bucket = (key - min) div span is monotone in the order
+        # prefix and constant per orderkey group — the bucket_by contract
+        span = max(1, (mx - mn) // (64 * n_parts) + 1)
+        runs_wide = RK.partitioned_run_counts(
+            li, ["l_orderkey", "l_linenumber"], cols,
+            num_partitions=n_parts,
+            bucket_by=F.expr(f"CAST((l_orderkey - {mn}) DIV {span} AS INT)"),
+        )
+    else:
+        runs_wide = RK.partitioned_run_counts(
+            li, ["l_orderkey", "l_linenumber"], cols
+        )
     dist_aggs = [F.count_distinct(F.col(c)).cast("bigint").alias(f"dist_{c}") for c in cols]
     dist_wide = li.agg(*dist_aggs)
     wide = runs_wide.crossJoin(F.broadcast(dist_wide))

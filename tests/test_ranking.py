@@ -105,6 +105,28 @@ def test_partitioned_run_counts_matches_window(spark, sf_dir):
     assert got.collect()[0].asDict() == ref.collect()[0].asDict()
 
 
+def test_partitioned_run_counts_bucket_by_matches_ranged(spark, sf_dir):
+    # the sampler-free bucket_by route (r12): a monotone, tie-constant
+    # bucket over the leading order key must reproduce the ranged
+    # route's counts exactly — including across bucket boundaries and
+    # with empty buckets (span oversized relative to the key range)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_returnflag", "l_quantity", "l_shipdate"]
+    ranged = RK.partitioned_run_counts(
+        li, ["l_orderkey", "l_linenumber"], cols
+    ).collect()[0]
+    agg = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
+    mn, mx = int(agg[0]), int(agg[1])
+    for n_parts, per_bucket in ((4, 64), (16, 1), (3, 1000)):
+        span = max(1, (mx - mn) // (per_bucket * n_parts) + 1)
+        got = RK.partitioned_run_counts(
+            li, ["l_orderkey", "l_linenumber"], cols,
+            num_partitions=n_parts,
+            bucket_by=F.expr(f"CAST((l_orderkey - {mn}) DIV {span} AS INT)"),
+        ).collect()[0]
+        assert got.asDict() == ranged.asDict(), (n_parts, per_bucket)
+
+
 def test_partitioned_run_counts_nulls_and_tiny_partitions(spark):
     # nulls + more partitions than rows: boundary stitching must use
     # null-safe compares and tolerate empty range partitions
