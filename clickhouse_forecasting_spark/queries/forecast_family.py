@@ -116,7 +116,16 @@ def q_forecast_backtest_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("series_id").cast("string").alias("metric"),
         F.col("y"),
     )
-    fc = SeriesForecaster(interval=7, only_future=True)
+    # fit-stage width ∝ series count, not cluster width (r12, guide
+    # §2.1): the session-width inherit made this row SLOWER on 32 cores
+    # than 8 (PERF_r11 scaling 0.61) — the per-task constant (worker
+    # round-trip + per-cutoff axis prep) dominated 78-series partitions
+    from ..forecast.forecaster import series_proportional_fanout
+
+    fc = SeriesForecaster(
+        interval=7, only_future=True,
+        fanout_partitions=series_proportional_fanout(2500),
+    )
     return fc.backtest(
         long_df, ["2024-01-16", "2024-01-19", "2024-01-22", "2024-01-23"]
     )
@@ -315,7 +324,13 @@ def q_forecast_scale_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("series_id").cast("string").alias("metric"),
         F.col("y"),
     )
-    fc = SeriesForecaster(interval=7, only_future=True)
+    # width ∝ series count (r12, guide §2.1) — see q_forecast_backtest_scale
+    from ..forecast.forecaster import series_proportional_fanout
+
+    fc = SeriesForecaster(
+        interval=7, only_future=True,
+        fanout_partitions=series_proportional_fanout(2500),
+    )
     return fc.transform_long(long_df).orderBy("metric", "ds")
 
 

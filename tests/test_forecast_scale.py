@@ -171,6 +171,38 @@ def test_backtest_fanout_width_survives_aqe(spark):
     assert "MapInPandas" in plan
 
 
+def test_series_proportional_fanout_is_input_derived(spark, monkeypatch):
+    """r12: the scale queries size the fit stage from the SERIES COUNT
+    (env-overridable target per partition), never the core count — and
+    an explicit fanout_partitions is respected end-to-end by the
+    batched fit stage (the knob the formula feeds)."""
+    from clickhouse_forecasting_spark.forecast.forecaster import (
+        series_proportional_fanout,
+    )
+
+    assert series_proportional_fanout(2500) == 14  # ceil(2500/192)
+    assert series_proportional_fanout(1) == 1
+    assert series_proportional_fanout(192) == 1
+    assert series_proportional_fanout(193) == 2
+    monkeypatch.setenv("SPARK_GRAFT_SERIES_PER_PART", "100")
+    assert series_proportional_fanout(2500) == 25
+    monkeypatch.delenv("SPARK_GRAFT_SERIES_PER_PART")
+    seriesgen.register(spark)
+    df = (
+        spark.read.format("seriesgen")
+        .option("series", "64")
+        .option("days", "20")
+        .load()
+    )
+    long_df = df.select(
+        F.col("date").alias("ds"),
+        F.col("series_id").cast("string").alias("metric"),
+        F.col("y"),
+    )
+    fc = SeriesForecaster(interval=3, only_future=True, fanout_partitions=5)
+    assert fc.transform_long(long_df).rdd.getNumPartitions() == 5
+
+
 def test_backtest_scores_every_cell_once(spark):
     seriesgen.register(spark)
     df = (
