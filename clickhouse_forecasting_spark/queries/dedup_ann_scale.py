@@ -592,10 +592,22 @@ def ann_grid_scale_audit_frame(spark: SparkSession, n_vecs: int) -> DataFrame:
             F.lit(m - 1),
         ).cast("bigint")
 
+    # per-vector norm BEFORE the checkpoint (r12 — the same 1-fold-per-
+    # pair treatment the hyperplane/ivf audits got in r11: identical
+    # fold to cosine_similarity's, so dot/(na·nb) is bit-identical
+    # while the O(candidates) verify pays 1 fold per pair instead of 3)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
     bucketed = emb.select(
         "vec_id",
         "embedding",
         ((cell(0) * m + cell(1)) * m + cell(2)).alias("bucket"),
+        nrm.alias("__nrm"),
     ).localCheckpoint(eager=True)
     occ = (
         bucketed.groupBy("bucket")
@@ -603,10 +615,21 @@ def ann_grid_scale_audit_frame(spark: SparkSession, n_vecs: int) -> DataFrame:
         .agg(F.max("c").cast("bigint").alias("max_bucket_occupancy"))
     )
     a = bucketed.select(
-        "bucket", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+        "bucket", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"), F.col("__nrm").alias("__na"),
     )
     b = bucketed.select(
-        "bucket", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+        "bucket", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"), F.col("__nrm").alias("__nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("va"),
+            F.col("vb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     scored = (
         a.join(b, "bucket")
@@ -614,7 +637,7 @@ def ann_grid_scale_audit_frame(spark: SparkSession, n_vecs: int) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            F.round(DD.cosine_similarity(F.col("va"), F.col("vb")), 6).alias(
+            F.round(dot / (F.col("__na") * F.col("__nb")), 6).alias(
                 "cosine"
             ),
         )
@@ -1030,7 +1053,14 @@ def q_ann_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned_base, cents = SIM.ivf_exact_cells(
         base, n_cells=16, scale=1000, cache_key=("incr_base", sf_dir)
     )
-    assigned_batch = SIM.assign_to_cells(batch, cents, scale=1000)
+    # materialize the batch assignment ONCE (r12): it feeds BOTH the
+    # in-cell verify join and the final per-vector join-back, and
+    # assign_to_cells is a pandas-UDF pass over the batch — without the
+    # checkpoint the Python assignment stage executes twice (no shared
+    # exchange between the two consumers). |batch| = |corpus|/5 rows.
+    assigned_batch = SIM.assign_to_cells(
+        batch, cents, scale=1000
+    ).localCheckpoint(eager=True)
     nrm = F.sqrt(
         F.aggregate(
             F.col("embedding"),
