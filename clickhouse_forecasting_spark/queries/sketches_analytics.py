@@ -2229,15 +2229,36 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
-    # tiny derived aggregates: materialize once so the a/b self-join does
-    # not re-expand the distinct's subtree (cf. triangles lesson)
+    # tiny derived aggregates: materialize once so the per-order fold and
+    # the count frames do not re-expand the distinct's subtree (cf.
+    # triangles lesson)
     items = items.localCheckpoint(eager=True)
     n_orders = items.select(F.count_distinct("ok").alias("n"))
     item_counts = items.groupBy("pk").agg(F.count("*").alias("cnt"))
-    a, b = items.alias("a"), items.alias("b")
+    # r12 (guide §2.4 — remove a shuffle outright): the a/b self-join on
+    # the order key shuffled the item set TWICE (both join sides) before
+    # the pair groupBy. Per-order baskets are bounded (≤7 lines in
+    # TPC-H), so fold each order's parts into one sorted array (ONE hash
+    # shuffle) and expand the i<j pairs in-plan with higher-order
+    # functions — identical pair multiset (sort_array of the distinct
+    # set ⇒ strictly increasing ⇒ pk1 < pk2), JVM codegen, no join.
+    baskets = items.groupBy("ok").agg(
+        F.sort_array(F.collect_set("pk")).alias("pks")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("pks"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("pks"), i + 2, F.greatest(F.size("pks") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count("*").alias("n12"))
         .filter(F.col("n12") >= 2)
     )
