@@ -327,18 +327,28 @@ def q_tpch_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     sup = _t(spark, sf_dir, "supplier")
+    # r12 (guide §2.4 — share one exchange): the flagged (order,
+    # supplier) distinct was a SECOND lineitem derivation shuffled on
+    # the same key as the per-order aggregate, joined back to recover
+    # the one supplier the ==1 filter just proved unique. Collect both
+    # supplier sets in ONE per-order aggregation instead — the lone
+    # flagged supplier is element 1 of its (size-1) set, the distinct
+    # counts are the set sizes, and the flagged⋈eligible join
+    # disappears. Sets are bounded by the order's line count; no
+    # countDistinct Expand. Identical result by construction.
     per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct(
+        F.collect_set("l_suppkey").alias("supp_set"),
+        F.collect_set(
             F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_flagged_suppliers"),
+        ).alias("flagged_set"),
     )
     eligible = per_order.filter(
-        (F.col("n_suppliers") > 1) & (F.col("n_flagged_suppliers") == 1)
+        (F.size("supp_set") > 1) & (F.size("flagged_set") == 1)
+    ).select(
+        "l_orderkey", F.element_at("flagged_set", 1).alias("l_suppkey")
     )
-    flagged = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
     return (
-        flagged.join(eligible.select("l_orderkey"), "l_orderkey")
+        eligible
         .join(orders, F.col("l_orderkey") == orders.o_orderkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.count("*").alias("numwait"))
