@@ -2032,6 +2032,16 @@ def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # crawl) and the only other corpus pass is the scoring join. The
     # docstring's "one pass for the LM, one for scoring" is now the
     # measured plan, not just the design.
+    #
+    # r12 — measured and REVERTED: folding the corpus once to per-doc
+    # bigram COUNTS (checkpointed, bg_counts derived from the fold,
+    # scoring weighted by the exact-integer multiplicity) removes the
+    # second tokenize+explode but materializes a FACT-grain
+    # intermediate — bigrams are mostly unique within a doc, so the
+    # fold barely reduces and the checkpoint write+read costs more
+    # than the recompute it saves (isolated sf0.1 min 2.80 -> 3.20,
+    # 1.15x). Same anti-case as the dispatch cost model: only
+    # materialize what aggregation actually shrinks.
     bg_counts = (
         big.groupBy("w1", "w2")
         .agg(F.count("*").alias("cb"))
